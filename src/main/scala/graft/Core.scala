@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** One declared operator/query: the Spark-side builder, and (when the
+  * semantics are ANSI-SQL-expressible) an equivalent DuckDB oracle SQL
+  * over the same parquet tables. Queries without an oracle get the
+  * driver's weaker rows-only check.
+  *
+  * Determinism contract (every query):
+  *   - total ORDER BY (all output columns participate or a unique key does)
+  *   - double SUM/AVG routed through DECIMAL casts (exact + associative,
+  *     so Spark's parallel partial aggregation and DuckDB's sequential
+  *     sum agree bit-for-bit after the final cast back to DOUBLE)
+  *   - per-row double arithmetic is IEEE-deterministic in both engines
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    headline: Boolean = false)
+
+/** Accessors for the driver-provided parquet tables (TESTDATA.md). */
+final class Tables(val spark: SparkSession, dir: String) {
+  def t(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+  def region: DataFrame = t("region")
+  def nation: DataFrame = t("nation")
+  def customer: DataFrame = t("customer")
+  def supplier: DataFrame = t("supplier")
+  def part: DataFrame = t("part")
+  def orders: DataFrame = t("orders")
+  def lineitem: DataFrame = t("lineitem")
+
+  /** events.ts is parquet TIMESTAMP(NANOS) which Spark 4 rejects
+    * natively; read nanos as long and truncate to microseconds —
+    * exactly what DuckDB does when it loads the same file. `ts` is
+    * TimestampType; the session runs in UTC so wall-times align. */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t("events").withColumn("ts",
+      timestamp_micros(expr("ts div 1000")))
+  }
+  def documents: DataFrame = t("documents")
+  def embeddings: DataFrame = t("embeddings")
+}
+
+object Exact {
+  /** Order-independent, cross-engine-exact sum of a double column:
+    * cast to DECIMAL(18,scale) (exact integer arithmetic), sum, cast back.
+    * DuckDB twin: CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE). */
+  def dsum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
+
+  /** Cross-engine-exact average: exact decimal sum divided by COUNT. */
+  def davg(c: Column, scale: Int = 4): Column =
+    dsum(c, scale) / count(c)
+
+  /** DuckDB twin of dsum. */
+  def sqlSum(x: String, scale: Int = 4): String =
+    s"CAST(SUM(CAST($x AS DECIMAL(18,$scale))) AS DOUBLE)"
+
+  def sqlAvg(x: String, scale: Int = 4): String =
+    s"${sqlSum(x, scale)} / COUNT($x)"
+}
