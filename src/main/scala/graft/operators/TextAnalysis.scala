@@ -1,0 +1,177 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.LongType
+
+/** Text-analysis operators for an LLM training-data pipeline, over the
+  * `documents` table: token statistics, quality scoring, language-ID
+  * (marker-word heuristic), and document fingerprinting.
+  *
+  * All per-document — embarrassingly parallel, no shuffle except the
+  * explode+agg passes; at 100 TB these scale linearly with input and
+  * are bounded by the parquet scan.
+  *
+  * Determinism: tokenization is `split(lower(trim(text)), '\s+')` in
+  * both engines (Java regex and RE2 agree on \s+); integer counts are
+  * exact; ratio divisions are single IEEE double ops.
+  */
+object TextAnalysis {
+
+  /** tokens column expression shared by the queries below. */
+  private val toksExpr = "split(lower(trim(text)), '\\\\s+')"
+  private val stoplist = "('the','a','of','and','to','in','is','it')"
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // ----- t01: token counting — whitespace tokens and a word-regex
+    // token count (a cheap BPE-ish proxy), plus average token length.
+    QueryDef(
+      "t01_token_stats",
+      (s, d) => new Tables(s, d).documents
+        .withColumn("toks", expr(toksExpr))
+        .select(
+          col("doc_id"),
+          size(col("toks")).cast(LongType).as("n_ws_tokens"),
+          size(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+            .cast(LongType).as("n_alpha_tokens"),
+          length(col("text")).cast(LongType).as("n_chars"),
+          (expr("aggregate(transform(toks, t -> length(t)), 0, (acc, x) -> acc + x)")
+            .cast("double") / size(col("toks"))).as("avg_token_len"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+          CAST(len(toks) AS BIGINT) AS n_ws_tokens,
+          CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT)
+            AS n_alpha_tokens,
+          CAST(length(text) AS BIGINT) AS n_chars,
+          CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+            / len(toks) AS avg_token_len
+        FROM (SELECT doc_id, text,
+                string_split_regex(lower(trim(text)), '\s+') AS toks
+              FROM documents)
+        ORDER BY doc_id""")),
+
+    // ----- t02: quality scoring — stopword ratio, punctuation ratio,
+    // length prior; one weighted score per document.
+    QueryDef(
+      "t02_quality_score",
+      (s, d) => new Tables(s, d).documents
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("n_tok", size(col("toks")))
+        .withColumn("stop_ratio",
+          expr(s"size(filter(toks, t -> t IN $stoplist))").cast("double")
+            / col("n_tok"))
+        .withColumn("punct_ratio",
+          (length(col("text"))
+            - length(regexp_replace(col("text"), "[.,;:!?]", "")))
+            .cast("double") / length(col("text")))
+        .withColumn("len_prior",
+          least(lit(1.0), col("n_tok").cast("double") / lit(100.0)))
+        .select(col("doc_id"), col("n_tok").cast(LongType).as("n_tok"),
+          col("stop_ratio"), col("punct_ratio"), col("len_prior"),
+          (col("stop_ratio") * lit(0.5)
+            + (lit(1.0) - col("punct_ratio")) * lit(0.3)
+            + col("len_prior") * lit(0.2)).as("quality_score"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+          stop_ratio, punct_ratio, len_prior,
+          stop_ratio * 0.5 + (1.0 - punct_ratio) * 0.3 + len_prior * 0.2
+            AS quality_score
+        FROM (SELECT doc_id, n_tok,
+            CAST(len(list_filter(toks, t -> t IN $stoplist)) AS DOUBLE)
+              / n_tok AS stop_ratio,
+            CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+              AS DOUBLE) / length(text) AS punct_ratio,
+            least(1.0, CAST(n_tok AS DOUBLE) / 100.0) AS len_prior
+          FROM (SELECT doc_id, text,
+                  string_split_regex(lower(trim(text)), '\\s+') AS toks,
+                  len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tok
+                FROM documents))
+        ORDER BY doc_id""")),
+
+    // ----- t03: language-ID — marker-word voting (n-gram-heuristic
+    // family). Explode tokens, broadcast-join a tiny marker dim, take
+    // the argmax language per doc (ties broken by language code).
+    // At scale: the marker dim broadcasts; one shuffle on doc_id.
+    QueryDef(
+      "t03_lang_id",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val docs = new Tables(s, d).documents
+        val markers = Seq(
+          ("the", "en"), ("a", "en"), ("fast", "en"), ("value", "en"),
+          ("data", "de"), ("hash", "de"), ("batch", "de"),
+          ("stream", "fr"), ("merge", "fr"), ("line", "fr"),
+          ("query", "es"), ("sort", "es"), ("filter", "es"),
+          ("spark", "zh"), ("window", "zh"), ("scan", "zh"))
+          .toDF("marker", "marker_lang")
+        val votes = docs
+          .select(col("doc_id"), explode(expr(toksExpr)).as("tok"))
+          .join(broadcast(markers), col("tok") === col("marker"))
+          .groupBy(col("doc_id"), col("marker_lang"))
+          .agg(count(lit(1)).as("votes"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("votes").desc, col("marker_lang"))
+        val top = votes.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("marker_lang").as("pred_lang"),
+            col("votes"))
+        docs.select(col("doc_id"), col("lang").as("true_lang"))
+          .join(top, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
+            coalesce(col("votes"), lit(0L)).as("votes"),
+            col("true_lang"),
+            (coalesce(col("pred_lang"), lit("und")) === col("true_lang"))
+              .as("is_match"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH markers(marker, marker_lang) AS (VALUES
+          ('the','en'),('a','en'),('fast','en'),('value','en'),
+          ('data','de'),('hash','de'),('batch','de'),
+          ('stream','fr'),('merge','fr'),('line','fr'),
+          ('query','es'),('sort','es'),('filter','es'),
+          ('spark','zh'),('window','zh'),('scan','zh')),
+        tok AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+                FROM documents),
+        votes AS (SELECT doc_id, marker_lang, COUNT(*) AS votes
+                  FROM tok JOIN markers ON tok = marker
+                  GROUP BY doc_id, marker_lang),
+        top AS (SELECT doc_id, marker_lang AS pred_lang, votes FROM (
+                  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                    ORDER BY votes DESC, marker_lang) AS rn FROM votes)
+                WHERE rn = 1)
+        SELECT d.doc_id,
+          COALESCE(top.pred_lang, 'und') AS pred_lang,
+          COALESCE(top.votes, 0) AS votes,
+          d.lang AS true_lang,
+          COALESCE(top.pred_lang, 'und') = d.lang AS is_match
+        FROM documents d LEFT JOIN top ON d.doc_id = top.doc_id
+        ORDER BY d.doc_id""")),
+
+    // ----- t04: document fingerprinting — md5 of the whitespace-
+    // normalized text (exact fingerprint) and of the sorted token bag
+    // (order-insensitive fingerprint; catches shuffled near-dups).
+    QueryDef(
+      "t04_fingerprint",
+      (s, d) => new Tables(s, d).documents
+        .withColumn("norm",
+          regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+        .select(
+          col("doc_id"),
+          md5(col("norm")).as("fp_exact"),
+          md5(expr("array_join(array_sort(split(norm, ' ')), ' ')"))
+            .as("fp_bag"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+          md5(norm) AS fp_exact,
+          md5(array_to_string(list_sort(string_split(norm, ' ')), ' '))
+            AS fp_bag
+        FROM (SELECT doc_id,
+                regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+              FROM documents)
+        ORDER BY doc_id"""))
+  )
+}
