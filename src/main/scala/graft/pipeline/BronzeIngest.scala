@@ -1,0 +1,125 @@
+package graft.pipeline
+
+import java.util.Properties
+
+import graft.functions.avro
+import graft.sources.kafkasim.SimBroker
+import org.apache.avro.generic.GenericData
+import org.apache.spark.SparkConf
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** The reference's two bronze-layer ingestion pipelines, rebuilt
+  * Spark-4-native over the kafkasim source:
+  *
+  *   stream:  readStream(kafkasim) → avro_decode(value) → data.* →
+  *            ingested_at → parquet append with checkpoint
+  *            (KafkaAvroToIceberg.scala:55-100)
+  *   batch:   bounded offset-range read → same decode/enrich +
+  *            source="kafka-batch" lineage tag → count → append
+  *            (KafkaBatchJob.java:70-98)
+  *
+  * The streaming path intentionally does NOT add `source` — the
+  * reference leaves it NULL there and only the batch job fills it
+  * (asymmetry documented at SURVEY §2.1 B5).
+  *
+  * Exactly-once: offsets write-ahead to `<ckpt>/offsets/<batchId>`
+  * (Kafka-shaped JSON via KafkaSimOffset) and the parquet file-sink
+  * manifest commits atomically per batch — a restart replans from the
+  * last committed offsets, the same contract the Kafka→Iceberg
+  * topology relied on.
+  */
+object BronzeIngest {
+
+  val OrderSchema: String = avro.OrderEventSchemaJson
+
+  /** Kafka wire stream → decoded, enriched orders frame. */
+  def decode(spark: SparkSession, wire: DataFrame): DataFrame = {
+    avro.registerAvroDecode(spark)
+    wire
+      .selectExpr(s"avro_decode(value, '${OrderSchema.replace("'", "''")}') AS data")
+      .select(col("data.*"))
+      .withColumn("ingested_at", current_timestamp())
+  }
+
+  def streamJob(spark: SparkSession, brokerRoot: String, topic: String,
+      checkpointDir: String, tableDir: String): StreamingQuery = {
+    val wire = spark.readStream.format("kafkasim")
+      .option("path", brokerRoot)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .option("failOnDataLoss", "false")
+      .load()
+    decode(spark, wire)
+      .writeStream
+      .format("parquet")
+      .option("path", tableDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  def batchJob(spark: SparkSession, brokerRoot: String, topic: String,
+      startingOffsetsJson: String, endingOffsetsJson: String,
+      tableDir: String): Long = {
+    val wire = spark.read.format("kafkasim")
+      .option("path", brokerRoot)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsetsJson)
+      .option("endingOffsets", endingOffsetsJson)
+      .option("failOnDataLoss", "false")
+      .load()
+    val decoded = decode(spark, wire)
+      .withColumn("source", lit("kafka-batch"))
+    val n = decoded.count()
+    decoded.write.mode("append").parquet(tableDir)
+    n
+  }
+}
+
+/** U1 (SparkConfigLoader.scala:9-24): load `spark.*` keys from a
+  * properties resource/file into a SparkConf. */
+object SparkConfigLoader {
+  def loadFromResources(resource: String): SparkConf = {
+    val props = new Properties()
+    val in = Option(getClass.getResourceAsStream(resource)).getOrElse(
+      throw new IllegalArgumentException(s"resource not found: $resource"))
+    try props.load(in) finally in.close()
+    val conf = new SparkConf()
+    props.stringPropertyNames().forEach { k =>
+      if (k.startsWith("spark.")) conf.set(k, props.getProperty(k))
+    }
+    conf
+  }
+}
+
+/** U2 (TestAvroProducer.scala:32-74): produce Avro-framed OrderEvents
+  * into the sim broker — raw record bodies, NO schema-registry header,
+  * null keys (round-robin partitioning in the reference; here an
+  * explicit deterministic partitioner). */
+object OrderEventProducer {
+
+  final case class Order(orderId: String, amount: Double, ts: String)
+
+  def produce(brokerRoot: String, topic: String, numPartitions: Int,
+      orders: Seq[Order], timestampMs: Long = 0L): Unit = {
+    val schema = graft.functions.AvroSchemaConverter.parse(
+      BronzeIngest.OrderSchema)
+    val ser = new avro.Serializer(schema)
+    SimBroker.createTopic(brokerRoot, topic, numPartitions)
+    orders.groupBy(o => math.floorMod(o.orderId.hashCode.toLong, numPartitions.toLong).toInt)
+      .toSeq.sortBy(_._1)
+      .foreach { case (p, batch) =>
+        val records = batch.map { o =>
+          val rec = new GenericData.Record(schema)
+          rec.put("orderId", o.orderId)
+          rec.put("amount", java.lang.Double.valueOf(o.amount))
+          rec.put("ts", o.ts)
+          (None: Option[Array[Byte]], ser.serialize(rec), timestampMs)
+        }
+        SimBroker.append(brokerRoot, topic, p, records)
+      }
+  }
+}

@@ -1,0 +1,252 @@
+package graft.sources.kafkasim
+
+import java.util
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.jdk.CollectionConverters._
+
+/** "kafkasim" DataSource V2: a Kafka-connector-compatible source over a
+  * [[SimBroker]] directory. Replicates the option surface the reference
+  * jobs use (`subscribe`, `startingOffsets`, `endingOffsets`,
+  * `failOnDataLoss` — reference `KafkaAvroToIceberg.scala:55-64`,
+  * `KafkaBatchJob.java:70-77`) and the Kafka 7-column wire schema.
+  *
+  * Scale design: one Spark input partition per (topic, partition) —
+  * the connector's planning strategy — so reads parallelize with the
+  * topic layout and never shuffle. Column pruning is pushed into the
+  * reader (`SupportsPushDownRequiredColumns`), mirroring the built-in
+  * connector's behavior that Catalyst prunes `key`/`topic`/... when
+  * only `value` is consumed.
+  *
+  * Offsets serialize as Kafka-source JSON `{"topic":{"0":off}}` so
+  * Structured Streaming checkpoints written through this source parse
+  * with the reference's own checkpoint readers (SURVEY §1 "offset
+  * maps").
+  */
+object KafkaSimSource {
+  val WireSchema: StructType = StructType(Seq(
+    StructField("key", BinaryType),
+    StructField("value", BinaryType),
+    StructField("topic", StringType),
+    StructField("partition", IntegerType),
+    StructField("offset", LongType),
+    StructField("timestamp", TimestampType),
+    StructField("timestampType", IntegerType)))
+
+  private val mapper = {
+    val m = new ObjectMapper(); m.registerModule(DefaultScalaModule); m
+  }
+
+  /** {"topic":{"0":12,"1":3}} → Map[(topic, partition) → offset] */
+  def parseOffsetJson(json: String): Map[(String, Int), Long] = {
+    val tree = mapper.readTree(json)
+    tree.fields().asScala.flatMap { e =>
+      e.getValue.fields().asScala.map { pe =>
+        (e.getKey, pe.getKey.toInt) -> pe.getValue.asLong()
+      }
+    }.toMap
+  }
+
+  def toOffsetJson(offsets: Map[(String, Int), Long]): String = {
+    val byTopic = offsets.groupBy(_._1._1).toSeq.sortBy(_._1).map {
+      case (topic, m) =>
+        val parts = m.toSeq.sortBy(_._1._2)
+          .map { case ((_, p), off) => s""""$p":$off""" }
+          .mkString("{", ",", "}")
+        s""""$topic":$parts"""
+    }
+    byTopic.mkString("{", ",", "}")
+  }
+}
+
+class KafkaSimSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "kafkasim"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    KafkaSimSource.WireSchema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new KafkaSimTable(new CaseInsensitiveStringMap(properties))
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+final class KafkaSimTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String =
+    s"kafkasim:${options.get("path")}/${options.get("subscribe")}"
+  override def schema(): StructType = KafkaSimSource.WireSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new KafkaSimScanBuilder(options)
+}
+
+final class KafkaSimScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var prunedSchema: StructType = KafkaSimSource.WireSchema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    prunedSchema = requiredSchema
+
+  override def build(): Scan = new KafkaSimScan(options, prunedSchema)
+}
+
+final class KafkaSimScan(options: CaseInsensitiveStringMap,
+    prunedSchema: StructType) extends Scan {
+
+  private val root = Option(options.get("path")).getOrElse(
+    throw new IllegalArgumentException("kafkasim requires option 'path'"))
+  private val topics = Option(options.get("subscribe")).getOrElse(
+    throw new IllegalArgumentException("kafkasim requires option 'subscribe'"))
+    .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+  private val failOnDataLoss =
+    Option(options.get("failOnDataLoss")).forall(_.toBoolean)
+
+  override def readSchema(): StructType = prunedSchema
+
+  override def description(): String =
+    s"KafkaSimV2[subscribe=${topics.mkString(",")}, path=$root]"
+
+  private def allPartitions: Seq[(String, Int)] =
+    topics.flatMap(t => SimBroker.partitions(root, t).map(t -> _))
+
+  private def resolveOffsets(spec: String, isStart: Boolean): Map[(String, Int), Long] =
+    spec match {
+      case "earliest" => allPartitions.map { case (t, p) =>
+        (t, p) -> SimBroker.earliest(root, t, p) }.toMap
+      case "latest" => allPartitions.map { case (t, p) =>
+        (t, p) -> SimBroker.latest(root, t, p) }.toMap
+      case json => KafkaSimSource.parseOffsetJson(json).map {
+        case (tp, off) if off == -2L => tp -> SimBroker.earliest(root, tp._1, tp._2)
+        case (tp, off) if off == -1L => tp -> SimBroker.latest(root, tp._1, tp._2)
+        case other => other
+      }
+    }
+
+  /** Clamp a requested start to the broker's earliest; the reference
+    * job runs failOnDataLoss=false and relies on external monitors to
+    * report the skipped range (SURVEY §2.2). */
+  private def checkStart(tp: (String, Int), requested: Long): Long = {
+    val e = SimBroker.earliest(root, tp._1, tp._2)
+    if (requested < e) {
+      if (failOnDataLoss)
+        throw new IllegalStateException(
+          s"Data loss detected: $tp requested offset $requested < earliest $e " +
+            "(set failOnDataLoss=false to skip missing records)")
+      System.err.println(
+        s"[kafkasim] Some data may be lost: $tp skipping $requested -> $e")
+      e
+    } else requested
+  }
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] = {
+      val start = resolveOffsets(
+        Option(options.get("startingOffsets")).getOrElse("earliest"), isStart = true)
+      val end = resolveOffsets(
+        Option(options.get("endingOffsets")).getOrElse("latest"), isStart = false)
+      end.toSeq.sortBy(_._1).map { case (tp, until) =>
+        val from = checkStart(tp, start.getOrElse(tp, SimBroker.earliest(root, tp._1, tp._2)))
+        KafkaSimInputPartition(root, tp._1, tp._2, from, until): InputPartition
+      }.toArray
+    }
+    override def createReaderFactory(): PartitionReaderFactory =
+      new KafkaSimReaderFactory(prunedSchema)
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new KafkaSimMicroBatchStream(root, topics, prunedSchema,
+      Option(options.get("startingOffsets")).getOrElse("earliest"),
+      failOnDataLoss, resolveOffsets, checkStart)
+}
+
+final case class KafkaSimOffset(offsets: Map[(String, Int), Long]) extends Offset {
+  override def json(): String = KafkaSimSource.toOffsetJson(offsets)
+}
+
+final class KafkaSimMicroBatchStream(root: String, topics: Seq[String],
+    prunedSchema: StructType, startingOffsets: String, failOnDataLoss: Boolean,
+    resolve: (String, Boolean) => Map[(String, Int), Long],
+    checkStart: ((String, Int), Long) => Long) extends MicroBatchStream {
+
+  override def initialOffset(): Offset =
+    KafkaSimOffset(resolve(startingOffsets, true))
+
+  override def latestOffset(): Offset = KafkaSimOffset(resolve("latest", false))
+
+  override def deserializeOffset(json: String): Offset =
+    KafkaSimOffset(KafkaSimSource.parseOffsetJson(json))
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[KafkaSimOffset].offsets
+    val e = end.asInstanceOf[KafkaSimOffset].offsets
+    e.toSeq.sortBy(_._1).map { case (tp, until) =>
+      val from = checkStart(tp, s.getOrElse(tp, 0L))
+      KafkaSimInputPartition(root, tp._1, tp._2, from, until): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new KafkaSimReaderFactory(prunedSchema)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  /** Shows up as SourceProgress.description — the reference's listener
+    * filters Kafka sources by description (DataLossMonitor.java:40);
+    * ours filters on this marker the same way. */
+  override def toString: String =
+    s"KafkaSimV2[subscribe=${topics.mkString(",")}, path=$root]"
+}
+
+final case class KafkaSimInputPartition(root: String, topic: String,
+    partition: Int, from: Long, until: Long) extends InputPartition
+
+final class KafkaSimReaderFactory(prunedSchema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[KafkaSimInputPartition]
+    new KafkaSimPartitionReader(p, prunedSchema)
+  }
+}
+
+final class KafkaSimPartitionReader(p: KafkaSimInputPartition,
+    prunedSchema: StructType) extends PartitionReader[InternalRow] {
+
+  private val it = SimBroker.read(p.root, p.topic, p.partition, p.from, p.until)
+  private var current: SimBroker.SimRecord = _
+
+  // column extractors fixed once per reader — no per-row name lookups
+  private val extractors: Array[SimBroker.SimRecord => Any] =
+    prunedSchema.fields.map(f => f.name match {
+      case "key"       => (r: SimBroker.SimRecord) => r.key
+      case "value"     => (r: SimBroker.SimRecord) => r.value
+      case "topic"     => (_: SimBroker.SimRecord) => UTF8String.fromString(p.topic)
+      case "partition" => (r: SimBroker.SimRecord) => r.partition
+      case "offset"    => (r: SimBroker.SimRecord) => r.offset
+      case "timestamp" => (r: SimBroker.SimRecord) => r.timestampMs * 1000L
+      case "timestampType" => (_: SimBroker.SimRecord) => 0
+      case other => throw new IllegalArgumentException(s"unknown column $other")
+    })
+
+  override def next(): Boolean =
+    if (it.hasNext) { current = it.next(); true } else false
+
+  override def get(): InternalRow =
+    InternalRow.fromSeq(extractors.map(_(current)).toIndexedSeq)
+
+  override def close(): Unit = ()
+}

@@ -1,0 +1,177 @@
+package graft.streaming.monitors
+
+import java.nio.file.{Files, Path, Paths}
+
+import graft.sources.kafkasim.{KafkaSimSource, SimBroker}
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+/** A detected retention-induced loss range on one topic-partition.
+  * Mirrors the reference's `DataLossEvent` record
+  * (KafkaBatchDataLossMonitor.java:140-149). */
+final case class DataLossEvent(topic: String, partition: Int,
+    lostFrom: Long, lostTo: Long, lostCount: Long,
+    kafkaEarliest: Long, kafkaLatest: Long, detector: String)
+
+/** Structured-Streaming offset-log parsing, shared by the detectors.
+  *
+  * File format (reference SparkCheckpointReader.scala:12-17): an
+  * `offsets/<batchId>` file is line 0 `v1`, line 1 batch-metadata JSON,
+  * lines 2.. one offsets JSON per source — `{"topic":{"partition":off}}`
+  * for Kafka-shaped sources. The reference has two independent parsers
+  * (jackson M6, circe M7); consolidated here into one.
+  */
+object CheckpointOffsets {
+
+  /** Parse one v1 offset file's Kafka-shaped source offsets (first
+    * source line, as in the reference's readers). */
+  def parseOffsetFile(path: Path): Map[(String, Int), Long] = {
+    val lines = Files.readAllLines(path).asScala.toSeq
+    require(lines.nonEmpty && lines.head == "v1",
+      s"not a v1 offset file: $path")
+    // line 1 = metadata, line 2.. = per-source offsets JSON (the
+    // reference's readers take the LAST line — KafkaStreamingPreflightDetector.java:159-185)
+    lines.drop(2).lastOption.map(KafkaSimSource.parseOffsetJson)
+      .getOrElse(Map.empty)
+  }
+
+  /** Batch ids present under `<ckpt>/offsets`, ascending. */
+  def batchIds(checkpointDir: String): Seq[Long] = {
+    val dir = Paths.get(checkpointDir, "offsets")
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val s = Files.list(dir)
+    try {
+      val buf = ArrayBuffer.empty[Long]
+      val it = s.iterator()
+      while (it.hasNext) {
+        val name = it.next().getFileName.toString
+        if (name.forall(_.isDigit)) buf += name.toLong
+      }
+      buf.sorted.toSeq
+    } finally s.close()
+  }
+
+  /** Committed offsets of the latest batch, if any. */
+  def latestOffsets(checkpointDir: String): Option[(Long, Map[(String, Int), Long])] =
+    batchIds(checkpointDir).lastOption.map { id =>
+      id -> parseOffsetFile(Paths.get(checkpointDir, "offsets", id.toString))
+    }
+
+  /** Offset for one (topic, partition) in the latest batch — the
+    * reference's `readCheckpointOffset` (SparkCheckpointReader.scala:18-43). */
+  def readCheckpointOffset(checkpointDir: String, topic: String,
+      partition: Int): Option[Long] =
+    latestOffsets(checkpointDir).flatMap(_._2.get((topic, partition)))
+}
+
+/** M1 (KafkaStreamingPreflightDetector.java:25-210): before starting a
+  * streaming job, compare the last checkpointed offsets against broker
+  * earliest; REPORT loss verbosely, never throw — restart decisions
+  * stay with the operator. */
+final class PreflightDetector(checkpointDir: String, brokerRoot: String) {
+  def detect(): Seq[DataLossEvent] =
+    CheckpointOffsets.latestOffsets(checkpointDir) match {
+      case None => Seq.empty // no checkpoint yet — fresh start, nothing to lose
+      case Some((_, offsets)) =>
+        offsets.toSeq.sortBy(_._1).flatMap { case ((topic, p), committed) =>
+          val earliest = SimBroker.earliest(brokerRoot, topic, p)
+          val latest = SimBroker.latest(brokerRoot, topic, p)
+          if (committed < earliest)
+            Some(DataLossEvent(topic, p, committed, earliest,
+              earliest - committed, earliest, latest, "preflight"))
+          else None
+        }
+    }
+}
+
+/** M2 (CheckpointKafkaDataLossMonitor.java:14-102): compare the last
+  * TWO checkpoint batches; loss iff `prevEnd < earliest && currStart
+  * == earliest` — a deliberately narrower predicate than M1's (it only
+  * fires when Spark has already jumped forward to earliest), preserved
+  * as-is. */
+final class CheckpointDiffMonitor(checkpointDir: String, brokerRoot: String) {
+  def checkLatestBatch(): Seq[DataLossEvent] = {
+    val ids = CheckpointOffsets.batchIds(checkpointDir)
+    if (ids.size < 2) return Seq.empty
+    val prev = CheckpointOffsets.parseOffsetFile(
+      Paths.get(checkpointDir, "offsets", ids(ids.size - 2).toString))
+    val curr = CheckpointOffsets.parseOffsetFile(
+      Paths.get(checkpointDir, "offsets", ids.last.toString))
+    curr.toSeq.sortBy(_._1).flatMap { case ((topic, p), currStart) =>
+      prev.get((topic, p)).flatMap { prevEnd =>
+        val earliest = SimBroker.earliest(brokerRoot, topic, p)
+        val latest = SimBroker.latest(brokerRoot, topic, p)
+        if (prevEnd < earliest && currStart == earliest)
+          Some(DataLossEvent(topic, p, prevEnd, earliest,
+            earliest - prevEnd, earliest, latest, "checkpoint-diff"))
+        else None
+      }
+    }
+  }
+}
+
+/** M4 (KafkaBatchDataLossMonitor.java:18-150): given explicit
+  * startingOffsets/endingOffsets JSON for a bounded read, report
+  * ranges the broker has already expired. Policy (log vs throw) is the
+  * caller's, as in the reference (KafkaBatchJob.java:47-49). */
+final class BatchRangeMonitor(brokerRoot: String) {
+  def check(startingOffsetsJson: String, endingOffsetsJson: String): Seq[DataLossEvent] = {
+    val starts = KafkaSimSource.parseOffsetJson(startingOffsetsJson)
+    val ends = KafkaSimSource.parseOffsetJson(endingOffsetsJson)
+    starts.toSeq.sortBy(_._1).flatMap { case ((topic, p), start) =>
+      val earliest = SimBroker.earliest(brokerRoot, topic, p)
+      val latest = SimBroker.latest(brokerRoot, topic, p)
+      if (earliest > start) {
+        val lostTo = math.min(earliest, ends.getOrElse((topic, p), earliest))
+        Some(DataLossEvent(topic, p, start, lostTo, lostTo - start,
+          earliest, latest, "batch-range"))
+      } else None
+    }
+  }
+}
+
+/** M3 (DataLossMonitor.java:16-165): live `StreamingQueryListener` —
+  * on every progress event, parse the kafkasim sources' start/end
+  * offset JSON and compare against broker earliest. Events accumulate
+  * in-memory (the reference logs; a queryable buffer is strictly more
+  * testable). Runs on the listener-bus thread. */
+final class StreamingLossListener(brokerRoot: String)
+    extends StreamingQueryListener {
+
+  private val buf = new java.util.concurrent.ConcurrentLinkedQueue[DataLossEvent]()
+  def events: Seq[DataLossEvent] = buf.asScala.toSeq
+
+  override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+  override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+
+  override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+    e.progress.sources.filter(s =>
+      Option(s.description).exists(_.contains("KafkaSimV2"))).foreach { s =>
+      val start = Option(s.startOffset).map(KafkaSimSource.parseOffsetJson)
+        .getOrElse(Map.empty[(String, Int), Long])
+      start.foreach { case ((topic, p), off) =>
+        val earliest = SimBroker.earliest(brokerRoot, topic, p)
+        val latest = SimBroker.latest(brokerRoot, topic, p)
+        if (off < earliest)
+          buf.add(DataLossEvent(topic, p, off, earliest, earliest - off,
+            earliest, latest, "listener"))
+      }
+    }
+}
+
+/** M5 (KafkaDataLossAppender.java:16-53): log-line pattern matcher for
+  * Spark-internal data-loss messages. The reference ships it as a
+  * log4j2 appender wired-but-disabled (log4j2.properties:63-76); the
+  * match logic is the testable part and is kept engine-agnostic here —
+  * `matches` can back a real appender plugin unchanged. */
+object LossLogPatterns {
+  val patterns: Seq[String] = Seq(
+    "Some data may be lost",
+    "Cannot fetch offset",
+    "Skip missing records")
+
+  def matches(logLine: String): Boolean =
+    patterns.exists(logLine.contains)
+}
