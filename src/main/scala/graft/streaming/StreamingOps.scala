@@ -1,0 +1,225 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.attribute.FileTime
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.{Exact, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured-Streaming operators over the `events` table, run as REAL
+  * streaming queries: a staged copy of `events` is split into three
+  * time-ordered parquet files, streamed through the file source one
+  * file per micro-batch (so watermarks genuinely advance batch to
+  * batch), into a memory sink. Batch SQL over the same rows oracles
+  * the result — the streaming/batch consistency contract.
+  *
+  * Scale notes: all of these are the shapes that run unchanged on a
+  * 1000-executor cluster against Kafka — the stateful aggs shuffle on
+  * their grouping keys, state lives in the state store (RocksDB for
+  * the session-window query), and watermarks bound state size.
+  */
+object StreamingOps {
+  import Exact._
+
+  private val counter = new AtomicInteger(0)
+
+  /** Stage `events` (ts converted ns→µs timestamp) as 3 single-file
+    * parquets split on time order, modification times increasing so the
+    * file source replays them in event-time order. Cached per sf dir. */
+  private def staged(s: SparkSession, dir: String): String = synchronized {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val root = Paths.get(s"/tmp/graft_stream_$key")
+    if (Files.exists(root.resolve("_COMPLETE"))) return root.toString
+    Files.createDirectories(root)
+    val ev = new Tables(s, dir).events
+      .orderBy(col("ts"), col("event_id"))
+    val n = ev.count()
+    val cut1 = n * 2 / 5
+    val cut2 = n - 1 // last file carries only the final event
+    val withRn = ev.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("ts"), col("event_id"))) - 1)
+    Seq((0L, cut1, "00"), (cut1, cut2, "01"), (cut2, n, "02"))
+      .foreach { case (lo, hi, name) =>
+        val part = withRn.filter(col("rn") >= lo && col("rn") < hi).drop("rn")
+        val tmp = root.resolve(s"_tmp_$name")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val file = Files.list(tmp).filter(p =>
+          p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        Files.move(file, root.resolve(s"$name.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        deleteRec(tmp)
+      }
+    // strictly increasing mod-times → deterministic replay order
+    Seq("00", "01", "02").zipWithIndex.foreach { case (f, i) =>
+      Files.setLastModifiedTime(root.resolve(s"$f.parquet"),
+        FileTime.fromMillis(1000000L + i * 60000L))
+    }
+    Files.createFile(root.resolve("_COMPLETE"))
+    root.toString
+  }
+
+  private def deleteRec(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.forEach(deleteRec) finally s.close()
+    }
+    Files.deleteIfExists(p)
+  }
+
+  /** events as an unbounded stream, one staged file per micro-batch. */
+  private def eventStream(s: SparkSession, dir: String): DataFrame = {
+    val stage = staged(s, dir)
+    val schema = s.read.parquet(stage + "/00.parquet").schema
+    s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage)
+  }
+
+  /** Run a streaming frame to a memory sink until all staged input is
+    * consumed; returns the materialized sink table. */
+  private def runToMemory(s: SparkSession, streamed: DataFrame,
+      mode: String): DataFrame = {
+    val name = s"graft_sink_${counter.incrementAndGet()}"
+    val q = streamed.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // ----- st01: watermark + tumbling window, APPEND mode — only
+    // windows sealed by the final watermark (max event time − 30 min)
+    // are emitted; the oracle applies the same cutoff in SQL. This is
+    // the real late-data-bounding mechanism, not a batch emulation.
+    QueryDef(
+      "st01_stream_tumbling_watermark",
+      (s, d) => {
+        val agg = eventStream(s, d)
+          .withWatermark("ts", "30 minutes")
+          .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value"), 2).as("sum_value"))
+          .select(col("window.start").as("win_start"),
+            col("window.end").as("win_end"), col("event_type"),
+            col("n"), col("sum_value"))
+        runToMemory(s, agg, "append")
+          .orderBy(col("win_start"), col("event_type"))
+      },
+      Some(s"""SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000)
+            AS win_start,
+          make_timestamp((epoch_us(ts) // 21600000000) * 21600000000 + 21600000000)
+            AS win_end,
+          event_type, COUNT(*) AS n, ${sqlSum("value", 2)} AS sum_value
+        FROM events
+        GROUP BY 1, 2, 3
+        HAVING win_end <= (SELECT MAX(ts) - INTERVAL 30 MINUTE FROM events)
+        ORDER BY win_start, event_type""")),
+
+    // ----- st02: sliding window (6h size, 3h slide), COMPLETE mode —
+    // every event lands in two windows; the oracle reproduces Spark's
+    // epoch-aligned window assignment with integer µs arithmetic.
+    QueryDef(
+      "st02_stream_sliding_window",
+      (s, d) => {
+        val agg = eventStream(s, d)
+          .groupBy(window(col("ts"), "6 hours", "3 hours"))
+          .agg(count(lit(1)).as("n"), dsum(col("value"), 2).as("sum_value"))
+          .select(col("window.start").as("win_start"),
+            col("window.end").as("win_end"), col("n"), col("sum_value"))
+        runToMemory(s, agg, "complete")
+          .orderBy(col("win_start"))
+      },
+      Some(s"""SELECT make_timestamp(start_us) AS win_start,
+          make_timestamp(start_us + 21600000000) AS win_end,
+          COUNT(*) AS n, ${sqlSum("value", 2)} AS sum_value
+        FROM (SELECT value,
+                (epoch_us(ts) // 10800000000 - k) * 10800000000 AS start_us
+              FROM events, UNNEST(generate_series(0, 1)) AS u(k)
+              WHERE epoch_us(ts) >= (epoch_us(ts) // 10800000000 - k) * 10800000000
+                AND epoch_us(ts) <  (epoch_us(ts) // 10800000000 - k) * 10800000000
+                      + 21600000000)
+        GROUP BY start_us ORDER BY win_start""")),
+
+    // ----- st03: session windows (30-min gap) per user on the RocksDB
+    // state store provider — session end = last event + gap, merged
+    // transitively; the oracle is the classic gaps-and-islands SQL.
+    QueryDef(
+      "st03_stream_session_window",
+      (s, d) => {
+        val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val agg = eventStream(s, d)
+            .withWatermark("ts", "10 minutes")
+            .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+            .agg(count(lit(1)).as("n_events"), dsum(col("value"), 2).as("sum_value"))
+            .select(col("session_window.start").as("sess_start"),
+              col("session_window.end").as("sess_end"), col("user_id"),
+              col("n_events"), col("sum_value"))
+          runToMemory(s, agg, "complete")
+            .orderBy(col("user_id"), col("sess_start"))
+        } finally {
+          prev match {
+            case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+            case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+          }
+        }
+      },
+      Some(s"""WITH marked AS (
+          SELECT user_id, ts, value,
+            CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                 THEN 1 ELSE 0 END AS new_sess
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sess AS (
+          SELECT user_id, ts, value,
+            SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+          FROM marked)
+        SELECT MIN(ts) AS sess_start,
+          MAX(ts) + INTERVAL 30 MINUTE AS sess_end,
+          user_id, COUNT(*) AS n_events, ${sqlSum("value", 2)} AS sum_value
+        FROM sess GROUP BY user_id, sess_id
+        ORDER BY user_id, sess_start""")),
+
+    // ----- st04: streaming dedup with watermark-bounded state. The
+    // staged input is streamed TWICE (two passes through the same
+    // files via union of two stream reads) and
+    // dropDuplicatesWithinWatermark keeps each event once.
+    QueryDef(
+      "st04_stream_dedup",
+      (s, d) => {
+        val dedup = eventStream(s, d).unionAll(eventStream(s, d))
+          .withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("event_id")
+          .select(col("event_id"), col("event_type"), col("value"))
+        runToMemory(s, dedup, "append").orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, event_type, value FROM events
+        ORDER BY event_id""")),
+
+    // ----- st05: stream-static join — the streaming fact joins the
+    // static `customer` dim (broadcast per micro-batch), then a
+    // running aggregation by segment in COMPLETE mode.
+    QueryDef(
+      "st05_stream_static_join",
+      (s, d) => {
+        val dim = new Tables(s, d).customer
+        val agg = eventStream(s, d)
+          .join(broadcast(dim), col("user_id") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"), dsum(col("value"), 2).as("sum_value"))
+        runToMemory(s, agg, "complete").orderBy(col("c_mktsegment"))
+      },
+      Some(s"""SELECT c_mktsegment, COUNT(*) AS n,
+          ${sqlSum("value", 2)} AS sum_value
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+  )
+}
