@@ -110,19 +110,27 @@ object Dedup {
     QueryDef(
       "d03_minhash_lsh",
       (s, d) => {
-        val sh = shingles(s, d)
-        val sigs = sh
-          .select(col("doc_id"), col("shingle"),
-            explode(expr("sequence(0, 15)")).as("seed"))
-          .groupBy(col("doc_id"), col("seed"))
-          .agg(min(md5(concat(col("seed").cast("string"), lit(":"),
-            col("shingle")))).as("sig"))
-        val bands = sigs
-          .groupBy(col("doc_id"), expr("seed div 4").as("band"))
-          .agg(expr(
-            """array_join(array_sort(collect_list(
-                 concat(lpad(cast(seed as string), 2, '0'), ':', sig))), '|')""")
-            .as("band_key"))
+        val sh = shingles(s, d).cache()
+        // ONE md5 per shingle (the expensive part), then 16 min-hashes
+        // via cheap universal hashing ((a·h+b) mod p), all in a single
+        // map-side-combinable aggregation — no 16× row explosion, one
+        // shuffle of (doc, 16 buffers)
+        val hashed = sh.withColumn("h",
+          conv(substring(md5(col("shingle")), 1, 7), 16, 10).cast("long"))
+        val sigCols = (0 until 16).map(i =>
+          min((lit(1000003L + 2 * i) * col("h") + lit(7919L * i + 1))
+            % lit(2147483647L)).as(s"s$i"))
+        val sigs = hashed.groupBy(col("doc_id"))
+          .agg(sigCols.head, sigCols.tail: _*)
+        // 4 bands × 4 rows; band_key format matches the oracle's
+        // string_agg("NN:sig" ORDER BY seed) exactly
+        val bandCols = (0 until 4).map { b =>
+          concat_ws("|", (4 * b until 4 * b + 4).map(i =>
+            concat(lit(f"$i%02d:"), col(s"s$i").cast("string"))): _*).as(s"b$b")
+        }
+        val bands = sigs.select(col("doc_id") +: bandCols: _*)
+          .selectExpr("doc_id",
+            "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band, band_key)")
         val cands = bands.as("x")
           .join(bands.as("y"),
             col("x.band") === col("y.band")
@@ -130,16 +138,37 @@ object Dedup {
               && col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
           .distinct()
-        cands
-          .join(jaccardPairs(s, d), Seq("id_a", "id_b"))
+        // verify ONLY the candidates: broadcast the (tiny) candidate
+        // set against the shingle relation instead of computing
+        // jaccard for every shingle-sharing pair in the corpus
+        val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val aSide = broadcast(cands)
+          .join(sh, col("id_a") === col("doc_id"))
+          .select(col("id_a"), col("id_b"), col("shingle"))
+        val common = aSide
+          .join(sh.as("b"), aSide("shingle") === col("b.shingle")
+            && col("b.doc_id") === aSide("id_b"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("n_common"))
+        common
+          .join(broadcast(cnt.withColumnRenamed("doc_id", "id_a")
+            .withColumnRenamed("n", "n_a")), "id_a")
+          .join(broadcast(cnt.withColumnRenamed("doc_id", "id_b")
+            .withColumnRenamed("n", "n_b")), "id_b")
+          .withColumn("jaccard", col("n_common").cast("double")
+            / (col("n_a") + col("n_b") - col("n_common")))
           .filter(col("jaccard") >= 0.5)
           .select(col("id_a"), col("id_b"), col("jaccard"))
           .orderBy(col("id_a"), col("id_b"))
       },
       Some(s"""WITH $jaccardPairsSql,
+        hashed AS (SELECT doc_id,
+                     ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h
+                   FROM sh),
         sigs AS (SELECT doc_id, seed,
-                   MIN(md5(seed || ':' || shingle)) AS sig
-                 FROM sh, UNNEST(generate_series(0, 15)) AS t(seed)
+                   MIN(((1000003 + 2 * seed) * h + 7919 * seed + 1)
+                       % 2147483647) AS sig
+                 FROM hashed, UNNEST(generate_series(0, 15)) AS t(seed)
                  GROUP BY doc_id, seed),
         bands AS (SELECT doc_id, seed // 4 AS band,
                     string_agg(lpad(CAST(seed AS VARCHAR), 2, '0') || ':' || sig,
@@ -151,7 +180,8 @@ object Dedup {
                        AND x.doc_id < y.doc_id)
         SELECT c.id_a, c.id_b, j.jaccard
         FROM cands c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
-        WHERE j.jaccard >= 0.5 ORDER BY c.id_a, c.id_b""")),
+        WHERE j.jaccard >= 0.5 ORDER BY c.id_a, c.id_b"""),
+      headline = true),
 
     // ----- d04: SimHash — 16-bit signature from md5 token hashes,
     // majority vote per bit position, then near-dup pairs at hamming
@@ -162,31 +192,45 @@ object Dedup {
       "d04_simhash",
       (s, d) => {
         val docs = new Tables(s, d).documents
+        // all 16 bit-balances in one aggregation pass (16 conditional
+        // sums over the token hash) — one shuffle of (doc, 16 buffers)
+        // instead of a 16× row explosion
+        val balCols = (0 until 16).map(b =>
+          sum(when(expr(s"(h div ${1 << b}) % 2") === 1, 1).otherwise(-1))
+            .as(s"bal$b"))
+        val simhashExpr = (0 until 16).map(b =>
+          when(col(s"bal$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _)
         val sig = docs
           .select(col("doc_id"), explode(expr(toksExpr)).as("tok"))
           .withColumn("h",
             conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("int"))
-          .select(col("doc_id"), col("h"),
-            explode(expr("sequence(0, 15)")).as("bit"))
-          .withColumn("contrib",
-            when(expr("(h div cast(pow(2, bit) as int)) % 2") === 1, 1)
-              .otherwise(-1))
-          .groupBy(col("doc_id"), col("bit"))
-          .agg(sum(col("contrib")).as("balance"))
-          .withColumn("bit_val",
-            when(col("balance") > 0,
-              expr("cast(pow(2, bit) as bigint)")).otherwise(0L))
           .groupBy(col("doc_id"))
-          .agg(sum(col("bit_val")).as("simhash"))
-        sig.as("a")
-          .join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
+          .agg(balCols.head, balCols.tail: _*)
+          .select(col("doc_id"), simhashExpr.cast("long").as("simhash"))
+        // banded candidate join instead of the O(n²) cross join:
+        // hamming ≤ 3 means ≤3 differing bits across 4 nibble bands,
+        // so (pigeonhole) at least one 4-bit band is identical —
+        // banding is LOSSLESS for this threshold. The join shuffles on
+        // (band, nibble) — linear in corpus, the 100 TB shape.
+        val sigC = sig.cache()
+        val banded = sigC.withColumn("band", explode(expr("sequence(0, 3)")))
+          .withColumn("nibble",
+            expr("(simhash div cast(pow(2, band * 4) as bigint)) % 16"))
+        banded.as("a")
+          .join(banded.as("b"),
+            col("a.band") === col("b.band")
+              && col("a.nibble") === col("b.nibble")
+              && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+            col("a.simhash").as("simhash_a"), col("b.simhash").as("simhash_b"))
+          .distinct()
           .withColumn("hamming",
-            bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+            bit_count(col("simhash_a").bitwiseXOR(col("simhash_b")))
               .cast("long"))
           .filter(col("hamming") <= 3)
-          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-            col("a.simhash").as("simhash_a"),
-            col("b.simhash").as("simhash_b"), col("hamming"))
+          .select(col("id_a"), col("id_b"), col("simhash_a"),
+            col("simhash_b"), col("hamming"))
           .orderBy(col("id_a"), col("id_b"))
       },
       Some("""WITH tok AS (
@@ -209,6 +253,7 @@ object Dedup {
           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-        ORDER BY id_a, id_b"""))
+        ORDER BY id_a, id_b"""),
+      headline = true)
   )
 }

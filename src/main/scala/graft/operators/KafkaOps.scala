@@ -89,7 +89,8 @@ object KafkaOps {
       (s, d) => decodedWire(s, brokerFor(s, d))
         .orderBy(col("partition"), col("offset")),
       Some(s"""SELECT * FROM ($ingestOracleBody)
-        ORDER BY "partition", "offset"""")),
+        ORDER BY "partition", "offset""""),
+      headline = true),
 
     // ----- k02: streaming ingest (KafkaAvroToIceberg reborn):
     // readStream(kafkasim) → decode → parquet sink with checkpoint,

@@ -50,7 +50,8 @@ object TextAnalysis {
         FROM (SELECT doc_id, text,
                 string_split_regex(lower(trim(text)), '\s+') AS toks
               FROM documents)
-        ORDER BY doc_id""")),
+        ORDER BY doc_id"""),
+      headline = true),
 
     // ----- t02: quality scoring — stopword ratio, punctuation ratio,
     // length prior; one weighted score per document.

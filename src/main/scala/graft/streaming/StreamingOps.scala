@@ -143,7 +143,8 @@ object StreamingOps {
               WHERE epoch_us(ts) >= (epoch_us(ts) // 10800000000 - k) * 10800000000
                 AND epoch_us(ts) <  (epoch_us(ts) // 10800000000 - k) * 10800000000
                       + 21600000000)
-        GROUP BY start_us ORDER BY win_start""")),
+        GROUP BY start_us ORDER BY win_start"""),
+      headline = true),
 
     // ----- st03: session windows (30-min gap) per user on the RocksDB
     // state store provider — session end = last event + gap, merged
