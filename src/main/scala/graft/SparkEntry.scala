@@ -13,6 +13,7 @@ object SparkEntry {
   /** Every declared query, in registry order. */
   def all: Seq[QueryDef] =
     operators.Relational.queries ++
+      operators.Relational2.queries ++
       operators.TextAnalysis.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries ++
