@@ -90,22 +90,65 @@ final class KafkaSimTable(options: CaseInsensitiveStringMap)
   override def schema(): StructType = KafkaSimSource.WireSchema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
-  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
-    new KafkaSimScanBuilder(options)
+  // per-scan options (relation options, possibly rewritten by optimizer
+  // rules like graft.plans.OffsetPushdown) take precedence; fall back
+  // to the table's construction-time options for any missing key
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
+    import scala.jdk.CollectionConverters._
+    val merged = new CaseInsensitiveStringMap(
+      (options.asCaseSensitiveMap().asScala ++
+        opts.asCaseSensitiveMap().asScala).asJava)
+    new KafkaSimScanBuilder(merged)
+  }
 }
 
 final class KafkaSimScanBuilder(options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var prunedSchema: StructType = KafkaSimSource.WireSchema
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     prunedSchema = requiredSchema
 
-  override def build(): Scan = new KafkaSimScan(options, prunedSchema)
+  /** Offset-range pushdown (SURVEY §4 stretch goal — the built-in
+    * Kafka connector has no such pushdown): a constant lower bound on
+    * the `offset` column narrows `startingOffsets`, so the scan plans
+    * per-partition ranges from the bound instead of earliest. The
+    * filters are also RETURNED as residual — pushdown is advisory
+    * (pure I/O reduction), Spark still applies the predicate, so a
+    * missed match can never change results. */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan, GreaterThanOrEqual}
+    val bounds = filters.collect {
+      case GreaterThanOrEqual("offset", v: Long) => v
+      case GreaterThan("offset", v: Long) => v + 1
+      case EqualTo("offset", v: Long) => v
+    }
+    if (bounds.nonEmpty) {
+      pushed = filters.filter {
+        case GreaterThanOrEqual("offset", _) | GreaterThan("offset", _) |
+            EqualTo("offset", _) => true
+        case _ => false
+      }
+      offsetLowerBound = Some(bounds.max)
+    }
+    filters // all residual: the source narrows I/O, Spark re-checks rows
+  }
+
+  private var offsetLowerBound: Option[Long] = None
+
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    pushed
+
+  override def build(): Scan =
+    new KafkaSimScan(options, prunedSchema, offsetLowerBound)
 }
 
 final class KafkaSimScan(options: CaseInsensitiveStringMap,
-    prunedSchema: StructType) extends Scan {
+    prunedSchema: StructType,
+    offsetLowerBound: Option[Long] = None) extends Scan {
 
   private val root = Option(options.get("path")).getOrElse(
     throw new IllegalArgumentException("kafkasim requires option 'path'"))
@@ -118,7 +161,8 @@ final class KafkaSimScan(options: CaseInsensitiveStringMap,
   override def readSchema(): StructType = prunedSchema
 
   override def description(): String =
-    s"KafkaSimV2[subscribe=${topics.mkString(",")}, path=$root]"
+    s"KafkaSimV2[subscribe=${topics.mkString(",")}, path=$root" +
+      offsetLowerBound.map(b => s", pushedOffsetLowerBound=$b").getOrElse("") + "]"
 
   private def allPartitions: Seq[(String, Int)] =
     topics.flatMap(t => SimBroker.partitions(root, t).map(t -> _))
@@ -159,7 +203,10 @@ final class KafkaSimScan(options: CaseInsensitiveStringMap,
       val end = resolveOffsets(
         Option(options.get("endingOffsets")).getOrElse("latest"), isStart = false)
       end.toSeq.sortBy(_._1).map { case (tp, until) =>
-        val from = checkStart(tp, start.getOrElse(tp, SimBroker.earliest(root, tp._1, tp._2)))
+        val resolved = checkStart(tp,
+          start.getOrElse(tp, SimBroker.earliest(root, tp._1, tp._2)))
+        // pushed `offset >= N` bound narrows the read range further
+        val from = offsetLowerBound.fold(resolved)(math.max(resolved, _))
         KafkaSimInputPartition(root, tp._1, tp._2, from, until): InputPartition
       }.toArray
     }
