@@ -14,6 +14,7 @@ object SparkEntry {
   def all: Seq[QueryDef] =
     operators.Relational.queries ++
       operators.Relational2.queries ++
+      operators.Analytics.queries ++
       operators.TextAnalysis.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries ++

@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.{Exact, QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Statistical aggregates, rank-distribution windows, and date
+  * arithmetic — all built on the exact-decimal-sum algebra so the
+  * moment-based statistics (variance, stddev, correlation) are
+  * bit-identical across engines despite float non-associativity:
+  * every Σx, Σx², Σxy is an exact DECIMAL sum; the closed-form
+  * combination then runs in identically-ordered double arithmetic.
+  */
+object Analytics {
+  import Exact._
+
+  private def tb(s: org.apache.spark.sql.SparkSession, d: String) = new Tables(s, d)
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // ----- q36: variance / stddev / correlation from exact moments.
+    // (Spark's builtin stddev uses a streaming one-pass algorithm whose
+    // result depends on partition order — the moment formulation is the
+    // deterministic, scale-friendly alternative: one aggregation, all
+    // map-side combinable.)
+    QueryDef(
+      "q36_stats_moments",
+      (s, d) => tb(s, d).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(col("l_quantity"), 2).as("sum_q"),
+          dsum(col("l_quantity") * col("l_quantity"), 4).as("sum_q2"),
+          dsum(col("l_extendedprice"), 2).as("sum_p"),
+          dsum(col("l_extendedprice") * col("l_extendedprice"), 4).as("sum_p2"),
+          dsum(col("l_quantity") * col("l_extendedprice"), 4).as("sum_qp"))
+        .select(col("l_returnflag"), col("n"),
+          (col("sum_q") / col("n")).as("mean_qty"),
+          ((col("sum_q2") - col("sum_q") * col("sum_q") / col("n"))
+            / (col("n") - lit(1))).as("var_qty"),
+          sqrt((col("sum_q2") - col("sum_q") * col("sum_q") / col("n"))
+            / (col("n") - lit(1))).as("stddev_qty"),
+          ((col("sum_qp") - col("sum_q") * col("sum_p") / col("n"))
+            / sqrt((col("sum_q2") - col("sum_q") * col("sum_q") / col("n"))
+              * (col("sum_p2") - col("sum_p") * col("sum_p") / col("n"))))
+            .as("corr_qty_price"))
+        .orderBy(col("l_returnflag")),
+      Some(s"""SELECT l_returnflag, n,
+          sum_q / n AS mean_qty,
+          (sum_q2 - sum_q * sum_q / n) / (n - 1) AS var_qty,
+          sqrt((sum_q2 - sum_q * sum_q / n) / (n - 1)) AS stddev_qty,
+          (sum_qp - sum_q * sum_p / n)
+            / sqrt((sum_q2 - sum_q * sum_q / n)
+                   * (sum_p2 - sum_p * sum_p / n)) AS corr_qty_price
+        FROM (SELECT l_returnflag, COUNT(*) AS n,
+            ${sqlSum("l_quantity", 2)} AS sum_q,
+            ${sqlSum("l_quantity * l_quantity", 4)} AS sum_q2,
+            ${sqlSum("l_extendedprice", 2)} AS sum_p,
+            ${sqlSum("l_extendedprice * l_extendedprice", 4)} AS sum_p2,
+            ${sqlSum("l_quantity * l_extendedprice", 4)} AS sum_qp
+          FROM lineitem GROUP BY l_returnflag)
+        ORDER BY l_returnflag""")),
+
+    // ----- q37: rank-distribution window functions (all integer-
+    // derived → exact): rank with ties, dense_rank, percent_rank,
+    // cume_dist, ntile.
+    QueryDef(
+      "q37_rank_distribution",
+      (s, d) => {
+        val byPrice = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"))
+        val tiebroken = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        tb(s, d).orders
+          .withColumn("rnk", rank().over(byPrice))
+          .withColumn("drnk", dense_rank().over(byPrice))
+          .withColumn("pct_rank", percent_rank().over(byPrice))
+          .withColumn("cume", cume_dist().over(byPrice))
+          .withColumn("quartile", ntile(4).over(tiebroken))
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice"), col("rnk"), col("drnk"),
+            col("pct_rank"), col("cume"), col("quartile"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_orderpriority, o_totalprice,
+          CAST(RANK() OVER w AS INT) AS rnk,
+          CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+          PERCENT_RANK() OVER w AS pct_rank,
+          CUME_DIST() OVER w AS cume,
+          CAST(NTILE(4) OVER (PARTITION BY o_orderpriority
+            ORDER BY o_totalprice, o_orderkey) AS INT) AS quartile
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+        ORDER BY o_orderkey""")),
+
+    // ----- q38: date arithmetic — datediff, date_add, add_months
+    // (end-of-month clamping agrees across engines), truncations.
+    QueryDef(
+      "q38_date_arithmetic",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+        tb(s, d).orders
+          .withColumn("first_order_date", min(col("o_orderdate")).over(w))
+          .select(col("o_orderkey"),
+            to_date(col("o_orderdate")).as("order_date"),
+            datediff(col("o_orderdate"), col("first_order_date"))
+              .as("days_since_first"),
+            date_add(to_date(col("o_orderdate")), 30).as("due_date"),
+            to_date(add_months(col("o_orderdate"), 3)).as("quarter_later"),
+            last_day(col("o_orderdate")).as("month_end"),
+            dayofmonth(col("o_orderdate")).as("dom"))
+          .orderBy(col("o_orderkey"))
+          .limit(5000)
+      },
+      Some("""SELECT o_orderkey,
+          CAST(o_orderdate AS DATE) AS order_date,
+          CAST(DATEDIFF('day', MIN(o_orderdate) OVER (PARTITION BY o_custkey),
+            o_orderdate) AS INT) AS days_since_first,
+          CAST(o_orderdate AS DATE) + 30 AS due_date,
+          CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS quarter_later,
+          CAST(last_day(o_orderdate) AS DATE) AS month_end,
+          CAST(dayofmonth(o_orderdate) AS INT) AS dom
+        FROM orders
+        ORDER BY o_orderkey LIMIT 5000"""))
+  )
+}

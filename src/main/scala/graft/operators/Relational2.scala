@@ -59,6 +59,40 @@ object Relational2 {
           ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         ORDER BY e.event_id""")),
 
+    // ----- q39: the same AS-OF JOIN through the custom physical
+    // operator (graft.plans.AsOfJoinExec — logical node + planner
+    // strategy + co-partitioned sort-merge exec) instead of the
+    // union+window composition. Same oracle as q25: DuckDB's native
+    // ASOF LEFT JOIN must hash-match the custom exec's output.
+    QueryDef(
+      "q39_asof_join_custom_exec",
+      (s, d) => {
+        val t = tb(s, d)
+        val ord = t.orders.groupBy(col("o_custkey"), col("o_orderdate"))
+          .agg(max(col("o_orderkey")).as("o_orderkey"),
+            max_by(col("o_totalprice"), col("o_orderkey")).as("o_totalprice"))
+          .select(col("o_custkey"),
+            col("o_orderdate").cast("timestamp").as("ots"),
+            col("o_orderkey"), col("o_totalprice"))
+        val ev = t.events.select(col("event_id"), col("user_id"), col("ts"))
+        graft.plans.AsOf.join(s, ev, ord,
+            col("user_id"), col("o_custkey"), col("ts"), col("ots"))
+          .select(col("event_id"), col("user_id"),
+            col("o_orderkey").as("matched_orderkey"),
+            col("o_totalprice").as("matched_totalprice"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH ord AS (
+          SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey,
+            ARG_MAX(o_totalprice, o_orderkey) AS o_totalprice
+          FROM orders GROUP BY 1, 2)
+        SELECT e.event_id, e.user_id,
+          o.o_orderkey AS matched_orderkey,
+          o.o_totalprice AS matched_totalprice
+        FROM events e ASOF LEFT JOIN ord o
+          ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        ORDER BY e.event_id""")),
+
     // ----- q26: GROUPING SETS (explicit set list, not rollup/cube).
     QueryDef(
       "q26_grouping_sets",

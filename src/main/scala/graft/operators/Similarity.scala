@@ -152,6 +152,74 @@ object Similarity {
           $dotSql / (a.nrm * b.nrm) AS cos_sim
         FROM e a JOIN e b ON a.vec_id < b.vec_id
         WHERE $dotSql / (a.nrm * b.nrm) >= 0.4
-        ORDER BY id_a, id_b"""))
+        ORDER BY id_a, id_b""")),
+
+    // ----- s04: IVF-style ANN — the other scale path besides LSH.
+    // "Training-free" coarse quantizer: the 8 lowest-id vectors act as
+    // centroids; every vector is assigned to its nearest centroid
+    // (inverted lists), each query probes its 2 nearest centroids and
+    // scores only those lists. At 10⁹ vectors the assigned lists are
+    // bucketed storage and the probe join shuffles on centroid id —
+    // candidate scoring is |lists probed| not O(n).
+    QueryDef(
+      "s04_ivf_ann",
+      (s, d) => {
+        val e = vecs(s, d)
+        val cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("v").as("cv"),
+            col("nrm").as("cnrm"))
+        val affinity = e.crossJoin(broadcast(cents))
+          .withColumn("cs",
+            expr("vec_dot(v, cv)") / (col("nrm") * col("cnrm")))
+        val wAssign = Window.partitionBy(col("vec_id"))
+          .orderBy(col("cs").desc, col("cid"))
+        val ranked = affinity.withColumn("rn", row_number().over(wAssign))
+        val assigned = ranked.filter(col("rn") === 1)
+          .select(col("vec_id").as("cand_id"), col("cid").as("assigned_cid"))
+        val probes = ranked.filter(col("rn") <= 2)
+          .select(col("vec_id").as("q_id"), col("cid").as("probe_cid"))
+        val cand = probes
+          .join(assigned, col("probe_cid") === col("assigned_cid"))
+          .filter(col("q_id") =!= col("cand_id"))
+          .select(col("q_id"), col("cand_id")).distinct()
+        val scored = cand
+          .join(e.select(col("vec_id").as("q_id"), col("v").as("av"),
+            col("nrm").as("nrm_a")), "q_id")
+          .join(e.select(col("vec_id").as("cand_id"), col("v").as("bv"),
+            col("nrm").as("nrm_b")), "cand_id")
+          .withColumn("cos_sim", expr(dotExpr) / (col("nrm_a") * col("nrm_b")))
+        val wTop = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_sim").desc, col("cand_id"))
+        scored.withColumn("rank", row_number().over(wTop))
+          .filter(col("rank") === 1)
+          .select(col("q_id"), col("cand_id").as("nn_id"), col("cos_sim"))
+          .orderBy(col("q_id"))
+      },
+      Some(s"""WITH e AS ($vecsSql),
+        cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM e
+                 WHERE vec_id < 8),
+        affinity AS (SELECT e.vec_id, cent.cid,
+            list_sum(list_transform(list_zip(e.v, cent.cv), t -> t[1] * t[2]))
+              / (e.nrm * cent.cnrm) AS cs
+          FROM e, cent),
+        ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY cs DESC, cid) AS rn FROM affinity),
+        assigned AS (SELECT vec_id AS cand_id, cid AS assigned_cid
+                     FROM ranked WHERE rn = 1),
+        probes AS (SELECT vec_id AS q_id, cid AS probe_cid
+                   FROM ranked WHERE rn <= 2),
+        cand AS (SELECT DISTINCT q_id, cand_id
+                 FROM probes JOIN assigned ON probe_cid = assigned_cid
+                 WHERE q_id <> cand_id),
+        scored AS (SELECT c.q_id, c.cand_id,
+            list_sum(list_transform(list_zip(qa.v, qb.v), t -> t[1] * t[2]))
+              / (qa.nrm * qb.nrm) AS cos_sim
+          FROM cand c
+          JOIN e qa ON qa.vec_id = c.q_id
+          JOIN e qb ON qb.vec_id = c.cand_id)
+        SELECT q_id, cand_id AS nn_id, cos_sim FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY cos_sim DESC, cand_id) AS rank FROM scored)
+        WHERE rank = 1 ORDER BY q_id"""))
   )
 }
