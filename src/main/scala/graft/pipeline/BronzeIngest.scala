@@ -61,6 +61,44 @@ object BronzeIngest {
       .start()
   }
 
+  /** S5 (KafkaAvroToIceberg.scala:79-89): idempotent bronze-table DDL.
+    * The reference's 3-level Iceberg identifier `bronze.db.orders`
+    * flattens to a session-catalog table `USING parquet` (no Iceberg
+    * runtime in this environment; SURVEY §7.2). */
+  def ensureBronzeTable(spark: SparkSession,
+      table: String = "bronze_db_orders"): Unit =
+    spark.sql(
+      s"""CREATE TABLE IF NOT EXISTS $table (
+         |  orderId STRING,
+         |  amount DOUBLE,
+         |  ts STRING,
+         |  ingested_at TIMESTAMP,
+         |  source STRING
+         |) USING parquet""".stripMargin)
+
+  /** B6 against the session catalog: decode + enrich + atomic append
+    * into the DDL-declared table. insertInto is positional, so the
+    * projection pins the DDL column order explicitly. */
+  def batchJobToTable(spark: SparkSession, brokerRoot: String, topic: String,
+      startingOffsetsJson: String, endingOffsetsJson: String,
+      table: String = "bronze_db_orders"): Long = {
+    ensureBronzeTable(spark, table)
+    val wire = spark.read.format("kafkasim")
+      .option("path", brokerRoot)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsetsJson)
+      .option("endingOffsets", endingOffsetsJson)
+      .option("failOnDataLoss", "false")
+      .load()
+    val decoded = decode(spark, wire)
+      .withColumn("source", lit("kafka-batch"))
+      .select(col("orderId"), col("amount"), col("ts"),
+        col("ingested_at"), col("source"))
+    val n = decoded.count()
+    decoded.write.mode("append").insertInto(table)
+    n
+  }
+
   def batchJob(spark: SparkSession, brokerRoot: String, topic: String,
       startingOffsetsJson: String, endingOffsetsJson: String,
       tableDir: String): Long = {

@@ -161,6 +161,27 @@ final class StreamingLossListener(brokerRoot: String)
     }
 }
 
+/** M8 (KafkaLossDetector.scala:10-46): single-partition loss check
+  * appending a `[DATA-LOSS]` line to a log file — the reference's
+  * simplest detector, kept as a standalone because its file-append
+  * output format is part of its contract. */
+object LossLogger {
+  def detectAndLogLoss(brokerRoot: String, topic: String, partition: Int,
+      checkpointOffset: Long, logFile: Path): Option[DataLossEvent] = {
+    val earliest = SimBroker.earliest(brokerRoot, topic, partition)
+    if (checkpointOffset < earliest) {
+      val lost = earliest - checkpointOffset
+      val line = s"[DATA-LOSS] topic=$topic partition=$partition " +
+        s"checkpointOffset=$checkpointOffset earliest=$earliest lost=$lost\n"
+      Files.writeString(logFile, line,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      Some(DataLossEvent(topic, partition, checkpointOffset, earliest, lost,
+        earliest, SimBroker.latest(brokerRoot, topic, partition), "loss-logger"))
+    } else None
+  }
+}
+
 /** M5 (KafkaDataLossAppender.java:16-53): log-line pattern matcher for
   * Spark-internal data-loss messages. The reference ships it as a
   * log4j2 appender wired-but-disabled (log4j2.properties:63-76); the
