@@ -205,6 +205,85 @@ object StreamingOps {
       Some("""SELECT event_id, event_type, value FROM events
         ORDER BY event_id""")),
 
+    // ----- st06: STREAM-STREAM inner join with event-time bounds:
+    // each 'click' joins 'view' events of the same user from the
+    // preceding 30 minutes. Both sides carry watermarks (1h > the 30min
+    // join window, so no match can be lost to state eviction); state is
+    // watermark-bounded — the shape that holds on unbounded Kafka
+    // topics. Oracle: the identical time-bounded batch join.
+    QueryDef(
+      "st06_stream_stream_join",
+      (s, d) => {
+        val clicks = eventStream(s, d)
+          .filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").as("click_ts"))
+          .withWatermark("click_ts", "1 hour")
+        val views = eventStream(s, d)
+          .filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"),
+            col("user_id").as("view_user"), col("ts").as("view_ts"))
+          .withWatermark("view_ts", "1 hour")
+        val joined = clicks.join(views,
+          col("user_id") === col("view_user")
+            && col("view_ts") <= col("click_ts")
+            && col("view_ts") >= col("click_ts") - expr("INTERVAL 30 MINUTES"))
+          .select(col("click_id"), col("user_id"), col("view_id"),
+            col("click_ts"), col("view_ts"))
+        runToMemory(s, joined, "append")
+          .orderBy(col("click_id"), col("view_id"))
+      },
+      Some("""SELECT c.event_id AS click_id, c.user_id, v.event_id AS view_id,
+          c.ts AS click_ts, v.ts AS view_ts
+        FROM events c JOIN events v
+          ON c.user_id = v.user_id
+         AND c.event_type = 'click' AND v.event_type = 'view'
+         AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 30 MINUTE
+        ORDER BY click_id, view_id""")),
+
+    // ----- st07: arbitrary stateful processing (flatMapGroupsWithState):
+    // a per-user cumulative event counter whose state survives across
+    // micro-batches. Emits one row per (user, batch-with-data) —
+    // deterministic because the staged replay fixes batch boundaries
+    // (first 40% / middle / final event) — and the oracle recomputes the
+    // same per-batch cumulative counts with window SQL.
+    QueryDef(
+      "st07_stateful_counter",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+        val perUser = eventStream(s, d)
+          .select(col("user_id"), col("event_id"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroupsWithState[Long, (Long, Long, Long)](
+            OutputMode.Append, GroupStateTimeout.NoTimeout) {
+            (user: Long, rows: Iterator[(Long, Long)], state: GroupState[Long]) =>
+              val n = rows.size.toLong
+              val cum = state.getOption.getOrElse(0L) + n
+              state.update(cum)
+              Iterator((user, n, cum))
+          }
+          .toDF("user_id", "n_in_batch", "cum_count")
+        runToMemory(s, perUser, "append")
+          .orderBy(col("user_id"), col("cum_count"))
+      },
+      Some("""WITH sized AS (SELECT COUNT(*) AS n FROM events),
+        ordered AS (SELECT user_id,
+            ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1 AS rn
+          FROM events),
+        tagged AS (SELECT user_id,
+            CASE WHEN rn < (SELECT n * 2 // 5 FROM sized) THEN 0
+                 WHEN rn < (SELECT n - 1 FROM sized) THEN 1
+                 ELSE 2 END AS batch
+          FROM ordered),
+        per_batch AS (SELECT user_id, batch, COUNT(*) AS n_in_batch
+                      FROM tagged GROUP BY user_id, batch)
+        SELECT user_id, CAST(n_in_batch AS BIGINT) AS n_in_batch,
+          CAST(SUM(n_in_batch) OVER (PARTITION BY user_id ORDER BY batch)
+            AS BIGINT) AS cum_count
+        FROM per_batch ORDER BY user_id, cum_count""")),
+
     // ----- st05: stream-static join — the streaming fact joins the
     // static `customer` dim (broadcast per micro-batch), then a
     // running aggregation by segment in COMPLETE mode.
