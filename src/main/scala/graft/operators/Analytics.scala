@@ -121,6 +121,51 @@ object Analytics {
           CAST(last_day(o_orderdate) AS DATE) AS month_end,
           CAST(dayofmonth(o_orderdate) AS INT) AS dom
         FROM orders
-        ORDER BY o_orderkey LIMIT 5000"""))
+        ORDER BY o_orderkey LIMIT 5000""")),
+
+    // ----- t05: native Generator UDTF — `ngrams(text, 3)` explodes
+    // each document into positional word 3-grams inside the Generate
+    // operator (no per-row intermediate array, unlike
+    // explode(transform(...))).
+    QueryDef(
+      "t05_ngram_generator",
+      (s, d) => {
+        graft.functions.Generators.register(s)
+        new Tables(s, d).documents
+          .filter(col("doc_id") < 50)
+          .select(col("doc_id"), expr("ngrams(text, 3)"))
+          .orderBy(col("doc_id"), col("pos"))
+      },
+      Some("""SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+          toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS ngram
+        FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+              FROM documents WHERE doc_id < 50),
+             UNNEST(generate_series(1, len(toks) - 2)) AS u(i)
+        ORDER BY doc_id, pos""")),
+
+    // ----- q40: custom TypedImperativeAggregate — `top_k(value, 5)`
+    // keeps a bounded k-element min-heap per group (constant memory,
+    // map-side partial aggregation + heap merge), vs collect_list's
+    // unbounded buffer. Output rendered as a DECIMAL-formatted string
+    // so the array compares exactly across engines.
+    QueryDef(
+      "q40_topk_aggregate",
+      (s, d) => {
+        graft.functions.TopKAggregate.register(s)
+        new Tables(s, d).lineitem
+          .groupBy(col("l_returnflag"))
+          .agg(expr("top_k(l_extendedprice, 5)").as("topk"))
+          .select(col("l_returnflag"),
+            concat_ws(";", expr(
+              "transform(topk, x -> cast(cast(x as decimal(18,2)) as string))"))
+              .as("top5_prices"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+          array_to_string(list_transform(
+            (list(l_extendedprice ORDER BY l_extendedprice DESC))[1:5],
+            x -> CAST(CAST(x AS DECIMAL(18,2)) AS VARCHAR)), ';')
+            AS top5_prices
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }
