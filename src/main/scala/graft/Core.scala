@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, StringType}
 
 /** One declared operator/query: the Spark-side builder, and (when the
   * semantics are ANSI-SQL-expressible) an equivalent DuckDB oracle SQL
@@ -48,10 +48,15 @@ final class Tables(val spark: SparkSession, dir: String) {
 
 object Exact {
   /** Order-independent, cross-engine-exact sum of a double column:
-    * cast to DECIMAL(18,scale) (exact integer arithmetic), sum, cast back.
-    * DuckDB twin: CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE). */
+    * cast to DECIMAL(18,scale) (exact integer arithmetic), sum, cast
+    * back. The decimal→double conversion goes THROUGH A STRING: when
+    * the scaled integer exceeds 2^53, engines' native decimal→double
+    * paths can differ by 1 ulp (observed: Spark BigDecimal vs DuckDB
+    * int128 on a 17-digit sum), while exact-digits → correctly-rounded
+    * parse is identical everywhere.
+    * DuckDB twin: CAST(CAST(SUM(CAST(x AS DECIMAL(18,s))) AS VARCHAR) AS DOUBLE). */
   def dsum(c: Column, scale: Int = 4): Column =
-    sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
+    sum(c.cast(DecimalType(18, scale))).cast(StringType).cast(DoubleType)
 
   /** Cross-engine-exact average: exact decimal sum divided by COUNT. */
   def davg(c: Column, scale: Int = 4): Column =
@@ -59,7 +64,7 @@ object Exact {
 
   /** DuckDB twin of dsum. */
   def sqlSum(x: String, scale: Int = 4): String =
-    s"CAST(SUM(CAST($x AS DECIMAL(18,$scale))) AS DOUBLE)"
+    s"CAST(CAST(SUM(CAST($x AS DECIMAL(18,$scale))) AS VARCHAR) AS DOUBLE)"
 
   def sqlAvg(x: String, scale: Int = 4): String =
     s"${sqlSum(x, scale)} / COUNT($x)"

@@ -166,6 +166,76 @@ object Analytics {
             (list(l_extendedprice ORDER BY l_extendedprice DESC))[1:5],
             x -> CAST(CAST(x AS DECIMAL(18,2)) AS VARCHAR)), ';')
             AS top5_prices
-        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ----- q41: boolean aggregates — every/any/count_if.
+    QueryDef(
+      "q41_boolean_aggregates",
+      (s, d) => tb(s, d).orders
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          every(col("o_totalprice") > 1000).as("all_over_1k"),
+          some(col("o_totalprice") > 400000).as("any_over_400k"),
+          count_if(col("o_orderstatus") === "F").as("n_finished"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority,
+          BOOL_AND(o_totalprice > 1000) AS all_over_1k,
+          BOOL_OR(o_totalprice > 400000) AS any_over_400k,
+          COUNT_IF(o_orderstatus = 'F') AS n_finished,
+          COUNT(*) AS n
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ----- q42: array functions over tokenized names (results sorted
+    // and string-joined so ordering semantics can't diverge).
+    QueryDef(
+      "q42_array_functions",
+      (s, d) => {
+        val p = tb(s, d).part
+          .withColumn("name_toks", split(col("p_name"), " "))
+          .withColumn("type_toks", split(lower(col("p_type")), ""))
+        p.select(col("p_partkey"),
+            size(col("name_toks")).cast("long").as("n_toks"),
+            array_contains(col("name_toks"), "red").as("has_red"),
+            expr("array_join(array_sort(array_distinct(name_toks)), ',')")
+              .as("distinct_sorted"),
+            expr("array_join(slice(name_toks, 1, 1), ',')").as("first_tok"),
+            expr("array_join(array_sort(array_intersect(name_toks, array('red','blue','green'))), ',')")
+              .as("color_toks"))
+          .orderBy(col("p_partkey"))
+          .limit(1000)
+      },
+      Some("""SELECT p_partkey,
+          CAST(len(name_toks) AS BIGINT) AS n_toks,
+          list_contains(name_toks, 'red') AS has_red,
+          array_to_string(list_sort(list_distinct(name_toks)), ',')
+            AS distinct_sorted,
+          array_to_string(name_toks[1:1], ',') AS first_tok,
+          COALESCE(array_to_string(list_sort(list_intersect(name_toks,
+            ['red','blue','green'])), ','), '') AS color_toks
+        FROM (SELECT p_partkey, string_split(p_name, ' ') AS name_toks
+              FROM part)
+        ORDER BY p_partkey LIMIT 1000""")),
+
+    // ----- q43: regexp functions (patterns restricted to syntax with
+    // identical Java-regex / RE2 semantics).
+    QueryDef(
+      "q43_regexp_functions",
+      (s, d) => tb(s, d).documents
+        .select(col("doc_id"),
+          col("text").rlike("hash (join|agg)").as("mentions_hash_op"),
+          regexp_extract(col("text"), "(table|stream)", 1).as("first_kind"),
+          size(expr("regexp_extract_all(text, 'scan', 0)")).cast("long")
+            .as("n_scan"),
+          regexp_replace(col("text"), "[aeiou]", "_").substr(1, 40)
+            .as("devoweled_prefix"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+          regexp_matches(text, 'hash (join|agg)') AS mentions_hash_op,
+          regexp_extract(text, '(table|stream)', 1) AS first_kind,
+          CAST(len(regexp_extract_all(text, 'scan')) AS BIGINT) AS n_scan,
+          substr(regexp_replace(text, '[aeiou]', '_', 'g'), 1, 40)
+            AS devoweled_prefix
+        FROM documents ORDER BY doc_id"""))
   )
 }
