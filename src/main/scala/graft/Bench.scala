@@ -27,9 +27,16 @@ object Bench {
         dir: String): Unit =
       fn(spark, dir).write.mode("overwrite").format("noop").save()
 
-    // warm-up: session init + codegen paths, untimed
-    run(SparkEntry.queries("q01_pricing_summary"), "/root/testdata/sf0.001")
-    run(SparkEntry.queries("q03_shipping_priority"), "/root/testdata/sf0.001")
+    // warm-up: run EVERY headline query once at sf0.001 so each one's
+    // codegen/JIT path (native expressions, streaming machinery) is
+    // compiled before its timed run — otherwise the first heavy custom-
+    // codegen query absorbs all the JIT cost and reads 2× slow.
+    SparkEntry.headlines.foreach { q =>
+      try run(q.fn, "/root/testdata/sf0.001")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup ${q.name} failed: ${e.getMessage}")
+      }
+    }
 
     val results = SparkEntry.headlines.map { q =>
       val t0 = System.nanoTime()
@@ -41,7 +48,14 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // stdout is the driver contract, but sbt prefixes it with [info] —
+    // also write the line to a file for unambiguous machine parsing
+    println(json)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

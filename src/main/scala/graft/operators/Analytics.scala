@@ -182,7 +182,7 @@ object Analytics {
       Some("""SELECT o_orderpriority,
           BOOL_AND(o_totalprice > 1000) AS all_over_1k,
           BOOL_OR(o_totalprice > 400000) AS any_over_400k,
-          COUNT_IF(o_orderstatus = 'F') AS n_finished,
+          CAST(COUNT_IF(o_orderstatus = 'F') AS BIGINT) AS n_finished,
           COUNT(*) AS n
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 

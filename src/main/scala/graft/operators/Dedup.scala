@@ -34,17 +34,42 @@ object Dedup {
            i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))"""))
         .as("shingle"))
 
+  /** Doc-frequency cap: a shingle appearing in more than this many
+    * documents is stopword-like similarity evidence AND the quadratic
+    * skew point of the shingle self-join (one hot key fans out df²
+    * pairs). Dropping capped shingles bounds every shingle-key join
+    * group at df ≤ cap — the property that keeps d02/d03 linear at
+    * 100 TB. Applied identically in the DuckDB oracles.
+    */
+  private[operators] val ShingleDfCap = 100
+
+  /** Shingles with stopword-like (df > cap) shingles removed. The hot
+    * set is bounded by |occurrences|/cap, so it broadcasts; the anti-
+    * join adds no shuffle beyond the df aggregation itself.
+    */
+  private[operators] def cappedShingles(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+    val hot = sh.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > ShingleDfCap)
+      .select(col("shingle"))
+    sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+      .select(col("doc_id"), col("shingle"))
+  }
+
   private val shinglesSql =
-    """SELECT DISTINCT doc_id,
-         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
-       FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
-             FROM documents) t,
-            UNNEST(generate_series(1, len(toks) - 2)) AS u(i)
-       WHERE len(toks) >= 3"""
+    s"""SELECT doc_id, shingle FROM (
+         SELECT DISTINCT doc_id,
+           toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+         FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+               FROM documents) t,
+              UNNEST(generate_series(1, len(toks) - 2)) AS u(i)
+         WHERE len(toks) >= 3)
+       QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= $ShingleDfCap"""
 
   /** Candidate-pair jaccard over the shingle relation (SQL twin below). */
   private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d).cache()
+    val sh = cappedShingles(s, d).cache()
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"),
@@ -110,7 +135,7 @@ object Dedup {
     QueryDef(
       "d03_minhash_lsh",
       (s, d) => {
-        val sh = shingles(s, d).cache()
+        val sh = cappedShingles(s, d).cache()
         // ONE md5 per shingle (the expensive part), then 16 min-hashes
         // via cheap universal hashing ((a·h+b) mod p), all in a single
         // map-side-combinable aggregation — no 16× row explosion, one

@@ -178,17 +178,26 @@ object Relational2 {
           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         ORDER BY o_custkey, o_orderkey""")),
 
-    // ----- q30: approximate distinct (HLL). Engine-specific sketch →
-    // no SQL oracle (driver rows-only check); the exact count rides
-    // along so the approximation is auditable.
+    // ----- q30: approximate distinct (HLL). The sketch value itself is
+    // engine-specific, so the oracle-able output is the exact count plus
+    // a deterministic accuracy bound: rsd=0.01 makes |approx−exact|/exact
+    // < 0.05 hold with overwhelming margin, and DuckDB asserts the same
+    // boolean as a constant. This upgrades q30 from rows-only to a full
+    // hash-checked row.
     QueryDef(
       "q30_approx_count_distinct",
       (s, d) => tb(s, d).lineitem
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")) <
+            col("exact_parts") * 0.05).as("approx_within_5pct"))
         .orderBy(col("l_returnflag")),
-      None),
+      Some("""SELECT l_returnflag,
+          CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+          TRUE AS approx_within_5pct
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // ----- q31: math scalar functions (only operations with exact
     // cross-engine IEEE semantics: sqrt, abs, floor, ceil, sign,
