@@ -8,6 +8,10 @@ import org.apache.spark.sql.SparkSession
   * Methodology: one warm-up run at sf0.001 absorbs session/codegen
   * startup; each timed query materializes fully through the `noop`
   * sink (executes every operator, no driver collect, no disk write).
+  * Each query is timed SPARK_GRAFT_BENCH_REPS times (default 3) with
+  * `spark.catalog.clearCache()` before every rep, and the MEDIAN is
+  * reported — so a query's number reflects its own plan, not cache
+  * pressure accumulated by earlier queries (the r2 regression mode).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -38,13 +42,18 @@ object Bench {
       }
     }
 
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = SparkEntry.headlines.map { q =>
-      val t0 = System.nanoTime()
-      try run(q.fn, sfDir)
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-      }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        spark.catalog.clearCache() // drop caches leaked by prior queries/reps
+        val t0 = System.nanoTime()
+        try run(q.fn, sfDir)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      q.name -> times(times.length / 2)
     }
     val qs = results.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum

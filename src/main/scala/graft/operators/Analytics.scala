@@ -236,6 +236,91 @@ object Analytics {
           CAST(len(regexp_extract_all(text, 'scan')) AS BIGINT) AS n_scan,
           substr(regexp_replace(text, '[aeiou]', '_', 'g'), 1, 40)
             AS devoweled_prefix
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // ----- q44: LEFT OUTER join producing NULL rows — every customer,
+    // with their high-value orders if any; the `IS NULL` flag is the
+    // classic left-join-as-anti-join idiom. At scale both sides shuffle
+    // on custkey (the filtered orders side is small here, but grows
+    // with the fact table — no broadcast assumption baked in).
+    QueryDef(
+      "q44_left_outer_join",
+      (s, d) => {
+        val t = tb(s, d)
+        val big = t.orders.filter(col("o_totalprice") > 350000)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        t.customer
+          .join(big, col("c_custkey") === col("o_custkey"), "left_outer")
+          .select(col("c_custkey"), col("c_name"),
+            col("o_orderkey").isNull.as("no_big_order"),
+            col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
+      },
+      Some("""SELECT c_custkey, c_name,
+          o_orderkey IS NULL AS no_big_order, o_orderkey, o_totalprice
+        FROM customer LEFT OUTER JOIN
+          (SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+           WHERE o_totalprice > 350000) o
+          ON c_custkey = o_custkey
+        ORDER BY c_custkey, o_orderkey NULLS FIRST""")),
+
+    // ----- q45: FULL OUTER join — per-customer finished vs open order
+    // counts; customers appearing on only one side get NULL on the
+    // other, and the key is COALESCEd back together. One shuffle per
+    // aggregation + the join shuffle, all on o_custkey.
+    QueryDef(
+      "q45_full_outer_join",
+      (s, d) => {
+        val o = tb(s, d).orders
+        val fin = o.filter(col("o_orderstatus") === "F")
+          .groupBy(col("o_custkey").as("f_custkey"))
+          .agg(count(lit(1)).as("n_finished"))
+        val open = o.filter(col("o_orderstatus") === "O")
+          .groupBy(col("o_custkey").as("p_custkey"))
+          .agg(count(lit(1)).as("n_open"))
+        fin.join(open, col("f_custkey") === col("p_custkey"), "full_outer")
+          .select(
+            coalesce(col("f_custkey"), col("p_custkey")).as("custkey"),
+            col("n_finished"), col("n_open"))
+          .orderBy(col("custkey"))
+      },
+      Some("""WITH fin AS (SELECT o_custkey, COUNT(*) AS n_finished
+                FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey),
+              op AS (SELECT o_custkey, COUNT(*) AS n_open
+                FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey)
+        SELECT COALESCE(fin.o_custkey, op.o_custkey) AS custkey,
+          n_finished, n_open
+        FROM fin FULL OUTER JOIN op ON fin.o_custkey = op.o_custkey
+        ORDER BY custkey""")),
+
+    // ----- q46: from_json → typed MapType + StructType over
+    // events.props: map_keys / map_values / element_at /
+    // map_contains_key, plus the struct field access. Values are read
+    // through sorted keys so map iteration order can never diverge
+    // between engines. Pure per-row projection — no shuffle at all.
+    QueryDef(
+      "q46_from_json_map",
+      (s, d) => tb(s, d).events
+        .withColumn("m", expr("from_json(props, 'map<string,bigint>')"))
+        .withColumn("st", expr("from_json(props, 'struct<k:bigint>')"))
+        .select(col("event_id"),
+          size(col("m")).cast("long").as("n_props"),
+          array_join(array_sort(map_keys(col("m"))), ",").as("prop_keys"),
+          element_at(col("m"), "k").as("k_value"),
+          col("st.k").as("k_typed"),
+          expr("map_contains_key(m, 'k')").as("has_k"),
+          concat_ws(",", expr(
+            """transform(array_sort(map_keys(m)),
+               kk -> cast(element_at(m, kk) as string))""")).as("vals_joined"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id,
+          CAST(len(json_keys(props)) AS BIGINT) AS n_props,
+          array_to_string(list_sort(json_keys(props)), ',') AS prop_keys,
+          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,
+          list_contains(json_keys(props), 'k') AS has_k,
+          array_to_string(list_transform(list_sort(json_keys(props)),
+            kk -> json_extract_string(props, '$.' || kk)), ',') AS vals_joined
+        FROM events ORDER BY event_id"""))
   )
 }

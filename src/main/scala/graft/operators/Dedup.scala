@@ -43,17 +43,21 @@ object Dedup {
     */
   private[operators] val ShingleDfCap = 100
 
-  /** Shingles with stopword-like (df > cap) shingles removed. The hot
-    * set is bounded by |occurrences|/cap, so it broadcasts; the anti-
-    * join adds no shuffle beyond the df aggregation itself.
+  /** Shingles with stopword-like (df > cap) shingles removed, in ONE
+    * pass: an unordered count window partitioned by shingle computes
+    * df without re-scanning the (expensive) shingle explode, and the
+    * output stays hash-partitioned on `shingle` — the exact
+    * partitioning the downstream shingle self-join needs, so Catalyst
+    * drops the join's re-exchange. (The r2 agg + anti-join variant
+    * scanned the uncached explode twice — the d03 4.3× regression.)
+    * Mirrors the oracle's QUALIFY COUNT(*) OVER (PARTITION BY shingle).
     */
   private[operators] def cappedShingles(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d)
-    val hot = sh.groupBy(col("shingle"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") > ShingleDfCap)
-      .select(col("shingle"))
-    sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+    import org.apache.spark.sql.expressions.Window
+    shingles(s, d)
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .filter(col("df") <= ShingleDfCap)
       .select(col("doc_id"), col("shingle"))
   }
 
