@@ -41,7 +41,19 @@ object Dedup {
     * group at df ≤ cap — the property that keeps d02/d03 linear at
     * 100 TB. Applied identically in the DuckDB oracles.
     */
-  private[operators] val ShingleDfCap = 100
+  private[graft] val ShingleDfCap = 100
+
+  /** SimHash geometry: a 60-bit signature (15 md5 hex chars per token)
+    * split into 4 bands of 15 bits. Banding is lossless for
+    * hamming ≤ bands-1 (pigeonhole: ≤3 flipped bits can dirty at most
+    * 3 of the 4 bands), and 2^15 = 32,768 buckets per band keeps
+    * per-bucket occupancy at n/32768. At larger corpora this is the
+    * knob that must grow with log n — widen the signature / bands so
+    * bucket cardinality keeps pace. (A fixed 16-bucket band key, the
+    * r2 nibble design, pins candidate pairs at O(n²/32) forever.)
+    */
+  private[graft] val SimHashBits = 60
+  private[graft] val SimHashBands = 4
 
   /** Shingles with stopword-like (df > cap) shingles removed, in ONE
     * pass: an unordered count window partitioned by shingle computes
@@ -52,7 +64,7 @@ object Dedup {
     * scanned the uncached explode twice — the d03 4.3× regression.)
     * Mirrors the oracle's QUALIFY COUNT(*) OVER (PARTITION BY shingle).
     */
-  private[operators] def cappedShingles(s: SparkSession, d: String): DataFrame = {
+  private[graft] def cappedShingles(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     shingles(s, d)
       .withColumn("df",
@@ -212,44 +224,50 @@ object Dedup {
         WHERE j.jaccard >= 0.5 ORDER BY c.id_a, c.id_b"""),
       headline = true),
 
-    // ----- d04: SimHash — 16-bit signature from md5 token hashes,
-    // majority vote per bit position, then near-dup pairs at hamming
-    // distance ≤ 3. Signature pass is linear; the pair scan here is
-    // brute-force over 16-bit signatures (at scale: bucket by signature
-    // bands like d03 — same join shape).
+    // ----- d04: SimHash — SimHashBits-bit signature from md5 token
+    // hashes, majority vote per bit position, then near-dup pairs at
+    // hamming distance ≤ SimHashBands-1. Signature pass is linear; the
+    // candidate join is banded (below). The signature is WIDE (60 bits,
+    // 15-bit bands → 32,768 buckets per band) precisely so the band-key
+    // space grows past the corpus: a 16-value key space (the r2 nibble
+    // design) kept candidate pairs at O(n²/32) no matter how big n got.
     QueryDef(
       "d04_simhash",
       (s, d) => {
         val docs = new Tables(s, d).documents
-        // all 16 bit-balances in one aggregation pass (16 conditional
-        // sums over the token hash) — one shuffle of (doc, 16 buffers)
-        // instead of a 16× row explosion
-        val balCols = (0 until 16).map(b =>
-          sum(when(expr(s"(h div ${1 << b}) % 2") === 1, 1).otherwise(-1))
+        // all bit-balances in one aggregation pass (60 conditional
+        // sums over the token hash) — one shuffle of (doc, 60 buffers)
+        // instead of a 60× row explosion
+        val balCols = (0 until SimHashBits).map(b =>
+          sum(when(expr(s"(h div ${1L << b}) % 2") === 1, 1).otherwise(-1))
             .as(s"bal$b"))
-        val simhashExpr = (0 until 16).map(b =>
+        val simhashExpr = (0 until SimHashBits).map(b =>
           when(col(s"bal$b") > 0, lit(1L << b)).otherwise(0L))
           .reduce(_ + _)
         val sig = docs
           .select(col("doc_id"), explode(expr(toksExpr)).as("tok"))
           .withColumn("h",
-            conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("int"))
+            conv(substring(md5(col("tok")), 1, SimHashBits / 4), 16, 10)
+              .cast("long"))
           .groupBy(col("doc_id"))
           .agg(balCols.head, balCols.tail: _*)
           .select(col("doc_id"), simhashExpr.cast("long").as("simhash"))
         // banded candidate join instead of the O(n²) cross join:
-        // hamming ≤ 3 means ≤3 differing bits across 4 nibble bands,
-        // so (pigeonhole) at least one 4-bit band is identical —
-        // banding is LOSSLESS for this threshold. The join shuffles on
-        // (band, nibble) — linear in corpus, the 100 TB shape.
+        // hamming ≤ 3 means ≤3 differing bits across 4 15-bit bands,
+        // so (pigeonhole) at least one band is identical — banding is
+        // LOSSLESS for this threshold. The join shuffles on
+        // (band, chunk); chunk cardinality 2^15 per band keeps bucket
+        // occupancy ~n/2^15 — the knob that must grow with log n.
         val sigC = sig.cache()
-        val banded = sigC.withColumn("band", explode(expr("sequence(0, 3)")))
-          .withColumn("nibble",
-            expr("(simhash div cast(pow(2, band * 4) as bigint)) % 16"))
+        val bandBits = SimHashBits / SimHashBands
+        val banded = sigC
+          .withColumn("band", explode(expr(s"sequence(0, ${SimHashBands - 1})")))
+          .withColumn("chunk", expr(
+            s"(simhash div cast(pow(2, band * $bandBits) as bigint)) % ${1L << bandBits}"))
         banded.as("a")
           .join(banded.as("b"),
             col("a.band") === col("b.band")
-              && col("a.nibble") === col("b.nibble")
+              && col("a.chunk") === col("b.chunk")
               && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
             col("a.simhash").as("simhash_a"), col("b.simhash").as("simhash_b"))
@@ -257,20 +275,21 @@ object Dedup {
           .withColumn("hamming",
             bit_count(col("simhash_a").bitwiseXOR(col("simhash_b")))
               .cast("long"))
-          .filter(col("hamming") <= 3)
+          .filter(col("hamming") <= SimHashBands - 1)
           .select(col("id_a"), col("id_b"), col("simhash_a"),
             col("simhash_b"), col("hamming"))
           .orderBy(col("id_a"), col("id_b"))
       },
-      Some("""WITH tok AS (
-          SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      Some(s"""WITH tok AS (
+          SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
           FROM documents),
         th AS (SELECT doc_id,
-                 ('0x' || substr(md5(tok), 1, 4))::INT AS h FROM tok),
+                 ('0x' || substr(md5(tok), 1, ${SimHashBits / 4}))::BIGINT AS h
+               FROM tok),
         bits AS (SELECT doc_id, bit,
-                   SUM(CASE WHEN (h // CAST(pow(2, bit) AS INT)) % 2 = 1
+                   SUM(CASE WHEN (h // CAST(pow(2, bit) AS BIGINT)) % 2 = 1
                        THEN 1 ELSE -1 END) AS balance
-                 FROM th, UNNEST(generate_series(0, 15)) AS t(bit)
+                 FROM th, UNNEST(generate_series(0, ${SimHashBits - 1})) AS t(bit)
                  GROUP BY doc_id, bit),
         sig AS (SELECT doc_id,
                   CAST(SUM(CASE WHEN balance > 0
@@ -281,7 +300,7 @@ object Dedup {
           a.simhash AS simhash_a, b.simhash AS simhash_b,
           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= ${SimHashBands - 1}
         ORDER BY id_a, id_b"""),
       headline = true)
   )

@@ -25,6 +25,18 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
+  /** Random-hyperplane count for the LSH bucket (s02): bucket space is
+    * 2^H, so per-bucket occupancy is n/2^H — H must grow with log n
+    * (H=8 → 256 buckets suits ~10⁵ vectors; at 10⁹ use H≈20 so buckets
+    * hold ~thousands). Both the Spark expression and the DuckDB oracle
+    * are generated from this one constant; multi-probe cost is H+1
+    * probes per query, so recall degrades gracefully as H grows.
+    */
+  private[graft] val LshHyperplanes = 8
+
+  /** Embedding dimensionality of the `embeddings` table. */
+  private[graft] val VecDim = 64
+
   /** (vec_id, v: array<float>, nrm: double). The norm (and later the
     * dots) run through the native codegen'd [[graft.functions.VectorNorm]]
     * / [[graft.functions.VectorDot]] expressions — identical arithmetic
@@ -82,22 +94,23 @@ object Similarity {
         WHERE rank <= 3 ORDER BY id_a, rank""")),
 
     // ----- s02: LSH-bucketed nearest neighbor (the scale path; the
-    // headline ANN query). 8 md5-derived hyperplanes → 8-bit bucket;
-    // MULTI-PROBE: each query probes its own bucket plus the 8
-    // hamming-1 buckets (one flipped hyperplane sign), so vectors
-    // alone in their bucket still find neighbors — recall recovery
-    // at 9× probe rows on the query side only. The candidate join
-    // still shuffles on the bucket key (never all-pairs); probe keys
-    // are distinct by construction so no candidate dedup is needed.
+    // headline ANN query). LshHyperplanes md5-derived hyperplanes →
+    // 2^H-bucket space; MULTI-PROBE: each query probes its own bucket
+    // plus the H hamming-1 buckets (one flipped hyperplane sign), so
+    // vectors alone in their bucket still find neighbors — recall
+    // recovery at (H+1)× probe rows on the query side only. The
+    // candidate join still shuffles on the bucket key (never
+    // all-pairs); probe keys are distinct by construction so no
+    // candidate dedup is needed.
     QueryDef(
       "s02_cosine_lsh_bucketed",
       (s, d) => {
         val e = vecs(s, d)
           .withColumn("bucket", expr(
-            """aggregate(
-                 transform(sequence(0, 7), p ->
+            s"""aggregate(
+                 transform(sequence(0, ${LshHyperplanes - 1}), p ->
                    CASE WHEN aggregate(
-                     zip_with(v, transform(sequence(0, 63), dd ->
+                     zip_with(v, transform(sequence(0, ${VecDim - 1}), dd ->
                        cast(conv(substring(md5(concat(cast(p as string), ':',
                          cast(dd as string))), 1, 8), 16, 10) as double)
                          / 4294967296.0 - 0.5),
@@ -105,12 +118,12 @@ object Similarity {
                      cast(0.0 as double), (acc, x) -> acc + x) > 0
                    THEN cast(pow(2, p) as bigint) ELSE cast(0 as bigint) END),
                  cast(0 as bigint), (acc, x) -> acc + x)"""))
-        // probe set = own bucket + 8 one-bit flips (all distinct keys)
+        // probe set = own bucket + H one-bit flips (all distinct keys)
         val probed = e.select(col("vec_id").as("id_a"), col("v").as("av"),
             col("nrm").as("nrm_a"), col("bucket"))
           .withColumn("probe", explode(expr(
-            """concat(array(bucket),
-                 transform(sequence(0, 7), p ->
+            s"""concat(array(bucket),
+                 transform(sequence(0, ${LshHyperplanes - 1}), p ->
                    bucket ^ shiftleft(cast(1 as bigint), p)))""")))
         val pairs = probed
           .join(e.select(col("vec_id").as("id_b"), col("v").as("bv"),
@@ -127,8 +140,8 @@ object Similarity {
       },
       Some(s"""WITH e0 AS ($vecsSql),
         e AS (SELECT vec_id, v, nrm,
-                CAST(list_sum(list_transform(generate_series(0, 7), p ->
-                  CASE WHEN list_sum(list_transform(generate_series(0, 63), dd ->
+                CAST(list_sum(list_transform(generate_series(0, ${LshHyperplanes - 1}), p ->
+                  CASE WHEN list_sum(list_transform(generate_series(0, ${VecDim - 1}), dd ->
                     v[dd + 1] * (('0x' || substr(md5(p || ':' || dd), 1, 8))::BIGINT
                       / 4294967296.0 - 0.5))) > 0
                   THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END)) AS BIGINT)
@@ -136,7 +149,7 @@ object Similarity {
               FROM e0),
         probed AS (SELECT vec_id, v, nrm, bucket,
                      unnest(list_prepend(bucket,
-                       list_transform(generate_series(0, 7), p ->
+                       list_transform(generate_series(0, ${LshHyperplanes - 1}), p ->
                          xor(bucket, CAST(pow(2, p) AS BIGINT))))) AS probe
                    FROM e),
         pairs AS (SELECT a.vec_id AS id_a, a.bucket, b.vec_id AS id_b,
