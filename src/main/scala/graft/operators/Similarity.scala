@@ -61,6 +61,44 @@ object Similarity {
   private val dotSql =
     "list_sum(list_transform(list_zip(a.v, b.v), t -> t[1] * t[2]))"
 
+  /** Random-hyperplane bucket id (shared by s02/s05): sign of v·w_p for
+    * LshHyperplanes md5-derived hyperplanes, packed into a bucket int. */
+  private val bucketExpr =
+    s"""aggregate(
+         transform(sequence(0, ${LshHyperplanes - 1}), p ->
+           CASE WHEN aggregate(
+             zip_with(v, transform(sequence(0, ${VecDim - 1}), dd ->
+               cast(conv(substring(md5(concat(cast(p as string), ':',
+                 cast(dd as string))), 1, 8), 16, 10) as double)
+                 / 4294967296.0 - 0.5),
+             (x, w) -> x * w),
+             cast(0.0 as double), (acc, x) -> acc + x) > 0
+           THEN cast(pow(2, p) as bigint) ELSE cast(0 as bigint) END),
+         cast(0 as bigint), (acc, x) -> acc + x)"""
+
+  /** Multi-probe set: own bucket + one flip per hyperplane. */
+  private val probeExpr =
+    s"""concat(array(bucket),
+         transform(sequence(0, ${LshHyperplanes - 1}), p ->
+           bucket ^ shiftleft(cast(1 as bigint), p)))"""
+
+  /** DuckDB twins of [[bucketExpr]] / [[probeExpr]] as CTE fragments
+    * over e0 (= $vecsSql). */
+  private val bucketedSqlCtes =
+    s"""e AS (SELECT vec_id, v, nrm,
+            CAST(list_sum(list_transform(generate_series(0, ${LshHyperplanes - 1}), p ->
+              CASE WHEN list_sum(list_transform(generate_series(0, ${VecDim - 1}), dd ->
+                v[dd + 1] * (('0x' || substr(md5(p || ':' || dd), 1, 8))::BIGINT
+                  / 4294967296.0 - 0.5))) > 0
+              THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END)) AS BIGINT)
+              AS bucket
+          FROM e0),
+        probed AS (SELECT vec_id, v, nrm, bucket,
+                     unnest(list_prepend(bucket,
+                       list_transform(generate_series(0, ${LshHyperplanes - 1}), p ->
+                         xor(bucket, CAST(pow(2, p) AS BIGINT))))) AS probe
+                   FROM e)"""
+
   val queries: Seq[QueryDef] = Seq(
 
     // ----- s01: brute-force cosine top-3 neighbors per vector.
@@ -105,26 +143,11 @@ object Similarity {
     QueryDef(
       "s02_cosine_lsh_bucketed",
       (s, d) => {
-        val e = vecs(s, d)
-          .withColumn("bucket", expr(
-            s"""aggregate(
-                 transform(sequence(0, ${LshHyperplanes - 1}), p ->
-                   CASE WHEN aggregate(
-                     zip_with(v, transform(sequence(0, ${VecDim - 1}), dd ->
-                       cast(conv(substring(md5(concat(cast(p as string), ':',
-                         cast(dd as string))), 1, 8), 16, 10) as double)
-                         / 4294967296.0 - 0.5),
-                     (x, w) -> x * w),
-                     cast(0.0 as double), (acc, x) -> acc + x) > 0
-                   THEN cast(pow(2, p) as bigint) ELSE cast(0 as bigint) END),
-                 cast(0 as bigint), (acc, x) -> acc + x)"""))
+        val e = vecs(s, d).withColumn("bucket", expr(bucketExpr))
         // probe set = own bucket + H one-bit flips (all distinct keys)
         val probed = e.select(col("vec_id").as("id_a"), col("v").as("av"),
             col("nrm").as("nrm_a"), col("bucket"))
-          .withColumn("probe", explode(expr(
-            s"""concat(array(bucket),
-                 transform(sequence(0, ${LshHyperplanes - 1}), p ->
-                   bucket ^ shiftleft(cast(1 as bigint), p)))""")))
+          .withColumn("probe", explode(expr(probeExpr)))
         val pairs = probed
           .join(e.select(col("vec_id").as("id_b"), col("v").as("bv"),
             col("nrm").as("nrm_b"), col("bucket").as("bucket_b")),
@@ -139,19 +162,7 @@ object Similarity {
           .orderBy(col("id_a"))
       },
       Some(s"""WITH e0 AS ($vecsSql),
-        e AS (SELECT vec_id, v, nrm,
-                CAST(list_sum(list_transform(generate_series(0, ${LshHyperplanes - 1}), p ->
-                  CASE WHEN list_sum(list_transform(generate_series(0, ${VecDim - 1}), dd ->
-                    v[dd + 1] * (('0x' || substr(md5(p || ':' || dd), 1, 8))::BIGINT
-                      / 4294967296.0 - 0.5))) > 0
-                  THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END)) AS BIGINT)
-                  AS bucket
-              FROM e0),
-        probed AS (SELECT vec_id, v, nrm, bucket,
-                     unnest(list_prepend(bucket,
-                       list_transform(generate_series(0, ${LshHyperplanes - 1}), p ->
-                         xor(bucket, CAST(pow(2, p) AS BIGINT))))) AS probe
-                   FROM e),
+        $bucketedSqlCtes,
         pairs AS (SELECT a.vec_id AS id_a, a.bucket, b.vec_id AS id_b,
                     $dotSql / (a.nrm * b.nrm) AS cos_sim
                   FROM probed a JOIN e b
@@ -165,9 +176,8 @@ object Similarity {
     // ----- s03: embedding-cosine near-dup pairs (the "semantic dedup"
     // tier of a training-data pipeline). Threshold 0.4 on this corpus
     // (max observed pair ≈ 0.51; nothing sits near the cut).
-    // VERIFICATION TIER: all-pairs scan is the exactness baseline; at
-    // scale the same predicate runs over s02's multi-probe bucket join
-    // (cos ≥ 0.4 pairs overwhelmingly collide in ≥1 of 9 probes).
+    // VERIFICATION TIER: all-pairs scan is the exactness baseline the
+    // bucketed scale path (s05) is measured against.
     QueryDef(
       "s03_embedding_neardup",
       (s, d) => {
@@ -255,6 +265,51 @@ object Similarity {
         SELECT q_id, cand_id AS nn_id, cos_sim FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
             ORDER BY cos_sim DESC, cand_id) AS rank FROM scored)
-        WHERE rank = 1 ORDER BY q_id"""))
+        WHERE rank = 1 ORDER BY q_id""")),
+
+    // ----- s05: near-dup pairs through the BUCKETED scale path — the
+    // scale-tier twin of s03 (which stays the exact all-pairs
+    // baseline). Same multi-probe bucket join as s02, then the cosine
+    // threshold over DISTINCT candidate pairs only; the oracle mirrors
+    // the probe-set semantics exactly, so this is hash-checked, not
+    // recall-waved-away. On this corpus the "near dups" sit at a weak
+    // cos ≈ 0.4–0.5 where single-table 8-plane LSH recall is ~10% of
+    // s03's pairs — honest and measured (NearDupRecallSpec); at real
+    // dedup thresholds (≥ 0.8) sign-agreement per plane → recall
+    // climbs steeply, and production would amplify with multiple
+    // independent hash tables (union of per-table candidate sets, same
+    // join shape per table).
+    QueryDef(
+      "s05_neardup_lsh_bucketed",
+      (s, d) => {
+        val e = vecs(s, d).withColumn("bucket", expr(bucketExpr))
+        val cand = e.select(col("vec_id").as("id_a"), col("bucket"))
+          .withColumn("probe", explode(expr(probeExpr)))
+          .join(e.select(col("vec_id").as("id_b"),
+            col("bucket").as("bucket_b")),
+            col("probe") === col("bucket_b") && col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b")).distinct()
+        val v2 = vecs(s, d)
+        cand
+          .join(v2.select(col("vec_id").as("id_a"), col("v").as("av"),
+            col("nrm").as("nrm_a")), "id_a")
+          .join(v2.select(col("vec_id").as("id_b"), col("v").as("bv"),
+            col("nrm").as("nrm_b")), "id_b")
+          .withColumn("cos_sim", expr(dotExpr) / (col("nrm_a") * col("nrm_b")))
+          .filter(col("cos_sim") >= 0.4)
+          .select(col("id_a"), col("id_b"), col("cos_sim"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH e0 AS ($vecsSql),
+        $bucketedSqlCtes,
+        cand AS (SELECT DISTINCT p.vec_id AS id_a, b.vec_id AS id_b
+                 FROM probed p JOIN e b
+                   ON p.probe = b.bucket AND p.vec_id < b.vec_id)
+        SELECT c.id_a, c.id_b, $dotSql / (a.nrm * b.nrm) AS cos_sim
+        FROM cand c
+        JOIN e a ON a.vec_id = c.id_a
+        JOIN e b ON b.vec_id = c.id_b
+        WHERE $dotSql / (a.nrm * b.nrm) >= 0.4
+        ORDER BY c.id_a, c.id_b"""))
   )
 }

@@ -1,0 +1,25 @@
+package graft
+
+/** Verification-tier / scale-tier pairing, measured end-to-end: the
+  * bucketed near-dup query (s05) must return a strict SUBSET of the
+  * exact all-pairs baseline (s03) — LSH can miss pairs but can never
+  * invent one, because the cosine threshold is applied exactly to the
+  * candidates it does surface. Recall is measured, not assumed. */
+class NearDupRecallSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("s05 bucketed near-dups are a subset of exact s03 with nonzero recall") {
+    val exact = SparkEntry.queries("s03_embedding_neardup")(spark, dir)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = SparkEntry.queries("s05_neardup_lsh_bucketed")(spark, dir)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed.subsetOf(exact),
+      s"false positives: ${bucketed.diff(exact).take(5)}")
+    assert(bucketed.nonEmpty, "multi-probe found no pairs at all")
+    val recall = bucketed.size.toDouble / exact.size
+    info(f"recall at cos>=0.4, H=8, multi-probe<=1 flip: $recall%.2f " +
+      s"(${bucketed.size}/${exact.size})")
+  }
+}
