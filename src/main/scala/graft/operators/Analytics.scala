@@ -321,6 +321,103 @@ object Analytics {
           list_contains(json_keys(props), 'k') AS has_k,
           array_to_string(list_transform(list_sort(json_keys(props)),
             kk -> json_extract_string(props, '$.' || kk)), ',') AS vals_joined
-        FROM events ORDER BY event_id"""))
+        FROM events ORDER BY event_id""")),
+
+    // ----- q47: unpivot/melt (the inverse of q27's pivot) — wide
+    // numeric columns to long (metric, val) rows. Narrow transform, no
+    // shuffle; the oracle states the same relation as UNION ALL.
+    QueryDef(
+      "q47_unpivot",
+      (s, d) => tb(s, d).part
+        .select(col("p_partkey"),
+          col("p_size").cast("double").as("p_size"),
+          col("p_retailprice"))
+        .unpivot(
+          Array(col("p_partkey")),
+          Array(col("p_size"), col("p_retailprice")),
+          "metric", "val")
+        .orderBy(col("p_partkey"), col("metric")),
+      Some("""SELECT p_partkey, metric, val FROM (
+          SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val
+          FROM part
+          UNION ALL
+          SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val
+          FROM part)
+        ORDER BY p_partkey, metric""")),
+
+    // ----- q48: map construction + transformation family —
+    // map/transform_values/map_filter/map_entries/map_from_arrays.
+    // Entries render through a sorted DECIMAL-formatted string so map
+    // iteration order can never leak into the comparison. Pure per-row
+    // projection, no shuffle.
+    QueryDef(
+      "q48_map_functions",
+      (s, d) => tb(s, d).lineitem
+        .filter(col("l_orderkey") <= 2000)
+        .withColumn("m",
+          expr("map('disc', l_discount, 'qty', l_quantity, 'tax', l_tax)"))
+        .withColumn("m2",
+          expr("transform_values(m, (k, v) -> IF(k = 'disc', v * 100, v))"))
+        .withColumn("kept", expr("map_filter(m2, (k, v) -> v >= 1)"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          size(col("kept")).cast("long").as("n_kept"),
+          expr("""array_join(array_sort(transform(map_entries(kept),
+            e -> concat(e.key, '=',
+              cast(cast(e.value as decimal(18,2)) as string)))), ';')""")
+            .as("entries"),
+          expr("""element_at(map_from_arrays(array('a', 'b'),
+            array(l_linenumber, l_linenumber + 1)), 'b')""").cast("long")
+            .as("b_val"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber,
+          CAST(len(kept) AS BIGINT) AS n_kept,
+          array_to_string(list_sort(kept), ';') AS entries,
+          CAST(l_linenumber + 1 AS BIGINT) AS b_val
+        FROM (SELECT l_orderkey, l_linenumber,
+            list_filter([
+              CASE WHEN l_discount * 100 >= 1 THEN 'disc=' ||
+                CAST(CAST(l_discount * 100 AS DECIMAL(18,2)) AS VARCHAR)
+                ELSE NULL END,
+              CASE WHEN l_quantity >= 1 THEN 'qty=' ||
+                CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR)
+                ELSE NULL END,
+              CASE WHEN l_tax >= 1 THEN 'tax=' ||
+                CAST(CAST(l_tax AS DECIMAL(18,2)) AS VARCHAR)
+                ELSE NULL END], x -> x IS NOT NULL) AS kept
+          FROM lineitem WHERE l_orderkey <= 2000)
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // ----- q49: exact percentiles / median — Spark `percentile` and
+    // DuckDB `quantile_cont` share the p·(n−1) rank + linear
+    // interpolation definition; results route through DECIMAL(18,4)
+    // before rendering so a 1-ulp interpolation difference can't
+    // surface. Single aggregation, map-side combinable buffers.
+    QueryDef(
+      "q49_percentiles",
+      (s, d) => tb(s, d).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))")
+            .as("pcts_raw"),
+          expr("percentile(l_quantity, 0.5)").as("med_raw"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("n"),
+          expr("""array_join(transform(pcts_raw,
+            x -> cast(cast(x as decimal(18,4)) as string)), ';')""")
+            .as("price_quartiles"),
+          expr("cast(cast(med_raw as decimal(18,4)) as string)")
+            .as("median_qty"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag, n,
+          array_to_string(list_transform(pcts_raw,
+            x -> CAST(CAST(x AS DECIMAL(18,4)) AS VARCHAR)), ';')
+            AS price_quartiles,
+          CAST(CAST(med_raw AS DECIMAL(18,4)) AS VARCHAR) AS median_qty
+        FROM (SELECT l_returnflag,
+            quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]) AS pcts_raw,
+            quantile_cont(l_quantity, 0.5) AS med_raw,
+            COUNT(*) AS n
+          FROM lineitem GROUP BY l_returnflag)
+        ORDER BY l_returnflag"""))
   )
 }

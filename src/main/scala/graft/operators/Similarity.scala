@@ -61,17 +61,37 @@ object Similarity {
   private val dotSql =
     "list_sum(list_transform(list_zip(a.v, b.v), t -> t[1] * t[2]))"
 
+  /** Hyperplane coefficients, precomputed ONCE on the driver: w[p][dd]
+    * = md5("p:dd")-derived uniform in [-0.5, 0.5). Bit-identical to
+    * the in-query md5 derivation the DuckDB oracle still uses (JVM MD5
+    * = Spark `md5` = DuckDB `md5`; hex→long→double scaling is exact),
+    * but evaluated 1× instead of LshHyperplanes × VecDim md5 calls PER
+    * ROW — the difference between a constant-folded literal and 512
+    * hashes per vector in the hot path. */
+  private lazy val hyperplaneWeights: Seq[Seq[Double]] =
+    Seq.tabulate(LshHyperplanes, VecDim) { (p, dd) =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$p:$dd".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16).toDouble / 4294967296.0 - 0.5
+    }
+
+  /** SQL literal of [[hyperplaneWeights]]: array(array(w00, ...), ...).
+    * Doubles are rendered in full precision via Java's shortest-
+    * round-trip Double.toString. */
+  private lazy val weightsLit: String =
+    hyperplaneWeights
+      .map(_.map(w => s"${w}d").mkString("array(", ", ", ")"))
+      .mkString("array(", ", ", ")")
+
   /** Random-hyperplane bucket id (shared by s02/s05): sign of v·w_p for
-    * LshHyperplanes md5-derived hyperplanes, packed into a bucket int. */
-  private val bucketExpr =
+    * LshHyperplanes md5-derived hyperplanes, packed into a bucket int.
+    * Same left-to-right double fold as the oracle's list_sum. */
+  private lazy val bucketExpr =
     s"""aggregate(
          transform(sequence(0, ${LshHyperplanes - 1}), p ->
            CASE WHEN aggregate(
-             zip_with(v, transform(sequence(0, ${VecDim - 1}), dd ->
-               cast(conv(substring(md5(concat(cast(p as string), ':',
-                 cast(dd as string))), 1, 8), 16, 10) as double)
-                 / 4294967296.0 - 0.5),
-             (x, w) -> x * w),
+             zip_with(v, element_at($weightsLit, p + 1),
+               (x, w) -> x * w),
              cast(0.0 as double), (acc, x) -> acc + x) > 0
            THEN cast(pow(2, p) as bigint) ELSE cast(0 as bigint) END),
          cast(0 as bigint), (acc, x) -> acc + x)"""

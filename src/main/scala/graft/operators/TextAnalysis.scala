@@ -173,6 +173,44 @@ object TextAnalysis {
         FROM (SELECT doc_id,
                 regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
               FROM documents)
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ----- t06: most distinctive term per document — the TF-IDF idea
+    // with a division-exact score (tf/df is ONE IEEE divide, identical
+    // across engines; a log-based idf would risk ulp drift). Two
+    // shuffles — (doc, term) for tf, (term) for df — then a window on
+    // doc_id; all linear in corpus size, the corpus-statistics join
+    // shape every retrieval pipeline needs.
+    QueryDef(
+      "t06_distinctive_terms",
+      (s, d) => {
+        val tok = new Tables(s, d).documents
+          .select(col("doc_id"), explode(expr(toksExpr)).as("term"))
+        val tf = tok.groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term"))
+        tf.join(df, "term")
+          .withColumn("score", col("tf").cast("double") / col("df"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("term"), col("tf"), col("df"),
+            col("score"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (
+          SELECT doc_id,
+            unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+          FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1)
+        SELECT doc_id, term, tf, df, score FROM (
+          SELECT tf.doc_id, tf.term, tf.tf, df.df,
+            CAST(tf.tf AS DOUBLE) / df.df AS score,
+            ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+              ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.term) AS rn
+          FROM tf JOIN df USING (term))
+        WHERE rn = 1 ORDER BY doc_id"""))
   )
 }
