@@ -418,6 +418,44 @@ object Analytics {
             quantile_cont(l_quantity, 0.5) AS med_raw,
             COUNT(*) AS n
           FROM lineitem GROUP BY l_returnflag)
-        ORDER BY l_returnflag"""))
+        ORDER BY l_returnflag""")),
+
+    // ----- q50: RANGE JOIN (point-in-preceding-interval) done the
+    // 100 TB way: a naive non-equi time-range join plans as a nested-
+    // loop cross product, so the probe side explodes to TWO coarse
+    // 10-minute epoch buckets and the join becomes an EQUI join on the
+    // bucket key + a fine residual filter — candidate pairs are
+    // bounded by events-per-bucket, shuffle is hash on the bucket.
+    // The oracle states the same relation as the plain non-equi join.
+    QueryDef(
+      "q50_range_join_bucketed",
+      (s, d) => {
+        val ev = tb(s, d).events
+          .select(col("event_id"), col("user_id"), col("ts"),
+            expr("unix_micros(ts) div 600000000").as("bucket"))
+        val probes = ev
+          .select(col("event_id").as("a_id"), col("ts").as("a_ts"),
+            explode(expr("array(bucket - 1, bucket)")).as("probe"))
+        val counts = probes
+          .join(ev.select(col("event_id").as("b_id"), col("ts").as("b_ts"),
+            col("bucket")),
+            col("probe") === col("bucket")
+              && col("b_ts") < col("a_ts")
+              && col("b_ts") >= col("a_ts") - expr("INTERVAL 10 MINUTES"))
+          .groupBy(col("a_id")).agg(count(lit(1)).as("n_prior"))
+        ev.select(col("event_id"), col("user_id"))
+          .join(counts, col("event_id") === col("a_id"), "left_outer")
+          .select(col("event_id"), col("user_id"),
+            coalesce(col("n_prior"), lit(0L)).as("n_prior_10m"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT e.event_id, e.user_id,
+          COALESCE(c.n, 0) AS n_prior_10m
+        FROM events e LEFT JOIN (
+          SELECT a.event_id, COUNT(*) AS n
+          FROM events a JOIN events b
+            ON b.ts < a.ts AND b.ts >= a.ts - INTERVAL 10 MINUTE
+          GROUP BY a.event_id) c ON c.event_id = e.event_id
+        ORDER BY e.event_id"""))
   )
 }

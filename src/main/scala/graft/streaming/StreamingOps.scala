@@ -241,6 +241,62 @@ object StreamingOps {
          AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 30 MINUTE
         ORDER BY click_id, view_id""")),
 
+    // ----- st08: STREAM-STREAM LEFT OUTER join — clicks that saw no
+    // view in the preceding 30 minutes surface with NULL view columns.
+    // Unmatched left rows can only emit when the watermark proves no
+    // matching view can still arrive; under AvailableNow the trailing
+    // no-data micro-batch advances the watermark to (global max ts −
+    // 1 h) and flushes state, so exactly the clicks strictly below
+    // that final watermark emit their NULL row — the oracle applies
+    // the same cutoff. Clicks younger than the final watermark that
+    // never matched remain pending (correct unbounded-stream
+    // semantics), so they appear in neither result.
+    QueryDef(
+      "st08_stream_stream_left_outer",
+      (s, d) => {
+        val clicks = eventStream(s, d)
+          .filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").as("click_ts"))
+          .withWatermark("click_ts", "1 hour")
+        val views = eventStream(s, d)
+          .filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"),
+            col("user_id").as("view_user"), col("ts").as("view_ts"))
+          .withWatermark("view_ts", "1 hour")
+        val joined = clicks.join(views,
+          col("user_id") === col("view_user")
+            && col("view_ts") <= col("click_ts")
+            && col("view_ts") >= col("click_ts") - expr("INTERVAL 30 MINUTES"),
+          "left_outer")
+          .select(col("click_id"), col("user_id"), col("view_id"),
+            col("click_ts"), col("view_ts"))
+        runToMemory(s, joined, "append")
+          .orderBy(col("click_id"), col("view_id").asc_nulls_first)
+      },
+      Some("""WITH c AS (SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'click'),
+          v AS (SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'view'),
+          wm AS (SELECT MAX(ts) - INTERVAL 1 HOUR AS w FROM events),
+          matched AS (
+            SELECT c.event_id AS click_id, c.user_id, v.event_id AS view_id,
+              c.ts AS click_ts, v.ts AS view_ts
+            FROM c JOIN v ON c.user_id = v.user_id
+             AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 30 MINUTE),
+          unmatched AS (
+            SELECT c.event_id AS click_id, c.user_id,
+              CAST(NULL AS BIGINT) AS view_id,
+              c.ts AS click_ts, CAST(NULL AS TIMESTAMP) AS view_ts
+            FROM c
+            WHERE c.ts < (SELECT w FROM wm)
+              AND NOT EXISTS (SELECT 1 FROM v
+                WHERE v.user_id = c.user_id
+                  AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 30 MINUTE))
+        SELECT * FROM matched
+        UNION ALL SELECT * FROM unmatched
+        ORDER BY click_id, view_id NULLS FIRST""")),
+
     // ----- st07: arbitrary stateful processing (flatMapGroupsWithState):
     // a per-user cumulative event counter whose state survives across
     // micro-batches. Emits one row per (user, batch-with-data) —
