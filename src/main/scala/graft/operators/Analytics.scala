@@ -456,6 +456,35 @@ object Analytics {
           FROM events a JOIN events b
             ON b.ts < a.ts AND b.ts >= a.ts - INTERVAL 10 MINUTE
           GROUP BY a.event_id) c ON c.event_id = e.event_id
-        ORDER BY e.event_id"""))
+        ORDER BY e.event_id""")),
+
+    // ----- q51: correlated LATERAL subquery (top-1 lineitem per
+    // order), issued through the spark.sql SURFACE — the same text
+    // runs in both engines. Catalyst decorrelates the per-row
+    // ORDER BY/LIMIT into a window + filter over one join; nothing
+    // executes per-row.
+    QueryDef(
+      "q51_lateral_topk",
+      (s, d) => {
+        val t = tb(s, d)
+        t.orders.createOrReplaceTempView("orders")
+        t.lineitem.createOrReplaceTempView("lineitem")
+        s.sql("""SELECT o.o_orderkey, o.o_totalprice,
+            t.l_linenumber, t.l_extendedprice
+          FROM orders o, LATERAL (
+            SELECT l_linenumber, l_extendedprice FROM lineitem
+            WHERE l_orderkey = o.o_orderkey
+            ORDER BY l_extendedprice DESC, l_linenumber LIMIT 1) t
+          WHERE o.o_orderkey <= 2000
+          ORDER BY o.o_orderkey""")
+      },
+      Some("""SELECT o.o_orderkey, o.o_totalprice,
+          t.l_linenumber, t.l_extendedprice
+        FROM orders o, LATERAL (
+          SELECT l_linenumber, l_extendedprice FROM lineitem
+          WHERE l_orderkey = o.o_orderkey
+          ORDER BY l_extendedprice DESC, l_linenumber LIMIT 1) t
+        WHERE o.o_orderkey <= 2000
+        ORDER BY o.o_orderkey"""))
   )
 }

@@ -160,7 +160,8 @@ object Dedup {
           conv(substring(md5(col("shingle")), 1, 7), 16, 10).cast("long"))
         val sigCols = (0 until 16).map(i =>
           min((lit(1000003L + 2 * i) * col("h") + lit(7919L * i + 1))
-            % lit(2147483647L)).as(s"s$i"))
+            % lit(2147483647L)).as(s"s$i")) :+
+          count(lit(1)).as("n") // shingle count rides the same buffers
         val sigs = hashed.groupBy(col("doc_id"))
           .agg(sigCols.head, sigCols.tail: _*)
         // 4 bands × 4 rows; band_key format matches the oracle's
@@ -181,8 +182,10 @@ object Dedup {
           .distinct()
         // verify ONLY the candidates: broadcast the (tiny) candidate
         // set against the shingle relation instead of computing
-        // jaccard for every shingle-sharing pair in the corpus
-        val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        // jaccard for every shingle-sharing pair in the corpus;
+        // per-doc shingle counts come from the signature aggregation
+        // (no second pass over sh)
+        val cnt = sigs.select(col("doc_id"), col("n"))
         val aSide = broadcast(cands)
           .join(sh, col("id_a") === col("doc_id"))
           .select(col("id_a"), col("id_b"), col("shingle"))

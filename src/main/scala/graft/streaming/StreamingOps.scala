@@ -21,6 +21,29 @@ import org.apache.spark.sql.streaming.Trigger
   * their grouping keys, state lives in the state store (RocksDB for
   * the session-window query), and watermarks bound state size.
   */
+/** st09's processor: typed ValueState running-max per user key.
+  * Top-level class — the closure must serialize cleanly to executors. */
+private[streaming] class RunningMaxProcessor
+  extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, (Long, Double), (Long, Double, Double)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues,
+    TTLConfig, ValueState}
+
+  @transient private var mx: ValueState[Double] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    mx = getHandle.getValueState[Double]("mx",
+      org.apache.spark.sql.Encoders.scalaDouble, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+      timerValues: TimerValues): Iterator[(Long, Double, Double)] = {
+    val batchMax = rows.map(_._2).max
+    val run = if (mx.exists()) math.max(mx.get(), batchMax) else batchMax
+    mx.update(run)
+    Iterator((key, batchMax, run))
+  }
+}
+
 object StreamingOps {
   import Exact._
 
@@ -339,6 +362,53 @@ object StreamingOps {
           CAST(SUM(n_in_batch) OVER (PARTITION BY user_id ORDER BY batch)
             AS BIGINT) AS cum_count
         FROM per_batch ORDER BY user_id, cum_count""")),
+
+    // ----- st09: transformWithState (the Spark-4 arbitrary-state API
+    // superseding flatMapGroupsWithState): a per-user running maximum
+    // kept in a typed ValueState on the (mandatory for this operator)
+    // RocksDB store, one output row per (user, batch-with-data). Pure
+    // MAX — no float arithmetic — so the values are exact; the oracle
+    // recomputes the staged batch boundaries like st07's.
+    QueryDef(
+      "st09_transform_with_state",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+        val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val out = eventStream(s, d)
+            .select(col("user_id"), col("value")).as[(Long, Double)]
+            .groupByKey(_._1)
+            .transformWithState(new RunningMaxProcessor,
+              TimeMode.None(), OutputMode.Append())
+            .toDF("user_id", "batch_max", "running_max")
+          runToMemory(s, out, "append")
+            .orderBy(col("user_id"), col("running_max"), col("batch_max"))
+        } finally {
+          prev match {
+            case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+            case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+          }
+        }
+      },
+      Some("""WITH sized AS (SELECT COUNT(*) AS n FROM events),
+        ordered AS (SELECT user_id, value,
+            ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1 AS rn
+          FROM events),
+        tagged AS (SELECT user_id, value,
+            CASE WHEN rn < (SELECT n * 2 // 5 FROM sized) THEN 0
+                 WHEN rn < (SELECT n - 1 FROM sized) THEN 1
+                 ELSE 2 END AS batch
+          FROM ordered),
+        per_batch AS (SELECT user_id, batch, MAX(value) AS batch_max
+                      FROM tagged GROUP BY user_id, batch)
+        SELECT user_id, batch_max,
+          MAX(batch_max) OVER (PARTITION BY user_id ORDER BY batch)
+            AS running_max
+        FROM per_batch
+        ORDER BY user_id, running_max, batch_max""")),
 
     // ----- st05: stream-static join — the streaming fact joins the
     // static `customer` dim (broadcast per micro-batch), then a
