@@ -111,6 +111,37 @@ object Multimodal {
           CAST(octet_length(payload) // 1000 + 1 AS INT) AS n_frames,
           md5(text) AS checksum
         FROM (SELECT doc_id, text, encode(text) AS payload FROM documents)
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ----- m03: frame sampling — every 3rd fixed-size chunk of each
+    // "video" payload becomes a frame row (offset + checksum), the
+    // explode shape a real video pipeline has (frame index → byte
+    // range → decoded tensor). One Generate per row, output linear in
+    // sampled frames; at 100 TB the per-frame decode slots into m02's
+    // mapPartitions stage downstream of exactly this explode.
+    QueryDef(
+      "m03_frame_sample",
+      (s, d) => new Tables(s, d).documents
+        .filter(col("doc_id") % 3 === 2) // the 'video' stripe
+        .withColumn("n_chunks",
+          expr("cast(length(text) div 1000 as int) + 1"))
+        .select(col("doc_id"), col("n_chunks"),
+          explode(expr("sequence(0, n_chunks - 1, 3)")).as("frame_idx"),
+          col("text"))
+        .select(col("doc_id"), col("n_chunks"), col("frame_idx"),
+          length(expr("substr(text, frame_idx * 1000 + 1, 1000)"))
+            .cast("long").as("frame_len"),
+          md5(expr("substr(text, frame_idx * 1000 + 1, 1000)"))
+            .as("frame_md5"))
+        .orderBy(col("doc_id"), col("frame_idx")),
+      Some("""SELECT doc_id, n_chunks, CAST(u.frame_idx AS INT) AS frame_idx,
+          CAST(length(substr(text, frame_idx * 1000 + 1, 1000)) AS BIGINT)
+            AS frame_len,
+          md5(substr(text, frame_idx * 1000 + 1, 1000)) AS frame_md5
+        FROM (SELECT doc_id, text,
+                CAST(length(text) // 1000 AS INT) + 1 AS n_chunks
+              FROM documents WHERE doc_id % 3 = 2),
+             UNNEST(generate_series(0, n_chunks - 1, 3)) AS u(frame_idx)
+        ORDER BY doc_id, frame_idx"""))
   )
 }
