@@ -485,6 +485,48 @@ object Analytics {
           WHERE l_orderkey = o.o_orderkey
           ORDER BY l_extendedprice DESC, l_linenumber LIMIT 1) t
         WHERE o.o_orderkey <= 2000
-        ORDER BY o.o_orderkey"""))
+        ORDER BY o.o_orderkey""")),
+
+    // ----- q52: NULL-SAFE equality join (Catalyst `EqualNullSafe`,
+    // `<=>`): keys made nullable via NULLIF self-join back to the same
+    // relation — the NULL-keyed group must match ITSELF (NULL <=> NULL
+    // is true, unlike `=`), so every group survives with its count
+    // doubled-joined. The equi-join planner treats <=> as a hashable
+    // key, so this still plans as a hash join, not a nested loop.
+    QueryDef(
+      "q52_null_safe_join",
+      (s, d) => {
+        val grouped = tb(s, d).events
+          .groupBy(expr("nullif(event_type, 'click')").as("et"))
+          .agg(count(lit(1)).as("n"))
+        grouped.as("a")
+          .join(grouped.as("b"), col("a.et") <=> col("b.et"))
+          .select(col("a.et").as("event_type_or_null"),
+            col("a.n").as("n_a"), col("b.n").as("n_b"))
+          .orderBy(col("event_type_or_null").asc_nulls_first)
+      },
+      Some("""WITH g AS (SELECT NULLIF(event_type, 'click') AS et,
+                COUNT(*) AS n
+              FROM events GROUP BY 1)
+        SELECT a.et AS event_type_or_null, a.n AS n_a, b.n AS n_b
+        FROM g a JOIN g b ON a.et IS NOT DISTINCT FROM b.et
+        ORDER BY event_type_or_null NULLS FIRST""")),
+
+    // ----- q53: to_json rendering of typed structs — both engines
+    // emit compact JSON ({"k":v}, no spaces); fields restricted to
+    // ints and strings where the two serializers are byte-identical.
+    QueryDef(
+      "q53_to_json",
+      (s, d) => tb(s, d).orders
+        .select(col("o_orderkey"),
+          expr("""to_json(named_struct(
+            'id', o_orderkey, 'prio', o_orderpriority,
+            'status', o_orderstatus))""").as("j"))
+        .orderBy(col("o_orderkey"))
+        .limit(3000),
+      Some("""SELECT o_orderkey,
+          to_json(struct_pack(id := o_orderkey, prio := o_orderpriority,
+            status := o_orderstatus))::VARCHAR AS j
+        FROM orders ORDER BY o_orderkey LIMIT 3000"""))
   )
 }
