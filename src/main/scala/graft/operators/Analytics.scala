@@ -391,7 +391,10 @@ object Analytics {
     // DuckDB `quantile_cont` share the p·(n−1) rank + linear
     // interpolation definition; results route through DECIMAL(18,4)
     // before rendering so a 1-ulp interpolation difference can't
-    // surface. Single aggregation, map-side combinable buffers.
+    // surface. NOTE the scale ceiling: exact percentile buffers every
+    // value of a group, so at 100 TB the q54 approx_percentile sketch
+    // (bounded t-digest buffers, mergeable map-side) is the plan; this
+    // exact variant is its verification tier.
     QueryDef(
       "q49_percentiles",
       (s, d) => tb(s, d).lineitem
@@ -527,6 +530,32 @@ object Analytics {
       Some("""SELECT o_orderkey,
           to_json(struct_pack(id := o_orderkey, prio := o_orderpriority,
             status := o_orderstatus))::VARCHAR AS j
-        FROM orders ORDER BY o_orderkey LIMIT 3000"""))
+        FROM orders ORDER BY o_orderkey LIMIT 3000""")),
+
+    // ----- q54: approx_percentile — the SCALE path for q49's exact
+    // percentiles: a bounded mergeable sketch instead of buffering
+    // every group value. Like q30, the oracle checks a deterministic
+    // property (the approximation lands within 2% of DuckDB's exact
+    // quantile) rather than sketch internals.
+    QueryDef(
+      "q54_approx_percentile",
+      (s, d) => tb(s, d).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)")
+            .as("approx_med"),
+          expr("percentile(l_extendedprice, 0.5)").as("exact_med"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("n"),
+          expr("cast(cast(exact_med as decimal(18,4)) as string)")
+            .as("exact_median"),
+          (abs(col("approx_med") - col("exact_med")) <
+            col("exact_med") * 0.02).as("approx_within_2pct"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+          CAST(CAST(quantile_cont(l_extendedprice, 0.5) AS DECIMAL(18,4))
+            AS VARCHAR) AS exact_median,
+          TRUE AS approx_within_2pct
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }
