@@ -556,6 +556,81 @@ object Analytics {
           CAST(CAST(quantile_cont(l_extendedprice, 0.5) AS DECIMAL(18,4))
             AS VARCHAR) AS exact_median,
           TRUE AS approx_within_2pct
-        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ----- q55: FILTER clauses on aggregates — per-group conditional
+    // aggregation without self-joins or CASE pyramids; each filtered
+    // aggregate is still one map-side-combinable buffer in the same
+    // single shuffle.
+    QueryDef(
+      "q55_filtered_aggregates",
+      (s, d) => {
+        val t = tb(s, d)
+        t.orders.createOrReplaceTempView("orders")
+        s.sql("""SELECT o_orderpriority,
+            COUNT(*) AS n,
+            COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+            COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+            CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              AS STRING) AS DOUBLE) AS sum_all,
+            CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              FILTER (WHERE o_orderstatus = 'O') AS STRING) AS DOUBLE)
+              AS sum_open
+          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+      },
+      Some(s"""SELECT o_orderpriority,
+          COUNT(*) AS n,
+          COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+          COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+          ${Exact.sqlSum("o_totalprice", 2)} AS sum_all,
+          CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            FILTER (WHERE o_orderstatus = 'O') AS VARCHAR) AS DOUBLE)
+            AS sum_open
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ----- q56: GROUPING()/grouping_id() — disambiguating real NULL
+    // group keys from rollup subtotal rows, the thing q15's plain
+    // rollup can't express.
+    QueryDef(
+      "q56_grouping_id",
+      (s, d) => tb(s, d).orders
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          grouping(col("o_orderstatus")).cast("long").as("g_status"),
+          grouping(col("o_orderpriority")).cast("long").as("g_prio"),
+          grouping_id().cast("long").as("gid"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first),
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+          CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+          CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+          CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+            AS BIGINT) AS gid
+        FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        ORDER BY gid, o_orderstatus NULLS FIRST,
+          o_orderpriority NULLS FIRST""")),
+
+    // ----- q57: VariantType (Spark 4's semi-structured type) —
+    // parse_json → VARIANT, typed variant_get extraction, and the
+    // to_json canonical re-rendering (both engines minify), the
+    // shred-on-read path for heterogeneous event payloads.
+    QueryDef(
+      "q57_variant",
+      (s, d) => tb(s, d).events
+        .select(col("event_id"),
+          expr("variant_get(parse_json(props), '$.k', 'bigint')")
+            .as("k_big"),
+          expr("variant_get(parse_json(props), '$.k', 'double')")
+            .as("k_dbl"),
+          expr("variant_get(parse_json(props), '$.missing', 'bigint')")
+            .as("absent"),
+          expr("to_json(parse_json(props))").as("canonical"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id,
+          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_big,
+          CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_dbl,
+          CAST(NULL AS BIGINT) AS absent,
+          to_json(props::JSON)::VARCHAR AS canonical
+        FROM events ORDER BY event_id"""))
   )
 }
