@@ -86,7 +86,9 @@ class KafkaSimSource extends TableProvider
 final class KafkaSimTable(options: CaseInsensitiveStringMap)
     extends Table with SupportsRead {
   override def name(): String =
-    s"kafkasim:${options.get("path")}/${options.get("subscribe")}"
+    s"kafkasim:${options.get("path")}/${
+      Option(options.get("subscribe"))
+        .orElse(Option(options.get("subscribePattern"))).getOrElse("?")}"
   override def schema(): StructType = KafkaSimSource.WireSchema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
@@ -152,9 +154,22 @@ final class KafkaSimScan(options: CaseInsensitiveStringMap,
 
   private val root = Option(options.get("path")).getOrElse(
     throw new IllegalArgumentException("kafkasim requires option 'path'"))
-  private val topics = Option(options.get("subscribe")).getOrElse(
-    throw new IllegalArgumentException("kafkasim requires option 'subscribe'"))
-    .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+  // Kafka option parity: exactly one of `subscribe` (explicit list)
+  // or `subscribePattern` (Java regex over the broker's topics,
+  // resolved at scan-planning time like the real source's
+  // metadata-refresh subscription)
+  private val topics: Seq[String] =
+    (Option(options.get("subscribe")), Option(options.get("subscribePattern"))) match {
+      case (Some(_), Some(_)) => throw new IllegalArgumentException(
+        "kafkasim: set only one of 'subscribe' and 'subscribePattern'")
+      case (Some(list), None) =>
+        list.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      case (None, Some(re)) =>
+        val p = java.util.regex.Pattern.compile(re)
+        SimBroker.listTopics(root).filter(t => p.matcher(t).matches())
+      case (None, None) => throw new IllegalArgumentException(
+        "kafkasim requires option 'subscribe' or 'subscribePattern'")
+    }
   private val failOnDataLoss =
     Option(options.get("failOnDataLoss")).forall(_.toBoolean)
 

@@ -41,6 +41,26 @@ object SimBroker {
       Files.createDirectories(partDir(root, topic, p))
     }
 
+  /** All topics present under the broker root (dir names are
+    * `<topic>-<partition>`), for `subscribePattern` resolution. */
+  def listTopics(root: String): Seq[String] = {
+    val rootPath = Paths.get(root)
+    if (!Files.isDirectory(rootPath)) return Seq.empty
+    val s = Files.list(rootPath)
+    try {
+      val buf = ArrayBuffer.empty[String]
+      val it = s.iterator()
+      while (it.hasNext) {
+        val name = it.next().getFileName.toString
+        val i = name.lastIndexOf('-')
+        if (i > 0 && name.substring(i + 1).nonEmpty
+            && name.substring(i + 1).forall(_.isDigit))
+          buf += name.substring(0, i)
+      }
+      buf.distinct.sorted.toSeq
+    } finally s.close()
+  }
+
   def partitions(root: String, topic: String): Seq[Int] = {
     val rootPath = Paths.get(root)
     if (!Files.isDirectory(rootPath)) return Seq.empty

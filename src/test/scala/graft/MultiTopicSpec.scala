@@ -34,4 +34,31 @@ class MultiTopicSpec extends SparkSpec {
       ("alpha", 1, 0L), ("alpha", 1, 1L), ("alpha", 1, 2L),
       ("beta", 0, 5L), ("beta", 0, 6L)))
   }
+
+  test("subscribePattern resolves topics by regex against the broker") {
+    val root = tmpDir("broker")
+    SimBroker.createTopic(root, "orders-v1", 1)
+    SimBroker.createTopic(root, "orders-v2", 1)
+    SimBroker.createTopic(root, "audit", 1)
+    SimBroker.append(root, "orders-v1", 0, (0 until 4).map(i => (None, bytes(s"o1-$i"), 1L)))
+    SimBroker.append(root, "orders-v2", 0, (0 until 2).map(i => (None, bytes(s"o2-$i"), 1L)))
+    SimBroker.append(root, "audit", 0, (0 until 9).map(i => (None, bytes(s"x-$i"), 1L)))
+
+    val df = spark.read.format("kafkasim")
+      .option("path", root).option("subscribePattern", "orders-v[0-9]+").load()
+    val byTopic = df.groupBy("topic").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byTopic == Map("orders-v1" -> 4L, "orders-v2" -> 2L))
+  }
+
+  test("subscribe and subscribePattern are mutually exclusive") {
+    val root = tmpDir("broker")
+    SimBroker.createTopic(root, "t", 1)
+    val e = intercept[Exception] {
+      spark.read.format("kafkasim")
+        .option("path", root).option("subscribe", "t")
+        .option("subscribePattern", "t.*").load().count()
+    }
+    assert(e.getMessage.contains("only one of"))
+  }
 }
