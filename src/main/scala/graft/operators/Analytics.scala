@@ -631,6 +631,35 @@ object Analytics {
           CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_dbl,
           CAST(NULL AS BIGINT) AS absent,
           to_json(props::JSON)::VARCHAR AS canonical
-        FROM events ORDER BY event_id"""))
+        FROM events ORDER BY event_id""")),
+
+    // ----- q58: ordered string aggregation — Spark 4's `listagg ...
+    // WITHIN GROUP (ORDER BY …)` against DuckDB's ordered string_agg.
+    // The explicit ORDER BY inside the aggregate is what makes a
+    // concatenation deterministic under parallel partial aggregation.
+    QueryDef(
+      "q58_listagg",
+      (s, d) => {
+        val t = tb(s, d)
+        t.customer.createOrReplaceTempView("customer")
+        t.nation.createOrReplaceTempView("nation")
+        s.sql("""SELECT n_name,
+            COUNT(*) AS n_customers,
+            listagg(c_mktsegment, ';')
+              WITHIN GROUP (ORDER BY c_mktsegment) AS segments,
+            listagg(DISTINCT c_mktsegment, ';')
+              WITHIN GROUP (ORDER BY c_mktsegment) AS distinct_segments
+          FROM customer JOIN nation ON c_nationkey = n_nationkey
+          WHERE c_custkey <= 200
+          GROUP BY n_name ORDER BY n_name""")
+      },
+      Some("""SELECT n_name,
+          COUNT(*) AS n_customers,
+          string_agg(c_mktsegment, ';' ORDER BY c_mktsegment) AS segments,
+          string_agg(DISTINCT c_mktsegment, ';' ORDER BY c_mktsegment)
+            AS distinct_segments
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_custkey <= 200
+        GROUP BY n_name ORDER BY n_name"""))
   )
 }

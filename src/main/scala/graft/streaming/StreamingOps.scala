@@ -301,7 +301,16 @@ object StreamingOps {
                 WHERE event_type = 'click'),
           v AS (SELECT event_id, user_id, ts FROM events
                 WHERE event_type = 'view'),
-          wm AS (SELECT MAX(ts) - INTERVAL 1 HOUR AS w FROM events),
+          -- The query watermark is the MIN over both sides, and each
+          -- side's watermark tracks the max event time seen AFTER its
+          -- filter (clicks only / views only), floored to Spark's
+          -- millisecond watermark granularity. A click that IS the
+          -- latest click can therefore never be evicted — the clicks-
+          -- side watermark stops one delay short of it.
+          wm AS (SELECT make_timestamp(LEAST(
+                   (SELECT (epoch_us(MAX(ts)) // 1000) - 3600000 FROM c),
+                   (SELECT (epoch_us(MAX(ts)) // 1000) - 3600000 FROM v))
+                   * 1000) AS w),
           matched AS (
             SELECT c.event_id AS click_id, c.user_id, v.event_id AS view_id,
               c.ts AS click_ts, v.ts AS view_ts
