@@ -660,6 +660,44 @@ object Analytics {
             AS distinct_segments
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         WHERE c_custkey <= 200
-        GROUP BY n_name ORDER BY n_name"""))
+        GROUP BY n_name ORDER BY n_name""")),
+
+    // ----- q59: BATCH sessionization (gaps-and-islands) — the exact
+    // semantics of st03's streaming session window, composed from lag
+    // + conditional flag + running sum: one shuffle on user_id, both
+    // windows share the same (user_id, ts) sort. This is the batch
+    // backfill twin every streaming sessionizer needs.
+    QueryDef(
+      "q59_sessionize_batch",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        tb(s, d).events
+          .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+          .withColumn("new_sess",
+            when(col("prev_ts").isNull ||
+              unix_micros(col("ts")) - unix_micros(col("prev_ts"))
+                > 1800000000L, 1L)
+              .otherwise(0L))
+          .withColumn("sess_id", sum(col("new_sess")).over(wRun))
+          .groupBy(col("user_id"), col("sess_id"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("ts")).as("sess_start"), max(col("ts")).as("sess_end"))
+          .orderBy(col("user_id"), col("sess_id"))
+      },
+      Some("""WITH marked AS (
+          SELECT user_id, event_id, ts,
+            CASE WHEN LAG(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                 THEN 1 ELSE 0 END AS new_sess
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT user_id, sess_id, COUNT(*) AS n_events,
+          MIN(ts) AS sess_start, MAX(ts) AS sess_end
+        FROM (SELECT user_id, ts,
+                SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS sess_id
+              FROM marked)
+        GROUP BY user_id, sess_id ORDER BY user_id, sess_id"""))
   )
 }

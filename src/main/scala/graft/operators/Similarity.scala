@@ -330,6 +330,50 @@ object Similarity {
         JOIN e a ON a.vec_id = c.id_a
         JOIN e b ON b.vec_id = c.id_b
         WHERE $dotSql / (a.nrm * b.nrm) >= 0.4
-        ORDER BY c.id_a, c.id_b"""))
+        ORDER BY c.id_a, c.id_b""")),
+
+    // ----- s06: symmetric int8 quantization of the embedding column —
+    // the 4× compression step a 100 TB ANN index applies before
+    // storage (scale = max|x|/127 per vector, round-half-up, clamp).
+    // Everything is per-row and codegen'd; max-folds are order-
+    // independent (no float summation), round is an explicit
+    // floor(x/scale + 0.5) so engine rounding modes can't diverge.
+    QueryDef(
+      "s06_int8_quantization",
+      (s, d) => new Tables(s, d).embeddings
+        .select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("scale", expr(
+          """greatest(aggregate(v, cast(0.0 as double),
+               (a, x) -> greatest(a, abs(cast(x as double)))), 1e-12d)
+             / 127.0d"""))
+        .withColumn("q", expr(
+          """transform(v, x -> cast(greatest(-127.0d, least(127.0d,
+               floor(cast(x as double) / scale + 0.5d))) as bigint))"""))
+        .select(col("vec_id"), col("scale"),
+          expr("aggregate(q, cast(0 as bigint), (a, x) -> a + x)")
+            .as("q_sum"),
+          expr("""aggregate(zip_with(v, q,
+              (x, qq) -> abs(cast(x as double) - qq * scale)),
+            cast(0.0 as double), (a, e) -> greatest(a, e))""")
+            .as("max_abs_err"),
+          expr("size(filter(q, x -> abs(x) = 127))").cast("long")
+            .as("n_saturated"))
+        .orderBy(col("vec_id")),
+      Some("""SELECT vec_id, scale,
+          CAST(list_sum(q) AS BIGINT) AS q_sum,
+          list_aggregate(list_transform(list_zip(v, q),
+            t -> abs(t[1] - t[2] * scale)), 'max') AS max_abs_err,
+          CAST(len(list_filter(q, x -> abs(x) = 127)) AS BIGINT)
+            AS n_saturated
+        FROM (SELECT vec_id, v, scale,
+            list_transform(v, x -> CAST(greatest(-127.0, least(127.0,
+              floor(x / scale + 0.5))) AS BIGINT)) AS q
+          FROM (SELECT vec_id, v,
+              greatest(list_aggregate(list_transform(v, x -> abs(x)),
+                'max'), 1e-12) / 127.0 AS scale
+            FROM (SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings)))
+        ORDER BY vec_id"""))
   )
 }
