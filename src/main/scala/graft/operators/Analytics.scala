@@ -698,6 +698,53 @@ object Analytics {
                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                   ROWS UNBOUNDED PRECEDING) AS sess_id
               FROM marked)
-        GROUP BY user_id, sess_id ORDER BY user_id, sess_id"""))
+        GROUP BY user_id, sess_id ORDER BY user_id, sess_id""")),
+
+    // ----- q60: error-safe arithmetic — try_divide / try_cast return
+    // NULL instead of failing, the contract dirty-data pipelines rely
+    // on (DuckDB twins: x / NULLIF(y, 0), TRY_CAST).
+    QueryDef(
+      "q60_try_functions",
+      (s, d) => tb(s, d).lineitem
+        .filter(col("l_orderkey") <= 2000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("try_divide(l_extendedprice, l_quantity - l_quantity)")
+            .as("div_by_zero"),
+          expr("try_divide(l_extendedprice, l_quantity)").as("unit_price"),
+          expr("try_cast(l_returnflag as int)").as("bad_cast"),
+          expr("try_cast(cast(l_linenumber as string) as int)")
+            .as("good_cast"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber,
+          l_extendedprice / NULLIF(l_quantity - l_quantity, 0.0)
+            AS div_by_zero,
+          l_extendedprice / l_quantity AS unit_price,
+          TRY_CAST(l_returnflag AS INT) AS bad_cast,
+          TRY_CAST(CAST(l_linenumber AS VARCHAR) AS INT) AS good_cast
+        FROM lineitem WHERE l_orderkey <= 2000
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // ----- q61: bitwise scalar ops + bit aggregates (bit_and/bit_or/
+    // bit_xor) — all integer-exact, map-side combinable.
+    QueryDef(
+      "q61_bitwise",
+      (s, d) => tb(s, d).orders
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          expr("bit_and(o_orderkey % 256)").as("key_and"),
+          expr("bit_or(o_orderkey % 256)").as("key_or"),
+          expr("bit_xor(o_orderkey % 256)").as("key_xor"),
+          expr("bit_count(bit_or(o_orderkey % 256))").cast("long")
+            .as("or_popcount"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority,
+          BIT_AND(o_orderkey % 256) AS key_and,
+          BIT_OR(o_orderkey % 256) AS key_or,
+          BIT_XOR(o_orderkey % 256) AS key_xor,
+          CAST(bit_count(BIT_OR(o_orderkey % 256)) AS BIGINT)
+            AS or_popcount,
+          COUNT(*) AS n
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 }
