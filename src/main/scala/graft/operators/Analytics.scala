@@ -745,6 +745,34 @@ object Analytics {
           CAST(bit_count(BIT_OR(o_orderkey % 256)) AS BIGINT)
             AS or_popcount,
           COUNT(*) AS n
-        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ----- q62: CORRELATED SCALAR subqueries in the SELECT list —
+    // Catalyst decorrelates each into a left outer join against a
+    // pre-aggregated subquery (no per-row execution), the complement
+    // of q51's LATERAL and q20's uncorrelated scalar.
+    QueryDef(
+      "q62_correlated_scalar",
+      (s, d) => {
+        val t = tb(s, d)
+        t.orders.createOrReplaceTempView("orders")
+        t.lineitem.createOrReplaceTempView("lineitem")
+        s.sql("""SELECT o_orderkey, o_totalprice,
+            (SELECT COUNT(*) FROM lineitem
+             WHERE l_orderkey = o_orderkey) AS n_items,
+            (SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+               AS STRING) AS DOUBLE)
+             FROM lineitem WHERE l_orderkey = o_orderkey) AS items_total
+          FROM orders WHERE o_orderkey <= 2000
+          ORDER BY o_orderkey""")
+      },
+      Some("""SELECT o_orderkey, o_totalprice,
+          (SELECT COUNT(*) FROM lineitem
+           WHERE l_orderkey = o_orderkey) AS n_items,
+          (SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+             AS VARCHAR) AS DOUBLE)
+           FROM lineitem WHERE l_orderkey = o_orderkey) AS items_total
+        FROM orders WHERE o_orderkey <= 2000
+        ORDER BY o_orderkey"""))
   )
 }

@@ -131,6 +131,30 @@ object Dedup {
           COUNT(*) AS n_copies
         FROM documents GROUP BY md5(text) ORDER BY keep_id""")),
 
+    // ----- d05: exact dedup after CANONICALIZATION — lowercase, trim,
+    // collapse whitespace, strip punctuation — so trivially-reformatted
+    // copies hash together (the normalization step production dedup
+    // runs before d01's raw hash; same one-shuffle shape).
+    QueryDef(
+      "d05_canonical_dedup",
+      (s, d) => new Tables(s, d).documents
+        .withColumn("canon", regexp_replace(
+          regexp_replace(lower(trim(col("text"))), "[^a-z0-9\\s]", ""),
+          "\\s+", " "))
+        .groupBy(md5(col("canon")).as("canon_hash"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_copies"),
+          min(length(col("canon"))).cast("long").as("canon_len"))
+        .orderBy(col("keep_id")),
+      Some("""SELECT md5(canon) AS canon_hash, MIN(doc_id) AS keep_id,
+          COUNT(*) AS n_copies,
+          CAST(MIN(length(canon)) AS BIGINT) AS canon_len
+        FROM (SELECT doc_id, regexp_replace(regexp_replace(
+                lower(trim(text)), '[^a-z0-9\s]', '', 'g'),
+                '\s+', ' ', 'g') AS canon
+              FROM documents)
+        GROUP BY md5(canon) ORDER BY keep_id""")),
+
     // ----- d02: n-gram Jaccard near-dup pairs. Shingle join →
     // candidate pairs → exact jaccard ≥ 0.5 (the corpus is cleanly
     // bimodal: planted near-dups sit at ≥0.8, noise below 0.1).

@@ -211,6 +211,48 @@ object TextAnalysis {
             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
               ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.term) AS rn
           FROM tf JOIN df USING (term))
-        WHERE rn = 1 ORDER BY doc_id"""))
+        WHERE rn = 1 ORDER BY doc_id""")),
+
+    // ----- t07: corpus vocabulary statistics — total/distinct tokens,
+    // hapax legomena, type-token ratio, and coverage of the top-10
+    // terms: the data-quality dashboard numbers for a training corpus.
+    // Two aggregations over one token explode; the ratio divisions are
+    // single IEEE ops over exact integer counts.
+    QueryDef(
+      "t07_vocab_stats",
+      (s, d) => {
+        val tok = new Tables(s, d).documents
+          .select(explode(expr(toksExpr)).as("term"))
+        val counts = tok.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+        val w = Window.orderBy(col("tf").desc, col("term"))
+        val top10 = counts.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10)
+          .agg(sum(col("tf")).as("top10_tokens"))
+        counts.agg(
+            sum(col("tf")).as("total_tokens"),
+            count(lit(1)).as("vocab_size"),
+            count_if(col("tf") === 1).as("n_hapax"))
+          .crossJoin(top10)
+          .select(col("total_tokens"), col("vocab_size"), col("n_hapax"),
+            (col("vocab_size").cast("double") / col("total_tokens"))
+              .as("type_token_ratio"),
+            (col("top10_tokens").cast("double") / col("total_tokens"))
+              .as("top10_coverage"))
+      },
+      Some("""WITH tok AS (
+          SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+          FROM documents),
+        counts AS (SELECT term, COUNT(*) AS tf FROM tok GROUP BY term),
+        top10 AS (SELECT SUM(tf) AS top10_tokens FROM (
+          SELECT tf, ROW_NUMBER() OVER (ORDER BY tf DESC, term) AS rn
+          FROM counts) WHERE rn <= 10)
+        SELECT CAST(SUM(tf) AS BIGINT) AS total_tokens,
+          COUNT(*) AS vocab_size,
+          CAST(COUNT_IF(tf = 1) AS BIGINT) AS n_hapax,
+          CAST(COUNT(*) AS DOUBLE) / CAST(SUM(tf) AS BIGINT)
+            AS type_token_ratio,
+          CAST((SELECT top10_tokens FROM top10) AS DOUBLE)
+            / CAST(SUM(tf) AS BIGINT) AS top10_coverage
+        FROM counts"""))
   )
 }
