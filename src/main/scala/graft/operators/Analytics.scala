@@ -773,6 +773,43 @@ object Analytics {
              AS VARCHAR) AS DOUBLE)
            FROM lineitem WHERE l_orderkey = o_orderkey) AS items_total
         FROM orders WHERE o_orderkey <= 2000
-        ORDER BY o_orderkey"""))
+        ORDER BY o_orderkey""")),
+
+    // ----- q63: INTERSECT ALL / EXCEPT ALL — multiset semantics
+    // (min / difference of multiplicities), a different physical
+    // operator from the DISTINCT set ops in q12/q13: planned as an
+    // aggregate on counts per row value, not a semi/anti join.
+    QueryDef(
+      "q63_set_ops_all",
+      (s, d) => {
+        val t = tb(s, d)
+        val r = t.lineitem.filter(col("l_returnflag") === "R")
+          .select(col("l_partkey"))
+        val a = t.lineitem.filter(col("l_returnflag") === "A")
+          .select(col("l_partkey"))
+        r.intersectAll(a)
+          .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_common"))
+          .join(r.exceptAll(a)
+            .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_r_only")),
+            Seq("l_partkey"), "full_outer")
+          .select(col("l_partkey"),
+            coalesce(col("n_common"), lit(0L)).as("n_common"),
+            coalesce(col("n_r_only"), lit(0L)).as("n_r_only"))
+          .orderBy(col("l_partkey"))
+      },
+      Some("""WITH r AS (SELECT l_partkey FROM lineitem
+                WHERE l_returnflag = 'R'),
+          a AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'),
+          ia AS (SELECT l_partkey, COUNT(*) AS n_common
+                 FROM (SELECT * FROM r INTERSECT ALL SELECT * FROM a)
+                 GROUP BY l_partkey),
+          ea AS (SELECT l_partkey, COUNT(*) AS n_r_only
+                 FROM (SELECT * FROM r EXCEPT ALL SELECT * FROM a)
+                 GROUP BY l_partkey)
+        SELECT COALESCE(ia.l_partkey, ea.l_partkey) AS l_partkey,
+          COALESCE(n_common, 0) AS n_common,
+          COALESCE(n_r_only, 0) AS n_r_only
+        FROM ia FULL OUTER JOIN ea ON ia.l_partkey = ea.l_partkey
+        ORDER BY l_partkey"""))
   )
 }
