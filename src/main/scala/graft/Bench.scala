@@ -60,8 +60,11 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // stdout is the driver contract, but sbt prefixes it with [info] —
-    // also write the line to a file for unambiguous machine parsing
+    // also print to stderr and write the line to a file
+    // (SPARK_GRAFT_BENCH_OUT, default bench_out.json) so the JSON is
+    // machine-parseable regardless of how sbt decorates the streams
     println(json)
+    System.err.println(json)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes("UTF-8"))
