@@ -56,6 +56,20 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: rows want={len(want)} got={len(got)}")
             n_fail += 1
             continue
+        # dtype-kind-strict: the driver's hash compare distinguishes 1.0
+        # from 1 (bit r3's q59: DuckDB window SUM → HUGEINT → float64 vs
+        # Spark int64 passed the lenient == below but hash-failed at the
+        # driver) but NOT int32 from int64 (q08/q09/s01 are driver-green
+        # with DuckDB ROW_NUMBER int64 vs Spark row_number int32), so
+        # compare dtype KINDS (int/float/bool/object), not widths.
+        wd = [d.kind for d in want.dtypes]
+        gd = [d.kind for d in got.dtypes]
+        if wd != gd:
+            bad = [(c, w, g) for c, w, g in
+                   zip(want.columns, wd, gd) if w != g]
+            print(f"FAIL {name}: dtype kinds differ {bad}")
+            n_fail += 1
+            continue
         # exact compare (dtype-lenient: compare as python objects)
         diff_cols = []
         for c in want.columns:

@@ -31,11 +31,20 @@ object Bench {
         dir: String): Unit =
       fn(spark, dir).write.mode("overwrite").format("noop").save()
 
+    // dev-loop filter (driver never sets it): only bench headline
+    // queries whose name contains one of the comma-separated substrings
+    val headlines = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(pats) =>
+        val ps = pats.split(",").toSeq
+        SparkEntry.headlines.filter(q => ps.exists(q.name.contains))
+      case None => SparkEntry.headlines
+    }
+
     // warm-up: run EVERY headline query once at sf0.001 so each one's
     // codegen/JIT path (native expressions, streaming machinery) is
     // compiled before its timed run — otherwise the first heavy custom-
     // codegen query absorbs all the JIT cost and reads 2× slow.
-    SparkEntry.headlines.foreach { q =>
+    headlines.foreach { q =>
       try run(q.fn, "/root/testdata/sf0.001")
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup ${q.name} failed: ${e.getMessage}")
@@ -43,22 +52,32 @@ object Bench {
     }
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val results = SparkEntry.headlines.map { q =>
-      val times = (1 to reps).map { _ =>
+    val results = headlines.map { q =>
+      // time only SUCCESSFUL reps: a query that throws fails fast, and
+      // feeding that duration into the median would report a silently
+      // broken query as a speedup. All-reps-failed → null in the JSON.
+      val times = (1 to reps).flatMap { _ =>
         spark.catalog.clearCache() // drop caches leaked by prior queries/reps
         val t0 = System.nanoTime()
-        try run(q.fn, sfDir)
-        catch { case e: Throwable =>
+        try {
+          run(q.fn, sfDir)
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+          None
         }
-        (System.nanoTime() - t0) / 1e9
       }.sorted
-      q.name -> times(times.length / 2)
+      q.name -> (if (times.isEmpty) None else Some(times(times.length / 2)))
     }
-    val qs = results.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val qs = results.map {
+      case (k, Some(v)) => s"\"$k\":$v"
+      case (k, None)    => s"\"$k\":null"
+    }.mkString("{", ",", "}")
+    val total = results.flatMap(_._2).sum
+    val failed = results.collect { case (k, None) => s"\"$k\"" }
+      .mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     // stdout is the driver contract, but sbt prefixes it with [info] —
     // also print to stderr and write the line to a file
     // (SPARK_GRAFT_BENCH_OUT, default bench_out.json) so the JSON is

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** Native vector primitives for similarity search over
   * `array<float>` embedding columns.
@@ -24,6 +24,20 @@ object VectorFunctions {
       "vec_dot", exprs => VectorDot(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_norm", exprs => VectorNorm(exprs.head), "built-in")
+  }
+
+  /** Registers `vec_lsh_bucket(v)` bound to a fixed hyperplane matrix.
+    * The weights ride along as a constructor field (value-equal Vector,
+    * so plan canonicalization/caching still work) instead of a 512-
+    * element nested array literal in the expression tree — r3 embedded
+    * that literal inside `aggregate(transform(zip_with(...)))` and the
+    * interpreted higher-order functions re-walked it per row, kicking
+    * the projection out of whole-stage codegen (s02 5.3 → 6.9 s). */
+  def registerLshBucket(
+      spark: SparkSession, weights: Seq[Seq[Double]]): Unit = {
+    val w = weights.map(_.toVector).toVector
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_lsh_bucket", exprs => VectorLshBucket(exprs.head, w), "built-in")
   }
 }
 
@@ -106,4 +120,79 @@ case class VectorNorm(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 
   override def prettyName: String = "vec_norm"
+}
+
+/** Random-hyperplane LSH bucket id of a float vector: for each plane p,
+  * bit p of the result is set iff `v · weights(p) > 0`. Arithmetic is
+  * the exact left-to-right double fold of the HOF formulation it
+  * replaces (`aggregate(zip_with(v, w, (x,w) -> x*w), 0d, +)` per
+  * plane, then `sum(2^p)`), so results — and the DuckDB oracle that
+  * derives the same weights via md5 in SQL — are bit-identical; only
+  * the evaluation strategy changes (tight codegen'd loop over a
+  * reference-object `double[]`, vs interpreted lambdas per row).
+  * NativeLshBucketSpec asserts the per-row equivalence. */
+case class VectorLshBucket(child: Expression, weights: Vector[Vector[Double]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  private def numPlanes: Int = weights.length
+
+  /** Row-major [plane][dim] flattening for the codegen path. */
+  @transient private lazy val flat: Array[Double] = {
+    val dim = weights.head.length
+    val a = new Array[Double](numPlanes * dim)
+    var p = 0
+    while (p < numPlanes) {
+      var i = 0
+      while (i < dim) { a(p * dim + i) = weights(p)(i); i += 1 }
+      p += 1
+    }
+    a
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val dim = weights.head.length
+    val n = math.min(x.numElements(), dim)
+    var bucket = 0L
+    var p = 0
+    while (p < numPlanes) {
+      val w = weights(p)
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += x.getFloat(i).toDouble * w(i); i += 1 }
+      if (acc > 0) bucket += (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val wRef = ctx.addReferenceObj("lshWeights", flat, "double[]")
+      val dim = weights.head.length
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val bkt = ctx.freshName("bucket")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $dim);
+         |long $bkt = 0L;
+         |for (int $p = 0; $p < $numPlanes; $p++) {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += (double) $a.getFloat($i) * $wRef[$p * $dim + $i];
+         |  }
+         |  if ($acc > 0) $bkt += (1L << $p);
+         |}
+         |${ev.value} = $bkt;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "vec_lsh_bucket"
 }

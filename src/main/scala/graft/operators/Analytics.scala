@@ -695,8 +695,9 @@ object Analytics {
         SELECT user_id, sess_id, COUNT(*) AS n_events,
           MIN(ts) AS sess_start, MAX(ts) AS sess_end
         FROM (SELECT user_id, ts,
-                SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                  ROWS UNBOUNDED PRECEDING) AS sess_id
+                CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
               FROM marked)
         GROUP BY user_id, sess_id ORDER BY user_id, sess_id""")),
 

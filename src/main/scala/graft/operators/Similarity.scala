@@ -43,6 +43,7 @@ object Similarity {
     * to the HOF fold, ~10× faster on the O(n²) pair scan. */
   private def vecs(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
+    graft.functions.VectorFunctions.registerLshBucket(s, hyperplaneWeights)
     new Tables(s, d).embeddings
       .withColumn("nrm", expr("vec_norm(embedding)"))
       .select(col("vec_id"), col("embedding").as("v"), col("nrm"))
@@ -68,7 +69,7 @@ object Similarity {
     * but evaluated 1× instead of LshHyperplanes × VecDim md5 calls PER
     * ROW — the difference between a constant-folded literal and 512
     * hashes per vector in the hot path. */
-  private lazy val hyperplaneWeights: Seq[Seq[Double]] =
+  private[graft] lazy val hyperplaneWeights: Seq[Seq[Double]] =
     Seq.tabulate(LshHyperplanes, VecDim) { (p, dd) =>
       val hex = java.security.MessageDigest.getInstance("MD5")
         .digest(s"$p:$dd".getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -77,16 +78,26 @@ object Similarity {
 
   /** SQL literal of [[hyperplaneWeights]]: array(array(w00, ...), ...).
     * Doubles are rendered in full precision via Java's shortest-
-    * round-trip Double.toString. */
-  private lazy val weightsLit: String =
+    * round-trip Double.toString. Only the HOF twin ([[bucketExprHof]],
+    * spec-only) still embeds this. */
+  private[graft] lazy val weightsLit: String =
     hyperplaneWeights
       .map(_.map(w => s"${w}d").mkString("array(", ", ", ")"))
       .mkString("array(", ", ", ")")
 
   /** Random-hyperplane bucket id (shared by s02/s05): sign of v·w_p for
     * LshHyperplanes md5-derived hyperplanes, packed into a bucket int.
-    * Same left-to-right double fold as the oracle's list_sum. */
-  private lazy val bucketExpr =
+    * Native codegen'd [[graft.functions.VectorLshBucket]] — same
+    * left-to-right double fold as the oracle's list_sum; the r3 HOF
+    * formulation ([[bucketExprHof]]) evaluated interpreted and
+    * re-walked its 512-double literal per row. */
+  private lazy val bucketExpr = "vec_lsh_bucket(v)"
+
+  /** The HOF formulation bucketExpr replaced, kept ONLY so
+    * NativeLshBucketSpec can assert bit-identical per-row equivalence
+    * with the native expression (the oracle derives the same weights a
+    * third way, via md5 in SQL). */
+  private[graft] lazy val bucketExprHof =
     s"""aggregate(
          transform(sequence(0, ${LshHyperplanes - 1}), p ->
            CASE WHEN aggregate(
