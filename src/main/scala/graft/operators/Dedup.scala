@@ -55,21 +55,27 @@ object Dedup {
   private[graft] val SimHashBits = 60
   private[graft] val SimHashBands = 4
 
-  /** Shingles with stopword-like (df > cap) shingles removed, in ONE
-    * pass: an unordered count window partitioned by shingle computes
-    * df without re-scanning the (expensive) shingle explode, and the
-    * output stays hash-partitioned on `shingle` — the exact
-    * partitioning the downstream shingle self-join needs, so Catalyst
-    * drops the join's re-exchange. (The r2 agg + anti-join variant
-    * scanned the uncached explode twice — the d03 4.3× regression.)
+  /** Shingles with stopword-like (df > cap) shingles removed.
+    * Shape: aggregate df per shingle (map-side partial combine, so the
+    * shuffle carries (shingle, count) not full rows), keep only the
+    * HOT side (df > cap) — tiny BY CONSTRUCTION (each survivor needs
+    * > cap occurrences, so there are < total/cap of them) — and
+    * broadcast it into a left-anti join against the shingle relation.
+    * No sort anywhere: the r3 count-window variant sorted the entire
+    * exploded shingle relation inside each hash partition, which at
+    * sf0.1 was 26% of the whole bench (7.8 s) and at 100 TB is a spill
+    * machine. The explode is evaluated twice (df pass + anti-join
+    * probe), but it is map-only and cheaper than the sort; callers
+    * cache the capped OUTPUT, which both d02/d03 reuse ≥ 3×.
     * Mirrors the oracle's QUALIFY COUNT(*) OVER (PARTITION BY shingle).
     */
   private[graft] def cappedShingles(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    shingles(s, d)
-      .withColumn("df",
-        count(lit(1)).over(Window.partitionBy(col("shingle"))))
-      .filter(col("df") <= ShingleDfCap)
+    val sh0 = shingles(s, d)
+    val hot = sh0.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > ShingleDfCap)
+      .select(col("shingle"))
+    sh0.join(broadcast(hot), Seq("shingle"), "left_anti")
       .select(col("doc_id"), col("shingle"))
   }
 
