@@ -1,0 +1,177 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.graftshim.shim
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Minimal filesystem TableCatalog restoring the reference's 3-level
+  * identifier surface (`bronze.db.orders` — DDL at
+  * `/root/reference/src/main/scala/org/openprojectx/data/spark/bronze/KafkaAvroToIceberg.scala:79-89`,
+  * catalog registration at
+  * `/root/reference/src/main/resources/spark-defaults.properties:4-9`,
+  * an Iceberg hadoop-warehouse catalog named `bronze`).
+  *
+  * Layout mirrors a hadoop-style warehouse: each table is
+  * `<warehouse>/<namespace...>/<table>/` holding parquet files plus a
+  * `_graft_schema.json` sidecar (the declared schema — V2 file tables
+  * must not re-infer on every load, and an empty just-created table
+  * has nothing to infer from). Reads and writes go through Spark's V2
+  * parquet `FileTable`, so `CREATE TABLE bronze.db.orders`,
+  * `INSERT INTO`, `spark.table("bronze.db.orders")` and
+  * `DataFrameWriter.insertInto` all resolve against this catalog with
+  * ordinary Catalyst planning (pushdown, pruning included).
+  *
+  * Register (spark-defaults shape, same keys as the reference):
+  * {{{
+  *   spark.sql.catalog.bronze = graft.catalog.BronzeCatalog
+  *   spark.sql.catalog.bronze.warehouse = /path/to/warehouse
+  * }}}
+  */
+class BronzeCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: Path = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Paths.get(
+      options.getOrDefault("warehouse", s"spark-warehouse/$name"))
+    Files.createDirectories(warehouse)
+  }
+
+  override def name(): String = catalogName
+
+  private val SchemaFile = "_graft_schema.json"
+
+  private def dirOf(namespace: Array[String]): Path =
+    namespace.foldLeft(warehouse)(_.resolve(_))
+
+  private def dirOf(ident: Identifier): Path =
+    dirOf(ident.namespace).resolve(ident.name)
+
+  private def isTableDir(p: Path): Boolean =
+    Files.isRegularFile(p.resolve(SchemaFile))
+
+  // ---- tables -----------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val ns = dirOf(namespace)
+    if (!Files.isDirectory(ns)) throw new NoSuchNamespaceException(namespace)
+    Files.list(ns).iterator.asScala
+      .filter(isTableDir)
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = dirOf(ident)
+    if (!isTableDir(dir)) throw new NoSuchTableException(ident)
+    val schema = DataType.fromJson(
+      Files.readString(dir.resolve(SchemaFile))).asInstanceOf[StructType]
+    shim.parquetTable(
+      SparkSession.active,
+      (catalogName +: ident.namespace.toSeq :+ ident.name).mkString("."),
+      dir.toString,
+      Some(schema))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val provider = Option(properties.get(TableCatalog.PROP_PROVIDER))
+    if (!provider.forall(_.equalsIgnoreCase("parquet")))
+      throw new UnsupportedOperationException(
+        s"$catalogName catalog stores parquet tables; got USING ${provider.get}")
+    if (partitions.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"$catalogName catalog does not support partition transforms")
+    val dir = dirOf(ident)
+    if (isTableDir(dir))
+      throw new TableAlreadyExistsException(ident)
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve(SchemaFile), schema.json)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      s"$catalogName catalog tables are append-only; ALTER is not supported")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = dirOf(ident)
+    if (!isTableDir(dir)) false
+    else {
+      Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.delete(p))
+      true
+    }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!isTableDir(dirOf(oldIdent)))
+      throw new NoSuchTableException(oldIdent)
+    if (isTableDir(dirOf(newIdent)))
+      throw new TableAlreadyExistsException(newIdent)
+    Files.createDirectories(dirOf(newIdent).getParent)
+    Files.move(dirOf(oldIdent), dirOf(newIdent))
+  }
+
+  // ---- namespaces -------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] =
+    Files.list(warehouse).iterator.asScala
+      .filter(p => Files.isDirectory(p) && !isTableDir(p))
+      .map(p => Array(p.getFileName.toString))
+      .toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) listNamespaces()
+    else {
+      val ns = dirOf(namespace)
+      if (!Files.isDirectory(ns)) throw new NoSuchNamespaceException(namespace)
+      Files.list(ns).iterator.asScala
+        .filter(p => Files.isDirectory(p) && !isTableDir(p))
+        .map(p => namespace :+ p.getFileName.toString)
+        .toArray
+    }
+  }
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): java.util.Map[String, String] = {
+    if (!Files.isDirectory(dirOf(namespace)))
+      throw new NoSuchNamespaceException(namespace)
+    java.util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit =
+    Files.createDirectories(dirOf(namespace))
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      s"$catalogName catalog namespaces carry no metadata to alter")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    val ns = dirOf(namespace)
+    if (!Files.isDirectory(ns)) false
+    else if (!cascade && Files.list(ns).iterator.asScala.nonEmpty)
+      throw new IllegalStateException(
+        s"namespace ${namespace.mkString(".")} is not empty")
+    else {
+      Files.walk(ns).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.delete(p))
+      true
+    }
+  }
+}

@@ -61,12 +61,26 @@ object BronzeIngest {
       .start()
   }
 
-  /** S5 (KafkaAvroToIceberg.scala:79-89): idempotent bronze-table DDL.
-    * The reference's 3-level Iceberg identifier `bronze.db.orders`
-    * flattens to a session-catalog table `USING parquet` (no Iceberg
-    * runtime in this environment; SURVEY §7.2). */
+  /** Registers [[graft.catalog.BronzeCatalog]] as `bronze`, the same
+    * catalog-name + warehouse-dir shape the reference configures for
+    * its Iceberg catalog (spark-defaults.properties:4-9) — after this,
+    * the reference's own 3-level DDL/DML text (`bronze.db.orders`)
+    * runs verbatim. Catalogs are instantiated lazily on first
+    * reference, so runtime conf is enough. */
+  def registerBronzeCatalog(spark: SparkSession, warehouseDir: String): Unit = {
+    spark.conf.set("spark.sql.catalog.bronze",
+      classOf[graft.catalog.BronzeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.bronze.warehouse", warehouseDir)
+  }
+
+  /** S5 (KafkaAvroToIceberg.scala:79-89): idempotent bronze-table DDL,
+    * issued with the reference's own identifier shape. With
+    * [[registerBronzeCatalog]] in place the default 3-level
+    * `bronze.db.orders` resolves through the custom catalog; a 1-level
+    * name targets the session catalog (`USING parquet` either way — no
+    * Iceberg runtime in this environment; SURVEY §7.2). */
   def ensureBronzeTable(spark: SparkSession,
-      table: String = "bronze_db_orders"): Unit =
+      table: String = "bronze.db.orders"): Unit =
     spark.sql(
       s"""CREATE TABLE IF NOT EXISTS $table (
          |  orderId STRING,
@@ -81,7 +95,7 @@ object BronzeIngest {
     * projection pins the DDL column order explicitly. */
   def batchJobToTable(spark: SparkSession, brokerRoot: String, topic: String,
       startingOffsetsJson: String, endingOffsetsJson: String,
-      table: String = "bronze_db_orders"): Long = {
+      table: String = "bronze.db.orders"): Long = {
     ensureBronzeTable(spark, table)
     val wire = spark.read.format("kafkasim")
       .option("path", brokerRoot)

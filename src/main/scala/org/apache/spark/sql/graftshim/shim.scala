@@ -14,4 +14,22 @@ object shim {
 
   def analyzedPlan(df: org.apache.spark.sql.DataFrame): LogicalPlan =
     df.queryExecution.analyzed
+
+  /** A V2 parquet `Table` (SupportsRead + SupportsWrite) over one
+    * directory — the storage half of graft's `bronze` TableCatalog.
+    * `ParquetTable` is `private[sql]`, hence constructed here. */
+  def parquetTable(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      dir: String,
+      schema: Option[org.apache.spark.sql.types.StructType])
+      : org.apache.spark.sql.connector.catalog.Table =
+    org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
+      name,
+      spark,
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.singletonMap("path", dir)),
+      Seq(dir),
+      schema,
+      classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
 }
