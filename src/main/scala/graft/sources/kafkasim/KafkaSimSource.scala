@@ -155,28 +155,41 @@ final class KafkaSimScan(options: CaseInsensitiveStringMap,
   private val root = Option(options.get("path")).getOrElse(
     throw new IllegalArgumentException("kafkasim requires option 'path'"))
   // Kafka option parity: exactly one of `subscribe` (explicit list)
-  // or `subscribePattern` (Java regex over the broker's topics,
-  // resolved at scan-planning time like the real source's
-  // metadata-refresh subscription)
-  private val topics: Seq[String] =
+  // or `subscribePattern` (Java regex over the broker's topics). A
+  // pattern is re-matched against the broker EVERY time topics are
+  // needed — batch planning once, streaming once per micro-batch via
+  // latestOffset() — matching the real source's per-metadata-refresh
+  // subscription, so topics created after a stream starts are picked
+  // up by the next batch.
+  private val subscription: Either[Seq[String], java.util.regex.Pattern] =
     (Option(options.get("subscribe")), Option(options.get("subscribePattern"))) match {
       case (Some(_), Some(_)) => throw new IllegalArgumentException(
         "kafkasim: set only one of 'subscribe' and 'subscribePattern'")
       case (Some(list), None) =>
-        list.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        Left(list.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       case (None, Some(re)) =>
-        val p = java.util.regex.Pattern.compile(re)
-        SimBroker.listTopics(root).filter(t => p.matcher(t).matches())
+        Right(java.util.regex.Pattern.compile(re))
       case (None, None) => throw new IllegalArgumentException(
         "kafkasim requires option 'subscribe' or 'subscribePattern'")
     }
+
+  private def topics: Seq[String] = subscription match {
+    case Left(list) => list
+    case Right(p) =>
+      SimBroker.listTopics(root).filter(t => p.matcher(t).matches())
+  }
+
+  private def subscriptionDesc: String = subscription match {
+    case Left(list) => list.mkString(",")
+    case Right(p) => s"pattern:${p.pattern}"
+  }
   private val failOnDataLoss =
     Option(options.get("failOnDataLoss")).forall(_.toBoolean)
 
   override def readSchema(): StructType = prunedSchema
 
   override def description(): String =
-    s"KafkaSimV2[subscribe=${topics.mkString(",")}, path=$root" +
+    s"KafkaSimV2[subscribe=$subscriptionDesc, path=$root" +
       offsetLowerBound.map(b => s", pushedOffsetLowerBound=$b").getOrElse("") + "]"
 
   private def allPartitions: Seq[(String, Int)] =
@@ -230,7 +243,7 @@ final class KafkaSimScan(options: CaseInsensitiveStringMap,
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new KafkaSimMicroBatchStream(root, topics, prunedSchema,
+    new KafkaSimMicroBatchStream(root, subscriptionDesc, prunedSchema,
       Option(options.get("startingOffsets")).getOrElse("earliest"),
       failOnDataLoss, resolveOffsets, checkStart)
 }
@@ -239,7 +252,7 @@ final case class KafkaSimOffset(offsets: Map[(String, Int), Long]) extends Offse
   override def json(): String = KafkaSimSource.toOffsetJson(offsets)
 }
 
-final class KafkaSimMicroBatchStream(root: String, topics: Seq[String],
+final class KafkaSimMicroBatchStream(root: String, subscriptionDesc: String,
     prunedSchema: StructType, startingOffsets: String, failOnDataLoss: Boolean,
     resolve: (String, Boolean) => Map[(String, Int), Long],
     checkStart: ((String, Int), Long) => Long) extends MicroBatchStream {
@@ -247,6 +260,9 @@ final class KafkaSimMicroBatchStream(root: String, topics: Seq[String],
   override def initialOffset(): Offset =
     KafkaSimOffset(resolve(startingOffsets, true))
 
+  /** `resolve` re-derives the topic set from the scan's subscription on
+    * every call, so a pattern subscription sees topics created after
+    * the stream started — per micro-batch, like the real source. */
   override def latestOffset(): Offset = KafkaSimOffset(resolve("latest", false))
 
   override def deserializeOffset(json: String): Offset =
@@ -271,7 +287,7 @@ final class KafkaSimMicroBatchStream(root: String, topics: Seq[String],
     * filters Kafka sources by description (DataLossMonitor.java:40);
     * ours filters on this marker the same way. */
   override def toString: String =
-    s"KafkaSimV2[subscribe=${topics.mkString(",")}, path=$root]"
+    s"KafkaSimV2[subscribe=$subscriptionDesc, path=$root]"
 }
 
 final case class KafkaSimInputPartition(root: String, topic: String,

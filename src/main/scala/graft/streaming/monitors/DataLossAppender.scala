@@ -64,28 +64,49 @@ object DataLossAppender {
     new DataLossAppender(name, filter, l, onLoss)
   }
 
+  /** Exact LoggerConfigs replaced by [[attach]], so [[detach]] can put
+    * them back instead of deleting the logger outright. */
+  private val replaced =
+    new java.util.concurrent.ConcurrentHashMap[(LoggerContext, String), LoggerConfig]()
+
   /** Wire the appender into a live log4j2 context under `loggerName`
     * (the reference targets `org.apache.spark.sql.kafka010.consumer`,
     * where KafkaDataConsumer logs its loss warnings). Returns the
-    * started appender; non-additive so intercepted warnings don't
-    * double-print. */
+    * started appender. Non-additive so intercepted warnings don't
+    * double-print — but the effective config's existing appender refs
+    * (console etc.) are COPIED onto the new LoggerConfig, exactly like
+    * the properties template keeps its console appenderRef: monitoring
+    * must observe the logger, not silence it. A pre-existing exact
+    * LoggerConfig is remembered and restored by [[detach]]. */
   def attach(ctx: LoggerContext, loggerName: String,
       appender: DataLossAppender, level: Level = Level.WARN): DataLossAppender = {
     val config = ctx.getConfiguration
     appender.start()
     config.addAppender(appender)
+    // effective config: the exact logger if configured, else nearest
+    // ancestor (usually root) — its appenders are the current output path
+    val effective = config.getLoggerConfig(loggerName)
+    if (effective.getName == loggerName)
+      replaced.put((ctx, loggerName), effective)
     val lc = new LoggerConfig(loggerName, level, /* additive = */ false)
+    effective.getAppenders.forEach { (_, a) =>
+      if (a ne appender) lc.addAppender(a, null, null)
+    }
     lc.addAppender(appender, level, null)
+    config.removeLogger(loggerName) // addLogger is put-if-absent
     config.addLogger(loggerName, lc)
     ctx.updateLoggers()
     appender
   }
 
-  /** Undo [[attach]]. */
+  /** Undo [[attach]]: remove the interception LoggerConfig and restore
+    * the one it replaced, if any. */
   def detach(ctx: LoggerContext, loggerName: String,
       appender: DataLossAppender): Unit = {
     val config = ctx.getConfiguration
     config.removeLogger(loggerName)
+    Option(replaced.remove((ctx, loggerName)))
+      .foreach(prior => config.addLogger(loggerName, prior))
     appender.stop()
     ctx.updateLoggers()
   }

@@ -182,6 +182,32 @@ object LossLogger {
   }
 }
 
+/** M7 (Utils.scala:34-69 `checkDataLoss`): the reference's historical
+  * audit — iterate EVERY numeric file under `offsets/` (not just the
+  * latest) and run the per-partition loss check for each, appending a
+  * `[DATA-LOSS]` line per hit. Composed from the shared pieces:
+  * [[CheckpointOffsets.batchIds]] + [[CheckpointOffsets.parseOffsetFile]]
+  * + [[LossLogger.detectAndLogLoss]]. Unlike the reference, partitions
+  * come from the offset file itself instead of a hard-coded
+  * `Seq(0, 1, 2)` ("or detect programmatically", Utils.scala:54). */
+object CheckpointAudit {
+  /** Returns every (batchId, event) hit, ascending by batch. A batch
+    * fires once per lost partition — the reference's per-file loop
+    * semantics, so one retention expiry shows up in each batch whose
+    * committed offset predates the new earliest. */
+  def checkDataLoss(checkpointDir: String, brokerRoot: String,
+      logFile: Path): Seq[(Long, DataLossEvent)] =
+    CheckpointOffsets.batchIds(checkpointDir).flatMap { id =>
+      CheckpointOffsets.parseOffsetFile(
+        Paths.get(checkpointDir, "offsets", id.toString))
+        .toSeq.sortBy(_._1)
+        .flatMap { case ((topic, p), committed) =>
+          LossLogger.detectAndLogLoss(brokerRoot, topic, p, committed, logFile)
+            .map(id -> _)
+        }
+    }
+}
+
 /** M5 (KafkaDataLossAppender.java:16-53): log-line pattern matcher for
   * Spark-internal data-loss messages. The reference ships it as a
   * log4j2 appender wired-but-disabled (log4j2.properties:63-76); the

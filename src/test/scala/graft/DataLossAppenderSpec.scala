@@ -31,6 +31,41 @@ class DataLossAppenderSpec extends AnyFunSuite {
     } finally DataLossAppender.detach(ctx, loggerName, app)
   }
 
+  test("attach preserves the logger's existing output path and detach restores prior config") {
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    val config = ctx.getConfiguration
+    val loggerName = "graft.spec.preserve.consumer"
+
+    // a pre-existing exact LoggerConfig with its own appender (stands in
+    // for a user's console wiring)
+    val sink = DataLossAppender.createAppender("PRIOR_SINK", onLoss = _ => ())
+    sink.start()
+    config.addAppender(sink)
+    val prior = new org.apache.logging.log4j.core.config.LoggerConfig(
+      loggerName, org.apache.logging.log4j.Level.INFO, true)
+    prior.addAppender(sink, null, null)
+    config.addLogger(loggerName, prior)
+    ctx.updateLoggers()
+
+    val app = DataLossAppender.createAppender("DATA_LOSS_2", onLoss = _ => ())
+    DataLossAppender.attach(ctx, loggerName, app)
+    // interception config carries BOTH the interceptor and the prior
+    // appender — monitoring observes the logger without silencing it
+    val active = config.getLoggerConfig(loggerName)
+    assert(active.getAppenders.containsKey("DATA_LOSS_2"))
+    assert(active.getAppenders.containsKey("PRIOR_SINK"))
+
+    DataLossAppender.detach(ctx, loggerName, app)
+    // the pre-existing config is back, untouched
+    val restored = config.getLoggerConfig(loggerName)
+    assert(restored eq prior)
+    assert(restored.getAppenders.containsKey("PRIOR_SINK"))
+    assert(!restored.getAppenders.containsKey("DATA_LOSS_2"))
+
+    config.removeLogger(loggerName)
+    ctx.updateLoggers()
+  }
+
   test("default factory layout falls back to bare %m like the reference") {
     val app = DataLossAppender.createAppender("DATA_LOSS_DEFAULT")
     assert(app.getLayout != null)

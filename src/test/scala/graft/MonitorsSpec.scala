@@ -105,6 +105,38 @@ class MonitorsSpec extends SparkSpec {
     }
   }
 
+  test("checkpoint audit (M7): scans EVERY batch file, fires once per lost batch") {
+    val root = brokerWith(earliest = 40, latest = 100)
+    val ckpt = tmpDir("ckpt")
+    // 4-batch history; retention expiry (earliest=40) strands batches
+    // 0 and 1 — the audit must surface BOTH, not just the latest state
+    writeOffsetFile(ckpt, 0, """{"orders":{"0":10}}""")
+    writeOffsetFile(ckpt, 1, """{"orders":{"0":30}}""")
+    writeOffsetFile(ckpt, 2, """{"orders":{"0":40}}""")
+    writeOffsetFile(ckpt, 3, """{"orders":{"0":75}}""")
+    val log = Files.createTempFile("audit", ".log")
+
+    val hits = CheckpointAudit.checkDataLoss(ckpt, root, log)
+    assert(hits.map(_._1) == Seq(0L, 1L)) // once per lost batch, ascending
+    assert(hits.map(_._2.lostCount) == Seq(30L, 10L))
+    assert(hits.forall(h => h._2.detector == "loss-logger"
+      && h._2.kafkaEarliest == 40))
+    val lines = Files.readAllLines(log)
+    assert(lines.size == 2)
+    assert(lines.get(0) ==
+      "[DATA-LOSS] topic=orders partition=0 checkpointOffset=10 earliest=40 lost=30")
+    assert(lines.get(1) ==
+      "[DATA-LOSS] topic=orders partition=0 checkpointOffset=30 earliest=40 lost=10")
+
+    // healthy checkpoint (all offsets ≥ earliest) → clean audit, no log
+    val ckptOk = tmpDir("ckpt")
+    writeOffsetFile(ckptOk, 0, """{"orders":{"0":60}}""")
+    writeOffsetFile(ckptOk, 1, """{"orders":{"0":90}}""")
+    val logOk = Files.createTempFile("audit", ".log")
+    assert(CheckpointAudit.checkDataLoss(ckptOk, root, logOk).isEmpty)
+    assert(Files.readAllLines(logOk).isEmpty)
+  }
+
   test("listener (M3): detects loss range from progress events on a live query") {
     val root = tmpDir("broker")
     val ckpt = tmpDir("ckpt")

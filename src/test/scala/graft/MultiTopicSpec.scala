@@ -51,6 +51,44 @@ class MultiTopicSpec extends SparkSpec {
     assert(byTopic == Map("orders-v1" -> 4L, "orders-v2" -> 2L))
   }
 
+  test("streaming subscribePattern picks up topics created after the stream starts") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = tmpDir("broker")
+    val ckpt = tmpDir("ckpt")
+    val sink = tmpDir("sink")
+    SimBroker.createTopic(root, "orders-v1", 1)
+    SimBroker.append(root, "orders-v1", 0,
+      (0 until 4).map(i => (None, bytes(s"o1-$i"), 1L)))
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("kafkasim")
+        .option("path", root).option("subscribePattern", "orders-v[0-9]+")
+        .option("startingOffsets", "earliest")
+        .option("failOnDataLoss", "false").load()
+        .selectExpr("topic", "CAST(value AS STRING) AS v")
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    runOnce()
+    assert(spark.read.parquet(sink).count() == 4)
+
+    // a matching topic (and more rows on the old one) arrive AFTER the
+    // first run; the pattern must re-resolve on restart/next batch
+    SimBroker.createTopic(root, "orders-v2", 1)
+    SimBroker.append(root, "orders-v2", 0,
+      (0 until 3).map(i => (None, bytes(s"o2-$i"), 1L)))
+    SimBroker.append(root, "orders-v1", 0,
+      (0 until 2).map(i => (None, bytes(s"o1-late-$i"), 1L)))
+    runOnce()
+
+    val byTopic = spark.read.parquet(sink).groupBy("topic").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byTopic == Map("orders-v1" -> 6L, "orders-v2" -> 3L))
+  }
+
   test("subscribe and subscribePattern are mutually exclusive") {
     val root = tmpDir("broker")
     SimBroker.createTopic(root, "t", 1)
