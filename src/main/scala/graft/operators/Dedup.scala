@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{QueryDef, Tables}
+import graft.{GraftConf, QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -34,26 +34,48 @@ object Dedup {
            i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))"""))
         .as("shingle"))
 
-  /** Doc-frequency cap: a shingle appearing in more than this many
-    * documents is stopword-like similarity evidence AND the quadratic
-    * skew point of the shingle self-join (one hot key fans out df²
-    * pairs). Dropping capped shingles bounds every shingle-key join
-    * group at df ≤ cap — the property that keeps d02/d03 linear at
-    * 100 TB. Applied identically in the DuckDB oracles.
+  /** Doc-frequency cap DEFAULT: a shingle appearing in more than this
+    * many documents is stopword-like similarity evidence AND the
+    * quadratic skew point of the shingle self-join (one hot key fans
+    * out df² pairs). Dropping capped shingles bounds every shingle-key
+    * join group at df ≤ cap — the property that keeps d02/d03 linear
+    * at 100 TB. Applied identically in the DuckDB oracles. Override at
+    * runtime with `spark.graft.shingleDfCap`.
     */
   private[graft] val ShingleDfCap = 100
 
-  /** SimHash geometry: a 60-bit signature (15 md5 hex chars per token)
-    * split into 4 bands of 15 bits. Banding is lossless for
+  private def shingleDfCap(s: SparkSession): Int =
+    GraftConf.int(s, GraftConf.ShingleDfCapKey, ShingleDfCap)
+
+  /** SimHash geometry DEFAULTS: a 60-bit signature (15 md5 hex chars
+    * per token) split into 4 bands of 15 bits. Banding is lossless for
     * hamming ≤ bands-1 (pigeonhole: ≤3 flipped bits can dirty at most
     * 3 of the 4 bands), and 2^15 = 32,768 buckets per band keeps
     * per-bucket occupancy at n/32768. At larger corpora this is the
     * knob that must grow with log n — widen the signature / bands so
     * bucket cardinality keeps pace. (A fixed 16-bucket band key, the
     * r2 nibble design, pins candidate pairs at O(n²/32) forever.)
+    * Override at runtime with `spark.graft.simhashBits` (multiple of 4,
+    * ≤ 60: the signature derives from md5 hex chars) and
+    * `spark.graft.simhashBands` (must divide bits).
     */
   private[graft] val SimHashBits = 60
   private[graft] val SimHashBands = 4
+
+  private def simHashBits(s: SparkSession): Int = {
+    val b = GraftConf.int(s, GraftConf.SimHashBitsKey, SimHashBits)
+    require(b > 0 && b <= 60 && b % 4 == 0,
+      s"${GraftConf.SimHashBitsKey} must be a positive multiple of 4 <= 60, got $b")
+    b
+  }
+
+  private def simHashBands(s: SparkSession): Int = {
+    val bands = GraftConf.int(s, GraftConf.SimHashBandsKey, SimHashBands)
+    val bits = simHashBits(s)
+    require(bands > 0 && bits % bands == 0,
+      s"${GraftConf.SimHashBandsKey} must divide $bits, got $bands")
+    bands
+  }
 
   /** Shingles with stopword-like (df > cap) shingles removed.
     * Shape: aggregate df per shingle (map-side partial combine, so the
@@ -70,16 +92,17 @@ object Dedup {
     * Mirrors the oracle's QUALIFY COUNT(*) OVER (PARTITION BY shingle).
     */
   private[graft] def cappedShingles(s: SparkSession, d: String): DataFrame = {
+    val cap = shingleDfCap(s)
     val sh0 = shingles(s, d)
     val hot = sh0.groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"))
-      .filter(col("df") > ShingleDfCap)
+      .filter(col("df") > cap)
       .select(col("shingle"))
     sh0.join(broadcast(hot), Seq("shingle"), "left_anti")
       .select(col("doc_id"), col("shingle"))
   }
 
-  private val shinglesSql =
+  private[graft] def shinglesSql(cap: Int = ShingleDfCap): String =
     s"""SELECT doc_id, shingle FROM (
          SELECT DISTINCT doc_id,
            toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
@@ -87,7 +110,7 @@ object Dedup {
                FROM documents) t,
               UNNEST(generate_series(1, len(toks) - 2)) AS u(i)
          WHERE len(toks) >= 3)
-       QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= $ShingleDfCap"""
+       QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= $cap"""
 
   /** Candidate-pair jaccard over the shingle relation (SQL twin below). */
   private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
@@ -109,8 +132,8 @@ object Dedup {
           / (col("n_a") + col("n_b") - col("n_common")))
   }
 
-  private val jaccardPairsSql =
-    s"""sh AS ($shinglesSql),
+  private[graft] def jaccardPairsSql(cap: Int = ShingleDfCap): String =
+    s"""sh AS (${shinglesSql(cap)}),
        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
                  FROM sh a JOIN sh b
@@ -170,7 +193,7 @@ object Dedup {
         .filter(col("jaccard") >= 0.5)
         .select(col("id_a"), col("id_b"), col("n_common"), col("jaccard"))
         .orderBy(col("id_a"), col("id_b")),
-      Some(s"""WITH $jaccardPairsSql
+      Some(s"""WITH ${jaccardPairsSql()}
         SELECT id_a, id_b, n_common, jaccard FROM jac
         WHERE jaccard >= 0.5 ORDER BY id_a, id_b""")),
 
@@ -235,7 +258,7 @@ object Dedup {
           .select(col("id_a"), col("id_b"), col("jaccard"))
           .orderBy(col("id_a"), col("id_b"))
       },
-      Some(s"""WITH $jaccardPairsSql,
+      Some(s"""WITH ${jaccardPairsSql()},
         hashed AS (SELECT doc_id,
                      ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h
                    FROM sh),
@@ -267,34 +290,18 @@ object Dedup {
     QueryDef(
       "d04_simhash",
       (s, d) => {
-        val docs = new Tables(s, d).documents
-        // all bit-balances in one aggregation pass (60 conditional
-        // sums over the token hash) — one shuffle of (doc, 60 buffers)
-        // instead of a 60× row explosion
-        val balCols = (0 until SimHashBits).map(b =>
-          sum(when(expr(s"(h div ${1L << b}) % 2") === 1, 1).otherwise(-1))
-            .as(s"bal$b"))
-        val simhashExpr = (0 until SimHashBits).map(b =>
-          when(col(s"bal$b") > 0, lit(1L << b)).otherwise(0L))
-          .reduce(_ + _)
-        val sig = docs
-          .select(col("doc_id"), explode(expr(toksExpr)).as("tok"))
-          .withColumn("h",
-            conv(substring(md5(col("tok")), 1, SimHashBits / 4), 16, 10)
-              .cast("long"))
-          .groupBy(col("doc_id"))
-          .agg(balCols.head, balCols.tail: _*)
-          .select(col("doc_id"), simhashExpr.cast("long").as("simhash"))
+        val bands = simHashBands(s)
         // banded candidate join instead of the O(n²) cross join:
-        // hamming ≤ 3 means ≤3 differing bits across 4 15-bit bands,
-        // so (pigeonhole) at least one band is identical — banding is
-        // LOSSLESS for this threshold. The join shuffles on
-        // (band, chunk); chunk cardinality 2^15 per band keeps bucket
-        // occupancy ~n/2^15 — the knob that must grow with log n.
-        val sigC = sig.cache()
-        val bandBits = SimHashBits / SimHashBands
+        // hamming ≤ bands-1 means at most bands-1 differing bits across
+        // `bands` equal-width bands, so (pigeonhole) at least one band
+        // is identical — banding is LOSSLESS for this threshold. The
+        // join shuffles on (band, chunk); chunk cardinality 2^bandBits
+        // per band keeps bucket occupancy ~n/2^bandBits — the knob that
+        // must grow with log n.
+        val bandBits = simHashBits(s) / bands
+        val sigC = simhashSignatures(s, d).cache()
         val banded = sigC
-          .withColumn("band", explode(expr(s"sequence(0, ${SimHashBands - 1})")))
+          .withColumn("band", explode(expr(s"sequence(0, ${bands - 1})")))
           .withColumn("chunk", expr(
             s"(simhash div cast(pow(2, band * $bandBits) as bigint)) % ${1L << bandBits}"))
         banded.as("a")
@@ -308,21 +315,50 @@ object Dedup {
           .withColumn("hamming",
             bit_count(col("simhash_a").bitwiseXOR(col("simhash_b")))
               .cast("long"))
-          .filter(col("hamming") <= SimHashBands - 1)
+          .filter(col("hamming") <= bands - 1)
           .select(col("id_a"), col("id_b"), col("simhash_a"),
             col("simhash_b"), col("hamming"))
           .orderBy(col("id_a"), col("id_b"))
       },
-      Some(s"""WITH tok AS (
+      Some(simhashOracleSql()),
+      headline = true)
+  )
+
+  /** (doc_id, simhash) at the session's configured signature width —
+    * all bit-balances in one aggregation pass (`bits` conditional sums
+    * over the token hash): one shuffle of (doc, `bits` buffers)
+    * instead of a `bits`× row explosion. Exposed so ScaleKnobsSpec can
+    * brute-force-verify the banded join at alternate geometries. */
+  private[graft] def simhashSignatures(s: SparkSession, d: String): DataFrame = {
+    val bits = simHashBits(s)
+    val balCols = (0 until bits).map(b =>
+      sum(when(expr(s"(h div ${1L << b}) % 2") === 1, 1).otherwise(-1))
+        .as(s"bal$b"))
+    val simhashExpr = (0 until bits).map(b =>
+      when(col(s"bal$b") > 0, lit(1L << b)).otherwise(0L))
+      .reduce(_ + _)
+    new Tables(s, d).documents
+      .select(col("doc_id"), explode(expr(toksExpr)).as("tok"))
+      .withColumn("h",
+        conv(substring(md5(col("tok")), 1, bits / 4), 16, 10).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(balCols.head, balCols.tail: _*)
+      .select(col("doc_id"), simhashExpr.cast("long").as("simhash"))
+  }
+
+  /** DuckDB twin of d04 at a given geometry (defaults = shipped oracle). */
+  private[graft] def simhashOracleSql(bits: Int = SimHashBits,
+      bands: Int = SimHashBands): String =
+    s"""WITH tok AS (
           SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
           FROM documents),
         th AS (SELECT doc_id,
-                 ('0x' || substr(md5(tok), 1, ${SimHashBits / 4}))::BIGINT AS h
+                 ('0x' || substr(md5(tok), 1, ${bits / 4}))::BIGINT AS h
                FROM tok),
         bits AS (SELECT doc_id, bit,
                    SUM(CASE WHEN (h // CAST(pow(2, bit) AS BIGINT)) % 2 = 1
                        THEN 1 ELSE -1 END) AS balance
-                 FROM th, UNNEST(generate_series(0, ${SimHashBits - 1})) AS t(bit)
+                 FROM th, UNNEST(generate_series(0, ${bits - 1})) AS t(bit)
                  GROUP BY doc_id, bit),
         sig AS (SELECT doc_id,
                   CAST(SUM(CASE WHEN balance > 0
@@ -333,8 +369,6 @@ object Dedup {
           a.simhash AS simhash_a, b.simhash AS simhash_b,
           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.simhash, b.simhash)) <= ${SimHashBands - 1}
-        ORDER BY id_a, id_b"""),
-      headline = true)
-  )
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= ${bands - 1}
+        ORDER BY id_a, id_b"""
 }

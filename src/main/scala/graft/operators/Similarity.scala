@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{QueryDef, Tables}
+import graft.{GraftConf, QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -25,14 +25,23 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Random-hyperplane count for the LSH bucket (s02): bucket space is
-    * 2^H, so per-bucket occupancy is n/2^H — H must grow with log n
-    * (H=8 → 256 buckets suits ~10⁵ vectors; at 10⁹ use H≈20 so buckets
-    * hold ~thousands). Both the Spark expression and the DuckDB oracle
-    * are generated from this one constant; multi-probe cost is H+1
+  /** Random-hyperplane count DEFAULT for the LSH bucket (s02): bucket
+    * space is 2^H, so per-bucket occupancy is n/2^H — H must grow with
+    * log n (H=8 → 256 buckets suits ~10⁵ vectors; at 10⁹ use H≈20 so
+    * buckets hold ~thousands). Both the Spark expression and the DuckDB
+    * oracle are generated from this one value; multi-probe cost is H+1
     * probes per query, so recall degrades gracefully as H grows.
+    * Override at runtime with `spark.graft.lshHyperplanes`.
     */
   private[graft] val LshHyperplanes = 8
+
+  private def lshHyperplanes(s: SparkSession): Int = {
+    val h = GraftConf.int(s, GraftConf.LshHyperplanesKey, LshHyperplanes)
+    require(h > 0 && h <= 62,
+      s"${GraftConf.LshHyperplanesKey} must be in [1, 62] (bucket packs " +
+        s"into a signed long), got $h")
+    h
+  }
 
   /** Embedding dimensionality of the `embeddings` table. */
   private[graft] val VecDim = 64
@@ -43,7 +52,8 @@ object Similarity {
     * to the HOF fold, ~10× faster on the O(n²) pair scan. */
   private def vecs(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
-    graft.functions.VectorFunctions.registerLshBucket(s, hyperplaneWeights)
+    graft.functions.VectorFunctions.registerLshBucket(
+      s, hyperplaneWeights(lshHyperplanes(s)))
     new Tables(s, d).embeddings
       .withColumn("nrm", expr("vec_norm(embedding)"))
       .select(col("vec_id"), col("embedding").as("v"), col("nrm"))
@@ -69,55 +79,60 @@ object Similarity {
     * but evaluated 1× instead of LshHyperplanes × VecDim md5 calls PER
     * ROW — the difference between a constant-folded literal and 512
     * hashes per vector in the hot path. */
-  private[graft] lazy val hyperplaneWeights: Seq[Seq[Double]] =
-    Seq.tabulate(LshHyperplanes, VecDim) { (p, dd) =>
-      val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$p:$dd".getBytes("UTF-8")).map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(hex.take(8), 16).toDouble / 4294967296.0 - 0.5
-    }
+  private val weightsCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Seq[Seq[Double]]]()
+
+  private[graft] def hyperplaneWeights(
+      h: Int = LshHyperplanes): Seq[Seq[Double]] =
+    weightsCache.computeIfAbsent(h, _ =>
+      Seq.tabulate(h, VecDim) { (p, dd) =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$p:$dd".getBytes("UTF-8")).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex.take(8), 16).toDouble / 4294967296.0 - 0.5
+      })
 
   /** SQL literal of [[hyperplaneWeights]]: array(array(w00, ...), ...).
     * Doubles are rendered in full precision via Java's shortest-
     * round-trip Double.toString. Only the HOF twin ([[bucketExprHof]],
     * spec-only) still embeds this. */
-  private[graft] lazy val weightsLit: String =
-    hyperplaneWeights
+  private[graft] def weightsLit(h: Int = LshHyperplanes): String =
+    hyperplaneWeights(h)
       .map(_.map(w => s"${w}d").mkString("array(", ", ", ")"))
       .mkString("array(", ", ", ")")
 
   /** Random-hyperplane bucket id (shared by s02/s05): sign of v·w_p for
-    * LshHyperplanes md5-derived hyperplanes, packed into a bucket int.
+    * the configured md5-derived hyperplanes, packed into a bucket int.
     * Native codegen'd [[graft.functions.VectorLshBucket]] — same
     * left-to-right double fold as the oracle's list_sum; the r3 HOF
     * formulation ([[bucketExprHof]]) evaluated interpreted and
     * re-walked its 512-double literal per row. */
   private lazy val bucketExpr = "vec_lsh_bucket(v)"
 
-  /** The HOF formulation bucketExpr replaced, kept ONLY so
-    * NativeLshBucketSpec can assert bit-identical per-row equivalence
-    * with the native expression (the oracle derives the same weights a
-    * third way, via md5 in SQL). */
-  private[graft] lazy val bucketExprHof =
+  /** The HOF formulation bucketExpr replaced, kept ONLY so specs can
+    * assert bit-identical per-row equivalence with the native
+    * expression (the oracle derives the same weights a third way, via
+    * md5 in SQL). */
+  private[graft] def bucketExprHof(h: Int = LshHyperplanes): String =
     s"""aggregate(
-         transform(sequence(0, ${LshHyperplanes - 1}), p ->
+         transform(sequence(0, ${h - 1}), p ->
            CASE WHEN aggregate(
-             zip_with(v, element_at($weightsLit, p + 1),
+             zip_with(v, element_at(${weightsLit(h)}, p + 1),
                (x, w) -> x * w),
              cast(0.0 as double), (acc, x) -> acc + x) > 0
            THEN cast(pow(2, p) as bigint) ELSE cast(0 as bigint) END),
          cast(0 as bigint), (acc, x) -> acc + x)"""
 
   /** Multi-probe set: own bucket + one flip per hyperplane. */
-  private val probeExpr =
+  private def probeExpr(h: Int = LshHyperplanes): String =
     s"""concat(array(bucket),
-         transform(sequence(0, ${LshHyperplanes - 1}), p ->
+         transform(sequence(0, ${h - 1}), p ->
            bucket ^ shiftleft(cast(1 as bigint), p)))"""
 
   /** DuckDB twins of [[bucketExpr]] / [[probeExpr]] as CTE fragments
     * over e0 (= $vecsSql). */
-  private val bucketedSqlCtes =
+  private[graft] def bucketedSqlCtes(h: Int = LshHyperplanes): String =
     s"""e AS (SELECT vec_id, v, nrm,
-            CAST(list_sum(list_transform(generate_series(0, ${LshHyperplanes - 1}), p ->
+            CAST(list_sum(list_transform(generate_series(0, ${h - 1}), p ->
               CASE WHEN list_sum(list_transform(generate_series(0, ${VecDim - 1}), dd ->
                 v[dd + 1] * (('0x' || substr(md5(p || ':' || dd), 1, 8))::BIGINT
                   / 4294967296.0 - 0.5))) > 0
@@ -126,7 +141,7 @@ object Similarity {
           FROM e0),
         probed AS (SELECT vec_id, v, nrm, bucket,
                      unnest(list_prepend(bucket,
-                       list_transform(generate_series(0, ${LshHyperplanes - 1}), p ->
+                       list_transform(generate_series(0, ${h - 1}), p ->
                          xor(bucket, CAST(pow(2, p) AS BIGINT))))) AS probe
                    FROM e)"""
 
@@ -178,7 +193,7 @@ object Similarity {
         // probe set = own bucket + H one-bit flips (all distinct keys)
         val probed = e.select(col("vec_id").as("id_a"), col("v").as("av"),
             col("nrm").as("nrm_a"), col("bucket"))
-          .withColumn("probe", explode(expr(probeExpr)))
+          .withColumn("probe", explode(expr(probeExpr(lshHyperplanes(s)))))
         val pairs = probed
           .join(e.select(col("vec_id").as("id_b"), col("v").as("bv"),
             col("nrm").as("nrm_b"), col("bucket").as("bucket_b")),
@@ -193,7 +208,7 @@ object Similarity {
           .orderBy(col("id_a"))
       },
       Some(s"""WITH e0 AS ($vecsSql),
-        $bucketedSqlCtes,
+        ${bucketedSqlCtes()},
         pairs AS (SELECT a.vec_id AS id_a, a.bucket, b.vec_id AS id_b,
                     $dotSql / (a.nrm * b.nrm) AS cos_sim
                   FROM probed a JOIN e b
@@ -315,7 +330,7 @@ object Similarity {
       (s, d) => {
         val e = vecs(s, d).withColumn("bucket", expr(bucketExpr))
         val cand = e.select(col("vec_id").as("id_a"), col("bucket"))
-          .withColumn("probe", explode(expr(probeExpr)))
+          .withColumn("probe", explode(expr(probeExpr(lshHyperplanes(s)))))
           .join(e.select(col("vec_id").as("id_b"),
             col("bucket").as("bucket_b")),
             col("probe") === col("bucket_b") && col("id_a") < col("id_b"))
@@ -332,7 +347,7 @@ object Similarity {
           .orderBy(col("id_a"), col("id_b"))
       },
       Some(s"""WITH e0 AS ($vecsSql),
-        $bucketedSqlCtes,
+        ${bucketedSqlCtes()},
         cand AS (SELECT DISTINCT p.vec_id AS id_a, b.vec_id AS id_b
                  FROM probed p JOIN e b
                    ON p.probe = b.bucket AND p.vec_id < b.vec_id)

