@@ -60,7 +60,12 @@ object KafkaOps {
   private def decodedWire(s: SparkSession, root: String): DataFrame = {
     avro.registerAvroDecode(s)
     s.read.format("kafkasim")
-      .option("path", root).option("subscribe", "orders").load()
+      .option("path", root).option("subscribe", "orders")
+      // a 3-partition topic alone caps read parallelism at 3 readers;
+      // minPartitions splits offset ranges so the decode saturates the
+      // cluster (the built-in Kafka connector's contract)
+      .option("minPartitions", s.sparkContext.defaultParallelism)
+      .load()
       .selectExpr("partition", "offset",
         s"avro_decode(value, '${avro.OrderEventSchemaJson}') AS data")
       .select(col("partition"), col("offset"),

@@ -186,6 +186,37 @@ final class KafkaSimScan(options: CaseInsensitiveStringMap,
   private val failOnDataLoss =
     Option(options.get("failOnDataLoss")).forall(_.toBoolean)
 
+  // Kafka option parity: `minPartitions` splits large offset ranges
+  // into multiple input partitions (1:n topic-partition → Spark
+  // partition mapping, same contract as the built-in connector) so a
+  // 3-partition topic can still fan out across every executor core.
+  // Order within a topic-partition is preserved per-split and the
+  // splits are contiguous, so a downstream sort/window sees identical
+  // data; this is pure read parallelism.
+  private val minPartitions: Option[Int] =
+    Option(options.get("minPartitions")).map(_.toInt).filter(_ > 0)
+
+  /** Split (tp → [from, until)) ranges so the plan has ≥ minPartitions
+    * input partitions (when the total row count allows). */
+  private def splitRanges(
+      ranges: Seq[((String, Int), Long, Long)]): Seq[((String, Int), Long, Long)] =
+    minPartitions match {
+      case None => ranges
+      case Some(minP) =>
+        val total = ranges.map { case (_, from, until) =>
+          math.max(0L, until - from) }.sum
+        if (total <= 0) ranges
+        else {
+          // ceil so chunks never exceed total/minP → ≥ minP chunks
+          val chunk = math.max(1L, (total + minP - 1) / minP)
+          ranges.flatMap { case (tp, from, until) =>
+            if (until <= from) Seq((tp, from, until))
+            else (from until until by chunk).map(lo =>
+              (tp, lo, math.min(lo + chunk, until)))
+          }
+        }
+    }
+
   override def readSchema(): StructType = prunedSchema
 
   override def description(): String =
@@ -230,11 +261,14 @@ final class KafkaSimScan(options: CaseInsensitiveStringMap,
         Option(options.get("startingOffsets")).getOrElse("earliest"), isStart = true)
       val end = resolveOffsets(
         Option(options.get("endingOffsets")).getOrElse("latest"), isStart = false)
-      end.toSeq.sortBy(_._1).map { case (tp, until) =>
+      val ranges = end.toSeq.sortBy(_._1).map { case (tp, until) =>
         val resolved = checkStart(tp,
           start.getOrElse(tp, SimBroker.earliest(root, tp._1, tp._2)))
         // pushed `offset >= N` bound narrows the read range further
         val from = offsetLowerBound.fold(resolved)(math.max(resolved, _))
+        (tp, from, until)
+      }
+      splitRanges(ranges).map { case (tp, from, until) =>
         KafkaSimInputPartition(root, tp._1, tp._2, from, until): InputPartition
       }.toArray
     }
@@ -245,7 +279,7 @@ final class KafkaSimScan(options: CaseInsensitiveStringMap,
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new KafkaSimMicroBatchStream(root, subscriptionDesc, prunedSchema,
       Option(options.get("startingOffsets")).getOrElse("earliest"),
-      failOnDataLoss, resolveOffsets, checkStart)
+      failOnDataLoss, resolveOffsets, checkStart, splitRanges)
 }
 
 final case class KafkaSimOffset(offsets: Map[(String, Int), Long]) extends Offset {
@@ -255,7 +289,9 @@ final case class KafkaSimOffset(offsets: Map[(String, Int), Long]) extends Offse
 final class KafkaSimMicroBatchStream(root: String, subscriptionDesc: String,
     prunedSchema: StructType, startingOffsets: String, failOnDataLoss: Boolean,
     resolve: (String, Boolean) => Map[(String, Int), Long],
-    checkStart: ((String, Int), Long) => Long) extends MicroBatchStream {
+    checkStart: ((String, Int), Long) => Long,
+    splitRanges: Seq[((String, Int), Long, Long)] => Seq[((String, Int), Long, Long)])
+  extends MicroBatchStream {
 
   override def initialOffset(): Offset =
     KafkaSimOffset(resolve(startingOffsets, true))
@@ -271,8 +307,10 @@ final class KafkaSimMicroBatchStream(root: String, subscriptionDesc: String,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[KafkaSimOffset].offsets
     val e = end.asInstanceOf[KafkaSimOffset].offsets
-    e.toSeq.sortBy(_._1).map { case (tp, until) =>
-      val from = checkStart(tp, s.getOrElse(tp, 0L))
+    val ranges = e.toSeq.sortBy(_._1).map { case (tp, until) =>
+      (tp, checkStart(tp, s.getOrElse(tp, 0L)), until)
+    }
+    splitRanges(ranges).map { case (tp, from, until) =>
       KafkaSimInputPartition(root, tp._1, tp._2, from, until): InputPartition
     }.toArray
   }

@@ -111,16 +111,23 @@ object SimBroker {
     else segBase(segs.last) + countRecords(segs.last)
   }
 
-  /** Read [from, until) for one partition. */
+  /** Read [from, until) for one partition. Segments wholly outside the
+    * range are skipped WITHOUT deserializing (each segment spans
+    * [its base, next segment's base) — appends always start a new
+    * segment at the current latest), so a range split into N input
+    * partitions costs ~1× the I/O, not N×. */
   def read(root: String, topic: String, partition: Int,
       from: Long, until: Long): Iterator[SimRecord] = {
     val segs = sortedSegs(root, topic, partition)
-    segs.iterator.flatMap { seg =>
-      val base = segBase(seg)
-      readSegment(seg).zipWithIndex.collect {
+    val bases = segs.map(segBase)
+    segs.indices.iterator.flatMap { si =>
+      val base = bases(si)
+      val knownEnd = if (si + 1 < bases.size) Some(bases(si + 1)) else None
+      if (base >= until || knownEnd.exists(_ <= from)) Iterator.empty
+      else readSegment(segs(si)).zipWithIndex.collect {
         case ((k, v, ts), i) if base + i >= from && base + i < until =>
           SimRecord(partition, base + i, k, v, ts)
-      }
+      }.iterator
     }
   }
 

@@ -89,6 +89,34 @@ class MultiTopicSpec extends SparkSpec {
     assert(byTopic == Map("orders-v1" -> 6L, "orders-v2" -> 3L))
   }
 
+  test("minPartitions splits offset ranges without changing results") {
+    val root = tmpDir("broker")
+    SimBroker.createTopic(root, "big", 2)
+    // several segments per partition so range splits cross segment
+    // boundaries
+    (0 until 5).foreach { g =>
+      SimBroker.append(root, "big", 0,
+        (0 until 40).map(i => (None, bytes(s"p0-${g * 40 + i}"), 1L)))
+      SimBroker.append(root, "big", 1,
+        (0 until 30).map(i => (None, bytes(s"p1-${g * 30 + i}"), 1L)))
+    }
+    def reader(min: Option[Int]) = {
+      val r = spark.read.format("kafkasim")
+        .option("path", root).option("subscribe", "big")
+      min.fold(r)(m => r.option("minPartitions", m.toString)).load()
+    }
+    val plain = reader(None)
+    val split = reader(Some(16))
+    assert(plain.rdd.getNumPartitions == 2)
+    assert(split.rdd.getNumPartitions >= 16)
+    // same rows, same offsets, order within (partition, offset) intact
+    val a = plain.selectExpr("partition", "offset", "CAST(value AS STRING)")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val b = split.selectExpr("partition", "offset", "CAST(value AS STRING)")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("subscribe and subscribePattern are mutually exclusive") {
     val root = tmpDir("broker")
     SimBroker.createTopic(root, "t", 1)
