@@ -285,6 +285,33 @@ object Relational2 {
       Some(s"""SELECT COUNT(*) AS n_rows, ${sqlSum("l_quantity", 2)} AS sum_qty,
           COUNT(DISTINCT l_partkey) AS n_parts
         FROM lineitem
-        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 45)"""))
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 45)""")),
+
+    // ----- q64: pivot with MULTIPLE aggregates per pivot value — the
+    // cross-tab shape q27 covers for one measure, generalized: Spark
+    // names the columns {value}_{aggAlias}; the oracle builds the same
+    // grid with conditional aggregation. Missing (priority, status)
+    // combos yield NULL spend in both engines; counts are zero-filled
+    // on the Spark side to match SQL COUNT's 0-for-empty.
+    QueryDef(
+      "q64_pivot_multi_agg",
+      (s, d) => tb(s, d).orders
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(dsum(col("o_totalprice"), 2).as("spend"),
+          count(lit(1)).as("n"))
+        .na.fill(0L, Seq("F_n", "O_n", "P_n"))
+        .orderBy(col("o_orderpriority")),
+      Some(s"""SELECT o_orderpriority,
+          ${sqlSum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END", 2)}
+            AS F_spend,
+          COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F_n,
+          ${sqlSum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END", 2)}
+            AS O_spend,
+          COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O_n,
+          ${sqlSum("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END", 2)}
+            AS P_spend,
+          COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P_n
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 }
