@@ -811,6 +811,64 @@ object Analytics {
           COALESCE(n_common, 0) AS n_common,
           COALESCE(n_r_only, 0) AS n_r_only
         FROM ia FULL OUTER JOIN ea ON ia.l_partkey = ea.l_partkey
-        ORDER BY l_partkey"""))
+        ORDER BY l_partkey""")),
+
+    // ----- q65: IGNORE NULLS window fills — forward-fill (last
+    // non-null so far) and backward-fill (next non-null), the gap-fill
+    // primitive every sensor/event pipeline needs. Purchase rows carry
+    // a value; other event types are NULL-masked, then filled from
+    // neighbors. Frames are explicit so both engines skip nulls over
+    // the identical row set; (ts, event_id) ordering is total.
+    QueryDef(
+      "q65_window_ignore_nulls",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val wFwd = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wBwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        tb(s, d).events
+          .filter(col("user_id") <= 200)
+          .withColumn("v",
+            when(col("event_type") === "purchase", col("value")))
+          .withColumn("fill_fwd", last(col("v"), ignoreNulls = true).over(wFwd))
+          .withColumn("fill_bwd", first(col("v"), ignoreNulls = true).over(wBwd))
+          .select(col("user_id"), col("event_id"), col("v"),
+            col("fill_fwd"), col("fill_bwd"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id, v,
+          LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fill_fwd,
+          FIRST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fill_bwd
+        FROM (SELECT user_id, event_id, ts,
+                CASE WHEN event_type = 'purchase' THEN value END AS v
+              FROM events WHERE user_id <= 200)
+        ORDER BY user_id, event_id""")),
+
+    // ----- q66: latest-record-per-key compaction — the batch twin of
+    // CDC "keep the newest version" and of st04's streaming dedup: one
+    // row per user, chosen by (ts, event_id) descending. Planned as a
+    // single shuffle on user_id + rank filter (no self-join against a
+    // max-ts aggregate).
+    QueryDef(
+      "q66_latest_per_key",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        tb(s, d).events
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("value"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, event_id, event_type, value
+        FROM events
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+          ORDER BY ts DESC, event_id DESC) = 1
+        ORDER BY user_id"""))
   )
 }

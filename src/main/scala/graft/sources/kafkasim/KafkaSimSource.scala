@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -279,7 +279,8 @@ final class KafkaSimScan(options: CaseInsensitiveStringMap,
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new KafkaSimMicroBatchStream(root, subscriptionDesc, prunedSchema,
       Option(options.get("startingOffsets")).getOrElse("earliest"),
-      failOnDataLoss, resolveOffsets, checkStart, splitRanges)
+      failOnDataLoss, resolveOffsets, checkStart, splitRanges,
+      Option(options.get("maxOffsetsPerTrigger")).map(_.toLong))
 }
 
 final case class KafkaSimOffset(offsets: Map[(String, Int), Long]) extends Offset {
@@ -290,8 +291,10 @@ final class KafkaSimMicroBatchStream(root: String, subscriptionDesc: String,
     prunedSchema: StructType, startingOffsets: String, failOnDataLoss: Boolean,
     resolve: (String, Boolean) => Map[(String, Int), Long],
     checkStart: ((String, Int), Long) => Long,
-    splitRanges: Seq[((String, Int), Long, Long)] => Seq[((String, Int), Long, Long)])
-  extends MicroBatchStream {
+    splitRanges: Seq[((String, Int), Long, Long)] => Seq[((String, Int), Long, Long)],
+    maxOffsetsPerTrigger: Option[Long] = None)
+  extends MicroBatchStream with SupportsAdmissionControl
+  with SupportsTriggerAvailableNow {
 
   override def initialOffset(): Offset =
     KafkaSimOffset(resolve(startingOffsets, true))
@@ -300,6 +303,53 @@ final class KafkaSimMicroBatchStream(root: String, subscriptionDesc: String,
     * every call, so a pattern subscription sees topics created after
     * the stream started — per micro-batch, like the real source. */
   override def latestOffset(): Offset = KafkaSimOffset(resolve("latest", false))
+
+  // ---- admission control (Kafka option parity: maxOffsetsPerTrigger).
+  // The engine calls latestOffset(start, limit) when the stream
+  // implements SupportsAdmissionControl; with no option set the limit
+  // is allAvailable() and behavior is identical to the plain path.
+  // SupportsTriggerAvailableNow (also like the real source): under
+  // Trigger.AvailableNow the target is CAPTURED once at query start
+  // and each rate-limited batch advances toward it, so the trigger
+  // still terminates even while new data keeps arriving.
+
+  @volatile private var availableNowTarget: Option[Map[(String, Int), Long]] =
+    None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(resolve("latest", false))
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxOffsetsPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+
+  override def reportLatestOffset(): Offset =
+    KafkaSimOffset(resolve("latest", false))
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val startMap = start.asInstanceOf[KafkaSimOffset].offsets
+    val latest = availableNowTarget.getOrElse(resolve("latest", false))
+    limit match {
+      case r: ReadMaxRows =>
+        KafkaSimOffset(rateLimit(r.maxRows(), startMap, latest))
+      case _ => KafkaSimOffset(latest)
+    }
+  }
+
+  /** Prorate `max` rows across partitions by their share of total lag
+    * (the built-in Kafka source's rate-limit policy): partitions with
+    * more backlog get proportionally more of the batch budget. */
+  private def rateLimit(max: Long, start: Map[(String, Int), Long],
+      latest: Map[(String, Int), Long]): Map[(String, Int), Long] = {
+    val lags = latest.map { case (tp, end) =>
+      tp -> math.max(0L, end - start.getOrElse(tp, 0L)) }
+    val total = lags.values.sum
+    if (total <= max) latest
+    else latest.map { case (tp, end) =>
+      val begin = start.getOrElse(tp, 0L)
+      val share = (max.toDouble * lags(tp) / total).toLong
+      tp -> math.min(end, begin + share)
+    }
+  }
 
   override def deserializeOffset(json: String): Offset =
     KafkaSimOffset(KafkaSimSource.parseOffsetJson(json))

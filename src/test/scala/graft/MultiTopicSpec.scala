@@ -117,6 +117,35 @@ class MultiTopicSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("maxOffsetsPerTrigger rate-limits every micro-batch") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = tmpDir("broker")
+    val sink = tmpDir("sink")
+    SimBroker.createTopic(root, "rl", 2)
+    SimBroker.append(root, "rl", 0,
+      (0 until 12).map(i => (None, bytes(s"p0-$i"), 1L)))
+    SimBroker.append(root, "rl", 1,
+      (0 until 8).map(i => (None, bytes(s"p1-$i"), 1L)))
+
+    val q = spark.readStream.format("kafkasim")
+      .option("path", root).option("subscribe", "rl")
+      .option("startingOffsets", "earliest")
+      .option("maxOffsetsPerTrigger", "5").load()
+      .selectExpr("partition", "offset")
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", tmpDir("ckpt"))
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    // nothing lost, nothing duplicated
+    assert(spark.read.parquet(sink).count() == 20)
+    assert(spark.read.parquet(sink).distinct().count() == 20)
+    // every batch admitted at most 5 rows, so it took ≥ 4 data batches
+    val sizes = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+    assert(sizes.forall(_ <= 5), s"batch sizes: ${sizes.mkString(",")}")
+    assert(sizes.length >= 4)
+  }
+
   test("subscribe and subscribePattern are mutually exclusive") {
     val root = tmpDir("broker")
     SimBroker.createTopic(root, "t", 1)
