@@ -145,6 +145,61 @@ object Dedup {
                JOIN cnt ca ON ca.doc_id = id_a
                JOIN cnt cb ON cb.doc_id = id_b)"""
 
+  /** (doc_id, s0..s15, n): ONE md5 per shingle (the expensive part),
+    * then 16 min-hashes via cheap universal hashing ((a·h+b) mod p),
+    * all in a single map-side-combinable aggregation — no 16× row
+    * explosion, one shuffle of (doc, 16 buffers); the shingle count
+    * rides the same buffers. Shared by d03 (exact verify) and d06
+    * (sketch estimate). */
+  private def minhashSigs(sh: DataFrame): DataFrame = {
+    val hashed = sh.withColumn("h",
+      conv(substring(md5(col("shingle")), 1, 7), 16, 10).cast("long"))
+    val sigCols = (0 until 16).map(i =>
+      min((lit(1000003L + 2 * i) * col("h") + lit(7919L * i + 1))
+        % lit(2147483647L)).as(s"s$i")) :+
+      count(lit(1)).as("n")
+    hashed.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** DISTINCT (id_a, id_b) LSH candidates: 4 bands × 4 rows; band_key
+    * format matches the oracle's string_agg("NN:sig" ORDER BY seed). */
+  private def minhashCands(sigs: DataFrame): DataFrame = {
+    val bandCols = (0 until 4).map { b =>
+      concat_ws("|", (4 * b until 4 * b + 4).map(i =>
+        concat(lit(f"$i%02d:"), col(s"s$i").cast("string"))): _*).as(s"b$b")
+    }
+    val bands = sigs.select(col("doc_id") +: bandCols: _*)
+      .selectExpr("doc_id",
+        "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band, band_key)")
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band")
+          && col("x.band_key") === col("y.band_key")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  /** DuckDB twins of [[minhashSigs]]/[[minhashCands]] as CTEs over `sh`
+    * (expects `sh` bound by [[jaccardPairsSql]] or [[shinglesSql]]). */
+  private val minhashCtesSql =
+    """hashed AS (SELECT doc_id,
+                     ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h
+                   FROM sh),
+        sigs AS (SELECT doc_id, seed,
+                   MIN(((1000003 + 2 * seed) * h + 7919 * seed + 1)
+                       % 2147483647) AS sig
+                 FROM hashed, UNNEST(generate_series(0, 15)) AS t(seed)
+                 GROUP BY doc_id, seed),
+        bands AS (SELECT doc_id, seed // 4 AS band,
+                    string_agg(lpad(CAST(seed AS VARCHAR), 2, '0') || ':' || sig,
+                               '|' ORDER BY seed) AS band_key
+                  FROM sigs GROUP BY doc_id, seed // 4),
+        cands AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                  FROM bands x JOIN bands y
+                    ON x.band = y.band AND x.band_key = y.band_key
+                       AND x.doc_id < y.doc_id)"""
+
   val queries: Seq[QueryDef] = Seq(
 
     // ----- d01: exact dedup via content hash. One shuffle on the
@@ -205,34 +260,8 @@ object Dedup {
       "d03_minhash_lsh",
       (s, d) => {
         val sh = cappedShingles(s, d).cache()
-        // ONE md5 per shingle (the expensive part), then 16 min-hashes
-        // via cheap universal hashing ((a·h+b) mod p), all in a single
-        // map-side-combinable aggregation — no 16× row explosion, one
-        // shuffle of (doc, 16 buffers)
-        val hashed = sh.withColumn("h",
-          conv(substring(md5(col("shingle")), 1, 7), 16, 10).cast("long"))
-        val sigCols = (0 until 16).map(i =>
-          min((lit(1000003L + 2 * i) * col("h") + lit(7919L * i + 1))
-            % lit(2147483647L)).as(s"s$i")) :+
-          count(lit(1)).as("n") // shingle count rides the same buffers
-        val sigs = hashed.groupBy(col("doc_id"))
-          .agg(sigCols.head, sigCols.tail: _*)
-        // 4 bands × 4 rows; band_key format matches the oracle's
-        // string_agg("NN:sig" ORDER BY seed) exactly
-        val bandCols = (0 until 4).map { b =>
-          concat_ws("|", (4 * b until 4 * b + 4).map(i =>
-            concat(lit(f"$i%02d:"), col(s"s$i").cast("string"))): _*).as(s"b$b")
-        }
-        val bands = sigs.select(col("doc_id") +: bandCols: _*)
-          .selectExpr("doc_id",
-            "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band, band_key)")
-        val cands = bands.as("x")
-          .join(bands.as("y"),
-            col("x.band") === col("y.band")
-              && col("x.band_key") === col("y.band_key")
-              && col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-          .distinct()
+        val sigs = minhashSigs(sh)
+        val cands = minhashCands(sigs)
         // verify ONLY the candidates: broadcast the (tiny) candidate
         // set against the shingle relation instead of computing
         // jaccard for every shingle-sharing pair in the corpus;
@@ -259,26 +288,52 @@ object Dedup {
           .orderBy(col("id_a"), col("id_b"))
       },
       Some(s"""WITH ${jaccardPairsSql()},
-        hashed AS (SELECT doc_id,
-                     ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h
-                   FROM sh),
-        sigs AS (SELECT doc_id, seed,
-                   MIN(((1000003 + 2 * seed) * h + 7919 * seed + 1)
-                       % 2147483647) AS sig
-                 FROM hashed, UNNEST(generate_series(0, 15)) AS t(seed)
-                 GROUP BY doc_id, seed),
-        bands AS (SELECT doc_id, seed // 4 AS band,
-                    string_agg(lpad(CAST(seed AS VARCHAR), 2, '0') || ':' || sig,
-                               '|' ORDER BY seed) AS band_key
-                  FROM sigs GROUP BY doc_id, seed // 4),
-        cands AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-                  FROM bands x JOIN bands y
-                    ON x.band = y.band AND x.band_key = y.band_key
-                       AND x.doc_id < y.doc_id)
+        $minhashCtesSql
         SELECT c.id_a, c.id_b, j.jaccard
         FROM cands c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
         WHERE j.jaccard >= 0.5 ORDER BY c.id_a, c.id_b"""),
       headline = true),
+
+    // ----- d06: sketch-only jaccard ESTIMATE — seed-agreement fraction
+    // of the two 16-hash signatures, per LSH candidate pair. This is
+    // the 100 TB fast path: ranking/thresholding near-dups WITHOUT
+    // re-touching the shingle relation (d03's exact verify) — the
+    // estimator and its exact counterpart are both hash-checked, so
+    // the estimate really is `agreements / 16` in both engines
+    // (integer-by-16 division: one exact IEEE op).
+    QueryDef(
+      "d06_minhash_estimate",
+      (s, d) => {
+        val sh = cappedShingles(s, d)
+        val sigs = minhashSigs(sh).cache()
+        val cands = minhashCands(sigs)
+        val renameA = (0 until 16).map(i => col(s"s$i").as(s"sa$i")) :+
+          col("doc_id").as("id_a")
+        val renameB = (0 until 16).map(i => col(s"s$i").as(s"sb$i")) :+
+          col("doc_id").as("id_b")
+        val agree = (0 until 16).map(i =>
+          when(col(s"sa$i") === col(s"sb$i"), 1L).otherwise(0L))
+          .reduce(_ + _)
+        broadcast(cands)
+          .join(sigs.select(renameA: _*), "id_a")
+          .join(sigs.select(renameB: _*), "id_b")
+          .withColumn("n_agree", agree)
+          .select(col("id_a"), col("id_b"), col("n_agree"),
+            (col("n_agree").cast("double") / 16.0d).as("est_jaccard"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH ${jaccardPairsSql()},
+        $minhashCtesSql
+        SELECT c.id_a, c.id_b,
+          CAST(SUM(CASE WHEN a.sig = b.sig THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_agree,
+          SUM(CASE WHEN a.sig = b.sig THEN 1 ELSE 0 END) / 16.0
+            AS est_jaccard
+        FROM cands c
+        JOIN sigs a ON a.doc_id = c.id_a
+        JOIN sigs b ON b.doc_id = c.id_b AND b.seed = a.seed
+        GROUP BY c.id_a, c.id_b
+        ORDER BY c.id_a, c.id_b""")),
 
     // ----- d04: SimHash — SimHashBits-bit signature from md5 token
     // hashes, majority vote per bit position, then near-dup pairs at
