@@ -869,6 +869,77 @@ object Analytics {
         FROM events
         QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
           ORDER BY ts DESC, event_id DESC) = 1
-        ORDER BY user_id"""))
+        ORDER BY user_id""")),
+
+    // ----- q67: calendar-spine gap fill — generate the complete day
+    // range (sequence + explode; the corpus-wide min/max bound it),
+    // left-join sparse daily facts onto it, zero-fill the gaps. The
+    // canonical "dense time series from sparse events" op; the spine
+    // generation is a 1-row cross join, never a shuffle.
+    QueryDef(
+      "q67_calendar_spine",
+      (s, d) => {
+        val ev = tb(s, d).events
+        val bounds = ev.agg(to_date(min(col("ts"))).as("d0"),
+          to_date(max(col("ts"))).as("d1"))
+        val spine = bounds.select(explode(expr(
+          "sequence(d0, d1, interval 1 day)")).as("day"))
+        val daily = ev
+          .filter(col("event_type") === "purchase" && col("user_id") <= 3)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n_purchases"),
+            dsum(col("value"), 2).as("revenue"))
+        spine.join(daily, Seq("day"), "left")
+          .select(col("day"),
+            coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+            coalesce(col("revenue"), lit(0.0d)).as("revenue"))
+          .orderBy(col("day"))
+      },
+      Some(s"""WITH bounds AS (
+          SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+          FROM events),
+        spine AS (SELECT CAST(unnest(generate_series(d0, d1,
+            INTERVAL 1 DAY)) AS DATE) AS day FROM bounds),
+        daily AS (SELECT CAST(ts AS DATE) AS day,
+            COUNT(*) AS n_purchases,
+            ${sqlSum("value", 2)} AS revenue
+          FROM events
+          WHERE event_type = 'purchase' AND user_id <= 3
+          GROUP BY 1)
+        SELECT spine.day,
+          COALESCE(n_purchases, 0) AS n_purchases,
+          COALESCE(revenue, 0.0) AS revenue
+        FROM spine LEFT JOIN daily ON spine.day = daily.day
+        ORDER BY spine.day""")),
+
+    // ----- q68: event funnel via lead — view followed by purchase
+    // within 30 minutes, per user. One shuffle on user_id; the
+    // adjacent-pair construction is a window, not a self-join (the
+    // self-join formulation explodes quadratically on active users).
+    QueryDef(
+      "q68_funnel_lead",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        tb(s, d).events
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .withColumn("next_ts", lead(col("ts"), 1).over(w))
+          .filter(col("event_type") === "view"
+            && col("next_type") === "purchase"
+            && unix_micros(col("next_ts")) - unix_micros(col("ts"))
+              <= 1800000000L)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_conversions"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, COUNT(*) AS n_conversions
+        FROM (SELECT user_id, event_type, ts,
+                LEAD(event_type) OVER w AS next_type,
+                LEAD(ts) OVER w AS next_ts
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        WHERE event_type = 'view' AND next_type = 'purchase'
+          AND epoch_us(next_ts) - epoch_us(ts) <= 1800000000
+        GROUP BY user_id ORDER BY user_id"""))
   )
 }
