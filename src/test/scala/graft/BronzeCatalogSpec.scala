@@ -10,8 +10,18 @@ import graft.pipeline.{BronzeIngest, OrderEventProducer}
   * `spark.table("bronze.db.orders")` reads it back. */
 class BronzeCatalogSpec extends SparkSpec {
 
+  /** One registration for the whole suite: the session CACHES the
+    * catalog instance on first use, so re-registering with a different
+    * warehouse would desync later uses (and foreachBatch's cloned
+    * session, which re-instantiates from conf). */
+  private lazy val warehouse: String = {
+    val w = tmpDir("bronze_wh")
+    BronzeIngest.registerBronzeCatalog(spark, w)
+    w
+  }
+
   test("3-level bronze.db.orders round-trips through the custom catalog") {
-    BronzeIngest.registerBronzeCatalog(spark, tmpDir("bronze_wh"))
+    warehouse
 
     val root = tmpDir("broker")
     val orders = (1 to 25).map(i =>
@@ -48,5 +58,45 @@ class BronzeCatalogSpec extends SparkSpec {
 
     spark.sql("DROP TABLE bronze.db.orders")
     intercept[Exception] { spark.table("bronze.db.orders").count() }
+  }
+
+  test("streaming ingest into bronze.db.orders via the foreachBatch bridge") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    warehouse
+    val root = tmpDir("broker")
+    OrderEventProducer.produce(root, "orders", 2, (1 to 15).map(i =>
+      OrderEventProducer.Order(s"s$i", i * 3.0, "2026-05-01")))
+    BronzeIngest.ensureBronzeTable(spark)
+
+    // The reference's (commented-out) sink is
+    // `decoded.writeStream...toTable("bronze.db.orders")`; Spark's V2
+    // file tables advertise no STREAMING_WRITE capability, so the
+    // standard bridge for catalog tables without a native streaming
+    // sink is foreachBatch + insertInto — same 3-level identifier,
+    // same append semantics, batchId available for idempotence.
+    val wire = spark.readStream.format("kafkasim")
+      .option("path", root).option("subscribe", "orders")
+      .option("startingOffsets", "earliest").load()
+    val q = BronzeIngest.decode(spark, wire)
+      .withColumn("source", org.apache.spark.sql.functions.lit(null:
+        String).cast("string"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.select("orderId", "amount", "ts", "ingested_at", "source")
+          .write.mode("append").insertInto("bronze.db.orders")
+        ()
+      }
+      .option("checkpointLocation", tmpDir("ckpt"))
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val t = spark.table("bronze.db.orders")
+    assert(t.count() == 15)
+    // streaming path leaves `source` NULL — the reference's asymmetry
+    assert(t.filter(t("source").isNull).count() == 15)
+    spark.sql("DROP TABLE bronze.db.orders")
   }
 }
