@@ -358,6 +358,70 @@ object Similarity {
         WHERE $dotSql / (a.nrm * b.nrm) >= 0.4
         ORDER BY c.id_a, c.id_b""")),
 
+    // ----- s07: two-stage retrieval — rank with CHEAP truncated
+    // vectors (first 16 of 64 dims, 4× less arithmetic/IO; the
+    // "matryoshka" first pass), then rerank ONLY the top-8 shortlist
+    // with full-dimension cosine and keep the best. At 100 TB the
+    // coarse stage is where the IVF/LSH index lives and the truncated
+    // vectors are the columnar read; the shape that matters is that
+    // FULL vectors are touched for |shortlist| candidates per query,
+    // never for the corpus. Stage-1 here is the same labeled
+    // verification-tier scan as s01 (exact over the small corpus).
+    QueryDef(
+      "s07_truncated_rerank",
+      (s, d) => {
+        val e = vecs(s, d)
+          .withColumn("v16", expr("slice(v, 1, 16)"))
+          .withColumn("nrm16", expr("vec_norm(v16)"))
+        val coarse = e.select(col("vec_id").as("id_a"),
+            col("v16").as("a16"), col("nrm16").as("na16"))
+          .crossJoin(e.select(col("vec_id").as("id_b"),
+            col("v16").as("b16"), col("nrm16").as("nb16")))
+          .filter(col("id_a") =!= col("id_b"))
+          .withColumn("cos16",
+            expr("vec_dot(a16, b16)") / (col("na16") * col("nb16")))
+        val wC = Window.partitionBy(col("id_a"))
+          .orderBy(col("cos16").desc, col("id_b"))
+        val shortlist = coarse.withColumn("r", row_number().over(wC))
+          .filter(col("r") <= 8).select(col("id_a"), col("id_b"))
+        val full = vecs(s, d)
+        val wF = Window.partitionBy(col("id_a"))
+          .orderBy(col("cos_full").desc, col("id_b"))
+        shortlist
+          .join(full.select(col("vec_id").as("id_a"), col("v").as("av"),
+            col("nrm").as("nrm_a")), "id_a")
+          .join(full.select(col("vec_id").as("id_b"), col("v").as("bv"),
+            col("nrm").as("nrm_b")), "id_b")
+          .withColumn("cos_full",
+            expr(dotExpr) / (col("nrm_a") * col("nrm_b")))
+          .withColumn("r", row_number().over(wF))
+          .filter(col("r") === 1)
+          .select(col("id_a"), col("id_b"), col("cos_full"))
+          .orderBy(col("id_a"))
+      },
+      Some(s"""WITH e0 AS ($vecsSql),
+        e AS (SELECT vec_id, v, nrm, v[1:16] AS v16,
+                sqrt(list_sum(list_transform(v[1:16], x -> x * x))) AS nrm16
+              FROM e0),
+        coarse AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            list_sum(list_transform(list_zip(a.v16, b.v16), t -> t[1] * t[2]))
+              / (a.nrm16 * b.nrm16) AS cos16
+          FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        shortlist AS (SELECT id_a, id_b FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY id_a
+              ORDER BY cos16 DESC, id_b) AS r FROM coarse)
+          WHERE r <= 8),
+        rer AS (SELECT c.id_a, c.id_b,
+            list_sum(list_transform(list_zip(a.v, b.v), t -> t[1] * t[2]))
+              / (a.nrm * b.nrm) AS cos_full
+          FROM shortlist c
+          JOIN e a ON a.vec_id = c.id_a
+          JOIN e b ON b.vec_id = c.id_b)
+        SELECT id_a, id_b, cos_full FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY id_a
+            ORDER BY cos_full DESC, id_b) AS r FROM rer)
+        WHERE r = 1 ORDER BY id_a""")),
+
     // ----- s06: symmetric int8 quantization of the embedding column —
     // the 4× compression step a 100 TB ANN index applies before
     // storage (scale = max|x|/127 per vector, round-half-up, clamp).
