@@ -61,12 +61,19 @@ class BronzeCatalog extends TableCatalog with SupportsNamespaces {
   private def isTableDir(p: Path): Boolean =
     Files.isRegularFile(p.resolve(SchemaFile))
 
+  /** Children of `dir` (closing the listing stream — `Files.list`
+    * holds a directory fd until closed). */
+  private def children(dir: Path): Seq[Path] = {
+    val s = Files.list(dir)
+    try s.iterator.asScala.toSeq finally s.close()
+  }
+
   // ---- tables -----------------------------------------------------
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val ns = dirOf(namespace)
     if (!Files.isDirectory(ns)) throw new NoSuchNamespaceException(namespace)
-    Files.list(ns).iterator.asScala
+    children(ns)
       .filter(isTableDir)
       .map(p => Identifier.of(namespace, p.getFileName.toString))
       .toArray
@@ -106,14 +113,17 @@ class BronzeCatalog extends TableCatalog with SupportsNamespaces {
     throw new UnsupportedOperationException(
       s"$catalogName catalog tables are append-only; ALTER is not supported")
 
+  private def deleteTree(dir: Path): Unit = {
+    val s = Files.walk(dir)
+    try s.sorted(Comparator.reverseOrder[Path]())
+      .forEach(p => Files.delete(p))
+    finally s.close()
+  }
+
   override def dropTable(ident: Identifier): Boolean = {
     val dir = dirOf(ident)
     if (!isTableDir(dir)) false
-    else {
-      Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
-        .forEach(p => Files.delete(p))
-      true
-    }
+    else { deleteTree(dir); true }
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
@@ -128,7 +138,7 @@ class BronzeCatalog extends TableCatalog with SupportsNamespaces {
   // ---- namespaces -------------------------------------------------
 
   override def listNamespaces(): Array[Array[String]] =
-    Files.list(warehouse).iterator.asScala
+    children(warehouse)
       .filter(p => Files.isDirectory(p) && !isTableDir(p))
       .map(p => Array(p.getFileName.toString))
       .toArray
@@ -138,7 +148,7 @@ class BronzeCatalog extends TableCatalog with SupportsNamespaces {
     else {
       val ns = dirOf(namespace)
       if (!Files.isDirectory(ns)) throw new NoSuchNamespaceException(namespace)
-      Files.list(ns).iterator.asScala
+      children(ns)
         .filter(p => Files.isDirectory(p) && !isTableDir(p))
         .map(p => namespace :+ p.getFileName.toString)
         .toArray
@@ -165,13 +175,9 @@ class BronzeCatalog extends TableCatalog with SupportsNamespaces {
       cascade: Boolean): Boolean = {
     val ns = dirOf(namespace)
     if (!Files.isDirectory(ns)) false
-    else if (!cascade && Files.list(ns).iterator.asScala.nonEmpty)
+    else if (!cascade && children(ns).nonEmpty)
       throw new IllegalStateException(
         s"namespace ${namespace.mkString(".")} is not empty")
-    else {
-      Files.walk(ns).sorted(Comparator.reverseOrder[Path]())
-        .forEach(p => Files.delete(p))
-      true
-    }
+    else { deleteTree(ns); true }
   }
 }
