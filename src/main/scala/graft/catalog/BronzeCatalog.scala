@@ -84,11 +84,15 @@ class BronzeCatalog extends TableCatalog with SupportsNamespaces {
     if (!isTableDir(dir)) throw new NoSuchTableException(ident)
     val schema = DataType.fromJson(
       Files.readString(dir.resolve(SchemaFile))).asInstanceOf[StructType]
-    shim.parquetTable(
+    val parquet = shim.parquetTable(
       SparkSession.active,
       (catalogName +: ident.namespace.toSeq :+ ident.name).mkString("."),
       dir.toString,
       Some(schema))
+    // V2 file tables only advertise batch read/write; the wrapper adds
+    // the streaming write (stage-then-rename, epoch-idempotent) so the
+    // reference's `writeStream...toTable("bronze.db.orders")` works
+    new BronzeWritableTable(parquet, dir.toString)
   }
 
   override def createTable(ident: Identifier, schema: StructType,

@@ -60,6 +60,44 @@ class BronzeCatalogSpec extends SparkSpec {
     intercept[Exception] { spark.table("bronze.db.orders").count() }
   }
 
+  test("streaming toTable(bronze.db.orders) — the reference's sink line, verbatim") {
+    import org.apache.spark.sql.streaming.Trigger
+    warehouse
+    val root = tmpDir("broker")
+    OrderEventProducer.produce(root, "orders", 2, (1 to 20).map(i =>
+      OrderEventProducer.Order(s"t$i", i * 7.0, "2026-06-01")))
+    BronzeIngest.ensureBronzeTable(spark)
+    val ckpt = tmpDir("toTable_ckpt") // one checkpoint, reused by the restart
+
+    def runStream(): Unit = {
+      val wire = spark.readStream.format("kafkasim")
+        .option("path", root).option("subscribe", "orders")
+        .option("startingOffsets", "earliest")
+        .option("maxOffsetsPerTrigger", "7") // multiple epochs
+        .load()
+      val q = BronzeIngest.decode(spark, wire)
+        .withColumn("source", org.apache.spark.sql.functions.lit(null:
+          String).cast("string"))
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .toTable("bronze.db.orders")
+      q.awaitTermination()
+    }
+
+    runStream()
+    val t = spark.table("bronze.db.orders")
+    assert(t.count() == 20)
+    assert(t.select("orderId").distinct().count() == 20)
+    assert(t.filter(t("source").isNull).count() == 20)
+
+    // restart with the same checkpoint and no new data: no duplicates
+    runStream()
+    assert(spark.table("bronze.db.orders").count() == 20)
+    spark.sql("DROP TABLE bronze.db.orders")
+  }
+
   test("streaming ingest into bronze.db.orders via the foreachBatch bridge") {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.streaming.Trigger
