@@ -6,7 +6,7 @@ import java.util.Comparator
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.analysis.{NonEmptyNamespaceException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.graftshim.shim
@@ -180,8 +180,7 @@ class BronzeCatalog extends TableCatalog with SupportsNamespaces {
     val ns = dirOf(namespace)
     if (!Files.isDirectory(ns)) false
     else if (!cascade && children(ns).nonEmpty)
-      throw new IllegalStateException(
-        s"namespace ${namespace.mkString(".")} is not empty")
+      throw new NonEmptyNamespaceException(namespace)
     else { deleteTree(ns); true }
   }
 }

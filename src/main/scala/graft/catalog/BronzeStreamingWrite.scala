@@ -69,7 +69,23 @@ private final class BronzeStreamingWrite(dir: String, schema: StructType)
     new BronzeStreamingWriterFactory(dir, schema)
 
   override def commit(epochId: Long,
-      messages: Array[WriterCommitMessage]): Unit =
+      messages: Array[WriterCommitMessage]): Unit = {
+    val dests = messages.collect {
+      case StagedFile(staged, dest) if staged.nonEmpty =>
+        Paths.get(dest).getFileName.toString
+    }.toSet
+    // A replayed epoch may plan FEWER write tasks than the crashed
+    // attempt (parallelism changed between runs); any part file of
+    // this epoch not re-produced now is a stale duplicate — drop it
+    // BEFORE publishing, so the commit as a whole is the epoch's
+    // exact content.
+    val prefix = s"part-e$epochId-p"
+    val listing = Files.list(Paths.get(dir))
+    try listing.iterator().forEachRemaining { p =>
+      val name = p.getFileName.toString
+      if (name.startsWith(prefix) && !dests.contains(name))
+        Files.deleteIfExists(p)
+    } finally listing.close()
     messages.foreach {
       case StagedFile(staged, _) if staged.isEmpty => () // empty partition
       case StagedFile(staged, dest) =>
@@ -78,6 +94,7 @@ private final class BronzeStreamingWrite(dir: String, schema: StructType)
       case other =>
         throw new IllegalStateException(s"unexpected commit message: $other")
     }
+  }
 
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =

@@ -151,17 +151,26 @@ case class VectorLshBucket(child: Expression, weights: Vector[Vector[Double]])
     a
   }
 
+  /** Inputs must match the hyperplane dimensionality exactly — a
+    * silent prefix fold would disagree with both the HOF twin (whose
+    * zip_with null-pads and zeroes the bit) and the SQL oracle, so a
+    * mismatch fails fast instead. */
+  private def dimMismatch(got: Int): Nothing =
+    throw new IllegalArgumentException(
+      s"vec_lsh_bucket: input has $got elements, hyperplanes have " +
+        s"${weights.head.length}")
+
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val dim = weights.head.length
-    val n = math.min(x.numElements(), dim)
+    if (x.numElements() != dim) dimMismatch(x.numElements())
     var bucket = 0L
     var p = 0
     while (p < numPlanes) {
       val w = weights(p)
       var acc = 0.0
       var i = 0
-      while (i < n) { acc += x.getFloat(i).toDouble * w(i); i += 1 }
+      while (i < dim) { acc += x.getFloat(i).toDouble * w(i); i += 1 }
       if (acc > 0) bucket += (1L << p)
       p += 1
     }
@@ -171,18 +180,20 @@ case class VectorLshBucket(child: Expression, weights: Vector[Vector[Double]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val wRef = ctx.addReferenceObj("lshWeights", flat, "double[]")
+      val selfRef = ctx.addReferenceObj("lshExpr", this, classOf[VectorLshBucket].getName)
       val dim = weights.head.length
       val p = ctx.freshName("p")
       val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       val bkt = ctx.freshName("bucket")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $dim);
+         |if ($a.numElements() != $dim) {
+         |  $selfRef.dimMismatchJava($a.numElements());
+         |}
          |long $bkt = 0L;
          |for (int $p = 0; $p < $numPlanes; $p++) {
          |  double $acc = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
+         |  for (int $i = 0; $i < $dim; $i++) {
          |    $acc += (double) $a.getFloat($i) * $wRef[$p * $dim + $i];
          |  }
          |  if ($acc > 0) $bkt += (1L << $p);
@@ -190,6 +201,10 @@ case class VectorLshBucket(child: Expression, weights: Vector[Vector[Double]])
          |${ev.value} = $bkt;
        """.stripMargin
     })
+
+  /** Codegen entry point for the mismatch error (public for generated
+    * code). */
+  def dimMismatchJava(got: Int): Unit = dimMismatch(got)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

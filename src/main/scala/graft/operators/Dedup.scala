@@ -80,15 +80,19 @@ object Dedup {
   /** Shingles with stopword-like (df > cap) shingles removed.
     * Shape: aggregate df per shingle (map-side partial combine, so the
     * shuffle carries (shingle, count) not full rows), keep only the
-    * HOT side (df > cap) — tiny BY CONSTRUCTION (each survivor needs
-    * > cap occurrences, so there are < total/cap of them) — and
-    * broadcast it into a left-anti join against the shingle relation.
-    * No sort anywhere: the r3 count-window variant sorted the entire
-    * exploded shingle relation inside each hash partition, which at
-    * sf0.1 was 26% of the whole bench (7.8 s) and at 100 TB is a spill
-    * machine. The explode is evaluated twice (df pass + anti-join
-    * probe), but it is map-only and cheaper than the sort; callers
-    * cache the capped OUTPUT, which both d02/d03 reuse ≥ 3×.
+    * HOT side (df > cap) — bounded by total-occurrences/cap, so small
+    * at the default cap — and left-anti join it against the shingle
+    * relation. The hot side carries NO broadcast hint: size-based
+    * planning (AQE) broadcasts it when it is actually small and falls
+    * back to a shuffled anti-join when a tiny configured cap (or a
+    * pathological corpus) makes it large — a forced hint would OOM the
+    * driver exactly there. No sort anywhere: the r3 count-window
+    * variant sorted the entire exploded shingle relation inside each
+    * hash partition, which at sf0.1 was 26% of the whole bench (7.8 s)
+    * and at 100 TB is a spill machine. The explode is evaluated twice
+    * (df pass + anti-join probe), but it is map-only and cheaper than
+    * the sort; callers cache the capped OUTPUT, which both d02/d03
+    * reuse ≥ 3×.
     * Mirrors the oracle's QUALIFY COUNT(*) OVER (PARTITION BY shingle).
     */
   private[graft] def cappedShingles(s: SparkSession, d: String): DataFrame = {
@@ -98,7 +102,7 @@ object Dedup {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > cap)
       .select(col("shingle"))
-    sh0.join(broadcast(hot), Seq("shingle"), "left_anti")
+    sh0.join(hot, Seq("shingle"), "left_anti")
       .select(col("doc_id"), col("shingle"))
   }
 

@@ -207,8 +207,10 @@ final class KafkaSimScan(options: CaseInsensitiveStringMap,
           math.max(0L, until - from) }.sum
         if (total <= 0) ranges
         else {
-          // ceil so chunks never exceed total/minP → ≥ minP chunks
-          val chunk = math.max(1L, (total + minP - 1) / minP)
+          // FLOOR the chunk size: chunks of ≤ total/minP rows give
+          // ≥ minP splits whenever total ≥ minP (ceil would cap the
+          // split count at minP and routinely undershoot it)
+          val chunk = math.max(1L, total / minP)
           ranges.flatMap { case (tp, from, until) =>
             if (until <= from) Seq((tp, from, until))
             else (from until until by chunk).map(lo =>
@@ -276,11 +278,14 @@ final class KafkaSimScan(options: CaseInsensitiveStringMap,
       new KafkaSimReaderFactory(prunedSchema)
   }
 
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    val maxOffsets = Option(options.get("maxOffsetsPerTrigger")).map(_.toLong)
+    maxOffsets.foreach(n => require(n > 0,
+      s"maxOffsetsPerTrigger must be positive, got $n")) // 0 would stall forever
     new KafkaSimMicroBatchStream(root, subscriptionDesc, prunedSchema,
       Option(options.get("startingOffsets")).getOrElse("earliest"),
-      failOnDataLoss, resolveOffsets, checkStart, splitRanges,
-      Option(options.get("maxOffsetsPerTrigger")).map(_.toLong))
+      failOnDataLoss, resolveOffsets, checkStart, splitRanges, maxOffsets)
+  }
 }
 
 final case class KafkaSimOffset(offsets: Map[(String, Int), Long]) extends Offset {
@@ -330,24 +335,38 @@ final class KafkaSimMicroBatchStream(root: String, subscriptionDesc: String,
     val latest = availableNowTarget.getOrElse(resolve("latest", false))
     limit match {
       case r: ReadMaxRows =>
-        KafkaSimOffset(rateLimit(r.maxRows(), startMap, latest))
+        KafkaSimOffset(rateLimit(r.maxRows(), startMap, latest,
+          resolve("earliest", true)))
       case _ => KafkaSimOffset(latest)
     }
   }
 
   /** Prorate `max` rows across partitions by their share of total lag
     * (the built-in Kafka source's rate-limit policy): partitions with
-    * more backlog get proportionally more of the batch budget. */
+    * more backlog get proportionally more of the batch budget.
+    * Sub-1 shares round UP (also the built-in's behavior) so every
+    * lagging partition advances each batch — flooring them to 0 would
+    * stall the stream whenever max < the number of lagging partitions.
+    * A partition absent from the start map (e.g. newly matched by a
+    * pattern) begins at its EARLIEST offset, not 0 — expired history
+    * must not count as lag or the capped end could land below
+    * earliest and read as spurious data loss. */
   private def rateLimit(max: Long, start: Map[(String, Int), Long],
-      latest: Map[(String, Int), Long]): Map[(String, Int), Long] = {
+      latest: Map[(String, Int), Long],
+      earliest: Map[(String, Int), Long]): Map[(String, Int), Long] = {
+    def beginOf(tp: (String, Int)): Long = {
+      val e = earliest.getOrElse(tp, 0L)
+      math.max(start.getOrElse(tp, e), e)
+    }
     val lags = latest.map { case (tp, end) =>
-      tp -> math.max(0L, end - start.getOrElse(tp, 0L)) }
+      tp -> math.max(0L, end - beginOf(tp)) }
     val total = lags.values.sum
     if (total <= max) latest
     else latest.map { case (tp, end) =>
-      val begin = start.getOrElse(tp, 0L)
-      val share = (max.toDouble * lags(tp) / total).toLong
-      tp -> math.min(end, begin + share)
+      val prorate = max.toDouble * lags(tp) / total
+      val share =
+        if (prorate < 1) math.ceil(prorate).toLong else prorate.toLong
+      tp -> math.min(end, beginOf(tp) + share)
     }
   }
 

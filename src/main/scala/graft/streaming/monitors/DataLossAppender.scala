@@ -86,11 +86,14 @@ object DataLossAppender {
     // effective config: the exact logger if configured, else nearest
     // ancestor (usually root) — its appenders are the current output path
     val effective = config.getLoggerConfig(loggerName)
+    // putIfAbsent: a second attach without an intervening detach sees
+    // the FIRST interception config as "effective" — remembering that
+    // instead would discard the user's original forever
     if (effective.getName == loggerName)
-      replaced.put((ctx, loggerName), effective)
+      replaced.putIfAbsent((ctx, loggerName), effective)
     val lc = new LoggerConfig(loggerName, level, /* additive = */ false)
     effective.getAppenders.forEach { (_, a) =>
-      if (a ne appender) lc.addAppender(a, null, null)
+      if (!a.isInstanceOf[DataLossAppender]) lc.addAppender(a, null, null)
     }
     lc.addAppender(appender, level, null)
     config.removeLogger(loggerName) // addLogger is put-if-absent

@@ -37,8 +37,13 @@ class DataLossAppenderSpec extends AnyFunSuite {
     val loggerName = "graft.spec.preserve.consumer"
 
     // a pre-existing exact LoggerConfig with its own appender (stands in
-    // for a user's console wiring)
-    val sink = DataLossAppender.createAppender("PRIOR_SINK", onLoss = _ => ())
+    // for a user's console wiring — a PLAIN appender: interceptors are
+    // deliberately never copied between interception configs)
+    val sink = new org.apache.logging.log4j.core.appender.AbstractAppender(
+      "PRIOR_SINK", null, null, true,
+      org.apache.logging.log4j.core.config.Property.EMPTY_ARRAY) {
+      override def append(e: org.apache.logging.log4j.core.LogEvent): Unit = ()
+    }
     sink.start()
     config.addAppender(sink)
     val prior = new org.apache.logging.log4j.core.config.LoggerConfig(

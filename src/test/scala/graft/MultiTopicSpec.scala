@@ -146,6 +146,49 @@ class MultiTopicSpec extends SparkSpec {
     assert(sizes.length >= 4)
   }
 
+  test("maxOffsetsPerTrigger below the partition count still drains (sub-1 shares ceil)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = tmpDir("broker")
+    val sink = tmpDir("sink")
+    SimBroker.createTopic(root, "tiny", 3)
+    (0 until 3).foreach { p =>
+      SimBroker.append(root, "tiny", p,
+        (0 until 4).map(i => (None, bytes(s"p$p-$i"), 1L)))
+    }
+    // 2 < 3 lagging partitions: a floor-only prorate would assign every
+    // partition 0 rows and never terminate
+    val q = spark.readStream.format("kafkasim")
+      .option("path", root).option("subscribe", "tiny")
+      .option("startingOffsets", "earliest")
+      .option("maxOffsetsPerTrigger", "2").load()
+      .selectExpr("partition", "offset")
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", tmpDir("ckpt"))
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "rate-limited stream failed to drain")
+    assert(spark.read.parquet(sink).count() == 12)
+  }
+
+  test("non-positive maxOffsetsPerTrigger is rejected") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = tmpDir("broker")
+    SimBroker.createTopic(root, "z", 1)
+    SimBroker.append(root, "z", 0, Seq((None, bytes("x"), 1L)))
+    val e = intercept[Exception] {
+      val q = spark.readStream.format("kafkasim")
+        .option("path", root).option("subscribe", "z")
+        .option("maxOffsetsPerTrigger", "0").load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", tmpDir("ckpt"))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("must be positive"))))
+  }
+
   test("subscribe and subscribePattern are mutually exclusive") {
     val root = tmpDir("broker")
     SimBroker.createTopic(root, "t", 1)
