@@ -339,6 +339,62 @@ object Dedup {
         GROUP BY c.id_a, c.id_b
         ORDER BY c.id_a, c.id_b""")),
 
+    // ----- d07: near-dup CLUSTERS — the step that turns pairwise
+    // matches into "keep one representative per group": connected
+    // components over the verified pair graph, by iterative min-label
+    // propagation (label(x) ← min(label(x), min of neighbors'
+    // labels) until fixpoint — Pregel's shape in plain DataFrame ops;
+    // each round is one shuffle on the edge key). The driver loop
+    // only checks a scalar changed-count per round; iteration count
+    // is the component diameter (dedup clusters are shallow — 2-3
+    // rounds here). The DuckDB oracle computes the same fixpoint with
+    // a recursive CTE (min over the reachable set).
+    QueryDef(
+      "d07_dedup_clusters",
+      (s, d) => {
+        val docs = new Tables(s, d).documents.select(col("doc_id"))
+        val edges = nearDupEdges(s, d).cache()
+        var labels = docs.withColumn("cluster_id", col("doc_id")).cache()
+        var changed = 1L
+        while (changed > 0) {
+          val nbrMin = edges
+            .join(labels.withColumnRenamed("doc_id", "nid"),
+              col("dst") === col("nid"))
+            .groupBy(col("src")).agg(min(col("cluster_id")).as("nbr_min"))
+          val next = labels
+            .join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
+            .select(col("doc_id"),
+              least(col("cluster_id"),
+                coalesce(col("nbr_min"), col("cluster_id")))
+                .as("cluster_id"))
+            .cache()
+          changed = next.as("n")
+            .join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
+            .filter(col("cluster_id") =!= col("old")).count()
+          labels.unpersist()
+          labels = next
+        }
+        edges.unpersist()
+        labels.groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("n_members"),
+            max(col("doc_id")).as("max_member"))
+          .orderBy(col("cluster_id"))
+      },
+      Some(s"""WITH RECURSIVE ${jaccardPairsSql()},
+        edges AS (SELECT id_a AS src, id_b AS dst FROM jac
+                    WHERE jaccard >= 0.5
+                  UNION ALL
+                  SELECT id_b, id_a FROM jac WHERE jaccard >= 0.5),
+        reach(src, dst) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        lbl AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+                FROM reach GROUP BY src)
+        SELECT cluster_id, COUNT(*) AS n_members,
+          MAX(doc_id) AS max_member
+        FROM lbl GROUP BY cluster_id ORDER BY cluster_id""")),
+
     // ----- d04: SimHash — SimHashBits-bit signature from md5 token
     // hashes, majority vote per bit position, then near-dup pairs at
     // hamming distance ≤ SimHashBands-1. Signature pass is linear; the
@@ -382,6 +438,16 @@ object Dedup {
       Some(simhashOracleSql()),
       headline = true)
   )
+
+  /** d07's edge relation: the verified near-dup pairs (same predicate
+    * as d02), symmetrized. */
+  private def nearDupEdges(s: SparkSession, d: String): DataFrame = {
+    val pairs = jaccardPairs(s, d)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"))
+    pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+  }
 
   /** (doc_id, simhash) at the session's configured signature width —
     * all bit-balances in one aggregation pass (`bits` conditional sums
