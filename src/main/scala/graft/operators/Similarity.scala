@@ -358,6 +358,96 @@ object Similarity {
         WHERE $dotSql / (a.nrm * b.nrm) >= 0.4
         ORDER BY c.id_a, c.id_b""")),
 
+    // ----- s08: IVF with a TRAINED coarse quantizer — one Lloyd
+    // (k-means) refinement of s04's training-free centroids, written
+    // entirely in DataFrame ops: assign (argmax cosine), update
+    // (per-dimension mean over the assigned set), re-assign. The
+    // centroid means go through the DECIMAL-exact sum so Spark's
+    // parallel partial aggregation and the oracle's sequential sum
+    // produce bit-identical doubles — which is what lets an ITERATIVE
+    // float algorithm be hash-checked at all (any ulp drift would flip
+    // argmax assignments). At scale each round is: one broadcast of k
+    // centroids + one shuffle keyed (cluster, dim) — the standard
+    // distributed k-means shape; more rounds = a driver loop like
+    // d07's.
+    QueryDef(
+      "s08_ivf_kmeans",
+      (s, d) => {
+        val e = vecs(s, d)
+        def assign(cents: DataFrame): DataFrame = {
+          val aff = e.crossJoin(broadcast(cents))
+            .withColumn("cs", expr(
+              """aggregate(zip_with(v, c, (x, w) -> x * w),
+                 cast(0.0 as double), (acc, x) -> acc + x)""")
+              / (col("nrm") * col("cnrm")))
+          val w = Window.partitionBy(col("vec_id"))
+            .orderBy(col("cs").desc, col("cid"))
+          aff.withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select(col("vec_id"), col("cid"), col("cs"))
+        }
+        // init: the 8 lowest-id vectors (cast to double once, so both
+        // rounds use the same assign())
+        val cent0 = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"),
+            expr("transform(v, x -> cast(x as double))").as("c"),
+            col("nrm").as("cnrm"))
+        val asg0 = assign(cent0)
+        // Lloyd update: per-dimension exact mean over members. The
+        // values are quantized with an EXPLICIT floor(x·1e10 + 0.5)
+        // (s06's trick) instead of a DECIMAL cast: engines' decimal
+        // rounding modes disagree exactly when a float's terminating
+        // binary expansion lands on a half-quantum boundary (observed:
+        // one member of one cluster), while floor+IEEE multiply are
+        // bit-identical everywhere. BIGINT sums are exact and
+        // associative → safe under partial aggregation.
+        val cent1 = asg0.join(e, "vec_id")
+          .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+          .groupBy(col("cid"), col("dim"))
+          .agg((sum(expr(
+            "cast(floor(cast(x as double) * 1e10 + 0.5d) as bigint)"))
+            .cast("double") / lit(1e10) / count(lit(1))).as("cval"))
+          .groupBy(col("cid"))
+          .agg(expr(
+            """transform(sort_array(collect_list(struct(dim, cval))),
+               t -> t.cval)""").as("c"))
+          .withColumn("cnrm", expr(
+            """sqrt(aggregate(transform(c, x -> x * x),
+               cast(0.0 as double), (acc, x) -> acc + x))"""))
+        assign(cent1)
+          .select(col("vec_id"), col("cid"), col("cs").as("cos_sim"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH e AS ($vecsSql),
+        cent0 AS (SELECT vec_id AS cid, v AS c, nrm AS cnrm FROM e
+                  WHERE vec_id < 8),
+        asg0 AS (SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c0.cid,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                list_sum(list_transform(list_zip(e.v, c0.c), t -> t[1] * t[2]))
+                  / (e.nrm * c0.cnrm) DESC, c0.cid) AS rn
+            FROM e, cent0 c0)
+          WHERE rn = 1),
+        dims AS (SELECT a.cid, dd,
+            CAST(CAST(SUM(CAST(floor(e.v[dd + 1] * 1e10 + 0.5) AS BIGINT))
+              AS BIGINT) AS DOUBLE) / 1e10 / COUNT(*) AS cval
+          FROM asg0 a JOIN e ON e.vec_id = a.vec_id,
+            UNNEST(generate_series(0, ${VecDim - 1})) AS t(dd)
+          GROUP BY a.cid, dd),
+        cent1 AS (SELECT cid, list(cval ORDER BY dd) AS c,
+            sqrt(list_sum(list_transform(list(cval ORDER BY dd),
+              x -> x * x))) AS cnrm
+          FROM dims GROUP BY cid)
+        SELECT vec_id, cid, cos_sim FROM (
+          SELECT e.vec_id, c1.cid,
+            list_sum(list_transform(list_zip(e.v, c1.c), t -> t[1] * t[2]))
+              / (e.nrm * c1.cnrm) AS cos_sim,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              list_sum(list_transform(list_zip(e.v, c1.c), t -> t[1] * t[2]))
+                / (e.nrm * c1.cnrm) DESC, c1.cid) AS rn
+          FROM e, cent1 c1)
+        WHERE rn = 1 ORDER BY vec_id""")),
+
     // ----- s07: two-stage retrieval — rank with CHEAP truncated
     // vectors (first 16 of 64 dims, 4× less arithmetic/IO; the
     // "matryoshka" first pass), then rerank ONLY the top-8 shortlist
