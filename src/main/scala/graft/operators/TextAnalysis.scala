@@ -253,6 +253,36 @@ object TextAnalysis {
             AS type_token_ratio,
           CAST((SELECT top10_tokens FROM top10) AS DOUBLE)
             / CAST(SUM(tf) AS BIGINT) AS top10_coverage
-        FROM counts"""))
+        FROM counts""")),
+
+    // ----- t08: blocklist filtering + redaction — the safety-scrub
+    // stage of a training-data pipeline: count blocklisted-term hits
+    // per document (word-boundary regex, so 'slow' never matches
+    // inside 'slowly'), decide keep/drop, and REDACT the hits; the
+    // redacted text is verified via its md5, which proves the
+    // replacement is byte-identical, not just counted. Per-document,
+    // shuffle-free; the same shape scrubs PII (emails/phones) with the
+    // pattern swapped.
+    QueryDef(
+      "t08_blocklist_scrub",
+      (s, d) => {
+        val pat = "\\b(slow|error|big)\\b"
+        new Tables(s, d).documents
+          .withColumn("n_blocked", regexp_count(col("text"), lit(pat)))
+          .withColumn("scrubbed",
+            regexp_replace(col("text"), pat, "[BLOCKED]"))
+          .select(col("doc_id"), col("n_blocked").cast("long").as("n_blocked"),
+            (col("n_blocked") === 0).as("is_clean"),
+            md5(col("scrubbed")).as("scrubbed_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '\b(slow|error|big)\b'))
+            AS BIGINT) AS n_blocked,
+          len(regexp_extract_all(text, '\b(slow|error|big)\b')) = 0
+            AS is_clean,
+          md5(regexp_replace(text, '\b(slow|error|big)\b', '[BLOCKED]', 'g'))
+            AS scrubbed_md5
+        FROM documents ORDER BY doc_id"""))
   )
 }
