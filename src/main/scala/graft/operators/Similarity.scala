@@ -451,12 +451,10 @@ object Similarity {
     // ----- s07: two-stage retrieval — rank with CHEAP truncated
     // vectors (first 16 of 64 dims, 4× less arithmetic/IO; the
     // "matryoshka" first pass), then rerank ONLY the top-8 shortlist
-    // with full-dimension cosine and keep the best. At 100 TB the
-    // coarse stage is where the IVF/LSH index lives and the truncated
-    // vectors are the columnar read; the shape that matters is that
-    // FULL vectors are touched for |shortlist| candidates per query,
-    // never for the corpus. Stage-1 here is the same labeled
-    // verification-tier scan as s01 (exact over the small corpus).
+    // with full-dimension cosine and keep the best.
+    // VERIFICATION TIER: stage-1 is an exact all-pairs truncated scan —
+    // the baseline s09 (the index-backed scale path) is measured
+    // against, exactly as s01 is for s02 and s03 is for s05.
     QueryDef(
       "s07_truncated_rerank",
       (s, d) => {
@@ -497,6 +495,81 @@ object Similarity {
             list_sum(list_transform(list_zip(a.v16, b.v16), t -> t[1] * t[2]))
               / (a.nrm16 * b.nrm16) AS cos16
           FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        shortlist AS (SELECT id_a, id_b FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY id_a
+              ORDER BY cos16 DESC, id_b) AS r FROM coarse)
+          WHERE r <= 8),
+        rer AS (SELECT c.id_a, c.id_b,
+            list_sum(list_transform(list_zip(a.v, b.v), t -> t[1] * t[2]))
+              / (a.nrm * b.nrm) AS cos_full
+          FROM shortlist c
+          JOIN e a ON a.vec_id = c.id_a
+          JOIN e b ON b.vec_id = c.id_b)
+        SELECT id_a, id_b, cos_full FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY id_a
+            ORDER BY cos_full DESC, id_b) AS r FROM rer)
+        WHERE r = 1 ORDER BY id_a""")),
+
+    // ----- s09: INDEX-BACKED two-stage retrieval — s07 with the
+    // coarse stage riding the LSH bucket index instead of an all-pairs
+    // scan. Stage 1: the same multi-probe bucket join as s02 (bucket
+    // computed ONCE on the full vector; candidate generation shuffles
+    // on the bucket key, never O(n²)), but scored with the CHEAP
+    // 16-dim truncated cosine — the coarse pass touches 1/4 of each
+    // candidate's floats. Stage 2: full-dimension rerank of only the
+    // per-query top-8 shortlist. This is the 100 TB shape end-to-end:
+    // |candidates| bounded by bucket occupancy × (H+1) probes,
+    // truncated columns as the coarse columnar read, full vectors
+    // touched for |shortlist| rows per query. Recall vs the exact
+    // two-stage baseline (s07) is measured in TruncatedRerankSpec.
+    QueryDef(
+      "s09_indexed_rerank",
+      (s, d) => {
+        val e = vecs(s, d)
+          .withColumn("bucket", expr(bucketExpr))
+          .withColumn("v16", expr("slice(v, 1, 16)"))
+          .withColumn("nrm16", expr("vec_norm(v16)"))
+        // stage 1: multi-probe LSH candidates, truncated-cosine ranked
+        val probed = e.select(col("vec_id").as("id_a"),
+            col("v16").as("a16"), col("nrm16").as("na16"), col("bucket"))
+          .withColumn("probe", explode(expr(probeExpr(lshHyperplanes(s)))))
+        val coarse = probed
+          .join(e.select(col("vec_id").as("id_b"), col("v16").as("b16"),
+            col("nrm16").as("nb16"), col("bucket").as("bucket_b")),
+            col("probe") === col("bucket_b"))
+          .filter(col("id_a") =!= col("id_b"))
+          .withColumn("cos16",
+            expr("vec_dot(a16, b16)") / (col("na16") * col("nb16")))
+        val wC = Window.partitionBy(col("id_a"))
+          .orderBy(col("cos16").desc, col("id_b"))
+        val shortlist = coarse.withColumn("r", row_number().over(wC))
+          .filter(col("r") <= 8).select(col("id_a"), col("id_b"))
+        // stage 2: full-dim rerank of the shortlist only
+        val full = vecs(s, d)
+        val wF = Window.partitionBy(col("id_a"))
+          .orderBy(col("cos_full").desc, col("id_b"))
+        shortlist
+          .join(full.select(col("vec_id").as("id_a"), col("v").as("av"),
+            col("nrm").as("nrm_a")), "id_a")
+          .join(full.select(col("vec_id").as("id_b"), col("v").as("bv"),
+            col("nrm").as("nrm_b")), "id_b")
+          .withColumn("cos_full",
+            expr(dotExpr) / (col("nrm_a") * col("nrm_b")))
+          .withColumn("r", row_number().over(wF))
+          .filter(col("r") === 1)
+          .select(col("id_a"), col("id_b"), col("cos_full"))
+          .orderBy(col("id_a"))
+      },
+      Some(s"""WITH e0 AS ($vecsSql),
+        ${bucketedSqlCtes()},
+        coarse AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            list_sum(list_transform(list_zip(a.v[1:16], b.v[1:16]),
+              t -> t[1] * t[2]))
+              / (sqrt(list_sum(list_transform(a.v[1:16], x -> x * x)))
+                 * sqrt(list_sum(list_transform(b.v[1:16], x -> x * x))))
+              AS cos16
+          FROM probed a JOIN e b
+            ON a.probe = b.bucket AND a.vec_id <> b.vec_id),
         shortlist AS (SELECT id_a, id_b FROM (
             SELECT *, ROW_NUMBER() OVER (PARTITION BY id_a
               ORDER BY cos16 DESC, id_b) AS r FROM coarse)
