@@ -20,15 +20,26 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * read/write; this wrapper delegates those and supplies a streaming
   * write with the classic stage-then-rename protocol:
   *
-  *   - each task writes its rows to `.stage-e<epoch>-p<part>-t<task>`
-  *     (attempt-unique, so speculative/retried tasks never collide);
+  *   - each task writes its rows to `.stage-q<query>-e<epoch>-p<part>-
+  *     t<task>` (attempt-unique, so speculative/retried tasks never
+  *     collide);
   *   - the driver's epoch commit renames staged files to the
-  *     DETERMINISTIC destination `part-e<epoch>-p<part>.parquet`,
-  *     REPLACE_EXISTING — an epoch replay after restart rewrites the
-  *     same destinations instead of duplicating them (the same
-  *     idempotence contract the file-sink manifest provides, expressed
-  *     with names; local/posix-rename filesystems only, which is what
-  *     this catalog targets).
+  *     DETERMINISTIC destination `part-q<query>-e<epoch>-p<part>
+  *     .parquet`, REPLACE_EXISTING — an epoch replay after restart
+  *     rewrites the same destinations instead of duplicating them (the
+  *     same idempotence contract the file-sink manifest provides,
+  *     expressed with names; local/posix-rename filesystems only,
+  *     which is what this catalog targets).
+  *
+  * Destinations are scoped by the STREAMING QUERY ID (the stable id in
+  * checkpoint metadata — `LogicalWriteInfo.queryId`; unlike runId it
+  * survives restarts from the same checkpoint, which is exactly the
+  * scope replay idempotence needs): a second query appending to the
+  * same table restarts its own epoch counter at 0, and without the
+  * scope its commits would REPLACE_EXISTING-overwrite the first
+  * query's files and its stale-file sweep would delete them. With the
+  * scope, distinct queries append; only a replay of the SAME
+  * checkpoint rewrites.
   */
 final class BronzeWritableTable(delegate: Table, dir: String)
     extends Table with SupportsRead with SupportsWrite {
@@ -52,7 +63,7 @@ final class BronzeWritableTable(delegate: Table, dir: String)
           delegate.asInstanceOf[SupportsWrite].newWriteBuilder(info)
             .build().toBatch
         override def toStreaming: StreamingWrite =
-          new BronzeStreamingWrite(dir, info.schema())
+          new BronzeStreamingWrite(dir, info.schema(), info.queryId())
       }
     }
 }
@@ -61,12 +72,12 @@ final class BronzeWritableTable(delegate: Table, dir: String)
 private final case class StagedFile(staged: String, dest: String)
     extends WriterCommitMessage
 
-private final class BronzeStreamingWrite(dir: String, schema: StructType)
-    extends StreamingWrite {
+private final class BronzeStreamingWrite(dir: String, schema: StructType,
+    queryId: String) extends StreamingWrite {
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new BronzeStreamingWriterFactory(dir, schema)
+    new BronzeStreamingWriterFactory(dir, schema, queryId)
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
@@ -79,7 +90,7 @@ private final class BronzeStreamingWrite(dir: String, schema: StructType)
     // this epoch not re-produced now is a stale duplicate — drop it
     // BEFORE publishing, so the commit as a whole is the epoch's
     // exact content.
-    val prefix = s"part-e$epochId-p"
+    val prefix = s"part-q$queryId-e$epochId-p"
     val listing = Files.list(Paths.get(dir))
     try listing.iterator().forEachRemaining { p =>
       val name = p.getFileName.toString
@@ -105,21 +116,23 @@ private final class BronzeStreamingWrite(dir: String, schema: StructType)
 }
 
 private final class BronzeStreamingWriterFactory(dir: String,
-    schema: StructType) extends StreamingDataWriterFactory {
+    schema: StructType, queryId: String)
+    extends StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new BronzeDataWriter(dir, schema, partitionId, taskId, epochId)
+    new BronzeDataWriter(dir, schema, partitionId, taskId, epochId, queryId)
 }
 
 private final class BronzeDataWriter(dir: String, schema: StructType,
-    partitionId: Int, taskId: Long, epochId: Long)
+    partitionId: Int, taskId: Long, epochId: Long, queryId: String)
     extends DataWriter[InternalRow] {
 
-  // attempt-unique stage name; deterministic destination name
+  // attempt-unique stage name; deterministic destination name, both
+  // scoped by the stable streaming query id
   private val staged =
-    s"$dir/.stage-e$epochId-p$partitionId-t$taskId.parquet"
-  private val dest = s"$dir/part-e$epochId-p$partitionId.parquet"
+    s"$dir/.stage-q$queryId-e$epochId-p$partitionId-t$taskId.parquet"
+  private val dest = s"$dir/part-q$queryId-e$epochId-p$partitionId.parquet"
   Files.deleteIfExists(Paths.get(staged))
   private val writer = shim.rowParquetWriter(staged, schema)
   private var n = 0L

@@ -15,14 +15,37 @@ object shim {
   def analyzedPlan(df: org.apache.spark.sql.DataFrame): LogicalPlan =
     df.queryExecution.analyzed
 
+  /** The session confs `ParquetWriteSupport.init` reads from the
+    * Hadoop conf, CAPTURED DRIVER-SIDE from the active session so the
+    * streaming-written files agree byte-for-byte with what a batch
+    * `INSERT INTO` under the same session settings would produce
+    * (timestamp physical type, timezone, rebase modes, …). The result
+    * is a plain serializable Map the write factory ships to executors
+    * — `SparkSession.active` does not exist there. Absent keys fall
+    * back to Spark's own defaults for this build. */
+  def parquetWriterConfs(spark: org.apache.spark.sql.SparkSession)
+      : Map[String, String] = {
+    import org.apache.spark.sql.internal.SQLConf
+    val defaults = Map(
+      SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key -> "false",
+      SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key -> "TIMESTAMP_MICROS",
+      SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key -> "true",
+      SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key -> "false",
+      SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key -> "CORRECTED",
+      SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key -> "CORRECTED",
+      SQLConf.SESSION_LOCAL_TIMEZONE.key -> "UTC")
+    defaults.map { case (k, d) => k -> spark.conf.get(k, d) }
+  }
+
   /** An executor-side parquet writer of `InternalRow`s to one file —
     * the piece graft's bronze STREAMING_WRITE needs.
     * `ParquetWriteSupport` is `private[sql]`, hence constructed here.
-    * The keys set below are the ones `ParquetWriteSupport.init`
-    * requires Spark to have placed in the Hadoop conf. */
+    * `sessionConfs` comes from [[parquetWriterConfs]] captured on the
+    * driver. */
   def rowParquetWriter(
       path: String,
-      schema: org.apache.spark.sql.types.StructType)
+      schema: org.apache.spark.sql.types.StructType,
+      sessionConfs: Map[String, String])
       : org.apache.parquet.hadoop.ParquetWriter[org.apache.spark.sql.catalyst.InternalRow] = {
     import org.apache.hadoop.conf.Configuration
     import org.apache.parquet.hadoop.ParquetWriter
@@ -31,20 +54,7 @@ object shim {
     import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
     val conf = new Configuration()
     ParquetWriteSupport.setSchema(schema, conf)
-    conf.set(org.apache.spark.sql.internal.SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key,
-      "false")
-    conf.set(org.apache.spark.sql.internal.SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key,
-      "TIMESTAMP_MICROS")
-    conf.set(org.apache.spark.sql.internal.SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key,
-      "true")
-    conf.set(org.apache.spark.sql.internal.SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key,
-      "false")
-    conf.set(org.apache.spark.sql.internal.SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key,
-      "CORRECTED")
-    conf.set(org.apache.spark.sql.internal.SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key,
-      "CORRECTED")
-    conf.set(org.apache.spark.sql.internal.SQLConf.SESSION_LOCAL_TIMEZONE.key,
-      "UTC")
+    sessionConfs.foreach { case (k, v) => conf.set(k, v) }
     class B(p: org.apache.hadoop.fs.Path)
         extends ParquetWriter.Builder[InternalRow, B](p) {
       override def self(): B = this
