@@ -62,8 +62,14 @@ final class BronzeWritableTable(delegate: Table, dir: String)
         override def toBatch: BatchWrite =
           delegate.asInstanceOf[SupportsWrite].newWriteBuilder(info)
             .build().toBatch
-        override def toStreaming: StreamingWrite =
-          new BronzeStreamingWrite(dir, info.schema(), info.queryId())
+        override def toStreaming: StreamingWrite = {
+          // Parquet-writer session confs must be captured HERE — this
+          // runs on the driver where `SparkSession.active` exists; the
+          // factory ships the plain Map to executor-side writers.
+          val confs =
+            shim.parquetWriterConfs(org.apache.spark.sql.SparkSession.active)
+          new BronzeStreamingWrite(dir, info.schema(), info.queryId(), confs)
+        }
       }
     }
 }
@@ -73,11 +79,19 @@ private final case class StagedFile(staged: String, dest: String)
     extends WriterCommitMessage
 
 private final class BronzeStreamingWrite(dir: String, schema: StructType,
-    queryId: String) extends StreamingWrite {
+    queryId: String, writerConfs: Map[String, String])
+    extends StreamingWrite {
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new BronzeStreamingWriterFactory(dir, schema, queryId)
+    new BronzeStreamingWriterFactory(dir, schema, queryId, writerConfs)
+
+  // Files written before destinations were query-id-scoped used the
+  // `part-e<epoch>-p<part>` naming; a replay after the upgrade writes
+  // `part-q…` names without replacing them, so the table would read
+  // both and duplicate rows. Sweep the legacy names once, on this
+  // query's first commit.
+  private var sweptLegacy = false
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
@@ -94,9 +108,11 @@ private final class BronzeStreamingWrite(dir: String, schema: StructType,
     val listing = Files.list(Paths.get(dir))
     try listing.iterator().forEachRemaining { p =>
       val name = p.getFileName.toString
-      if (name.startsWith(prefix) && !dests.contains(name))
+      if ((name.startsWith(prefix) && !dests.contains(name)) ||
+          (!sweptLegacy && name.startsWith("part-e")))
         Files.deleteIfExists(p)
     } finally listing.close()
+    sweptLegacy = true
     messages.foreach {
       case StagedFile(staged, _) if staged.isEmpty => () // empty partition
       case StagedFile(staged, dest) =>
@@ -116,16 +132,18 @@ private final class BronzeStreamingWrite(dir: String, schema: StructType,
 }
 
 private final class BronzeStreamingWriterFactory(dir: String,
-    schema: StructType, queryId: String)
+    schema: StructType, queryId: String, writerConfs: Map[String, String])
     extends StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new BronzeDataWriter(dir, schema, partitionId, taskId, epochId, queryId)
+    new BronzeDataWriter(dir, schema, partitionId, taskId, epochId, queryId,
+      writerConfs)
 }
 
 private final class BronzeDataWriter(dir: String, schema: StructType,
-    partitionId: Int, taskId: Long, epochId: Long, queryId: String)
+    partitionId: Int, taskId: Long, epochId: Long, queryId: String,
+    writerConfs: Map[String, String])
     extends DataWriter[InternalRow] {
 
   // attempt-unique stage name; deterministic destination name, both
@@ -134,7 +152,7 @@ private final class BronzeDataWriter(dir: String, schema: StructType,
     s"$dir/.stage-q$queryId-e$epochId-p$partitionId-t$taskId.parquet"
   private val dest = s"$dir/part-q$queryId-e$epochId-p$partitionId.parquet"
   Files.deleteIfExists(Paths.get(staged))
-  private val writer = shim.rowParquetWriter(staged, schema)
+  private val writer = shim.rowParquetWriter(staged, schema, writerConfs)
   private var n = 0L
 
   override def write(record: InternalRow): Unit = {
