@@ -1,0 +1,151 @@
+package graft.catalog
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
+import org.apache.spark.sql.graftshim.shim
+import org.apache.spark.sql.types.StructType
+
+/** Atomic batch append for bronze tables — the batch twin of
+  * [[BronzeStreamingWrite]].
+  *
+  * The reference's batch job commits one atomic Iceberg snapshot
+  * (`KafkaBatchJob.java:95-98` — `append().appendFile(...).commit()`):
+  * either the whole batch becomes visible or none of it. Spark's
+  * default file write publishes through the Hadoop commit protocol's
+  * `_temporary` staging, whose job commit renames task directories one
+  * at a time — a driver crash mid-commit leaves a PARTIAL batch
+  * visible, and `_temporary` garbage confuses the next append.
+  *
+  * Here every task writes its rows to an attempt-unique DOT-FILE in
+  * the table directory (`.batch-q<query>-p<part>-t<task>.parquet` —
+  * hidden from Spark's file listing, so nothing is visible while the
+  * long data phase runs, and a crashed job leaves only invisible
+  * garbage). The driver's job commit then renames each staged file to
+  * its visible destination — pure metadata operations, microseconds
+  * per file, so the non-atomic window is reduced from the whole job
+  * commit to a handful of renames. Abort deletes staged files.
+  */
+private final class BronzeBatchWrite(dir: String, schema: StructType,
+    queryId: String, writerConfs: Map[String, String]) extends BatchWrite {
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new BronzeBatchWriterFactory(dir, schema, queryId, writerConfs)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case StagedFile(staged, _) if staged.isEmpty => () // empty partition
+      case StagedFile(staged, dest) =>
+        Files.move(Paths.get(staged), Paths.get(dest),
+          StandardCopyOption.REPLACE_EXISTING)
+      case other =>
+        throw new IllegalStateException(s"unexpected commit message: $other")
+    }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case StagedFile(staged, _) if staged.nonEmpty =>
+        Files.deleteIfExists(Paths.get(staged))
+      case _ => ()
+    }
+}
+
+private final class BronzeBatchWriterFactory(dir: String,
+    schema: StructType, queryId: String, writerConfs: Map[String, String])
+    extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new BronzeBatchDataWriter(dir, schema, partitionId, taskId, queryId,
+      writerConfs)
+}
+
+private final class BronzeBatchDataWriter(dir: String, schema: StructType,
+    partitionId: Int, taskId: Long, queryId: String,
+    writerConfs: Map[String, String]) extends DataWriter[InternalRow] {
+
+  // attempt-unique stage name (taskId differs across retries /
+  // speculation); deterministic destination scoped by the write's
+  // query id, so two concurrent batch appends never collide
+  private val staged =
+    s"$dir/.batch-q$queryId-p$partitionId-t$taskId.parquet"
+  private val dest = s"$dir/part-batch-q$queryId-p$partitionId.parquet"
+  Files.deleteIfExists(Paths.get(staged))
+  private val writer = shim.rowParquetWriter(staged, schema, writerConfs)
+  private var n = 0L
+
+  override def write(record: InternalRow): Unit = {
+    writer.write(record)
+    n += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writer.close()
+    if (n == 0) { // empty partitions leave nothing behind
+      Files.deleteIfExists(Paths.get(staged))
+      StagedFile(staged = "", dest = "")
+    } else StagedFile(staged, dest)
+  }
+
+  override def abort(): Unit = {
+    try writer.close() catch { case _: Throwable => () }
+    Files.deleteIfExists(Paths.get(staged))
+  }
+
+  override def close(): Unit = ()
+}
+
+/** Stage-then-rename append for a PLAIN parquet directory (no
+  * catalog): stage the whole write under a hidden dot-directory inside
+  * the table dir, then publish by renaming each finished file into
+  * place. A failure anywhere in the data phase deletes the stage
+  * directory and leaves the table byte-identical; the visible window
+  * is only the final per-file metadata renames. */
+object BronzeBatchAppend {
+
+  /** Appends `df` to `tableDir` atomically; returns rows appended. */
+  def append(df: DataFrame, tableDir: String): Long = {
+    val batchId = java.util.UUID.randomUUID().toString.substring(0, 8)
+    val stage = Paths.get(tableDir, s".batch-stage-$batchId")
+    try df.write.parquet(stage.toString)
+    catch { case e: Throwable => deleteTree(stage); throw e }
+    val parts = {
+      val s = Files.list(stage)
+      try {
+        val b = Seq.newBuilder[java.nio.file.Path]
+        s.iterator().forEachRemaining { p =>
+          if (p.getFileName.toString.startsWith("part-")) b += p
+        }
+        b.result().sortBy(_.getFileName.toString)
+      } finally s.close()
+    }
+    var rows = 0L
+    parts.zipWithIndex.foreach { case (p, i) =>
+      rows += parquetRowCount(p)
+      Files.move(p, Paths.get(tableDir, s"part-b$batchId-p$i.parquet"),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+    deleteTree(stage)
+    rows
+  }
+
+  /** Row count from the parquet footer — no data pages read. */
+  private def parquetRowCount(p: java.nio.file.Path): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(p.toString),
+      new org.apache.hadoop.conf.Configuration())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
+  private def deleteTree(dir: java.nio.file.Path): Unit =
+    if (Files.exists(dir)) {
+      val s = Files.walk(dir)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      finally s.close()
+    }
+}

@@ -50,6 +50,11 @@ class BronzeCatalog extends TableCatalog with SupportsNamespaces {
 
   override def name(): String = catalogName
 
+  /** The effective warehouse root — the catalog instance is cached
+    * per session on first use, so a caller's conf value may not be
+    * the one in effect. */
+  def warehouseDir: String = warehouse.toString
+
   private val SchemaFile = "_graft_schema.json"
 
   private def dirOf(namespace: Array[String]): Path =

@@ -59,9 +59,15 @@ final class BronzeWritableTable(delegate: Table, dir: String)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite =
-          delegate.asInstanceOf[SupportsWrite].newWriteBuilder(info)
-            .build().toBatch
+        override def toBatch: BatchWrite = {
+          // Same stage-then-rename protocol as the streaming path —
+          // the reference's batch job commits one atomic Iceberg
+          // snapshot (KafkaBatchJob.java:95-98); Spark's default
+          // _temporary commit protocol can surface a partial batch.
+          val confs =
+            shim.parquetWriterConfs(org.apache.spark.sql.SparkSession.active)
+          new BronzeBatchWrite(dir, info.schema(), info.queryId(), confs)
+        }
         override def toStreaming: StreamingWrite = {
           // Parquet-writer session confs must be captured HERE — this
           // runs on the driver where `SparkSession.active` exists; the

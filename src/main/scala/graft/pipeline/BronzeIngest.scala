@@ -125,9 +125,11 @@ object BronzeIngest {
       .load()
     val decoded = decode(spark, wire)
       .withColumn("source", lit("kafka-batch"))
-    val n = decoded.count()
-    decoded.write.mode("append").parquet(tableDir)
-    n
+    // Atomic append (the reference commits one Iceberg snapshot,
+    // KafkaBatchJob.java:95-98): stage under a hidden dir inside the
+    // table, publish by rename — a crashed batch leaves nothing
+    // visible. Row count comes free from the staged parquet footers.
+    graft.catalog.BronzeBatchAppend.append(decoded, tableDir)
   }
 }
 

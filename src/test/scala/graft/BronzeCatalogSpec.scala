@@ -10,15 +10,11 @@ import graft.pipeline.{BronzeIngest, OrderEventProducer}
   * `spark.table("bronze.db.orders")` reads it back. */
 class BronzeCatalogSpec extends SparkSpec {
 
-  /** One registration for the whole suite: the session CACHES the
+  /** One registration for the whole JVM: the session CACHES the
     * catalog instance on first use, so re-registering with a different
     * warehouse would desync later uses (and foreachBatch's cloned
     * session, which re-instantiates from conf). */
-  private lazy val warehouse: String = {
-    val w = tmpDir("bronze_wh")
-    BronzeIngest.registerBronzeCatalog(spark, w)
-    w
-  }
+  private lazy val warehouse: String = bronzeWarehouse
 
   test("3-level bronze.db.orders round-trips through the custom catalog") {
     warehouse
