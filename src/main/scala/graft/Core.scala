@@ -64,6 +64,12 @@ object GraftConf {
   val SimHashBandsKey = "spark.graft.simhashBands"
   /** Random-hyperplane count for LSH ANN bucketing (bucket space 2^H). */
   val LshHyperplanesKey = "spark.graft.lshHyperplanes"
+  /** MinHash signature length (number of hash seeds). */
+  val MinHashHashesKey = "spark.graft.minhashHashes"
+  /** MinHash LSH band count (must divide the hash count; more bands →
+    * higher recall at lower per-band precision — the dial a 100×
+    * corpus retunes first). */
+  val MinHashBandsKey = "spark.graft.minhashBands"
 
   def int(s: SparkSession, key: String, default: Int): Int =
     s.conf.getOption(key).map(_.trim.toInt).getOrElse(default)

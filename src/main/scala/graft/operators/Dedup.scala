@@ -149,34 +149,43 @@ object Dedup {
                JOIN cnt ca ON ca.doc_id = id_a
                JOIN cnt cb ON cb.doc_id = id_b)"""
 
-  /** (doc_id, s0..s15, n): ONE md5 per shingle (the expensive part),
-    * then 16 min-hashes via cheap universal hashing ((a·h+b) mod p),
-    * all in a single map-side-combinable aggregation — no 16× row
-    * explosion, one shuffle of (doc, 16 buffers); the shingle count
-    * rides the same buffers. Shared by d03 (exact verify) and d06
-    * (sketch estimate). */
-  private def minhashSigs(sh: DataFrame): DataFrame = {
+  /** (doc_id, s0..s{H-1}, n): ONE md5 per shingle (the expensive
+    * part), then H min-hashes via cheap universal hashing
+    * ((a·h+b) mod p), all in a single map-side-combinable aggregation
+    * — no H× row explosion, one shuffle of (doc, H buffers); the
+    * shingle count rides the same buffers. Shared by d03 (exact
+    * verify) and d06 (sketch estimate). H defaults to 16 and is the
+    * `spark.graft.minhashHashes` runtime conf at the query layer. */
+  private[graft] def minhashSigs(sh: DataFrame, hashes: Int = 16): DataFrame = {
     val hashed = sh.withColumn("h",
       conv(substring(md5(col("shingle")), 1, 7), 16, 10).cast("long"))
-    val sigCols = (0 until 16).map(i =>
+    val sigCols = (0 until hashes).map(i =>
       min((lit(1000003L + 2 * i) * col("h") + lit(7919L * i + 1))
         % lit(2147483647L)).as(s"s$i")) :+
       count(lit(1)).as("n")
     hashed.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
   }
 
-  /** DISTINCT (id_a, id_b) LSH candidates: 4 bands × 4 rows; band_key
-    * format matches the oracle's string_agg("NN:sig" ORDER BY seed). */
-  private def minhashCands(sigs: DataFrame): DataFrame = {
-    val bandCols = (0 until 4).map { b =>
-      concat_ws("|", (4 * b until 4 * b + 4).map(i =>
+  /** DISTINCT (id_a, id_b) LSH candidates: `bands` bands ×
+    * hashes/bands rows; band_key format matches the oracle's
+    * string_agg("NN:sig" ORDER BY seed). The band count is the
+    * recall/precision dial — runtime conf `spark.graft.minhashBands`
+    * at the query layer. */
+  private[graft] def minhashCands(sigs: DataFrame, hashes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    require(hashes % bands == 0 && hashes <= 100,
+      s"minhash bands ($bands) must divide hashes ($hashes <= 100)")
+    val rows = hashes / bands
+    val bandCols = (0 until bands).map { b =>
+      concat_ws("|", (rows * b until rows * b + rows).map(i =>
         concat(lit(f"$i%02d:"), col(s"s$i").cast("string"))): _*).as(s"b$b")
     }
-    val bands = sigs.select(col("doc_id") +: bandCols: _*)
+    val stackArgs = (0 until bands).map(b => s"$b, b$b").mkString(", ")
+    val bandsDf = sigs.select(col("doc_id") +: bandCols: _*)
       .selectExpr("doc_id",
-        "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band, band_key)")
-    bands.as("x")
-      .join(bands.as("y"),
+        s"stack($bands, $stackArgs) AS (band, band_key)")
+    bandsDf.as("x")
+      .join(bandsDf.as("y"),
         col("x.band") === col("y.band")
           && col("x.band_key") === col("y.band_key")
           && col("x.doc_id") < col("y.doc_id"))
@@ -184,25 +193,35 @@ object Dedup {
       .distinct()
   }
 
+  /** The (hashes, bands) geometry in effect for a session. */
+  private def minhashGeometry(s: SparkSession): (Int, Int) =
+    (GraftConf.int(s, GraftConf.MinHashHashesKey, 16),
+      GraftConf.int(s, GraftConf.MinHashBandsKey, 4))
+
   /** DuckDB twins of [[minhashSigs]]/[[minhashCands]] as CTEs over `sh`
-    * (expects `sh` bound by [[jaccardPairsSql]] or [[shinglesSql]]). */
-  private val minhashCtesSql =
-    """hashed AS (SELECT doc_id,
+    * (expects `sh` bound by [[jaccardPairsSql]] or [[shinglesSql]]).
+    * Parameterized by the same geometry knobs; the SHIPPED oracles use
+    * the defaults — a deployment overriding the confs re-derives its
+    * oracle with this generator. */
+  private[graft] def minhashCtesSql(hashes: Int = 16, bands: Int = 4): String = {
+    val rows = hashes / bands
+    s"""hashed AS (SELECT doc_id,
                      ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h
                    FROM sh),
         sigs AS (SELECT doc_id, seed,
                    MIN(((1000003 + 2 * seed) * h + 7919 * seed + 1)
                        % 2147483647) AS sig
-                 FROM hashed, UNNEST(generate_series(0, 15)) AS t(seed)
+                 FROM hashed, UNNEST(generate_series(0, ${hashes - 1})) AS t(seed)
                  GROUP BY doc_id, seed),
-        bands AS (SELECT doc_id, seed // 4 AS band,
+        bands AS (SELECT doc_id, seed // $rows AS band,
                     string_agg(lpad(CAST(seed AS VARCHAR), 2, '0') || ':' || sig,
                                '|' ORDER BY seed) AS band_key
-                  FROM sigs GROUP BY doc_id, seed // 4),
+                  FROM sigs GROUP BY doc_id, seed // $rows),
         cands AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
                   FROM bands x JOIN bands y
                     ON x.band = y.band AND x.band_key = y.band_key
                        AND x.doc_id < y.doc_id)"""
+  }
 
   val queries: Seq[QueryDef] = Seq(
 
@@ -263,9 +282,10 @@ object Dedup {
     QueryDef(
       "d03_minhash_lsh",
       (s, d) => {
+        val (hashes, bands) = minhashGeometry(s)
         val sh = cappedShingles(s, d).cache()
-        val sigs = minhashSigs(sh)
-        val cands = minhashCands(sigs)
+        val sigs = minhashSigs(sh, hashes)
+        val cands = minhashCands(sigs, hashes, bands)
         // verify ONLY the candidates: broadcast the (tiny) candidate
         // set against the shingle relation instead of computing
         // jaccard for every shingle-sharing pair in the corpus;
@@ -292,7 +312,7 @@ object Dedup {
           .orderBy(col("id_a"), col("id_b"))
       },
       Some(s"""WITH ${jaccardPairsSql()},
-        $minhashCtesSql
+        ${minhashCtesSql()}
         SELECT c.id_a, c.id_b, j.jaccard
         FROM cands c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
         WHERE j.jaccard >= 0.5 ORDER BY c.id_a, c.id_b"""),
@@ -308,14 +328,15 @@ object Dedup {
     QueryDef(
       "d06_minhash_estimate",
       (s, d) => {
+        val (hashes, bands) = minhashGeometry(s)
         val sh = cappedShingles(s, d)
-        val sigs = minhashSigs(sh).cache()
-        val cands = minhashCands(sigs)
-        val renameA = (0 until 16).map(i => col(s"s$i").as(s"sa$i")) :+
+        val sigs = minhashSigs(sh, hashes).cache()
+        val cands = minhashCands(sigs, hashes, bands)
+        val renameA = (0 until hashes).map(i => col(s"s$i").as(s"sa$i")) :+
           col("doc_id").as("id_a")
-        val renameB = (0 until 16).map(i => col(s"s$i").as(s"sb$i")) :+
+        val renameB = (0 until hashes).map(i => col(s"s$i").as(s"sb$i")) :+
           col("doc_id").as("id_b")
-        val agree = (0 until 16).map(i =>
+        val agree = (0 until hashes).map(i =>
           when(col(s"sa$i") === col(s"sb$i"), 1L).otherwise(0L))
           .reduce(_ + _)
         broadcast(cands)
@@ -323,11 +344,11 @@ object Dedup {
           .join(sigs.select(renameB: _*), "id_b")
           .withColumn("n_agree", agree)
           .select(col("id_a"), col("id_b"), col("n_agree"),
-            (col("n_agree").cast("double") / 16.0d).as("est_jaccard"))
+            (col("n_agree").cast("double") / hashes.toDouble).as("est_jaccard"))
           .orderBy(col("id_a"), col("id_b"))
       },
       Some(s"""WITH ${jaccardPairsSql()},
-        $minhashCtesSql
+        ${minhashCtesSql()}
         SELECT c.id_a, c.id_b,
           CAST(SUM(CASE WHEN a.sig = b.sig THEN 1 ELSE 0 END) AS BIGINT)
             AS n_agree,

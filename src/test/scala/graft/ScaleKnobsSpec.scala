@@ -75,6 +75,45 @@ class ScaleKnobsSpec extends SparkSpec {
     }
   }
 
+  test("minhash at 8 hashes / 2 bands: banded candidates == brute-force band scan") {
+    withConf(GraftConf.MinHashHashesKey -> "8",
+        GraftConf.MinHashBandsKey -> "2") {
+      val sh = Dedup.cappedShingles(spark, sf).cache()
+      val sigs = Dedup.minhashSigs(sh, 8).cache()
+      // geometry actually changed: 8 sig columns, not 16
+      assert(sigs.columns.contains("s7") && !sigs.columns.contains("s8"))
+
+      val cands = Dedup.minhashCands(sigs, 8, 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+      // brute force: a pair is a candidate iff SOME band (s0..s3 or
+      // s4..s7) matches in full — computed by an O(n²) scan instead
+      // of the band-key join
+      val renamed = sigs.select(col("doc_id").as("doc_b") +:
+        (0 until 8).map(i => col(s"s$i").as(s"t$i")): _*)
+      val bandEq = (b: Int) => (4 * b until 4 * b + 4)
+        .map(i => col(s"s$i") === col(s"t$i")).reduce(_ && _)
+      val brute = sigs.crossJoin(renamed)
+        .filter(col("doc_id") < col("doc_b"))
+        .filter(bandEq(0) || bandEq(1))
+        .select(col("doc_id"), col("doc_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      sh.unpersist(); sigs.unpersist()
+
+      assert(cands == brute)
+      assert(brute.nonEmpty) // planted near-dups collide at 8×2 too
+
+      // the full queries run green at the re-derived geometry, and
+      // d06's estimate really divides by the CONFIGURED hash count
+      assert(SparkEntry.queries("d03_minhash_lsh")(spark, sf).count() > 0)
+      val d06 = SparkEntry.queries("d06_minhash_estimate")(spark, sf)
+        .collect()
+      assert(d06.nonEmpty)
+      assert(d06.forall(r =>
+        r.getDouble(3) == r.getLong(2).toDouble / 8.0d))
+    }
+  }
+
   test("shingle df cap is conf-driven: a tiny cap drops hot shingles") {
     // default cap keeps everything on this corpus; cap=1 keeps ONLY
     // shingles unique to one document
