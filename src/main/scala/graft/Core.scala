@@ -70,6 +70,9 @@ object GraftConf {
     * higher recall at lower per-band precision — the dial a 100×
     * corpus retunes first). */
   val MinHashBandsKey = "spark.graft.minhashBands"
+  /** Independent LSH hash-table count for multi-table recall
+    * amplification (OR over tables of AND-ed hyperplane signs). */
+  val LshTablesKey = "spark.graft.lshTables"
 
   def int(s: SparkSession, key: String, default: Int): Int =
     s.conf.getOption(key).map(_.trim.toInt).getOrElse(default)

@@ -34,10 +34,17 @@ object VectorFunctions {
     * interpreted higher-order functions re-walked it per row, kicking
     * the projection out of whole-stage codegen (s02 5.3 → 6.9 s). */
   def registerLshBucket(
-      spark: SparkSession, weights: Seq[Seq[Double]]): Unit = {
+      spark: SparkSession, weights: Seq[Seq[Double]]): Unit =
+    registerLshBucketAs(spark, "vec_lsh_bucket", weights)
+
+  /** Same, under a caller-chosen name — multi-table LSH amplification
+    * registers one bucket function per independent hyperplane family
+    * (`vec_lsh_bucket_t0`, `_t1`, …). */
+  def registerLshBucketAs(spark: SparkSession, name: String,
+      weights: Seq[Seq[Double]]): Unit = {
     val w = weights.map(_.toVector).toVector
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_lsh_bucket", exprs => VectorLshBucket(exprs.head, w), "built-in")
+      name, exprs => VectorLshBucket(exprs.head, w), "built-in")
   }
 }
 

@@ -43,6 +43,22 @@ object Similarity {
     h
   }
 
+  /** Independent hash-table count DEFAULT for multi-table LSH
+    * amplification (s10): recall of an AND-of-H-planes table is pᴴ per
+    * pair (p = 1 − θ/π); OR-ing r independent tables lifts it to
+    * 1 − (1 − pᴴ)ʳ at r× the bucketing/join cost — the standard
+    * production dial when a similarity band (like this corpus's
+    * 0.4–0.5) sits below single-table recall. Override at runtime with
+    * `spark.graft.lshTables`. */
+  private[graft] val LshTables = 3
+
+  private def lshTables(s: SparkSession): Int = {
+    val r = GraftConf.int(s, GraftConf.LshTablesKey, LshTables)
+    require(r > 0 && r <= 32,
+      s"${GraftConf.LshTablesKey} must be in [1, 32], got $r")
+    r
+  }
+
   /** Embedding dimensionality of the `embeddings` table. */
   private[graft] val VecDim = 64
 
@@ -88,6 +104,24 @@ object Similarity {
       Seq.tabulate(h, VecDim) { (p, dd) =>
         val hex = java.security.MessageDigest.getInstance("MD5")
           .digest(s"$p:$dd".getBytes("UTF-8")).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex.take(8), 16).toDouble / 4294967296.0 - 0.5
+      })
+
+  /** Hyperplane family for TABLE t of the multi-table amplification
+    * (s10): table 0 is the base family ([[hyperplaneWeights]] — so one
+    * table degenerates to the s02/s05 bucketing); table t > 0 derives
+    * from md5("t<t>:<p>:<dd>") — independent, deterministic, no RNG
+    * state to ship, mirrored in the oracle's SQL md5. */
+  private val tableWeightsCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Seq[Seq[Double]]]()
+
+  private[graft] def tableWeights(t: Int,
+      h: Int = LshHyperplanes): Seq[Seq[Double]] =
+    if (t == 0) hyperplaneWeights(h)
+    else tableWeightsCache.computeIfAbsent((t, h), _ =>
+      Seq.tabulate(h, VecDim) { (p, dd) =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"t$t:$p:$dd".getBytes("UTF-8")).map("%02x".format(_)).mkString
         java.lang.Long.parseLong(hex.take(8), 16).toDouble / 4294967296.0 - 0.5
       })
 
@@ -144,6 +178,38 @@ object Similarity {
                        list_transform(generate_series(0, ${h - 1}), p ->
                          xor(bucket, CAST(pow(2, p) AS BIGINT))))) AS probe
                    FROM e)"""
+
+  /** DuckDB twin of the s10 multi-table candidate generation + exact
+    * cosine verify; table 0's weights are the base family, table t > 0
+    * derives from md5('t<t>:<p>:<dd>') — same strings the Scala
+    * [[tableWeights]] hashes. Each table probes its own bucket plus
+    * every 1-bit flip, mirroring the Spark side. */
+  private[graft] def multiTableSql(h: Int = LshHyperplanes,
+      r: Int = LshTables): String =
+    s"""WITH e0 AS ($vecsSql),
+        keyed AS (SELECT vec_id, t,
+            CAST(list_sum(list_transform(generate_series(0, ${h - 1}), p ->
+              CASE WHEN list_sum(list_transform(generate_series(0, ${VecDim - 1}), dd ->
+                v[dd + 1] * (('0x' || substr(md5(
+                  CASE WHEN t = 0 THEN p || ':' || dd
+                       ELSE 't' || t || ':' || p || ':' || dd END), 1, 8))::BIGINT
+                  / 4294967296.0 - 0.5))) > 0
+              THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END)) AS BIGINT) AS b
+          FROM e0, UNNEST(generate_series(0, ${r - 1})) AS tt(t)),
+        probed AS (SELECT vec_id, t,
+                     unnest(list_prepend(b,
+                       list_transform(generate_series(0, ${h - 1}), p ->
+                         xor(b, CAST(pow(2, p) AS BIGINT))))) AS probe
+                   FROM keyed),
+        cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+                 FROM probed x JOIN keyed y
+                   ON x.t = y.t AND x.probe = y.b AND x.vec_id < y.vec_id)
+        SELECT c.id_a, c.id_b, $dotSql / (a.nrm * b.nrm) AS cos_sim
+        FROM cand c
+        JOIN e0 a ON a.vec_id = c.id_a
+        JOIN e0 b ON b.vec_id = c.id_b
+        WHERE $dotSql / (a.nrm * b.nrm) >= 0.4
+        ORDER BY c.id_a, c.id_b"""
 
   val queries: Seq[QueryDef] = Seq(
 
@@ -357,6 +423,59 @@ object Similarity {
         JOIN e b ON b.vec_id = c.id_b
         WHERE $dotSql / (a.nrm * b.nrm) >= 0.4
         ORDER BY c.id_a, c.id_b""")),
+
+    // ----- s10: MULTI-TABLE LSH amplification — the production recall
+    // fix for s05's weak similarity band: r INDEPENDENT hyperplane
+    // families, each with s05's own multi-probe, OR-ed together. One
+    // table (the base family) reproduces s05 exactly; every further
+    // table lifts per-pair recall as 1 − (1 − p_probe)^r at r× the
+    // (linear) bucketing cost. Candidates come from ONE probe-vs-
+    // bucket join keyed (table, bucket) — shuffle-bounded, never O(n²)
+    // — and exact cosine is applied to candidates only, so output is a
+    // strict subset of exact s03 and a superset of s05
+    // (NearDupRecallSpec measures the recall climb). Table count is
+    // the `spark.graft.lshTables` runtime conf.
+    QueryDef(
+      "s10_neardup_multitable",
+      (s, d) => {
+        val h = lshHyperplanes(s)
+        val r = lshTables(s)
+        (0 until r).foreach(t => graft.functions.VectorFunctions
+          .registerLshBucketAs(s, s"vec_lsh_bucket_t$t", tableWeights(t, h)))
+        val e = vecs(s, d)
+        val bucketCols = (0 until r).map(t =>
+          expr(s"vec_lsh_bucket_t$t(v)").as(s"bk$t"))
+        val eb = e.select(col("vec_id") +: bucketCols: _*)
+        // probe side: per table, own bucket + every 1-bit flip
+        val probeKeys = (0 until r).map(t =>
+          s"""transform(
+                concat(array(bk$t), transform(sequence(0, ${h - 1}),
+                  p -> bk$t ^ shiftleft(cast(1 as bigint), p))),
+                b -> named_struct('t', $t, 'b', b))""")
+          .mkString("concat(", ", ", ")")
+        val probes = eb.select(col("vec_id").as("id_a"),
+          explode(expr(probeKeys)).as("k"))
+        val builds = eb.select(col("vec_id").as("id_b"),
+          explode(expr((0 until r).map(t =>
+            s"named_struct('t', $t, 'b', bk$t)")
+            .mkString("array(", ", ", ")"))).as("k"))
+        val cand = probes
+          .join(builds,
+            probes("k") === builds("k") && col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"))
+          .distinct()
+        val v2 = vecs(s, d)
+        cand
+          .join(v2.select(col("vec_id").as("id_a"), col("v").as("av"),
+            col("nrm").as("nrm_a")), "id_a")
+          .join(v2.select(col("vec_id").as("id_b"), col("v").as("bv"),
+            col("nrm").as("nrm_b")), "id_b")
+          .withColumn("cos_sim", expr(dotExpr) / (col("nrm_a") * col("nrm_b")))
+          .filter(col("cos_sim") >= 0.4)
+          .select(col("id_a"), col("id_b"), col("cos_sim"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(multiTableSql())),
 
     // ----- s08: IVF with a TRAINED coarse quantizer — one Lloyd
     // (k-means) refinement of s04's training-free centroids, written
