@@ -375,26 +375,7 @@ object Dedup {
       (s, d) => {
         val docs = new Tables(s, d).documents.select(col("doc_id"))
         val edges = nearDupEdges(s, d).cache()
-        var labels = docs.withColumn("cluster_id", col("doc_id")).cache()
-        var changed = 1L
-        while (changed > 0) {
-          val nbrMin = edges
-            .join(labels.withColumnRenamed("doc_id", "nid"),
-              col("dst") === col("nid"))
-            .groupBy(col("src")).agg(min(col("cluster_id")).as("nbr_min"))
-          val next = labels
-            .join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
-            .select(col("doc_id"),
-              least(col("cluster_id"),
-                coalesce(col("nbr_min"), col("cluster_id")))
-                .as("cluster_id"))
-            .cache()
-          changed = next.as("n")
-            .join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
-            .filter(col("cluster_id") =!= col("old")).count()
-          labels.unpersist()
-          labels = next
-        }
+        val labels = propagateLabels(docs, edges)._1
         edges.unpersist()
         labels.groupBy(col("cluster_id"))
           .agg(count(lit(1)).as("n_members"),
@@ -459,6 +440,51 @@ object Dedup {
       Some(simhashOracleSql()),
       headline = true)
   )
+
+  /** Iterative min-label propagation to a fixpoint — connected
+    * components in plain DataFrame ops (Pregel's shape: each round is
+    * one shuffle on the edge key; the driver sees only a scalar
+    * changed-count). Each round's labels are lineage-truncated with a
+    * LAZY `localCheckpoint`: every round references the previous
+    * labels TWICE (neighbor-min + self), so an un-truncated plan
+    * doubles per round — exponential tree growth, quadratic-plus
+    * re-planning on a deep-diameter component. The checkpoint pins
+    * each round as a materialized RDD; the changed-count that gates
+    * the loop materializes it anyway, so truncation costs no extra
+    * job, and plan depth stays O(1) in the round count (DeepChainSpec
+    * drives a diameter-16 chain through this loop and asserts it).
+    * Dedup graphs themselves converge in 2-3 rounds. On a multi-
+    * executor cluster prefer `checkpoint()` to a reliable dir —
+    * localCheckpoint blocks die with their executor.
+    *
+    * `nodes`: one `doc_id` per vertex; `edges`: (src, dst),
+    * symmetrized. Returns (labels (doc_id, cluster_id), rounds). */
+  private[graft] def propagateLabels(nodes: DataFrame,
+      edges: DataFrame): (DataFrame, Int) = {
+    var labels = nodes.withColumn("cluster_id", col("doc_id")).cache()
+    var changed = 1L
+    var round = 0
+    while (changed > 0) {
+      round += 1
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("doc_id", "nid"),
+          col("dst") === col("nid"))
+        .groupBy(col("src")).agg(min(col("cluster_id")).as("nbr_min"))
+      val next = labels
+        .join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"),
+            coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint(false)
+      changed = next.as("n")
+        .join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
+        .filter(col("cluster_id") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+    }
+    (labels, round)
+  }
 
   /** d07's edge relation: the verified near-dup pairs (same predicate
     * as d02), symmetrized. */
