@@ -111,7 +111,19 @@ object BronzeBatchAppend {
     val batchId = java.util.UUID.randomUUID().toString.substring(0, 8)
     val stage = Paths.get(tableDir, s".batch-stage-$batchId")
     try df.write.parquet(stage.toString)
-    catch { case e: Throwable => deleteTree(stage); throw e }
+    catch {
+      case e: Throwable =>
+        // tasks being killed by the failing job can re-create stage
+        // entries for a moment after the driver sees the failure —
+        // retry the sweep briefly so no hidden garbage outlives the
+        // failed append
+        deleteTree(stage)
+        var tries = 0
+        while (Files.exists(stage) && tries < 50) {
+          Thread.sleep(100); deleteTree(stage); tries += 1
+        }
+        throw e
+    }
     val parts = {
       val s = Files.list(stage)
       try {
@@ -132,6 +144,47 @@ object BronzeBatchAppend {
     rows
   }
 
+  /** Epoch-idempotent variant for `foreachBatch` fan-out: destination
+    * names are deterministic in (tag, epochId, file index) and publish
+    * REPLACEs, so a REPLAYED micro-batch (restart from checkpoint
+    * re-delivers the same offsets) rewrites its own files instead of
+    * duplicating them. Same-epoch files not re-produced by this
+    * attempt (replay planned fewer partitions) are swept before
+    * publish — the commit as a whole is the epoch's exact content.
+    * `tag` scopes destinations per fan-out job, so two jobs appending
+    * to one table never replace each other's epochs. */
+  def appendEpoch(df: DataFrame, tableDir: String, tag: String,
+      epochId: Long): Unit = {
+    require(tag.matches("[A-Za-z0-9_-]+"), s"tag must be fs-safe: $tag")
+    val stage = Paths.get(tableDir, s".fb-stage-$tag-e$epochId")
+    deleteTree(stage) // a crashed prior attempt's leftovers
+    try df.write.parquet(stage.toString)
+    catch { case e: Throwable => deleteTree(stage); throw e }
+    val parts = {
+      val s = Files.list(stage)
+      try {
+        val b = Seq.newBuilder[java.nio.file.Path]
+        s.iterator().forEachRemaining { p =>
+          if (p.getFileName.toString.startsWith("part-")) b += p
+        }
+        b.result().sortBy(_.getFileName.toString)
+      } finally s.close()
+    }
+    val destPrefix = s"part-fb-$tag-e$epochId-p"
+    val dests = parts.indices.map(i => s"$destPrefix$i.parquet").toSet
+    val listing = Files.list(Paths.get(tableDir))
+    try listing.iterator().forEachRemaining { p =>
+      val name = p.getFileName.toString
+      if (name.startsWith(destPrefix) && !dests.contains(name))
+        Files.deleteIfExists(p)
+    } finally listing.close()
+    parts.zipWithIndex.foreach { case (p, i) =>
+      Files.move(p, Paths.get(tableDir, s"$destPrefix$i.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    deleteTree(stage)
+  }
+
   /** Row count from the parquet footer — no data pages read. */
   private def parquetRowCount(p: java.nio.file.Path): Long = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
@@ -141,11 +194,18 @@ object BronzeBatchAppend {
     try r.getRecordCount finally r.close()
   }
 
+  /** Best-effort recursive delete, tolerant of entries appearing or
+    * vanishing mid-walk (concurrent task teardown) — callers retry. */
   private def deleteTree(dir: java.nio.file.Path): Unit =
     if (Files.exists(dir)) {
-      val s = Files.walk(dir)
-      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => Files.deleteIfExists(p))
-      finally s.close()
+      try {
+        val s = Files.walk(dir)
+        try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach { p =>
+            try Files.deleteIfExists(p)
+            catch { case _: java.io.IOException => () }
+          }
+        finally s.close()
+      } catch { case _: java.io.IOException => () }
     }
 }

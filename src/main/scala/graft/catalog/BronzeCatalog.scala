@@ -55,6 +55,15 @@ class BronzeCatalog extends TableCatalog with SupportsNamespaces {
     * the one in effect. */
   def warehouseDir: String = warehouse.toString
 
+  /** Storage directory of an existing table — the hook fan-out
+    * appends use to address a table's files directly. */
+  def tableDir(namespace: Seq[String], name: String): String = {
+    val ident = Identifier.of(namespace.toArray, name)
+    val dir = dirOf(ident)
+    if (!isTableDir(dir)) throw new NoSuchTableException(ident)
+    dir.toString
+  }
+
   private val SchemaFile = "_graft_schema.json"
 
   private def dirOf(namespace: Array[String]): Path =

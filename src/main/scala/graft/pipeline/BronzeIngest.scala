@@ -61,6 +61,60 @@ object BronzeIngest {
       .start()
   }
 
+  /** Multi-table FAN-OUT: one decoded stream routed into SEVERAL
+    * bronze tables in a single `foreachBatch` — the multi-destination
+    * pattern the reference's single-sink job grows into (route by
+    * filter/projection per table). Exactly-once per table rests on
+    * the (batchId, idempotent write) contract: each route appends via
+    * [[graft.catalog.BronzeBatchAppend.appendEpoch]], whose
+    * destination file names are deterministic in (tag, batchId) and
+    * REPLACE on publish — a restart from the checkpoint re-delivers
+    * the same offsets and rewrites the same files, so a kill BETWEEN
+    * two tables' appends (the partial-fan-out crash) heals on replay:
+    * the already-written table is overwritten byte-for-byte, the
+    * missed table gets its rows once.
+    *
+    * `routes`: (3-level bronze table name, per-batch transform —
+    * filter/projection; must preserve the table's column order).
+    * Table dirs resolve through the live bronze catalog up front,
+    * driver-side. */
+  def fanOutJob(spark: SparkSession, brokerRoot: String, topic: String,
+      checkpointDir: String, routes: Seq[(String, DataFrame => DataFrame)],
+      tag: String = "fanout",
+      readerOptions: Map[String, String] = Map.empty): StreamingQuery = {
+    val dirs = routes.map { case (table, f) =>
+      val parts = table.split('.')
+      require(parts.length >= 2, s"need a catalog-qualified name: $table")
+      val cat = spark.sessionState.catalogManager.catalog(parts.head)
+        .asInstanceOf[graft.catalog.BronzeCatalog]
+      (cat.tableDir(parts.slice(1, parts.length - 1).toSeq, parts.last), f)
+    }
+    val wire = spark.readStream.format("kafkasim")
+      .option("path", brokerRoot)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .option("failOnDataLoss", "false")
+      .options(readerOptions)
+      .load()
+    // `source` stays NULL on the streaming path — the reference's
+    // documented asymmetry (SURVEY §2.1 B5): only the batch job tags.
+    decode(spark, wire)
+      .withColumn("source", lit(null).cast("string"))
+      .select(col("orderId"), col("amount"), col("ts"),
+        col("ingested_at"), col("source"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.persist()
+        try dirs.foreach { case (dir, f) =>
+          graft.catalog.BronzeBatchAppend.appendEpoch(f(batch), dir, tag, batchId)
+        } finally batch.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Registers [[graft.catalog.BronzeCatalog]] as `bronze`, the same
     * catalog-name + warehouse-dir shape the reference configures for
     * its Iceberg catalog (spark-defaults.properties:4-9) — after this,

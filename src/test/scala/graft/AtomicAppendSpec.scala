@@ -24,6 +24,19 @@ class AtomicAppendSpec extends SparkSpec {
       .filterNot(n => n.startsWith(".") || n.startsWith("_"))
       .toSet
 
+  /** Staged-garbage cleanup races the job abort: tasks still running
+    * when the job fails delete their own staged files asynchronously.
+    * Invisibility to READERS is immediate (dot-files); emptiness of
+    * the hidden staging area is only eventual. */
+  private def eventually(timeoutMs: Long = 10000)(cond: => Seq[String]): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var left = cond
+    while (left.nonEmpty && System.currentTimeMillis() < deadline) {
+      Thread.sleep(100); left = cond
+    }
+    assert(left.isEmpty, s"staged garbage left behind: $left")
+  }
+
   /** A 4-partition dataset whose LAST partition throws after the
     * earlier partitions have written all their rows. */
   private def poisoned = spark.range(0, 400, 1, 4).as[Long]
@@ -39,10 +52,13 @@ class AtomicAppendSpec extends SparkSpec {
 
     assert(visible(dir) == before, "failed append changed visible files")
     assert(spark.read.parquet(dir).count() == 100)
-    // the stage directory is swept on failure — no hidden garbage either
-    val hidden = Files.list(Paths.get(dir)).iterator().asScala
-      .map(_.getFileName.toString).filter(_.startsWith(".batch-stage")).toSeq
-    assert(hidden.isEmpty, s"stage dirs left behind: $hidden")
+    // the stage directory is swept on failure — no hidden garbage
+    // either (eventually: lingering tasks may re-create entries for a
+    // moment after the abort, then remove them)
+    eventually() {
+      Files.list(Paths.get(dir)).iterator().asScala
+        .map(_.getFileName.toString).filter(_.startsWith(".batch-stage")).toSeq
+    }
 
     // and the next append still works
     BronzeBatchAppend.append(spark.range(100, 150, 1, 2).toDF(), dir)
