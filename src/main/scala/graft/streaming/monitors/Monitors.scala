@@ -137,11 +137,16 @@ final class BatchRangeMonitor(brokerRoot: String) {
   * offset JSON and compare against broker earliest. Events accumulate
   * in-memory (the reference logs; a queryable buffer is strictly more
   * testable). Runs on the listener-bus thread. */
-final class StreamingLossListener(brokerRoot: String)
+class StreamingLossListener(brokerRoot: String)
     extends StreamingQueryListener {
 
   private val buf = new java.util.concurrent.ConcurrentLinkedQueue[DataLossEvent]()
   def events: Seq[DataLossEvent] = buf.asScala.toSeq
+
+  /** Hook for subclasses that forward events somewhere queryable
+    * (see [[QueryableLossListener]]); runs on the listener-bus
+    * thread. */
+  protected def onLoss(ev: DataLossEvent): Unit = ()
 
   override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
   override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
@@ -154,11 +159,41 @@ final class StreamingLossListener(brokerRoot: String)
       start.foreach { case ((topic, p), off) =>
         val earliest = SimBroker.earliest(brokerRoot, topic, p)
         val latest = SimBroker.latest(brokerRoot, topic, p)
-        if (off < earliest)
-          buf.add(DataLossEvent(topic, p, off, earliest, earliest - off,
-            earliest, latest, "listener"))
+        if (off < earliest) {
+          val ev = DataLossEvent(topic, p, off, earliest, earliest - off,
+            earliest, latest, "listener")
+          buf.add(ev)
+          onLoss(ev)
+        }
       }
     }
+}
+
+/** M3's events as a LIVE QUERYABLE STREAM — SURVEY §2.2's "also
+  * expose as a DataFrame for queryability", closed for the live path:
+  * the listener feeds an in-memory streaming source, so loss events
+  * can be consumed with the full Structured Streaming surface
+  * (windowed aggregation over loss volume, alert joins, a memory/
+  * console sink) while the batch-side detectors stay Dataset-typed.
+  * `lossEvents` is the unbounded Dataset to `writeStream` from. */
+final class QueryableLossListener(brokerRoot: String,
+    spark: org.apache.spark.sql.SparkSession)
+    extends StreamingLossListener(brokerRoot) {
+
+  private val stream = {
+    implicit val enc: org.apache.spark.sql.Encoder[DataLossEvent] =
+      org.apache.spark.sql.Encoders.product[DataLossEvent]
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    org.apache.spark.sql.execution.streaming.runtime.MemoryStream[DataLossEvent]
+  }
+
+  /** The live loss-event stream (isStreaming = true). */
+  def lossEvents: org.apache.spark.sql.Dataset[DataLossEvent] = stream.toDS()
+
+  override protected def onLoss(ev: DataLossEvent): Unit = {
+    stream.addData(ev)
+    ()
+  }
 }
 
 /** M8 (KafkaLossDetector.scala:10-46): single-partition loss check
