@@ -397,6 +397,43 @@ object Dedup {
           MAX(doc_id) AS max_member
         FROM lbl GROUP BY cluster_id ORDER BY cluster_id""")),
 
+    // ----- d08: the SCRUB — the deliverable a dedup pipeline actually
+    // ships: per document, its cluster and whether it is the KEPT
+    // representative (min doc_id per near-dup cluster — which IS the
+    // converged label, so no extra pass). The kept=true rows are the
+    // deduplicated training corpus; kept=false rows are the drop list
+    // with full lineage (which cluster absorbed them). Same scale
+    // shape as d07 plus one broadcast-sized join back to documents.
+    QueryDef(
+      "d08_dedup_scrub",
+      (s, d) => {
+        val docsFull = new Tables(s, d).documents
+        val edges = nearDupEdges(s, d).cache()
+        val labels = propagateLabels(docsFull.select(col("doc_id")), edges)._1
+        edges.unpersist()
+        docsFull.select(col("doc_id"), col("n_chars"))
+          .join(labels, "doc_id")
+          .select(col("doc_id"), col("cluster_id"),
+            (col("doc_id") === col("cluster_id")).as("kept"),
+            col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE ${jaccardPairsSql()},
+        edges AS (SELECT id_a AS src, id_b AS dst FROM jac
+                    WHERE jaccard >= 0.5
+                  UNION ALL
+                  SELECT id_b, id_a FROM jac WHERE jaccard >= 0.5),
+        reach(src, dst) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        lbl AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+                FROM reach GROUP BY src)
+        SELECT d.doc_id, l.cluster_id, d.doc_id = l.cluster_id AS kept,
+          d.n_chars
+        FROM documents d JOIN lbl l ON l.doc_id = d.doc_id
+        ORDER BY d.doc_id""")),
+
     // ----- d04: SimHash — SimHashBits-bit signature from md5 token
     // hashes, majority vote per bit position, then near-dup pairs at
     // hamming distance ≤ SimHashBands-1. Signature pass is linear; the

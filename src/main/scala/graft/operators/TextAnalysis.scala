@@ -283,6 +283,34 @@ object TextAnalysis {
             AS is_clean,
           md5(regexp_replace(text, '\b(slow|error|big)\b', '[BLOCKED]', 'g'))
             AS scrubbed_md5
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // ----- t09: STRATIFIED SAMPLING — deterministic hash-gated
+    // downsampling per language, the rebalancing step a training-data
+    // pipeline runs between scrub and tokenize (here: dominant `en`
+    // kept at 30%, minority languages at 100%). The gate is an
+    // md5-derived uniform bucket, NOT rand(): reproducible across
+    // runs/engines, stable under re-partitioning, and at 100 TB it
+    // needs no shuffle at all — a per-row projection + filter that
+    // pushes past the scan. Oracle mirrors the same md5 arithmetic.
+    QueryDef(
+      "t09_stratified_sample",
+      (s, d) => new Tables(s, d).documents
+        .withColumn("bucket",
+          conv(substring(md5(concat(lit("samp:"),
+            col("doc_id").cast("string"))), 1, 7), 16, 10).cast("long")
+            % 100)
+        .withColumn("rate",
+          when(col("lang") === "en", 30L).otherwise(100L))
+        .select(col("doc_id"), col("lang"), col("bucket"),
+          (col("bucket") < col("rate")).as("sampled"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, lang, bucket, bucket < rate AS sampled
+        FROM (SELECT doc_id, lang,
+            ('0x' || substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+              % 100 AS bucket,
+            CASE WHEN lang = 'en' THEN 30 ELSE 100 END AS rate
+          FROM documents)
+        ORDER BY doc_id"""))
   )
 }
