@@ -1,0 +1,46 @@
+package graft
+
+/** Enforces the repo's central scale invariant MECHANICALLY: no gated
+  * batch query plans a cartesian product (`CartesianProductExec` /
+  * `BroadcastNestedLoopJoinExec`) unless it is one of the LABELED
+  * all-pairs tiers. The per-round verdicts audited this by hand; this
+  * spec makes the audit a failing test the moment a new query ships
+  * an unlabeled O(n²) plan or a plan regression sneaks one in.
+  *
+  * Streaming (st*) and pipeline (k*) queries execute real streams in
+  * their builders and are covered by their own specs; every other
+  * query's physical plan is inspected here (planning only — nothing
+  * is executed except the driver loops some builders run). */
+class PlanAuditSpec extends SparkSpec {
+
+  /** Queries ALLOWED to plan all-pairs joins, each with the reason
+    * documented at its definition site. */
+  private val labeledAllPairs: Map[String, String] = Map(
+    "s01_cosine_topk" -> "verification tier: exactness baseline for s02/s04",
+    "s03_embedding_neardup" -> "verification tier: exactness baseline for s05/s10",
+    "s07_truncated_rerank" -> "verification tier: exact coarse baseline for s09",
+    "s04_ivf_ann" -> "broadcast 8-centroid affinity (k tiny, not O(n²))",
+    "s08_ivf_kmeans" -> "broadcast k-centroid affinity per Lloyd round",
+    "t07_vocab_stats" -> "1x1 scalar combine",
+    "q20_above_average_parts" -> "broadcast 1-row scalar (global average)")
+
+  test("no unlabeled cartesian product in any gated batch query plan") {
+    val sf = "/root/testdata/sf0.001"
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    val unusedExemptions = scala.collection.mutable.Set(labeledAllPairs.keys.toSeq: _*)
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, f) =>
+      if (!name.startsWith("st") && !name.startsWith("k")) {
+        val plan = f(spark, sf).queryExecution.executedPlan.toString
+        val allPairs = plan.contains("CartesianProduct") ||
+          plan.contains("BroadcastNestedLoopJoin")
+        if (allPairs && !labeledAllPairs.contains(name)) offenders += name
+        if (allPairs) unusedExemptions -= name
+      }
+    }
+    assert(offenders.isEmpty,
+      s"unlabeled all-pairs plans: ${offenders.mkString(", ")}")
+    // exemptions must stay honest: drop them when the plan improves
+    assert(unusedExemptions.isEmpty,
+      s"exemptions no longer needed: ${unusedExemptions.mkString(", ")}")
+  }
+}
