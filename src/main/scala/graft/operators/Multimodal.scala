@@ -142,6 +142,57 @@ object Multimodal {
                 CAST(length(text) // 1000 AS INT) + 1 AS n_chunks
               FROM documents WHERE doc_id % 3 = 2),
              UNNEST(generate_series(0, n_chunks - 1, 3)) AS u(frame_idx)
-        ORDER BY doc_id, frame_idx"""))
+        ORDER BY doc_id, frame_idx""")),
+
+    // ----- m04: per-video POOLED EMBEDDING — the aggregation a video
+    // pipeline runs after per-frame encoding: each sampled frame maps
+    // to a (stub) feature vector (md5-derived ints standing in for the
+    // encoder output), and the video's embedding is the element-wise
+    // MEAN over its frames. Means go through the decimal-exact sum
+    // (s08's trick) so Spark's partial aggregation and the oracle's
+    // sequential sum agree bit-for-bit. Shape at 100 TB: the m03
+    // explode (linear in sampled frames) → one shuffle on doc_id with
+    // map-side partial means; the frame encoder slots into m02's
+    // mapPartitions just upstream.
+    QueryDef(
+      "m04_frame_embedding",
+      (s, d) => {
+        import graft.Exact
+        val frames = new Tables(s, d).documents
+          .filter(col("doc_id") % 3 === 2) // the 'video' stripe
+          .withColumn("n_chunks",
+            expr("cast(length(text) div 1000 as int) + 1"))
+          .select(col("doc_id"),
+            explode(expr("sequence(0, n_chunks - 1, 3)")).as("frame_idx"),
+            col("text"))
+          .withColumn("frame_md5",
+            md5(expr("substr(text, frame_idx * 1000 + 1, 1000)")))
+        val feats = (0 until 4).foldLeft(frames) { (df, i) =>
+          df.withColumn(s"f$i",
+            conv(substring(col("frame_md5"), 1 + 4 * i, 4), 16, 10)
+              .cast("long"))
+        }
+        feats.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_frames"),
+            Exact.davg(col("f0"), 0).as("e0"),
+            Exact.davg(col("f1"), 0).as("e1"),
+            Exact.davg(col("f2"), 0).as("e2"),
+            Exact.davg(col("f3"), 0).as("e3"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id, COUNT(*) AS n_frames,
+          ${(0 until 4).map(i => graft.Exact.sqlAvg(s"f$i", 0) + s" AS e$i")
+            .mkString(", ")}
+        FROM (SELECT doc_id,
+                ${(0 until 4).map(i =>
+                  s"('0x' || substr(frame_md5, ${1 + 4 * i}, 4))::BIGINT AS f$i")
+                  .mkString(", ")}
+          FROM (SELECT doc_id,
+                  md5(substr(text, frame_idx * 1000 + 1, 1000)) AS frame_md5
+                FROM (SELECT doc_id, text,
+                        CAST(length(text) // 1000 AS INT) + 1 AS n_chunks
+                      FROM documents WHERE doc_id % 3 = 2),
+                     UNNEST(generate_series(0, n_chunks - 1, 3)) AS u(frame_idx)))
+        GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

@@ -477,6 +477,48 @@ object Similarity {
       },
       Some(multiTableSql())),
 
+    // ----- s11: QUERY-vs-CORPUS retrieval — the production serving
+    // shape the self-join queries (s02/s05) stand in for: an INDEXED
+    // corpus (even vec_ids, bucketed once) probed by a SEPARATE query
+    // workload (odd vec_ids) through the same multi-probe bucket join,
+    // top-1 by exact cosine. At 100 TB the corpus side is bucketed
+    // STORAGE (write-time partitioning on the bucket key) and queries
+    // stream through it: per query, work = occupancy × (H+1) probes —
+    // independent of corpus size. Queries whose probe set finds no
+    // corpus row drop out (the honest miss; raise probes/tables for
+    // coverage).
+    QueryDef(
+      "s11_corpus_retrieval",
+      (s, d) => {
+        val e = vecs(s, d).withColumn("bucket", expr(bucketExpr))
+        val corpus = e.filter(col("vec_id") % 2 === 0)
+          .select(col("vec_id").as("c_id"), col("v").as("bv"),
+            col("nrm").as("nrm_c"), col("bucket").as("bucket_c"))
+        val qs = e.filter(col("vec_id") % 2 === 1)
+          .select(col("vec_id").as("q_id"), col("v").as("av"),
+            col("nrm").as("nrm_q"), col("bucket"))
+          .withColumn("probe", explode(expr(probeExpr(lshHyperplanes(s)))))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_sim").desc, col("c_id"))
+        qs.join(corpus, col("probe") === col("bucket_c"))
+          .withColumn("cos_sim", expr(dotExpr) / (col("nrm_q") * col("nrm_c")))
+          .withColumn("r", row_number().over(w))
+          .filter(col("r") === 1)
+          .select(col("q_id"), col("c_id"), col("cos_sim"))
+          .orderBy(col("q_id"))
+      },
+      Some(s"""WITH e0 AS ($vecsSql),
+        ${bucketedSqlCtes()},
+        cand AS (SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+            list_sum(list_transform(list_zip(a.v, b.v), t -> t[1] * t[2]))
+              / (a.nrm * b.nrm) AS cos_sim
+          FROM probed a JOIN e b ON a.probe = b.bucket
+          WHERE a.vec_id % 2 = 1 AND b.vec_id % 2 = 0)
+        SELECT q_id, c_id, cos_sim FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY cos_sim DESC, c_id) AS r FROM cand)
+        WHERE r = 1 ORDER BY q_id""")),
+
     // ----- s08: IVF with a TRAINED coarse quantizer — one Lloyd
     // (k-means) refinement of s04's training-free centroids, written
     // entirely in DataFrame ops: assign (argmax cosine), update
