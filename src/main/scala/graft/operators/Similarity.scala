@@ -211,6 +211,28 @@ object Similarity {
         WHERE $dotSql / (a.nrm * b.nrm) >= 0.4
         ORDER BY c.id_a, c.id_b"""
 
+  /** s05's verified near-dup pair relation (id_a < id_b, cos ≥ 0.4):
+    * multi-probe LSH bucket join for candidates, exact cosine on the
+    * DISTINCT candidate set only. Shared by s05 (pairs) and d09
+    * (connected components over the same graph). */
+  private def bucketedNearDupPairs(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d).withColumn("bucket", expr(bucketExpr))
+    val cand = e.select(col("vec_id").as("id_a"), col("bucket"))
+      .withColumn("probe", explode(expr(probeExpr(lshHyperplanes(s)))))
+      .join(e.select(col("vec_id").as("id_b"),
+        col("bucket").as("bucket_b")),
+        col("probe") === col("bucket_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val v2 = vecs(s, d)
+    cand
+      .join(v2.select(col("vec_id").as("id_a"), col("v").as("av"),
+        col("nrm").as("nrm_a")), "id_a")
+      .join(v2.select(col("vec_id").as("id_b"), col("v").as("bv"),
+        col("nrm").as("nrm_b")), "id_b")
+      .withColumn("cos_sim", expr(dotExpr) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("cos_sim") >= 0.4)
+  }
+
   val queries: Seq[QueryDef] = Seq(
 
     // ----- s01: brute-force cosine top-3 neighbors per vector.
@@ -393,25 +415,9 @@ object Similarity {
     // join shape per table).
     QueryDef(
       "s05_neardup_lsh_bucketed",
-      (s, d) => {
-        val e = vecs(s, d).withColumn("bucket", expr(bucketExpr))
-        val cand = e.select(col("vec_id").as("id_a"), col("bucket"))
-          .withColumn("probe", explode(expr(probeExpr(lshHyperplanes(s)))))
-          .join(e.select(col("vec_id").as("id_b"),
-            col("bucket").as("bucket_b")),
-            col("probe") === col("bucket_b") && col("id_a") < col("id_b"))
-          .select(col("id_a"), col("id_b")).distinct()
-        val v2 = vecs(s, d)
-        cand
-          .join(v2.select(col("vec_id").as("id_a"), col("v").as("av"),
-            col("nrm").as("nrm_a")), "id_a")
-          .join(v2.select(col("vec_id").as("id_b"), col("v").as("bv"),
-            col("nrm").as("nrm_b")), "id_b")
-          .withColumn("cos_sim", expr(dotExpr) / (col("nrm_a") * col("nrm_b")))
-          .filter(col("cos_sim") >= 0.4)
-          .select(col("id_a"), col("id_b"), col("cos_sim"))
-          .orderBy(col("id_a"), col("id_b"))
-      },
+      (s, d) => bucketedNearDupPairs(s, d)
+        .select(col("id_a"), col("id_b"), col("cos_sim"))
+        .orderBy(col("id_a"), col("id_b")),
       Some(s"""WITH e0 AS ($vecsSql),
         ${bucketedSqlCtes()},
         cand AS (SELECT DISTINCT p.vec_id AS id_a, b.vec_id AS id_b
@@ -476,6 +482,57 @@ object Similarity {
           .orderBy(col("id_a"), col("id_b"))
       },
       Some(multiTableSql())),
+
+    // ----- d09: SEMANTIC dedup — the embedding-space twin of the
+    // lexical d07/d08: connected components over the VERIFIED
+    // embedding near-dup graph (s05's bucketed candidate pairs, exact
+    // cosine ≥ 0.4), each vector labeled with its cluster and whether
+    // it is the kept representative (min vec_id = the converged
+    // label). This is the dedup that catches paraphrases lexical
+    // shingles miss. Scale shape = s05's bounded bucket join for the
+    // edges + d07's one-shuffle-per-round min-label propagation with
+    // per-round lineage truncation; the driver loop reads only a
+    // scalar changed-count. Oracle: the same fixpoint as a recursive
+    // reachability CTE over the probe-mirrored pair set.
+    QueryDef(
+      "d09_semantic_dedup",
+      (s, d) => {
+        val pairs = bucketedNearDupPairs(s, d)
+          .select(col("id_a"), col("id_b"))
+        val edges = pairs
+          .select(col("id_a").as("src"), col("id_b").as("dst"))
+          .union(pairs
+            .select(col("id_b").as("src"), col("id_a").as("dst")))
+          .cache()
+        val nodes = vecs(s, d).select(col("vec_id").as("doc_id"))
+        val labels = Dedup.propagateLabels(nodes, edges)._1
+        edges.unpersist()
+        labels
+          .select(col("doc_id").as("vec_id"), col("cluster_id"),
+            (col("doc_id") === col("cluster_id")).as("kept"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH RECURSIVE e0 AS ($vecsSql),
+        ${bucketedSqlCtes()},
+        cand AS (SELECT DISTINCT p.vec_id AS id_a, b.vec_id AS id_b
+                 FROM probed p JOIN e b
+                   ON p.probe = b.bucket AND p.vec_id < b.vec_id),
+        pairs AS (SELECT c.id_a, c.id_b
+          FROM cand c
+          JOIN e a ON a.vec_id = c.id_a
+          JOIN e b ON b.vec_id = c.id_b
+          WHERE $dotSql / (a.nrm * b.nrm) >= 0.4),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION ALL
+                  SELECT id_b, id_a FROM pairs),
+        reach(src, dst) AS (
+          SELECT vec_id, vec_id FROM e0
+          UNION
+          SELECT r.src, ed.dst FROM reach r JOIN edges ed ON r.dst = ed.src),
+        lbl AS (SELECT src AS vec_id, MIN(dst) AS cluster_id
+                FROM reach GROUP BY src)
+        SELECT vec_id, cluster_id, vec_id = cluster_id AS kept
+        FROM lbl ORDER BY vec_id""")),
 
     // ----- s11: QUERY-vs-CORPUS retrieval — the production serving
     // shape the self-join queries (s02/s05) stand in for: an INDEXED

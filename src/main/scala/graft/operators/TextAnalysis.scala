@@ -311,6 +311,65 @@ object TextAnalysis {
               % 100 AS bucket,
             CASE WHEN lang = 'en' THEN 30 ELSE 100 END AS rate
           FROM documents)
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ----- t10: BENCHMARK DECONTAMINATION — the n-gram-overlap scrub
+    // every serious training run applies before the data ships (the
+    // GPT-3 appendix-C shape): any training document sharing a word
+    // 5-gram with a held-out eval document (here the doc_id % 10 == 0
+    // stripe) is flagged. Shape at 100 TB: the eval side is tiny by
+    // construction (benchmarks are KBs, corpora are TBs) — its
+    // DISTINCT 5-gram set BROADCASTS, so the train side never
+    // shuffles: explode → hash → broadcast-hash-join → one shuffle
+    // on doc_id for the per-doc rollup. Joining on md5(ngram) keeps
+    // the broadcast map compact (16 bytes/key vs arbitrary-length
+    // text). Clean docs surface with zero counts via the left join —
+    // the decontaminated corpus is `WHERE keep`.
+    QueryDef(
+      "t10_decontaminate",
+      (s, d) => {
+        graft.functions.Generators.register(s)
+        val docs = new Tables(s, d).documents
+        def grams(df: org.apache.spark.sql.DataFrame) = df
+          .select(col("doc_id"), expr("ngrams(text, 5)"))
+          .select(col("doc_id"), md5(col("ngram")).as("g"))
+          .distinct()
+        val trainG = grams(docs.filter(col("doc_id") % 10 =!= 0))
+        val evalG = grams(docs.filter(col("doc_id") % 10 === 0))
+          .withColumnRenamed("doc_id", "eval_id")
+        val hits = trainG.join(broadcast(evalG), "g")
+          .groupBy(col("doc_id"))
+          .agg(count_distinct(col("g")).as("n_shared_ngrams"),
+            count_distinct(col("eval_id")).as("n_eval_docs"))
+        docs.filter(col("doc_id") % 10 =!= 0).select(col("doc_id"))
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_shared_ngrams"), lit(0L)).as("n_shared_ngrams"),
+            coalesce(col("n_eval_docs"), lit(0L)).as("n_eval_docs"),
+            (coalesce(col("n_shared_ngrams"), lit(0L)) === 0).as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH grams AS (
+          SELECT DISTINCT doc_id,
+            md5(array_to_string(toks[i:i+4], ' ')) AS g
+          FROM (SELECT doc_id,
+                  string_split_regex(lower(trim(text)), '\s+') AS toks
+                FROM documents),
+               UNNEST(generate_series(1, len(toks) - 4)) AS u(i)),
+        hits AS (
+          SELECT tr.doc_id,
+            COUNT(DISTINCT tr.g) AS n_shared_ngrams,
+            COUNT(DISTINCT ev.eval_id) AS n_eval_docs
+          FROM (SELECT doc_id, g FROM grams WHERE doc_id % 10 <> 0) tr
+          JOIN (SELECT doc_id AS eval_id, g FROM grams
+                WHERE doc_id % 10 = 0) ev USING (g)
+          GROUP BY tr.doc_id)
+        SELECT d.doc_id,
+          CAST(COALESCE(h.n_shared_ngrams, 0) AS BIGINT) AS n_shared_ngrams,
+          CAST(COALESCE(h.n_eval_docs, 0) AS BIGINT) AS n_eval_docs,
+          COALESCE(h.n_shared_ngrams, 0) = 0 AS keep
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+        LEFT JOIN hits h USING (doc_id)
+        ORDER BY d.doc_id"""))
   )
 }
