@@ -19,6 +19,7 @@ object SparkEntry {
       operators.Dedup.queries ++
       operators.Similarity.queries ++
       operators.Multimodal.queries ++
+      operators.Pipeline.queries ++
       operators.KafkaOps.queries ++
       streaming.StreamingOps.queries
 

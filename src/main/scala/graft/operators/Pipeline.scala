@@ -1,0 +1,154 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The composed END-TO-END curation pipeline — the deliverable a
+  * training-data team actually runs nightly, assembled from the
+  * already-verified stage operators:
+  *
+  *   quality score (t02) → canonical dedup (t04/d05 fingerprint) →
+  *   benchmark decontamination (t10) → blocklist scrub (t08) →
+  *   stratified sampling (t09)
+  *
+  * Output is the full per-document FUNNEL: one diagnostic pass-bit per
+  * stage (each computed independently over the corpus, the way
+  * production funnels log per-stage acceptance) plus `final_keep` —
+  * their conjunction, the rows that ship — and the scrubbed-text md5
+  * for the survivors' payload lineage.
+  *
+  * Scale shape (the whole pipeline, at 100 TB):
+  *   - quality, scrub, sample: per-row projections, fused into the
+  *     scan pass by codegen — zero shuffles;
+  *   - canonical dedup: ONE shuffle on the 16-byte fingerprint
+  *     (window-min per fingerprint group);
+  *   - decontamination: eval-side 5-gram set BROADCASTS (benchmarks
+  *     are KBs); train side explodes map-side and never shuffles;
+  *   - final assembly: joins on doc_id co-partition after the
+  *     fingerprint exchange.
+  * Nothing here is super-linear in corpus size.
+  */
+object Pipeline {
+
+  private val toksExpr = "split(lower(trim(text)), '\\\\s+')"
+  private val stoplist = "('the','a','of','and','to','in','is','it')"
+  private val blockPat = "\\b(slow|error|big)\\b"
+  // sits at the corpus's median score, so the gate genuinely splits
+  // (≈52% pass at sf0.01) instead of passing or dropping everything
+  private val QualityThreshold = 0.44
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // ----- p01: the curation funnel over the training stripe
+    // (doc_id % 10 != 0; the % 10 == 0 stripe is the held-out
+    // benchmark that decontamination guards against).
+    QueryDef(
+      "p01_curation_pipeline",
+      (s, d) => {
+        graft.functions.Generators.register(s)
+        val all = new Tables(s, d).documents
+        val corpus = all.filter(col("doc_id") % 10 =!= 0)
+
+        // stage 1+4+5 per-row columns: quality, scrub, sample gate
+        val base = corpus
+          .withColumn("toks", expr(toksExpr))
+          .withColumn("n_tok", size(col("toks")))
+          .withColumn("stop_ratio",
+            expr(s"size(filter(toks, t -> t IN $stoplist))").cast("double")
+              / col("n_tok"))
+          .withColumn("punct_ratio",
+            (length(col("text"))
+              - length(regexp_replace(col("text"), "[.,;:!?]", "")))
+              .cast("double") / length(col("text")))
+          .withColumn("len_prior",
+            least(lit(1.0), col("n_tok").cast("double") / lit(100.0)))
+          .withColumn("quality_score",
+            col("stop_ratio") * lit(0.5)
+              + (lit(1.0) - col("punct_ratio")) * lit(0.3)
+              + col("len_prior") * lit(0.2))
+          .withColumn("fp",
+            md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+          .withColumn("scrubbed_md5",
+            md5(regexp_replace(col("text"), blockPat, "[BLOCKED]")))
+          .withColumn("sampled",
+            conv(substring(md5(concat(lit("samp:"),
+              col("doc_id").cast("string"))), 1, 7), 16, 10).cast("long")
+              % 100 < when(col("lang") === "en", 30L).otherwise(100L))
+
+        // stage 2: canonical dedup — min doc_id per fingerprint
+        val withCanon = base.withColumn("is_canonical",
+          col("doc_id") === min(col("doc_id"))
+            .over(Window.partitionBy(col("fp"))))
+
+        // stage 3: decontamination vs the eval stripe (t10's shape)
+        def grams(df: org.apache.spark.sql.DataFrame) = df
+          .select(col("doc_id"), expr("ngrams(text, 5)"))
+          .select(col("doc_id"), md5(col("ngram")).as("g"))
+          .distinct()
+        val evalG = grams(all.filter(col("doc_id") % 10 === 0))
+          .select(col("g")).distinct()
+        val contaminated = grams(corpus)
+          .join(broadcast(evalG), "g")
+          .select(col("doc_id")).distinct()
+          .withColumn("hit", lit(true))
+
+        withCanon
+          .join(contaminated, Seq("doc_id"), "left")
+          .withColumn("decontam_ok", col("hit").isNull)
+          .withColumn("passed_quality",
+            col("quality_score") >= QualityThreshold)
+          .select(col("doc_id"), col("lang"), col("quality_score"),
+            col("passed_quality"), col("is_canonical"),
+            col("decontam_ok"), col("sampled"),
+            (col("passed_quality") && col("is_canonical")
+              && col("decontam_ok") && col("sampled")).as("final_keep"),
+            col("scrubbed_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH corpus AS (
+          SELECT doc_id, lang, text FROM documents WHERE doc_id % 10 <> 0),
+        q AS (SELECT doc_id, lang, text,
+            stop_ratio * 0.5 + (1.0 - punct_ratio) * 0.3 + len_prior * 0.2
+              AS quality_score,
+            md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+            md5(regexp_replace(text, '$blockPat', '[BLOCKED]', 'g'))
+              AS scrubbed_md5,
+            ('0x' || substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+              % 100 < CASE WHEN lang = 'en' THEN 30 ELSE 100 END AS sampled
+          FROM (SELECT doc_id, lang, text,
+              CAST(len(list_filter(toks, t -> t IN $stoplist)) AS DOUBLE)
+                / n_tok AS stop_ratio,
+              CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+                AS DOUBLE) / length(text) AS punct_ratio,
+              least(1.0, CAST(n_tok AS DOUBLE) / 100.0) AS len_prior
+            FROM (SELECT doc_id, lang, text,
+                    string_split_regex(lower(trim(text)), '\\s+') AS toks,
+                    len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tok
+                  FROM corpus))),
+        canon AS (SELECT doc_id,
+            doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS is_canonical
+          FROM q),
+        grams AS (SELECT DISTINCT doc_id,
+            md5(array_to_string(toks[i:i+4], ' ')) AS g
+          FROM (SELECT doc_id,
+                  string_split_regex(lower(trim(text)), '\\s+') AS toks
+                FROM documents),
+               UNNEST(generate_series(1, len(toks) - 4)) AS u(i)),
+        contaminated AS (SELECT DISTINCT tr.doc_id
+          FROM (SELECT doc_id, g FROM grams WHERE doc_id % 10 <> 0) tr
+          JOIN (SELECT g FROM grams WHERE doc_id % 10 = 0) ev USING (g))
+        SELECT q.doc_id, q.lang, q.quality_score,
+          q.quality_score >= $QualityThreshold AS passed_quality,
+          c.is_canonical,
+          con.doc_id IS NULL AS decontam_ok,
+          q.sampled,
+          (q.quality_score >= $QualityThreshold AND c.is_canonical
+            AND con.doc_id IS NULL AND q.sampled) AS final_keep,
+          q.scrubbed_md5
+        FROM q
+        JOIN canon c ON c.doc_id = q.doc_id
+        LEFT JOIN contaminated con ON con.doc_id = q.doc_id
+        ORDER BY q.doc_id"""))
+  )
+}
