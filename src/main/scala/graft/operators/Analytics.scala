@@ -940,6 +940,53 @@ object Analytics {
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         WHERE event_type = 'view' AND next_type = 'purchase'
           AND epoch_us(next_ts) - epoch_us(ts) <= 1800000000
-        GROUP BY user_id ORDER BY user_id"""))
+        GROUP BY user_id ORDER BY user_id""")),
+
+    // ----- q69: COHORT RETENTION — the product-analytics matrix:
+    // users grouped by first-activity week (the cohort), retention =
+    // share of each cohort active again k weeks later. Three hash
+    // aggregations — (user, week) distinct, per-user min, per-(cohort,
+    // offset) count — all shuffling on user_id or the tiny cohort key;
+    // the cohort-size join broadcasts (one row per week). No window,
+    // no self-join: at 100 TB the cost is the (user, week) distinct,
+    // which partial-aggregates map-side to ~|users|·|weeks| rows.
+    QueryDef(
+      "q69_cohort_retention",
+      (s, d) => {
+        val userWeeks = tb(s, d).events
+          .select(col("user_id"),
+            date_trunc("week", col("ts")).cast("date").as("wk"))
+          .distinct()
+        val cohorts = userWeeks.groupBy(col("user_id"))
+          .agg(min(col("wk")).as("cohort_wk"))
+        val sizes = cohorts.groupBy(col("cohort_wk"))
+          .agg(count(lit(1)).as("n_cohort"))
+        userWeeks.join(cohorts, "user_id")
+          .withColumn("week_offset",
+            expr("datediff(wk, cohort_wk) div 7").cast("int"))
+          .groupBy(col("cohort_wk"), col("week_offset"))
+          .agg(count(lit(1)).as("n_active"))
+          .join(broadcast(sizes), "cohort_wk")
+          .select(col("cohort_wk"), col("week_offset"),
+            col("n_active"), col("n_cohort"),
+            (col("n_active").cast("double") / col("n_cohort"))
+              .as("retention"))
+          .orderBy(col("cohort_wk"), col("week_offset"))
+      },
+      Some("""WITH uw AS (SELECT DISTINCT user_id,
+            CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+        coh AS (SELECT user_id, MIN(wk) AS cohort_wk FROM uw GROUP BY 1),
+        sizes AS (SELECT cohort_wk, COUNT(*) AS n_cohort FROM coh
+                  GROUP BY 1),
+        m AS (SELECT c.cohort_wk,
+            (uw.wk - c.cohort_wk) // 7 AS week_offset,
+            COUNT(*) AS n_active
+          FROM uw JOIN coh c USING (user_id) GROUP BY 1, 2)
+        SELECT m.cohort_wk, CAST(m.week_offset AS INT) AS week_offset,
+          CAST(m.n_active AS BIGINT) AS n_active,
+          CAST(s.n_cohort AS BIGINT) AS n_cohort,
+          CAST(m.n_active AS DOUBLE) / s.n_cohort AS retention
+        FROM m JOIN sizes s USING (cohort_wk)
+        ORDER BY m.cohort_wk, m.week_offset"""))
   )
 }
