@@ -20,6 +20,7 @@ object SparkEntry {
       operators.Similarity.queries ++
       operators.Multimodal.queries ++
       operators.Pipeline.queries ++
+      operators.Writes.queries ++
       operators.KafkaOps.queries ++
       streaming.StreamingOps.queries
 

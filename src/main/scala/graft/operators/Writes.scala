@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.{Exact, QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Write-path operators: the STORAGE-LAYOUT half of a 100 TB
+  * pipeline. Reading fast at scale is mostly decided at WRITE time —
+  * partition directories give coarse pruning (skip whole directories
+  * at plan time), bucketing pre-shuffles the table ONCE so every
+  * later join/aggregation on the bucket key skips its exchange.
+  *
+  * Both queries write to a scratch dir/table and read back through
+  * the layout, so the gated result proves the round-trip (layout →
+  * scan → answer) and `WritePathsSpec` proves the plan actually used
+  * it (PartitionFilters pruning; no Exchange under the bucketed
+  * join). The reference's Iceberg tables get the same two layouts
+  * from its partition spec + write distribution
+  * (reference KafkaAvroToIceberg.scala:70-80 writes a partitioned
+  * Iceberg table; this is that capability, Spark-native).
+  */
+object Writes {
+
+  /** Scratch location, unique per (query, sf-dir) so concurrent
+    * sessions over different SFs never collide; overwrite mode makes
+    * reruns idempotent. */
+  private def scratch(tag: String, d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_$tag-" +
+      Integer.toHexString(d.hashCode)
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // ----- w01: PARTITIONED WRITE + PRUNED READ — events land
+    // hive-partitioned by event_type (the coarse, low-cardinality
+    // key); the read-back filter prunes to ONE directory at planning
+    // time (PartitionFilters in the scan, no data files of the other
+    // four types touched — at 100 TB that is 4/5 of the corpus never
+    // opened). Daily revenue rollup over the surviving partition.
+    QueryDef(
+      "w01_partitioned_write_prune",
+      (s, d) => {
+        val out = scratch("w01", d)
+        new Tables(s, d).events
+          .write.mode("overwrite").partitionBy("event_type").parquet(out)
+        s.read.parquet(out)
+          .filter(col("event_type") === "purchase")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n_purchases"),
+            Exact.dsum(col("value"), 2).as("revenue"))
+          .orderBy(col("day"))
+      },
+      Some(s"""SELECT CAST(ts AS DATE) AS day,
+          COUNT(*) AS n_purchases,
+          ${Exact.sqlSum("value", 2)} AS revenue
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ----- w02: BUCKETED WRITE + EXCHANGE-FREE JOIN — orders and
+    // customer both land bucketed (and sorted) on the join key, so
+    // the read-back join plans as a sort-merge join with NO Exchange
+    // and NO Sort on either side: the shuffle was paid once at write
+    // time, and every subsequent join/agg on the key rides it free.
+    // This is the bucketing decision that turns a daily 100 TB
+    // join-heavy workload from shuffle-bound to scan-bound.
+    QueryDef(
+      "w02_bucketed_write_join",
+      (s, d) => {
+        val t = new Tables(s, d)
+        val ordPath = scratch("w02o", d)
+        val custPath = scratch("w02c", d)
+        t.orders.write.mode("overwrite")
+          .option("path", ordPath)
+          .bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .saveAsTable("w02_orders_bkt")
+        t.customer.write.mode("overwrite")
+          .option("path", custPath)
+          .bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .saveAsTable("w02_customer_bkt")
+        val o = s.table("w02_orders_bkt")
+        val c = s.table("w02_customer_bkt")
+        o.join(c, o("o_custkey") === c("c_custkey"))
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            Exact.dsum(col("o_totalprice"), 2).as("total_price"))
+          .orderBy(col("c_nationkey"))
+      },
+      Some(s"""SELECT c_nationkey, COUNT(*) AS n_orders,
+          ${Exact.sqlSum("o_totalprice", 2)} AS total_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_nationkey ORDER BY c_nationkey"""))
+  )
+}

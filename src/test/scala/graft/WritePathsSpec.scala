@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+/** The write-path queries' scale claims, asserted on the actual plans:
+  * w01's read-back scan prunes to the one matching partition
+  * directory, and w02's bucketed join has no exchange on either side.
+  */
+class WritePathsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("w01 partitioned read prunes to the filtered partition") {
+    val df = SparkEntry.queries("w01_partitioned_write_prune")(spark, sf)
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.contains("PartitionFilters"),
+      s"expected a partition-pruned file scan:\n$formatted")
+    assert(formatted.contains("event_type"),
+      s"event_type should appear as a partition filter:\n$formatted")
+    // the pruned scan must not surface event_type as a DATA filter —
+    // it is a directory name, not a column read from parquet
+    assert(!formatted.contains("PushedFilters: [IsNotNull(event_type)"),
+      s"event_type should prune directories, not filter rows:\n$formatted")
+    assert(df.count() > 0)
+  }
+
+  test("w02 bucketed join plans with zero exchanges") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("w02_bucketed_write_join")(spark, sf)
+      // the final orderBy and the aggregation's own exchange are fine;
+      // the JOIN itself must not shuffle — strip everything above it
+      val plan = df.queryExecution.executedPlan
+      def findJoin(p: org.apache.spark.sql.execution.SparkPlan): Option[
+          org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => findJoin(a.executedPlan)
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+          Some(j)
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+          Some(j)
+        case other => other.children.view.flatMap(findJoin).headOption
+      }
+      val join = findJoin(plan)
+      assert(join.isDefined, s"expected a shuffle-family join:\n$plan")
+      val shufflesUnderJoin = join.get.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(shufflesUnderJoin.isEmpty,
+        s"bucketed join sides must not re-shuffle:\n${join.get}")
+      assert(df.count() > 0)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS w02_orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS w02_customer_bkt")
+    }
+  }
+}
