@@ -576,6 +576,129 @@ object Similarity {
             ORDER BY cos_sim DESC, c_id) AS r FROM cand)
         WHERE r = 1 ORDER BY q_id""")),
 
+    // ----- s12: PRODUCT QUANTIZATION + ADC — the memory-side scale
+    // story the other ANN queries don't cover: each corpus vector is
+    // compressed to M=4 sub-space codes (argmin-L2 against a K=8
+    // codebook per 16-dim sub-space; codebooks = sub-vectors of the 8
+    // lowest-id vectors, the s04 training-free idiom), and queries
+    // score candidates ASYMMETRICALLY — full-precision query vs a
+    // per-query 4×8 distance LUT indexed by the candidate's CODES.
+    // The scoring pass never touches corpus floats: 4 small ints per
+    // vector instead of 64 floats (64× less memory traffic), which is
+    // what lets a 10⁹-vector index fit in RAM at 100 TB. Candidates
+    // come from the same multi-probe LSH bucket join as s11 (never
+    // all-pairs); codebook joins broadcast (8 rows); the 4 LUT joins
+    // key on (q_id, code) — shuffle-bounded. The 4 sub-distances add
+    // in fixed left-to-right order, so the approximate distance is
+    // bit-identical across engines; top-1 per query by (adist, c_id).
+    QueryDef(
+      "s12_pq_adc",
+      (s, d) => {
+        val M = 4
+        val sub = VecDim / M // 16
+        val e = vecs(s, d).withColumn("bucket", expr(bucketExpr))
+        val cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("c"), col("v").as("cv"))
+        val corpus = e.filter(col("vec_id") % 2 === 0)
+          .select(col("vec_id").as("c_id"), col("v").as("bv"),
+            col("bucket").as("bucket_c"))
+        val qs = e.filter(col("vec_id") % 2 === 1)
+          .select(col("vec_id").as("q_id"), col("v").as("av"),
+            col("bucket"))
+        // L2² between the m-th sub-vectors of `a` and the centroid
+        // cast each float element to double BEFORE subtracting — the
+        // oracle's vectors are double from the start, and a float
+        // subtract would diverge at the 1e-9 level
+        def subDist(a: String) =
+          s"""aggregate(zip_with(
+                slice($a, m * $sub + 1, $sub),
+                slice(cv, m * $sub + 1, $sub),
+                (x, c) -> (cast(x as double) - cast(c as double))
+                        * (cast(x as double) - cast(c as double))),
+              cast(0.0 as double), (acc, x) -> acc + x)"""
+        val wCode = Window.partitionBy(col("c_id"), col("m"))
+          .orderBy(col("dist"), col("c"))
+        val codes = corpus.select(col("c_id"), col("bv"))
+          .withColumn("m", explode(expr(s"sequence(0, ${M - 1})")))
+          .crossJoin(broadcast(cents))
+          .withColumn("dist", expr(subDist("bv")))
+          .withColumn("rn", row_number().over(wCode))
+          .filter(col("rn") === 1)
+        val codesPiv = codes.groupBy(col("c_id"))
+          .agg(min(when(col("m") === 0, col("c"))).as("code0"),
+            (1 until M).map(m =>
+              min(when(col("m") === m, col("c"))).as(s"code$m")): _*)
+        val lut = qs.select(col("q_id"), col("av"))
+          .withColumn("m", explode(expr(s"sequence(0, ${M - 1})")))
+          .crossJoin(broadcast(cents))
+          .withColumn("pdist", expr(subDist("av")))
+          .select(col("q_id"), col("m"), col("c"), col("pdist"))
+        val cand = qs
+          .withColumn("probe", explode(expr(probeExpr(lshHyperplanes(s)))))
+          .join(corpus, col("probe") === col("bucket_c"))
+          .select(col("q_id"), col("c_id")).distinct()
+        var scored = cand.join(codesPiv, "c_id")
+        for (m <- 0 until M) {
+          val l = lut.filter(col("m") === m)
+            .select(col("q_id"), col("c").as(s"cc$m"),
+              col("pdist").as(s"p$m"))
+          scored = scored.join(l, Seq("q_id"))
+            .filter(col(s"code$m") === col(s"cc$m"))
+        }
+        val wTop = Window.partitionBy(col("q_id"))
+          .orderBy(col("adist"), col("c_id"))
+        scored
+          .withColumn("adist",
+            col("p0") + col("p1") + col("p2") + col("p3"))
+          .withColumn("r", row_number().over(wTop))
+          .filter(col("r") === 1)
+          .select(col("q_id"), col("c_id"), col("adist"))
+          .orderBy(col("q_id"))
+      },
+      Some(s"""WITH e0 AS ($vecsSql),
+        ${bucketedSqlCtes()},
+        cents AS (SELECT vec_id AS c, v AS cv FROM e0 WHERE vec_id < 8),
+        corpus AS (SELECT vec_id AS c_id, v AS bv, bucket FROM e
+                   WHERE vec_id % 2 = 0),
+        qs AS (SELECT vec_id AS q_id, v AS av, bucket FROM e
+               WHERE vec_id % 2 = 1),
+        codes AS (SELECT c_id, m, c AS code FROM (
+            SELECT cr.c_id, mm.m, ct.c,
+              ROW_NUMBER() OVER (PARTITION BY cr.c_id, mm.m ORDER BY
+                list_sum(list_transform(
+                  list_zip(list_slice(cr.bv, mm.m * 16 + 1, mm.m * 16 + 16),
+                           list_slice(ct.cv, mm.m * 16 + 1, mm.m * 16 + 16)),
+                  t -> (t[1] - t[2]) * (t[1] - t[2]))) ASC, ct.c) AS rn
+            FROM corpus cr, UNNEST(generate_series(0, 3)) AS mm(m), cents ct)
+          WHERE rn = 1),
+        cp AS (SELECT c_id,
+            MIN(CASE WHEN m = 0 THEN code END) AS code0,
+            MIN(CASE WHEN m = 1 THEN code END) AS code1,
+            MIN(CASE WHEN m = 2 THEN code END) AS code2,
+            MIN(CASE WHEN m = 3 THEN code END) AS code3
+          FROM codes GROUP BY c_id),
+        lut AS (SELECT q.q_id, mm.m, ct.c,
+            list_sum(list_transform(
+              list_zip(list_slice(q.av, mm.m * 16 + 1, mm.m * 16 + 16),
+                       list_slice(ct.cv, mm.m * 16 + 1, mm.m * 16 + 16)),
+              t -> (t[1] - t[2]) * (t[1] - t[2]))) AS pdist
+          FROM qs q, UNNEST(generate_series(0, 3)) AS mm(m), cents ct),
+        cand AS (SELECT DISTINCT p.vec_id AS q_id, b.vec_id AS c_id
+                 FROM probed p JOIN e b ON p.probe = b.bucket
+                 WHERE p.vec_id % 2 = 1 AND b.vec_id % 2 = 0),
+        scored AS (SELECT cand.q_id, cand.c_id,
+            ((l0.pdist + l1.pdist) + l2.pdist) + l3.pdist AS adist
+          FROM cand
+          JOIN cp USING (c_id)
+          JOIN lut l0 ON l0.q_id = cand.q_id AND l0.m = 0 AND l0.c = cp.code0
+          JOIN lut l1 ON l1.q_id = cand.q_id AND l1.m = 1 AND l1.c = cp.code1
+          JOIN lut l2 ON l2.q_id = cand.q_id AND l2.m = 2 AND l2.c = cp.code2
+          JOIN lut l3 ON l3.q_id = cand.q_id AND l3.m = 3 AND l3.c = cp.code3)
+        SELECT q_id, c_id, adist FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY adist, c_id) AS r FROM scored)
+        WHERE r = 1 ORDER BY q_id""")),
+
     // ----- s08: IVF with a TRAINED coarse quantizer — one Lloyd
     // (k-means) refinement of s04's training-free centroids, written
     // entirely in DataFrame ops: assign (argmax cosine), update

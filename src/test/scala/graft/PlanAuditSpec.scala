@@ -21,6 +21,7 @@ class PlanAuditSpec extends SparkSpec {
     "s07_truncated_rerank" -> "verification tier: exact coarse baseline for s09",
     "s04_ivf_ann" -> "broadcast 8-centroid affinity (k tiny, not O(n²))",
     "s08_ivf_kmeans" -> "broadcast k-centroid affinity per Lloyd round",
+    "s12_pq_adc" -> "broadcast 8-row codebook affinity (K·M tiny, not O(n²))",
     "t07_vocab_stats" -> "1x1 scalar combine",
     "q20_above_average_parts" -> "broadcast 1-row scalar (global average)")
 
