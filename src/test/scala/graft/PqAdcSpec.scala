@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** s12's PQ+ADC answer quality against the exact full-precision L2
+  * nearest neighbor: the 4×8 codebook keeps 4 small ints per corpus
+  * vector, so the question is how often the code-only distance still
+  * finds the true neighbor. Deterministic — fixed corpus, exact
+  * arithmetic on both sides. */
+class PqAdcSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("ADC top-1 tracks the exact L2 nearest neighbor far above random") {
+    val pq = SparkEntry.queries("s12_pq_adc")(spark, sf)
+      .select(col("q_id"), col("c_id").as("nn_pq"))
+
+    val raw = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val corpus = raw.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("bv"))
+    val qs = raw.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("q_id"), col("v").as("av"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("d2"), col("c_id"))
+    val exact = qs.crossJoin(corpus) // spec-only exhaustive baseline
+      .withColumn("d2", expr(
+        "aggregate(zip_with(av, bv, (x, y) -> (x - y) * (x - y)), " +
+          "cast(0.0 as double), (acc, x) -> acc + x)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("c_id").as("nn_exact"))
+
+    val joined = pq.join(exact, "q_id").cache()
+    val n = joined.count()
+    assert(n > 0)
+    val hits = joined.filter(col("nn_pq") === col("nn_exact")).count()
+    val recall = hits.toDouble / n
+    // two approximations stack here: the LSH candidate gate (the s09
+    // agreement band on this random-vector corpus) and the 8-code
+    // sub-space quantization. Random would be 1/250 = 0.4%; the gate
+    // is the multiple over random, not the absolute.
+    assert(recall >= 0.02, s"recall@1 vs exact L2 = $recall (n=$n)")
+  }
+
+  test("s12 plans no CartesianProduct (codebook broadcast is the only NLJ)") {
+    val plan = SparkEntry.queries("s12_pq_adc")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+}
