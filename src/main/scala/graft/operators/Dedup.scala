@@ -383,7 +383,7 @@ object Dedup {
           .orderBy(col("cluster_id"))
       },
       Some(s"""WITH RECURSIVE ${jaccardPairsSql()},
-        edges AS (SELECT id_a AS src, id_b AS dst FROM jac
+        edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM jac
                     WHERE jaccard >= 0.5
                   UNION ALL
                   SELECT id_b, id_a FROM jac WHERE jaccard >= 0.5),
@@ -419,7 +419,7 @@ object Dedup {
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH RECURSIVE ${jaccardPairsSql()},
-        edges AS (SELECT id_a AS src, id_b AS dst FROM jac
+        edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM jac
                     WHERE jaccard >= 0.5
                   UNION ALL
                   SELECT id_b, id_a FROM jac WHERE jaccard >= 0.5),

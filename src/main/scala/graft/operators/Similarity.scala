@@ -522,7 +522,7 @@ object Similarity {
           JOIN e a ON a.vec_id = c.id_a
           JOIN e b ON b.vec_id = c.id_b
           WHERE $dotSql / (a.nrm * b.nrm) >= 0.4),
-        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
                   UNION ALL
                   SELECT id_b, id_a FROM pairs),
         reach(src, dst) AS (
