@@ -81,11 +81,12 @@ object Pipeline {
           col("doc_id") === min(col("doc_id"))
             .over(Window.partitionBy(col("fp"))))
 
-        // stage 3: decontamination vs the eval stripe (t10's shape)
+        // stage 3: decontamination vs the eval stripe (t10's shape;
+        // corpus grams stay raw — dedup happens after the broadcast
+        // join where only contaminated grams survive)
         def grams(df: org.apache.spark.sql.DataFrame) = df
           .select(col("doc_id"), expr("ngrams(text, 5)"))
           .select(col("doc_id"), md5(col("ngram")).as("g"))
-          .distinct()
         val evalG = grams(all.filter(col("doc_id") % 10 === 0))
           .select(col("g")).distinct()
         val contaminated = grams(corpus)

@@ -333,10 +333,14 @@ object TextAnalysis {
         def grams(df: org.apache.spark.sql.DataFrame) = df
           .select(col("doc_id"), expr("ngrams(text, 5)"))
           .select(col("doc_id"), md5(col("ngram")).as("g"))
-          .distinct()
+        // train grams stay RAW — pre-deduplicating them would shuffle
+        // the biggest intermediate in the query; the per-doc DISTINCT
+        // is folded into the count_distinct aggregation AFTER the
+        // broadcast join, where only contaminated grams survive. The
+        // tiny eval side dedups before broadcast.
         val trainG = grams(docs.filter(col("doc_id") % 10 =!= 0))
         val evalG = grams(docs.filter(col("doc_id") % 10 === 0))
-          .withColumnRenamed("doc_id", "eval_id")
+          .withColumnRenamed("doc_id", "eval_id").distinct()
         val hits = trainG.join(broadcast(evalG), "g")
           .groupBy(col("doc_id"))
           .agg(count_distinct(col("g")).as("n_shared_ngrams"),
