@@ -987,6 +987,47 @@ object Analytics {
           CAST(s.n_cohort AS BIGINT) AS n_cohort,
           CAST(m.n_active AS DOUBLE) / s.n_cohort AS retention
         FROM m JOIN sizes s USING (cohort_wk)
-        ORDER BY m.cohort_wk, m.week_offset"""))
+        ORDER BY m.cohort_wk, m.week_offset""")),
+
+    // ----- q70: SKEW DIAGNOSTICS — the measurement that decides
+    // whether a join needs salting BEFORE it straggles: per-key group
+    // sizes, the max/mean skew ratio, and the 3 hottest keys. One
+    // hash aggregation on the key + a global TakeOrdered(3) — the
+    // 1×1 scalar combine at the end is the only cross join (labeled).
+    // At 100 TB this runs as a cheap pre-flight over the same scan
+    // the real join will do; skew_ratio ≫ 1 → salt that key.
+    QueryDef(
+      "q70_skew_stats",
+      (s, d) => {
+        val counts = tb(s, d).orders
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+        counts.orderBy(col("cnt").desc, col("o_custkey")).limit(3)
+          .createOrReplaceTempView("q70_hot")
+        val hot = s.sql("""SELECT
+            listagg(concat(o_custkey, ':', cnt), ';')
+              WITHIN GROUP (ORDER BY cnt DESC, o_custkey) AS hottest
+          FROM q70_hot""")
+        counts.agg(
+            count(lit(1)).as("n_keys"),
+            max(col("cnt")).as("max_cnt"),
+            sum(col("cnt")).as("n_rows"))
+          .crossJoin(hot) // 1x1 scalar combine
+          .select(col("n_keys"), col("max_cnt"), col("n_rows"),
+            ((col("max_cnt") * col("n_keys")).cast("double")
+              / col("n_rows")).as("skew_ratio"),
+            col("hottest"))
+      },
+      Some("""WITH counts AS (
+          SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY 1),
+        hot AS (SELECT string_agg(o_custkey || ':' || cnt, ';'
+              ORDER BY cnt DESC, o_custkey) AS hottest
+            FROM (SELECT * FROM counts
+                  ORDER BY cnt DESC, o_custkey LIMIT 3)),
+        stats AS (SELECT COUNT(*) AS n_keys, MAX(cnt) AS max_cnt,
+            CAST(SUM(cnt) AS BIGINT) AS n_rows FROM counts)
+        SELECT n_keys, CAST(max_cnt AS BIGINT) AS max_cnt, n_rows,
+          CAST(max_cnt * n_keys AS DOUBLE) / n_rows AS skew_ratio,
+          hottest
+        FROM stats, hot"""))
   )
 }

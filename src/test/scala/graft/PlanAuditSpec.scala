@@ -23,6 +23,7 @@ class PlanAuditSpec extends SparkSpec {
     "s08_ivf_kmeans" -> "broadcast k-centroid affinity per Lloyd round",
     "s12_pq_adc" -> "broadcast 8-row codebook affinity (K·M tiny, not O(n²))",
     "t07_vocab_stats" -> "1x1 scalar combine",
+    "q70_skew_stats" -> "1x1 scalar combine",
     "q20_above_average_parts" -> "broadcast 1-row scalar (global average)")
 
   test("no unlabeled cartesian product in any gated batch query plan") {
