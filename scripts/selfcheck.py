@@ -37,15 +37,21 @@ def main(sf_dir: str, out_dir: str) -> int:
         oracles = json.load(f)
 
     n_pass = n_fail = 0
+    import time
     for name, sql in sorted(oracles.items()):
+        t0 = time.monotonic()
         try:
             want = con.execute(sql).fetchdf()
             got = duckdb.sql(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
         except Exception as e:
-            print(f"FAIL {name}: {e}")
+            print(f"FAIL {name}: {e}", flush=True)
             n_fail += 1
             continue
+        # surface slow oracles immediately (flush: the run is long)
+        dt = time.monotonic() - t0
+        if dt > 30:
+            print(f"SLOW {name}: oracle took {dt:.0f}s", flush=True)
         want, got = norm(want), norm(got)
         if list(want.columns) != list(got.columns):
             print(f"FAIL {name}: columns want={list(want.columns)} "
