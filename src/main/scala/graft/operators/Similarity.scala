@@ -677,7 +677,7 @@ object Similarity {
             MIN(CASE WHEN m = 2 THEN code END) AS code2,
             MIN(CASE WHEN m = 3 THEN code END) AS code3
           FROM codes GROUP BY c_id),
-        lut AS (SELECT q.q_id, mm.m, ct.c,
+        lut AS MATERIALIZED (SELECT q.q_id, mm.m, ct.c,
             list_sum(list_transform(
               list_zip(list_slice(q.av, mm.m * 16 + 1, mm.m * 16 + 16),
                        list_slice(ct.cv, mm.m * 16 + 1, mm.m * 16 + 16)),
@@ -686,14 +686,27 @@ object Similarity {
         cand AS (SELECT DISTINCT p.vec_id AS q_id, b.vec_id AS c_id
                  FROM probed p JOIN e b ON p.probe = b.bucket
                  WHERE p.vec_id % 2 = 1 AND b.vec_id % 2 = 0),
-        scored AS (SELECT cand.q_id, cand.c_id,
-            ((l0.pdist + l1.pdist) + l2.pdist) + l3.pdist AS adist
+        -- one MATERIALIZED stage per sub-space: without the fences the
+        -- optimizer joins the four lut copies to each other before the
+        -- codes constrain them (seen: >9 min at sf0.1; staged: ~1 s)
+        scored0 AS MATERIALIZED (
+          SELECT cand.q_id, cand.c_id, cp.code1, cp.code2, cp.code3,
+            l0.pdist AS p0
           FROM cand
           JOIN cp USING (c_id)
-          JOIN lut l0 ON l0.q_id = cand.q_id AND l0.m = 0 AND l0.c = cp.code0
-          JOIN lut l1 ON l1.q_id = cand.q_id AND l1.m = 1 AND l1.c = cp.code1
-          JOIN lut l2 ON l2.q_id = cand.q_id AND l2.m = 2 AND l2.c = cp.code2
-          JOIN lut l3 ON l3.q_id = cand.q_id AND l3.m = 3 AND l3.c = cp.code3)
+          JOIN lut l0 ON l0.q_id = cand.q_id AND l0.m = 0 AND l0.c = cp.code0),
+        scored1 AS MATERIALIZED (
+          SELECT s.q_id, s.c_id, s.code2, s.code3, s.p0, l1.pdist AS p1
+          FROM scored0 s
+          JOIN lut l1 ON l1.q_id = s.q_id AND l1.m = 1 AND l1.c = s.code1),
+        scored2 AS MATERIALIZED (
+          SELECT s.q_id, s.c_id, s.code3, s.p0, s.p1, l2.pdist AS p2
+          FROM scored1 s
+          JOIN lut l2 ON l2.q_id = s.q_id AND l2.m = 2 AND l2.c = s.code2),
+        scored AS (
+          SELECT s.q_id, s.c_id, ((s.p0 + s.p1) + s.p2) + l3.pdist AS adist
+          FROM scored2 s
+          JOIN lut l3 ON l3.q_id = s.q_id AND l3.m = 3 AND l3.c = s.code3)
         SELECT q_id, c_id, adist FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
             ORDER BY adist, c_id) AS r FROM scored)
