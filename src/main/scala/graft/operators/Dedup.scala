@@ -166,12 +166,11 @@ object Dedup {
     hashed.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
   }
 
-  /** DISTINCT (id_a, id_b) LSH candidates: `bands` bands ×
-    * hashes/bands rows; band_key format matches the oracle's
-    * string_agg("NN:sig" ORDER BY seed). The band count is the
-    * recall/precision dial — runtime conf `spark.graft.minhashBands`
-    * at the query layer. */
-  private[graft] def minhashCands(sigs: DataFrame, hashes: Int = 16,
+  /** (doc_id, band, band_key) — one row per document per LSH band;
+    * band_key format matches the oracle's string_agg("NN:sig" ORDER BY
+    * seed). Shared by the self-join candidates (d03/d06) and the
+    * delta-vs-corpus probe (d10). */
+  private[graft] def minhashBands(sigs: DataFrame, hashes: Int = 16,
       bands: Int = 4): DataFrame = {
     require(hashes % bands == 0 && hashes <= 100,
       s"minhash bands ($bands) must divide hashes ($hashes <= 100)")
@@ -181,9 +180,17 @@ object Dedup {
         concat(lit(f"$i%02d:"), col(s"s$i").cast("string"))): _*).as(s"b$b")
     }
     val stackArgs = (0 until bands).map(b => s"$b, b$b").mkString(", ")
-    val bandsDf = sigs.select(col("doc_id") +: bandCols: _*)
+    sigs.select(col("doc_id") +: bandCols: _*)
       .selectExpr("doc_id",
         s"stack($bands, $stackArgs) AS (band, band_key)")
+  }
+
+  /** DISTINCT (id_a, id_b) LSH candidates: `bands` bands ×
+    * hashes/bands rows. The band count is the recall/precision dial —
+    * runtime conf `spark.graft.minhashBands` at the query layer. */
+  private[graft] def minhashCands(sigs: DataFrame, hashes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    val bandsDf = minhashBands(sigs, hashes, bands)
     bandsDf.as("x")
       .join(bandsDf.as("y"),
         col("x.band") === col("y.band")
@@ -475,7 +482,92 @@ object Dedup {
           .orderBy(col("id_a"), col("id_b"))
       },
       Some(simhashOracleSql()),
-      headline = true)
+      headline = true),
+
+    // ----- d10: INCREMENTAL dedup — today's ingest (the doc_id % 5
+    // == 0 stripe) checked against the historical corpus WITHOUT a
+    // corpus self-join. This is the shape a production pipeline runs
+    // nightly: the corpus MinHash band index is persisted once
+    // (written to parquet here and read back through the layout, the
+    // w01/w02 discipline), and each new batch only computes ITS OWN
+    // signatures and probes the index with a broadcast join — work
+    // scales with |delta|, never |corpus|²; the corpus is scanned,
+    // not shuffled. Candidates are verified with exact jaccard
+    // (d03's candidates-then-exact-verify discipline). Output: one
+    // row per delta doc with its corpus-duplicate count, best
+    // jaccard, and the is_new admission bit.
+    QueryDef(
+      "d10_incremental_dedup",
+      (s, d) => {
+        val (hashes, bands) = minhashGeometry(s)
+        val sh = cappedShingles(s, d).cache()
+        val sigs = minhashSigs(sh, hashes).cache()
+        val corpusBands = minhashBands(
+          sigs.filter(col("doc_id") % 5 =!= 0), hashes, bands)
+        val deltaBands = minhashBands(
+          sigs.filter(col("doc_id") % 5 === 0), hashes, bands)
+        val idxPath = s"${System.getProperty("java.io.tmpdir")}/graft_d10-" +
+          Integer.toHexString(d.hashCode)
+        corpusBands.write.mode("overwrite").parquet(idxPath)
+        val idx = s.read.parquet(idxPath)
+        val cands = idx.as("c")
+          .join(broadcast(deltaBands.as("q")),
+            col("c.band") === col("q.band")
+              && col("c.band_key") === col("q.band_key"))
+          .select(col("q.doc_id").as("delta_id"),
+            col("c.doc_id").as("corpus_id"))
+          .distinct()
+        val cnt = sigs.select(col("doc_id"), col("n"))
+        val qSide = broadcast(cands)
+          .join(sh, col("delta_id") === col("doc_id"))
+          .select(col("delta_id"), col("corpus_id"), col("shingle"))
+        val common = qSide
+          .join(sh.as("b"), qSide("shingle") === col("b.shingle")
+            && col("b.doc_id") === qSide("corpus_id"))
+          .groupBy(col("delta_id"), col("corpus_id"))
+          .agg(count(lit(1)).as("n_common"))
+        val scored = common
+          .join(broadcast(cnt.withColumnRenamed("doc_id", "delta_id")
+            .withColumnRenamed("n", "n_q")), "delta_id")
+          .join(broadcast(cnt.withColumnRenamed("doc_id", "corpus_id")
+            .withColumnRenamed("n", "n_c")), "corpus_id")
+          .withColumn("jaccard", col("n_common").cast("double")
+            / (col("n_q") + col("n_c") - col("n_common")))
+          .filter(col("jaccard") >= 0.5)
+        val perDelta = scored.groupBy(col("delta_id"))
+          .agg(count(lit(1)).as("n_corpus_dups"),
+            max(col("jaccard")).as("best_jaccard"))
+        new Tables(s, d).documents.filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id").as("delta_id"))
+          .join(perDelta, Seq("delta_id"), "left")
+          .select(col("delta_id"),
+            coalesce(col("n_corpus_dups"), lit(0L)).as("n_corpus_dups"),
+            coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"),
+            (coalesce(col("n_corpus_dups"), lit(0L)) === 0).as("is_new"))
+          .orderBy(col("delta_id"))
+      },
+      Some(s"""WITH ${jaccardPairsSql()},
+        ${minhashCtesSql()},
+        cands_x AS (SELECT DISTINCT q.doc_id AS delta_id,
+            c.doc_id AS corpus_id
+          FROM bands q JOIN bands c
+            ON q.band = c.band AND q.band_key = c.band_key
+          WHERE q.doc_id % 5 = 0 AND c.doc_id % 5 <> 0),
+        hits AS (SELECT delta_id, corpus_id, j.jaccard
+          FROM cands_x
+          JOIN jac j ON j.id_a = LEAST(delta_id, corpus_id)
+                    AND j.id_b = GREATEST(delta_id, corpus_id)
+          WHERE j.jaccard >= 0.5),
+        per AS (SELECT delta_id, COUNT(*) AS n_corpus_dups,
+            MAX(jaccard) AS best_jaccard
+          FROM hits GROUP BY delta_id)
+        SELECT d.doc_id AS delta_id,
+          CAST(COALESCE(p.n_corpus_dups, 0) AS BIGINT) AS n_corpus_dups,
+          COALESCE(p.best_jaccard, 0.0) AS best_jaccard,
+          COALESCE(p.n_corpus_dups, 0) = 0 AS is_new
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+        LEFT JOIN per p ON p.delta_id = d.doc_id
+        ORDER BY delta_id"""))
   )
 
   /** Iterative min-label propagation to a fixpoint — connected

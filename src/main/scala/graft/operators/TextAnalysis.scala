@@ -374,6 +374,70 @@ object TextAnalysis {
           COALESCE(h.n_shared_ngrams, 0) = 0 AS keep
         FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
         LEFT JOIN hits h USING (doc_id)
+        ORDER BY d.doc_id""")),
+
+    // ----- t11: BLOOM-PREFILTERED DECONTAMINATION — same answer as
+    // t10, restructured for the regime where the eval-side n-gram set
+    // outgrows a comfortable exact broadcast (a full eval-suite union
+    // is 10⁸+ distinct 5-grams; 16-byte keys + hash-map overhead ≈
+    // several GB per executor, while a 1%-fpp bloom is ~10 bits/entry
+    // — 20–30× smaller). Stage 1 prefilters the TB-scale train grams
+    // with the codegen'd `bloom_might_contain` INSIDE the scan
+    // projection — no join, no shuffle, survivors ≈ true hits +
+    // fpp·|train grams|. Stage 2 runs the exact broadcast join ONLY
+    // on the survivors, killing bloom false positives, so the output
+    // is bit-identical to t10 and shares its oracle. Same
+    // candidates-then-exact-verify discipline as the LSH paths
+    // (d03/s05): approximate structure narrows, exact logic decides.
+    QueryDef(
+      "t11_decontaminate_bloom",
+      (s, d) => {
+        graft.functions.Generators.register(s)
+        val docs = new Tables(s, d).documents
+        def grams(df: org.apache.spark.sql.DataFrame) = df
+          .select(col("doc_id"), expr("ngrams(text, 5)"))
+          .select(col("doc_id"), md5(col("ngram")).as("g"))
+        val trainG = grams(docs.filter(col("doc_id") % 10 =!= 0))
+        val evalG = grams(docs.filter(col("doc_id") % 10 === 0))
+          .withColumnRenamed("doc_id", "eval_id").distinct()
+        val bloom = graft.functions.BloomFunctions.buildBloom(
+          evalG, "g", expectedItems = 1L << 20, fpp = 0.01)
+        graft.functions.BloomFunctions.registerMightContain(
+          s, "graft_bloom_eval", bloom)
+        val candidates = trainG.filter(expr("graft_bloom_eval(g)"))
+        val hits = candidates.join(broadcast(evalG), "g")
+          .groupBy(col("doc_id"))
+          .agg(count_distinct(col("g")).as("n_shared_ngrams"),
+            count_distinct(col("eval_id")).as("n_eval_docs"))
+        docs.filter(col("doc_id") % 10 =!= 0).select(col("doc_id"))
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_shared_ngrams"), lit(0L)).as("n_shared_ngrams"),
+            coalesce(col("n_eval_docs"), lit(0L)).as("n_eval_docs"),
+            (coalesce(col("n_shared_ngrams"), lit(0L)) === 0).as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH grams AS (
+          SELECT DISTINCT doc_id,
+            md5(array_to_string(toks[i:i+4], ' ')) AS g
+          FROM (SELECT doc_id,
+                  string_split_regex(lower(trim(text)), '\s+') AS toks
+                FROM documents),
+               UNNEST(generate_series(1, len(toks) - 4)) AS u(i)),
+        hits AS (
+          SELECT tr.doc_id,
+            COUNT(DISTINCT tr.g) AS n_shared_ngrams,
+            COUNT(DISTINCT ev.eval_id) AS n_eval_docs
+          FROM (SELECT doc_id, g FROM grams WHERE doc_id % 10 <> 0) tr
+          JOIN (SELECT doc_id AS eval_id, g FROM grams
+                WHERE doc_id % 10 = 0) ev USING (g)
+          GROUP BY tr.doc_id)
+        SELECT d.doc_id,
+          CAST(COALESCE(h.n_shared_ngrams, 0) AS BIGINT) AS n_shared_ngrams,
+          CAST(COALESCE(h.n_eval_docs, 0) AS BIGINT) AS n_eval_docs,
+          COALESCE(h.n_shared_ngrams, 0) = 0 AS keep
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+        LEFT JOIN hits h USING (doc_id)
         ORDER BY d.doc_id"""))
   )
 }

@@ -86,6 +86,64 @@ object Writes {
       Some(s"""SELECT c_nationkey, COUNT(*) AS n_orders,
           ${Exact.sqlSum("o_totalprice", 2)} AS total_price
         FROM orders JOIN customer ON o_custkey = c_custkey
-        GROUP BY c_nationkey ORDER BY c_nationkey"""))
+        GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
+    // ----- w03: TRAINING-SHARD EXPORT — the last hop of a curation
+    // pipeline: deal the corpus into N fixed shards by an md5-derived
+    // key and write each shard as one file, rows ordered by the same
+    // key. The md5 deal is a DETERMINISTIC GLOBAL SHUFFLE — it breaks
+    // crawl-order/source correlations the way a training run needs,
+    // yet is reproducible bit-for-bit across runs and engines
+    // (rand() is neither) and independent of input partitioning.
+    // Shape at 100 TB: one shuffle keyed by the shard id (each shard
+    // lands wholly in one task → exactly one file per shard), local
+    // sort within shards, N sized so each file is a few GB for the
+    // data-loader. The gated result reads the export BACK and digests
+    // each shard's doc ids in shard order — proving membership, balance,
+    // AND order round-trip through the layout, not just that a write
+    // happened. Oracle mirrors the md5 deal + ordered string_agg.
+    QueryDef(
+      "w03_shard_export",
+      (s, d) => {
+        val out = scratch("w03", d)
+        val n = 8
+        new Tables(s, d).documents
+          .select(col("doc_id"), col("text"))
+          .withColumn("skey",
+            md5(concat(lit("shard:"), col("doc_id").cast("string"))))
+          .withColumn("shard",
+            (conv(substring(col("skey"), 1, 7), 16, 10).cast("long") % n)
+              .cast("int"))
+          // sort key is (shard, skey): the write's required ordering
+          // (partition column first) is then already satisfied, so the
+          // planner reuses THIS sort instead of inserting its own
+          // shard-only (order-destroying) one — V1Writes only adds a
+          // Sort when the child ordering doesn't prefix-match
+          .repartition(n, col("shard"))
+          .sortWithinPartitions(col("shard"), col("skey"))
+          .write.mode("overwrite").partitionBy("shard").parquet(out)
+        s.read.parquet(out)
+          .groupBy(col("shard").cast("int").as("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text"))).cast("long").as("n_chars"),
+            md5(array_join(transform(
+              array_sort(collect_list(struct(
+                col("skey").as("k"),
+                col("doc_id").cast("string").as("v")))),
+              x => x.getField("v")), ",")).as("order_digest"))
+          .orderBy(col("shard"))
+      },
+      Some("""WITH dealt AS (
+          SELECT doc_id, length(text) AS n,
+            md5('shard:' || CAST(doc_id AS VARCHAR)) AS skey
+          FROM documents),
+        sharded AS (
+          SELECT doc_id, n, skey,
+            CAST(('0x' || substr(skey, 1, 7))::BIGINT % 8 AS INT) AS shard
+          FROM dealt)
+        SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_chars,
+          md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY skey))
+            AS order_digest
+        FROM sharded GROUP BY shard ORDER BY shard"""))
   )
 }

@@ -57,4 +57,25 @@ class WritePathsSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS w02_customer_bkt")
     }
   }
+
+  test("w03 shard export: one file per shard, rows key-ordered in-file") {
+    val df = SparkEntry.queries("w03_shard_export")(spark, sf)
+    assert(df.count() == 8, "eight shards expected")
+    // the query's scratch layout (same derivation as Writes.scratch)
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_w03-" +
+      Integer.toHexString(sf.hashCode)
+    val shardDirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(shardDirs.length == 8, s"expected 8 shard dirs in $out")
+    shardDirs.foreach { dir =>
+      val parts = dir.listFiles().filter(_.getName.startsWith("part-"))
+      assert(parts.length == 1,
+        s"${dir.getName}: one file per shard, got ${parts.length}")
+      // a single small file reads back as one split, preserving file
+      // row order — assert the local sort landed in the layout
+      val keys = spark.read.parquet(parts.head.getPath)
+        .select(col("skey")).collect().map(_.getString(0)).toSeq
+      assert(keys == keys.sorted, s"${dir.getName}: rows not key-ordered")
+    }
+  }
 }
