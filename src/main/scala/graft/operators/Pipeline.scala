@@ -150,6 +150,54 @@ object Pipeline {
         FROM q
         JOIN canon c ON c.doc_id = q.doc_id
         LEFT JOIN contaminated con ON con.doc_id = q.doc_id
-        ORDER BY q.doc_id"""))
+        ORDER BY q.doc_id""")),
+
+    // ----- p02: SEQUENCE PACKING — the concatenate-and-chop step
+    // that turns curated documents into fixed-budget training
+    // sequences (GPT-style packing at document granularity): within
+    // each md5-dealt shard (w03's deterministic deal), documents are
+    // concatenated in doc_id order and chopped at 2048-token
+    // boundaries; a document belongs to the pack its FIRST token
+    // falls in. A single global running sum would be inherently
+    // sequential — one partition, no parallelism at 100 TB — so the
+    // running sum is PER SHARD (one window partition each, 8-way
+    // here, N-way in production), making packing embarrassingly
+    // parallel while staying bit-deterministic. One shuffle on the
+    // shard key; the pack rollup rides the same partitioning.
+    QueryDef(
+      "p02_sequence_pack",
+      (s, d) => new Tables(s, d).documents
+        .select(col("doc_id"),
+          size(expr(toksExpr)).cast("long").as("n_tok"))
+        .withColumn("shard",
+          (conv(substring(md5(concat(lit("shard:"),
+            col("doc_id").cast("string"))), 1, 7), 16, 10)
+            .cast("long") % 8).cast("int"))
+        .withColumn("cum", sum(col("n_tok")).over(
+          Window.partitionBy(col("shard")).orderBy(col("doc_id"))))
+        .withColumn("pack_id", expr("(cum - n_tok) div 2048"))
+        .groupBy(col("shard"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("shard"), col("pack_id")),
+      Some("""WITH toksn AS (
+          SELECT doc_id,
+            CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)
+              AS n_tok
+          FROM documents),
+        dealt AS (SELECT doc_id, n_tok,
+            CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)),
+              1, 7))::BIGINT % 8 AS INT) AS shard
+          FROM toksn),
+        packed AS (SELECT shard, doc_id, n_tok,
+            CAST((SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id)
+              - n_tok) // 2048 AS BIGINT) AS pack_id
+          FROM dealt)
+        SELECT shard, pack_id, COUNT(*) AS n_docs,
+          CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+          MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM packed GROUP BY shard, pack_id ORDER BY shard, pack_id"""))
   )
 }

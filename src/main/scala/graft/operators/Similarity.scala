@@ -981,6 +981,57 @@ object Similarity {
             FROM (SELECT vec_id,
                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
               FROM embeddings)))
-        ORDER BY vec_id"""))
+        ORDER BY vec_id""")),
+
+    // ----- s13: PERSISTED BUCKET INDEX — s11's "at 100 TB the corpus
+    // is bucketed STORAGE" claim made literal: the corpus half is
+    // WRITTEN bucketed (and sorted) on its LSH bucket id, and the
+    // serving probe join reads it back through the layout — the
+    // corpus side plans with NO Exchange (its write-time bucketing IS
+    // the join distribution; asserted in `PersistedIndexSpec`), only
+    // the tiny exploded query side shuffles to align. Semantically
+    // identical to s11 (same oracle): what changes is WHERE the
+    // corpus shuffle happens — once, at index-build time, instead of
+    // on every serving run. This is the decision that turns a
+    // 10⁹-vector ANN serving workload scan-bound: nightly index
+    // build pays one bucket shuffle; every query batch thereafter
+    // probes for free.
+    QueryDef(
+      "s13_persisted_bucket_index",
+      (s, d) => {
+        val e = vecs(s, d).withColumn("bucket", expr(bucketExpr))
+        val idxPath = s"${System.getProperty("java.io.tmpdir")}/graft_s13-" +
+          Integer.toHexString(d.hashCode)
+        e.filter(col("vec_id") % 2 === 0)
+          .select(col("vec_id").as("c_id"), col("v").as("bv"),
+            col("nrm").as("nrm_c"), col("bucket").as("bucket_c"))
+          .write.mode("overwrite").option("path", idxPath)
+          .bucketBy(8, "bucket_c").sortBy("bucket_c")
+          .saveAsTable("s13_corpus_idx")
+        val corpus = s.table("s13_corpus_idx")
+        val qs = e.filter(col("vec_id") % 2 === 1)
+          .select(col("vec_id").as("q_id"), col("v").as("av"),
+            col("nrm").as("nrm_q"), col("bucket"))
+          .withColumn("probe", explode(expr(probeExpr(lshHyperplanes(s)))))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_sim").desc, col("c_id"))
+        qs.join(corpus, col("probe") === col("bucket_c"))
+          .withColumn("cos_sim", expr(dotExpr) / (col("nrm_q") * col("nrm_c")))
+          .withColumn("r", row_number().over(w))
+          .filter(col("r") === 1)
+          .select(col("q_id"), col("c_id"), col("cos_sim"))
+          .orderBy(col("q_id"))
+      },
+      Some(s"""WITH e0 AS ($vecsSql),
+        ${bucketedSqlCtes()},
+        cand AS (SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+            list_sum(list_transform(list_zip(a.v, b.v), t -> t[1] * t[2]))
+              / (a.nrm * b.nrm) AS cos_sim
+          FROM probed a JOIN e b ON a.probe = b.bucket
+          WHERE a.vec_id % 2 = 1 AND b.vec_id % 2 = 0)
+        SELECT q_id, c_id, cos_sim FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY cos_sim DESC, c_id) AS r FROM cand)
+        WHERE r = 1 ORDER BY q_id"""))
   )
 }

@@ -438,6 +438,37 @@ object TextAnalysis {
           COALESCE(h.n_shared_ngrams, 0) = 0 AS keep
         FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
         LEFT JOIN hits h USING (doc_id)
-        ORDER BY d.doc_id"""))
+        ORDER BY d.doc_id""")),
+
+    // ----- t12: CONTEXT-WINDOW CHUNKING — the tokenize-adjacent step
+    // that turns variable-length documents into fixed-size training
+    // windows: 96-token chunks on a 64-token stride (32-token overlap
+    // so no boundary context is lost). Pure per-row explode — no
+    // shuffle, fused into the scan; ~n/64 chunks per document, output
+    // size linear in corpus tokens. Each chunk ships with its md5 so
+    // the downstream loader can verify payload integrity without
+    // re-reading text.
+    QueryDef(
+      "t12_context_chunks",
+      (s, d) => new Tables(s, d).documents
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("n", size(col("toks")))
+        .withColumn("chunk_start", explode(expr("sequence(1, n, 64)")))
+        .select(col("doc_id"), col("chunk_start").cast("long").as("chunk_start"),
+          least(lit(96), col("n") - col("chunk_start") + 1)
+            .cast("long").as("n_chunk_tokens"),
+          md5(array_join(slice(col("toks"), col("chunk_start"), lit(96)), " "))
+            .as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_start")),
+      Some("""SELECT doc_id, CAST(chunk_start AS BIGINT) AS chunk_start,
+          CAST(LEAST(96, n - chunk_start + 1) AS BIGINT) AS n_chunk_tokens,
+          md5(array_to_string(toks[chunk_start:chunk_start + 95], ' '))
+            AS chunk_md5
+        FROM (SELECT doc_id, toks, len(toks) AS n
+              FROM (SELECT doc_id,
+                      string_split_regex(lower(trim(text)), '\s+') AS toks
+                    FROM documents)),
+          UNNEST(generate_series(1, n, 64)) AS g(chunk_start)
+        ORDER BY doc_id, chunk_start"""))
   )
 }

@@ -435,6 +435,47 @@ object StreamingOps {
       Some(s"""SELECT c_mktsegment, COUNT(*) AS n,
           ${sqlSum("value", 2)} AS sum_value
         FROM events JOIN customer ON user_id = c_custkey
-        GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // ----- st10: STREAMING BLOOM ADMISSION GATE — CDC-style ingest
+    // dedup: admit only events from entities NOT already in the
+    // registry (here: the c_custkey % 3 == 0 "known" stripe). The
+    // bloom of the known set rides the streaming plan as a codegen'd
+    // scan predicate, so the overwhelmingly-common known case is
+    // killed per-row with NO join and NO state; only the bloom-maybe
+    // sliver takes the exact broadcast LEFT ANTI verify (false
+    // positives die there — output is bit-exact), and the bloom-no
+    // fast path bypasses the join entirely. At 100 TB/day of events
+    // against a 10⁹-row registry this is the difference between a
+    // per-event join probe and a per-event bit test. Same two-stage
+    // discipline as t11, inside a streaming plan.
+    QueryDef(
+      "st10_stream_bloom_gate",
+      (s, d) => {
+        val known = new Tables(s, d).customer
+          .filter(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey"))
+        val bloom = graft.functions.BloomFunctions.buildBloom(
+          known.select(col("c_custkey").cast("string").as("k")), "k",
+          expectedItems = 1L << 16, fpp = 0.01)
+        graft.functions.BloomFunctions.registerMightContain(
+          s, "graft_bloom_known", bloom)
+        val probe = "graft_bloom_known(cast(user_id as string))"
+        val cols = Seq(col("event_id"), col("user_id"),
+          col("event_type"), col("value"))
+        val fastPathNew = eventStream(s, d)
+          .filter(!expr(probe)).select(cols: _*)
+        val verifiedNew = eventStream(s, d)
+          .filter(expr(probe))
+          .join(broadcast(known), col("user_id") === col("c_custkey"),
+            "left_anti")
+          .select(cols: _*)
+        runToMemory(s, fastPathNew.unionByName(verifiedNew), "append")
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id, event_type, value FROM events e
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+          WHERE c.c_custkey = e.user_id AND c.c_custkey % 3 = 0)
+        ORDER BY event_id"""))
   )
 }

@@ -51,4 +51,18 @@ class BloomPrefilterSpec extends SparkSpec {
       s"bloom barely filtered: $survivors of $total survive " +
         s"($trueHits true hits)")
   }
+
+  test("bloom predicate plans inside whole-stage codegen") {
+    val evalG = grams(eval = true).select(col("g")).distinct()
+    val bf = BloomFunctions.buildBloom(evalG, "g", 1L << 20, 0.01)
+    BloomFunctions.registerMightContain(spark, "bf_spec_wscg", bf)
+    val filtered = grams(eval = false).filter(expr("bf_spec_wscg(g)"))
+    val wscgWithFilter = filtered.queryExecution.executedPlan.exists {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec =>
+        w.exists(_.isInstanceOf[org.apache.spark.sql.execution.FilterExec])
+      case _ => false
+    }
+    assert(wscgWithFilter,
+      s"bloom filter fell out of codegen:\n${filtered.queryExecution.executedPlan}")
+  }
 }
