@@ -1028,6 +1028,48 @@ object Analytics {
         SELECT n_keys, CAST(max_cnt AS BIGINT) AS max_cnt, n_rows,
           CAST(max_cnt * n_keys AS DOUBLE) / n_rows AS skew_ratio,
           hottest
-        FROM stats, hot"""))
+        FROM stats, hot""")),
+
+    // ----- q71: MERGEABLE DISTINCT-COUNT SKETCHES — the DataSketches
+    // HLL family (hll_sketch_agg / hll_union_agg / estimate), which
+    // covers the re-aggregation story q30's approx_count_distinct
+    // can't: per-group sketches are built ONCE, persisted, and later
+    // UNIONED across groups/days/partitions without re-touching raw
+    // data — the nightly "distinct users per segment AND overall"
+    // rollup at 100 TB, where the raw column is petabytes but each
+    // sketch is ~KBs. The `_all` row is computed purely by merging
+    // the per-type sketches. Estimates are sketch-accurate, so the
+    // gated output carries the exact count plus a within-5%% bound
+    // bit (q30's discipline) — hash-stable at every scale factor
+    // while still proving the sketch path end-to-end.
+    QueryDef(
+      "q71_hll_sketch_distinct",
+      (s, d) => {
+        val e = tb(s, d).events
+        val byType = e.groupBy(col("event_type"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"),
+            countDistinct(col("user_id")).as("exact_users"))
+        val perType = byType.select(col("event_type"), col("exact_users"),
+          (abs(hll_sketch_estimate(col("sk")) - col("exact_users"))
+            <= col("exact_users").cast("double") * 0.05)
+            .as("sketch_within_5pct"))
+        val overall = byType
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+          .crossJoin(e.agg( // 1x1 scalar combine
+            countDistinct(col("user_id")).as("exact_users")))
+          .select(lit("_all").as("event_type"), col("exact_users"),
+            (abs(col("est") - col("exact_users"))
+              <= col("exact_users").cast("double") * 0.05)
+              .as("sketch_within_5pct"))
+        perType.unionByName(overall).orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type,
+          CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+          TRUE AS sketch_within_5pct
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT '_all', CAST(COUNT(DISTINCT user_id) AS BIGINT), TRUE
+        FROM events
+        ORDER BY event_type"""))
   )
 }

@@ -24,6 +24,7 @@ class PlanAuditSpec extends SparkSpec {
     "s12_pq_adc" -> "broadcast 8-row codebook affinity (K·M tiny, not O(n²))",
     "t07_vocab_stats" -> "1x1 scalar combine",
     "q70_skew_stats" -> "1x1 scalar combine",
+    "q71_hll_sketch_distinct" -> "1x1 scalar combine (union row)",
     "q20_above_average_parts" -> "broadcast 1-row scalar (global average)")
 
   test("no unlabeled cartesian product in any gated batch query plan") {
