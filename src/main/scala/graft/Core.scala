@@ -73,6 +73,12 @@ object GraftConf {
   /** Independent LSH hash-table count for multi-table recall
     * amplification (OR over tables of AND-ed hyperplane signs). */
   val LshTablesKey = "spark.graft.lshTables"
+  /** Corpus line-dedup: a segment appearing in at least this many
+    * distinct documents is boilerplate and scrubbed everywhere. A
+    * bigger corpus repeats true boilerplate in far more docs, so the
+    * threshold grows with corpus size (roughly with log n) to keep
+    * organic collisions out of the hot set. */
+  val LineDedupDfKey = "spark.graft.lineDedupDf"
 
   def int(s: SparkSession, key: String, default: Int): Int =
     s.conf.getOption(key).map(_.trim.toInt).getOrElse(default)

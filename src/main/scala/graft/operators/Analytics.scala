@@ -1070,6 +1070,42 @@ object Analytics {
         UNION ALL
         SELECT '_all', CAST(COUNT(DISTINCT user_id) AS BIGINT), TRUE
         FROM events
-        ORDER BY event_type"""))
+        ORDER BY event_type""")),
+
+    // ----- q72: RECURSIVE CTE (Spark 4's WITH RECURSIVE → iterative
+    // UnionLoop execution) — walk a hierarchy derived from the nation
+    // table (node k's parent is (k-1) div 2, a complete binary tree
+    // over the 25 nations), computing each node's depth and
+    // root-to-node path. The per-iteration step is a JOIN against the
+    // previous frontier: exactly the shape of an org-chart / BOM
+    // explosion, and the declarative twin of d07's hand-rolled
+    // label-propagation loop.
+    // Scale: each iteration joins the (small) frontier against the
+    // dimension — broadcast per level, depth = log n levels.
+    QueryDef(
+      "q72_recursive_hierarchy",
+      (s, d) => {
+        tb(s, d).nation.createOrReplaceTempView("nation")
+        s.sql("""WITH RECURSIVE chain AS (
+            SELECT n_nationkey AS k, n_name AS name, 0 AS depth,
+                   CAST(n_name AS STRING) AS path
+            FROM nation WHERE n_nationkey = 0
+            UNION ALL
+            SELECT n.n_nationkey, n.n_name, c.depth + 1,
+                   concat(c.path, '>', n.n_name)
+            FROM nation n JOIN chain c
+              ON n.n_nationkey > 0 AND (n.n_nationkey - 1) div 2 = c.k)
+          SELECT k, name, depth, path FROM chain ORDER BY k""")
+      },
+      Some("""WITH RECURSIVE chain AS (
+          SELECT n_nationkey AS k, n_name AS name, 0 AS depth,
+                 CAST(n_name AS VARCHAR) AS path
+          FROM nation WHERE n_nationkey = 0
+          UNION ALL
+          SELECT n.n_nationkey, n.n_name, c.depth + 1,
+                 c.path || '>' || n.n_name
+          FROM nation n JOIN chain c
+            ON n.n_nationkey > 0 AND (n.n_nationkey - 1) // 2 = c.k)
+        SELECT k, name, depth, path FROM chain ORDER BY k"""))
   )
 }

@@ -198,6 +198,58 @@ object Pipeline {
         SELECT shard, pack_id, COUNT(*) AS n_docs,
           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
-        FROM packed GROUP BY shard, pack_id ORDER BY shard, pack_id"""))
+        FROM packed GROUP BY shard, pack_id ORDER BY shard, pack_id""")),
+
+    // ----- p03: DOMAIN MIXTURE weights — temperature-based sampling
+    // across languages (the multilingual-corpus alpha-sampling rule:
+    // weight proportional to n^alpha with alpha = 0.5, so low-resource
+    // domains are upsampled relative to their share). Cross-engine
+    // determinism: sqrt is IEEE-correctly-rounded in both engines, the
+    // weight is then FLOORED to an integer at 1e6 scale (floor is
+    // exact; no decimal rounding-mode dependence), integer weights sum
+    // exactly in any order, and every ratio is a single double
+    // division.
+    // Scale: one hash aggregate over the corpus to 5 rows, then
+    // arithmetic on the 5-row side — the scalar total is a broadcast,
+    // not a shuffle.
+    QueryDef(
+      "p03_domain_mixture",
+      (s, d) => {
+        val perLang = new Tables(s, d).documents
+          .withColumn("toks", expr(toksExpr))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(col("toks")).cast("long")).as("n_tokens"))
+          .withColumn("w_scaled",
+            floor(sqrt(col("n_docs").cast("double")) * lit(1e6))
+              .cast("long"))
+        val total = perLang.agg(sum(col("w_scaled")).as("w_total"))
+        perLang.crossJoin(total) // 5x1 scalar combine
+          .withColumn("sample_share",
+            col("w_scaled").cast("double") / col("w_total"))
+          .withColumn("docs_per_epoch",
+            floor(col("sample_share") * lit(100000.0)).cast("long"))
+          .select(col("lang"), col("n_docs"), col("n_tokens"),
+            col("w_scaled"), col("sample_share"), col("docs_per_epoch"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH per_lang AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(len(string_split_regex(lower(trim(text)), '\s+')))
+              AS BIGINT) AS n_tokens
+          FROM documents GROUP BY lang),
+        weighted AS (
+          SELECT lang, n_docs, n_tokens,
+            CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1e6) AS BIGINT)
+              AS w_scaled
+          FROM per_lang)
+        SELECT lang, n_docs, n_tokens, w_scaled,
+          CAST(w_scaled AS DOUBLE)
+            / (SELECT CAST(sum(w_scaled) AS BIGINT) FROM weighted)
+            AS sample_share,
+          CAST(floor(CAST(w_scaled AS DOUBLE)
+            / (SELECT CAST(sum(w_scaled) AS BIGINT) FROM weighted)
+            * 100000.0) AS BIGINT) AS docs_per_epoch
+        FROM weighted ORDER BY lang"""))
   )
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{QueryDef, Tables}
+import graft.{GraftConf, QueryDef, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.LongType
@@ -469,6 +469,143 @@ object TextAnalysis {
                       string_split_regex(lower(trim(text)), '\s+') AS toks
                     FROM documents)),
           UNNEST(generate_series(1, n, 64)) AS g(chunk_start)
-        ORDER BY doc_id, chunk_start"""))
+        ORDER BY doc_id, chunk_start""")),
+
+    // ----- t13: corpus-level LINE dedup — the C4/RefinedWeb
+    // boilerplate-removal pass, reshaped to this corpus's single-line
+    // docs: the "line" is a non-overlapping 4-token segment. A segment
+    // appearing in >= K distinct documents (K =
+    // spark.graft.lineDedupDf, default 3) is boilerplate (nav bars,
+    // cookie banners, license headers at web scale) and every
+    // occurrence is scrubbed from every document; the scrubbed text is
+    // md5-verified, proving the rewrite.
+    // Scale: one shuffle on the segment key for the df count, the
+    // hot-mark join shuffles on the same key (AQE broadcasts the hot
+    // side when it is small — at real boilerplate rates |hot| <=
+    // |segments|/K), and one doc_id shuffle reassembles. No sorts
+    // outside the bounded per-doc sort_array.
+    QueryDef(
+      "t13_line_dedup",
+      (s, d) => {
+        val k = GraftConf.int(s, GraftConf.LineDedupDfKey, 3)
+        val segs = new Tables(s, d).documents
+          .withColumn("toks", expr(toksExpr))
+          .withColumn("start", explode(expr("sequence(1, size(toks), 4)")))
+          .select(col("doc_id"), col("start"),
+            array_join(slice(col("toks"), col("start"), lit(4)), " ")
+              .as("seg"))
+        val hot = segs.groupBy(col("seg"))
+          .agg(countDistinct(col("doc_id")).as("seg_df"))
+          .filter(col("seg_df") >= lit(k))
+          .select(col("seg"), lit(true).as("is_hot"))
+        segs.join(hot, Seq("seg"), "left")
+          .withColumn("is_hot", coalesce(col("is_hot"), lit(false)))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).cast(LongType).as("n_segments"),
+            sum(when(col("is_hot"), 1L).otherwise(0L)).as("n_removed"),
+            sort_array(collect_list(
+              struct(col("start"), col("seg"), col("is_hot")))).as("sg"))
+          .select(col("doc_id"), col("n_segments"), col("n_removed"),
+            md5(array_join(
+              expr("transform(filter(sg, x -> NOT x.is_hot), x -> x.seg)"),
+              " ")).as("scrubbed_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH segs AS (
+          SELECT doc_id, g AS start, array_to_string(toks[g:g+3], ' ') AS seg
+          FROM (SELECT doc_id,
+                  string_split_regex(lower(trim(text)), '\s+') AS toks
+                FROM documents),
+            UNNEST(generate_series(1, len(toks), 4)) AS t(g)),
+        hot AS (
+          SELECT seg FROM (SELECT seg, count(DISTINCT doc_id) AS seg_df
+                           FROM segs GROUP BY seg)
+          WHERE seg_df >= 3),
+        marked AS (
+          SELECT s.doc_id, s.start, s.seg, h.seg IS NOT NULL AS is_hot
+          FROM segs s LEFT JOIN hot h ON s.seg = h.seg)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+          CAST(sum(CASE WHEN is_hot THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_removed,
+          md5(coalesce(string_agg(seg, ' ' ORDER BY start)
+            FILTER (WHERE NOT is_hot), '')) AS scrubbed_md5
+        FROM marked GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ----- t14: within-document REPETITION filters — the Gopher
+    // quality rules (Rae et al. 2021, table A1): duplicate-word
+    // fraction, most-frequent-2-gram fraction, duplicate-3-gram
+    // fraction, and the conjunctive keep bit. Everything is an exact
+    // integer ratio, so the keep thresholds compare deterministically.
+    // Scale: per-document only — the n-gram explodes shuffle on
+    // doc_id and nothing else; linear in corpus size.
+    QueryDef(
+      "t14_repetition_filter",
+      (s, d) => {
+        graft.functions.Generators.register(s)
+        val docs = new Tables(s, d).documents
+        val words = docs
+          .withColumn("toks", expr(toksExpr))
+          .select(col("doc_id"),
+            size(col("toks")).cast(LongType).as("n_tok"),
+            size(array_distinct(col("toks"))).cast(LongType)
+              .as("n_distinct_tok"))
+          .withColumn("dup_word_frac",
+            lit(1.0) - col("n_distinct_tok").cast("double") / col("n_tok"))
+        val top2 = docs
+          .select(col("doc_id"), expr("ngrams(text, 2)"))
+          .groupBy(col("doc_id"), col("ngram"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(max(col("c")).as("top2_count"),
+            sum(col("c")).as("n_2grams"))
+          .select(col("doc_id"),
+            (col("top2_count").cast("double") / col("n_2grams"))
+              .as("top_2gram_frac"))
+        val d3 = docs
+          .select(col("doc_id"), expr("ngrams(text, 3)"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_3grams"),
+            countDistinct(col("ngram")).as("n_distinct_3grams"))
+          .select(col("doc_id"),
+            (lit(1.0) - col("n_distinct_3grams").cast("double")
+              / col("n_3grams")).as("dup_3gram_frac"))
+        words.join(top2, Seq("doc_id")).join(d3, Seq("doc_id"))
+          .withColumn("keep",
+            col("dup_word_frac") <= lit(0.55)
+              && col("top_2gram_frac") <= lit(0.04)
+              && col("dup_3gram_frac") <= lit(0.05))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH base AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+          FROM documents),
+        words AS (
+          SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+            CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tok,
+            1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+              AS dup_word_frac
+          FROM base),
+        g2 AS (
+          SELECT doc_id, toks[i] || ' ' || toks[i+1] AS gram
+          FROM base, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)),
+        top2 AS (
+          SELECT doc_id,
+            CAST(max(c) AS DOUBLE) / sum(c) AS top_2gram_frac
+          FROM (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2)
+          GROUP BY doc_id),
+        g3 AS (
+          SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+          FROM base, UNNEST(generate_series(1, len(toks) - 2)) AS u(i)),
+        d3 AS (
+          SELECT doc_id,
+            1.0 - CAST(count(DISTINCT gram) AS DOUBLE) / count(*)
+              AS dup_3gram_frac
+          FROM g3 GROUP BY doc_id)
+        SELECT doc_id, n_tok, n_distinct_tok, dup_word_frac,
+          top_2gram_frac, dup_3gram_frac,
+          dup_word_frac <= 0.55 AND top_2gram_frac <= 0.04
+            AND dup_3gram_frac <= 0.05 AS keep
+        FROM words JOIN top2 USING (doc_id) JOIN d3 USING (doc_id)
+        ORDER BY doc_id"""))
   )
 }
