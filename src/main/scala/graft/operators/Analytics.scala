@@ -1106,6 +1106,124 @@ object Analytics {
                  c.path || '>' || n.n_name
           FROM nation n JOIN chain c
             ON n.n_nationkey > 0 AND (n.n_nationkey - 1) // 2 = c.k)
-        SELECT k, name, depth, path FROM chain ORDER BY k"""))
+        SELECT k, name, depth, path FROM chain ORDER BY k""")),
+
+    // ----- q73: CDC MERGE — apply a change-set (inserts / updates /
+    // deletes) to a snapshot, the MERGE INTO shape without a table
+    // format: ONE full-outer join on the key decides every row's fate
+    // (matched+U → new values, matched+D → drop, unmatched change →
+    // insert, unmatched snapshot → carry over). The change-set is
+    // derived deterministically from the snapshot itself (key mod
+    // classes) so the oracle can re-derive it.
+    // Scale: the single key-shuffle join IS the cost; with the
+    // snapshot bucket-written on the key (w02) its side is
+    // exchange-free, and the change-set (a day's CDC) is typically
+    // broadcastable.
+    QueryDef(
+      "q73_cdc_merge",
+      (s, d) => {
+        val snap = tb(s, d).orders
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderstatus"))
+        val updates = snap.filter(col("o_orderkey") % 100 < 10)
+          .select(col("o_orderkey").as("c_key"),
+            (col("o_totalprice") + lit(1000.0)).as("c_price"),
+            lit("U").as("op"))
+        val deletes = snap
+          .filter(col("o_orderkey") % 100 >= 10
+            && col("o_orderkey") % 100 < 15)
+          .select(col("o_orderkey").as("c_key"),
+            lit(null).cast("double").as("c_price"), lit("D").as("op"))
+        val inserts = snap
+          .filter(col("o_orderkey") % 100 >= 15
+            && col("o_orderkey") % 100 < 18)
+          .select((col("o_orderkey") + lit(10000000L)).as("c_key"),
+            col("o_totalprice").as("c_price"), lit("I").as("op"))
+        val changes = updates.unionByName(deletes).unionByName(inserts)
+        snap.join(changes, col("o_orderkey") === col("c_key"),
+            "full_outer")
+          .filter(coalesce(col("op"), lit("")) =!= "D")
+          .select(
+            coalesce(col("o_orderkey"), col("c_key")).as("key"),
+            coalesce(col("c_price"), col("o_totalprice")).as("price"),
+            coalesce(col("op"), lit("=")).as("row_source"))
+          .filter(col("key") <= 3000)
+          .orderBy(col("key"))
+      },
+      Some("""WITH snap AS (
+          SELECT o_orderkey, o_totalprice FROM orders),
+        changes AS (
+          SELECT o_orderkey AS c_key, o_totalprice + 1000.0 AS c_price,
+            'U' AS op FROM snap WHERE o_orderkey % 100 < 10
+          UNION ALL
+          SELECT o_orderkey, CAST(NULL AS DOUBLE), 'D' FROM snap
+          WHERE o_orderkey % 100 >= 10 AND o_orderkey % 100 < 15
+          UNION ALL
+          SELECT o_orderkey + 10000000, o_totalprice, 'I' FROM snap
+          WHERE o_orderkey % 100 >= 15 AND o_orderkey % 100 < 18)
+        SELECT coalesce(o_orderkey, c_key) AS key,
+          coalesce(c_price, o_totalprice) AS price,
+          coalesce(op, '=') AS row_source
+        FROM snap FULL OUTER JOIN changes ON o_orderkey = c_key
+        WHERE coalesce(op, '') <> 'D' AND coalesce(o_orderkey, c_key) <= 3000
+        ORDER BY key""")),
+
+    // ----- q74: SCD TYPE-2 INTERVALS — version a per-user attribute
+    // (the user's current event_type) into [valid_from, valid_to)
+    // validity ranges: collapse consecutive same-value events
+    // (gaps-and-islands grouping, q59's discipline), then lead() the
+    // next island's start as this one's expiry; the open interval is
+    // the current version. The dimension-table build every warehouse
+    // runs nightly.
+    // Scale: one shuffle on user_id; both windows share that
+    // partitioning, so the exchange is paid once.
+    QueryDef(
+      "q74_scd2_intervals",
+      (s, d) => {
+        val wOrd = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val wIsland = Window.partitionBy(col("user_id"))
+          .orderBy(col("valid_from"))
+        tb(s, d).events
+          .filter(col("user_id") < 30)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("changed",
+            when(lag(col("event_type"), 1).over(wOrd)
+              === col("event_type"), 0).otherwise(1))
+          .withColumn("island",
+            sum(col("changed")).over(
+              wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("island"), col("event_type"))
+          .agg(min(col("ts")).as("valid_from"),
+            count(lit(1)).as("n_events"))
+          .withColumn("valid_to", lead(col("valid_from"), 1).over(wIsland))
+          .withColumn("is_current", col("valid_to").isNull)
+          .select(col("user_id"), col("event_type"), col("valid_from"),
+            col("valid_to"), col("n_events"), col("is_current"))
+          .orderBy(col("user_id"), col("valid_from"))
+      },
+      Some("""WITH ev AS (
+          SELECT user_id, ts, event_id, event_type,
+            CASE WHEN lag(event_type) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id)
+              = event_type THEN 0 ELSE 1 END AS changed
+          FROM events WHERE user_id < 30),
+        islands AS (
+          SELECT user_id, ts, event_type,
+            SUM(changed) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS island
+          FROM ev),
+        versions AS (
+          SELECT user_id, island, event_type, MIN(ts) AS valid_from,
+            COUNT(*) AS n_events
+          FROM islands GROUP BY user_id, island, event_type)
+        SELECT user_id, event_type, valid_from,
+          lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+            AS valid_to,
+          n_events,
+          lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+            IS NULL AS is_current
+        FROM versions ORDER BY user_id, valid_from"""))
   )
 }

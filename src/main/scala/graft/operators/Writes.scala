@@ -144,6 +144,68 @@ object Writes {
         SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_chars,
           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY skey))
             AS order_digest
-        FROM sharded GROUP BY shard ORDER BY shard"""))
+        FROM sharded GROUP BY shard ORDER BY shard""")),
+
+    // ----- w04: Z-ORDER LAYOUT — multi-dimensional clustering for
+    // data skipping on TWO predicates at once. A layout sorted on
+    // (user) prunes user filters but scatters time; sorted on (time)
+    // vice versa. Interleaving the bits of both dimensions into one
+    // z-value and laying files out along it keeps BOTH ranges narrow
+    // per file, so min/max file stats prune either predicate — the
+    // idea behind Delta/Iceberg OPTIMIZE ZORDER. Here the z-value is
+    // pure integer arithmetic (bit i via div/mod — identical in both
+    // engines), the file id is the z-value's top bits (DETERMINISTIC,
+    // no sampled range boundaries), events are physically written
+    // into one directory per z-file, and the gated result reads the
+    // layout back and reports each file's (user, hour) bounding box.
+    // Scale: one hash shuffle on the file id; the per-file spans stay
+    // narrow as the corpus grows because file count grows with the
+    // top bits — re-tile by taking more bits, never re-sort globally.
+    QueryDef(
+      "w04_zorder_layout",
+      (s, d) => {
+        val out = scratch("w04", d)
+        // z-interleave of the low 11 bits of each dimension:
+        // bit i of ux lands at 4^i, bit i of hx at 2*4^i
+        val z = (0 until 11).map { i =>
+          s"((ux div ${1L << i}) % 2) * ${1L << (2 * i)}" +
+            s" + ((hx div ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
+        }.mkString(" + ")
+        new Tables(s, d).events
+          .withColumn("ux", expr("user_id % 2048"))
+          .withColumn("hx", expr(
+            "timestampdiff(HOUR, TIMESTAMP'2024-01-01 00:00:00', ts)"))
+          .withColumn("zval", expr(z))
+          .withColumn("zfile", expr("zval div 65536"))
+          .repartition(col("zfile"))
+          .sortWithinPartitions(col("zfile"), col("zval"))
+          .select(col("event_id"), col("user_id"), col("hx"), col("zval"),
+            col("zfile"))
+          .write.mode("overwrite").partitionBy("zfile").parquet(out)
+        s.read.parquet(out)
+          .groupBy(col("zfile").cast("long").as("zfile"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("user_id")).as("min_user"),
+            max(col("user_id")).as("max_user"),
+            min(col("hx")).as("min_hour"),
+            max(col("hx")).as("max_hour"))
+          .orderBy(col("zfile"))
+      },
+      Some {
+        val z = (0 until 11).map { i =>
+          s"((ux // ${1L << i}) % 2) * ${1L << (2 * i)}" +
+            s" + ((hx // ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
+        }.mkString(" + ")
+        s"""WITH dims AS (
+          SELECT event_id, user_id, user_id % 2048 AS ux,
+            date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', ts) AS hx
+          FROM events),
+        zed AS (
+          SELECT event_id, user_id, hx, ($z) AS zval FROM dims)
+        SELECT zval // 65536 AS zfile, COUNT(*) AS n_rows,
+          MIN(user_id) AS min_user, MAX(user_id) AS max_user,
+          MIN(hx) AS min_hour, MAX(hx) AS max_hour
+        FROM zed GROUP BY zfile ORDER BY zfile"""
+      })
   )
 }
