@@ -1224,6 +1224,43 @@ object Analytics {
           n_events,
           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
             IS NULL AS is_current
-        FROM versions ORDER BY user_id, valid_from"""))
+        FROM versions ORDER BY user_id, valid_from""")),
+
+    // ----- q75: NUMERIC HISTOGRAM via SQL-standard width_bucket —
+    // fixed-width binning of order totals, the single-pass
+    // distribution profile (row counts + exact per-bin revenue) a
+    // 100 TB table gets instead of a sort-based percentile scan.
+    // Deterministic: bucket ids are exact integer arithmetic on
+    // doubles, per-bin sums go through the decimal cast.
+    // Scale: one hash aggregate on a 22-value key — map-side partials
+    // collapse everything before the (tiny) shuffle.
+    QueryDef(
+      "q75_histogram",
+      (s, d) => tb(s, d).orders
+        .withColumn("bucket",
+          expr("width_bucket(o_totalprice, 0.0, 600000.0, 20)")
+            .cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice"), 2).as("revenue"))
+        .withColumn("bucket_lo",
+          (col("bucket") - lit(1)).cast("double") * lit(30000.0))
+        .select(col("bucket"), col("bucket_lo"), col("n_orders"),
+          col("revenue"))
+        .orderBy(col("bucket")),
+      // DuckDB has no width_bucket; mirror Spark's computation
+      // exactly — WidthBucket evaluates floor((x - lo) / ((hi - lo)
+      // / n)) + 1 with out-of-range clamps, and (600000-0)/20 = 30000
+      // is exact in double, so floor(x / 30000.0) + 1 is the same
+      // IEEE expression in both engines.
+      Some(s"""SELECT bucket,
+          CAST(bucket - 1 AS DOUBLE) * 30000.0 AS bucket_lo,
+          COUNT(*) AS n_orders, ${sqlSum("o_totalprice", 2)} AS revenue
+        FROM (SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+                WHEN o_totalprice >= 600000.0 THEN 21
+                ELSE CAST(floor(o_totalprice / 30000.0) AS BIGINT) + 1
+              END AS bucket,
+              o_totalprice FROM orders)
+        GROUP BY bucket ORDER BY bucket"""))
   )
 }

@@ -58,4 +58,42 @@ class ScalePatternsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
     assert(a.toSeq == b.toSeq)
   }
+
+  test("runtime bloom filter prunes the probe side of a selective join") {
+    // The 100 TB shape: a fact-table scan joined to a dimension
+    // filtered on a NON-join column — static pushdown can't help the
+    // fact side, but Catalyst's runtime row-level filter builds a
+    // bloom over the dim's surviving join keys and injects
+    // might_contain into the fact scan, skipping non-matching rows
+    // (and, via parquet, whole row groups) BEFORE the shuffle.
+    val t = new Tables(spark, "/root/testdata/sf0.001")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val dim = t.orders.filter(col("o_orderpriority") === "1-URGENT")
+      val probe = t.lineitem.join(dim,
+        col("l_orderkey") === col("o_orderkey"))
+      val formatted = probe.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(formatted.contains("might_contain"),
+        s"expected an injected runtime bloom filter:\n$formatted")
+      // the filter is a pure optimization — results unchanged
+      val without = {
+        spark.conf.set(
+          "spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        t.lineitem.join(t.orders.filter(
+            col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey")).count()
+      }
+      assert(probe.count() == without)
+    } finally {
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+      spark.conf.unset(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }

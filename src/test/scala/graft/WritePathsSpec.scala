@@ -27,6 +27,42 @@ class WritePathsSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("w04 z-order layout prunes z-file directories for a point predicate") {
+    // run w04 to materialize the layout, then point-query it
+    SparkEntry.queries("w04_zorder_layout")(spark, sf)
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_w04-" +
+      Integer.toHexString(sf.hashCode)
+    val layout = spark.read.parquet(out)
+    val nFiles = layout.select("zfile").distinct().count()
+    val probe = layout.filter(col("zfile") === 0)
+    val formatted = probe.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // zfile is a partition directory: the predicate must prune at plan
+    // time, not filter rows
+    assert(formatted.contains("PartitionFilters"),
+      s"expected partition pruning on zfile:\n$formatted")
+    assert(probe.count() > 0)
+    // and the z-property itself: with more than one file, each file's
+    // bounding box is STRICTLY narrower than the global range on at
+    // least one dimension (the dimension whose high bits the file id
+    // fixed) — that's what makes min/max stats prune range predicates
+    if (nFiles > 1) {
+      val stats = SparkEntry.queries("w04_zorder_layout")(spark, sf)
+        .collect()
+      val globalUserSpan =
+        stats.map(_.getLong(3)).max - stats.map(_.getLong(2)).min
+      val globalHourSpan =
+        stats.map(_.getLong(5)).max - stats.map(_.getLong(4)).min
+      stats.foreach { r =>
+        val userSpan = r.getLong(3) - r.getLong(2)
+        val hourSpan = r.getLong(5) - r.getLong(4)
+        assert(userSpan < globalUserSpan || hourSpan < globalHourSpan,
+          s"zfile ${r.getLong(0)} box ($userSpan x $hourSpan) does not " +
+            s"narrow the global ($globalUserSpan x $globalHourSpan)")
+      }
+    }
+  }
+
   test("w02 bucketed join plans with zero exchanges") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
