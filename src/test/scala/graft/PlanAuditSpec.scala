@@ -25,7 +25,8 @@ class PlanAuditSpec extends SparkSpec {
     "t07_vocab_stats" -> "1x1 scalar combine",
     "q70_skew_stats" -> "1x1 scalar combine",
     "q71_hll_sketch_distinct" -> "1x1 scalar combine (union row)",
-    "q20_above_average_parts" -> "broadcast 1-row scalar (global average)")
+    "q20_above_average_parts" -> "broadcast 1-row scalar (global average)",
+    "p03_domain_mixture" -> "5x1 scalar combine (weight total over langs)")
 
   test("no unlabeled cartesian product in any gated batch query plan") {
     val sf = "/root/testdata/sf0.001"
