@@ -35,7 +35,7 @@ private final class BronzeBatchWrite(dir: String, schema: StructType,
       info: PhysicalWriteInfo): DataWriterFactory =
     new BronzeBatchWriterFactory(dir, schema, queryId, writerConfs)
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit =
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
     messages.foreach {
       case StagedFile(staged, _) if staged.isEmpty => () // empty partition
       case StagedFile(staged, dest) =>
@@ -44,6 +44,15 @@ private final class BronzeBatchWrite(dir: String, schema: StructType,
       case other =>
         throw new IllegalStateException(s"unexpected commit message: $other")
     }
+    // one atomic snapshot per batch append — the reference's
+    // `append().appendFile(...).commit()` contract: readers see the
+    // whole batch (new manifest) or none of it (old manifest)
+    val added = messages.collect {
+      case StagedFile(staged, dest) if staged.nonEmpty =>
+        Paths.get(dest).getFileName.toString
+    }
+    SnapshotLog.commit(dir, "append")(_ ++ added)
+  }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     messages.foreach {
@@ -194,6 +203,12 @@ object BronzeBatchAppend {
         StandardCopyOption.REPLACE_EXISTING)
     }
     deleteTree(stage)
+    // fan-out targets bronze catalog tables (snapshot-logged) but the
+    // helper also serves plain dirs — commit only where a log exists.
+    // Same set algebra as the physical replace-and-sweep above.
+    SnapshotLog.commitIfEnabled(tableDir, "foreach-batch-append") { parent =>
+      parent.filterNot(_.startsWith(destPrefix)) ++ dests
+    }
   }
 
   /** Row count from the parquet footer — no data pages read. */

@@ -93,21 +93,73 @@ class BronzeCatalog extends TableCatalog with SupportsNamespaces {
       .toArray
   }
 
-  override def loadTable(ident: Identifier): Table = {
+  override def loadTable(ident: Identifier): Table =
+    loadSnapshot(ident, SnapshotLog.current(dirOf(ident).toString))
+
+  /** `SELECT ... FROM bronze.db.t VERSION AS OF <n>` — Spark resolves
+    * the version clause through this overload (the same hook Iceberg
+    * implements). The returned table reads exactly snapshot `n`'s
+    * file set; appends made after `n` are invisible. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = dirOf(ident)
+    if (!isTableDir(dir)) throw new NoSuchTableException(ident)
+    val v =
+      try version.toLong
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"bronze snapshot versions are numeric; got VERSION AS OF $version")
+      }
+    loadSnapshot(ident, Some(SnapshotLog.read(dir.toString, v)))
+  }
+
+  /** `TIMESTAMP AS OF` — `timestamp` arrives in MICROSECONDS since
+    * the epoch (the V2 contract); resolves to the latest snapshot
+    * committed at or before it. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = dirOf(ident)
+    if (!isTableDir(dir)) throw new NoSuchTableException(ident)
+    val snap = SnapshotLog.asOfTimestamp(dir.toString, timestamp)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no snapshot of ${ident} at or before timestamp $timestamp us"))
+    loadSnapshot(ident, Some(snap))
+  }
+
+  /** Build the table over one pinned snapshot (file-list read), or —
+    * legacy dirs with no snapshot log — over the directory listing. */
+  private def loadSnapshot(ident: Identifier,
+      snap: Option[SnapshotLog.Snapshot]): Table = {
     val dir = dirOf(ident)
     if (!isTableDir(dir)) throw new NoSuchTableException(ident)
     val schema = DataType.fromJson(
       Files.readString(dir.resolve(SchemaFile))).asInstanceOf[StructType]
-    val parquet = shim.parquetTable(
-      SparkSession.active,
-      (catalogName +: ident.namespace.toSeq :+ ident.name).mkString("."),
-      dir.toString,
-      Some(schema))
+    val fqn = (catalogName +: ident.namespace.toSeq :+ ident.name).mkString(".")
+    val parquet = snap match {
+      case Some(s) => shim.parquetTableFiles(SparkSession.active, fqn,
+        s.files.map(f => dir.resolve(f).toString), schema)
+      case None => // legacy: listing-mode read, first commit will seed
+        shim.parquetTable(SparkSession.active, fqn, dir.toString, Some(schema))
+    }
     // V2 file tables only advertise batch read/write; the wrapper adds
     // the streaming write (stage-then-rename, epoch-idempotent) so the
     // reference's `writeStream...toTable("bronze.db.orders")` works
     new BronzeWritableTable(parquet, dir.toString)
   }
+
+  /** Iceberg `rewrite_data_files` (OPTIMIZE): compact this table's
+    * small files into ~`targetBytes` files, committed as one REPLACE
+    * snapshot; old versions keep reading the originals until
+    * [[vacuumTable]]. Returns (filesCompacted, filesCreated). */
+  def optimizeTable(namespace: Seq[String], name: String,
+      targetBytes: Long): (Int, Int) =
+    SnapshotLog.optimize(SparkSession.active, tableDir(namespace, name),
+      targetBytes)
+
+  /** Iceberg `expire_snapshots` + orphan-file removal (VACUUM): keep
+    * the last `retainLast` snapshots, delete data files referenced by
+    * none of them. Returns deleted file names. */
+  def vacuumTable(namespace: Seq[String], name: String,
+      retainLast: Int): Seq[String] =
+    SnapshotLog.vacuum(tableDir(namespace, name), retainLast)
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
@@ -124,6 +176,9 @@ class BronzeCatalog extends TableCatalog with SupportsNamespaces {
       throw new TableAlreadyExistsException(ident)
     Files.createDirectories(dir)
     Files.writeString(dir.resolve(SchemaFile), schema.json)
+    // seed the snapshot log: v0 = empty table (legacy pre-log dirs
+    // are still readable; they upgrade on their first commit instead)
+    SnapshotLog.commit(dir.toString, "create")(_ => Set.empty)
     loadTable(ident)
   }
 

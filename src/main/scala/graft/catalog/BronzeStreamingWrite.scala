@@ -127,6 +127,15 @@ private final class BronzeStreamingWrite(dir: String, schema: StructType,
       case other =>
         throw new IllegalStateException(s"unexpected commit message: $other")
     }
+    // one snapshot per epoch: this epoch's files REPLACE any same-
+    // epoch files of a crashed prior attempt (set algebra mirrors the
+    // physical sweep above), everything else carries over. A replayed
+    // epoch rewrites the same destinations with the same offsets'
+    // rows, so a pinned old snapshot keeps reading consistent bytes.
+    SnapshotLog.commit(dir, "streaming-append") { parent =>
+      parent.filterNot(f => f.startsWith(prefix) || f.startsWith("part-e")) ++
+        dests
+    }
   }
 
   override def abort(epochId: Long,

@@ -1,0 +1,250 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+/** Versioned snapshot log for bronze catalog tables — the Iceberg
+  * table-format semantics the reference's sink gets from
+  * `append().appendFile(...).commit()` (one atomic snapshot per
+  * commit, `KafkaBatchJob.java:95-98`; snapshot reads + time travel
+  * are Iceberg core behavior), re-expressed over a plain filesystem:
+  *
+  *   - every commit writes `_graft_snapshots/v<N>.json` holding the
+  *     COMPLETE visible file set after the commit (names only — all
+  *     data files live flat in the table dir);
+  *   - the claim of version N is atomic: the manifest is fully
+  *     written to a hidden temp file, then HARD-LINKED to its final
+  *     name (`Files.createLink` fails if the name exists — the
+  *     filesystem's compare-and-swap). Two racing committers cannot
+  *     both win N; the loser recomputes against N and retries at N+1
+  *     (optimistic concurrency, Iceberg's own protocol);
+  *   - readers resolve `max N` once at table-load time and scan
+  *     exactly that manifest's files: a concurrent commit cannot make
+  *     a running scan see half an append (snapshot isolation), and
+  *     an old version stays readable until vacuumed (time travel).
+  *
+  * Manifest JSON is written and parsed by this object only; data-file
+  * names are filesystem-safe (`[A-Za-z0-9._-]`, enforced on commit),
+  * so the hand-rolled parser needs no escaping.
+  *
+  * Legacy tables (created before the snapshot log existed) have no
+  * `_graft_snapshots` dir: reads fall back to directory listing, and
+  * the FIRST commit seeds its parent file set from that listing —
+  * upgrade is automatic and needs no rewrite.
+  */
+object SnapshotLog {
+
+  private val LogDir = "_graft_snapshots"
+  private val V = """v(\d+)\.json""".r
+
+  final case class Snapshot(
+      version: Long,
+      timestampMicros: Long,
+      operation: String,
+      files: Seq[String])
+
+  private def logDir(tableDir: String): Path = Paths.get(tableDir, LogDir)
+
+  /** Visible data files (flat names) of `tableDir` right now, by
+    * directory listing — the legacy view, and the seed for a table's
+    * first snapshot commit. Dot-files (in-flight stages) and the log
+    * dir itself are invisible. */
+  def listDataFiles(tableDir: String): Seq[String] = {
+    val s = Files.list(Paths.get(tableDir))
+    try s.iterator.asScala.map(_.getFileName.toString)
+      .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+      .toSeq.sorted
+    finally s.close()
+  }
+
+  /** All committed versions, ascending; empty for legacy dirs. */
+  def versions(tableDir: String): Seq[Long] = {
+    val d = logDir(tableDir)
+    if (!Files.isDirectory(d)) Seq.empty
+    else {
+      val s = Files.list(d)
+      try s.iterator.asScala.flatMap(p => p.getFileName.toString match {
+        case V(n) => Some(n.toLong)
+        case _ => None
+      }).toSeq.sorted
+      finally s.close()
+    }
+  }
+
+  def currentVersion(tableDir: String): Option[Long] =
+    versions(tableDir).lastOption
+
+  def read(tableDir: String, version: Long): Snapshot = {
+    val p = logDir(tableDir).resolve(s"v$version.json")
+    if (!Files.isRegularFile(p))
+      throw new IllegalArgumentException(
+        s"table at $tableDir has no snapshot version $version " +
+          s"(available: ${versions(tableDir).mkString(", ")})")
+    parse(Files.readString(p))
+  }
+
+  def current(tableDir: String): Option[Snapshot] =
+    currentVersion(tableDir).map(read(tableDir, _))
+
+  /** Latest snapshot whose commit time is <= `micros` (the
+    * `TIMESTAMP AS OF` resolution rule). */
+  def asOfTimestamp(tableDir: String, micros: Long): Option[Snapshot] = {
+    val all = versions(tableDir).map(read(tableDir, _))
+    all.takeWhile(_.timestampMicros <= micros).lastOption
+  }
+
+  /** Atomically commit the next snapshot. `change` maps the parent's
+    * visible file set to the new one (set algebra only — the data
+    * files themselves must already be in place). Retries on a lost
+    * race, recomputing against the winner's snapshot. Returns the
+    * committed snapshot. */
+  def commit(tableDir: String, operation: String)(
+      change: Set[String] => Set[String]): Snapshot = {
+    val d = logDir(tableDir)
+    Files.createDirectories(d)
+    var attempt = 0
+    while (true) {
+      // ONE read of the parent snapshot: version and file set must
+      // come from the same manifest, or a commit landing between two
+      // separate reads lets this writer claim version N+2 while
+      // merging against N's files — silently dropping N+1's (the
+      // classic lost update; caught by TimeTravelSpec's race test)
+      val parent = current(tableDir)
+      val parentFiles: Set[String] = parent match {
+        case Some(s) => s.files.toSet
+        // legacy dir upgrading: seed from the listing
+        case None => listDataFiles(tableDir).toSet
+      }
+      val next = parent.map(_.version + 1).getOrElse(0L)
+      val files = change(parentFiles).toSeq.sorted
+      files.find(f => !f.matches("[A-Za-z0-9._-]+")).foreach { bad =>
+        throw new IllegalArgumentException(
+          s"data-file name not filesystem-safe: $bad")
+      }
+      val snap = Snapshot(next, System.currentTimeMillis() * 1000L,
+        operation, files)
+      val tmp = d.resolve(s".v$next-${java.util.UUID.randomUUID}.tmp")
+      Files.writeString(tmp, render(snap))
+      try {
+        Files.createLink(d.resolve(s"v$next.json"), tmp) // atomic CAS
+        Files.deleteIfExists(tmp)
+        return snap
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp) // lost the race; recompute + retry
+          attempt += 1
+          if (attempt > 100) throw new IllegalStateException(
+            s"snapshot commit on $tableDir lost 100 straight races")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Whether the dir has a snapshot log (i.e. is past the legacy
+    * listing-only mode). */
+  def enabled(tableDir: String): Boolean =
+    currentVersion(tableDir).isDefined
+
+  /** Commit a change only when the table already has a snapshot log —
+    * the hook for writers that also serve plain (non-catalog) dirs. */
+  def commitIfEnabled(tableDir: String, operation: String)(
+      change: Set[String] => Set[String]): Unit =
+    if (enabled(tableDir)) { commit(tableDir, operation)(change); () }
+
+  /** Drop all but the last `retainLast` snapshots and delete data
+    * files referenced by NONE of the retained ones. Returns the
+    * deleted data-file names. Time travel to expired versions fails
+    * afterwards — exactly Iceberg's `expire_snapshots` contract. */
+  def vacuum(tableDir: String, retainLast: Int): Seq[String] = {
+    require(retainLast >= 1, "must retain at least the current snapshot")
+    val all = versions(tableDir)
+    if (all.isEmpty) return Seq.empty
+    val (expired, retained) = all.splitAt(math.max(0, all.size - retainLast))
+    // List candidates BEFORE reading the retained manifests: a commit
+    // racing with the vacuum adds files under fresh names (not in this
+    // listing -> untouched) referencing only parent files (in a
+    // retained manifest -> kept).
+    val candidates = listDataFiles(tableDir)
+    val referenced = retained.flatMap(read(tableDir, _).files).toSet
+    val doomed = candidates.filterNot(referenced.contains)
+    doomed.foreach(f => Files.deleteIfExists(Paths.get(tableDir, f)))
+    expired.foreach(v =>
+      Files.deleteIfExists(logDir(tableDir).resolve(s"v$v.json")))
+    doomed
+  }
+
+  // ---- manifest rendering / parsing (format owned by this object) --
+
+  private def render(s: Snapshot): String =
+    s"""{"version":${s.version},"timestampMicros":${s.timestampMicros},""" +
+      s""""operation":"${s.operation}",""" +
+      s""""files":[${s.files.map("\"" + _ + "\"").mkString(",")}]}"""
+
+  private def parse(json: String): Snapshot = {
+    def long(key: String): Long =
+      s""""$key":(\\d+)""".r.findFirstMatchIn(json)
+        .getOrElse(throw new IllegalStateException(s"bad manifest: $json"))
+        .group(1).toLong
+    val op = """"operation":"([^"]*)"""".r.findFirstMatchIn(json)
+      .map(_.group(1)).getOrElse("append")
+    val files = """"files":\[([^\]]*)\]""".r.findFirstMatchIn(json)
+      .map(_.group(1)).getOrElse("")
+    val names =
+      if (files.isEmpty) Seq.empty[String]
+      else files.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+    Snapshot(long("version"), long("timestampMicros"), op, names)
+  }
+
+  /** Physically rewrite groups of small files into one file each and
+    * commit the result as a REPLACE snapshot — Iceberg's
+    * `rewrite_data_files` (OPTIMIZE/compaction). Files are greedily
+    * binned in name order until a bin reaches `targetBytes`; only
+    * bins of >= 2 files rewrite. Old versions still read the original
+    * small files until vacuumed. Returns (filesCompacted,
+    * filesCreated). */
+  def optimize(spark: org.apache.spark.sql.SparkSession, tableDir: String,
+      targetBytes: Long): (Int, Int) = {
+    val snap = current(tableDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"optimize requires a snapshot-logged table: $tableDir"))
+    val sizes = snap.files.map(f =>
+      f -> Files.size(Paths.get(tableDir, f)))
+    // greedy first-fit in name order: deterministic, no global sort
+    val bins = Seq.newBuilder[Seq[String]]
+    var bin = Seq.empty[String]; var binBytes = 0L
+    sizes.foreach { case (f, sz) =>
+      if (bin.nonEmpty && binBytes + sz > targetBytes) {
+        bins += bin; bin = Seq.empty; binBytes = 0L
+      }
+      bin :+= f; binBytes += sz
+    }
+    if (bin.nonEmpty) bins += bin
+    val toCompact = bins.result().filter(_.size >= 2)
+    if (toCompact.isEmpty) return (0, 0)
+    val id = java.util.UUID.randomUUID().toString.substring(0, 8)
+    val written = toCompact.zipWithIndex.map { case (group, i) =>
+      val dest = s"part-opt-$id-g$i.parquet"
+      val stage = Paths.get(tableDir, s".opt-$id-g$i")
+      spark.read.parquet(group.map(f => s"$tableDir/$f"): _*)
+        .coalesce(1).write.parquet(stage.toString)
+      val partFile = {
+        val s = Files.list(stage)
+        try s.iterator.asScala
+          .find(_.getFileName.toString.startsWith("part-"))
+          .getOrElse(throw new IllegalStateException("empty compaction"))
+        finally s.close()
+      }
+      Files.move(partFile, Paths.get(tableDir, dest),
+        StandardCopyOption.ATOMIC_MOVE)
+      val walk = Files.walk(stage)
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
+      dest
+    }
+    val replaced = toCompact.flatten.toSet
+    commit(tableDir, "replace")(parent => parent -- replaced ++ written)
+    (replaced.size, written.size)
+  }
+}

@@ -206,6 +206,64 @@ object Writes {
           MIN(user_id) AS min_user, MAX(user_id) AS max_user,
           MIN(hx) AS min_hour, MAX(hx) AS max_hour
         FROM zed GROUP BY zfile ORDER BY zfile"""
-      })
+      }),
+
+    // ----- w05: SNAPSHOT TIME TRAVEL — the Iceberg table-format
+    // semantics the reference's sink commits through
+    // (`append().appendFile(...).commit()`, KafkaBatchJob.java:95-98),
+    // proven through the gated oracle: three versioned appends land
+    // as snapshots v1..v3 of a bronze-catalog table, OPTIMIZE
+    // compacts the small files as a REPLACE snapshot v4, and the
+    // result reads every version back through `VERSION AS OF` —
+    // cumulative history, plus the invariant that compaction changes
+    // LAYOUT, never data (v4 ≡ v3). Readers pin one manifest, so at
+    // 100 TB a day-long scan never sees a torn append, and the
+    // nightly OPTIMIZE runs under live traffic without a lock.
+    QueryDef(
+      "w05_snapshot_time_travel",
+      (s, d) => {
+        val wh = scratch("w05", d)
+        // catalog name is per-sf-dir: the session CACHES catalog
+        // instances by name, and two SFs must not share a warehouse
+        val cat = "w05cat_" + Integer.toHexString(d.hashCode)
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.BronzeCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+        s.sql(s"DROP TABLE IF EXISTS $cat.db.orders_tt")
+        s.sql(s"""CREATE TABLE $cat.db.orders_tt
+          (o_orderkey BIGINT, o_orderdate DATE, o_totalprice DOUBLE)
+          USING parquet""")
+        val o = new Tables(s, d).orders.select(
+          col("o_orderkey").cast("long"),
+          col("o_orderdate").cast("date"),
+          col("o_totalprice").cast("double"))
+        Seq( // three "daily" ingests: one atomic snapshot each
+          o.filter(col("o_orderdate") < lit("1997-01-01")),
+          o.filter(col("o_orderdate") >= lit("1997-01-01") &&
+            col("o_orderdate") < lit("1999-01-01")),
+          o.filter(col("o_orderdate") >= lit("1999-01-01"))
+        ).foreach(_.writeTo(s"$cat.db.orders_tt").append())
+        // v4: compaction rewrite — layout changes, answers must not
+        graft.catalog.SnapshotLog.optimize(s, s"$wh/db/orders_tt", 1L << 30)
+        (1 to 4).map { v =>
+          s.sql(s"SELECT * FROM $cat.db.orders_tt VERSION AS OF $v")
+            .agg(count(lit(1)).as("n_orders"),
+              Exact.dsum(col("o_totalprice"), 2).as("total_price"))
+            .select(lit(v).as("version"), col("n_orders"),
+              col("total_price"))
+        }.reduce(_ union _).orderBy(col("version"))
+      },
+      Some(s"""WITH cum AS (
+          SELECT o_totalprice,
+            CASE WHEN CAST(o_orderdate AS DATE) < DATE '1997-01-01' THEN 1
+                 WHEN CAST(o_orderdate AS DATE) < DATE '1999-01-01' THEN 2
+                 ELSE 3 END AS first_v
+          FROM orders),
+        vs AS (SELECT * FROM (VALUES (1),(2),(3),(4)) AS t(version))
+        SELECT version, COUNT(*) AS n_orders,
+          ${Exact.sqlSum("o_totalprice", 2)} AS total_price
+        FROM vs JOIN cum
+          ON cum.first_v <= CASE WHEN version > 3 THEN 3 ELSE version END
+        GROUP BY version ORDER BY version"""))
   )
 }

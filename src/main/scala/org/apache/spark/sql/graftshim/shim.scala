@@ -81,4 +81,24 @@ object shim {
       Seq(dir),
       schema,
       classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
+
+  /** Same, but over an EXPLICIT file list — the read half of the
+    * bronze snapshot log: a table load pins one snapshot's file set,
+    * so concurrent commits never change a planned scan (snapshot
+    * isolation) and `VERSION AS OF` reads an old set. An empty list
+    * (a just-created table's v0) is a valid empty relation because
+    * the schema is always supplied, never inferred. */
+  def parquetTableFiles(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      files: Seq[String],
+      schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.connector.catalog.Table =
+    org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
+      name,
+      spark,
+      org.apache.spark.sql.util.CaseInsensitiveStringMap.empty(),
+      files,
+      Some(schema),
+      classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
 }

@@ -1,0 +1,148 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import graft.catalog.SnapshotLog
+
+/** Snapshot semantics on bronze catalog tables — the Iceberg
+  * table-format behaviors the reference's sink relies on (one atomic
+  * snapshot per commit; snapshot-isolated reads; `VERSION AS OF` /
+  * `TIMESTAMP AS OF` time travel; `rewrite_data_files` compaction;
+  * `expire_snapshots` vacuum), proven on the rebuilt catalog. */
+class TimeTravelSpec extends SparkSpec {
+
+  private lazy val warehouse: String = bronzeWarehouse
+
+  private def bronzeCatalog: graft.catalog.BronzeCatalog = {
+    warehouse
+    spark.sessionState.catalogManager.catalog("bronze")
+      .asInstanceOf[graft.catalog.BronzeCatalog]
+  }
+
+  private def mkTable(name: String): String = {
+    warehouse // register the bronze catalog before any SQL names it
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS bronze.tt")
+    spark.sql(s"DROP TABLE IF EXISTS bronze.tt.$name")
+    spark.sql(
+      s"CREATE TABLE bronze.tt.$name (id BIGINT, batch INT) USING parquet")
+    bronzeCatalog.tableDir(Seq("tt"), name)
+  }
+
+  test("each INSERT is one snapshot; VERSION AS OF reads any of them") {
+    val dir = mkTable("versions")
+    (1 to 3).foreach { b =>
+      spark.sql(
+        s"INSERT INTO bronze.tt.versions SELECT id, $b FROM range(${b * 10})")
+    }
+    // v0 = create (empty), v1..v3 = the three appends
+    assert(SnapshotLog.versions(dir) == Seq(0L, 1L, 2L, 3L))
+    assert(spark.table("bronze.tt.versions").count() == 60)
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM bronze.tt.versions VERSION AS OF 0")
+      .head().getLong(0) == 0)
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM bronze.tt.versions VERSION AS OF 1")
+      .head().getLong(0) == 10)
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM bronze.tt.versions VERSION AS OF 2")
+      .head().getLong(0) == 30)
+    // old version sees only its batches, not just fewer rows
+    assert(spark.sql(
+      "SELECT MAX(batch) FROM bronze.tt.versions VERSION AS OF 2")
+      .head().getInt(0) == 2)
+    intercept[Exception] {
+      spark.sql("SELECT * FROM bronze.tt.versions VERSION AS OF 99").collect()
+    }
+  }
+
+  test("TIMESTAMP AS OF resolves to the latest snapshot at or before") {
+    val dir = mkTable("tstravel")
+    spark.sql("INSERT INTO bronze.tt.tstravel SELECT id, 1 FROM range(5)")
+    val afterFirst = SnapshotLog.read(dir, 1).timestampMicros
+    spark.sql("INSERT INTO bronze.tt.tstravel SELECT id, 2 FROM range(5)")
+    val t = java.time.Instant.ofEpochMilli(afterFirst / 1000)
+      .toString.replace("T", " ").stripSuffix("Z")
+    assert(spark.sql(
+      s"SELECT COUNT(*) FROM bronze.tt.tstravel TIMESTAMP AS OF '$t'")
+      .head().getLong(0) == 5)
+  }
+
+  test("reads are snapshot-isolated: a pinned load never sees later appends") {
+    mkTable("isolation")
+    spark.sql("INSERT INTO bronze.tt.isolation SELECT id, 1 FROM range(20)")
+    val pinned = spark.table("bronze.tt.isolation") // resolves v1 now
+    assert(pinned.count() == 20)
+    spark.sql("INSERT INTO bronze.tt.isolation SELECT id, 2 FROM range(20)")
+    // the already-resolved DataFrame re-executes against ITS snapshot
+    assert(pinned.count() == 20)
+    // a fresh resolution sees the new snapshot
+    assert(spark.table("bronze.tt.isolation").count() == 40)
+  }
+
+  test("OPTIMIZE compacts small files as a REPLACE snapshot; history intact") {
+    val dir = mkTable("compact")
+    (1 to 4).foreach { b =>
+      spark.sql(
+        s"INSERT INTO bronze.tt.compact SELECT id, $b FROM range(${b}000)")
+    }
+    val before = SnapshotLog.current(dir).get
+    assert(before.files.size >= 4)
+    val (compacted, created) =
+      bronzeCatalog.optimizeTable(Seq("tt"), "compact", 1L << 30)
+    assert(compacted >= 4 && created == 1)
+    val after = SnapshotLog.current(dir).get
+    assert(after.operation == "replace" && after.files.size <
+      before.files.size)
+    // same data through the compacted layout …
+    assert(spark.table("bronze.tt.compact").count() == 10000)
+    assert(spark.table("bronze.tt.compact")
+      .groupBy("batch").count().collect().map(_.getLong(1)).sorted.toSeq ==
+      Seq(1000L, 2000L, 3000L, 4000L))
+    // … and the PRE-compaction snapshot still reads the original files
+    assert(spark.sql(
+      s"SELECT COUNT(*) FROM bronze.tt.compact VERSION AS OF ${before.version}")
+      .head().getLong(0) == 10000)
+  }
+
+  test("VACUUM deletes only unreferenced files; expired versions die") {
+    val dir = mkTable("vac")
+    (1 to 3).foreach { b =>
+      spark.sql(s"INSERT INTO bronze.tt.vac SELECT id, $b FROM range(1000)")
+    }
+    val smalls = SnapshotLog.current(dir).get.files // pre-compaction set
+    bronzeCatalog.optimizeTable(Seq("tt"), "vac", 1L << 30)
+    val preVacFiles = SnapshotLog.listDataFiles(dir)
+    val deleted = bronzeCatalog.vacuumTable(Seq("tt"), "vac", retainLast = 1)
+    // exactly the small originals die, the compacted file survives
+    assert(deleted.toSet == smalls.toSet)
+    assert(SnapshotLog.listDataFiles(dir) ==
+      preVacFiles.filterNot(deleted.contains))
+    assert(SnapshotLog.versions(dir).size == 1)
+    assert(spark.table("bronze.tt.vac").count() == 3000)
+    intercept[Exception] { // expired version no longer time-travelable
+      spark.sql("SELECT * FROM bronze.tt.vac VERSION AS OF 1").collect()
+    }
+  }
+
+  test("snapshot commit is a filesystem CAS: racing committers serialize") {
+    val dir = tmpDir("cas")
+    Files.writeString(Paths.get(dir, "seed.txt"), "x") // not a data file
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 8).map { i =>
+      new Thread(() => {
+        try SnapshotLog.commit(dir, s"op$i")(parent =>
+          parent + s"part-f$i.parquet")
+        catch { case t: Throwable => errors.add(t) }
+        ()
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errors.isEmpty, s"commit threw: ${errors.asScala.toSeq}")
+    // all 8 commits landed, each with a distinct version, and the
+    // final snapshot carries every file (no lost update)
+    assert(SnapshotLog.versions(dir).size == 8)
+    assert(SnapshotLog.current(dir).get.files.size == 8)
+  }
+}
