@@ -1261,6 +1261,84 @@ object Analytics {
                 ELSE CAST(floor(o_totalprice / 30000.0) AS BIGINT) + 1
               END AS bucket,
               o_totalprice FROM orders)
-        GROUP BY bucket ORDER BY bucket"""))
+        GROUP BY bucket ORDER BY bucket""")),
+
+    // ----- q76: TRIANGLE COUNTING with DEGREE ORIENTATION — the
+    // classic graph-analytics kernel, on the co-purchase graph (parts
+    // sharing an order). The naive wedge join fans out quadratically
+    // in the hottest vertex's degree; orienting every edge from its
+    // LOWER-(degree, id) endpoint to the higher one caps every
+    // vertex's out-degree at O(√m), so the wedge join is O(m^1.5)
+    // TOTAL — independent of skew. That orientation needs a total
+    // order; a global rank would be one sequential window partition,
+    // so the rank is composed arithmetically (deg·2⁴⁰ + id: degree
+    // is the major key, id breaks ties) — per-row, shuffle-free.
+    // Plan: two vertex-key shuffles (degree count, rank attach) + one
+    // src-key wedge shuffle; no global sort, no driver state. Output
+    // also reports max oriented out-degree — the √m bound, visible.
+    QueryDef(
+      "q76_triangle_count",
+      (s, d) => {
+        val li = tb(s, d).lineitem
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val e = li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .select(col("a.pk").as("u"), col("b.pk").as("v"))
+          .distinct()
+        val deg = e.select(col("u").as("x"))
+          .union(e.select(col("v").as("x")))
+          .groupBy(col("x")).agg(count(lit(1)).as("dg"))
+        // total order without a global sort: rank = deg·2^40 + id
+        // (partkeys < 2^40 by many orders of magnitude)
+        val r = deg.select(col("x"),
+          (col("dg") * lit(1L << 40) + col("x")).as("r"))
+        val oriented = e
+          .join(r.as("ru"), col("u") === col("ru.x"))
+          .join(r.as("rv"), col("v") === col("rv.x"))
+          .select(
+            when(col("ru.r") < col("rv.r"), col("u")).otherwise(col("v"))
+              .as("s"),
+            when(col("ru.r") < col("rv.r"), col("v")).otherwise(col("u"))
+              .as("t"),
+            when(col("ru.r") < col("rv.r"), col("rv.r"))
+              .otherwise(col("ru.r")).as("rt"))
+        val wedges = oriented.as("e1").join(oriented.as("e2"),
+            col("e1.s") === col("e2.s") && col("e1.rt") < col("e2.rt"))
+          .select(col("e1.t").as("w1"), col("e2.t").as("w2"))
+        // the closing edge follows the same orientation: rt(w1)<rt(w2)
+        val tri = wedges.join(oriented.as("e3"),
+          col("w1") === col("e3.s") && col("w2") === col("e3.t"))
+        val maxOut = oriented.groupBy(col("s"))
+          .agg(count(lit(1)).as("od"))
+          .agg(max(col("od")).as("max_out_degree"))
+        tri.agg(count(lit(1)).as("n_triangles"))
+          .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+          .crossJoin(deg.agg(count(lit(1)).as("n_vertices")))
+          .crossJoin(maxOut) // 1×1×1×1 scalar combine
+      },
+      // oracle counts canonical (x<y<z) triangles directly — the
+      // orientation changes the JOIN ORDER ECONOMICS, never the count
+      Some("""WITH e AS (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        deg AS (
+          SELECT x, COUNT(*) AS dg FROM (
+            SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+          GROUP BY x),
+        r AS (SELECT x, dg * 1099511627776 + x AS r FROM deg),
+        o AS (
+          SELECT CASE WHEN ru.r < rv.r THEN e.u ELSE e.v END AS s,
+                 CASE WHEN ru.r < rv.r THEN e.v ELSE e.u END AS t,
+                 CASE WHEN ru.r < rv.r THEN rv.r ELSE ru.r END AS rt
+          FROM e JOIN r ru ON e.u = ru.x JOIN r rv ON e.v = rv.x)
+        SELECT
+          (SELECT COUNT(*) FROM e e1
+            JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+            JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v) AS n_triangles,
+          (SELECT COUNT(*) FROM e) AS n_edges,
+          (SELECT COUNT(*) FROM deg) AS n_vertices,
+          (SELECT MAX(od) FROM (
+            SELECT COUNT(*) AS od FROM o GROUP BY s)) AS max_out_degree"""))
   )
 }
