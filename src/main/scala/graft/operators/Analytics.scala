@@ -1340,5 +1340,108 @@ object Analytics {
           (SELECT COUNT(*) FROM deg) AS n_vertices,
           (SELECT MAX(od) FROM (
             SELECT COUNT(*) AS od FROM o GROUP BY s)) AS max_out_degree"""))
+
+    ,
+    // ----- q77: MERGEABLE FREQUENCY SKETCHES (approx_top_k_accumulate
+    // / _combine / _estimate) — the heavy-hitters twin of q71's HLL
+    // story: per-group frequency sketches are built once (one pass,
+    // map-side combinable), persisted at ~KBs each, and later MERGED
+    // across groups without re-touching the raw column — the `_all`
+    // row here comes purely from approx_top_k_combine of the per-type
+    // sketches. Because maxItemsTracked (10k) exceeds this column's
+    // cardinality the sketch is in its EXACT regime, so estimates are
+    // verifiable counts, not bounds: the gated output reads a fixed
+    // probe set's counts OUT OF THE SKETCH and hash-matches exact SQL.
+    // (Top-k IDENTITY under count ties is engine-order-dependent —
+    // which is why the gate probes fixed items instead of ranking.)
+    QueryDef(
+      "q77_topk_sketch_counts",
+      (s, d) => {
+        val e = tb(s, d).events
+        val byType = e.groupBy(col("event_type"))
+          .agg(expr("approx_top_k_accumulate(user_id, 10000)").as("sk"))
+        val perType = byType.select(col("event_type"),
+          explode(expr("approx_top_k_estimate(sk, 10000)")).as("it"))
+        val overall = byType
+          .agg(expr("approx_top_k_estimate(approx_top_k_combine(sk), 10000)")
+            .as("its"))
+          .select(lit("_all").as("event_type"),
+            explode(col("its")).as("it"))
+        perType.unionByName(overall)
+          .select(col("event_type"), col("it.item").as("user_id"),
+            col("it.count").as("n_events"))
+          .filter(col("user_id") < 20) // fixed probe set
+          .orderBy(col("event_type"), col("user_id"))
+      },
+      Some("""SELECT event_type, user_id, COUNT(*) AS n_events
+        FROM events WHERE user_id < 20 GROUP BY 1, 2
+        UNION ALL
+        SELECT '_all', user_id, COUNT(*) FROM events
+        WHERE user_id < 20 GROUP BY 1, 2
+        ORDER BY event_type, user_id""")),
+
+    // ----- q78: MERGEABLE QUANTILE SKETCHES (DataSketches KLL) — the
+    // percentile half of the sketch trio (q71 distinct, q77 frequency):
+    // per-group KLL sketches over the double `value` column, with the
+    // `_all` row produced by kll_merge_agg of the per-type sketches —
+    // re-aggregation without raw data, the property approx_percentile
+    // lacks. KLL is a RANDOMIZED sketch (not run-reproducible), so the
+    // gate follows q30/q71's discipline: output the exact percentiles
+    // (oracle-able, decimal-rounded like q49) plus bound bits — the
+    // sketch's p50/p90 estimates must land within 10% of the group's
+    // value range of the exact answers (the k=200 rank guarantee is
+    // 1.65%; the cushion absorbs rank→value conversion), and
+    // kll_sketch_get_n must equal the exact row count, proving the
+    // merge saw every row.
+    QueryDef(
+      "q78_kll_quantile_sketch",
+      (s, d) => {
+        val e = tb(s, d).events
+        def checks(c: org.apache.spark.sql.Column) = Seq(
+          (expr("kll_sketch_get_n_double(sk)") === c).as("n_ok"),
+          (abs(expr("kll_sketch_get_quantile_double(sk, 0.5)")
+            - col("p50_raw"))
+            <= (col("mx") - col("mn")) * lit(0.10)).as("p50_est_ok"),
+          (abs(expr("kll_sketch_get_quantile_double(sk, 0.9)")
+            - col("p90_raw"))
+            <= (col("mx") - col("mn")) * lit(0.10)).as("p90_est_ok"))
+        val byType = e.groupBy(col("event_type"))
+          .agg(expr("kll_sketch_agg_double(value)").as("sk"),
+            count(lit(1)).as("n"),
+            expr("percentile(value, 0.5)").as("p50_raw"),
+            expr("percentile(value, 0.9)").as("p90_raw"),
+            min(col("value")).as("mn"), max(col("value")).as("mx"))
+        val perType = byType.select(
+          Seq(col("event_type"), col("n"),
+            expr("cast(cast(p50_raw as decimal(18,4)) as string)").as("p50"),
+            expr("cast(cast(p90_raw as decimal(18,4)) as string)").as("p90"))
+            ++ checks(col("n")): _*)
+        val overall = byType
+          .agg(expr("kll_merge_agg_double(sk)").as("sk"))
+          .crossJoin(e.agg(count(lit(1)).as("n"), // 1x1 scalar combine
+            expr("percentile(value, 0.5)").as("p50_raw"),
+            expr("percentile(value, 0.9)").as("p90_raw"),
+            min(col("value")).as("mn"), max(col("value")).as("mx")))
+          .select(Seq(lit("_all").as("event_type"), col("n"),
+            expr("cast(cast(p50_raw as decimal(18,4)) as string)").as("p50"),
+            expr("cast(cast(p90_raw as decimal(18,4)) as string)").as("p90"))
+            ++ checks(col("n")): _*)
+        perType.unionByName(overall).orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, n, p50, p90,
+          TRUE AS n_ok, TRUE AS p50_est_ok, TRUE AS p90_est_ok
+        FROM (
+          SELECT event_type, COUNT(*) AS n,
+            CAST(CAST(quantile_cont(value, 0.5) AS DECIMAL(18,4)) AS VARCHAR)
+              AS p50,
+            CAST(CAST(quantile_cont(value, 0.9) AS DECIMAL(18,4)) AS VARCHAR)
+              AS p90
+          FROM events GROUP BY event_type
+          UNION ALL
+          SELECT '_all', COUNT(*),
+            CAST(CAST(quantile_cont(value, 0.5) AS DECIMAL(18,4)) AS VARCHAR),
+            CAST(CAST(quantile_cont(value, 0.9) AS DECIMAL(18,4)) AS VARCHAR)
+          FROM events)
+        ORDER BY event_type"""))
   )
 }

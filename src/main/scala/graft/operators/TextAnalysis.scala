@@ -606,6 +606,116 @@ object TextAnalysis {
           dup_word_frac <= 0.55 AND top_2gram_frac <= 0.04
             AND dup_3gram_frac <= 0.05 AS keep
         FROM words JOIN top2 USING (doc_id) JOIN d3 USING (doc_id)
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ----- t15: BM25 LEXICAL RETRIEVAL — the inverted-index scoring
+    // pass (query routing, RAG retrieval, near-dup triage all ride
+    // it). Shape at 100 TB: the QUERY side is tiny and BROADCASTS;
+    // the corpus side moves only the postings of query terms (the
+    // broadcast semi-join prunes everything else at the scan), then
+    // one (query, doc) shuffle for the per-document score rollup and
+    // a WindowGroupLimit top-k per query. The corpus-wide statistics
+    // (doc count, total length) are one scalar row, broadcast back.
+    //
+    // Determinism: the classic BM25 idf is ln((N-df+.5)/(df+.5)) —
+    // but ln() is not guaranteed identically rounded across engines,
+    // so this variant keeps the RATIONAL idf (the same ratio, unlogged:
+    // monotone in df, so per-term ordering is preserved; a deployment
+    // swaps ln in if it wants the classic scale). Every per-term
+    // contribution is floor-quantized to 1e-8 and summed as exact
+    // BIGINTs — associative, partial-aggregation-safe, and
+    // bit-identical in DuckDB (the s08/q75 discipline).
+    QueryDef(
+      "t15_bm25_retrieval",
+      (s, d) => {
+        import s.implicits._
+        val qterms = Seq(
+          (1, "hash"), (1, "join"),
+          (2, "stream"), (2, "window"),
+          (3, "sort"), (3, "merge"),
+          (4, "filter"), (4, "scan"), (4, "column"),
+          (5, "customer"), (5, "order"), (5, "value"))
+          .toDF("query_id", "term")
+        val tok = new Tables(s, d).documents
+          .select(col("doc_id"), explode(expr(toksExpr)).as("term"))
+        val dl = tok.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("dl"))
+        val stats = dl.agg(count(lit(1)).as("nd"),
+          sum(col("dl")).as("tl")) // one scalar row
+        val tf = tok.join(broadcast(qterms.select(col("term")).distinct()),
+            Seq("term")) // postings of query terms only
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val scored = tf
+          .join(broadcast(qterms), Seq("term"))
+          .join(dl, Seq("doc_id"))
+          .join(broadcast(dfT), Seq("term"))
+          .crossJoin(broadcast(stats)) // 1-row stats
+          .select(col("query_id"), col("doc_id"),
+            floor(
+              (((col("nd").cast("double") - col("df").cast("double"))
+                  + lit(0.5)) / (col("df").cast("double") + lit(0.5)) *
+                ((col("tf").cast("double") * lit(2.2)) /
+                  (col("tf").cast("double") + lit(1.2) * (lit(0.25) +
+                    lit(0.75) * (col("dl").cast("double") /
+                      (col("tl").cast("double") / col("nd").cast("double")))))))
+                * lit(100000000.0)).cast("long").as("c"))
+        val perDoc = scored.groupBy(col("query_id"), col("doc_id"))
+          .agg(sum(col("c")).as("score_scaled"))
+        perDoc
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("query_id"))
+              .orderBy(col("score_scaled").desc, col("doc_id"))))
+          .filter(col("rank") <= 3)
+          .select(col("query_id"), col("rank"), col("doc_id"),
+            (col("score_scaled").cast("double") / lit(100000000.0))
+              .as("score"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH q AS (
+          SELECT * FROM (VALUES
+            (1, 'hash'), (1, 'join'),
+            (2, 'stream'), (2, 'window'),
+            (3, 'sort'), (3, 'merge'),
+            (4, 'filter'), (4, 'scan'), (4, 'column'),
+            (5, 'customer'), (5, 'order'), (5, 'value'))
+            AS t(query_id, term)),
+        tok AS (
+          SELECT doc_id,
+            unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+          FROM documents),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+        stats AS (SELECT COUNT(*) AS nd, SUM(dl) AS tl FROM dl),
+        tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf FROM tok
+          WHERE term IN (SELECT DISTINCT term FROM q)
+          GROUP BY doc_id, term),
+        dfT AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        scored AS (
+          SELECT q.query_id, tf.doc_id,
+            CAST(floor(
+              (((CAST(nd AS DOUBLE) - CAST(df AS DOUBLE)) + 0.5)
+                  / (CAST(df AS DOUBLE) + 0.5) *
+                ((CAST(tf AS DOUBLE) * 2.2) /
+                  (CAST(tf AS DOUBLE) + 1.2 * (0.25 +
+                    0.75 * (CAST(dl AS DOUBLE) /
+                      (CAST(tl AS DOUBLE) / CAST(nd AS DOUBLE)))))))
+                * 100000000.0) AS BIGINT) AS c
+          FROM tf JOIN q USING (term) JOIN dl USING (doc_id)
+            JOIN dfT USING (term) CROSS JOIN stats),
+        per_doc AS (
+          SELECT query_id, doc_id, SUM(c) AS score_scaled
+          FROM scored GROUP BY query_id, doc_id),
+        ranked AS (
+          SELECT query_id, doc_id, score_scaled,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY score_scaled DESC, doc_id) AS rank
+          FROM per_doc)
+        SELECT query_id, rank, doc_id,
+          CAST(score_scaled AS DOUBLE) / 100000000.0 AS score
+        FROM ranked WHERE rank <= 3
+        ORDER BY query_id, rank"""))
   )
 }
