@@ -476,6 +476,57 @@ object StreamingOps {
       Some("""SELECT event_id, user_id, event_type, value FROM events e
         WHERE NOT EXISTS (SELECT 1 FROM customer c
           WHERE c.c_custkey = e.user_id AND c.c_custkey % 3 = 0)
-        ORDER BY event_id"""))
+        ORDER BY event_id""")),
+
+    // ----- st11: CHAINED STATEFUL AGGREGATIONS — two windowed
+    // aggregations in ONE streaming query (Spark 4's
+    // multiple-stateful-operator support): 3-hour per-event-type
+    // counts roll up into 12-hour summary windows via
+    // window(window_time(...)), state cascading state — the
+    // minute→hour→day rollup every metrics pipeline runs, WITHOUT
+    // landing the intermediate in a table and re-reading it. Both
+    // operators keep their own state store; the inner window's
+    // emission (watermark-sealed) feeds the outer as event-time rows.
+    // Because 3 h tiles align inside 12 h windows, a sealed outer
+    // window can only contain sealed inner windows — which is what
+    // makes the batch oracle expressible with the same two HAVING
+    // cutoffs.
+    QueryDef(
+      "st11_stream_chained_agg",
+      (s, d) => {
+        val inner = eventStream(s, d)
+          .withWatermark("ts", "30 minutes")
+          .groupBy(window(col("ts"), "3 hours"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val outer = inner
+          .groupBy(window(window_time(col("window")), "12 hours"))
+          .agg(sum(col("n")).as("n_events"),
+            count(lit(1)).as("n_type_windows"),
+            max(col("n")).as("max_type_window"))
+          .select(col("window.start").as("win_start"),
+            col("window.end").as("win_end"), col("n_events"),
+            col("n_type_windows"), col("max_type_window"))
+        runToMemory(s, outer, "append").orderBy(col("win_start"))
+      },
+      Some("""WITH wm AS (
+          SELECT MAX(ts) - INTERVAL 30 MINUTE AS w FROM events),
+        sub AS (
+          SELECT (epoch_us(ts) // 10800000000) * 10800000000 AS sub_start,
+            event_type, COUNT(*) AS n
+          FROM events GROUP BY 1, 2
+          HAVING make_timestamp(sub_start + 10800000000) <=
+            (SELECT w FROM wm)),
+        big AS (
+          SELECT (sub_start // 43200000000) * 43200000000 AS big_start,
+            CAST(SUM(n) AS BIGINT) AS n_events,
+            COUNT(*) AS n_type_windows,
+            MAX(n) AS max_type_window
+          FROM sub GROUP BY 1
+          HAVING make_timestamp(big_start + 43200000000) <=
+            (SELECT w FROM wm))
+        SELECT make_timestamp(big_start) AS win_start,
+          make_timestamp(big_start + 43200000000) AS win_end,
+          n_events, n_type_windows, max_type_window
+        FROM big ORDER BY win_start"""))
   )
 }

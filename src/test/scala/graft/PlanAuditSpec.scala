@@ -26,7 +26,10 @@ class PlanAuditSpec extends SparkSpec {
     "q70_skew_stats" -> "1x1 scalar combine",
     "q71_hll_sketch_distinct" -> "1x1 scalar combine (union row)",
     "q20_above_average_parts" -> "broadcast 1-row scalar (global average)",
-    "p03_domain_mixture" -> "5x1 scalar combine (weight total over langs)")
+    "p03_domain_mixture" -> "5x1 scalar combine (weight total over langs)",
+    "q76_triangle_count" -> "1x1x1x1 scalar combine (4 single-row aggs)",
+    "q78_kll_quantile_sketch" -> "1x1 scalar combine (merged-sketch row)",
+    "t15_bm25_retrieval" -> "broadcast 1-row corpus stats (nd, tl)")
 
   test("no unlabeled cartesian product in any gated batch query plan") {
     val sf = "/root/testdata/sf0.001"
