@@ -174,6 +174,28 @@ object SnapshotLog {
     doomed
   }
 
+  /** Data files APPENDED between two snapshots — the incremental-scan
+    * primitive (Iceberg's `incremental read`): a nightly consumer
+    * remembers the version it last processed and reads only what
+    * arrived since, never rescanning the table. Walks every snapshot
+    * in (fromVersion, toVersion]; REPLACE snapshots (compaction)
+    * rewrite old rows under new names, so crossing one would re-emit
+    * consumed data — refused, exactly Iceberg's behavior. */
+  def appendedFilesBetween(tableDir: String, fromVersion: Long,
+      toVersion: Long): Seq[String] = {
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion > toVersion $toVersion")
+    val from = read(tableDir, fromVersion).files.toSet
+    ((fromVersion + 1) to toVersion).foreach { v =>
+      val op = read(tableDir, v).operation
+      if (op == "replace") throw new IllegalArgumentException(
+        s"incremental read v$fromVersion..v$toVersion crosses a REPLACE " +
+          s"snapshot (v$v): compacted files interleave old and new rows; " +
+          "consume up to the replace, then restart from it")
+    }
+    read(tableDir, toVersion).files.filterNot(from.contains)
+  }
+
   // ---- manifest rendering / parsing (format owned by this object) --
 
   private def render(s: Snapshot): String =

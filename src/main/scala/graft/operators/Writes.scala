@@ -264,6 +264,57 @@ object Writes {
           ${Exact.sqlSum("o_totalprice", 2)} AS total_price
         FROM vs JOIN cum
           ON cum.first_v <= CASE WHEN version > 3 THEN 3 ELSE version END
-        GROUP BY version ORDER BY version"""))
+        GROUP BY version ORDER BY version""")),
+
+    // ----- w06: INCREMENTAL SNAPSHOT READ — the change-data
+    // consumption pattern the snapshot log enables (Iceberg's
+    // incremental scan): a consumer remembers the last version it
+    // processed and reads ONLY the files appended since — at 100 TB
+    // the nightly downstream job touches |delta|, never the table.
+    // Here the w05 table's three appends are consumed as "everything
+    // since v1": exactly the day-2 and day-3 slices, proven by the
+    // oracle re-deriving those slices by predicate. Compaction
+    // (REPLACE snapshots) interleaves consumed rows under new names,
+    // so incremental reads refuse to cross one (spec-tested) — the
+    // consumer checkpoints at the replace and restarts from it.
+    QueryDef(
+      "w06_incremental_read",
+      (s, d) => {
+        val wh = scratch("w06", d)
+        val cat = "w06cat_" + Integer.toHexString(d.hashCode)
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.BronzeCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+        s.sql(s"DROP TABLE IF EXISTS $cat.db.orders_inc")
+        s.sql(s"""CREATE TABLE $cat.db.orders_inc
+          (o_orderkey BIGINT, o_orderdate DATE, o_totalprice DOUBLE)
+          USING parquet""")
+        val o = new Tables(s, d).orders.select(
+          col("o_orderkey").cast("long"),
+          col("o_orderdate").cast("date"),
+          col("o_totalprice").cast("double"))
+        Seq(
+          o.filter(col("o_orderdate") < lit("1997-01-01")),
+          o.filter(col("o_orderdate") >= lit("1997-01-01") &&
+            col("o_orderdate") < lit("1999-01-01")),
+          o.filter(col("o_orderdate") >= lit("1999-01-01"))
+        ).foreach(_.writeTo(s"$cat.db.orders_inc").append())
+        val dir = s"$wh/db/orders_inc"
+        val delta = graft.catalog.SnapshotLog
+          .appendedFilesBetween(dir, fromVersion = 1, toVersion = 3)
+        s.read.schema(
+            "o_orderkey BIGINT, o_orderdate DATE, o_totalprice DOUBLE")
+          .parquet(delta.map(f => s"$dir/$f"): _*)
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg(count(lit(1)).as("n_orders"),
+            Exact.dsum(col("o_totalprice"), 2).as("total_price"))
+          .orderBy(col("o_year"))
+      },
+      Some(s"""SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT)
+            AS o_year,
+          COUNT(*) AS n_orders,
+          ${Exact.sqlSum("o_totalprice", 2)} AS total_price
+        FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+        GROUP BY 1 ORDER BY 1"""))
   )
 }

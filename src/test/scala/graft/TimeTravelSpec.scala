@@ -126,6 +126,32 @@ class TimeTravelSpec extends SparkSpec {
     }
   }
 
+  test("incremental read returns only appended files; refuses replaces") {
+    val dir = mkTable("inc")
+    (1 to 3).foreach { b =>
+      spark.sql(s"INSERT INTO bronze.tt.inc SELECT id, $b FROM range(${b}0)")
+    }
+    val delta = SnapshotLog.appendedFilesBetween(dir, 1, 3)
+    val rows = spark.read.schema("id BIGINT, batch INT")
+      .parquet(delta.map(f => s"$dir/$f"): _*)
+    assert(rows.count() == 50) // batches 2 (20) + 3 (30), not batch 1
+    assert(rows.select("batch").distinct().collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(2, 3))
+    // consuming nothing: same-version range is empty
+    assert(SnapshotLog.appendedFilesBetween(dir, 3, 3).isEmpty)
+    // a REPLACE snapshot (compaction) interleaves consumed rows under
+    // new names — crossing one must refuse
+    bronzeCatalog.optimizeTable(Seq("tt"), "inc", 1L << 30)
+    intercept[IllegalArgumentException] {
+      SnapshotLog.appendedFilesBetween(dir, 2, 4)
+    }
+    // restarting FROM the replace works again
+    spark.sql("INSERT INTO bronze.tt.inc SELECT id, 9 FROM range(5)")
+    val afterOpt = SnapshotLog.appendedFilesBetween(dir, 4, 5)
+    assert(spark.read.schema("id BIGINT, batch INT")
+      .parquet(afterOpt.map(f => s"$dir/$f"): _*).count() == 5)
+  }
+
   test("snapshot commit is a filesystem CAS: racing committers serialize") {
     val dir = tmpDir("cas")
     Files.writeString(Paths.get(dir, "seed.txt"), "x") // not a data file
