@@ -182,9 +182,43 @@ class BronzeCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      s"$catalogName catalog tables are append-only; ALTER is not supported")
+  /** Schema evolution, Iceberg-style: ADD COLUMN only (nullable,
+    * appended at the end). Readers always apply the DECLARED schema,
+    * so files written before the change — which lack the column —
+    * surface NULLs for it (parquet reads missing columns as null);
+    * no data file is rewritten. Anything that would change or drop
+    * existing data (rename, type change, drop, reorder) stays
+    * unsupported: bronze tables are append-only history. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = dirOf(ident)
+    if (!isTableDir(dir)) throw new NoSuchTableException(ident)
+    val schema = DataType.fromJson(
+      Files.readString(dir.resolve(SchemaFile))).asInstanceOf[StructType]
+    val evolved = changes.foldLeft(schema) { (sch, change) =>
+      change match {
+        case add: TableChange.AddColumn =>
+          if (add.fieldNames.length != 1)
+            throw new UnsupportedOperationException(
+              s"$catalogName catalog supports only top-level ADD COLUMN; " +
+                s"got ${add.fieldNames.mkString(".")}")
+          if (!add.isNullable)
+            throw new UnsupportedOperationException(
+              "added columns must be nullable: existing files have no " +
+                "values for them")
+          if (sch.fieldNames.exists(_.equalsIgnoreCase(add.fieldNames.head)))
+            throw new IllegalArgumentException(
+              s"column ${add.fieldNames.head} already exists")
+          sch.add(add.fieldNames.head, add.dataType, nullable = true,
+            Option(add.comment).getOrElse(""))
+        case other =>
+          throw new UnsupportedOperationException(
+            s"$catalogName catalog tables are append-only; only ADD COLUMN " +
+              s"is supported, got $other")
+      }
+    }
+    Files.writeString(dir.resolve(SchemaFile), evolved.json)
+    loadTable(ident)
+  }
 
   private def deleteTree(dir: Path): Unit = {
     val s = Files.walk(dir)

@@ -152,6 +152,30 @@ class TimeTravelSpec extends SparkSpec {
       .parquet(afterOpt.map(f => s"$dir/$f"): _*).count() == 5)
   }
 
+  test("ADD COLUMN evolves the schema; old files read NULLs, no rewrite") {
+    val dir = mkTable("evolve")
+    spark.sql("INSERT INTO bronze.tt.evolve SELECT id, 1 FROM range(10)")
+    val filesBefore = SnapshotLog.current(dir).get.files
+    spark.sql("ALTER TABLE bronze.tt.evolve ADD COLUMN note STRING")
+    // pre-evolution files are untouched; the declared schema grew
+    assert(SnapshotLog.current(dir).get.files == filesBefore)
+    assert(spark.table("bronze.tt.evolve").columns.toSeq ==
+      Seq("id", "batch", "note"))
+    spark.sql(
+      "INSERT INTO bronze.tt.evolve SELECT id, 2, 'n' || id FROM range(5)")
+    val t = spark.table("bronze.tt.evolve")
+    assert(t.count() == 15)
+    assert(t.filter("note IS NULL").count() == 10) // old rows: NULL
+    assert(t.filter("note = 'n3'").count() == 1)
+    // only ADD COLUMN is supported; anything destructive refuses
+    intercept[Exception] {
+      spark.sql("ALTER TABLE bronze.tt.evolve DROP COLUMN note")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE bronze.tt.evolve ADD COLUMN batch INT")
+    }
+  }
+
   test("snapshot commit is a filesystem CAS: racing committers serialize") {
     val dir = tmpDir("cas")
     Files.writeString(Paths.get(dir, "seed.txt"), "x") // not a data file
