@@ -1,0 +1,125 @@
+package graft.catalog
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.graftshim.shim
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** STREAMING READS off the snapshot log —
+  * `spark.readStream.table("bronze.db.orders")` runs verbatim, the
+  * read half of the Iceberg streaming story (the write half is
+  * [[BronzeStreamingWrite]]):
+  *
+  *   - the stream's OFFSET is a snapshot VERSION; each micro-batch is
+  *     exactly the files APPENDED between two committed snapshots
+  *     ([[SnapshotLog.appendedFilesBetween]]) — consumers ride the
+  *     manifest log, never rescanning the table, so a 100 TB table
+  *     feeds a pipeline at |delta| cost per trigger;
+  *   - offsets live in the query checkpoint, so a restarted stream
+  *     resumes from its last committed version with exactly-once
+  *     file-set semantics (same guarantee the file-source manifest
+  *     gives, derived from the table's own log instead);
+  *   - a REPLACE snapshot (compaction) interleaves already-consumed
+  *     rows under new names; crossing one fails with a clear error —
+  *     Iceberg's own streaming-read rule. Streams read through
+  *     replaces by restarting from the replace version
+  *     (`startingVersion` option);
+  *   - `startingVersion` option: "latest" (default — only appends
+  *     after stream start, the CDC tail) or a snapshot version
+  *     number ("0" = full history then tail).
+  *
+  * Reads use the DECLARED table schema, so files written before an
+  * ADD COLUMN surface NULLs (no column pruning on the streaming
+  * path — bronze rows are consumed whole by design).
+  */
+object BronzeStreamRead {
+  /** The scan builder [[BronzeWritableTable]] hands to Catalyst:
+    * the delegate's pushdown surface preserved (shim wrapper), plus
+    * a snapshot-log micro-batch stream. */
+  def scanBuilder(delegate: ScanBuilder, dir: String, schema: StructType,
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new org.apache.spark.sql.graftshim.SnapshotScanBuilder(
+      delegate,
+      s"bronze snapshot scan $dir (streaming: version-per-batch)",
+      () => new BronzeMicroBatchStream(dir, schema,
+        Option(options.get("startingVersion")).getOrElse("latest")))
+}
+
+/** Version-number offset; json is just the number. */
+private final case class VersionOffset(v: Long) extends Offset {
+  override def json(): String = v.toString
+}
+
+private final class BronzeMicroBatchStream(dir: String, schema: StructType,
+    startingVersion: String) extends MicroBatchStream {
+
+  override def initialOffset(): Offset = {
+    val cur = SnapshotLog.currentVersion(dir).getOrElse(
+      throw new IllegalStateException(
+        s"streaming read requires a snapshot-logged table: $dir"))
+    startingVersion match {
+      case "latest" => VersionOffset(cur)
+      case v =>
+        val n =
+          try v.toLong
+          catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"startingVersion must be 'latest' or a version number; got $v")
+          }
+        require(n <= cur, s"startingVersion $n is ahead of the table ($cur)")
+        VersionOffset(n)
+    }
+  }
+
+  override def latestOffset(): Offset =
+    VersionOffset(SnapshotLog.currentVersion(dir).getOrElse(-1L))
+
+  override def deserializeOffset(json: String): Offset =
+    VersionOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[VersionOffset].v
+    val to = end.asInstanceOf[VersionOffset].v
+    if (from >= to) Array.empty
+    else SnapshotLog.appendedFilesBetween(dir, from, to)
+      .map(f => BronzeFilePartition(s"$dir/$f"): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new BronzeFileReaderFactory(schema.json)
+
+  override def commit(end: Offset): Unit = () // checkpoint owns progress
+  override def stop(): Unit = ()
+}
+
+private final case class BronzeFilePartition(path: String)
+    extends InputPartition
+
+private final class BronzeFileReaderFactory(schemaJson: String)
+    extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new BronzeFileReader(p.asInstanceOf[BronzeFilePartition].path,
+      org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+        .asInstanceOf[StructType])
+}
+
+private final class BronzeFileReader(path: String, schema: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val reader = shim.rowParquetReader(path, schema)
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    current = reader.read()
+    current != null
+  }
+
+  // the materializer reuses its row between read() calls — copy
+  override def get(): InternalRow = current.copy()
+
+  override def close(): Unit = reader.close()
+}

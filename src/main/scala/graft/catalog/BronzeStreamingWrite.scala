@@ -50,11 +50,14 @@ final class BronzeWritableTable(delegate: Table, dir: String)
   override def capabilities(): util.Set[TableCapability] = {
     val caps = new util.HashSet[TableCapability](delegate.capabilities())
     caps.add(TableCapability.STREAMING_WRITE)
+    caps.add(TableCapability.MICRO_BATCH_READ) // snapshot-log streaming read
     caps
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    delegate.asInstanceOf[SupportsRead].newScanBuilder(options)
+    BronzeStreamRead.scanBuilder(
+      delegate.asInstanceOf[SupportsRead].newScanBuilder(options),
+      dir, delegate.schema(), options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {

@@ -3,6 +3,74 @@ package org.apache.spark.sql.graftshim
 import org.apache.spark.sql.classic.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
+/** ScanBuilder wrapper that adds a streaming (micro-batch) read to a
+  * file table's scan while PRESERVING its pushdown surface: Catalyst
+  * probes pushdown capabilities with `instanceof` checks on the
+  * ScanBuilder, so a plain wrapper would silently cost every batch
+  * read its filter/column/aggregate pushdown. The catalyst-filter
+  * interface is `private[sql]` — which is why this class lives in the
+  * shim package. `mkStream` builds the stream from the scan options
+  * (graft's snapshot-log version stream). */
+final class SnapshotScanBuilder(
+    delegate: org.apache.spark.sql.connector.read.ScanBuilder,
+    desc: String,
+    mkStream: () => org.apache.spark.sql.connector.read.streaming.MicroBatchStream)
+    extends org.apache.spark.sql.connector.read.ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownVariantExtractions {
+
+  import org.apache.spark.sql.connector.read._
+
+  override def pruneColumns(
+      requiredSchema: org.apache.spark.sql.types.StructType): Unit =
+    delegate.asInstanceOf[SupportsPushDownRequiredColumns]
+      .pruneColumns(requiredSchema)
+
+  override def pushFilters(
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+    delegate
+      .asInstanceOf[org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters]
+      .pushFilters(filters)
+
+  override def pushedFilters
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    delegate
+      .asInstanceOf[org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters]
+      .pushedFilters
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean =
+    delegate.asInstanceOf[SupportsPushDownAggregates]
+      .supportCompletePushDown(agg)
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean =
+    delegate.asInstanceOf[SupportsPushDownAggregates].pushAggregation(agg)
+
+  override def pushVariantExtractions(
+      extractions: Array[VariantExtraction]): Array[Boolean] =
+    delegate.asInstanceOf[SupportsPushDownVariantExtractions]
+      .pushVariantExtractions(extractions)
+
+  override def build(): Scan = {
+    val batch = delegate.build()
+    new Scan {
+      override def readSchema(): org.apache.spark.sql.types.StructType =
+        batch.readSchema()
+      override def toBatch: Batch = batch.toBatch
+      override def description(): String = desc
+      override def toMicroBatchStream(checkpointLocation: String)
+          : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+        mkStream()
+    }
+  }
+}
+
 /** Minimal bridge into `private[sql]` surface: building a DataFrame
   * from a custom LogicalPlan node (the documented extension pattern —
   * third-party operators need exactly this one hook; everything else
@@ -62,6 +130,45 @@ object shim {
         new ParquetWriteSupport
     }
     new B(new org.apache.hadoop.fs.Path(path)).withConf(conf).build()
+  }
+
+  /** Executor-side parquet reader of `InternalRow`s from one file —
+    * the read twin of [[rowParquetWriter]], used by the bronze
+    * snapshot log's STREAMING READ (each appended file of a
+    * micro-batch is read directly; Spark's own V2 parquet read stack
+    * is tied to `FileScan`, which has no snapshot-log notion).
+    * `ParquetReadSupport` is `private[sql]`, hence constructed here.
+    * Rebase modes are CORRECTED, matching [[parquetWriterConfs]]'s
+    * write side; the materializer may REUSE its row, so callers copy.
+    * `schema` must be the DECLARED table schema — files written
+    * before an ADD COLUMN lack the column and surface NULLs. */
+  def rowParquetReader(
+      path: String,
+      schema: org.apache.spark.sql.types.StructType)
+      : org.apache.parquet.hadoop.ParquetReader[org.apache.spark.sql.catalyst.InternalRow] = {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.spark.sql.catalyst.util.RebaseDateTime.RebaseSpec
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport
+    import org.apache.spark.sql.internal.LegacyBehaviorPolicy
+    import org.apache.spark.sql.internal.SQLConf
+    val conf = new Configuration()
+    conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, schema.json)
+    // ParquetToSparkSchemaConverter reads these from the Hadoop conf
+    // with NO defaults ("null".toBoolean throws) — Spark's own reader
+    // path populates them in ParquetFileFormat; mirror the defaults
+    Seq(SQLConf.PARQUET_BINARY_AS_STRING, SQLConf.PARQUET_INT96_AS_TIMESTAMP,
+      SQLConf.CASE_SENSITIVE, SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED,
+      SQLConf.LEGACY_PARQUET_NANOS_AS_LONG, SQLConf.PARQUET_FIELD_ID_READ_ENABLED)
+      .foreach(e => conf.set(e.key, e.defaultValue.get.toString))
+    val support = new ParquetReadSupport(
+      None, // convertTz: files carry UTC micros (writer conf)
+      false, // row-based materialization, not vectorized
+      RebaseSpec(LegacyBehaviorPolicy.CORRECTED, None),
+      RebaseSpec(LegacyBehaviorPolicy.CORRECTED, None))
+    org.apache.parquet.hadoop.ParquetReader
+      .builder(support, new org.apache.hadoop.fs.Path(path))
+      .withConf(conf)
+      .build()
   }
 
   /** A V2 parquet `Table` (SupportsRead + SupportsWrite) over one

@@ -176,6 +176,75 @@ class TimeTravelSpec extends SparkSpec {
     }
   }
 
+  test("readStream.table consumes snapshots as micro-batches; restart resumes") {
+    import org.apache.spark.sql.streaming.Trigger
+    mkTable("srcstream")
+    spark.sql("INSERT INTO bronze.tt.srcstream SELECT id, 1 FROM range(10)")
+    spark.sql("INSERT INTO bronze.tt.srcstream SELECT id, 2 FROM range(20)")
+    val ckpt = tmpDir("srcstream_ckpt")
+
+    // memory sink cannot recover a checkpoint; foreachBatch can —
+    // and is the realistic downstream-consumer shape anyway
+    def runOnce(): Seq[(Int, Long)] = {
+      val acc =
+        new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]()
+      val q = spark.readStream
+        .option("startingVersion", "0") // full history, then the tail
+        .table("bronze.tt.srcstream")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.groupBy("batch").count().collect()
+            .foreach(r => acc.add(r.getInt(0) -> r.getLong(1)))
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      acc.asScala.toSeq
+    }
+    val got1 = runOnce()
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    assert(got1 == Map(1 -> 10L, 2 -> 20L))
+
+    // restart from the checkpoint: ONLY the new snapshot is consumed
+    spark.sql("INSERT INTO bronze.tt.srcstream SELECT id, 3 FROM range(5)")
+    val got2 = runOnce()
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    assert(got2 == Map(3 -> 5L)) // batches 1/2 not re-read
+  }
+
+  test("streaming read refuses to cross a REPLACE snapshot") {
+    import org.apache.spark.sql.streaming.Trigger
+    mkTable("srcrepl")
+    spark.sql("INSERT INTO bronze.tt.srcrepl SELECT id, 1 FROM range(10)")
+    spark.sql("INSERT INTO bronze.tt.srcrepl SELECT id, 2 FROM range(10)")
+    bronzeCatalog.optimizeTable(Seq("tt"), "srcrepl", 1L << 30)
+    val q = spark.readStream.option("startingVersion", "0")
+      .table("bronze.tt.srcrepl")
+      .writeStream.format("memory").queryName("srcrepl_sink")
+      .option("checkpointLocation", tmpDir("srcrepl_ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    val e = intercept[Exception] { q.awaitTermination() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("REPLACE snapshot")))
+    // a stream STARTED at the replace version reads on cleanly
+    val q2 = spark.readStream.option("startingVersion", "3")
+      .table("bronze.tt.srcrepl")
+      .writeStream.format("memory").queryName("srcrepl_sink2")
+      .option("checkpointLocation", tmpDir("srcrepl_ckpt2"))
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    spark.sql("INSERT INTO bronze.tt.srcrepl SELECT id, 4 FROM range(7)")
+    val q3 = spark.readStream.option("startingVersion", "3")
+      .table("bronze.tt.srcrepl")
+      .writeStream.format("memory").queryName("srcrepl_sink3")
+      .option("checkpointLocation", tmpDir("srcrepl_ckpt3"))
+      .trigger(Trigger.AvailableNow()).start()
+    q3.awaitTermination()
+    assert(spark.table("srcrepl_sink3").count() == 7)
+  }
+
   test("snapshot commit is a filesystem CAS: racing committers serialize") {
     val dir = tmpDir("cas")
     Files.writeString(Paths.get(dir, "seed.txt"), "x") // not a data file
