@@ -44,7 +44,8 @@ object BronzeStreamRead {
       delegate,
       s"bronze snapshot scan $dir (streaming: version-per-batch)",
       () => new BronzeMicroBatchStream(dir, schema,
-        Option(options.get("startingVersion")).getOrElse("latest")))
+        Option(options.get("startingVersion")).getOrElse("latest"),
+        Option(options.get("maxVersionsPerTrigger")).map(_.toLong)))
 }
 
 /** Version-number offset; json is just the number. */
@@ -53,7 +54,43 @@ private final case class VersionOffset(v: Long) extends Offset {
 }
 
 private final class BronzeMicroBatchStream(dir: String, schema: StructType,
-    startingVersion: String) extends MicroBatchStream {
+    startingVersion: String, maxVersionsPerTrigger: Option[Long])
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxRows}
+
+  // ---- admission control: maxVersionsPerTrigger caps how many
+  // SNAPSHOTS one micro-batch consumes (Iceberg's own streaming
+  // option is per-snapshot too) — a restarted consumer with a large
+  // backlog drains it in bounded bites instead of one giant batch.
+  // Under Trigger.AvailableNow the target version is captured ONCE at
+  // query start, so the trigger terminates even while writers keep
+  // committing.
+
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = SnapshotLog.currentVersion(dir)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerTrigger.map(ReadLimit.maxRows)
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def reportLatestOffset(): Offset =
+    VersionOffset(SnapshotLog.currentVersion(dir).getOrElse(-1L))
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[VersionOffset].v
+    val target = availableNowTarget
+      .orElse(SnapshotLog.currentVersion(dir)).getOrElse(-1L)
+    limit match {
+      case r: ReadMaxRows => // rows == versions for this source
+        VersionOffset(math.min(target, from + r.maxRows()))
+      case _ => VersionOffset(target)
+    }
+  }
 
   override def initialOffset(): Offset = {
     val cur = SnapshotLog.currentVersion(dir).getOrElse(

@@ -527,6 +527,52 @@ object StreamingOps {
         SELECT make_timestamp(big_start) AS win_start,
           make_timestamp(big_start + 43200000000) AS win_end,
           n_events, n_type_windows, max_type_window
-        FROM big ORDER BY win_start"""))
+        FROM big ORDER BY win_start""")),
+
+    // ----- st12: STREAMING READ OFF THE SNAPSHOT LOG — the bronze
+    // catalog table as a STREAMING SOURCE (`readStream.table`), the
+    // read half of the Iceberg streaming story: offsets are snapshot
+    // versions, each micro-batch is exactly one appended snapshot's
+    // files (maxVersionsPerTrigger=1 forces version-per-batch here),
+    // and the stateful aggregation accumulates across those batches.
+    // At 100 TB: the downstream job tails the table's manifest log at
+    // |delta| cost per trigger, with checkpointed exactly-once resume
+    // (restart + replace-refusal proven in TimeTravelSpec).
+    QueryDef(
+      "st12_stream_snapshot_source",
+      (s, d) => {
+        val wh = s"${System.getProperty("java.io.tmpdir")}/graft_st12-" +
+          Integer.toHexString(d.hashCode)
+        val cat = "st12cat_" + Integer.toHexString(d.hashCode)
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.BronzeCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+        s.sql(s"DROP TABLE IF EXISTS $cat.db.orders_src")
+        s.sql(s"""CREATE TABLE $cat.db.orders_src
+          (o_orderkey BIGINT, o_orderdate DATE, o_totalprice DOUBLE)
+          USING parquet""")
+        val o = new Tables(s, d).orders.select(
+          col("o_orderkey").cast("long"),
+          col("o_orderdate").cast("date"),
+          col("o_totalprice").cast("double"))
+        Seq( // three snapshots = three micro-batches
+          o.filter(col("o_orderdate") < lit("1997-01-01")),
+          o.filter(col("o_orderdate") >= lit("1997-01-01") &&
+            col("o_orderdate") < lit("1999-01-01")),
+          o.filter(col("o_orderdate") >= lit("1999-01-01"))
+        ).foreach(_.writeTo(s"$cat.db.orders_src").append())
+        val agg = s.readStream
+          .option("startingVersion", "0")
+          .option("maxVersionsPerTrigger", "1")
+          .table(s"$cat.db.orders_src")
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg(count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice"), 2).as("total_price"))
+        runToMemory(s, agg, "complete").orderBy(col("o_year"))
+      },
+      Some(s"""SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS o_year,
+          COUNT(*) AS n_orders,
+          ${sqlSum("o_totalprice", 2)} AS total_price
+        FROM orders GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -210,6 +210,21 @@ class TimeTravelSpec extends SparkSpec {
     val got2 = runOnce()
       .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
     assert(got2 == Map(3 -> 5L)) // batches 1/2 not re-read
+
+    // admission control: maxVersionsPerTrigger=1 → one micro-batch
+    // PER SNAPSHOT (3 appends + the empty create = 3 non-empty)
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = spark.readStream
+      .option("startingVersion", "0").option("maxVersionsPerTrigger", "1")
+      .table("bronze.tt.srcstream")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (df.count() > 0) batches.incrementAndGet(); ()
+      }
+      .option("checkpointLocation", tmpDir("srcstream_ckpt_mv"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(batches.get() == 3)
   }
 
   test("streaming read refuses to cross a REPLACE snapshot") {
