@@ -1032,6 +1032,89 @@ object Similarity {
         SELECT q_id, c_id, cos_sim FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
             ORDER BY cos_sim DESC, c_id) AS r FROM cand)
-        WHERE r = 1 ORDER BY q_id"""))
+        WHERE r = 1 ORDER BY q_id""")),
+
+    // ----- s14: BINARY QUANTIZATION + HAMMING RESCORING — the third
+    // compression point on the accuracy/memory curve (int8 = s06,
+    // PQ = s12, 1-bit = here): each vector compresses to its 64 SIGN
+    // BITS, packed as two 32-bit halves (two halves, not one 64-bit
+    // word, because a signed 2^63 term overflows DuckDB's checked
+    // BIGINT sum — and hamming over halves is identical). The coarse
+    // stage is the production BQ shape: a LINEAR SCAN OVER CODES —
+    // the tiny broadcast query set against 8 bytes per corpus vector,
+    // 32× less memory traffic than floats, cheap XOR+popcount per
+    // pair — then only the per-query 16-row hamming shortlist is
+    // rescored at full precision. At 10⁹ vectors the code table is
+    // ~8 GB (RAM-resident) while the floats stay on disk; the scan
+    // parallelizes per-partition with zero shuffle, and the rerank
+    // reads |shortlist| full vectors, not the corpus. Gated exactly:
+    // sign bits, hamming, and the rerank are all deterministic.
+    QueryDef(
+      "s14_binary_quantization",
+      (s, d) => {
+        def sig(off: Int) =
+          s"""aggregate(sequence(0, 31), CAST(0 AS BIGINT),
+            (acc, i) -> acc + IF(element_at(v, i + $off) >= 0,
+              shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"""
+        val e = vecs(s, d)
+          .withColumn("lo", expr(sig(1)))
+          .withColumn("hi", expr(sig(33)))
+        val corpus = e.filter(col("vec_id") % 251 =!= 0)
+          .select(col("vec_id").as("c_id"), col("v").as("bv"),
+            col("nrm").as("nrm_c"), col("lo").as("lo_c"),
+            col("hi").as("hi_c"))
+        val qs = e.filter(col("vec_id") % 251 === 0)
+          .select(col("vec_id").as("q_id"), col("v").as("av"),
+            col("nrm").as("nrm_q"), col("lo").as("lo_q"),
+            col("hi").as("hi_q"))
+        val wHam = Window.partitionBy(col("q_id"))
+          .orderBy(col("hamming"), col("c_id"))
+        val wCos = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_sim").desc, col("c_id"))
+        corpus.crossJoin(broadcast(qs)) // labeled: code scan, 8 q-rows
+          .withColumn("hamming",
+            expr("bit_count(lo_c ^ lo_q) + bit_count(hi_c ^ hi_q)"))
+          .withColumn("hr", row_number().over(wHam))
+          .filter(col("hr") <= 16) // code-space shortlist
+          .withColumn("cos_sim", expr(dotExpr) / (col("nrm_q") * col("nrm_c")))
+          .withColumn("rank", row_number().over(wCos))
+          .filter(col("rank") <= 3) // full-precision rerank
+          .select(col("q_id"), col("rank"), col("c_id"), col("hamming"),
+            col("cos_sim"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some(s"""WITH e0 AS ($vecsSql),
+        sigs AS (
+          SELECT vec_id, v, nrm,
+            CAST(list_sum(list_transform(range(32), i ->
+              CASE WHEN v[i + 1] >= 0
+                THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT)
+              AS lo,
+            CAST(list_sum(list_transform(range(32), i ->
+              CASE WHEN v[i + 33] >= 0
+                THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT)
+              AS hi
+          FROM e0),
+        ham AS (
+          SELECT a.vec_id AS q_id, a.v AS qa, a.nrm AS nrm_q,
+            b.vec_id AS c_id, b.v AS ca, b.nrm AS nrm_c,
+            bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+              AS hamming
+          FROM sigs a, sigs b
+          WHERE a.vec_id % 251 = 0 AND b.vec_id % 251 <> 0),
+        short AS (
+          SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+              ORDER BY hamming, c_id) AS hr FROM ham)
+          WHERE hr <= 16),
+        rer AS (
+          SELECT q_id, c_id, hamming,
+            list_sum(list_transform(list_zip(qa, ca), t -> t[1] * t[2]))
+              / (nrm_q * nrm_c) AS cos_sim
+          FROM short)
+        SELECT q_id, rank, c_id, hamming, cos_sim FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY cos_sim DESC, c_id) AS rank FROM rer)
+        WHERE rank <= 3 ORDER BY q_id, rank"""))
   )
 }

@@ -28,6 +28,9 @@ class PlanAuditSpec extends SparkSpec {
     "q20_above_average_parts" -> "broadcast 1-row scalar (global average)",
     "p03_domain_mixture" -> "5x1 scalar combine (weight total over langs)",
     "q76_triangle_count" -> "1x1x1x1 scalar combine (4 single-row aggs)",
+    "s14_binary_quantization" ->
+      ("binary-code linear scan: broadcast query rows x 8-byte codes " +
+        "(the BQ rescoring shape; floats touched only for the shortlist)"),
     "q78_kll_quantile_sketch" -> "1x1 scalar combine (merged-sketch row)",
     "t15_bm25_retrieval" -> "broadcast 1-row corpus stats (nd, tl)")
 
