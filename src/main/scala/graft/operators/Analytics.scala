@@ -1281,10 +1281,13 @@ object Analytics {
       (s, d) => {
         val li = tb(s, d).lineitem
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        // cached: e feeds the degree count, the orientation join and
+        // the edge-count scalar; without it the self-join re-derives
+        // the whole subtree once per consumer
         val e = li.as("a").join(li.as("b"),
             col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
           .select(col("a.pk").as("u"), col("b.pk").as("v"))
-          .distinct()
+          .distinct().cache()
         val deg = e.select(col("u").as("x"))
           .union(e.select(col("v").as("x")))
           .groupBy(col("x")).agg(count(lit(1)).as("dg"))
@@ -1302,6 +1305,7 @@ object Analytics {
               .as("t"),
             when(col("ru.r") < col("rv.r"), col("rv.r"))
               .otherwise(col("ru.r")).as("rt"))
+          .cache() // three self-join arms + the out-degree rollup
         val wedges = oriented.as("e1").join(oriented.as("e2"),
             col("e1.s") === col("e2.s") && col("e1.rt") < col("e2.rt"))
           .select(col("e1.t").as("w1"), col("e2.t").as("w2"))
