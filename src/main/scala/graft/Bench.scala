@@ -103,6 +103,19 @@ object Bench {
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes("UTF-8"))
+    // shut down cleanly BEFORE the final stdout line: the state-store
+    // maintenance pool of any stateful streaming headline (st02) races
+    // spark.stop() and dumps an RpcEnvStoppedException stack AFTER
+    // whatever was last printed — BENCH_r06.json came back parsed:null
+    // because that stack followed the JSON. Stop every active streaming
+    // query first, stop the session, THEN print the JSON once more so
+    // it is the last meaningful line on stdout.
+    try spark.streams.active.foreach { sq =>
+      try sq.stop() catch { case _: Throwable => }
+    } catch { case _: Throwable => }
     spark.stop()
+    System.out.flush(); System.err.flush()
+    println(json)
+    System.out.flush()
   }
 }

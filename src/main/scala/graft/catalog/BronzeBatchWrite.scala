@@ -192,12 +192,21 @@ object BronzeBatchAppend {
     }
     val destPrefix = s"part-fb-$tag-e$epochId-p"
     val dests = parts.indices.map(i => s"$destPrefix$i.parquet").toSet
-    val listing = Files.list(Paths.get(tableDir))
-    try listing.iterator().forEachRemaining { p =>
-      val name = p.getFileName.toString
-      if (name.startsWith(destPrefix) && !dests.contains(name))
-        Files.deleteIfExists(p)
-    } finally listing.close()
+    // Stale same-epoch files (a crashed attempt planned more
+    // partitions) are filtered from the MANIFEST below but left on
+    // disk where a snapshot log exists: a committed snapshot of the
+    // crashed attempt may still reference them, and deleting the
+    // bytes would break time travel to that version — vacuum reaps
+    // them. A PLAIN dir (no log — reads are directory listings) still
+    // needs the physical sweep for exactly-the-epoch's-content reads.
+    if (!SnapshotLog.enabled(tableDir)) {
+      val listing = Files.list(Paths.get(tableDir))
+      try listing.iterator().forEachRemaining { p =>
+        val name = p.getFileName.toString
+        if (name.startsWith(destPrefix) && !dests.contains(name))
+          Files.deleteIfExists(p)
+      } finally listing.close()
+    }
     parts.zipWithIndex.foreach { case (p, i) =>
       Files.move(p, Paths.get(tableDir, s"$destPrefix$i.parquet"),
         StandardCopyOption.REPLACE_EXISTING)

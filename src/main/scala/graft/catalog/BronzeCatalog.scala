@@ -150,9 +150,17 @@ class BronzeCatalog extends TableCatalog with SupportsNamespaces {
     * snapshot; old versions keep reading the originals until
     * [[vacuumTable]]. Returns (filesCompacted, filesCreated). */
   def optimizeTable(namespace: Seq[String], name: String,
-      targetBytes: Long): (Int, Int) =
-    SnapshotLog.optimize(SparkSession.active, tableDir(namespace, name),
-      targetBytes)
+      targetBytes: Long): (Int, Int) = {
+    val dir = tableDir(namespace, name)
+    // rewrite with the DECLARED schema: after ADD COLUMN a compaction
+    // bin can mix pre- and post-evolution files, and schema inference
+    // from one footer would drop the new column from the rewrite
+    val declared = DataType.fromJson(
+      Files.readString(Paths.get(dir).resolve(SchemaFile)))
+      .asInstanceOf[StructType]
+    SnapshotLog.optimize(SparkSession.active, dir, targetBytes,
+      Some(declared))
+  }
 
   /** Iceberg `expire_snapshots` + orphan-file removal (VACUUM): keep
     * the last `retainLast` snapshots, delete data files referenced by

@@ -95,13 +95,6 @@ private final class BronzeStreamingWrite(dir: String, schema: StructType,
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new BronzeStreamingWriterFactory(dir, schema, queryId, writerConfs)
 
-  // Files written before destinations were query-id-scoped used the
-  // `part-e<epoch>-p<part>` naming; a replay after the upgrade writes
-  // `part-q…` names without replacing them, so the table would read
-  // both and duplicate rows. Sweep the legacy names once, on this
-  // query's first commit.
-  private var sweptLegacy = false
-
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
     val dests = messages.collect {
@@ -110,18 +103,27 @@ private final class BronzeStreamingWrite(dir: String, schema: StructType,
     }.toSet
     // A replayed epoch may plan FEWER write tasks than the crashed
     // attempt (parallelism changed between runs); any part file of
-    // this epoch not re-produced now is a stale duplicate — drop it
-    // BEFORE publishing, so the commit as a whole is the epoch's
-    // exact content.
+    // this epoch not re-produced now is a stale duplicate. It is
+    // dropped from the MANIFEST (the commit closure below filters the
+    // epoch prefix) but its bytes stay on disk: a crashed prior
+    // attempt may have committed a snapshot referencing it (crash
+    // between SnapshotLog.commit and the checkpoint commit), and
+    // physically deleting it would break time travel to that
+    // committed version. Vacuum reaps it once no retained snapshot
+    // references it. Same reasoning for pre-query-scoping legacy
+    // `part-e` names — old manifests may reference them. Only a
+    // LEGACY dir (no snapshot log yet — reads are directory listings,
+    // so on-disk bytes ARE the table) still needs the physical sweep.
     val prefix = s"part-q$queryId-e$epochId-p"
-    val listing = Files.list(Paths.get(dir))
-    try listing.iterator().forEachRemaining { p =>
-      val name = p.getFileName.toString
-      if ((name.startsWith(prefix) && !dests.contains(name)) ||
-          (!sweptLegacy && name.startsWith("part-e")))
-        Files.deleteIfExists(p)
-    } finally listing.close()
-    sweptLegacy = true
+    if (!SnapshotLog.enabled(dir)) {
+      val listing = Files.list(Paths.get(dir))
+      try listing.iterator().forEachRemaining { p =>
+        val name = p.getFileName.toString
+        if ((name.startsWith(prefix) && !dests.contains(name)) ||
+            name.startsWith("part-e"))
+          Files.deleteIfExists(p)
+      } finally listing.close()
+    }
     messages.foreach {
       case StagedFile(staged, _) if staged.isEmpty => () // empty partition
       case StagedFile(staged, dest) =>

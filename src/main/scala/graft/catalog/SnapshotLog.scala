@@ -224,9 +224,19 @@ object SnapshotLog {
     * binned in name order until a bin reaches `targetBytes`; only
     * bins of >= 2 files rewrite. Old versions still read the original
     * small files until vacuumed. Returns (filesCompacted,
-    * filesCreated). */
+    * filesCreated).
+    *
+    * `declaredSchema` (the table's schema sidecar, when the caller is
+    * a catalog table) MUST be applied to the rewrite reads: after ADD
+    * COLUMN a bin can mix pre- and post-evolution files, and letting
+    * Spark infer from one file's footer would silently drop the new
+    * column from the rewritten file — permanent data loss once vacuum
+    * reaps the originals. Iceberg's `rewrite_data_files` always writes
+    * the table schema; compaction changes LAYOUT, never data. */
   def optimize(spark: org.apache.spark.sql.SparkSession, tableDir: String,
-      targetBytes: Long): (Int, Int) = {
+      targetBytes: Long,
+      declaredSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : (Int, Int) = {
     val snap = current(tableDir).getOrElse(
       throw new IllegalArgumentException(
         s"optimize requires a snapshot-logged table: $tableDir"))
@@ -248,7 +258,8 @@ object SnapshotLog {
     val written = toCompact.zipWithIndex.map { case (group, i) =>
       val dest = s"part-opt-$id-g$i.parquet"
       val stage = Paths.get(tableDir, s".opt-$id-g$i")
-      spark.read.parquet(group.map(f => s"$tableDir/$f"): _*)
+      val reader = declaredSchema.fold(spark.read)(spark.read.schema)
+      reader.parquet(group.map(f => s"$tableDir/$f"): _*)
         .coalesce(1).write.parquet(stage.toString)
       val partFile = {
         val s = Files.list(stage)

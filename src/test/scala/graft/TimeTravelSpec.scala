@@ -176,6 +176,35 @@ class TimeTravelSpec extends SparkSpec {
     }
   }
 
+  test("OPTIMIZE across an ADD COLUMN boundary keeps the evolved column") {
+    val dir = mkTable("evopt")
+    spark.sql("INSERT INTO bronze.tt.evopt SELECT id, 1 FROM range(10)")
+    spark.sql("ALTER TABLE bronze.tt.evopt ADD COLUMN note STRING")
+    spark.sql(
+      "INSERT INTO bronze.tt.evopt SELECT id, 2, 'n' || id FROM range(5)")
+    // the compaction bin mixes a pre-evolution file (no `note`) with a
+    // post-evolution one; the rewrite must use the DECLARED schema or
+    // footer inference from the pre-evolution file silently drops
+    // `note` — permanent data loss once vacuum reaps the originals
+    val (compacted, created) =
+      bronzeCatalog.optimizeTable(Seq("tt"), "evopt", 1L << 30)
+    assert(compacted >= 2 && created == 1)
+    val t = spark.table("bronze.tt.evopt")
+    assert(t.count() == 15)
+    assert(t.filter("note IS NULL").count() == 10)
+    assert(t.filter("note = 'n3'").count() == 1)
+    // the rewritten file physically carries the column (no-schema read)
+    val optFile = SnapshotLog.current(dir).get.files
+      .filter(_.startsWith("part-opt-"))
+    assert(optFile.size == 1)
+    val raw = spark.read.parquet(s"$dir/${optFile.head}")
+    assert(raw.columns.contains("note"))
+    assert(raw.filter("note = 'n3'").count() == 1)
+    // … and survives vacuuming the originals
+    bronzeCatalog.vacuumTable(Seq("tt"), "evopt", retainLast = 1)
+    assert(spark.table("bronze.tt.evopt").filter("note = 'n3'").count() == 1)
+  }
+
   test("readStream.table consumes snapshots as micro-batches; restart resumes") {
     import org.apache.spark.sql.streaming.Trigger
     mkTable("srcstream")
