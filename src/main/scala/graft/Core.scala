@@ -73,6 +73,13 @@ object GraftConf {
   /** Independent LSH hash-table count for multi-table recall
     * amplification (OR over tables of AND-ed hyperplane signs). */
   val LshTablesKey = "spark.graft.lshTables"
+  /** Binary-quantization signature width in bits (multiple of 32,
+    * ≤ vector dimensionality — each bit is one coordinate's sign). */
+  val BqBitsKey = "spark.graft.bqBits"
+  /** Binary-quantization hamming-shortlist size — the candidates
+    * rescored at full precision per query; the cheap recall dial
+    * (rescore cost is linear in it). */
+  val BqShortlistKey = "spark.graft.bqShortlist"
   /** Corpus line-dedup: a segment appearing in at least this many
     * distinct documents is boilerplate and scrubbed everywhere. A
     * bigger corpus repeats true boilerplate in far more docs, so the

@@ -24,6 +24,8 @@ object VectorFunctions {
       "vec_dot", exprs => VectorDot(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_norm", exprs => VectorNorm(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_signbits", exprs => VectorSignBits(exprs(0), exprs(1)), "built-in")
   }
 
   /** Registers `vec_lsh_bucket(v)` bound to a fixed hyperplane matrix.
@@ -127,6 +129,64 @@ case class VectorNorm(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 
   override def prettyName: String = "vec_norm"
+}
+
+/** `vec_signbits(v, off)` — the 32 SIGN BITS of float-array elements
+  * `v[off] .. v[off+31]` (0-based `off`), packed little-endian into a
+  * long: bit i is set iff element `off+i` exists, is non-null, and is
+  * `>= 0`. This is binary quantization's signature builder (s14): one
+  * word per 32 dims, built in a tight codegen'd loop. Semantics are
+  * bit-identical to the interpreted HOF it replaces —
+  * `aggregate(sequence(0,31), 0L, (acc,i) -> acc +
+  * IF(element_at(v, i+off+1) >= 0, shiftleft(1L,i), 0L))` — where
+  * out-of-range `element_at` yields NULL and `IF(NULL…)` takes the
+  * else branch, so short vectors simply contribute 0 bits
+  * (NativeSignBitsSpec asserts the per-row equivalence). */
+case class VectorSignBits(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, o: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val off = o.asInstanceOf[Int]
+    val n = x.numElements()
+    var word = 0L
+    var i = 0
+    while (i < 32) {
+      val j = off + i
+      if (j >= 0 && j < n && !x.isNullAt(j) && x.getFloat(j) >= 0f)
+        word |= (1L << i)
+      i += 1
+    }
+    word
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, o) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val w = ctx.freshName("word")
+      s"""
+         |int $n = $a.numElements();
+         |long $w = 0L;
+         |for (int $i = 0; $i < 32; $i++) {
+         |  int $j = $o + $i;
+         |  if ($j >= 0 && $j < $n && !$a.isNullAt($j)
+         |      && $a.getFloat($j) >= 0f) {
+         |    $w |= (1L << $i);
+         |  }
+         |}
+         |${ev.value} = $w;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "vec_signbits"
 }
 
 /** Random-hyperplane LSH bucket id of a float vector: for each plane p,

@@ -62,6 +62,37 @@ object Similarity {
   /** Embedding dimensionality of the `embeddings` table. */
   private[graft] val VecDim = 64
 
+  /** Binary-quantization signature width DEFAULT (s14): one sign bit
+    * per leading coordinate, packed into `bits/32` 32-bit words (words,
+    * not one 64-bit long, because a signed 2^63 term overflows DuckDB's
+    * checked BIGINT sum — and hamming over words is identical). Must be
+    * a multiple of 32 and at most the vector dimensionality — a bit
+    * beyond the last coordinate would always read 0 and dilute the
+    * distance. Override at runtime with `spark.graft.bqBits`. */
+  private[graft] val BqBits = 64
+
+  /** Hamming-shortlist size DEFAULT (s14): how many code-space
+    * candidates per query get rescored at full precision. The cheap
+    * recall dial — rescore cost is linear in it, and the code-space
+    * scan cost doesn't depend on it at all. 64 measures recall@3 = 1.0
+    * on the test corpus (BinaryQuantRecallSpec; 16 measured only 0.50).
+    * Override at runtime with `spark.graft.bqShortlist`. */
+  private[graft] val BqShortlist = 64
+
+  private def bqBits(s: SparkSession): Int = {
+    val b = GraftConf.int(s, GraftConf.BqBitsKey, BqBits)
+    require(b > 0 && b % 32 == 0 && b <= VecDim,
+      s"${GraftConf.BqBitsKey} must be a positive multiple of 32 " +
+        s"<= $VecDim (one sign bit per coordinate), got $b")
+    b
+  }
+
+  private def bqShortlist(s: SparkSession): Int = {
+    val k = GraftConf.int(s, GraftConf.BqShortlistKey, BqShortlist)
+    require(k > 0, s"${GraftConf.BqShortlistKey} must be positive, got $k")
+    k
+  }
+
   /** (vec_id, v: array<float>, nrm: double). The norm (and later the
     * dots) run through the native codegen'd [[graft.functions.VectorNorm]]
     * / [[graft.functions.VectorDot]] expressions — identical arithmetic
@@ -1036,46 +1067,51 @@ object Similarity {
 
     // ----- s14: BINARY QUANTIZATION + HAMMING RESCORING — the third
     // compression point on the accuracy/memory curve (int8 = s06,
-    // PQ = s12, 1-bit = here): each vector compresses to its 64 SIGN
-    // BITS, packed as two 32-bit halves (two halves, not one 64-bit
-    // word, because a signed 2^63 term overflows DuckDB's checked
-    // BIGINT sum — and hamming over halves is identical). The coarse
-    // stage is the production BQ shape: a LINEAR SCAN OVER CODES —
-    // the tiny broadcast query set against 8 bytes per corpus vector,
-    // 32× less memory traffic than floats, cheap XOR+popcount per
-    // pair — then only the per-query 16-row hamming shortlist is
-    // rescored at full precision. At 10⁹ vectors the code table is
-    // ~8 GB (RAM-resident) while the floats stay on disk; the scan
+    // PQ = s12, 1-bit = here): each vector compresses to its leading
+    // `spark.graft.bqBits` SIGN BITS (default 64), packed as bits/32
+    // 32-bit words (words, not one 64-bit long, because a signed 2^63
+    // term overflows DuckDB's checked BIGINT sum — and hamming over
+    // words is identical). Signatures build through the native
+    // codegen'd `vec_signbits` (graft.functions.VectorSignBits) — a
+    // tight loop inside whole-stage codegen, not an interpreted
+    // per-row lambda ×64: at 10⁹ vectors the index pass is the one
+    // place BQ touches every float. The coarse stage is the
+    // production BQ shape: a LINEAR SCAN OVER CODES — the tiny
+    // broadcast query set against 8 bytes per corpus vector, 32× less
+    // memory traffic than floats, cheap XOR+popcount per pair — then
+    // only the per-query `spark.graft.bqShortlist` hamming candidates
+    // (default 64; the cheap recall dial, rescore cost linear in it)
+    // are rescored at full precision. At 10⁹ vectors the code table
+    // is ~8 GB (RAM-resident) while the floats stay on disk; the scan
     // parallelizes per-partition with zero shuffle, and the rerank
     // reads |shortlist| full vectors, not the corpus. Gated exactly:
     // sign bits, hamming, and the rerank are all deterministic.
     QueryDef(
       "s14_binary_quantization",
       (s, d) => {
-        def sig(off: Int) =
-          s"""aggregate(sequence(0, 31), CAST(0 AS BIGINT),
-            (acc, i) -> acc + IF(element_at(v, i + $off) >= 0,
-              shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"""
-        val e = vecs(s, d)
-          .withColumn("lo", expr(sig(1)))
-          .withColumn("hi", expr(sig(33)))
+        val words = bqBits(s) / 32
+        val shortlist = bqShortlist(s)
+        val e = (0 until words).foldLeft(vecs(s, d))((df, j) =>
+          df.withColumn(s"h$j", expr(s"vec_signbits(v, ${32 * j})")))
         val corpus = e.filter(col("vec_id") % 251 =!= 0)
-          .select(col("vec_id").as("c_id"), col("v").as("bv"),
-            col("nrm").as("nrm_c"), col("lo").as("lo_c"),
-            col("hi").as("hi_c"))
+          .select(col("vec_id").as("c_id") +: col("v").as("bv") +:
+            col("nrm").as("nrm_c") +:
+            (0 until words).map(j => col(s"h$j").as(s"h${j}_c")): _*)
         val qs = e.filter(col("vec_id") % 251 === 0)
-          .select(col("vec_id").as("q_id"), col("v").as("av"),
-            col("nrm").as("nrm_q"), col("lo").as("lo_q"),
-            col("hi").as("hi_q"))
+          .select(col("vec_id").as("q_id") +: col("v").as("av") +:
+            col("nrm").as("nrm_q") +:
+            (0 until words).map(j => col(s"h$j").as(s"h${j}_q")): _*)
+        val hamming = (0 until words)
+          .map(j => expr(s"bit_count(h${j}_c ^ h${j}_q)"))
+          .reduce(_ + _)
         val wHam = Window.partitionBy(col("q_id"))
           .orderBy(col("hamming"), col("c_id"))
         val wCos = Window.partitionBy(col("q_id"))
           .orderBy(col("cos_sim").desc, col("c_id"))
         corpus.crossJoin(broadcast(qs)) // labeled: code scan, 8 q-rows
-          .withColumn("hamming",
-            expr("bit_count(lo_c ^ lo_q) + bit_count(hi_c ^ hi_q)"))
+          .withColumn("hamming", hamming)
           .withColumn("hr", row_number().over(wHam))
-          .filter(col("hr") <= 16) // code-space shortlist
+          .filter(col("hr") <= shortlist) // code-space shortlist
           .withColumn("cos_sim", expr(dotExpr) / (col("nrm_q") * col("nrm_c")))
           .withColumn("rank", row_number().over(wCos))
           .filter(col("rank") <= 3) // full-precision rerank
@@ -1083,30 +1119,32 @@ object Similarity {
             col("cos_sim"))
           .orderBy(col("q_id"), col("rank"))
       },
-      Some(s"""WITH e0 AS ($vecsSql),
+      Some {
+        // oracle at the DEFAULT geometry (the conf knobs are verified
+        // against brute force in ScaleKnobsSpec, like MinHash/SimHash)
+        val sigCols = (0 until BqBits / 32).map(j =>
+          s"""CAST(list_sum(list_transform(range(32), i ->
+              CASE WHEN v[i + ${32 * j + 1}] >= 0
+                THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT)
+              AS h$j""").mkString(",\n            ")
+        val hamSql = (0 until BqBits / 32)
+          .map(j => s"bit_count(xor(a.h$j, b.h$j))").mkString(" + ")
+        s"""WITH e0 AS ($vecsSql),
         sigs AS (
           SELECT vec_id, v, nrm,
-            CAST(list_sum(list_transform(range(32), i ->
-              CASE WHEN v[i + 1] >= 0
-                THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT)
-              AS lo,
-            CAST(list_sum(list_transform(range(32), i ->
-              CASE WHEN v[i + 33] >= 0
-                THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT)
-              AS hi
+            $sigCols
           FROM e0),
         ham AS (
           SELECT a.vec_id AS q_id, a.v AS qa, a.nrm AS nrm_q,
             b.vec_id AS c_id, b.v AS ca, b.nrm AS nrm_c,
-            bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
-              AS hamming
+            $hamSql AS hamming
           FROM sigs a, sigs b
           WHERE a.vec_id % 251 = 0 AND b.vec_id % 251 <> 0),
         short AS (
           SELECT * FROM (
             SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
               ORDER BY hamming, c_id) AS hr FROM ham)
-          WHERE hr <= 16),
+          WHERE hr <= $BqShortlist),
         rer AS (
           SELECT q_id, c_id, hamming,
             list_sum(list_transform(list_zip(qa, ca), t -> t[1] * t[2]))
@@ -1115,6 +1153,7 @@ object Similarity {
         SELECT q_id, rank, c_id, hamming, cos_sim FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
             ORDER BY cos_sim DESC, c_id) AS rank FROM rer)
-        WHERE rank <= 3 ORDER BY q_id, rank"""))
+        WHERE rank <= 3 ORDER BY q_id, rank"""
+      })
   )
 }

@@ -3,11 +3,12 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** Honest-measurement spec for s14's binary-quantization retrieval:
-  * the 16-candidate hamming shortlist is an APPROXIMATION of the
-  * exact cosine ranking, so measure its recall against brute force
-  * instead of waving at it — the `NearDupRecallSpec` discipline.
-  * Also proves the invariant part exactly: every reported hamming
-  * distance equals the distance recomputed from raw sign bits. */
+  * the hamming shortlist (`spark.graft.bqShortlist`, default 64) is
+  * an APPROXIMATION of the exact cosine ranking, so measure its
+  * recall against brute force instead of waving at it — the
+  * `NearDupRecallSpec` discipline. Also proves the invariant part
+  * exactly: every reported hamming distance equals the distance
+  * recomputed from raw sign bits. */
 class BinaryQuantRecallSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
@@ -38,12 +39,14 @@ class BinaryQuantRecallSpec extends SparkSpec {
     val gotPairs = got.map(r =>
       (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
     val recall = gotPairs.intersect(exact).size.toDouble / exact.size
-    info(f"s14 recall@3 vs exact cosine (64 sign bits, shortlist 16): " +
+    info(f"s14 recall@3 vs exact cosine (${operators.Similarity.BqBits} " +
+      f"sign bits, shortlist ${operators.Similarity.BqShortlist}): " +
       f"$recall%.2f (${gotPairs.intersect(exact).size}/${exact.size})")
-    // 64 sign bits estimate the angle well; a shortlist of 16 from a
-    // few-hundred-vector corpus should recover a third of the exact
-    // top-3 at minimum (measured ~0.5-1.0 on this corpus)
-    assert(recall >= 1.0 / 3, f"recall collapsed: $recall%.2f")
+    // the default shortlist is sized for recall@3 >= 0.8 on this
+    // corpus (measured 1.0 at 64; the old shortlist of 16 measured
+    // only 0.50) — a collapse below the band means the geometry or
+    // the rescore broke, not that the corpus drifted
+    assert(recall >= 0.8, f"recall below the measured band: $recall%.2f")
 
     // invariant: reported hamming == recomputed from raw sign bits
     val vecsById = e.select(col("vec_id"), col("embedding")).collect()

@@ -127,4 +127,59 @@ class ScaleKnobsSpec extends SparkSpec {
       assert(maxDf == 1L)
     }
   }
+
+  /** s14's whole pipeline recomputed in plain Scala from collected
+    * vectors at GEOMETRY (bits, shortlist) — the brute-force referee
+    * for conf-driven geometries the DuckDB oracle (pinned to the
+    * defaults) can't see. */
+  private def bruteBq(bits: Int, shortlist: Int): Seq[(Long, Int, Long, Int)] = {
+    val vecs = new Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toSeq.sortBy(_._1)
+    def sig(v: Seq[Float]): Seq[Boolean] = v.take(bits).map(_ >= 0f)
+    def ham(a: Seq[Boolean], b: Seq[Boolean]): Int =
+      a.zipAll(b, false, false).count { case (x, y) => x != y }
+    def dot(a: Seq[Float], b: Seq[Float]): Double = // left-to-right fold
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) =>
+        acc + x.toDouble * y.toDouble }
+    def nrm(a: Seq[Float]): Double = math.sqrt(dot(a, a))
+    val queries = vecs.filter(_._1 % 251 == 0)
+    val corpus = vecs.filter(_._1 % 251 != 0)
+    queries.flatMap { case (qId, qv) =>
+      val short = corpus
+        .map { case (cId, cv) => (cId, cv, ham(sig(qv), sig(cv))) }
+        .sortBy { case (cId, _, h) => (h, cId) }.take(shortlist)
+      short
+        .map { case (cId, cv, h) =>
+          (cId, h, dot(qv, cv) / (nrm(qv) * nrm(cv))) }
+        .sortBy { case (cId, _, cos) => (-cos, cId) }.take(3)
+        .zipWithIndex
+        .map { case ((cId, h, _), i) => (qId, i + 1, cId, h) }
+    }
+  }
+
+  test("binary quantization at 32 bits / shortlist 8: gated query == brute recompute") {
+    withConf(GraftConf.BqBitsKey -> "32",
+        GraftConf.BqShortlistKey -> "8") {
+      val out = SparkEntry.queries("s14_binary_quantization")(spark, sf)
+        .collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("c_id"), r.getAs[Number]("hamming").intValue))
+      val brute = bruteBq(bits = 32, shortlist = 8)
+      assert(out.toSeq.sorted == brute.sorted)
+      // geometry actually narrowed: 32-bit hamming never exceeds 32
+      assert(out.forall(_._4 <= 32))
+      assert(out.nonEmpty)
+    }
+  }
+
+  test("binary quantization at the default geometry: gated query == brute recompute") {
+    val out = SparkEntry.queries("s14_binary_quantization")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("c_id"), r.getAs[Number]("hamming").intValue))
+    val brute = bruteBq(Similarity.BqBits, Similarity.BqShortlist)
+    assert(out.toSeq.sorted == brute.sorted)
+    assert(out.nonEmpty)
+  }
 }
