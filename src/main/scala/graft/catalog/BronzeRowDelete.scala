@@ -1,0 +1,119 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+/** Copy-on-write row-level DELETE for bronze snapshot tables — the
+  * Iceberg `DELETE FROM` semantics the reference's sink format
+  * supports (`USING iceberg`, KafkaAvroToIceberg.scala:79-89),
+  * re-expressed over the snapshot log:
+  *
+  *   - only data files that CONTAIN matching rows are rewritten (the
+  *     survivors of each affected file, written fresh); untouched
+  *     files carry over by name — at 100 TB a targeted delete
+  *     rewrites |affected files|, never the table;
+  *   - the result commits as ONE `delete` snapshot: readers see the
+  *     table with all matching rows gone, or the pre-delete table —
+  *     never a partial delete. `VERSION AS OF` the pre-delete version
+  *     still reads the original files until vacuum reaps them;
+  *   - like compaction, a delete REWRITES surviving rows under new
+  *     names, so incremental/streaming reads refuse to cross it
+  *     ([[SnapshotLog.appendedFilesBetween]]) and consumers restart
+  *     from the delete version.
+  *
+  * DELETE-WHERE NULL semantics (SQL): a row is deleted iff the
+  * predicate is TRUE; rows where it evaluates NULL survive. The keep
+  * filter is therefore `NOT (cond <=> TRUE)`, not `NOT cond`.
+  */
+object BronzeRowDelete {
+
+  /** Whether every filter is translatable to a Column — the
+    * `canDeleteWhere` answer. Spark falls back to an analysis error
+    * (no silent partial delete) when this is false. */
+  def canTranslate(filters: Array[Filter]): Boolean =
+    filters.forall(translate(_).isDefined)
+
+  /** V1 source Filter → Column, None for shapes we don't translate
+    * (then canDeleteWhere refuses and the DELETE fails loudly). */
+  private[catalog] def translate(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case And(l, r) => for (a <- translate(l); b <- translate(r)) yield a && b
+    case Or(l, r) => for (a <- translate(l); b <- translate(r)) yield a || b
+    case Not(c) => translate(c).map(!_)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case AlwaysTrue() => Some(lit(true))
+    case AlwaysFalse() => Some(lit(false))
+    case _ => None
+  }
+
+  /** Execute `DELETE FROM <table> WHERE <filters AND-ed>` against the
+    * snapshot-logged table at `dir`, copy-on-write. Returns the names
+    * of the rewritten (affected) files. */
+  def deleteWhere(spark: SparkSession, dir: String, schema: StructType,
+      filters: Array[Filter]): Seq[String] = {
+    val cond = filters.flatMap(translate(_)).reduceOption(_ && _)
+      .getOrElse(lit(true))
+    if (filters.exists(translate(_).isEmpty))
+      throw new UnsupportedOperationException(
+        s"bronze DELETE cannot translate filters: ${filters.mkString(", ")}")
+    val snap = SnapshotLog.current(dir).getOrElse(
+      throw new UnsupportedOperationException(
+        s"bronze DELETE requires a snapshot-logged table: $dir"))
+    if (snap.files.isEmpty) return Seq.empty
+    val declared = spark.read.schema(schema)
+    val all = declared.parquet(snap.files.map(f => s"$dir/$f"): _*)
+    // only files that CONTAIN matching rows rewrite; this listing is
+    // file-count-scale metadata, never row-scale
+    val affected = all.filter(cond)
+      .select(col("_metadata.file_name")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    if (affected.isEmpty) return Seq.empty // no-op: no new snapshot
+    val id = java.util.UUID.randomUUID().toString.substring(0, 8)
+    val stage = Paths.get(dir, s".del-$id")
+    val keep = declared.parquet(affected.map(f => s"$dir/$f"): _*)
+      .filter(!(cond <=> lit(true))) // NULL predicate -> row survives
+    try keep.write.parquet(stage.toString)
+    catch { case e: Throwable => deleteTree(stage); throw e }
+    val parts = {
+      val s = Files.list(stage)
+      try {
+        val b = Seq.newBuilder[Path]
+        s.iterator().forEachRemaining { p =>
+          if (p.getFileName.toString.startsWith("part-")) b += p
+        }
+        b.result().sortBy(_.getFileName.toString)
+      } finally s.close()
+    }
+    val written = parts.zipWithIndex.map { case (p, i) =>
+      val dest = s"part-del-$id-g$i.parquet"
+      Files.move(p, Paths.get(dir, dest), StandardCopyOption.ATOMIC_MOVE)
+      dest
+    }
+    deleteTree(stage)
+    val gone = affected.toSet
+    SnapshotLog.commit(dir, "delete")(parent => parent -- gone ++ written)
+    affected
+  }
+
+  private def deleteTree(dir: Path): Unit =
+    if (Files.exists(dir)) {
+      val s = Files.walk(dir)
+      try s.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      finally s.close()
+    }
+}

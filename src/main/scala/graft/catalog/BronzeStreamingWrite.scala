@@ -42,10 +42,24 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * checkpoint rewrites.
   */
 final class BronzeWritableTable(delegate: Table, dir: String)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String = delegate.name()
   override def schema(): StructType = delegate.schema()
+
+  // `DELETE FROM bronze.db.t WHERE ...` — copy-on-write via a
+  // `delete` snapshot (BronzeRowDelete); refusing untranslatable
+  // predicates HERE makes Spark fail the statement instead of
+  // running a partial delete
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    BronzeRowDelete.canTranslate(filters)
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    BronzeRowDelete.deleteWhere(org.apache.spark.sql.SparkSession.active,
+      dir, delegate.schema(), filters)
 
   override def capabilities(): util.Set[TableCapability] = {
     val caps = new util.HashSet[TableCapability](delegate.capabilities())

@@ -178,9 +178,10 @@ object SnapshotLog {
     * primitive (Iceberg's `incremental read`): a nightly consumer
     * remembers the version it last processed and reads only what
     * arrived since, never rescanning the table. Walks every snapshot
-    * in (fromVersion, toVersion]; REPLACE snapshots (compaction)
-    * rewrite old rows under new names, so crossing one would re-emit
-    * consumed data — refused, exactly Iceberg's behavior. */
+    * in (fromVersion, toVersion]; REPLACE snapshots (compaction) and
+    * DELETE snapshots (copy-on-write row deletes) rewrite old rows
+    * under new names, so crossing one would re-emit consumed data —
+    * refused, exactly Iceberg's behavior. */
   def appendedFilesBetween(tableDir: String, fromVersion: Long,
       toVersion: Long): Seq[String] = {
     require(fromVersion <= toVersion,
@@ -188,13 +189,19 @@ object SnapshotLog {
     val from = read(tableDir, fromVersion).files.toSet
     ((fromVersion + 1) to toVersion).foreach { v =>
       val op = read(tableDir, v).operation
-      if (op == "replace") throw new IllegalArgumentException(
-        s"incremental read v$fromVersion..v$toVersion crosses a REPLACE " +
-          s"snapshot (v$v): compacted files interleave old and new rows; " +
-          "consume up to the replace, then restart from it")
+      if (rewritesRows(op)) throw new IllegalArgumentException(
+        s"incremental read v$fromVersion..v$toVersion crosses a " +
+          s"${op.toUpperCase} snapshot (v$v): rewritten files interleave " +
+          "old and new rows; consume up to it, then restart from it")
     }
     read(tableDir, toVersion).files.filterNot(from.contains)
   }
+
+  /** Operations whose snapshot rewrites existing rows under new file
+    * names (vs pure appends) — the ones incremental readers must not
+    * silently cross. */
+  def rewritesRows(operation: String): Boolean =
+    operation == "replace" || operation == "delete"
 
   // ---- manifest rendering / parsing (format owned by this object) --
 

@@ -315,6 +315,62 @@ object Writes {
           COUNT(*) AS n_orders,
           ${Exact.sqlSum("o_totalprice", 2)} AS total_price
         FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
-        GROUP BY 1 ORDER BY 1"""))
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ----- w07: ROW-LEVEL DELETE — the GDPR-scrub / dedup-in-place
+    // shape: `DELETE FROM bronze.db.t WHERE ...` rewrites ONLY the
+    // data files containing matching rows (copy-on-write, one atomic
+    // `delete` snapshot — BronzeRowDelete), the Iceberg row-level
+    // semantics of the reference's sink format. Two "daily" appends,
+    // then the delete scrubs a slice of the SECOND one; the result
+    // reads the table at every version — both appends, then the
+    // post-delete state — proving old snapshots still see the scrubbed
+    // rows (legal-hold reads) while the current table doesn't. At
+    // 100 TB a targeted delete touches |matching files|, never the
+    // table, and incremental/streaming consumers refuse to silently
+    // cross the rewrite (spec-tested).
+    QueryDef(
+      "w07_row_delete",
+      (s, d) => {
+        val wh = scratch("w07", d)
+        val cat = "w07cat_" + Integer.toHexString(d.hashCode)
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.BronzeCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+        s.sql(s"DROP TABLE IF EXISTS $cat.db.orders_del")
+        s.sql(s"""CREATE TABLE $cat.db.orders_del
+          (o_orderkey BIGINT, o_orderdate DATE, o_totalprice DOUBLE)
+          USING parquet""")
+        val o = new Tables(s, d).orders.select(
+          col("o_orderkey").cast("long"),
+          col("o_orderdate").cast("date"),
+          col("o_totalprice").cast("double"))
+        Seq( // two "daily" ingests: one atomic snapshot each
+          o.filter(col("o_orderdate") < lit("1997-01-01")),
+          o.filter(col("o_orderdate") >= lit("1997-01-01"))
+        ).foreach(_.writeTo(s"$cat.db.orders_del").append())
+        // v3: scrub high-value 1998+ orders out of the second append
+        s.sql(s"""DELETE FROM $cat.db.orders_del
+          WHERE o_orderdate >= DATE '1998-01-01' AND o_totalprice > 150000""")
+        (1 to 3).map { v =>
+          s.sql(s"SELECT * FROM $cat.db.orders_del VERSION AS OF $v")
+            .agg(count(lit(1)).as("n_orders"),
+              Exact.dsum(col("o_totalprice"), 2).as("total_price"))
+            .select(lit(v).as("version"), col("n_orders"),
+              col("total_price"))
+        }.reduce(_ union _).orderBy(col("version"))
+      },
+      Some(s"""WITH o AS (
+          SELECT CAST(o_orderdate AS DATE) AS od, o_totalprice
+          FROM orders),
+        vs AS (SELECT * FROM (VALUES (1),(2),(3)) AS t(version))
+        SELECT version, COUNT(*) AS n_orders,
+          ${Exact.sqlSum("o_totalprice", 2)} AS total_price
+        FROM vs JOIN o ON
+          CASE WHEN version = 1 THEN od < DATE '1997-01-01'
+               WHEN version = 2 THEN TRUE
+               ELSE NOT (od >= DATE '1998-01-01' AND o_totalprice > 150000)
+          END
+        GROUP BY version ORDER BY version"""))
   )
 }

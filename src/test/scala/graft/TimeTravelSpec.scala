@@ -205,6 +205,79 @@ class TimeTravelSpec extends SparkSpec {
     assert(spark.table("bronze.tt.evopt").filter("note = 'n3'").count() == 1)
   }
 
+  test("DELETE FROM is copy-on-write: one snapshot, time travel intact") {
+    val dir = mkTable("rowdel")
+    (1 to 3).foreach { b =>
+      spark.sql(s"INSERT INTO bronze.tt.rowdel SELECT id, $b FROM range(10)")
+    }
+    val pre = SnapshotLog.current(dir).get
+    spark.sql("DELETE FROM bronze.tt.rowdel WHERE batch = 2 AND id >= 5")
+    val post = SnapshotLog.current(dir).get
+    assert(post.version == pre.version + 1 && post.operation == "delete")
+    // matching rows gone, everything else intact
+    val t = spark.table("bronze.tt.rowdel")
+    assert(t.count() == 25)
+    assert(t.filter("batch = 2").count() == 5)
+    assert(t.filter("batch = 2 AND id >= 5").count() == 0)
+    assert(t.filter("batch != 2").count() == 20)
+    // VERSION AS OF the pre-delete snapshot still sees the rows
+    assert(spark.sql(
+      s"SELECT COUNT(*) FROM bronze.tt.rowdel VERSION AS OF ${pre.version}")
+      .head().getLong(0) == 30)
+    // copy-on-write is TARGETED: only files from the batch-2 append
+    // (v2's delta) rewrote; every other append's files carry over
+    val carried = pre.files.toSet.intersect(post.files.toSet)
+    val batch2Files =
+      SnapshotLog.read(dir, 2).files.toSet -- SnapshotLog.read(dir, 1).files
+    val rewritten = pre.files.toSet -- carried
+    assert(rewritten.nonEmpty && rewritten.subsetOf(batch2Files))
+    assert(post.files.exists(_.startsWith("part-del-")))
+    // delete with no matching rows commits nothing
+    spark.sql("DELETE FROM bronze.tt.rowdel WHERE batch = 99")
+    assert(SnapshotLog.currentVersion(dir).get == post.version)
+    // NULL predicate rows survive (SQL DELETE semantics)
+    spark.sql("ALTER TABLE bronze.tt.rowdel ADD COLUMN note STRING")
+    spark.sql(
+      "INSERT INTO bronze.tt.rowdel SELECT id, 4, 'x' FROM range(3)")
+    spark.sql("DELETE FROM bronze.tt.rowdel WHERE note = 'x'")
+    val t2 = spark.table("bronze.tt.rowdel")
+    assert(t2.count() == 25) // 3 'x' rows died; 25 NULL-note rows live
+    assert(t2.filter("note IS NOT NULL").count() == 0)
+  }
+
+  test("incremental and streaming reads refuse to cross a DELETE snapshot") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = mkTable("delstream")
+    spark.sql("INSERT INTO bronze.tt.delstream SELECT id, 1 FROM range(10)")
+    spark.sql("INSERT INTO bronze.tt.delstream SELECT id, 2 FROM range(10)")
+    spark.sql("DELETE FROM bronze.tt.delstream WHERE batch = 1 AND id < 5")
+    val delV = SnapshotLog.currentVersion(dir).get
+    // incremental read across the delete refuses
+    intercept[IllegalArgumentException] {
+      SnapshotLog.appendedFilesBetween(dir, 1, delV)
+    }
+    // streaming read across it fails loudly, not silently
+    val q = spark.readStream.option("startingVersion", "0")
+      .table("bronze.tt.delstream")
+      .writeStream.format("memory").queryName("delstream_sink")
+      .option("checkpointLocation", tmpDir("delstream_ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    val e = intercept[Exception] { q.awaitTermination() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("DELETE snapshot")))
+    // restarting FROM the delete version reads on cleanly
+    spark.sql("INSERT INTO bronze.tt.delstream SELECT id, 3 FROM range(7)")
+    val q2 = spark.readStream.option("startingVersion", delV.toString)
+      .table("bronze.tt.delstream")
+      .writeStream.format("memory").queryName("delstream_sink2")
+      .option("checkpointLocation", tmpDir("delstream_ckpt2"))
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(spark.table("delstream_sink2").count() == 7)
+  }
+
   test("readStream.table consumes snapshots as micro-batches; restart resumes") {
     import org.apache.spark.sql.streaming.Trigger
     mkTable("srcstream")
