@@ -126,8 +126,32 @@ private final class BronzeBatchDataWriter(dir: String, schema: StructType,
   * is only the final per-file metadata renames. */
 object BronzeBatchAppend {
 
+  /** When the target dir is an id-ed bronze table (declared-schema
+    * sidecar with parquet field ids), stamp the ids onto `df`'s
+    * matching columns so the written files resolve by id like every
+    * other write path — an id-less file in an id-ed table would
+    * refuse to resolve. Plain dirs and legacy tables pass through. */
+  private def stampFieldIds(df: DataFrame, tableDir: String): DataFrame = {
+    val sf = Paths.get(tableDir, "_graft_schema.json")
+    if (!Files.isRegularFile(sf)) return df
+    val declared = org.apache.spark.sql.types.DataType
+      .fromJson(Files.readString(sf)).asInstanceOf[StructType]
+    val idKey = "parquet.field.id"
+    if (declared.isEmpty || !declared.fields.forall(_.metadata.contains(idKey)))
+      return df
+    val byName = declared.fields.map(f => f.name.toLowerCase -> f).toMap
+    df.select(df.columns.map { c =>
+      byName.get(c.toLowerCase) match {
+        case Some(f) =>
+          org.apache.spark.sql.functions.col(c).as(f.name, f.metadata)
+        case None => org.apache.spark.sql.functions.col(c)
+      }
+    }: _*)
+  }
+
   /** Appends `df` to `tableDir` atomically; returns rows appended. */
-  def append(df: DataFrame, tableDir: String): Long = {
+  def append(df0: DataFrame, tableDir: String): Long = {
+    val df = stampFieldIds(df0, tableDir)
     val batchId = java.util.UUID.randomUUID().toString.substring(0, 8)
     val stage = Paths.get(tableDir, s".batch-stage-$batchId")
     try df.write.parquet(stage.toString)
@@ -173,9 +197,10 @@ object BronzeBatchAppend {
     * publish — the commit as a whole is the epoch's exact content.
     * `tag` scopes destinations per fan-out job, so two jobs appending
     * to one table never replace each other's epochs. */
-  def appendEpoch(df: DataFrame, tableDir: String, tag: String,
+  def appendEpoch(df0: DataFrame, tableDir: String, tag: String,
       epochId: Long): Unit = {
     require(tag.matches("[A-Za-z0-9_-]+"), s"tag must be fs-safe: $tag")
+    val df = stampFieldIds(df0, tableDir)
     val stage = Paths.get(tableDir, s".fb-stage-$tag-e$epochId")
     deleteTree(stage) // a crashed prior attempt's leftovers
     try df.write.parquet(stage.toString)

@@ -46,6 +46,16 @@ class BronzeCatalog extends TableCatalog with SupportsNamespaces {
     warehouse = Paths.get(
       options.getOrDefault("warehouse", s"spark-warehouse/$name"))
     Files.createDirectories(warehouse)
+    // Bronze tables resolve columns by PARQUET FIELD ID (Iceberg's
+    // mechanism — ids assigned at create, carried in the schema
+    // sidecar's field metadata, written into every data file), which
+    // is what makes RENAME COLUMN metadata-only: old files keep their
+    // bytes and resolve through the id. The conf is session-global
+    // but only activates for requested schemas that CARRY ids, so
+    // non-bronze reads are untouched.
+    try SparkSession.active.conf
+      .set("spark.sql.parquet.fieldId.read.enabled", "true")
+    catch { case _: IllegalStateException => () } // no active session
   }
 
   override def name(): String = catalogName
@@ -65,6 +75,41 @@ class BronzeCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   private val SchemaFile = "_graft_schema.json"
+
+  /** Parquet field-id metadata key — the one Spark's parquet
+    * writer/reader honor (`spark.sql.parquet.fieldId.*`). */
+  private val FieldIdKey = "parquet.field.id"
+
+  private def hasFieldIds(schema: StructType): Boolean =
+    schema.fields.nonEmpty &&
+      schema.fields.forall(_.metadata.contains(FieldIdKey))
+
+  private def withFieldId(f: org.apache.spark.sql.types.StructField,
+      id: Long): org.apache.spark.sql.types.StructField =
+    f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(f.metadata).putLong(FieldIdKey, id).build())
+
+  /** Declared schema of the table dir as pinned by `snap` (falling
+    * back to the current sidecar for legacy/pre-pinning manifests). */
+  private def schemaOf(dir: Path,
+      snap: Option[SnapshotLog.Snapshot]): StructType = {
+    val json = snap.flatMap(_.schemaFile) match {
+      case Some(name) => SnapshotLog.readSchemaSidecar(dir.toString, name)
+      case None => Files.readString(dir.resolve(SchemaFile))
+    }
+    DataType.fromJson(json).asInstanceOf[StructType]
+  }
+
+  /** Atomically mirror the CURRENT schema into the table-root sidecar
+    * (the fast path for loads and the legacy-reader view): temp file +
+    * atomic move, never an in-place truncate-write a concurrent
+    * reader could see half of. */
+  private def mirrorSchemaFile(dir: Path, schema: StructType): Unit = {
+    val tmp = dir.resolve(s".$SchemaFile.${java.util.UUID.randomUUID}")
+    Files.writeString(tmp, schema.json)
+    Files.move(tmp, dir.resolve(SchemaFile),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
 
   private def dirOf(namespace: Array[String]): Path =
     namespace.foldLeft(warehouse)(_.resolve(_))
@@ -130,8 +175,9 @@ class BronzeCatalog extends TableCatalog with SupportsNamespaces {
       snap: Option[SnapshotLog.Snapshot]): Table = {
     val dir = dirOf(ident)
     if (!isTableDir(dir)) throw new NoSuchTableException(ident)
-    val schema = DataType.fromJson(
-      Files.readString(dir.resolve(SchemaFile))).asInstanceOf[StructType]
+    // the schema is PINNED per snapshot (Iceberg schema-id): VERSION
+    // AS OF a pre-evolution version reads with the names of that time
+    val schema = schemaOf(dir, snap)
     val fqn = (catalogName +: ident.namespace.toSeq :+ ident.name).mkString(".")
     val parquet = snap match {
       case Some(s) => shim.parquetTableFiles(SparkSession.active, fqn,
@@ -155,9 +201,7 @@ class BronzeCatalog extends TableCatalog with SupportsNamespaces {
     // rewrite with the DECLARED schema: after ADD COLUMN a compaction
     // bin can mix pre- and post-evolution files, and schema inference
     // from one footer would drop the new column from the rewrite
-    val declared = DataType.fromJson(
-      Files.readString(Paths.get(dir).resolve(SchemaFile)))
-      .asInstanceOf[StructType]
+    val declared = schemaOf(Paths.get(dir), SnapshotLog.current(dir))
     SnapshotLog.optimize(SparkSession.active, dir, targetBytes,
       Some(declared))
   }
@@ -183,48 +227,105 @@ class BronzeCatalog extends TableCatalog with SupportsNamespaces {
     if (isTableDir(dir))
       throw new TableAlreadyExistsException(ident)
     Files.createDirectories(dir)
-    Files.writeString(dir.resolve(SchemaFile), schema.json)
-    // seed the snapshot log: v0 = empty table (legacy pre-log dirs
-    // are still readable; they upgrade on their first commit instead)
-    SnapshotLog.commit(dir.toString, "create")(_ => Set.empty)
+    // assign parquet FIELD IDS 1..n at creation (Iceberg's column
+    // identity): every data file carries them, so later renames are
+    // metadata-only and old files keep resolving through the id
+    val withIds = StructType(schema.fields.zipWithIndex.map {
+      case (f, i) => withFieldId(f, i + 1L)
+    })
+    Files.writeString(dir.resolve(SchemaFile), withIds.json)
+    // seed the snapshot log: v0 = empty table with the pinned schema
+    // (legacy pre-log dirs are still readable; they upgrade on their
+    // first commit instead)
+    val sidecar = SnapshotLog.writeSchemaSidecar(dir.toString, withIds.json)
+    SnapshotLog.commitWith(dir.toString, "create")(_ =>
+      (Set.empty, Some(sidecar)))
     loadTable(ident)
   }
 
-  /** Schema evolution, Iceberg-style: ADD COLUMN only (nullable,
-    * appended at the end). Readers always apply the DECLARED schema,
-    * so files written before the change — which lack the column —
-    * surface NULLs for it (parquet reads missing columns as null);
-    * no data file is rewritten. Anything that would change or drop
-    * existing data (rename, type change, drop, reorder) stays
-    * unsupported: bronze tables are append-only history. */
+  /** Schema evolution, Iceberg-style: ADD COLUMN (nullable, appended
+    * at the end, fresh field id — files written before the change
+    * lack the column and surface NULLs; zero rewrite) and RENAME
+    * COLUMN (metadata-only: the field keeps its PARQUET FIELD ID, so
+    * old files — written under the old name but carrying the id —
+    * keep resolving; requires a table created with field ids).
+    * Anything that would change or drop existing data (type change,
+    * drop, reorder) stays unsupported: bronze tables are append-only
+    * history.
+    *
+    * Each evolution commits an `alter` snapshot pinning the new
+    * schema sidecar, serialized through the snapshot log's CAS — two
+    * racing alters re-derive against each other's result instead of
+    * losing an update — and the table-root sidecar then mirrors the
+    * current schema atomically (temp + move). */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = dirOf(ident)
     if (!isTableDir(dir)) throw new NoSuchTableException(ident)
-    val schema = DataType.fromJson(
-      Files.readString(dir.resolve(SchemaFile))).asInstanceOf[StructType]
-    val evolved = changes.foldLeft(schema) { (sch, change) =>
-      change match {
-        case add: TableChange.AddColumn =>
-          if (add.fieldNames.length != 1)
+
+    def evolve(schema: StructType): StructType =
+      changes.foldLeft(schema) { (sch, change) =>
+        change match {
+          case add: TableChange.AddColumn =>
+            if (add.fieldNames.length != 1)
+              throw new UnsupportedOperationException(
+                s"$catalogName catalog supports only top-level ADD COLUMN; " +
+                  s"got ${add.fieldNames.mkString(".")}")
+            if (!add.isNullable)
+              throw new UnsupportedOperationException(
+                "added columns must be nullable: existing files have no " +
+                  "values for them")
+            if (sch.fieldNames.exists(_.equalsIgnoreCase(add.fieldNames.head)))
+              throw new IllegalArgumentException(
+                s"column ${add.fieldNames.head} already exists")
+            val grown = sch.add(add.fieldNames.head, add.dataType,
+              nullable = true, Option(add.comment).getOrElse(""))
+            // fresh id = max+1 — never reuse a dropped... (no drops) —
+            // only on id-ed tables; legacy tables stay name-matched
+            // throughout (an id-ed column over id-less files errors)
+            if (!hasFieldIds(sch)) grown
+            else {
+              val next = sch.fields
+                .map(_.metadata.getLong(FieldIdKey)).max + 1L
+              StructType(grown.fields.dropRight(1) :+
+                withFieldId(grown.fields.last, next))
+            }
+          case ren: TableChange.RenameColumn =>
+            if (ren.fieldNames.length != 1)
+              throw new UnsupportedOperationException(
+                s"$catalogName catalog supports only top-level RENAME " +
+                  s"COLUMN; got ${ren.fieldNames.mkString(".")}")
+            if (!hasFieldIds(sch))
+              throw new UnsupportedOperationException(
+                s"$catalogName RENAME COLUMN needs parquet field ids " +
+                  "(tables created before field-id support resolve by " +
+                  "name; renaming would orphan existing files' data)")
+            val from = ren.fieldNames.head
+            if (!sch.fieldNames.exists(_.equalsIgnoreCase(from)))
+              throw new IllegalArgumentException(s"no column $from")
+            if (sch.fieldNames.exists(_.equalsIgnoreCase(ren.newName)))
+              throw new IllegalArgumentException(
+                s"column ${ren.newName} already exists")
+            StructType(sch.fields.map(f =>
+              if (f.name.equalsIgnoreCase(from)) f.copy(name = ren.newName)
+              else f))
+          case other =>
             throw new UnsupportedOperationException(
-              s"$catalogName catalog supports only top-level ADD COLUMN; " +
-                s"got ${add.fieldNames.mkString(".")}")
-          if (!add.isNullable)
-            throw new UnsupportedOperationException(
-              "added columns must be nullable: existing files have no " +
-                "values for them")
-          if (sch.fieldNames.exists(_.equalsIgnoreCase(add.fieldNames.head)))
-            throw new IllegalArgumentException(
-              s"column ${add.fieldNames.head} already exists")
-          sch.add(add.fieldNames.head, add.dataType, nullable = true,
-            Option(add.comment).getOrElse(""))
-        case other =>
-          throw new UnsupportedOperationException(
-            s"$catalogName catalog tables are append-only; only ADD COLUMN " +
-              s"is supported, got $other")
+              s"$catalogName catalog tables are append-only; only ADD " +
+                s"COLUMN and RENAME COLUMN are supported, got $other")
+        }
       }
+
+    var result: StructType = null
+    SnapshotLog.commitWith(dir.toString, "alter") { parent =>
+      // re-derive from the PARENT's pinned schema on every CAS retry:
+      // a racing alter's result is the base, not a stale read
+      result = evolve(schemaOf(dir, parent))
+      val sidecar = SnapshotLog.writeSchemaSidecar(dir.toString, result.json)
+      (parent.map(_.files.toSet)
+        .getOrElse(SnapshotLog.listDataFiles(dir.toString).toSet),
+        Some(sidecar))
     }
-    Files.writeString(dir.resolve(SchemaFile), evolved.json)
+    mirrorSchemaFile(dir, result)
     loadTable(ident)
   }
 

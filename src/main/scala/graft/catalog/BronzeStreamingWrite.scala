@@ -75,6 +75,12 @@ final class BronzeWritableTable(delegate: Table, dir: String)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
+      // Files are written with the TABLE's declared schema, not
+      // `info.schema()`: output resolution already aligned the query
+      // to the table (names/order/types match), but only the declared
+      // schema carries the PARQUET FIELD IDS that make renames
+      // metadata-only — a file written without ids in an id-ed table
+      // would refuse to resolve.
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = {
           // Same stage-then-rename protocol as the streaming path —
@@ -83,7 +89,7 @@ final class BronzeWritableTable(delegate: Table, dir: String)
           // _temporary commit protocol can surface a partial batch.
           val confs =
             shim.parquetWriterConfs(org.apache.spark.sql.SparkSession.active)
-          new BronzeBatchWrite(dir, info.schema(), info.queryId(), confs)
+          new BronzeBatchWrite(dir, delegate.schema(), info.queryId(), confs)
         }
         override def toStreaming: StreamingWrite = {
           // Parquet-writer session confs must be captured HERE — this
@@ -91,7 +97,8 @@ final class BronzeWritableTable(delegate: Table, dir: String)
           // factory ships the plain Map to executor-side writers.
           val confs =
             shim.parquetWriterConfs(org.apache.spark.sql.SparkSession.active)
-          new BronzeStreamingWrite(dir, info.schema(), info.queryId(), confs)
+          new BronzeStreamingWrite(dir, delegate.schema(), info.queryId(),
+            confs)
         }
       }
     }

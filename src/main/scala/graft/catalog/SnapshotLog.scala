@@ -38,11 +38,18 @@ object SnapshotLog {
   private val LogDir = "_graft_snapshots"
   private val V = """v(\d+)\.json""".r
 
+  /** `schemaFile`: the name (inside the log dir) of the schema sidecar
+    * PINNED at this snapshot — Iceberg's schema-id-per-snapshot, so
+    * `VERSION AS OF` a pre-evolution version reads with the schema of
+    * that time (old column names, no later columns). Absent on
+    * manifests from before schema pinning: readers fall back to the
+    * table's current declared schema. */
   final case class Snapshot(
       version: Long,
       timestampMicros: Long,
       operation: String,
-      files: Seq[String])
+      files: Seq[String],
+      schemaFile: Option[String] = None)
 
   private def logDir(tableDir: String): Path = Paths.get(tableDir, LogDir)
 
@@ -88,10 +95,15 @@ object SnapshotLog {
     currentVersion(tableDir).map(read(tableDir, _))
 
   /** Latest snapshot whose commit time is <= `micros` (the
-    * `TIMESTAMP AS OF` resolution rule). */
+    * `TIMESTAMP AS OF` resolution rule). Commit times are clamped
+    * monotonic at commit time (Iceberg's snapshot-log invariant), but
+    * `filter` instead of `takeWhile` keeps pre-clamp legacy logs —
+    * where an NTP step could have produced a regression — resolving
+    * to the latest qualifying snapshot rather than silently stopping
+    * at the dip. */
   def asOfTimestamp(tableDir: String, micros: Long): Option[Snapshot] = {
     val all = versions(tableDir).map(read(tableDir, _))
-    all.takeWhile(_.timestampMicros <= micros).lastOption
+    all.filter(_.timestampMicros <= micros).lastOption
   }
 
   /** Atomically commit the next snapshot. `change` maps the parent's
@@ -100,7 +112,20 @@ object SnapshotLog {
     * race, recomputing against the winner's snapshot. Returns the
     * committed snapshot. */
   def commit(tableDir: String, operation: String)(
-      change: Set[String] => Set[String]): Snapshot = {
+      change: Set[String] => Set[String]): Snapshot =
+    commitWith(tableDir, operation)(parent =>
+      // schema carries over from the parent: a data commit never
+      // changes the schema pin
+      (change(parent.map(_.files.toSet)
+        .getOrElse(listDataFiles(tableDir).toSet)),
+        parent.flatMap(_.schemaFile)))
+
+  /** [[commit]]'s general form: `change` maps the parent snapshot
+    * (None for a legacy dir's first commit) to the new file set AND
+    * the new schema-sidecar name — the hook schema evolution uses to
+    * serialize its read-modify-write through the same CAS. */
+  def commitWith(tableDir: String, operation: String)(
+      change: Option[Snapshot] => (Set[String], Option[String])): Snapshot = {
     val d = logDir(tableDir)
     Files.createDirectories(d)
     var attempt = 0
@@ -111,19 +136,19 @@ object SnapshotLog {
       // merging against N's files — silently dropping N+1's (the
       // classic lost update; caught by TimeTravelSpec's race test)
       val parent = current(tableDir)
-      val parentFiles: Set[String] = parent match {
-        case Some(s) => s.files.toSet
-        // legacy dir upgrading: seed from the listing
-        case None => listDataFiles(tableDir).toSet
-      }
       val next = parent.map(_.version + 1).getOrElse(0L)
-      val files = change(parentFiles).toSeq.sorted
+      val (fileSet, schemaFile) = change(parent)
+      val files = fileSet.toSeq.sorted
       files.find(f => !f.matches("[A-Za-z0-9._-]+")).foreach { bad =>
         throw new IllegalArgumentException(
           s"data-file name not filesystem-safe: $bad")
       }
-      val snap = Snapshot(next, System.currentTimeMillis() * 1000L,
-        operation, files)
+      // commit time clamps to >= the parent's: a wall-clock step
+      // backwards (NTP) must not make TIMESTAMP AS OF non-monotonic
+      // across versions (Iceberg's snapshot log is monotonic too)
+      val now = math.max(System.currentTimeMillis() * 1000L,
+        parent.map(_.timestampMicros).getOrElse(Long.MinValue))
+      val snap = Snapshot(next, now, operation, files, schemaFile)
       val tmp = d.resolve(s".v$next-${java.util.UUID.randomUUID}.tmp")
       Files.writeString(tmp, render(snap))
       try {
@@ -140,6 +165,22 @@ object SnapshotLog {
     }
     throw new IllegalStateException("unreachable")
   }
+
+  /** Schema sidecar I/O: sidecars live in the log dir under
+    * uuid-unique names, so a racing evolution can never overwrite the
+    * file a winning manifest references — the loser's orphan is just
+    * garbage. Returns the sidecar's name for the manifest. */
+  def writeSchemaSidecar(tableDir: String, schemaJson: String): String = {
+    val d = logDir(tableDir)
+    Files.createDirectories(d)
+    val name =
+      s"schema-${java.util.UUID.randomUUID.toString.substring(0, 8)}.json"
+    Files.writeString(d.resolve(name), schemaJson)
+    name
+  }
+
+  def readSchemaSidecar(tableDir: String, name: String): String =
+    Files.readString(logDir(tableDir).resolve(name))
 
   /** Whether the dir has a snapshot log (i.e. is past the legacy
     * listing-only mode). */
@@ -208,6 +249,7 @@ object SnapshotLog {
   private def render(s: Snapshot): String =
     s"""{"version":${s.version},"timestampMicros":${s.timestampMicros},""" +
       s""""operation":"${s.operation}",""" +
+      s.schemaFile.map(f => s""""schemaFile":"$f",""").getOrElse("") +
       s""""files":[${s.files.map("\"" + _ + "\"").mkString(",")}]}"""
 
   private def parse(json: String): Snapshot = {
@@ -217,12 +259,14 @@ object SnapshotLog {
         .group(1).toLong
     val op = """"operation":"([^"]*)"""".r.findFirstMatchIn(json)
       .map(_.group(1)).getOrElse("append")
+    val schemaFile = """"schemaFile":"([^"]*)"""".r.findFirstMatchIn(json)
+      .map(_.group(1))
     val files = """"files":\[([^\]]*)\]""".r.findFirstMatchIn(json)
       .map(_.group(1)).getOrElse("")
     val names =
       if (files.isEmpty) Seq.empty[String]
       else files.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
-    Snapshot(long("version"), long("timestampMicros"), op, names)
+    Snapshot(long("version"), long("timestampMicros"), op, names, schemaFile)
   }
 
   /** Physically rewrite groups of small files into one file each and

@@ -23,52 +23,112 @@ final class SnapshotScanBuilder(
 
   import org.apache.spark.sql.connector.read._
 
+  // every pushdown forward is instanceof-guarded with the interface's
+  // documented no-op as the fallback (nothing pushed), so a future
+  // delegate lacking one capability degrades to an un-pushed scan
+  // instead of a ClassCastException at plan time
+
   override def pruneColumns(
       requiredSchema: org.apache.spark.sql.types.StructType): Unit =
-    delegate.asInstanceOf[SupportsPushDownRequiredColumns]
-      .pruneColumns(requiredSchema)
+    delegate match {
+      case d: SupportsPushDownRequiredColumns =>
+        d.pruneColumns(requiredSchema)
+      case _ => ()
+    }
 
   override def pushFilters(
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
-    delegate
-      .asInstanceOf[org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters]
-      .pushFilters(filters)
+    delegate match {
+      case d: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =>
+        d.pushFilters(filters)
+      case _ => filters // nothing pushed: all remain post-scan
+    }
 
   override def pushedFilters
       : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
-    delegate
-      .asInstanceOf[org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters]
-      .pushedFilters
+    delegate match {
+      case d: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =>
+        d.pushedFilters
+      case _ => Array.empty
+    }
 
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean =
-    delegate.asInstanceOf[SupportsPushDownAggregates]
-      .supportCompletePushDown(agg)
+    delegate match {
+      case d: SupportsPushDownAggregates => d.supportCompletePushDown(agg)
+      case _ => false
+    }
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean =
-    delegate.asInstanceOf[SupportsPushDownAggregates].pushAggregation(agg)
+    delegate match {
+      case d: SupportsPushDownAggregates => d.pushAggregation(agg)
+      case _ => false
+    }
 
   override def pushVariantExtractions(
       extractions: Array[VariantExtraction]): Array[Boolean] =
-    delegate.asInstanceOf[SupportsPushDownVariantExtractions]
-      .pushVariantExtractions(extractions)
+    delegate match {
+      case d: SupportsPushDownVariantExtractions =>
+        d.pushVariantExtractions(extractions)
+      case _ => new Array[Boolean](extractions.length) // none pushed
+    }
 
-  override def build(): Scan = {
-    val batch = delegate.build()
-    new Scan {
-      override def readSchema(): org.apache.spark.sql.types.StructType =
-        batch.readSchema()
-      override def toBatch: Batch = batch.toBatch
-      override def description(): String = desc
-      override def toMicroBatchStream(checkpointLocation: String)
-          : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-        mkStream()
+  override def build(): Scan = new SnapshotScan(delegate.build(), desc, mkStream)
+}
+
+/** The wrapper Scan: adds the micro-batch stream while FORWARDING the
+  * delegate's reporting/runtime-filtering surface — Catalyst probes
+  * these with `instanceof` on the Scan, so a minimal wrapper would
+  * silently cost every bronze batch read its stats (join-strategy
+  * input) and its runtime filtering (dynamic file pruning). Scans
+  * without the capability get the interfaces' documented neutral
+  * answers (unknown stats; no filterable attributes). */
+private final class SnapshotScan(
+    batch: org.apache.spark.sql.connector.read.Scan,
+    desc: String,
+    mkStream: () => org.apache.spark.sql.connector.read.streaming.MicroBatchStream)
+    extends org.apache.spark.sql.connector.read.Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  import org.apache.spark.sql.connector.read._
+
+  override def readSchema(): org.apache.spark.sql.types.StructType =
+    batch.readSchema()
+  override def toBatch: Batch = batch.toBatch
+  override def description(): String = desc
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    mkStream()
+
+  override def estimateStatistics(): Statistics = batch match {
+    case s: SupportsReportStatistics => s.estimateStatistics()
+    case _ => new Statistics { // unknown: the interface's neutral answer
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
     }
   }
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    batch match {
+      case s: SupportsRuntimeV2Filtering => s.filterAttributes()
+      case _ => Array.empty
+    }
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit =
+    batch match {
+      case s: SupportsRuntimeV2Filtering => s.filter(predicates)
+      case _ => ()
+    }
 }
 
 /** Minimal bridge into `private[sql]` surface: building a DataFrame
@@ -158,8 +218,13 @@ object shim {
     // path populates them in ParquetFileFormat; mirror the defaults
     Seq(SQLConf.PARQUET_BINARY_AS_STRING, SQLConf.PARQUET_INT96_AS_TIMESTAMP,
       SQLConf.CASE_SENSITIVE, SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED,
-      SQLConf.LEGACY_PARQUET_NANOS_AS_LONG, SQLConf.PARQUET_FIELD_ID_READ_ENABLED)
+      SQLConf.LEGACY_PARQUET_NANOS_AS_LONG)
       .foreach(e => conf.set(e.key, e.defaultValue.get.toString))
+    // field-id resolution ON (not the default): bronze tables resolve
+    // columns by parquet field id so RENAME COLUMN is metadata-only;
+    // only activates when the requested schema carries ids (legacy
+    // id-less tables keep name matching)
+    conf.set(SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key, "true")
     val support = new ParquetReadSupport(
       None, // convertTz: files carry UTC micros (writer conf)
       false, // row-based materialization, not vectorized

@@ -205,6 +205,59 @@ class TimeTravelSpec extends SparkSpec {
     assert(spark.table("bronze.tt.evopt").filter("note = 'n3'").count() == 1)
   }
 
+  test("RENAME COLUMN is metadata-only: field ids keep old files resolving") {
+    val dir = mkTable("rename")
+    spark.sql("INSERT INTO bronze.tt.rename SELECT id, 1 FROM range(10)")
+    val filesBefore = SnapshotLog.current(dir).get.files
+    val preRenameV = SnapshotLog.currentVersion(dir).get
+    spark.sql("ALTER TABLE bronze.tt.rename RENAME COLUMN batch TO load_no")
+    // no data file was touched
+    assert(SnapshotLog.current(dir).get.files == filesBefore)
+    assert(spark.table("bronze.tt.rename").columns.toSeq ==
+      Seq("id", "load_no"))
+    // OLD files resolve through the field id: values, not NULLs
+    assert(spark.table("bronze.tt.rename")
+      .filter("load_no = 1").count() == 10)
+    // appends under the new name coexist with pre-rename files
+    spark.sql("INSERT INTO bronze.tt.rename SELECT id, 2 FROM range(5)")
+    val t = spark.table("bronze.tt.rename")
+    assert(t.count() == 15)
+    assert(t.groupBy("load_no").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap == Map(1 -> 10L, 2 -> 5L))
+    // time travel to a PRE-RENAME version reads with the OLD name
+    val old = spark.sql(
+      s"SELECT * FROM bronze.tt.rename VERSION AS OF $preRenameV")
+    assert(old.columns.toSeq == Seq("id", "batch"))
+    assert(old.filter("batch = 1").count() == 10)
+    // destructive changes still refuse
+    intercept[Exception] {
+      spark.sql("ALTER TABLE bronze.tt.rename DROP COLUMN load_no")
+    }
+    intercept[Exception] {
+      spark.sql(
+        "ALTER TABLE bronze.tt.rename ALTER COLUMN load_no TYPE STRING")
+    }
+    // renaming onto an existing column refuses
+    intercept[Exception] {
+      spark.sql("ALTER TABLE bronze.tt.rename RENAME COLUMN load_no TO id")
+    }
+  }
+
+  test("schema is pinned per snapshot: pre-ADD COLUMN versions lack the column") {
+    val dir = mkTable("pinned")
+    spark.sql("INSERT INTO bronze.tt.pinned SELECT id, 1 FROM range(5)")
+    val v1 = SnapshotLog.currentVersion(dir).get
+    spark.sql("ALTER TABLE bronze.tt.pinned ADD COLUMN note STRING")
+    spark.sql(
+      "INSERT INTO bronze.tt.pinned SELECT id, 2, 'n' || id FROM range(5)")
+    // the old version reads with the OLD schema (Iceberg pins
+    // schema-id per snapshot), not today's widened one
+    assert(spark.sql(s"SELECT * FROM bronze.tt.pinned VERSION AS OF $v1")
+      .columns.toSeq == Seq("id", "batch"))
+    assert(spark.table("bronze.tt.pinned").columns.toSeq ==
+      Seq("id", "batch", "note"))
+  }
+
   test("DELETE FROM is copy-on-write: one snapshot, time travel intact") {
     val dir = mkTable("rowdel")
     (1 to 3).foreach { b =>
