@@ -172,6 +172,78 @@ object KafkaOps {
           ('orders', 0, 70, 80, 10, 80, 120, 'preflight'))
           AS t(topic, partition, lost_from, lost_to, lost_count,
                kafka_earliest, kafka_latest, detector)
-        ORDER BY detector, partition"""))
+        ORDER BY detector, partition""")),
+
+    // ----- k04: END-TO-END COMPOSITION — every layer of the engine
+    // chained in one gated query, the full reference pipeline shape
+    // plus the rebuilt table format:
+    //   kafkasim broker → readStream → avro_decode (native codegen
+    //   expression) → `writeStream…toTable` into a bronze-catalog
+    //   table (stage-then-rename epochs, one snapshot-log commit per
+    //   epoch; maxOffsetsPerTrigger slices the backlog into SEVERAL
+    //   epochs, so the chain crosses multiple snapshots, not one) →
+    //   st12-style STREAMING RE-READ of the snapshot log from v0 →
+    //   watermarkless 7-day tumbling window aggregation in complete
+    //   mode.
+    // The oracle recomputes the windows straight from `orders` in
+    // SQL: a hash match proves decode, epoch commits, snapshot-log
+    // admission, and the windowed agg compose without losing or
+    // duplicating a row. No single query exercised L1 ingest and the
+    // L2 streaming/table layers end-to-end before this one.
+    QueryDef(
+      "k04_composed_bronze_roundtrip",
+      (s, d) => {
+        val root = brokerFor(s, d)
+        val wh = s"${System.getProperty("java.io.tmpdir")}/graft_k04-" +
+          Integer.toHexString(d.hashCode)
+        val cat = "k04cat_" + Integer.toHexString(d.hashCode)
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.BronzeCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+        s.sql(s"DROP TABLE IF EXISTS $cat.db.orders_e2e")
+        s.sql(s"""CREATE TABLE $cat.db.orders_e2e
+          (order_id STRING, amount DOUBLE, ts STRING) USING parquet""")
+        // stage 1: the reference's sink line, against the sim broker
+        avro.registerAvroDecode(s)
+        import org.apache.spark.sql.streaming.Trigger
+        val q1 = s.readStream.format("kafkasim")
+          .option("path", root).option("subscribe", "orders")
+          .option("maxOffsetsPerTrigger", "2000") // several epochs
+          .load()
+          .selectExpr(
+            s"avro_decode(value, '${avro.OrderEventSchemaJson}') AS data")
+          .select(col("data.orderId").as("order_id"),
+            col("data.amount").as("amount"), col("data.ts").as("ts"))
+          .writeStream
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft_k04_ckpt1").toString)
+          .trigger(Trigger.AvailableNow())
+          .toTable(s"$cat.db.orders_e2e")
+        q1.awaitTermination()
+        // stage 2: streaming re-read of the snapshot log, windowed agg
+        val sink = s"graft_k04_sink_${java.util.UUID.randomUUID
+          .toString.substring(0, 8)}"
+        val q2 = s.readStream.option("startingVersion", "0")
+          .table(s"$cat.db.orders_e2e")
+          .withColumn("tts", to_timestamp(col("ts"), "yyyy-MM-dd"))
+          .groupBy(window(col("tts"), "7 days"))
+          .agg(count(lit(1)).as("n_orders"),
+            graft.Exact.dsum(col("amount"), 2).as("total_amount"))
+          .select(col("window.start").as("win_start"),
+            col("n_orders"), col("total_amount"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete")
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft_k04_ckpt2").toString)
+          .trigger(Trigger.AvailableNow()).start()
+        q2.awaitTermination()
+        s.table(sink).orderBy(col("win_start"))
+      },
+      Some(s"""SELECT
+          make_timestamp((epoch_us(CAST(o_orderdate AS TIMESTAMP))
+            // 604800000000) * 604800000000) AS win_start,
+          COUNT(*) AS n_orders,
+          ${graft.Exact.sqlSum("o_totalprice", 2)} AS total_amount
+        FROM orders GROUP BY 1 ORDER BY win_start"""))
   )
 }
