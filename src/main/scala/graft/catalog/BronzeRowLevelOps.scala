@@ -1,0 +1,245 @@
+package graft.catalog
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.SupportsRead
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters}
+import org.apache.spark.sql.connector.write.{BatchWrite, LogicalWriteInfo, PhysicalWriteInfo, DataWriterFactory, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graftshim.shim
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Group-based copy-on-write UPDATE / MERGE INTO / predicate DELETE
+  * for bronze snapshot tables — the DSv2 `SupportsRowLevelOperations`
+  * machinery, file-granularity groups (Iceberg's copy-on-write mode):
+  *
+  *   - Spark's row-level rewrite rules plan the new content of every
+  *     AFFECTED group themselves (`ReplaceData`); this class only
+  *     decides WHICH files are affected and swaps them atomically;
+  *   - the scan side receives the command's condition as pushed
+  *     filters and uses them for FILE PRUNING ONLY — every filter is
+  *     reported back as post-scan (a copy-on-write scan must return
+  *     all rows of affected groups, matching or not, because the
+  *     rewrite writes surviving rows back);
+  *   - the write side stages new files exactly like a batch append
+  *     and commits ONE snapshot whose file set is
+  *     `parent -- affected ++ staged` — readers see the whole
+  *     statement or none of it, `VERSION AS OF` the prior version
+  *     still reads the originals until vacuum, and incremental /
+  *     streaming readers refuse to cross the rewrite.
+  *
+  * A simple-predicate DELETE never gets here: Spark's metadata-only
+  * rule sends anything [[BronzeRowDelete.canTranslate]] accepts down
+  * the cheaper `SupportsDelete` path; this handles the rest (UPDATE,
+  * MERGE, and deletes whose predicates don't translate — subqueries,
+  * UDF conditions). UPDATE's static WHERE prunes to the files that
+  * contain matches; MERGE's ON condition references the source
+  * relation, so nothing static is pushed and every file rewrites —
+  * the honest cost of group-based MERGE without runtime group
+  * filtering (Iceberg narrows this with a `_file` dynamic subquery;
+  * a future round can add `SupportsRuntimeV2Filtering` the same way).
+  */
+final class BronzeRowLevelOperationBuilder(dir: String, declared: StructType,
+    info: RowLevelOperationInfo) extends RowLevelOperationBuilder {
+  override def build(): RowLevelOperation =
+    new BronzeRowLevelOperation(dir, declared, info.command)
+}
+
+final class BronzeRowLevelOperation(dir: String, declared: StructType,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+
+  /** Files being replaced — resolved once, at scan build (planning),
+    * from one pinned snapshot; the write's commit swaps exactly this
+    * list so scan and commit can never disagree. */
+  @volatile private var affected: Seq[String] = _
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def description(): String =
+    s"BronzeRowLevel(${cmd.toString.toLowerCase}, $dir)"
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownFilters {
+      private var captured: Array[Filter] = Array.empty
+
+      // group pruning only: accept the filters for file selection but
+      // report NONE as pushed — every row of an affected file must
+      // reach the rewrite, so all filtering stays post-scan
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        captured = filters
+        filters
+      }
+      override def pushedFilters(): Array[Filter] = Array.empty
+
+      override def build(): Scan = {
+        val spark = SparkSession.active
+        val snap = SnapshotLog.current(dir).getOrElse(
+          throw new UnsupportedOperationException(
+            s"row-level operations need a snapshot-logged table: $dir"))
+        val conds = captured.map(BronzeRowDelete.translate)
+        affected =
+          if (snap.files.isEmpty) Seq.empty
+          else if (captured.isEmpty || conds.exists(_.isEmpty)) snap.files
+          else {
+            // file-count-scale pruning pass: only files CONTAINING
+            // matching rows rewrite (same listing BronzeRowDelete does)
+            val cond = conds.flatten.reduce(_ && _)
+            spark.read.schema(declared)
+              .parquet(snap.files.map(f => s"$dir/$f"): _*)
+              .filter(cond)
+              .select(col("_metadata.file_name")).distinct()
+              .collect().map(_.getString(0)).toSeq.sorted
+          }
+        shim.parquetTableFiles(spark, s"cow:$dir",
+          affected.map(f => s"$dir/$f"), declared)
+          .asInstanceOf[SupportsRead]
+          .newScanBuilder(CaseInsensitiveStringMap.empty())
+          .build()
+      }
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = {
+          val confs = shim.parquetWriterConfs(SparkSession.active)
+          new BronzeReplaceGroupsWrite(dir, declared, info.queryId(),
+            confs, cmd.toString.toLowerCase, () => {
+              require(affected != null,
+                "row-level write committed before its scan was planned")
+              affected
+            })
+        }
+      }
+    }
+}
+
+/** The ReplaceData write: stages rewritten rows like a batch append
+  * (attempt-unique dot-files, rename on commit), then commits one
+  * snapshot swapping the affected groups for the staged files.
+  *
+  * Incoming rows may carry Spark's row-level OPERATION MARKER
+  * prepended at ordinal 0 (`RowDeltaUtils.OPERATION_COLUMN` — the
+  * rewrite plans add it, and with no required metadata attributes the
+  * exec's plain writing task hands the writer the raw row; sources
+  * that declare metadata attributes get it projected away instead).
+  * The factory strips it with a zero-copy shifted view when — and
+  * only when — the row is one field wider than the write schema. */
+private final class BronzeReplaceGroupsWrite(dir: String,
+    schema: StructType, queryId: String, writerConfs: Map[String, String],
+    operation: String, affected: () => Seq[String]) extends BatchWrite {
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new MarkerStrippingWriterFactory(
+      new BronzeBatchWriterFactory(dir, schema, queryId, writerConfs),
+      schema.length)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    messages.foreach {
+      case StagedFile(staged, _) if staged.isEmpty => () // empty partition
+      case StagedFile(staged, dest) =>
+        Files.move(Paths.get(staged), Paths.get(dest),
+          StandardCopyOption.REPLACE_EXISTING)
+      case other =>
+        throw new IllegalStateException(s"unexpected commit message: $other")
+    }
+    val added = messages.collect {
+      case StagedFile(staged, dest) if staged.nonEmpty =>
+        Paths.get(dest).getFileName.toString
+    }
+    val gone = affected().toSet
+    SnapshotLog.commit(dir, operation)(parent => parent -- gone ++ added)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    messages.foreach {
+      case StagedFile(staged, _) if staged.nonEmpty =>
+        Files.deleteIfExists(Paths.get(staged))
+      case _ => ()
+    }
+    val prefix = s".batch-q$queryId-"
+    val listing = Files.list(Paths.get(dir))
+    try listing.iterator().forEachRemaining { p =>
+      if (p.getFileName.toString.startsWith(prefix)) Files.deleteIfExists(p)
+    } finally listing.close()
+  }
+}
+
+private final class MarkerStrippingWriterFactory(
+    inner: DataWriterFactory, width: Int) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] =
+    new MarkerStrippingWriter(inner.createWriter(partitionId, taskId), width)
+}
+
+private final class MarkerStrippingWriter(
+    inner: org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow],
+    width: Int)
+    extends org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] {
+
+  private val shifted = new ShiftedInternalRow(1)
+
+  override def write(record: org.apache.spark.sql.catalyst.InternalRow): Unit =
+    if (record.numFields == width + 1) { // operation marker at ordinal 0
+      shifted.base = record
+      inner.write(shifted)
+    } else inner.write(record)
+
+  override def commit(): WriterCommitMessage = inner.commit()
+  override def abort(): Unit = inner.abort()
+  override def close(): Unit = inner.close()
+}
+
+/** Zero-copy view of an InternalRow with the first `offset` ordinals
+  * hidden — how the writer drops the rewrite's operation-marker
+  * column without materializing a projected copy per row. */
+private final class ShiftedInternalRow(offset: Int)
+    extends org.apache.spark.sql.catalyst.InternalRow {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.types.{DataType, Decimal}
+  import org.apache.spark.unsafe.types.{CalendarInterval, UTF8String, VariantVal}
+
+  var base: InternalRow = _
+
+  override def numFields: Int = base.numFields - offset
+  override def isNullAt(i: Int): Boolean = base.isNullAt(i + offset)
+  override def getBoolean(i: Int): Boolean = base.getBoolean(i + offset)
+  override def getByte(i: Int): Byte = base.getByte(i + offset)
+  override def getShort(i: Int): Short = base.getShort(i + offset)
+  override def getInt(i: Int): Int = base.getInt(i + offset)
+  override def getLong(i: Int): Long = base.getLong(i + offset)
+  override def getFloat(i: Int): Float = base.getFloat(i + offset)
+  override def getDouble(i: Int): Double = base.getDouble(i + offset)
+  override def getDecimal(i: Int, precision: Int, scale: Int): Decimal =
+    base.getDecimal(i + offset, precision, scale)
+  override def getUTF8String(i: Int): UTF8String =
+    base.getUTF8String(i + offset)
+  override def getBinary(i: Int): Array[Byte] = base.getBinary(i + offset)
+  override def getInterval(i: Int): CalendarInterval =
+    base.getInterval(i + offset)
+  override def getVariant(i: Int): VariantVal = base.getVariant(i + offset)
+  override def getGeography(i: Int): org.apache.spark.unsafe.types.GeographyVal =
+    base.getGeography(i + offset)
+  override def getGeometry(i: Int): org.apache.spark.unsafe.types.GeometryVal =
+    base.getGeometry(i + offset)
+  override def getStruct(i: Int, numFields: Int): InternalRow =
+    base.getStruct(i + offset, numFields)
+  override def getArray(i: Int): org.apache.spark.sql.catalyst.util.ArrayData =
+    base.getArray(i + offset)
+  override def getMap(i: Int): org.apache.spark.sql.catalyst.util.MapData =
+    base.getMap(i + offset)
+  override def get(i: Int, dataType: DataType): AnyRef =
+    base.get(i + offset, dataType)
+  override def setNullAt(i: Int): Unit = base.setNullAt(i + offset)
+  override def update(i: Int, value: Any): Unit =
+    base.update(i + offset, value)
+  override def copy(): InternalRow = {
+    val c = new ShiftedInternalRow(offset)
+    c.base = base.copy()
+    c
+  }
+}

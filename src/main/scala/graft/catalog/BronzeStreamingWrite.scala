@@ -43,10 +43,20 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 final class BronzeWritableTable(delegate: Table, dir: String)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   override def name(): String = delegate.name()
   override def schema(): StructType = delegate.schema()
+
+  // UPDATE / MERGE INTO / untranslatable-predicate DELETE — the
+  // group-based copy-on-write path (Spark plans the rewrite, this
+  // table swaps the affected files in one snapshot). Simple DELETEs
+  // stay on the metadata-only SupportsDelete path below.
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    new BronzeRowLevelOperationBuilder(dir, delegate.schema(), info)
 
   // `DELETE FROM bronze.db.t WHERE ...` — copy-on-write via a
   // `delete` snapshot (BronzeRowDelete); refusing untranslatable

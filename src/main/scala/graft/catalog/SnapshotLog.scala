@@ -242,7 +242,8 @@ object SnapshotLog {
     * names (vs pure appends) — the ones incremental readers must not
     * silently cross. */
   def rewritesRows(operation: String): Boolean =
-    operation == "replace" || operation == "delete"
+    operation == "replace" || operation == "delete" ||
+      operation == "update" || operation == "merge"
 
   // ---- manifest rendering / parsing (format owned by this object) --
 

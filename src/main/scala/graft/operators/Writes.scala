@@ -371,6 +371,79 @@ object Writes {
                WHEN version = 2 THEN TRUE
                ELSE NOT (od >= DATE '1998-01-01' AND o_totalprice > 150000)
           END
-        GROUP BY version ORDER BY version"""))
+        GROUP BY version ORDER BY version""")),
+
+    // ----- w08: UPDATE + MERGE INTO — the remaining Iceberg row-level
+    // verbs of the reference's sink format, through Spark's group-based
+    // copy-on-write machinery (`SupportsRowLevelOperations` →
+    // `ReplaceData`): Spark plans each statement's rewritten rows, the
+    // bronze table swaps only the AFFECTED files in one atomic
+    // `update`/`merge` snapshot. v1 appends orders; v2's UPDATE bumps a
+    // keyed slice (static WHERE → file-pruned rewrite); v3's MERGE
+    // upserts a derived source — odd keys both match (accumulate) and
+    // miss (insert). The result reads every version back; the oracle
+    // re-derives all three states by predicate. Arithmetic is one IEEE
+    // double add per touched row — bit-identical across engines.
+    QueryDef(
+      "w08_merge_upsert",
+      (s, d) => {
+        val wh = scratch("w08", d)
+        val cat = "w08cat_" + Integer.toHexString(d.hashCode)
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.BronzeCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+        s.sql(s"DROP TABLE IF EXISTS $cat.db.orders_up")
+        s.sql(s"""CREATE TABLE $cat.db.orders_up
+          (o_orderkey BIGINT, o_totalprice DOUBLE, status STRING)
+          USING parquet""")
+        new Tables(s, d).orders.select(
+            col("o_orderkey").cast("long"),
+            col("o_totalprice").cast("double"),
+            col("o_orderstatus").cast("string").as("status"))
+          .writeTo(s"$cat.db.orders_up").append()
+        s.sql(s"""UPDATE $cat.db.orders_up
+          SET o_totalprice = o_totalprice + 10.0
+          WHERE status = 'F' AND o_orderkey % 10 = 0""")
+        new Tables(s, d).orders.select(
+            (col("o_orderkey").cast("long") * 2 + 1).as("k"),
+            col("o_totalprice").cast("double").as("p"))
+          .filter(col("k") % 13 === 0)
+          .createOrReplaceTempView("w08_src")
+        s.sql(s"""MERGE INTO $cat.db.orders_up t USING w08_src s
+          ON t.o_orderkey = s.k
+          WHEN MATCHED THEN UPDATE SET o_totalprice = t.o_totalprice + s.p
+          WHEN NOT MATCHED THEN INSERT (o_orderkey, o_totalprice, status)
+            VALUES (s.k, s.p, 'N')""")
+        (1 to 3).map { v =>
+          s.sql(s"SELECT * FROM $cat.db.orders_up VERSION AS OF $v")
+            .agg(count(lit(1)).as("n_orders"),
+              Exact.dsum(col("o_totalprice"), 2).as("total_price"))
+            .select(lit(v).as("version"), col("n_orders"),
+              col("total_price"))
+        }.reduce(_ union _).orderBy(col("version"))
+      },
+      Some(s"""WITH v1 AS (
+          SELECT o_orderkey AS k, o_totalprice AS p, o_orderstatus AS st
+          FROM orders),
+        v2 AS (
+          SELECT k, p + CASE WHEN st = 'F' AND k % 10 = 0
+            THEN 10.0 ELSE 0 END AS p, st FROM v1),
+        src AS (
+          SELECT o_orderkey * 2 + 1 AS k, o_totalprice AS p FROM orders
+          WHERE (o_orderkey * 2 + 1) % 13 = 0),
+        v3 AS (
+          SELECT t.k, t.p + COALESCE(s.p, 0) AS p, t.st
+          FROM v2 t LEFT JOIN src s ON t.k = s.k
+          UNION ALL
+          SELECT s.k, s.p, 'N' FROM src s
+          WHERE s.k NOT IN (SELECT k FROM v2)),
+        stats AS (
+          SELECT 1 AS version, COUNT(*) AS n_orders,
+            ${Exact.sqlSum("p", 2)} AS total_price FROM v1
+          UNION ALL
+          SELECT 2, COUNT(*), ${Exact.sqlSum("p", 2)} FROM v2
+          UNION ALL
+          SELECT 3, COUNT(*), ${Exact.sqlSum("p", 2)} FROM v3)
+        SELECT version, n_orders, total_price FROM stats ORDER BY version"""))
   )
 }

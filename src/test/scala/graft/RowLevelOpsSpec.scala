@@ -1,0 +1,118 @@
+package graft
+
+import graft.catalog.SnapshotLog
+
+/** SQL UPDATE / MERGE INTO on bronze snapshot tables — the group-based
+  * copy-on-write path (`SupportsRowLevelOperations`): Spark plans the
+  * rewrite, the table swaps affected files in ONE snapshot, old
+  * versions keep reading the originals, and streaming/incremental
+  * readers refuse to cross the rewrite like any REPLACE. */
+class RowLevelOpsSpec extends SparkSpec {
+
+  private lazy val warehouse: String = bronzeWarehouse
+
+  private def bronzeCatalog: graft.catalog.BronzeCatalog = {
+    warehouse
+    spark.sessionState.catalogManager.catalog("bronze")
+      .asInstanceOf[graft.catalog.BronzeCatalog]
+  }
+
+  private def mkTable(name: String): String = {
+    warehouse
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS bronze.rl")
+    spark.sql(s"DROP TABLE IF EXISTS bronze.rl.$name")
+    spark.sql(
+      s"CREATE TABLE bronze.rl.$name (id BIGINT, batch INT, amt DOUBLE) " +
+        "USING parquet")
+    bronzeCatalog.tableDir(Seq("rl"), name)
+  }
+
+  test("UPDATE is copy-on-write: one snapshot, targeted files, history intact") {
+    val dir = mkTable("upd")
+    (1 to 3).foreach { b =>
+      spark.sql(s"INSERT INTO bronze.rl.upd " +
+        s"SELECT id, $b, id * 1.5 FROM range(10)")
+    }
+    val pre = SnapshotLog.current(dir).get
+    spark.sql(
+      "UPDATE bronze.rl.upd SET amt = amt * 2, batch = 99 " +
+        "WHERE batch = 2 AND id >= 5")
+    val post = SnapshotLog.current(dir).get
+    assert(post.version == pre.version + 1 && post.operation == "update")
+    val t = spark.table("bronze.rl.upd")
+    assert(t.count() == 30) // UPDATE never changes cardinality
+    assert(t.filter("batch = 99").count() == 5)
+    assert(t.filter("batch = 2").count() == 5) // id < 5 untouched
+    // updated values are the assignments, untouched rows unchanged
+    assert(t.filter("batch = 99 AND id = 7").collect()
+      .head.getDouble(2) == 7 * 1.5 * 2)
+    assert(t.filter("batch = 2 AND id = 3").collect()
+      .head.getDouble(2) == 3 * 1.5)
+    // only the files of the batch-2 append rewrote
+    val batch2Files =
+      SnapshotLog.read(dir, 2).files.toSet -- SnapshotLog.read(dir, 1).files
+    val rewritten = pre.files.toSet -- post.files.toSet
+    assert(rewritten.nonEmpty && rewritten.subsetOf(batch2Files))
+    // VERSION AS OF the pre-update snapshot sees the original values
+    assert(spark.sql(s"SELECT COUNT(*) FROM bronze.rl.upd " +
+      s"VERSION AS OF ${pre.version} WHERE batch = 2")
+      .head().getLong(0) == 10)
+  }
+
+  test("MERGE INTO: matched update + not-matched insert, one snapshot") {
+    val dir = mkTable("mrg")
+    spark.sql(
+      "INSERT INTO bronze.rl.mrg SELECT id, 1, id * 1.0 FROM range(10)")
+    val pre = SnapshotLog.current(dir).get
+    spark.sql("DROP VIEW IF EXISTS mrg_src")
+    spark.sql(
+      "CREATE TEMP VIEW mrg_src AS " +
+        "SELECT id * 2 AS id, CAST(id AS DOUBLE) AS delta FROM range(8)")
+    spark.sql(
+      """MERGE INTO bronze.rl.mrg t USING mrg_src s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET amt = t.amt + s.delta
+        WHEN NOT MATCHED THEN INSERT (id, batch, amt)
+          VALUES (s.id, 2, s.delta)""")
+    val post = SnapshotLog.current(dir).get
+    assert(post.version == pre.version + 1 && post.operation == "merge")
+    val t = spark.table("bronze.rl.mrg")
+    // targets 0,2,..,14 from source ids 0..14 step 2: ids 0..8 even
+    // matched (5 rows: 0,2,4,6,8), 10,12,14 inserted
+    assert(t.count() == 13)
+    assert(t.filter("batch = 2").count() == 3)
+    // matched row id=6: amt = 6.0 + delta(src id 6 = range id 3) = 9.0
+    assert(t.filter("id = 6 AND batch = 1").collect()
+      .head.getDouble(2) == 9.0)
+    // unmatched target row untouched
+    assert(t.filter("id = 7").collect().head.getDouble(2) == 7.0)
+    // pre-merge version unchanged
+    assert(spark.sql(s"SELECT COUNT(*) FROM bronze.rl.mrg " +
+      s"VERSION AS OF ${pre.version}").head().getLong(0) == 10)
+  }
+
+  test("incremental read refuses to cross an UPDATE snapshot") {
+    val dir = mkTable("updinc")
+    spark.sql("INSERT INTO bronze.rl.updinc SELECT id, 1, 0.0 FROM range(5)")
+    spark.sql("UPDATE bronze.rl.updinc SET amt = 1.0 WHERE id = 2")
+    val v = SnapshotLog.currentVersion(dir).get
+    intercept[IllegalArgumentException] {
+      SnapshotLog.appendedFilesBetween(dir, 1, v)
+    }
+  }
+
+  test("DELETE with an untranslatable predicate rewrites via the group path") {
+    val dir = mkTable("delsub")
+    spark.sql("INSERT INTO bronze.rl.delsub SELECT id, 1, id * 1.0 FROM range(10)")
+    spark.sql(
+      "INSERT INTO bronze.rl.delsub SELECT id, 2, id * 1.0 FROM range(10)")
+    // subquery predicate: canDeleteWhere refuses, the row-level
+    // rewrite path handles it
+    spark.sql(
+      """DELETE FROM bronze.rl.delsub WHERE id IN
+        (SELECT id FROM bronze.rl.delsub WHERE batch = 2 AND id < 3)""")
+    val t = spark.table("bronze.rl.delsub")
+    assert(t.count() == 14) // ids 0,1,2 die in BOTH batches
+    assert(t.filter("id < 3").count() == 0)
+    assert(SnapshotLog.current(dir).get.operation == "delete")
+  }
+}
