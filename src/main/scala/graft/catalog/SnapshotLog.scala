@@ -207,11 +207,30 @@ object SnapshotLog {
     // listing -> untouched) referencing only parent files (in a
     // retained manifest -> kept).
     val candidates = listDataFiles(tableDir)
-    val referenced = retained.flatMap(read(tableDir, _).files).toSet
+    // schema-sidecar candidates listed under the same discipline as
+    // data files — BEFORE reading the retained manifests, so anything
+    // written by a commit racing this vacuum appears only after the
+    // listing and stays untouched
+    val d = logDir(tableDir)
+    val sidecarCandidates =
+      if (!Files.isDirectory(d)) Seq.empty[String]
+      else {
+        val s = Files.list(d)
+        try s.iterator.asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("schema-")).toSeq
+        finally s.close()
+      }
+    val retainedSnaps = retained.map(read(tableDir, _))
+    val referenced = retainedSnaps.flatMap(_.files).toSet
     val doomed = candidates.filterNot(referenced.contains)
     doomed.foreach(f => Files.deleteIfExists(Paths.get(tableDir, f)))
     expired.foreach(v =>
       Files.deleteIfExists(logDir(tableDir).resolve(s"v$v.json")))
+    // sidecars referenced by NO retained manifest are garbage: pins
+    // of expired versions, or orphans from lost evolution races
+    val keptSchemas = retainedSnaps.flatMap(_.schemaFile).toSet
+    sidecarCandidates.filterNot(keptSchemas.contains)
+      .foreach(f => Files.deleteIfExists(d.resolve(f)))
     doomed
   }
 

@@ -126,6 +126,30 @@ class TimeTravelSpec extends SparkSpec {
     }
   }
 
+  test("VACUUM reaps schema sidecars pinned only by expired versions") {
+    val dir = mkTable("vacschema")
+    spark.sql("INSERT INTO bronze.tt.vacschema SELECT id, 1 FROM range(5)")
+    spark.sql("ALTER TABLE bronze.tt.vacschema ADD COLUMN note STRING")
+    spark.sql(
+      "INSERT INTO bronze.tt.vacschema SELECT id, 2, 'x' FROM range(5)")
+    def sidecars(): Set[String] = {
+      val d = java.nio.file.Paths.get(dir, "_graft_snapshots")
+      val s = Files.list(d)
+      try s.iterator.asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("schema-")).toSet
+      finally s.close()
+    }
+    assert(sidecars().size == 2) // create-time pin + the evolved pin
+    bronzeCatalog.vacuumTable(Seq("tt"), "vacschema", retainLast = 1)
+    // only the current (evolved) pin survives; reads stay intact
+    val left = sidecars()
+    assert(left.size == 1)
+    assert(SnapshotLog.current(dir).get.schemaFile.contains(left.head))
+    assert(spark.table("bronze.tt.vacschema").count() == 10)
+    assert(spark.table("bronze.tt.vacschema").columns.toSeq ==
+      Seq("id", "batch", "note"))
+  }
+
   test("incremental read returns only appended files; refuses replaces") {
     val dir = mkTable("inc")
     (1 to 3).foreach { b =>
