@@ -229,6 +229,23 @@ class TimeTravelSpec extends SparkSpec {
     assert(spark.table("bronze.tt.evopt").filter("note = 'n3'").count() == 1)
   }
 
+  test("incremental read crosses ALTER snapshots cleanly (no files, no refusal)") {
+    val dir = mkTable("incalter")
+    spark.sql("INSERT INTO bronze.tt.incalter SELECT id, 1 FROM range(5)")
+    val v1 = SnapshotLog.currentVersion(dir).get
+    spark.sql("ALTER TABLE bronze.tt.incalter ADD COLUMN note STRING")
+    spark.sql(
+      "INSERT INTO bronze.tt.incalter SELECT id, 2, 'x' FROM range(5)")
+    val v3 = SnapshotLog.currentVersion(dir).get
+    // the alter snapshot adds no files and rewrites none: the delta
+    // across it is exactly the second append
+    val delta = SnapshotLog.appendedFilesBetween(dir, v1, v3)
+    val rows = spark.read.schema("id BIGINT, batch INT, note STRING")
+      .parquet(delta.map(f => s"$dir/$f"): _*)
+    assert(rows.count() == 5)
+    assert(rows.select("batch").distinct().head().getInt(0) == 2)
+  }
+
   test("RENAME COLUMN is metadata-only: field ids keep old files resolving") {
     val dir = mkTable("rename")
     spark.sql("INSERT INTO bronze.tt.rename SELECT id, 1 FROM range(10)")
