@@ -188,7 +188,7 @@ class BronzeCatalog extends TableCatalog with SupportsNamespaces {
     // V2 file tables only advertise batch read/write; the wrapper adds
     // the streaming write (stage-then-rename, epoch-idempotent) so the
     // reference's `writeStream...toTable("bronze.db.orders")` works
-    new BronzeWritableTable(parquet, dir.toString)
+    new BronzeWritableTable(parquet, dir.toString, snap.map(_.files))
   }
 
   /** Iceberg `rewrite_data_files` (OPTIMIZE): compact this table's

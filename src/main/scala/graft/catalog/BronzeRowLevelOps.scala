@@ -36,11 +36,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * the cheaper `SupportsDelete` path; this handles the rest (UPDATE,
   * MERGE, and deletes whose predicates don't translate — subqueries,
   * UDF conditions). UPDATE's static WHERE prunes to the files that
-  * contain matches; MERGE's ON condition references the source
-  * relation, so nothing static is pushed and every file rewrites —
-  * the honest cost of group-based MERGE without runtime group
-  * filtering (Iceberg narrows this with a `_file` dynamic subquery;
-  * a future round can add `SupportsRuntimeV2Filtering` the same way).
+  * contain matches at scan build. MERGE's ON condition references the
+  * source relation, so nothing static is pushed — instead the
+  * operation requires the `_file` metadata column, and Spark's
+  * runtime group filtering executes a subquery of the matched rows'
+  * distinct files and narrows [[BronzeCowFileScan]] (and the commit)
+  * to exactly those — Iceberg's own copy-on-write recipe, so MERGE
+  * costs |files with matches|, never the table.
   */
 final class BronzeRowLevelOperationBuilder(dir: String, declared: StructType,
     info: RowLevelOperationInfo) extends RowLevelOperationBuilder {
@@ -51,9 +53,10 @@ final class BronzeRowLevelOperationBuilder(dir: String, declared: StructType,
 final class BronzeRowLevelOperation(dir: String, declared: StructType,
     cmd: RowLevelOperation.Command) extends RowLevelOperation {
 
-  /** Files being replaced — resolved once, at scan build (planning),
-    * from one pinned snapshot; the write's commit swaps exactly this
-    * list so scan and commit can never disagree. */
+  /** Files being replaced — resolved at scan build (planning) from one
+    * pinned snapshot, then possibly NARROWED by Spark's runtime group
+    * filter (MERGE); the write's commit swaps exactly this list so
+    * scan and commit can never disagree. */
   @volatile private var affected: Seq[String] = _
 
   override def command(): RowLevelOperation.Command = cmd
@@ -61,9 +64,25 @@ final class BronzeRowLevelOperation(dir: String, declared: StructType,
   override def description(): String =
     s"BronzeRowLevel(${cmd.toString.toLowerCase}, $dir)"
 
+  // MERGE's ON condition references the source relation, so nothing
+  // static reaches pushFilters — instead ask for the `_file` metadata
+  // column, which makes Spark's RowLevelOperationRuntimeGroupFiltering
+  // plan a dynamic subquery (matching rows' distinct files) and call
+  // Scan.filter with it at execution: group pruning at runtime, the
+  // Iceberg copy-on-write recipe. UPDATE/DELETE predicates are static
+  // and prune at scan build, keeping the vectorized delegate scan.
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (cmd == RowLevelOperation.Command.MERGE)
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .column("_file"))
+    else Array.empty
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with SupportsPushDownFilters {
+    new ScanBuilder with SupportsPushDownFilters
+        with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
       private var captured: Array[Filter] = Array.empty
+      private var required: StructType = declared
 
       // group pruning only: accept the filters for file selection but
       // report NONE as pushed — every row of an affected file must
@@ -73,6 +92,9 @@ final class BronzeRowLevelOperation(dir: String, declared: StructType,
         filters
       }
       override def pushedFilters(): Array[Filter] = Array.empty
+
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
 
       override def build(): Scan = {
         val spark = SparkSession.active
@@ -93,11 +115,17 @@ final class BronzeRowLevelOperation(dir: String, declared: StructType,
               .select(col("_metadata.file_name")).distinct()
               .collect().map(_.getString(0)).toSeq.sorted
           }
-        shim.parquetTableFiles(spark, s"cow:$dir",
-          affected.map(f => s"$dir/$f"), declared)
-          .asInstanceOf[SupportsRead]
-          .newScanBuilder(CaseInsensitiveStringMap.empty())
-          .build()
+        if (required.fieldNames.contains("_file"))
+          // MERGE: per-file scan emitting `_file`, narrowable by the
+          // runtime group filter — commit follows the narrowed set
+          new BronzeCowFileScan(dir, affected, required,
+            narrowed => { affected = narrowed })
+        else
+          shim.parquetTableFiles(spark, s"cow:$dir",
+            affected.map(f => s"$dir/$f"), declared)
+            .asInstanceOf[SupportsRead]
+            .newScanBuilder(CaseInsensitiveStringMap.empty())
+            .build()
       }
     }
 
@@ -242,4 +270,72 @@ private final class ShiftedInternalRow(offset: Int)
     c.base = base.copy()
     c
   }
+}
+
+/** The MERGE copy-on-write scan: one partition per candidate file,
+  * read through the per-file readers with `_file` spliced in
+  * (BronzeMetadataFileReader), and NARROWABLE at runtime — Spark's
+  * row-level group filtering executes a subquery of the matched rows'
+  * distinct files and hands it to [[filter]]; only the files that
+  * survive are scanned AND replaced (`onNarrowed` keeps the commit in
+  * lockstep). At 100 TB this is what turns MERGE from a full-table
+  * rewrite into |files with matches|. */
+private final class BronzeCowFileScan(dir: String, files0: Seq[String],
+    required: StructType, onNarrowed: Seq[String] => Unit)
+    extends Scan with org.apache.spark.sql.connector.read.Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+  import org.apache.spark.sql.connector.expressions.filter.Predicate
+  import org.apache.spark.sql.connector.read.InputPartition
+
+  @volatile private var files: Seq[String] = files0
+
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"bronze cow merge scan $dir (runtime group filtering on _file)"
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("_file"))
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    // the dynamic group filter arrives as IN(_file, <paths...>) (or a
+    // degenerate =); anything unparseable leaves the set unnarrowed —
+    // a correctness-neutral fallback (full candidate rewrite)
+    val keep = predicates.flatMap(inPaths).reduceOption(_ intersect _)
+    keep.foreach { paths =>
+      files = files.filter(f => paths.contains(s"$dir/$f"))
+      onNarrowed(files)
+    }
+  }
+
+  private def inPaths(p: Predicate): Option[Set[String]] = {
+    def litString(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+        Option(l.value).map(_.toString)
+      case _ => None
+    }
+    def isFileRef(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Boolean = e match {
+      case r: NamedReference => r.fieldNames.sameElements(Array("_file"))
+      case _ => false
+    }
+    p.name() match {
+      case "IN" if p.children().nonEmpty && isFileRef(p.children()(0)) =>
+        val vals = p.children().drop(1).map(litString)
+        if (vals.forall(_.isDefined)) Some(vals.flatten.toSet) else None
+      case "=" if p.children().length == 2 && isFileRef(p.children()(0)) =>
+        litString(p.children()(1)).map(Set(_))
+      case _ => None
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map(f => BronzeFilePartition(s"$dir/$f"): InputPartition).toArray
+
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    new BronzeMetadataReaderFactory(required.json)
 }

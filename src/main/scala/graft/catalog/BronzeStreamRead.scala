@@ -37,15 +37,95 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 object BronzeStreamRead {
   /** The scan builder [[BronzeWritableTable]] hands to Catalyst:
     * the delegate's pushdown surface preserved (shim wrapper), plus
-    * a snapshot-log micro-batch stream. */
+    * a snapshot-log micro-batch stream, plus a `_file`-projecting
+    * per-file scan for metadata-column reads. */
   def scanBuilder(delegate: ScanBuilder, dir: String, schema: StructType,
-      options: CaseInsensitiveStringMap): ScanBuilder =
+      options: CaseInsensitiveStringMap,
+      mkMetadataScan: StructType => Scan = null): ScanBuilder =
     new org.apache.spark.sql.graftshim.SnapshotScanBuilder(
       delegate,
       s"bronze snapshot scan $dir (streaming: version-per-batch)",
       () => new BronzeMicroBatchStream(dir, schema,
         Option(options.get("startingVersion")).getOrElse("latest"),
-        Option(options.get("maxVersionsPerTrigger")).map(_.toLong)))
+        Option(options.get("maxVersionsPerTrigger")).map(_.toLong)),
+      mkMetadataScan)
+}
+
+/** Batch scan that serves projections referencing the `_file`
+  * metadata column: one partition per pinned-snapshot data file, read
+  * through the same executor-side per-file readers the streaming
+  * source uses, with the file path spliced into each row at the
+  * requested ordinal. Row-at-a-time (not vectorized) — metadata-column
+  * reads are audits and row-level group filters, not the hot path. */
+object BronzeMetadataFileScan {
+
+  def scan(dir: String, files: Seq[String], declared: StructType,
+      required: StructType): Scan = new Scan {
+    override def readSchema(): StructType = required
+    override def description(): String =
+      s"bronze per-file scan $dir (+_file metadata column)"
+    override def toBatch: org.apache.spark.sql.connector.read.Batch =
+      new org.apache.spark.sql.connector.read.Batch {
+        override def planInputPartitions(): Array[InputPartition] =
+          files.map(f =>
+            BronzeFilePartition(s"$dir/$f"): InputPartition).toArray
+        override def createReaderFactory(): PartitionReaderFactory =
+          new BronzeMetadataReaderFactory(required.json)
+      }
+  }
+}
+
+private final class BronzeMetadataReaderFactory(requiredJson: String)
+    extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val required = org.apache.spark.sql.types.DataType
+      .fromJson(requiredJson).asInstanceOf[StructType]
+    new BronzeMetadataFileReader(
+      p.asInstanceOf[BronzeFilePartition].path, required)
+  }
+}
+
+/** Reads the requested DATA columns from one parquet file and splices
+  * the constant `_file` path into each output row. */
+private final class BronzeMetadataFileReader(path: String,
+    required: StructType) extends PartitionReader[InternalRow] {
+
+  private val dataSchema = StructType(required.filter(_.name != "_file"))
+  private val reader = shim.rowParquetReader(path, dataSchema)
+  private val filePath = org.apache.spark.unsafe.types.UTF8String
+    .fromString(path)
+  // requested ordinal -> data-row ordinal (-1 = the _file constant)
+  private val srcIdx: Array[Int] = {
+    var j = 0
+    required.fields.map { f =>
+      if (f.name == "_file") -1 else { val i = j; j += 1; i }
+    }
+  }
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    val r = reader.read()
+    // the materializer reuses its row (and nested buffers) between
+    // read() calls — copy before extracting values that outlive it
+    current = if (r == null) null else r.copy()
+    current != null
+  }
+
+  override def get(): InternalRow = {
+    val vals = new Array[Any](required.length)
+    var i = 0
+    while (i < required.length) {
+      vals(i) =
+        if (srcIdx(i) < 0) filePath
+        else if (current.isNullAt(srcIdx(i))) null
+        else current.get(srcIdx(i), dataSchema(srcIdx(i)).dataType)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+  }
+
+  override def close(): Unit = reader.close()
 }
 
 /** Version-number offset; json is just the number. */

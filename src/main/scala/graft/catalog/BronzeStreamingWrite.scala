@@ -41,13 +41,33 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * scope, distinct queries append; only a replay of the SAME
   * checkpoint rewrites.
   */
-final class BronzeWritableTable(delegate: Table, dir: String)
+final class BronzeWritableTable(delegate: Table, dir: String,
+    snapshotFiles: Option[Seq[String]] = None)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
-    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
   override def name(): String = delegate.name()
   override def schema(): StructType = delegate.schema()
+
+  /** The pinned snapshot's data files (None = legacy listing mode) —
+    * what a `_file`-projecting scan and the row-level machinery read. */
+  def pinnedFiles: Seq[String] =
+    snapshotFiles.getOrElse(SnapshotLog.listDataFiles(dir))
+
+  // `_file`: full path of the data file each row lives in (Iceberg's
+  // metadata column of the same name) — what group-granular row-level
+  // operations and file-targeted audits select on
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_file"
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "data file path of the row"
+    })
 
   // UPDATE / MERGE INTO / untranslatable-predicate DELETE — the
   // group-based copy-on-write path (Spark plans the rewrite, this
@@ -81,7 +101,12 @@ final class BronzeWritableTable(delegate: Table, dir: String)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     BronzeStreamRead.scanBuilder(
       delegate.asInstanceOf[SupportsRead].newScanBuilder(options),
-      dir, delegate.schema(), options)
+      dir, delegate.schema(), options,
+      // `_file` projections can't come from the delegate parquet scan;
+      // a scan that needs the column diverts to the per-file reader
+      // over this load's pinned snapshot
+      required => BronzeMetadataFileScan.scan(dir, pinnedFiles,
+        delegate.schema(), required))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {

@@ -14,7 +14,9 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 final class SnapshotScanBuilder(
     delegate: org.apache.spark.sql.connector.read.ScanBuilder,
     desc: String,
-    mkStream: () => org.apache.spark.sql.connector.read.streaming.MicroBatchStream)
+    mkStream: () => org.apache.spark.sql.connector.read.streaming.MicroBatchStream,
+    mkMetadataScan: org.apache.spark.sql.types.StructType =>
+      org.apache.spark.sql.connector.read.Scan = null)
     extends org.apache.spark.sql.connector.read.ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -23,6 +25,11 @@ final class SnapshotScanBuilder(
 
   import org.apache.spark.sql.connector.read._
 
+  // a projection that references the `_file` metadata column can't be
+  // served by the delegate parquet scan — remember the requested
+  // schema and divert build() to the table's per-file reader scan
+  private var metadataSchema: org.apache.spark.sql.types.StructType = _
+
   // every pushdown forward is instanceof-guarded with the interface's
   // documented no-op as the fallback (nothing pushed), so a future
   // delegate lacking one capability degrades to an un-pushed scan
@@ -30,7 +37,10 @@ final class SnapshotScanBuilder(
 
   override def pruneColumns(
       requiredSchema: org.apache.spark.sql.types.StructType): Unit =
-    delegate match {
+    if (mkMetadataScan != null &&
+        requiredSchema.fieldNames.contains("_file")) {
+      metadataSchema = requiredSchema
+    } else delegate match {
       case d: SupportsPushDownRequiredColumns =>
         d.pruneColumns(requiredSchema)
       case _ => ()
@@ -77,7 +87,9 @@ final class SnapshotScanBuilder(
       case _ => new Array[Boolean](extractions.length) // none pushed
     }
 
-  override def build(): Scan = new SnapshotScan(delegate.build(), desc, mkStream)
+  override def build(): Scan =
+    if (metadataSchema != null) mkMetadataScan(metadataSchema)
+    else new SnapshotScan(delegate.build(), desc, mkStream)
 }
 
 /** The wrapper Scan: adds the micro-batch stream while FORWARDING the

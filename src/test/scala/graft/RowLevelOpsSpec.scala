@@ -90,6 +90,41 @@ class RowLevelOpsSpec extends SparkSpec {
       s"VERSION AS OF ${pre.version}").head().getLong(0) == 10)
   }
 
+  test("MERGE narrows to matched files via runtime group filtering") {
+    val dir = mkTable("mrgnarrow")
+    spark.sql(
+      "INSERT INTO bronze.rl.mrgnarrow SELECT id, 1, id * 1.0 FROM range(10)")
+    spark.sql("INSERT INTO bronze.rl.mrgnarrow " +
+      "SELECT id + 100, 2, id * 1.0 FROM range(10)")
+    val pre = SnapshotLog.current(dir).get
+    val batch1Files =
+      SnapshotLog.read(dir, 1).files.toSet -- SnapshotLog.read(dir, 0).files
+    // source matches ONLY batch-2 keys (plus inserts new ones)
+    spark.sql("DROP VIEW IF EXISTS mrgn_src")
+    spark.sql("CREATE TEMP VIEW mrgn_src AS " +
+      "SELECT id + 100 AS id, 7.0 AS delta FROM range(5) " +
+      "UNION ALL SELECT 999, 1.0")
+    spark.sql(
+      """MERGE INTO bronze.rl.mrgnarrow t USING mrgn_src s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET amt = t.amt + s.delta
+        WHEN NOT MATCHED THEN INSERT (id, batch, amt)
+          VALUES (s.id, 3, s.delta)""")
+    val post = SnapshotLog.current(dir).get
+    // correctness: 5 matched rows bumped, one insert, batch 1 intact
+    val t = spark.table("bronze.rl.mrgnarrow")
+    assert(t.count() == 21)
+    assert(t.filter("id = 102").collect().head.getDouble(2) == 9.0)
+    assert(t.filter("id = 999").count() == 1)
+    assert(t.filter("batch = 1 AND amt != (id * 1.0)").count() == 0)
+    // THE POINT: the runtime group filter narrowed the rewrite to the
+    // batch-2 files — every batch-1 file carried over BY NAME
+    val rewritten = pre.files.toSet -- post.files.toSet
+    assert(rewritten.nonEmpty, "merge rewrote nothing?")
+    assert(rewritten.intersect(batch1Files).isEmpty,
+      s"merge rewrote unmatched batch-1 files: " +
+        s"${rewritten.intersect(batch1Files)}")
+  }
+
   test("incremental read refuses to cross an UPDATE snapshot") {
     val dir = mkTable("updinc")
     spark.sql("INSERT INTO bronze.rl.updinc SELECT id, 1, 0.0 FROM range(5)")
