@@ -246,7 +246,7 @@ object BronzeBatchAppend {
   }
 
   /** Row count from the parquet footer — no data pages read. */
-  private def parquetRowCount(p: java.nio.file.Path): Long = {
+  private[catalog] def parquetRowCount(p: java.nio.file.Path): Long = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(p.toString),
       new org.apache.hadoop.conf.Configuration())

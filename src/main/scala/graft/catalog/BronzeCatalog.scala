@@ -213,6 +213,18 @@ class BronzeCatalog extends TableCatalog with SupportsNamespaces {
       retainLast: Int): Seq[String] =
     SnapshotLog.vacuum(tableDir(namespace, name), retainLast)
 
+  /** Iceberg's `table$history` metadata table — one row per snapshot
+    * (version, operation, n_files, n_rows), built at manifest scale. */
+  def historyTable(namespace: Seq[String], name: String)
+      : org.apache.spark.sql.DataFrame =
+    BronzeMetaTables.history(SparkSession.active, tableDir(namespace, name))
+
+  /** Iceberg's `table$files` metadata table — the current snapshot's
+    * files with row counts and sizes (the OPTIMIZE audit). */
+  def filesTable(namespace: Seq[String], name: String)
+      : org.apache.spark.sql.DataFrame =
+    BronzeMetaTables.files(SparkSession.active, tableDir(namespace, name))
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): Table = {

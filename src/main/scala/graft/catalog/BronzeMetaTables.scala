@@ -1,0 +1,56 @@
+package graft.catalog
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Iceberg's METADATA TABLES for bronze snapshot tables — the
+  * `table$history` / `table$snapshots` / `table$files` views Iceberg
+  * users query to audit a table without scanning it:
+  *
+  *   - [[history]]: one row per committed snapshot — version,
+  *     operation, file count, ROW count (from parquet footers: no
+  *     data pages read, cost is |files| footer opens, metadata scale);
+  *   - [[files]]: the CURRENT snapshot's data files with per-file row
+  *     counts and sizes — the layout audit that drives OPTIMIZE
+  *     decisions (how many small files, how skewed).
+  *
+  * Both are driver-built at manifest scale (versions × files of a
+  * SNAPSHOT LOG, not the data) and returned as ordinary DataFrames —
+  * joinable, filterable, gate-able like any relation. Timestamps are
+  * deliberately excluded from [[history]]'s default projection: they
+  * are wall-clock nondeterminism; callers who need them read the
+  * snapshot log directly.
+  */
+object BronzeMetaTables {
+
+  /** (version, operation, n_files, n_rows) per committed snapshot,
+    * ascending. Row counts come from each snapshot's file footers. */
+  def history(spark: SparkSession, tableDir: String): DataFrame = {
+    import spark.implicits._
+    // footer counts cached per file name: across versions the file
+    // sets overlap heavily (appends carry the parent set forward), so
+    // each footer opens once, not once per version
+    val cache = scala.collection.mutable.Map.empty[String, Long]
+    def rowsOf(f: String): Long = cache.getOrElseUpdate(f, {
+      val p = Paths.get(tableDir, f)
+      if (Files.isRegularFile(p)) BronzeBatchAppend.parquetRowCount(p) else 0L
+    })
+    SnapshotLog.versions(tableDir).map { v =>
+      val s = SnapshotLog.read(tableDir, v)
+      (s.version, s.operation, s.files.size, s.files.map(rowsOf).sum)
+    }.toDF("version", "operation", "n_files", "n_rows")
+      .orderBy("version")
+  }
+
+  /** (file, n_rows, size_bytes) of the CURRENT snapshot's data files,
+    * by name — the small-file/skew audit OPTIMIZE acts on. */
+  def files(spark: SparkSession, tableDir: String): DataFrame = {
+    import spark.implicits._
+    SnapshotLog.current(tableDir).map(_.files).getOrElse(
+      SnapshotLog.listDataFiles(tableDir)).map { f =>
+      val p = Paths.get(tableDir, f)
+      (f, BronzeBatchAppend.parquetRowCount(p), Files.size(p))
+    }.toDF("file", "n_rows", "size_bytes").orderBy("file")
+  }
+}

@@ -444,6 +444,61 @@ object Writes {
           SELECT 2, COUNT(*), ${Exact.sqlSum("p", 2)} FROM v2
           UNION ALL
           SELECT 3, COUNT(*), ${Exact.sqlSum("p", 2)} FROM v3)
-        SELECT version, n_orders, total_price FROM stats ORDER BY version"""))
+        SELECT version, n_orders, total_price FROM stats ORDER BY version""")),
+
+    // ----- w09: TABLE HISTORY metadata table — Iceberg's
+    // `table$history`/`table$snapshots` audit surface: one row per
+    // committed snapshot with its operation and ROW COUNT, built at
+    // MANIFEST scale (parquet footers only — zero data pages read, so
+    // auditing a 100 TB table costs |files| footer opens). The gated
+    // sequence create → append → append → targeted DELETE → OPTIMIZE
+    // exercises every snapshot-producing op; the oracle re-derives
+    // each version's row count by predicate — so the metadata table's
+    // footer arithmetic is hash-checked against an independent SQL
+    // derivation, including the compaction invariant (REPLACE changes
+    // layout, never rows).
+    QueryDef(
+      "w09_table_history",
+      (s, d) => {
+        val wh = scratch("w09", d)
+        val cat = "w09cat_" + Integer.toHexString(d.hashCode)
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.BronzeCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+        s.sql(s"DROP TABLE IF EXISTS $cat.db.orders_hist")
+        s.sql(s"""CREATE TABLE $cat.db.orders_hist
+          (o_orderkey BIGINT, o_orderdate DATE, o_totalprice DOUBLE)
+          USING parquet""")
+        val o = new Tables(s, d).orders.select(
+          col("o_orderkey").cast("long"),
+          col("o_orderdate").cast("date"),
+          col("o_totalprice").cast("double"))
+        Seq(
+          o.filter(col("o_orderdate") < lit("1997-01-01")),
+          o.filter(col("o_orderdate") >= lit("1997-01-01"))
+        ).foreach(_.writeTo(s"$cat.db.orders_hist").append())
+        s.sql(s"DELETE FROM $cat.db.orders_hist WHERE o_orderkey % 5 = 0")
+        val bc = s.sessionState.catalogManager.catalog(cat)
+          .asInstanceOf[graft.catalog.BronzeCatalog]
+        bc.optimizeTable(Seq("db"), "orders_hist", 1L << 30)
+        bc.historyTable(Seq("db"), "orders_hist")
+          .select(col("version"), col("operation"), col("n_rows"))
+          .orderBy(col("version"))
+      },
+      Some("""WITH o AS (
+          SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS od
+          FROM orders),
+        h AS (
+          SELECT 0 AS version, 'create' AS operation, 0 AS n_rows
+          UNION ALL
+          SELECT 1, 'append', COUNT(*) FROM o WHERE od < DATE '1997-01-01'
+          UNION ALL
+          SELECT 2, 'append', COUNT(*) FROM o
+          UNION ALL
+          SELECT 3, 'delete', COUNT(*) FROM o WHERE k % 5 <> 0
+          UNION ALL
+          SELECT 4, 'replace', COUNT(*) FROM o WHERE k % 5 <> 0)
+        SELECT version, operation, CAST(n_rows AS BIGINT) AS n_rows
+        FROM h ORDER BY version"""))
   )
 }

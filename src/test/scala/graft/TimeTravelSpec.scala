@@ -126,6 +126,25 @@ class TimeTravelSpec extends SparkSpec {
     }
   }
 
+  test("metadata tables: history tracks every op, files audits the layout") {
+    val dir = mkTable("meta")
+    spark.sql("INSERT INTO bronze.tt.meta SELECT id, 1 FROM range(10)")
+    spark.sql("INSERT INTO bronze.tt.meta SELECT id, 2 FROM range(20)")
+    spark.sql("DELETE FROM bronze.tt.meta WHERE batch = 1 AND id < 5")
+    bronzeCatalog.optimizeTable(Seq("tt"), "meta", 1L << 30)
+    val hist = bronzeCatalog.historyTable(Seq("tt"), "meta").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    assert(hist.toSeq == Seq(
+      (0L, "create", 0L), (1L, "append", 10L), (2L, "append", 30L),
+      (3L, "delete", 25L), (4L, "replace", 25L)))
+    // files audit: per-file rows sum to the table count, sizes real
+    val files = bronzeCatalog.filesTable(Seq("tt"), "meta").collect()
+    assert(files.map(_.getLong(1)).sum == 25L)
+    assert(files.forall(_.getLong(2) > 0L))
+    assert(files.map(_.getString(0)).toSet ==
+      SnapshotLog.current(dir).get.files.toSet)
+  }
+
   test("VACUUM reaps schema sidecars pinned only by expired versions") {
     val dir = mkTable("vacschema")
     spark.sql("INSERT INTO bronze.tt.vacschema SELECT id, 1 FROM range(5)")
