@@ -104,8 +104,10 @@ object BronzeRowDelete {
       dest
     }
     deleteTree(stage)
-    val gone = affected.toSet
-    SnapshotLog.commit(dir, "delete")(parent => parent -- gone ++ written)
+    // rewrite-validated commit: if a concurrent op already rewrote or
+    // removed any affected file, this delete's survivors were computed
+    // from stale bytes — fail loudly instead of duplicating rows
+    SnapshotLog.commitRewrite(dir, "delete", affected.toSet, written)
     affected
   }
 

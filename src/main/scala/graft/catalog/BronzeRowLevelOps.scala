@@ -179,8 +179,11 @@ private final class BronzeReplaceGroupsWrite(dir: String,
       case StagedFile(staged, dest) if staged.nonEmpty =>
         Paths.get(dest).getFileName.toString
     }
-    val gone = affected().toSet
-    SnapshotLog.commit(dir, operation)(parent => parent -- gone ++ added)
+    // rewrite-validated: the scanned groups must still be live at
+    // commit, or this statement's output was computed from bytes a
+    // concurrent commit already replaced
+    SnapshotLog.commitRewrite(dir, operation, affected().toSet,
+      added.toIndexedSeq)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -166,6 +166,31 @@ object SnapshotLog {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Commit a REWRITE: `replaced` files swap for `added`. Unlike a
+    * plain [[commit]], this VALIDATES at commit time that every
+    * replaced file is still present in the parent snapshot — Iceberg's
+    * serializable-conflict check. Without it, a rewrite racing another
+    * rewrite/delete of the same files would blindly re-add content the
+    * winner already rewrote or removed: a compaction racing a DELETE
+    * would resurrect the deleted rows; two row-level ops on one file
+    * would duplicate its rows. Disjoint rewrites still serialize
+    * through the CAS and both land; overlapping ones fail loudly with
+    * [[java.util.ConcurrentModificationException]] for the caller to
+    * retry against the new state. */
+  def commitRewrite(tableDir: String, operation: String,
+      replaced: Set[String], added: Seq[String]): Snapshot =
+    commitWith(tableDir, operation) { parent =>
+      val parentFiles = parent.map(_.files.toSet)
+        .getOrElse(listDataFiles(tableDir).toSet)
+      val missing = replaced -- parentFiles
+      if (missing.nonEmpty) throw new java.util.ConcurrentModificationException(
+        s"$operation on $tableDir conflicts with a concurrent commit: " +
+          s"${missing.size} of its input files (e.g. ${missing.head}) " +
+          "were rewritten or removed; recompute against the current " +
+          "snapshot and retry")
+      (parentFiles -- replaced ++ added, parent.flatMap(_.schemaFile))
+    }
+
   /** Schema sidecar I/O: sidecars live in the log dir under
     * uuid-unique names, so a racing evolution can never overwrite the
     * file a winning manifest references — the loser's orphan is just
@@ -348,7 +373,10 @@ object SnapshotLog {
       dest
     }
     val replaced = toCompact.flatten.toSet
-    commit(tableDir, "replace")(parent => parent -- replaced ++ written)
+    // rewrite-validated: a row-level op racing this compaction on the
+    // same files fails one of the two loudly instead of resurrecting
+    // deleted/stale rows through the compacted copy
+    commitRewrite(tableDir, "replace", replaced, written)
     (replaced.size, written.size)
   }
 }

@@ -475,6 +475,23 @@ class TimeTravelSpec extends SparkSpec {
     assert(spark.table("srcrepl_sink3").count() == 7)
   }
 
+  test("conflicting rewrites fail loudly instead of resurrecting rows") {
+    val dir = mkTable("conflict")
+    spark.sql("INSERT INTO bronze.tt.conflict SELECT id, 1 FROM range(10)")
+    val victim = SnapshotLog.current(dir).get.files.head
+    // a concurrent delete rewrites `victim` first …
+    spark.sql(s"DELETE FROM bronze.tt.conflict WHERE id >= 0 AND batch = 1")
+    // … so a rewrite computed against the OLD snapshot must refuse:
+    // blindly committing would re-add content the delete removed
+    intercept[java.util.ConcurrentModificationException] {
+      SnapshotLog.commitRewrite(dir, "replace",
+        replaced = Set(victim), added = Seq("part-stale.parquet"))
+    }
+    // disjoint rewrites still land: a pure append never conflicts
+    spark.sql("INSERT INTO bronze.tt.conflict SELECT id, 2 FROM range(3)")
+    assert(spark.table("bronze.tt.conflict").count() == 3)
+  }
+
   test("snapshot commit is a filesystem CAS: racing committers serialize") {
     val dir = tmpDir("cas")
     Files.writeString(Paths.get(dir, "seed.txt"), "x") // not a data file
