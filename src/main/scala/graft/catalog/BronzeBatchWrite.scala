@@ -130,12 +130,23 @@ object BronzeBatchAppend {
     * sidecar with parquet field ids), stamp the ids onto `df`'s
     * matching columns so the written files resolve by id like every
     * other write path — an id-less file in an id-ed table would
-    * refuse to resolve. Plain dirs and legacy tables pass through. */
+    * refuse to resolve. Plain dirs and legacy tables pass through.
+    *
+    * The schema comes from the CURRENT SNAPSHOT'S PIN when one
+    * exists, not the table-root mirror: the mirror is refreshed
+    * outside the commit CAS, so two racing ALTERs can leave it
+    * missing the newest column — stamping from a stale mirror would
+    * write that column without its field id, and id-resolved reads
+    * would surface its values as NULL. */
   private def stampFieldIds(df: DataFrame, tableDir: String): DataFrame = {
     val sf = Paths.get(tableDir, "_graft_schema.json")
     if (!Files.isRegularFile(sf)) return df
+    val json = SnapshotLog.current(tableDir).flatMap(_.schemaFile) match {
+      case Some(pin) => SnapshotLog.readSchemaSidecar(tableDir, pin)
+      case None => Files.readString(sf)
+    }
     val declared = org.apache.spark.sql.types.DataType
-      .fromJson(Files.readString(sf)).asInstanceOf[StructType]
+      .fromJson(json).asInstanceOf[StructType]
     val idKey = "parquet.field.id"
     if (declared.isEmpty || !declared.fields.forall(_.metadata.contains(idKey)))
       return df
@@ -188,21 +199,24 @@ object BronzeBatchAppend {
     rows
   }
 
-  /** Epoch-idempotent variant for `foreachBatch` fan-out: destination
-    * names are deterministic in (tag, epochId, file index) and publish
-    * REPLACEs, so a REPLAYED micro-batch (restart from checkpoint
-    * re-delivers the same offsets) rewrites its own files instead of
-    * duplicating them. Same-epoch files not re-produced by this
-    * attempt (replay planned fewer partitions) are swept before
-    * publish — the commit as a whole is the epoch's exact content.
-    * `tag` scopes destinations per fan-out job, so two jobs appending
-    * to one table never replace each other's epochs. */
+  /** Epoch-idempotent variant for `foreachBatch` fan-out: a REPLAYED
+    * micro-batch (restart from checkpoint re-delivers the same
+    * offsets) writes its epoch under a fresh ATTEMPT token and the
+    * epoch's manifest swap retires every prior attempt's files — by
+    * name only, never by overwriting bytes, so a crashed attempt's
+    * committed snapshot keeps reading its own consistent files under
+    * time travel (vacuum reaps the retired bytes). `tag` scopes
+    * destinations per fan-out job, so two jobs appending to one table
+    * never replace each other's epochs. Plain dirs (no snapshot log —
+    * directory listings ARE the table) publish with a physical sweep
+    * of prior attempts instead. */
   def appendEpoch(df0: DataFrame, tableDir: String, tag: String,
       epochId: Long): Unit = {
     require(tag.matches("[A-Za-z0-9_-]+"), s"tag must be fs-safe: $tag")
     val df = stampFieldIds(df0, tableDir)
-    val stage = Paths.get(tableDir, s".fb-stage-$tag-e$epochId")
-    deleteTree(stage) // a crashed prior attempt's leftovers
+    val attempt = java.util.UUID.randomUUID().toString.substring(0, 8)
+    val stage = Paths.get(tableDir, s".fb-stage-$tag-e$epochId-$attempt")
+    deleteTree(stage)
     try df.write.parquet(stage.toString)
     catch { case e: Throwable => deleteTree(stage); throw e }
     val parts = {
@@ -215,33 +229,29 @@ object BronzeBatchAppend {
         b.result().sortBy(_.getFileName.toString)
       } finally s.close()
     }
-    val destPrefix = s"part-fb-$tag-e$epochId-p"
-    val dests = parts.indices.map(i => s"$destPrefix$i.parquet").toSet
-    // Stale same-epoch files (a crashed attempt planned more
-    // partitions) are filtered from the MANIFEST below but left on
-    // disk where a snapshot log exists: a committed snapshot of the
-    // crashed attempt may still reference them, and deleting the
-    // bytes would break time travel to that version — vacuum reaps
-    // them. A PLAIN dir (no log — reads are directory listings) still
-    // needs the physical sweep for exactly-the-epoch's-content reads.
+    // every attempt of this (tag, epoch) shares the prefix; this
+    // attempt's files carry the token
+    val epochPrefix = s"part-fb-$tag-e$epochId-"
+    val dests = parts.indices
+      .map(i => s"$epochPrefix$attempt-p$i.parquet")
+    val destSet = dests.toSet
     if (!SnapshotLog.enabled(tableDir)) {
       val listing = Files.list(Paths.get(tableDir))
       try listing.iterator().forEachRemaining { p =>
         val name = p.getFileName.toString
-        if (name.startsWith(destPrefix) && !dests.contains(name))
+        if (name.startsWith(epochPrefix) && !destSet.contains(name))
           Files.deleteIfExists(p)
       } finally listing.close()
     }
-    parts.zipWithIndex.foreach { case (p, i) =>
-      Files.move(p, Paths.get(tableDir, s"$destPrefix$i.parquet"),
+    parts.zip(dests).foreach { case (p, dest) =>
+      Files.move(p, Paths.get(tableDir, dest),
         StandardCopyOption.REPLACE_EXISTING)
     }
     deleteTree(stage)
     // fan-out targets bronze catalog tables (snapshot-logged) but the
     // helper also serves plain dirs — commit only where a log exists.
-    // Same set algebra as the physical replace-and-sweep above.
     SnapshotLog.commitIfEnabled(tableDir, "foreach-batch-append") { parent =>
-      parent.filterNot(_.startsWith(destPrefix)) ++ dests
+      parent.filterNot(_.startsWith(epochPrefix)) ++ dests
     }
   }
 
@@ -255,7 +265,12 @@ object BronzeBatchAppend {
   }
 
   /** Best-effort recursive delete, tolerant of entries appearing or
-    * vanishing mid-walk (concurrent task teardown) — callers retry. */
+    * vanishing mid-walk (concurrent task teardown) — callers retry.
+    * Shared by the catalog's stage-directory cleanups
+    * ([[deleteStageTree]]). */
+  private[catalog] def deleteStageTree(dir: java.nio.file.Path): Unit =
+    deleteTree(dir)
+
   private def deleteTree(dir: java.nio.file.Path): Unit =
     if (Files.exists(dir)) {
       try {

@@ -327,17 +327,20 @@ class BronzeCatalog extends TableCatalog with SupportsNamespaces {
         }
       }
 
-    var result: StructType = null
     SnapshotLog.commitWith(dir.toString, "alter") { parent =>
       // re-derive from the PARENT's pinned schema on every CAS retry:
       // a racing alter's result is the base, not a stale read
-      result = evolve(schemaOf(dir, parent))
-      val sidecar = SnapshotLog.writeSchemaSidecar(dir.toString, result.json)
+      val evolved = evolve(schemaOf(dir, parent))
+      val sidecar = SnapshotLog.writeSchemaSidecar(dir.toString, evolved.json)
       (parent.map(_.files.toSet)
         .getOrElse(SnapshotLog.listDataFiles(dir.toString).toSet),
         Some(sidecar))
     }
-    mirrorSchemaFile(dir, result)
+    // mirror whatever is CURRENT at mirror time, not this call's own
+    // result: two racing alters' mirrors can land in either order, and
+    // re-resolving makes the loser mirror the winner's (newer) pin —
+    // id-sensitive readers (stampFieldIds) read the pin directly anyway
+    mirrorSchemaFile(dir, schemaOf(dir, SnapshotLog.current(dir.toString)))
     loadTable(ident)
   }
 

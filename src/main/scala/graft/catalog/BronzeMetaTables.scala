@@ -44,13 +44,16 @@ object BronzeMetaTables {
   }
 
   /** (file, n_rows, size_bytes) of the CURRENT snapshot's data files,
-    * by name — the small-file/skew audit OPTIMIZE acts on. */
+    * by name — the small-file/skew audit OPTIMIZE acts on. Files a
+    * concurrent vacuum removed mid-walk are skipped (best-effort under
+    * concurrency, same policy as [[history]]'s zero-count). */
   def files(spark: SparkSession, tableDir: String): DataFrame = {
     import spark.implicits._
     SnapshotLog.current(tableDir).map(_.files).getOrElse(
-      SnapshotLog.listDataFiles(tableDir)).map { f =>
+      SnapshotLog.listDataFiles(tableDir)).flatMap { f =>
       val p = Paths.get(tableDir, f)
-      (f, BronzeBatchAppend.parquetRowCount(p), Files.size(p))
+      if (!Files.isRegularFile(p)) None
+      else Some((f, BronzeBatchAppend.parquetRowCount(p), Files.size(p)))
     }.toDF("file", "n_rows", "size_bytes").orderBy("file")
   }
 }

@@ -112,10 +112,5 @@ object BronzeRowDelete {
   }
 
   private def deleteTree(dir: Path): Unit =
-    if (Files.exists(dir)) {
-      val s = Files.walk(dir)
-      try s.sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(p => Files.deleteIfExists(p))
-      finally s.close()
-    }
+    BronzeBatchAppend.deleteStageTree(dir)
 }

@@ -179,11 +179,20 @@ private final class BronzeReplaceGroupsWrite(dir: String,
       case StagedFile(staged, dest) if staged.nonEmpty =>
         Paths.get(dest).getFileName.toString
     }
-    // rewrite-validated: the scanned groups must still be live at
-    // commit, or this statement's output was computed from bytes a
-    // concurrent commit already replaced
-    SnapshotLog.commitRewrite(dir, operation, affected().toSet,
-      added.toIndexedSeq)
+    val gone = affected().toSet
+    // a statement that touched nothing commits nothing: a no-op
+    // 'update' snapshot would still make incremental/streaming
+    // readers refuse to cross it (rewritesRows) for zero rewritten
+    // rows. A merge that only INSERTED (no groups rewritten) commits
+    // as an append — it IS one, and consumers may stream across it.
+    if (gone.isEmpty && added.isEmpty) return
+    if (gone.isEmpty)
+      SnapshotLog.commit(dir, "append")(parent => parent ++ added)
+    else
+      // rewrite-validated: the scanned groups must still be live at
+      // commit, or this statement's output was computed from bytes a
+      // concurrent commit already replaced
+      SnapshotLog.commitRewrite(dir, operation, gone, added.toIndexedSeq)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

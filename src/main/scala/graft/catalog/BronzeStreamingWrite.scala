@@ -147,9 +147,24 @@ private final class BronzeStreamingWrite(dir: String, schema: StructType,
     queryId: String, writerConfs: Map[String, String])
     extends StreamingWrite {
 
+  // ATTEMPT token, fresh per StreamingWrite instance (per query run):
+  // destinations are `part-q<query>-e<epoch>-a<attempt>-p<part>`, so a
+  // replayed epoch after restart writes NEW names and the epoch's
+  // manifest swap retires the crashed attempt's files WITHOUT touching
+  // their bytes. A crashed attempt that committed its snapshot (crash
+  // between SnapshotLog.commit and the checkpoint commit) keeps
+  // reading ITS OWN files consistently under time travel — the old
+  // deterministic-destination design REPLACE_EXISTING-overwrote some
+  // of them on replay while leaving others stale, which silently
+  // duplicated rows in the pinned snapshot whenever the replay planned
+  // a different partition count. Retired bytes are reaped by vacuum.
+  private val attempt =
+    java.util.UUID.randomUUID().toString.substring(0, 8)
+
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new BronzeStreamingWriterFactory(dir, schema, queryId, writerConfs)
+    new BronzeStreamingWriterFactory(dir, schema, queryId, attempt,
+      writerConfs)
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
@@ -157,25 +172,19 @@ private final class BronzeStreamingWrite(dir: String, schema: StructType,
       case StagedFile(staged, dest) if staged.nonEmpty =>
         Paths.get(dest).getFileName.toString
     }.toSet
-    // A replayed epoch may plan FEWER write tasks than the crashed
-    // attempt (parallelism changed between runs); any part file of
-    // this epoch not re-produced now is a stale duplicate. It is
-    // dropped from the MANIFEST (the commit closure below filters the
-    // epoch prefix) but its bytes stay on disk: a crashed prior
-    // attempt may have committed a snapshot referencing it (crash
-    // between SnapshotLog.commit and the checkpoint commit), and
-    // physically deleting it would break time travel to that
-    // committed version. Vacuum reaps it once no retained snapshot
-    // references it. Same reasoning for pre-query-scoping legacy
-    // `part-e` names — old manifests may reference them. Only a
-    // LEGACY dir (no snapshot log yet — reads are directory listings,
-    // so on-disk bytes ARE the table) still needs the physical sweep.
-    val prefix = s"part-q$queryId-e$epochId-p"
+    // the epoch prefix matches EVERY attempt's files of this epoch
+    // (and this query): the manifest swap below retires a crashed
+    // attempt's epoch wholesale. Bytes stay on disk for pinned
+    // snapshots; vacuum reaps them. Only a LEGACY dir (no snapshot
+    // log — reads are directory listings, so on-disk bytes ARE the
+    // table) still needs the physical sweep, including the
+    // pre-query-scoping `part-e` names.
+    val epochPrefix = s"part-q$queryId-e$epochId-"
     if (!SnapshotLog.enabled(dir)) {
       val listing = Files.list(Paths.get(dir))
       try listing.iterator().forEachRemaining { p =>
         val name = p.getFileName.toString
-        if ((name.startsWith(prefix) && !dests.contains(name)) ||
+        if ((name.startsWith(epochPrefix) && !dests.contains(name)) ||
             name.startsWith("part-e"))
           Files.deleteIfExists(p)
       } finally listing.close()
@@ -188,14 +197,12 @@ private final class BronzeStreamingWrite(dir: String, schema: StructType,
       case other =>
         throw new IllegalStateException(s"unexpected commit message: $other")
     }
-    // one snapshot per epoch: this epoch's files REPLACE any same-
-    // epoch files of a crashed prior attempt (set algebra mirrors the
-    // physical sweep above), everything else carries over. A replayed
-    // epoch rewrites the same destinations with the same offsets'
-    // rows, so a pinned old snapshot keeps reading consistent bytes.
+    // one snapshot per epoch: this attempt's files REPLACE any same-
+    // epoch files of prior attempts in the MANIFEST (set algebra
+    // mirrors the legacy physical sweep), everything else carries over
     SnapshotLog.commit(dir, "streaming-append") { parent =>
-      parent.filterNot(f => f.startsWith(prefix) || f.startsWith("part-e")) ++
-        dests
+      parent.filterNot(f =>
+        f.startsWith(epochPrefix) || f.startsWith("part-e")) ++ dests
     }
   }
 
@@ -208,25 +215,28 @@ private final class BronzeStreamingWrite(dir: String, schema: StructType,
 }
 
 private final class BronzeStreamingWriterFactory(dir: String,
-    schema: StructType, queryId: String, writerConfs: Map[String, String])
+    schema: StructType, queryId: String, attempt: String,
+    writerConfs: Map[String, String])
     extends StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new BronzeDataWriter(dir, schema, partitionId, taskId, epochId, queryId,
-      writerConfs)
+      attempt, writerConfs)
 }
 
 private final class BronzeDataWriter(dir: String, schema: StructType,
     partitionId: Int, taskId: Long, epochId: Long, queryId: String,
-    writerConfs: Map[String, String])
+    attempt: String, writerConfs: Map[String, String])
     extends DataWriter[InternalRow] {
 
-  // attempt-unique stage name; deterministic destination name, both
-  // scoped by the stable streaming query id
+  // task-unique stage name; destination scoped by the stable streaming
+  // query id + the RUN's attempt token (replays retire prior attempts
+  // via the manifest, never by overwriting their bytes)
   private val staged =
-    s"$dir/.stage-q$queryId-e$epochId-p$partitionId-t$taskId.parquet"
-  private val dest = s"$dir/part-q$queryId-e$epochId-p$partitionId.parquet"
+    s"$dir/.stage-q$queryId-e$epochId-a$attempt-p$partitionId-t$taskId.parquet"
+  private val dest =
+    s"$dir/part-q$queryId-e$epochId-a$attempt-p$partitionId.parquet"
   Files.deleteIfExists(Paths.get(staged))
   private val writer = shim.rowParquetWriter(staged, schema, writerConfs)
   private var n = 0L

@@ -221,8 +221,17 @@ object SnapshotLog {
   /** Drop all but the last `retainLast` snapshots and delete data
     * files referenced by NONE of the retained ones. Returns the
     * deleted data-file names. Time travel to expired versions fails
-    * afterwards — exactly Iceberg's `expire_snapshots` contract. */
-  def vacuum(tableDir: String, retainLast: Int): Seq[String] = {
+    * afterwards — exactly Iceberg's `expire_snapshots` contract.
+    *
+    * Files referenced by an EXPIRED manifest are committed history
+    * and delete immediately; files referenced by NO manifest at all
+    * are either true orphans (crashed attempts, lost races) or the
+    * visible half of an IN-FLIGHT commit (a sidecar/renamed file
+    * written before its manifest CAS lands) — those delete only when
+    * older than `orphanGraceMs` (Iceberg's orphan-removal age
+    * threshold, same reasoning). */
+  def vacuum(tableDir: String, retainLast: Int,
+      orphanGraceMs: Long = 3600000L): Seq[String] = {
     require(retainLast >= 1, "must retain at least the current snapshot")
     val all = versions(tableDir)
     if (all.isEmpty) return Seq.empty
@@ -232,10 +241,7 @@ object SnapshotLog {
     // listing -> untouched) referencing only parent files (in a
     // retained manifest -> kept).
     val candidates = listDataFiles(tableDir)
-    // schema-sidecar candidates listed under the same discipline as
-    // data files — BEFORE reading the retained manifests, so anything
-    // written by a commit racing this vacuum appears only after the
-    // listing and stays untouched
+    // schema-sidecar candidates under the same discipline
     val d = logDir(tableDir)
     val sidecarCandidates =
       if (!Files.isDirectory(d)) Seq.empty[String]
@@ -245,16 +251,27 @@ object SnapshotLog {
           .filter(_.startsWith("schema-")).toSeq
         finally s.close()
       }
+    val expiredSnaps = expired.map(read(tableDir, _))
     val retainedSnaps = retained.map(read(tableDir, _))
     val referenced = retainedSnaps.flatMap(_.files).toSet
+    val expiredReferenced = expiredSnaps.flatMap(_.files).toSet
+    def oldEnough(p: Path): Boolean =
+      try System.currentTimeMillis() -
+        Files.getLastModifiedTime(p).toMillis > orphanGraceMs
+      catch { case _: java.io.IOException => false }
     val doomed = candidates.filterNot(referenced.contains)
+      .filter(f => expiredReferenced.contains(f) ||
+        oldEnough(Paths.get(tableDir, f)))
     doomed.foreach(f => Files.deleteIfExists(Paths.get(tableDir, f)))
     expired.foreach(v =>
       Files.deleteIfExists(logDir(tableDir).resolve(s"v$v.json")))
-    // sidecars referenced by NO retained manifest are garbage: pins
-    // of expired versions, or orphans from lost evolution races
+    // sidecars referenced by NO retained manifest: expired pins delete
+    // now; unreferenced ones (lost races OR an in-flight alter that
+    // wrote its sidecar but hasn't CAS-committed yet) age-guard
     val keptSchemas = retainedSnaps.flatMap(_.schemaFile).toSet
+    val expiredSchemas = expiredSnaps.flatMap(_.schemaFile).toSet
     sidecarCandidates.filterNot(keptSchemas.contains)
+      .filter(f => expiredSchemas.contains(f) || oldEnough(d.resolve(f)))
       .foreach(f => Files.deleteIfExists(d.resolve(f)))
     doomed
   }

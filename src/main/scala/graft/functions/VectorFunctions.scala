@@ -155,8 +155,12 @@ case class VectorSignBits(left: Expression, right: Expression)
     var i = 0
     while (i < 32) {
       val j = off + i
-      if (j >= 0 && j < n && !x.isNullAt(j) && x.getFloat(j) >= 0f)
-        word |= (1L << i)
+      // SQL comparison semantics, not Java's: NaN sorts ABOVE every
+      // number in Spark SQL, so `x >= 0` is TRUE for NaN — the HOF
+      // twin sets the bit for a NaN coordinate and so must we
+      if (j >= 0 && j < n && !x.isNullAt(j) && {
+        val v = x.getFloat(j); v >= 0f || java.lang.Float.isNaN(v)
+      }) word |= (1L << i)
       i += 1
     }
     word
@@ -167,15 +171,19 @@ case class VectorSignBits(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
       val n = ctx.freshName("n")
+      val v = ctx.freshName("v")
       val w = ctx.freshName("word")
       s"""
          |int $n = $a.numElements();
          |long $w = 0L;
          |for (int $i = 0; $i < 32; $i++) {
          |  int $j = $o + $i;
-         |  if ($j >= 0 && $j < $n && !$a.isNullAt($j)
-         |      && $a.getFloat($j) >= 0f) {
-         |    $w |= (1L << $i);
+         |  if ($j >= 0 && $j < $n && !$a.isNullAt($j)) {
+         |    float $v = $a.getFloat($j);
+         |    // SQL semantics: NaN >= 0 is TRUE (NaN sorts above all)
+         |    if ($v >= 0f || java.lang.Float.isNaN($v)) {
+         |      $w |= (1L << $i);
+         |    }
          |  }
          |}
          |${ev.value} = $w;
