@@ -47,6 +47,27 @@ class NativeSignBitsSpec extends SparkSpec {
     assert(e.filter(col("hofPast") =!= lit(0L)).count() === 0L)
   }
 
+  test("NaN coordinates follow SQL semantics: bit set, matching the HOF") {
+    graft.functions.VectorFunctions.register(spark)
+    import spark.implicits._
+    // NaN >= 0 is TRUE under Spark SQL ordering (NaN sorts above all
+    // numbers) — Java float semantics would clear the bit and diverge
+    // from the HOF twin on any corpus with a NaN embedding coordinate
+    val e = Seq(
+      Seq(Float.NaN, -1f, 1f, -0f),
+      Seq(-1f, Float.NaN, Float.NegativeInfinity, Float.PositiveInfinity))
+      .toDF("v")
+      .withColumn("native", org.apache.spark.sql.functions
+        .expr("vec_signbits(v, 0)"))
+      .withColumn("hofv", org.apache.spark.sql.functions.expr(hof(0)))
+      .collect()
+    assert(e.forall(r => r.getAs[Long]("native") == r.getAs[Long]("hofv")))
+    // row 1: NaN(set), -1(clear), 1(set), -0.0(set) -> 0b1101 = 13
+    assert(e(0).getAs[Long]("native") == 13L)
+    // row 2: -1(clear), NaN(set), -inf(clear), +inf(set) -> 0b1010 = 10
+    assert(e(1).getAs[Long]("native") == 10L)
+  }
+
   test("signature projection sits inside whole-stage codegen") {
     graft.functions.VectorFunctions.register(spark)
     val e = new Tables(spark, sf).embeddings

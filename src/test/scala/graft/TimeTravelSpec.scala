@@ -475,6 +475,33 @@ class TimeTravelSpec extends SparkSpec {
     assert(spark.table("srcrepl_sink3").count() == 7)
   }
 
+  test("epoch replay retires the prior attempt by manifest, bytes intact") {
+    val dir = tmpDir("replay")
+    // crashed attempt: committed its epoch-5 snapshot with 3 part files
+    val a1 = Seq("part-qX-e5-aAAAA-p0.parquet", "part-qX-e5-aAAAA-p1.parquet",
+      "part-qX-e5-aAAAA-p2.parquet")
+    a1.foreach(f => Files.writeString(Paths.get(dir, f), "bytes1"))
+    SnapshotLog.commit(dir, "streaming-append")(_ ++ a1)
+    val crashedVersion = SnapshotLog.currentVersion(dir).get
+    // replay (new attempt, FEWER partitions) swaps the epoch in the
+    // manifest — exactly what BronzeStreamingWrite.commit does
+    val a2 = Seq("part-qX-e5-aBBBB-p0.parquet", "part-qX-e5-aBBBB-p1.parquet")
+    a2.foreach(f => Files.writeString(Paths.get(dir, f), "bytes2"))
+    SnapshotLog.commit(dir, "streaming-append")(parent =>
+      parent.filterNot(_.startsWith("part-qX-e5-")) ++ a2)
+    // current reads ONLY the replay's files; the crashed attempt's
+    // snapshot still references ITS OWN files — and their bytes are
+    // untouched on disk, so a pinned read stays consistent
+    assert(SnapshotLog.current(dir).get.files.toSet == a2.toSet)
+    val crashed = SnapshotLog.read(dir, crashedVersion)
+    assert(crashed.files.toSet == a1.toSet)
+    assert(a1.forall(f =>
+      Files.readString(Paths.get(dir, f)) == "bytes1"))
+    // vacuum (grace 0) reaps exactly the retired attempt's files
+    val deleted = SnapshotLog.vacuum(dir, retainLast = 1, orphanGraceMs = 0L)
+    assert(deleted.toSet == a1.toSet)
+  }
+
   test("conflicting rewrites fail loudly instead of resurrecting rows") {
     val dir = mkTable("conflict")
     spark.sql("INSERT INTO bronze.tt.conflict SELECT id, 1 FROM range(10)")
