@@ -91,6 +91,15 @@ class BronzeCatalogSpec extends SparkSpec {
     // restart with the same checkpoint and no new data: no duplicates
     runStream()
     assert(spark.table("bronze.db.orders").count() == 20)
+
+    // restart with NEW data: the new run's epochs write under a fresh
+    // attempt token; only the tail is consumed, nothing duplicates
+    OrderEventProducer.produce(root, "orders", 2, (21 to 30).map(i =>
+      OrderEventProducer.Order(s"t$i", i * 7.0, "2026-06-02")))
+    runStream()
+    val t2 = spark.table("bronze.db.orders")
+    assert(t2.count() == 30)
+    assert(t2.select("orderId").distinct().count() == 30)
     spark.sql("DROP TABLE bronze.db.orders")
   }
 
