@@ -99,6 +99,27 @@ class RecallDashboardSpec extends SparkSpec {
       s14.intersect(s14Exact).size.toDouble /
         math.max(1, s14Exact.size), 0.80)
 
+    // ---- s12 product quantization: ADC top-1 vs exact L2 top-1 over
+    // its query/corpus split (even/odd) — plain-Scala referee. Two
+    // approximations stack (LSH candidate gate + 4x8 codebook) on a
+    // UNIFORM-RANDOM corpus, PQ's worst case (no cluster structure to
+    // exploit): the floor is a multiple over random (1/250 = 0.004),
+    // not an absolute band ----
+    val s12 = SparkEntry.queries("s12_pq_adc")(spark, dir)
+      .select("q_id", "c_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def l2(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) =>
+        val d = x.toDouble - y.toDouble; acc + d * d }
+    val l2Exact = vecsById.filter(_._1 % 2 == 1).map { case (qId, qv) =>
+      qId -> vecsById.filter(_._1 % 2 == 0)
+        .map { case (cId, cv) => (cId, l2(qv, cv)) }
+        .minBy { case (cId, d) => (d, cId) }._1
+    }.toMap
+    score("s12_pq_adc", "recall@1 (L2)",
+      l2Exact.count { case (q, c) => s12.get(q).contains(c) }.toDouble /
+        l2Exact.size, 0.02)
+
     // ---- minhash tiers vs exact jaccard ----
     // d03: verified LSH candidates — recall of the exact >=0.5 pairs
     val d03 = pairs("d03_minhash_lsh")
