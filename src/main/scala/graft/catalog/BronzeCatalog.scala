@@ -198,12 +198,10 @@ class BronzeCatalog extends TableCatalog with SupportsNamespaces {
   def optimizeTable(namespace: Seq[String], name: String,
       targetBytes: Long): (Int, Int) = {
     val dir = tableDir(namespace, name)
-    // rewrite with the DECLARED schema: after ADD COLUMN a compaction
-    // bin can mix pre- and post-evolution files, and schema inference
-    // from one footer would drop the new column from the rewrite
-    val declared = schemaOf(Paths.get(dir), SnapshotLog.current(dir))
-    SnapshotLog.optimize(SparkSession.active, dir, targetBytes,
-      Some(declared))
+    // the rewrite schema (post-ADD-COLUMN bins mix pre- and
+    // post-evolution files) is resolved by optimize itself from the
+    // snapshot's pinned sidecar — no caller-supplied schema to forget
+    SnapshotLog.optimize(SparkSession.active, dir, targetBytes)
   }
 
   /** Iceberg `expire_snapshots` + orphan-file removal (VACUUM): keep

@@ -24,22 +24,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object BronzeMetaTables {
 
-  /** (version, operation, n_files, n_rows) per committed snapshot,
-    * ascending. Row counts come from each snapshot's file footers. */
+  /** (version, operation, n_files, n_rows, missing_files) per
+    * committed snapshot, ascending. Row counts come from each
+    * snapshot's file footers. A snapshot referencing files that no
+    * longer exist on disk (reaped outside the vacuum protocol, or a
+    * partially-copied table) reports `n_rows` NULL and the count of
+    * absent files in `missing_files` — never a silent undercount an
+    * audit could mistake for "this snapshot was small". */
   def history(spark: SparkSession, tableDir: String): DataFrame = {
     import spark.implicits._
     // footer counts cached per file name: across versions the file
     // sets overlap heavily (appends carry the parent set forward), so
     // each footer opens once, not once per version
-    val cache = scala.collection.mutable.Map.empty[String, Long]
-    def rowsOf(f: String): Long = cache.getOrElseUpdate(f, {
+    val cache = scala.collection.mutable.Map.empty[String, Option[Long]]
+    def rowsOf(f: String): Option[Long] = cache.getOrElseUpdate(f, {
       val p = Paths.get(tableDir, f)
-      if (Files.isRegularFile(p)) BronzeBatchAppend.parquetRowCount(p) else 0L
+      if (Files.isRegularFile(p)) Some(BronzeBatchAppend.parquetRowCount(p))
+      else None
     })
     SnapshotLog.versions(tableDir).map { v =>
       val s = SnapshotLog.read(tableDir, v)
-      (s.version, s.operation, s.files.size, s.files.map(rowsOf).sum)
-    }.toDF("version", "operation", "n_files", "n_rows")
+      val counts = s.files.map(rowsOf)
+      val missing = counts.count(_.isEmpty)
+      (s.version, s.operation, s.files.size,
+        if (missing == 0) Some(counts.flatten.sum) else None, missing)
+    }.toDF("version", "operation", "n_files", "n_rows", "missing_files")
       .orderBy("version")
   }
 

@@ -133,9 +133,34 @@ final class BronzeRowLevelOperation(dir: String, declared: StructType,
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = {
+          // Decide the marker-stripping layout ONCE, at build time —
+          // never per row from its width. Two validated facts pin it:
+          // (1) `info.schema()` must be the declared table columns
+          // verbatim (ReplaceData's write schema is the table schema
+          // whether or not the physical rows carry the operation
+          // marker; a reordered/extended schema would mis-align every
+          // column — throw instead); (2) whether rows arrive with the
+          // `RowDeltaUtils.OPERATION_COLUMN` marker at ordinal 0 is
+          // determined by this operation's own metadata-attribute
+          // declaration: Spark's writing task projects the marker
+          // away exactly when `requiredMetadataAttributes` is
+          // non-empty (the MERGE `_file` scan), and hands the raw
+          // marker-prefixed row through when it is empty
+          // (UPDATE/DELETE). The writer then ENFORCES the expected
+          // width per row, so any future layout change fails loudly
+          // instead of silently shifting columns.
+          val ws = info.schema()
+          if (!ws.fields.map(_.name).sameElements(
+            declared.fields.map(_.name)))
+            throw new IllegalStateException(
+              s"row-level write schema ${ws.fieldNames.mkString("[", ",", "]")} " +
+                s"does not match the declared table columns " +
+                s"${declared.fieldNames.mkString("[", ",", "]")}; refusing " +
+                "a write that would mis-align columns")
+          val stripMarker = requiredMetadataAttributes().isEmpty
           val confs = shim.parquetWriterConfs(SparkSession.active)
           new BronzeReplaceGroupsWrite(dir, declared, info.queryId(),
-            confs, cmd.toString.toLowerCase, () => {
+            confs, cmd.toString.toLowerCase, stripMarker, () => {
               require(affected != null,
                 "row-level write committed before its scan was planned")
               affected
@@ -154,17 +179,19 @@ final class BronzeRowLevelOperation(dir: String, declared: StructType,
   * rewrite plans add it, and with no required metadata attributes the
   * exec's plain writing task hands the writer the raw row; sources
   * that declare metadata attributes get it projected away instead).
-  * The factory strips it with a zero-copy shifted view when — and
-  * only when — the row is one field wider than the write schema. */
+  * Whether to strip is decided at write-BUILD time by validating the
+  * declared write schema (`LogicalWriteInfo.schema`), never from row
+  * width; the per-row width check is then a pure assertion. */
 private final class BronzeReplaceGroupsWrite(dir: String,
     schema: StructType, queryId: String, writerConfs: Map[String, String],
-    operation: String, affected: () => Seq[String]) extends BatchWrite {
+    operation: String, stripMarker: Boolean,
+    affected: () => Seq[String]) extends BatchWrite {
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
     new MarkerStrippingWriterFactory(
       new BronzeBatchWriterFactory(dir, schema, queryId, writerConfs),
-      schema.length)
+      schema.length, stripMarker)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     messages.foreach {
@@ -210,24 +237,33 @@ private final class BronzeReplaceGroupsWrite(dir: String,
 }
 
 private final class MarkerStrippingWriterFactory(
-    inner: DataWriterFactory, width: Int) extends DataWriterFactory {
+    inner: DataWriterFactory, width: Int, strip: Boolean)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] =
-    new MarkerStrippingWriter(inner.createWriter(partitionId, taskId), width)
+    new MarkerStrippingWriter(inner.createWriter(partitionId, taskId),
+      width, strip)
 }
 
 private final class MarkerStrippingWriter(
     inner: org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow],
-    width: Int)
+    width: Int, strip: Boolean)
     extends org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] {
 
   private val shifted = new ShiftedInternalRow(1)
+  private val expected = if (strip) width + 1 else width
 
-  override def write(record: org.apache.spark.sql.catalyst.InternalRow): Unit =
-    if (record.numFields == width + 1) { // operation marker at ordinal 0
+  override def write(record: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+    if (record.numFields != expected)
+      throw new IllegalStateException(
+        s"row-level rewrite row has ${record.numFields} fields, " +
+          s"expected $expected (write schema validated at build time); " +
+          "refusing a write that would mis-align columns")
+    if (strip) { // operation marker at ordinal 0, per validated schema
       shifted.base = record
       inner.write(shifted)
     } else inner.write(record)
+  }
 
   override def commit(): WriterCommitMessage = inner.commit()
   override def abort(): Unit = inner.abort()

@@ -168,15 +168,25 @@ object SnapshotLog {
 
   /** Commit a REWRITE: `replaced` files swap for `added`. Unlike a
     * plain [[commit]], this VALIDATES at commit time that every
-    * replaced file is still present in the parent snapshot — Iceberg's
-    * serializable-conflict check. Without it, a rewrite racing another
+    * replaced file is still present in the parent snapshot —
+    * Iceberg's `validateDataFilesExist`, i.e. SNAPSHOT-ISOLATION
+    * level conflict detection. Without it, a rewrite racing another
     * rewrite/delete of the same files would blindly re-add content the
     * winner already rewrote or removed: a compaction racing a DELETE
     * would resurrect the deleted rows; two row-level ops on one file
     * would duplicate its rows. Disjoint rewrites still serialize
     * through the CAS and both land; overlapping ones fail loudly with
     * [[java.util.ConcurrentModificationException]] for the caller to
-    * retry against the new state. */
+    * retry against the new state.
+    *
+    * This is deliberately WEAKER than Iceberg's default SERIALIZABLE
+    * level, which additionally validates that no file APPENDED since
+    * the operation's scan snapshot contains rows matching its
+    * predicate: here a DELETE racing a concurrent append of
+    * predicate-matching rows commits cleanly and leaves the new rows
+    * untouched (write skew). That matches Iceberg's
+    * `snapshot` isolation setting; callers needing serializable
+    * semantics must re-scan-and-retry at a quiesced table. */
   def commitRewrite(tableDir: String, operation: String,
       replaced: Set[String], added: Seq[String]): Snapshot =
     commitWith(tableDir, operation) { parent =>
@@ -255,9 +265,21 @@ object SnapshotLog {
     val retainedSnaps = retained.map(read(tableDir, _))
     val referenced = retainedSnaps.flatMap(_.files).toSet
     val expiredReferenced = expiredSnaps.flatMap(_.files).toSet
+    // Age is measured in the FILESYSTEM's clock domain: a probe file
+    // written now supplies the "now" reference, so a skew between
+    // wall-clock and FS timestamps can never age-qualify a fresh
+    // in-flight file. The wall-clock min() is a second safety clamp —
+    // whichever clock reads EARLIER wins, and an early "now" only
+    // protects files longer (premature delete is the one unsafe
+    // direction; extra retention is always safe).
+    val nowRef: Long = {
+      val probe = Files.createTempFile(d, ".vacuum-probe-", "")
+      try math.min(System.currentTimeMillis(),
+        Files.getLastModifiedTime(probe).toMillis)
+      finally Files.deleteIfExists(probe)
+    }
     def oldEnough(p: Path): Boolean =
-      try System.currentTimeMillis() -
-        Files.getLastModifiedTime(p).toMillis > orphanGraceMs
+      try nowRef - Files.getLastModifiedTime(p).toMillis > orphanGraceMs
       catch { case _: java.io.IOException => false }
     val doomed = candidates.filterNot(referenced.contains)
       .filter(f => expiredReferenced.contains(f) ||
@@ -339,20 +361,28 @@ object SnapshotLog {
     * small files until vacuumed. Returns (filesCompacted,
     * filesCreated).
     *
-    * `declaredSchema` (the table's schema sidecar, when the caller is
-    * a catalog table) MUST be applied to the rewrite reads: after ADD
-    * COLUMN a bin can mix pre- and post-evolution files, and letting
-    * Spark infer from one file's footer would silently drop the new
-    * column from the rewritten file — permanent data loss once vacuum
-    * reaps the originals. Iceberg's `rewrite_data_files` always writes
-    * the table schema; compaction changes LAYOUT, never data. */
+    * The rewrite reads NEVER use single-footer schema inference:
+    * after ADD COLUMN a bin can mix pre- and post-evolution files,
+    * and letting Spark infer from one file's footer would silently
+    * drop the new column from the rewritten file — permanent data
+    * loss once vacuum reaps the originals. The schema is resolved
+    * HERE, from the table's own state (no caller can forget to pass
+    * it): the snapshot's pinned schema sidecar when present (catalog
+    * tables — Iceberg's `rewrite_data_files` always writes the table
+    * schema), else the UNION of every footer in the table
+    * (`mergeSchema`), which can widen but never drop a column.
+    * Compaction changes LAYOUT, never data. */
   def optimize(spark: org.apache.spark.sql.SparkSession, tableDir: String,
-      targetBytes: Long,
-      declaredSchema: Option[org.apache.spark.sql.types.StructType] = None)
-      : (Int, Int) = {
+      targetBytes: Long): (Int, Int) = {
     val snap = current(tableDir).getOrElse(
       throw new IllegalArgumentException(
         s"optimize requires a snapshot-logged table: $tableDir"))
+    val pinnedSchema: Option[org.apache.spark.sql.types.StructType] =
+      snap.schemaFile.map { name =>
+        org.apache.spark.sql.types.DataType
+          .fromJson(readSchemaSidecar(tableDir, name))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+      }
     val sizes = snap.files.map(f =>
       f -> Files.size(Paths.get(tableDir, f)))
     // greedy first-fit in name order: deterministic, no global sort
@@ -367,11 +397,24 @@ object SnapshotLog {
     if (bin.nonEmpty) bins += bin
     val toCompact = bins.result().filter(_.size >= 2)
     if (toCompact.isEmpty) return (0, 0)
+    // Pinned schemas carry parquet FIELD IDS (the RENAME mechanism):
+    // a bin crossing a RENAME boundary holds files whose footers
+    // still use the old name, and only id-based resolution reads
+    // them correctly. Spark's parquet reader takes that switch from
+    // the SESSION conf, so flip it for the duration of the rewrite
+    // and restore — optimize is a driver-side maintenance call, not
+    // a concurrent query path.
+    val fidKey = "spark.sql.parquet.fieldId.read.enabled"
+    val fidPrev = spark.conf.getOption(fidKey)
+    val needIds = pinnedSchema.exists(_.fields.exists(
+      _.metadata.contains("parquet.field.id")))
+    if (needIds) spark.conf.set(fidKey, "true")
     val id = java.util.UUID.randomUUID().toString.substring(0, 8)
-    val written = toCompact.zipWithIndex.map { case (group, i) =>
+    val written = try toCompact.zipWithIndex.map { case (group, i) =>
       val dest = s"part-opt-$id-g$i.parquet"
       val stage = Paths.get(tableDir, s".opt-$id-g$i")
-      val reader = declaredSchema.fold(spark.read)(spark.read.schema)
+      val reader = pinnedSchema.fold(
+        spark.read.option("mergeSchema", "true"))(spark.read.schema)
       reader.parquet(group.map(f => s"$tableDir/$f"): _*)
         .coalesce(1).write.parquet(stage.toString)
       val partFile = {
@@ -388,6 +431,9 @@ object SnapshotLog {
         .forEach(p => Files.deleteIfExists(p))
       finally walk.close()
       dest
+    } finally if (needIds) fidPrev match {
+      case Some(v) => spark.conf.set(fidKey, v)
+      case None => spark.conf.unset(fidKey)
     }
     val replaced = toCompact.flatten.toSet
     // rewrite-validated: a row-level op racing this compaction on the

@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Native vector primitives for similarity search over
   * `array<float>` embedding columns.
@@ -52,7 +52,12 @@ object VectorFunctions {
 
 /** dot(a, b) over float arrays, double accumulation, left-to-right. */
 case class VectorDot(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
+
+  // strict analysis-time typing: an array<double> input would
+  // otherwise be read via getFloat — garbage, not an error
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
 
   override def dataType: DataType = DoubleType
 
@@ -92,7 +97,10 @@ case class VectorDot(left: Expression, right: Expression)
 }
 
 /** sqrt(dot(a, a)) — L2 norm with the same fold semantics. */
-case class VectorNorm(child: Expression) extends UnaryExpression {
+case class VectorNorm(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
 
   override def dataType: DataType = DoubleType
 
@@ -143,7 +151,14 @@ case class VectorNorm(child: Expression) extends UnaryExpression {
   * else branch, so short vectors simply contribute 0 bits
   * (NativeSignBitsSpec asserts the per-row equivalence). */
 case class VectorSignBits(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
+
+  // (ArrayType(FloatType), IntegerType): a BIGINT offset would hit
+  // asInstanceOf[Int] (runtime ClassCastException) and an
+  // array<double> vector would be read via getFloat (silently wrong
+  // sign bits) — both now fail at ANALYSIS time instead
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), IntegerType)
 
   override def dataType: DataType = LongType
 
@@ -207,7 +222,9 @@ case class VectorSignBits(left: Expression, right: Expression)
   * reference-object `double[]`, vs interpreted lambdas per row).
   * NativeLshBucketSpec asserts the per-row equivalence. */
 case class VectorLshBucket(child: Expression, weights: Vector[Vector[Double]])
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
 
   override def dataType: DataType = LongType
 

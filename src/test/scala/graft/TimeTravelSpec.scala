@@ -143,6 +143,17 @@ class TimeTravelSpec extends SparkSpec {
     assert(files.forall(_.getLong(2) > 0L))
     assert(files.map(_.getString(0)).toSet ==
       SnapshotLog.current(dir).get.files.toSet)
+    // a file reaped OUTSIDE the vacuum protocol: the affected
+    // versions audit as n_rows NULL + missing_files > 0, never a
+    // silent undercount
+    val victim = SnapshotLog.read(dir, 1).files.head
+    Files.delete(Paths.get(dir, victim))
+    val hist2 = bronzeCatalog.historyTable(Seq("tt"), "meta").collect()
+    val v1 = hist2.find(_.getLong(0) == 1L).get
+    assert(v1.isNullAt(3) && v1.getInt(4) == 1)
+    // the compacted current version no longer references the victim
+    val v4 = hist2.find(_.getLong(0) == 4L).get
+    assert(!v4.isNullAt(3) && v4.getLong(3) == 25L && v4.getInt(4) == 0)
   }
 
   test("VACUUM reaps schema sidecars pinned only by expired versions") {
@@ -246,6 +257,56 @@ class TimeTravelSpec extends SparkSpec {
     // … and survives vacuuming the originals
     bronzeCatalog.vacuumTable(Seq("tt"), "evopt", retainLast = 1)
     assert(spark.table("bronze.tt.evopt").filter("note = 'n3'").count() == 1)
+  }
+
+  test("direct SnapshotLog.optimize resolves the pinned schema itself") {
+    // the bare-API route (no catalog mediation, no schema argument):
+    // optimize must read the snapshot's own schema sidecar — there is
+    // no caller-supplied schema left to forget, and no inference path
+    val dir = mkTable("evoptraw")
+    spark.sql("INSERT INTO bronze.tt.evoptraw SELECT id, 1 FROM range(10)")
+    spark.sql("ALTER TABLE bronze.tt.evoptraw ADD COLUMN note STRING")
+    spark.sql(
+      "INSERT INTO bronze.tt.evoptraw SELECT id, 2, 'n' || id FROM range(5)")
+    val (compacted, created) = SnapshotLog.optimize(spark, dir, 1L << 30)
+    assert(compacted >= 2 && created == 1)
+    // the rewritten file physically carries the evolved column
+    val optFile = SnapshotLog.current(dir).get.files
+      .filter(_.startsWith("part-opt-"))
+    assert(optFile.size == 1)
+    val raw = spark.read.parquet(s"$dir/${optFile.head}")
+    assert(raw.columns.contains("note"))
+    assert(raw.filter("note = 'n3'").count() == 1)
+    bronzeCatalog.vacuumTable(Seq("tt"), "evoptraw", retainLast = 1)
+    assert(spark.table("bronze.tt.evoptraw").count() == 15)
+    assert(spark.table("bronze.tt.evoptraw")
+      .filter("note IS NULL").count() == 10)
+  }
+
+  test("optimize on a pin-less table merges footers, never drops a column") {
+    // legacy tables (snapshot log, no schema sidecar): the rewrite
+    // read is mergeSchema — the UNION of the bin's footers — so a
+    // schema drift across files widens the compacted file instead of
+    // silently truncating it to one footer's view
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-optraw-").toString
+    spark.range(10).select(col("id"), lit(1).as("batch"))
+      .coalesce(1).write.mode("append").parquet(dir)
+    spark.range(5).select(col("id"), lit(2).as("batch"),
+        concat(lit("n"), col("id")).as("note"))
+      .coalesce(1).write.mode("append").parquet(dir)
+    SnapshotLog.commit(dir, "append")(identity) // seed log from listing
+    assert(SnapshotLog.current(dir).get.schemaFile.isEmpty)
+    val (compacted, created) = SnapshotLog.optimize(spark, dir, 1L << 30)
+    assert(compacted == 2 && created == 1)
+    // read the CURRENT snapshot's file set (originals linger on disk
+    // for time travel until vacuumed)
+    val cur = SnapshotLog.current(dir).get.files
+    assert(cur.size == 1 && cur.head.startsWith("part-opt-"))
+    val t = spark.read.parquet(s"$dir/${cur.head}")
+    assert(t.columns.contains("note"))
+    assert(t.filter("note = 'n3'").count() == 1)
+    assert(t.count() == 15)
   }
 
   test("incremental read crosses ALTER snapshots cleanly (no files, no refusal)") {
