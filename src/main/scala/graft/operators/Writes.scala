@@ -499,6 +499,87 @@ object Writes {
           UNION ALL
           SELECT 4, 'replace', COUNT(*) FROM o WHERE k % 5 <> 0)
         SELECT version, operation, CAST(n_rows AS BIGINT) AS n_rows
-        FROM h ORDER BY version"""))
+        FROM h ORDER BY version""")),
+
+    // ----- w10: MERGE with the FULL clause surface — conditional
+    // `WHEN MATCHED … THEN DELETE`, unconditional matched UPDATE,
+    // not-matched INSERT, and the two `WHEN NOT MATCHED BY SOURCE`
+    // verbs (conditional DELETE, conditional UPDATE) Iceberg/Delta
+    // users reach for routinely. All five clauses plan through the
+    // same group-based `ReplaceData` copy-on-write the table already
+    // implements (one atomic `merge` snapshot; by-source clauses
+    // widen the rewrite to every target group, as they must — any
+    // target row can be source-absent). The oracle re-derives the
+    // post-merge state as three disjoint SQL branches:
+    // matched-survivors, source-absent survivors, inserts.
+    QueryDef(
+      "w10_merge_clauses",
+      (s, d) => {
+        val wh = scratch("w10", d)
+        val cat = "w10cat_" + Integer.toHexString(d.hashCode)
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.BronzeCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+        s.sql(s"DROP TABLE IF EXISTS $cat.db.orders_mc")
+        s.sql(s"""CREATE TABLE $cat.db.orders_mc
+          (o_orderkey BIGINT, o_totalprice DOUBLE, status STRING)
+          USING parquet""")
+        new Tables(s, d).orders.select(
+            col("o_orderkey").cast("long"),
+            col("o_totalprice").cast("double"),
+            col("o_orderstatus").cast("string").as("status"))
+          .writeTo(s"$cat.db.orders_mc").append()
+        new Tables(s, d).orders
+          .filter(col("o_orderkey") % 5 === 0)
+          .select((col("o_orderkey").cast("long") * 2).as("k"),
+            col("o_totalprice").cast("double").as("p"))
+          .createOrReplaceTempView("w10_src")
+        s.sql(s"""MERGE INTO $cat.db.orders_mc t USING w10_src s
+          ON t.o_orderkey = s.k
+          WHEN MATCHED AND t.o_totalprice < 50000.0 THEN DELETE
+          WHEN MATCHED THEN UPDATE SET o_totalprice = t.o_totalprice + s.p
+          WHEN NOT MATCHED THEN INSERT (o_orderkey, o_totalprice, status)
+            VALUES (s.k, s.p, 'N')
+          WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 97 = 0 THEN DELETE
+          WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 31 = 0
+            THEN UPDATE SET status = 'X'""")
+        (1 to 2).map { v =>
+          s.sql(s"SELECT * FROM $cat.db.orders_mc VERSION AS OF $v")
+            .agg(count(lit(1)).as("n_orders"),
+              Exact.dsum(col("o_totalprice"), 2).as("total_price"),
+              count(when(col("status") === "X", 1)).as("n_flagged"),
+              count(when(col("status") === "N", 1)).as("n_inserted"))
+            .select(lit(v).as("version"), col("n_orders"),
+              col("total_price"), col("n_flagged"), col("n_inserted"))
+        }.reduce(_ union _).orderBy(col("version"))
+      },
+      Some(s"""WITH v1 AS (
+          SELECT o_orderkey AS k, o_totalprice AS p, o_orderstatus AS st
+          FROM orders),
+        src AS (
+          SELECT o_orderkey * 2 AS k, o_totalprice AS p FROM orders
+          WHERE o_orderkey % 5 = 0),
+        v2 AS (
+          SELECT t.k, t.p + s.p AS p, t.st AS st
+          FROM v1 t JOIN src s ON t.k = s.k
+          WHERE NOT (t.p < 50000.0)
+          UNION ALL
+          SELECT t.k, t.p, CASE WHEN t.k % 31 = 0 THEN 'X' ELSE t.st END
+          FROM v1 t LEFT JOIN src s ON t.k = s.k
+          WHERE s.k IS NULL AND t.k % 97 <> 0
+          UNION ALL
+          SELECT s.k, s.p, 'N' FROM src s LEFT JOIN v1 t ON t.k = s.k
+          WHERE t.k IS NULL),
+        stats AS (
+          SELECT 1 AS version, COUNT(*) AS n_orders,
+            ${Exact.sqlSum("p", 2)} AS total_price,
+            COUNT(*) FILTER (WHERE st = 'X') AS n_flagged,
+            COUNT(*) FILTER (WHERE st = 'N') AS n_inserted FROM v1
+          UNION ALL
+          SELECT 2, COUNT(*), ${Exact.sqlSum("p", 2)},
+            COUNT(*) FILTER (WHERE st = 'X'),
+            COUNT(*) FILTER (WHERE st = 'N') FROM v2)
+        SELECT version, n_orders, total_price, n_flagged, n_inserted
+        FROM stats ORDER BY version"""))
   )
 }

@@ -125,6 +125,62 @@ class RowLevelOpsSpec extends SparkSpec {
         s"${rewritten.intersect(batch1Files)}")
   }
 
+  test("MERGE WHEN MATCHED THEN DELETE removes matched rows, one snapshot") {
+    val dir = mkTable("mrgdel")
+    spark.sql(
+      "INSERT INTO bronze.rl.mrgdel SELECT id, 1, id * 1.0 FROM range(10)")
+    val pre = SnapshotLog.current(dir).get
+    spark.sql("DROP VIEW IF EXISTS mrgdel_src")
+    spark.sql("CREATE TEMP VIEW mrgdel_src AS " +
+      "SELECT id * 2 AS id, CAST(id AS DOUBLE) AS delta FROM range(8)")
+    // conditional clause order matters: big matches delete, small bump
+    spark.sql(
+      """MERGE INTO bronze.rl.mrgdel t USING mrgdel_src s ON t.id = s.id
+        WHEN MATCHED AND t.id >= 6 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET amt = t.amt + s.delta
+        WHEN NOT MATCHED THEN INSERT (id, batch, amt)
+          VALUES (s.id, 2, s.delta)""")
+    val post = SnapshotLog.current(dir).get
+    assert(post.version == pre.version + 1 && post.operation == "merge")
+    val t = spark.table("bronze.rl.mrgdel")
+    // matched: 0,2,4,6,8 → 6,8 deleted; 0,2,4 bumped; 10,12,14 inserted
+    assert(t.count() == 10 - 2 + 3)
+    assert(t.filter("id IN (6, 8)").count() == 0)
+    assert(t.filter("id = 4").head().getDouble(2) == 4.0 + 2.0)
+    assert(t.filter("batch = 2").count() == 3)
+    // time travel: the pre-merge version still shows the deleted rows
+    assert(spark.sql(s"SELECT COUNT(*) FROM bronze.rl.mrgdel " +
+      s"VERSION AS OF ${pre.version}").head().getLong(0) == 10)
+  }
+
+  test("MERGE WHEN NOT MATCHED BY SOURCE updates and deletes target-only rows") {
+    val dir = mkTable("mrgbysrc")
+    spark.sql(
+      "INSERT INTO bronze.rl.mrgbysrc SELECT id, 1, id * 1.0 FROM range(10)")
+    val pre = SnapshotLog.current(dir).get
+    spark.sql("DROP VIEW IF EXISTS mrgbs_src")
+    spark.sql("CREATE TEMP VIEW mrgbs_src AS " +
+      "SELECT id AS id, 100.0 AS delta FROM range(4)")
+    // rows 0..3 matched (bump); rows 4..9 not matched by source:
+    // evens retire (DELETE), odds flagged (UPDATE batch = -1)
+    spark.sql(
+      """MERGE INTO bronze.rl.mrgbysrc t USING mrgbs_src s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET amt = t.amt + s.delta
+        WHEN NOT MATCHED BY SOURCE AND t.id % 2 = 0 THEN DELETE
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET batch = -1""")
+    val post = SnapshotLog.current(dir).get
+    assert(post.version == pre.version + 1 && post.operation == "merge")
+    val t = spark.table("bronze.rl.mrgbysrc")
+    // deleted: 4,6,8 → 7 rows remain
+    assert(t.count() == 7)
+    assert(t.filter("id IN (4, 6, 8)").count() == 0)
+    assert(t.filter("id = 2").head().getDouble(2) == 102.0)
+    assert(t.filter("batch = -1").collect().map(_.getLong(0)).toSet ==
+      Set(5L, 7L, 9L))
+    assert(spark.sql(s"SELECT COUNT(*) FROM bronze.rl.mrgbysrc " +
+      s"VERSION AS OF ${pre.version}").head().getLong(0) == 10)
+  }
+
   test("incremental read refuses to cross an UPDATE snapshot") {
     val dir = mkTable("updinc")
     spark.sql("INSERT INTO bronze.rl.updinc SELECT id, 1, 0.0 FROM range(5)")
