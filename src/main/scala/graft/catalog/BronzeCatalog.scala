@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.analysis.{NonEmptyNamespaceException, NoSuc
 import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.graftshim.shim
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, IntegerType, LongType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** Minimal filesystem TableCatalog restoring the reference's 3-level
@@ -88,6 +88,45 @@ class BronzeCatalog extends TableCatalog with SupportsNamespaces {
       id: Long): org.apache.spark.sql.types.StructField =
     f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
       .withMetadata(f.metadata).putLong(FieldIdKey, id).build())
+
+  /** Allocate a field id strictly greater than any id EVER assigned
+    * to this table — Iceberg's `last-column-id`, kept as a filesystem
+    * fact. Schema sidecars alone are not a safe record: vacuum reaps
+    * pins of expired versions, and after DROP COLUMN the dropped id
+    * must stay retired FOREVER — retained data files still physically
+    * carry the dropped column's bytes under that id, so a later ADD
+    * COLUMN reusing it would resolve those bytes into the new column
+    * (silent resurrection). Every assignment therefore claims an
+    * empty `id-<n>` marker in the log dir (createFile = atomic CAS;
+    * racing alters get distinct ids; vacuum never touches markers).
+    * Ids burned by lost CAS retries leave gaps — harmless, Iceberg
+    * burns ids the same way. */
+  private def allocateFieldId(dir: Path, sch: StructType): Long = {
+    val logd = dir.resolve("_graft_snapshots")
+    Files.createDirectories(logd)
+    val markerIds = children(logd).map(_.getFileName.toString)
+      .filter(_.startsWith("id-"))
+      .flatMap(s => s.substring(3).toLongOption)
+    val sidecarIds = SnapshotLog.listSchemaSidecars(dir.toString)
+      .flatMap { name =>
+        try DataType.fromJson(
+          SnapshotLog.readSchemaSidecar(dir.toString, name))
+          .asInstanceOf[StructType].fields.toSeq
+          .filter(_.metadata.contains(FieldIdKey))
+          .map(_.metadata.getLong(FieldIdKey))
+        catch { case _: Exception => Seq.empty[Long] }
+      }
+    val schIds = sch.fields.toSeq.filter(_.metadata.contains(FieldIdKey))
+      .map(_.metadata.getLong(FieldIdKey))
+    var next = (markerIds ++ sidecarIds ++ schIds).foldLeft(0L)(math.max) + 1
+    while (true) {
+      try { Files.createFile(logd.resolve(s"id-$next")); return next }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => next += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   /** Declared schema of the table dir as pinned by `snap` (falling
     * back to the current sidecar for legacy/pre-pinning manifests). */
@@ -289,16 +328,13 @@ class BronzeCatalog extends TableCatalog with SupportsNamespaces {
                 s"column ${add.fieldNames.head} already exists")
             val grown = sch.add(add.fieldNames.head, add.dataType,
               nullable = true, Option(add.comment).getOrElse(""))
-            // fresh id = max+1 — never reuse a dropped... (no drops) —
-            // only on id-ed tables; legacy tables stay name-matched
-            // throughout (an id-ed column over id-less files errors)
+            // fresh id via the never-reuse allocator (a dropped
+            // column's id stays retired) — only on id-ed tables;
+            // legacy tables stay name-matched throughout (an id-ed
+            // column over id-less files errors)
             if (!hasFieldIds(sch)) grown
-            else {
-              val next = sch.fields
-                .map(_.metadata.getLong(FieldIdKey)).max + 1L
-              StructType(grown.fields.dropRight(1) :+
-                withFieldId(grown.fields.last, next))
-            }
+            else StructType(grown.fields.dropRight(1) :+
+              withFieldId(grown.fields.last, allocateFieldId(dir, sch)))
           case ren: TableChange.RenameColumn =>
             if (ren.fieldNames.length != 1)
               throw new UnsupportedOperationException(
@@ -318,10 +354,65 @@ class BronzeCatalog extends TableCatalog with SupportsNamespaces {
             StructType(sch.fields.map(f =>
               if (f.name.equalsIgnoreCase(from)) f.copy(name = ren.newName)
               else f))
+          case del: TableChange.DeleteColumn =>
+            if (del.fieldNames.length != 1)
+              throw new UnsupportedOperationException(
+                s"$catalogName catalog supports only top-level DROP " +
+                  s"COLUMN; got ${del.fieldNames.mkString(".")}")
+            if (!hasFieldIds(sch))
+              throw new UnsupportedOperationException(
+                s"$catalogName DROP COLUMN needs parquet field ids " +
+                  "(on name-matched legacy tables, re-adding a " +
+                  "same-named column would resurrect the dropped " +
+                  "column's old values)")
+            val gone = del.fieldNames.head
+            if (!sch.fieldNames.exists(_.equalsIgnoreCase(gone))) {
+              if (del.ifExists) sch
+              else throw new IllegalArgumentException(s"no column $gone")
+            } else {
+              if (sch.length == 1) throw new IllegalArgumentException(
+                s"cannot drop $gone: it is the table's only column")
+              // metadata-only: data files keep the bytes; the dropped
+              // id stays retired via the id-marker allocator, and
+              // VERSION AS OF a pre-drop snapshot still reads the
+              // column through its pinned sidecar
+              StructType(sch.fields.filterNot(
+                _.name.equalsIgnoreCase(gone)))
+            }
+          case upd: TableChange.UpdateColumnType =>
+            if (upd.fieldNames.length != 1)
+              throw new UnsupportedOperationException(
+                s"$catalogName catalog supports only top-level ALTER " +
+                  s"COLUMN TYPE; got ${upd.fieldNames.mkString(".")}")
+            val tgt = upd.fieldNames.head
+            val idx = sch.fieldNames.indexWhere(_.equalsIgnoreCase(tgt))
+            if (idx < 0) throw new IllegalArgumentException(s"no column $tgt")
+            val cur = sch.fields(idx).dataType
+            // WIDENING only — conversions Spark's parquet readers
+            // perform losslessly on old files (int32 pages read as
+            // long/double, float as double), so this is metadata-only
+            // like RENAME: zero rewrite, old files widen at read time.
+            // Narrowing or any other change would corrupt/refuse at
+            // scan and stays refused here.
+            val widens = (cur, upd.newDataType) match {
+              case (IntegerType, LongType) => true
+              case (IntegerType, DoubleType) => true
+              case (FloatType, DoubleType) => true
+              case _ => false
+            }
+            if (!widens && cur != upd.newDataType)
+              throw new UnsupportedOperationException(
+                s"only widening type changes are supported (INT → " +
+                  s"BIGINT/DOUBLE, FLOAT → DOUBLE); got " +
+                  s"${cur.simpleString} → ${upd.newDataType.simpleString}")
+            StructType(sch.fields.map(f =>
+              if (f.name.equalsIgnoreCase(tgt))
+                f.copy(dataType = upd.newDataType)
+              else f))
           case other =>
             throw new UnsupportedOperationException(
-              s"$catalogName catalog tables are append-only; only ADD " +
-                s"COLUMN and RENAME COLUMN are supported, got $other")
+              s"$catalogName catalog supports ADD / RENAME / DROP " +
+                s"COLUMN and widening ALTER COLUMN TYPE; got $other")
         }
       }
 

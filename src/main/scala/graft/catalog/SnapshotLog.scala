@@ -217,6 +217,20 @@ object SnapshotLog {
   def readSchemaSidecar(tableDir: String, name: String): String =
     Files.readString(logDir(tableDir).resolve(name))
 
+  /** Names of every schema sidecar in the log dir — current,
+    * historical, and orphaned race losers alike (the conservative
+    * universe for field-id bookkeeping). */
+  def listSchemaSidecars(tableDir: String): Seq[String] = {
+    val d = logDir(tableDir)
+    if (!Files.isDirectory(d)) Seq.empty
+    else {
+      val s = Files.list(d)
+      try s.iterator.asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("schema-")).toSeq
+      finally s.close()
+    }
+  }
+
   /** Whether the dir has a snapshot log (i.e. is past the legacy
     * listing-only mode). */
   def enabled(tableDir: String): Boolean =

@@ -580,6 +580,93 @@ object Writes {
             COUNT(*) FILTER (WHERE st = 'X'),
             COUNT(*) FILTER (WHERE st = 'N') FROM v2)
         SELECT version, n_orders, total_price, n_flagged, n_inserted
+        FROM stats ORDER BY version""")),
+
+    // ----- w11: FULL SCHEMA-EVOLUTION surface — ADD (w05/w09) plus
+    // the two verbs parquet FIELD IDS make safe metadata-only ops:
+    // widening ALTER COLUMN TYPE (old int32 pages read as BIGINT at
+    // scan time — Spark's parquet readers widen losslessly; zero
+    // rewrite) and DROP COLUMN (files keep the bytes; the dropped id
+    // is retired forever by the id-marker allocator so a re-added
+    // name can never resurrect old values). The gated sequence
+    // append(int) → widen → append(long, values beyond int range) →
+    // drop reads three schema eras back through their pinned
+    // sidecars: v1 pre-widen (INT column + the dropped column live),
+    // v3 post-widen (mixed int32/int64 files under one BIGINT
+    // column), current post-drop. The oracle re-derives every era by
+    // predicate.
+    QueryDef(
+      "w11_schema_evolution",
+      (s, d) => {
+        val wh = scratch("w11", d)
+        val cat = "w11cat_" + Integer.toHexString(d.hashCode)
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.BronzeCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+        s.sql(s"DROP TABLE IF EXISTS $cat.db.orders_ev")
+        s.sql(s"""CREATE TABLE $cat.db.orders_ev
+          (o_orderkey BIGINT, pri INT, o_totalprice DOUBLE, status STRING)
+          USING parquet""")
+        val o = new Tables(s, d).orders.select(
+          col("o_orderkey").cast("long"),
+          col("o_totalprice").cast("double"),
+          col("o_orderdate").cast("date").as("od"),
+          col("o_orderstatus").cast("string").as("status"))
+        o.filter(col("od") < lit("1997-01-01"))
+          .select(col("o_orderkey"),
+            (col("o_orderkey") % 1000).cast("int").as("pri"),
+            col("o_totalprice"), col("status"))
+          .writeTo(s"$cat.db.orders_ev").append()
+        s.sql(s"ALTER TABLE $cat.db.orders_ev ALTER COLUMN pri TYPE BIGINT")
+        o.filter(col("od") >= lit("1997-01-01"))
+          .select(col("o_orderkey"),
+            (col("o_orderkey") % 1000 + 5000000000L).as("pri"),
+            col("o_totalprice"), col("status"))
+          .writeTo(s"$cat.db.orders_ev").append()
+        s.sql(s"ALTER TABLE $cat.db.orders_ev DROP COLUMN status")
+        def era(v: Int, df: org.apache.spark.sql.DataFrame,
+            hasStatus: Boolean) = {
+          val base = df.agg(count(lit(1)).as("n_orders"),
+            sum(col("pri")).cast("long").as("sum_pri"),
+            Exact.dsum(col("o_totalprice"), 2).as("total_price"),
+            (if (hasStatus) countDistinct(col("status"))
+             else lit(null).cast("long")).as("n_status"))
+          base.select(lit(v).as("version"), col("n_orders"),
+            col("sum_pri"), col("total_price"), col("n_status"))
+        }
+        Seq(
+          era(1, s.sql(s"SELECT * FROM $cat.db.orders_ev VERSION AS OF 1"),
+            hasStatus = true),
+          era(3, s.sql(s"SELECT * FROM $cat.db.orders_ev VERSION AS OF 3"),
+            hasStatus = true),
+          era(4, s.table(s"$cat.db.orders_ev"), hasStatus = false)
+        ).reduce(_ union _).orderBy(col("version"))
+      },
+      Some(s"""WITH o AS (
+          SELECT o_orderkey AS k, o_totalprice AS p,
+            CAST(o_orderdate AS DATE) AS od, o_orderstatus AS st
+          FROM orders),
+        v1 AS (
+          SELECT k, k % 1000 AS pri, p, st FROM o
+          WHERE od < DATE '1997-01-01'),
+        v3 AS (
+          SELECT k, k % 1000 AS pri, p, st FROM o
+          WHERE od < DATE '1997-01-01'
+          UNION ALL
+          SELECT k, (k % 1000) + 5000000000 AS pri, p, st FROM o
+          WHERE od >= DATE '1997-01-01'),
+        stats AS (
+          SELECT 1 AS version, COUNT(*) AS n_orders,
+            CAST(SUM(pri) AS BIGINT) AS sum_pri,
+            ${Exact.sqlSum("p", 2)} AS total_price,
+            COUNT(DISTINCT st) AS n_status FROM v1
+          UNION ALL
+          SELECT 3, COUNT(*), CAST(SUM(pri) AS BIGINT),
+            ${Exact.sqlSum("p", 2)}, COUNT(DISTINCT st) FROM v3
+          UNION ALL
+          SELECT 4, COUNT(*), CAST(SUM(pri) AS BIGINT),
+            ${Exact.sqlSum("p", 2)}, CAST(NULL AS BIGINT) FROM v3)
+        SELECT version, n_orders, sum_pri, total_price, n_status
         FROM stats ORDER BY version"""))
   )
 }

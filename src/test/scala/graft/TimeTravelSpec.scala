@@ -221,12 +221,65 @@ class TimeTravelSpec extends SparkSpec {
     assert(t.count() == 15)
     assert(t.filter("note IS NULL").count() == 10) // old rows: NULL
     assert(t.filter("note = 'n3'").count() == 1)
-    // only ADD COLUMN is supported; anything destructive refuses
-    intercept[Exception] {
-      spark.sql("ALTER TABLE bronze.tt.evolve DROP COLUMN note")
-    }
+    // duplicate names and narrowing type changes refuse
     intercept[Exception] {
       spark.sql("ALTER TABLE bronze.tt.evolve ADD COLUMN batch INT")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE bronze.tt.evolve ALTER COLUMN id TYPE INT")
+    }
+  }
+
+  test("DROP COLUMN is metadata-only; a re-added name never resurrects") {
+    val dir = mkTable("dropcol")
+    spark.sql("INSERT INTO bronze.tt.dropcol SELECT id, 1 FROM range(10)")
+    val preDrop = SnapshotLog.current(dir).get.version
+    val filesBefore = SnapshotLog.current(dir).get.files
+    spark.sql("ALTER TABLE bronze.tt.dropcol DROP COLUMN batch")
+    // zero rewrite; the declared schema shrank
+    assert(SnapshotLog.current(dir).get.files == filesBefore)
+    assert(spark.table("bronze.tt.dropcol").columns.toSeq == Seq("id"))
+    // VERSION AS OF a pre-drop snapshot still reads the column
+    assert(spark.sql(s"SELECT batch FROM bronze.tt.dropcol " +
+      s"VERSION AS OF $preDrop").head().getInt(0) == 1)
+    // re-adding the NAME allocates a fresh field id: the old files'
+    // dropped bytes must surface as NULL, never resurrect
+    spark.sql("ALTER TABLE bronze.tt.dropcol ADD COLUMN batch INT")
+    val t = spark.table("bronze.tt.dropcol")
+    assert(t.columns.toSeq == Seq("id", "batch"))
+    assert(t.filter("batch IS NOT NULL").count() == 0,
+      "re-added column resurrected dropped values")
+    // dropping the last remaining column refuses
+    spark.sql("ALTER TABLE bronze.tt.dropcol DROP COLUMN batch")
+    intercept[Exception] {
+      spark.sql("ALTER TABLE bronze.tt.dropcol DROP COLUMN id")
+    }
+  }
+
+  test("ALTER COLUMN TYPE widens: old int32 files read as the new type") {
+    val dir = mkTable("widen")
+    spark.sql("INSERT INTO bronze.tt.widen SELECT id, 7 FROM range(10)")
+    val preWiden = SnapshotLog.current(dir).get.version
+    val filesBefore = SnapshotLog.current(dir).get.files
+    spark.sql("ALTER TABLE bronze.tt.widen ALTER COLUMN batch TYPE BIGINT")
+    // metadata-only: no rewrite, old files widen at read time
+    assert(SnapshotLog.current(dir).get.files == filesBefore)
+    spark.sql(
+      "INSERT INTO bronze.tt.widen SELECT id, 5000000000 FROM range(5)")
+    val t = spark.table("bronze.tt.widen")
+    assert(t.schema("batch").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(t.count() == 15)
+    // mixed scan: old int32 pages + new int64 pages, one long column
+    assert(t.agg(org.apache.spark.sql.functions.sum("batch"))
+      .head().getLong(0) == 10 * 7L + 5 * 5000000000L)
+    // time travel to the pre-widen version reads the INT of that time
+    assert(spark.sql(s"SELECT batch FROM bronze.tt.widen " +
+      s"VERSION AS OF $preWiden").schema("batch").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    // narrowing refuses
+    intercept[Exception] {
+      spark.sql("ALTER TABLE bronze.tt.widen ALTER COLUMN batch TYPE INT")
     }
   }
 
@@ -350,10 +403,7 @@ class TimeTravelSpec extends SparkSpec {
       s"SELECT * FROM bronze.tt.rename VERSION AS OF $preRenameV")
     assert(old.columns.toSeq == Seq("id", "batch"))
     assert(old.filter("batch = 1").count() == 10)
-    // destructive changes still refuse
-    intercept[Exception] {
-      spark.sql("ALTER TABLE bronze.tt.rename DROP COLUMN load_no")
-    }
+    // destructive changes still refuse (int → string is not widening)
     intercept[Exception] {
       spark.sql(
         "ALTER TABLE bronze.tt.rename ALTER COLUMN load_no TYPE STRING")
