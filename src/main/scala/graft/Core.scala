@@ -80,6 +80,11 @@ object GraftConf {
     * rescored at full precision per query; the cheap recall dial
     * (rescore cost is linear in it). */
   val BqShortlistKey = "spark.graft.bqShortlist"
+  /** Truncated-cosine shortlist size for the two-stage rerank tiers
+    * (s07/s09) — per-query candidates surviving the coarse 16-dim
+    * pass into the full-dimension rerank; the same cheap recall dial
+    * as bqShortlist. */
+  val TruncShortlistKey = "spark.graft.truncShortlist"
   /** Corpus line-dedup: a segment appearing in at least this many
     * distinct documents is boilerplate and scrubbed everywhere. A
     * bigger corpus repeats true boilerplate in far more docs, so the

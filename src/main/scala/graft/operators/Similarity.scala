@@ -25,18 +25,47 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Random-hyperplane count DEFAULT for the LSH bucket (s02): bucket
-    * space is 2^H, so per-bucket occupancy is n/2^H — H must grow with
-    * log n (H=8 → 256 buckets suits ~10⁵ vectors; at 10⁹ use H≈20 so
-    * buckets hold ~thousands). Both the Spark expression and the DuckDB
-    * oracle are generated from this one value; multi-probe cost is H+1
-    * probes per query, so recall degrades gracefully as H grows.
-    * Override at runtime with `spark.graft.lshHyperplanes`.
-    */
+  /** Static hyperplane count used ONLY by the spec-twin expression
+    * builders ([[bucketExprHof]], [[weightsLit]]) as their default
+    * argument — queries use the ADAPTIVE default below. */
   private[graft] val LshHyperplanes = 8
 
-  private def lshHyperplanes(s: SparkSession): Int = {
-    val h = GraftConf.int(s, GraftConf.LshHyperplanesKey, LshHyperplanes)
+  /** RECALL-MOTIVATED adaptive hyperplane default: the smallest H
+    * whose 2^H bucket space holds the corpus at <= 64 vectors per
+    * bucket — H = bit-length((n-1) / 64), clamped to [2, 62].
+    * Integer-exact so the DuckDB oracle's SQL twin
+    * (`length(format('{:b}', (COUNT(*)-1) // 64))`) derives the SAME
+    * H from the same corpus with no floating-log edge cases.
+    *
+    * Why occupancy 64 and not "many buckets": recall is the budget
+    * being spent. Multi-probe (<= 1 flipped plane) recovers a
+    * neighbor only if it shares H or H-1 plane signs; for the test
+    * corpus's similarity band that chance falls ~0.65^H, so the old
+    * fixed H=8 over 500 vectors measured recall@1 ~0.11-0.22 — a
+    * bucket-count-motivated default. At occupancy 64 the candidate
+    * set stays O(64·(H+1)) per query (constant per query, H grows
+    * with log n — the same 100 TB shape) while measured recall@1 on
+    * the test corpus rises to the dashboard's asserted band.
+    * Override at runtime with `spark.graft.lshHyperplanes`. */
+  private[graft] def adaptiveHyperplanes(n: Long): Int = {
+    val q = math.max(0L, (n - 1) / 64)
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(q)
+    math.min(62, math.max(2, bits))
+  }
+
+  /** One corpus count per sf dir per JVM (footer-count scale) feeds
+    * the adaptive geometry — an ANN index build legitimately knows
+    * its corpus size. */
+  private val corpusCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def corpusCount(s: SparkSession, d: String): Long =
+    corpusCountCache.computeIfAbsent(d,
+      _ => new Tables(s, d).embeddings.count()).longValue()
+
+  private def lshHyperplanes(s: SparkSession, d: String): Int = {
+    val h = GraftConf.int(s, GraftConf.LshHyperplanesKey,
+      adaptiveHyperplanes(corpusCount(s, d)))
     require(h > 0 && h <= 62,
       s"${GraftConf.LshHyperplanesKey} must be in [1, 62] (bucket packs " +
         s"into a signed long), got $h")
@@ -93,6 +122,32 @@ object Similarity {
     k
   }
 
+  /** Truncated-cosine shortlist DEFAULT (s07/s09): per-query
+    * candidates surviving the coarse 16-dim pass into the
+    * full-dimension rerank. RECALL-MOTIVATED like [[BqShortlist]]:
+    * 8 measured recall@1 = 0.21-0.22 on the test corpus (the 16-dim
+    * coarse ranking misorders the true neighbor out of a tight
+    * shortlist); 64 lifts both tiers into the dashboard's asserted
+    * band at linear-in-64 rerank cost per query, while the coarse
+    * scan cost is unchanged. Override at runtime with
+    * `spark.graft.truncShortlist`. */
+  private[graft] val TruncShortlist = 64
+
+  /** Coarse-pass truncation width (s07/s09): leading coordinates of
+    * the embedding scored in stage 1 ("matryoshka" first pass). 16
+    * measured recall@1 = 0.22 on the test corpus even with a wide
+    * shortlist — the 16-dim cosine misranks the true neighbor too
+    * often; 32 (half the vector, half the coarse IO/arithmetic of a
+    * full scan) lifts the two-stage tiers into the dashboard's
+    * asserted band together with [[TruncShortlist]]. */
+  private[graft] val TruncDims = 32
+
+  private def truncShortlist(s: SparkSession): Int = {
+    val k = GraftConf.int(s, GraftConf.TruncShortlistKey, TruncShortlist)
+    require(k > 0, s"${GraftConf.TruncShortlistKey} must be positive, got $k")
+    k
+  }
+
   /** (vec_id, v: array<float>, nrm: double). The norm (and later the
     * dots) run through the native codegen'd [[graft.functions.VectorNorm]]
     * / [[graft.functions.VectorDot]] expressions — identical arithmetic
@@ -100,7 +155,7 @@ object Similarity {
   private def vecs(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     graft.functions.VectorFunctions.registerLshBucket(
-      s, hyperplaneWeights(lshHyperplanes(s)))
+      s, hyperplaneWeights(lshHyperplanes(s, d)))
     new Tables(s, d).embeddings
       .withColumn("nrm", expr("vec_norm(embedding)"))
       .select(col("vec_id"), col("embedding").as("v"), col("nrm"))
@@ -194,10 +249,16 @@ object Similarity {
            bucket ^ shiftleft(cast(1 as bigint), p)))"""
 
   /** DuckDB twins of [[bucketExpr]] / [[probeExpr]] as CTE fragments
-    * over e0 (= $vecsSql). */
-  private[graft] def bucketedSqlCtes(h: Int = LshHyperplanes): String =
-    s"""e AS (SELECT vec_id, v, nrm,
-            CAST(list_sum(list_transform(generate_series(0, ${h - 1}), p ->
+    * over e0 (= $vecsSql). The hyperplane count is the ADAPTIVE
+    * default, derived in SQL from the corpus count with the same
+    * integer-exact formula as [[adaptiveHyperplanes]] — both engines
+    * compute the same H from the same data, no literal to drift. */
+  private[graft] def bucketedSqlCtes(): String =
+    s"""hh AS (SELECT LEAST(62, GREATEST(2,
+            length(format('{:b}', (COUNT(*) - 1) // 64)))) AS h FROM e0),
+        e AS (SELECT vec_id, v, nrm,
+            CAST(list_sum(list_transform(
+              generate_series(0, (SELECT h FROM hh) - 1), p ->
               CASE WHEN list_sum(list_transform(generate_series(0, ${VecDim - 1}), dd ->
                 v[dd + 1] * (('0x' || substr(md5(p || ':' || dd), 1, 8))::BIGINT
                   / 4294967296.0 - 0.5))) > 0
@@ -206,7 +267,8 @@ object Similarity {
           FROM e0),
         probed AS (SELECT vec_id, v, nrm, bucket,
                      unnest(list_prepend(bucket,
-                       list_transform(generate_series(0, ${h - 1}), p ->
+                       list_transform(
+                         generate_series(0, (SELECT h FROM hh) - 1), p ->
                          xor(bucket, CAST(pow(2, p) AS BIGINT))))) AS probe
                    FROM e)"""
 
@@ -215,11 +277,13 @@ object Similarity {
     * derives from md5('t<t>:<p>:<dd>') — same strings the Scala
     * [[tableWeights]] hashes. Each table probes its own bucket plus
     * every 1-bit flip, mirroring the Spark side. */
-  private[graft] def multiTableSql(h: Int = LshHyperplanes,
-      r: Int = LshTables): String =
+  private[graft] def multiTableSql(r: Int = LshTables): String =
     s"""WITH e0 AS ($vecsSql),
+        hh AS (SELECT LEAST(62, GREATEST(2,
+            length(format('{:b}', (COUNT(*) - 1) // 64)))) AS h FROM e0),
         keyed AS (SELECT vec_id, t,
-            CAST(list_sum(list_transform(generate_series(0, ${h - 1}), p ->
+            CAST(list_sum(list_transform(
+              generate_series(0, (SELECT h FROM hh) - 1), p ->
               CASE WHEN list_sum(list_transform(generate_series(0, ${VecDim - 1}), dd ->
                 v[dd + 1] * (('0x' || substr(md5(
                   CASE WHEN t = 0 THEN p || ':' || dd
@@ -229,7 +293,8 @@ object Similarity {
           FROM e0, UNNEST(generate_series(0, ${r - 1})) AS tt(t)),
         probed AS (SELECT vec_id, t,
                      unnest(list_prepend(b,
-                       list_transform(generate_series(0, ${h - 1}), p ->
+                       list_transform(
+                         generate_series(0, (SELECT h FROM hh) - 1), p ->
                          xor(b, CAST(pow(2, p) AS BIGINT))))) AS probe
                    FROM keyed),
         cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
@@ -249,7 +314,7 @@ object Similarity {
   private def bucketedNearDupPairs(s: SparkSession, d: String): DataFrame = {
     val e = vecs(s, d).withColumn("bucket", expr(bucketExpr))
     val cand = e.select(col("vec_id").as("id_a"), col("bucket"))
-      .withColumn("probe", explode(expr(probeExpr(lshHyperplanes(s)))))
+      .withColumn("probe", explode(expr(probeExpr(lshHyperplanes(s, d)))))
       .join(e.select(col("vec_id").as("id_b"),
         col("bucket").as("bucket_b")),
         col("probe") === col("bucket_b") && col("id_a") < col("id_b"))
@@ -312,7 +377,7 @@ object Similarity {
         // probe set = own bucket + H one-bit flips (all distinct keys)
         val probed = e.select(col("vec_id").as("id_a"), col("v").as("av"),
             col("nrm").as("nrm_a"), col("bucket"))
-          .withColumn("probe", explode(expr(probeExpr(lshHyperplanes(s)))))
+          .withColumn("probe", explode(expr(probeExpr(lshHyperplanes(s, d)))))
         val pairs = probed
           .join(e.select(col("vec_id").as("id_b"), col("v").as("bv"),
             col("nrm").as("nrm_b"), col("bucket").as("bucket_b")),
@@ -475,7 +540,7 @@ object Similarity {
     QueryDef(
       "s10_neardup_multitable",
       (s, d) => {
-        val h = lshHyperplanes(s)
+        val h = lshHyperplanes(s, d)
         val r = lshTables(s)
         (0 until r).foreach(t => graft.functions.VectorFunctions
           .registerLshBucketAs(s, s"vec_lsh_bucket_t$t", tableWeights(t, h)))
@@ -585,7 +650,7 @@ object Similarity {
         val qs = e.filter(col("vec_id") % 2 === 1)
           .select(col("vec_id").as("q_id"), col("v").as("av"),
             col("nrm").as("nrm_q"), col("bucket"))
-          .withColumn("probe", explode(expr(probeExpr(lshHyperplanes(s)))))
+          .withColumn("probe", explode(expr(probeExpr(lshHyperplanes(s, d)))))
         val w = Window.partitionBy(col("q_id"))
           .orderBy(col("cos_sim").desc, col("c_id"))
         qs.join(corpus, col("probe") === col("bucket_c"))
@@ -665,7 +730,7 @@ object Similarity {
           .withColumn("pdist", expr(subDist("av")))
           .select(col("q_id"), col("m"), col("c"), col("pdist"))
         val cand = qs
-          .withColumn("probe", explode(expr(probeExpr(lshHyperplanes(s)))))
+          .withColumn("probe", explode(expr(probeExpr(lshHyperplanes(s, d)))))
           .join(corpus, col("probe") === col("bucket_c"))
           .select(col("q_id"), col("c_id")).distinct()
         var scored = cand.join(codesPiv, "c_id")
@@ -834,8 +899,8 @@ object Similarity {
         WHERE rn = 1 ORDER BY vec_id""")),
 
     // ----- s07: two-stage retrieval — rank with CHEAP truncated
-    // vectors (first 16 of 64 dims, 4× less arithmetic/IO; the
-    // "matryoshka" first pass), then rerank ONLY the top-8 shortlist
+    // vectors (first TruncDims=32 of 64 dims, 2× less arithmetic/IO; the
+    // "matryoshka" first pass), then rerank ONLY the top-truncShortlist (default 64) shortlist
     // with full-dimension cosine and keep the best.
     // VERIFICATION TIER: stage-1 is an exact all-pairs truncated scan —
     // the baseline s09 (the index-backed scale path) is measured
@@ -844,7 +909,7 @@ object Similarity {
       "s07_truncated_rerank",
       (s, d) => {
         val e = vecs(s, d)
-          .withColumn("v16", expr("slice(v, 1, 16)"))
+          .withColumn("v16", expr(s"slice(v, 1, $TruncDims)"))
           .withColumn("nrm16", expr("vec_norm(v16)"))
         val coarse = e.select(col("vec_id").as("id_a"),
             col("v16").as("a16"), col("nrm16").as("na16"))
@@ -856,7 +921,7 @@ object Similarity {
         val wC = Window.partitionBy(col("id_a"))
           .orderBy(col("cos16").desc, col("id_b"))
         val shortlist = coarse.withColumn("r", row_number().over(wC))
-          .filter(col("r") <= 8).select(col("id_a"), col("id_b"))
+          .filter(col("r") <= truncShortlist(s)).select(col("id_a"), col("id_b"))
         val full = vecs(s, d)
         val wF = Window.partitionBy(col("id_a"))
           .orderBy(col("cos_full").desc, col("id_b"))
@@ -873,8 +938,8 @@ object Similarity {
           .orderBy(col("id_a"))
       },
       Some(s"""WITH e0 AS ($vecsSql),
-        e AS (SELECT vec_id, v, nrm, v[1:16] AS v16,
-                sqrt(list_sum(list_transform(v[1:16], x -> x * x))) AS nrm16
+        e AS (SELECT vec_id, v, nrm, v[1:${TruncDims}] AS v16,
+                sqrt(list_sum(list_transform(v[1:${TruncDims}], x -> x * x))) AS nrm16
               FROM e0),
         coarse AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
             list_sum(list_transform(list_zip(a.v16, b.v16), t -> t[1] * t[2]))
@@ -883,7 +948,7 @@ object Similarity {
         shortlist AS (SELECT id_a, id_b FROM (
             SELECT *, ROW_NUMBER() OVER (PARTITION BY id_a
               ORDER BY cos16 DESC, id_b) AS r FROM coarse)
-          WHERE r <= 8),
+          WHERE r <= ${TruncShortlist}),
         rer AS (SELECT c.id_a, c.id_b,
             list_sum(list_transform(list_zip(a.v, b.v), t -> t[1] * t[2]))
               / (a.nrm * b.nrm) AS cos_full
@@ -900,9 +965,9 @@ object Similarity {
     // scan. Stage 1: the same multi-probe bucket join as s02 (bucket
     // computed ONCE on the full vector; candidate generation shuffles
     // on the bucket key, never O(n²)), but scored with the CHEAP
-    // 16-dim truncated cosine — the coarse pass touches 1/4 of each
+    // TruncDims-dim truncated cosine — the coarse pass touches half of each
     // candidate's floats. Stage 2: full-dimension rerank of only the
-    // per-query top-8 shortlist. This is the 100 TB shape end-to-end:
+    // per-query top-`truncShortlist` (default 64) shortlist. This is the 100 TB shape end-to-end:
     // |candidates| bounded by bucket occupancy × (H+1) probes,
     // truncated columns as the coarse columnar read, full vectors
     // touched for |shortlist| rows per query. Recall vs the exact
@@ -912,12 +977,12 @@ object Similarity {
       (s, d) => {
         val e = vecs(s, d)
           .withColumn("bucket", expr(bucketExpr))
-          .withColumn("v16", expr("slice(v, 1, 16)"))
+          .withColumn("v16", expr(s"slice(v, 1, $TruncDims)"))
           .withColumn("nrm16", expr("vec_norm(v16)"))
         // stage 1: multi-probe LSH candidates, truncated-cosine ranked
         val probed = e.select(col("vec_id").as("id_a"),
             col("v16").as("a16"), col("nrm16").as("na16"), col("bucket"))
-          .withColumn("probe", explode(expr(probeExpr(lshHyperplanes(s)))))
+          .withColumn("probe", explode(expr(probeExpr(lshHyperplanes(s, d)))))
         val coarse = probed
           .join(e.select(col("vec_id").as("id_b"), col("v16").as("b16"),
             col("nrm16").as("nb16"), col("bucket").as("bucket_b")),
@@ -928,7 +993,7 @@ object Similarity {
         val wC = Window.partitionBy(col("id_a"))
           .orderBy(col("cos16").desc, col("id_b"))
         val shortlist = coarse.withColumn("r", row_number().over(wC))
-          .filter(col("r") <= 8).select(col("id_a"), col("id_b"))
+          .filter(col("r") <= truncShortlist(s)).select(col("id_a"), col("id_b"))
         // stage 2: full-dim rerank of the shortlist only
         val full = vecs(s, d)
         val wF = Window.partitionBy(col("id_a"))
@@ -948,17 +1013,17 @@ object Similarity {
       Some(s"""WITH e0 AS ($vecsSql),
         ${bucketedSqlCtes()},
         coarse AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-            list_sum(list_transform(list_zip(a.v[1:16], b.v[1:16]),
+            list_sum(list_transform(list_zip(a.v[1:${TruncDims}], b.v[1:${TruncDims}]),
               t -> t[1] * t[2]))
-              / (sqrt(list_sum(list_transform(a.v[1:16], x -> x * x)))
-                 * sqrt(list_sum(list_transform(b.v[1:16], x -> x * x))))
+              / (sqrt(list_sum(list_transform(a.v[1:${TruncDims}], x -> x * x)))
+                 * sqrt(list_sum(list_transform(b.v[1:${TruncDims}], x -> x * x))))
               AS cos16
           FROM probed a JOIN e b
             ON a.probe = b.bucket AND a.vec_id <> b.vec_id),
         shortlist AS (SELECT id_a, id_b FROM (
             SELECT *, ROW_NUMBER() OVER (PARTITION BY id_a
               ORDER BY cos16 DESC, id_b) AS r FROM coarse)
-          WHERE r <= 8),
+          WHERE r <= ${TruncShortlist}),
         rer AS (SELECT c.id_a, c.id_b,
             list_sum(list_transform(list_zip(a.v, b.v), t -> t[1] * t[2]))
               / (a.nrm * b.nrm) AS cos_full
@@ -1043,7 +1108,7 @@ object Similarity {
         val qs = e.filter(col("vec_id") % 2 === 1)
           .select(col("vec_id").as("q_id"), col("v").as("av"),
             col("nrm").as("nrm_q"), col("bucket"))
-          .withColumn("probe", explode(expr(probeExpr(lshHyperplanes(s)))))
+          .withColumn("probe", explode(expr(probeExpr(lshHyperplanes(s, d)))))
         val w = Window.partitionBy(col("q_id"))
           .orderBy(col("cos_sim").desc, col("c_id"))
         qs.join(corpus, col("probe") === col("bucket_c"))

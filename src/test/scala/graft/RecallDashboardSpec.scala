@@ -53,26 +53,27 @@ class RecallDashboardSpec extends SparkSpec {
       exactTop1.count { case (a, b) => got.get(a).contains(b) }.toDouble /
         exactTop1.size
     }
-    // measured band on this corpus: s02 0.12, s07 0.22, s09 0.11 —
-    // strict top-1 equality at H=8/multi-probe<=1 over 500 vectors is
-    // a sparse-bucket regime (256 buckets), so the exact nearest
-    // neighbor often shares no probed bucket; the dial that raises it
-    // is more probes/tables (s10), not a bug
+    // measured band on this corpus at the RECALL-MOTIVATED defaults
+    // (adaptive H = occupancy-64 buckets → H=3 here; truncation 32
+    // dims; shortlist 64): s02 0.70, s07 0.92, s09 0.68 — up from the
+    // old bucket-count-motivated H=8 band of 0.11-0.22. Floors sit
+    // under the band, not at it: they catch geometry regressions and
+    // collapses, not sampling noise.
     score("s02_cosine_lsh_bucketed", "recall@1", top1Recall(
-      "s02_cosine_lsh_bucketed"), 0.08)
+      "s02_cosine_lsh_bucketed"), 0.60)
     score("s07_truncated_rerank", "recall@1", top1Recall(
-      "s07_truncated_rerank"), 0.15)
+      "s07_truncated_rerank"), 0.80)
     score("s09_indexed_rerank", "recall@1", top1Recall(
-      "s09_indexed_rerank"), 0.07)
+      "s09_indexed_rerank"), 0.60)
 
     // ---- near-dup pair tiers vs exact s03 (precision is exact by
     // construction — subset-ness is NearDupRecallSpec's assert) ----
     score("s05_neardup_lsh_bucketed", "pair recall", pairs(
       "s05_neardup_lsh_bucketed").intersect(exactPairs).size.toDouble /
-      exactPairs.size, 0.15)
+      exactPairs.size, 0.60)
     score("s10_neardup_multitable", "pair recall", pairs(
       "s10_neardup_multitable").intersect(exactPairs).size.toDouble /
-      exactPairs.size, 0.30)
+      exactPairs.size, 0.85)
 
     // ---- s14 binary quantization: recall@3 over ITS query/corpus
     // split (queries vec_id%251==0 vs the rest; the s01 referee ranks
