@@ -177,8 +177,28 @@ class BronzeCatalog extends TableCatalog with SupportsNamespaces {
       .toArray
   }
 
-  override def loadTable(ident: Identifier): Table =
-    loadSnapshot(ident, SnapshotLog.current(dirOf(ident).toString))
+  override def loadTable(ident: Identifier): Table = {
+    // Iceberg-metadata-table-style nested resolution: the CHANGE FEED
+    // of `db.t` loads as `db.t.changes` (readStream.table consumes it
+    // as a CDC source). Only kicks in when the nested name does NOT
+    // itself name a real table, so a literal table named `changes`
+    // still wins.
+    val dir = dirOf(ident)
+    if (!isTableDir(dir) &&
+      ident.name == BronzeChangeFeed.NameSuffix &&
+      ident.namespace.length >= 2) {
+      val baseDir = dirOf(ident.namespace)
+      if (isTableDir(baseDir)) {
+        val declared = schemaOf(baseDir,
+          SnapshotLog.current(baseDir.toString))
+        return BronzeChangeFeed.table(
+          (catalogName +: ident.namespace.toSeq :+ ident.name)
+            .mkString("."),
+          baseDir.toString, declared)
+      }
+    }
+    loadSnapshot(ident, SnapshotLog.current(dir.toString))
+  }
 
   /** `SELECT ... FROM bronze.db.t VERSION AS OF <n>` — Spark resolves
     * the version clause through this overload (the same hook Iceberg

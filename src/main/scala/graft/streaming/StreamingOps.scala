@@ -573,6 +573,82 @@ object StreamingOps {
       Some(s"""SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS o_year,
           COUNT(*) AS n_orders,
           ${sqlSum("o_totalprice", 2)} AS total_price
-        FROM orders GROUP BY 1 ORDER BY 1"""))
+        FROM orders GROUP BY 1 ORDER BY 1""")),
+
+    // ----- st13: CHANGE-DATA-FEED streaming read — the CDC consumer
+    // of the row-level ops: `readStream.table("….orders_cdc.changes")`
+    // emits every commit's rows tagged `_change_type` (insert /
+    // delete / update_before / update_after) + `_commit_version`,
+    // with KEYLESS copy-on-write changelog semantics (Iceberg's base
+    // changelog): a rewritten file's surviving rows appear as
+    // retraction/addition carryover pairs that cancel under retract
+    // consumption, and a REPLACE (compaction) snapshot emits NOTHING
+    // — the stream sails across layout changes instead of refusing
+    // (st12's plain-read rule). The gate aggregates the feed with
+    // retract semantics into per-version NET deltas (rows, exact
+    // decimal-routed price) across append → append → DELETE →
+    // OPTIMIZE → UPDATE, and the oracle re-derives every delta by
+    // predicate — carryovers, file layout, and compaction all cancel
+    // out of the hash. Restart/labels proven in CdcStreamSpec.
+    QueryDef(
+      "st13_stream_change_feed",
+      (s, d) => {
+        val wh = s"${System.getProperty("java.io.tmpdir")}/graft_st13-" +
+          Integer.toHexString(d.hashCode)
+        val cat = "st13cat_" + Integer.toHexString(d.hashCode)
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.BronzeCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+        s.sql(s"DROP TABLE IF EXISTS $cat.db.orders_cdc")
+        s.sql(s"""CREATE TABLE $cat.db.orders_cdc
+          (o_orderkey BIGINT, o_orderdate DATE, o_totalprice DOUBLE)
+          USING parquet""")
+        val o = new Tables(s, d).orders.select(
+          col("o_orderkey").cast("long"),
+          col("o_orderdate").cast("date"),
+          col("o_totalprice").cast("double"))
+        Seq(
+          o.filter(col("o_orderdate") < lit("1997-01-01")),
+          o.filter(col("o_orderdate") >= lit("1997-01-01"))
+        ).foreach(_.writeTo(s"$cat.db.orders_cdc").append())
+        s.sql(s"DELETE FROM $cat.db.orders_cdc WHERE o_orderkey % 5 = 0")
+        s.sessionState.catalogManager.catalog(cat)
+          .asInstanceOf[graft.catalog.BronzeCatalog]
+          .optimizeTable(Seq("db"), "orders_cdc", 1L << 30) // v4: replace
+        s.sql(s"""UPDATE $cat.db.orders_cdc
+          SET o_totalprice = o_totalprice + 10.0
+          WHERE o_orderkey % 7 = 0""")
+        val isRetract =
+          col("_change_type").isin("delete", "update_before")
+        val agg = s.readStream.option("startingVersion", "0")
+          .table(s"$cat.db.orders_cdc.changes")
+          .groupBy(col("_commit_version").as("version"))
+          .agg(sum(when(isRetract, -1).otherwise(1)).cast("long")
+            .as("net_rows"),
+            dsum(when(isRetract, -col("o_totalprice"))
+              .otherwise(col("o_totalprice")), 2).as("net_price"))
+        runToMemory(s, agg, "complete").orderBy(col("version"))
+      },
+      Some(s"""WITH o AS (
+          SELECT o_orderkey AS k, o_totalprice AS p,
+            CAST(o_orderdate AS DATE) AS od
+          FROM orders),
+        stats AS (
+          SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS net_rows,
+            ${sqlSum("p", 2)} AS net_price
+          FROM o WHERE od < DATE '1997-01-01'
+          UNION ALL
+          SELECT 2, COUNT(*), ${sqlSum("p", 2)}
+          FROM o WHERE od >= DATE '1997-01-01'
+          UNION ALL
+          SELECT 3, 0 - COUNT(*), ${sqlSum("0 - p", 2)}
+          FROM o WHERE k % 5 = 0
+          UNION ALL
+          SELECT 5, 0, CAST(CAST(
+              SUM(CAST(p + 10.0 AS DECIMAL(18,2)))
+              - SUM(CAST(p AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+          FROM o WHERE k % 7 = 0 AND k % 5 <> 0)
+        SELECT version, net_rows, net_price
+        FROM stats ORDER BY version"""))
   )
 }
