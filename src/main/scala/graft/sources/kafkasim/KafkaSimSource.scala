@@ -57,6 +57,19 @@ object KafkaSimSource {
     }.toMap
   }
 
+  /** `assign` option JSON — the connector's third subscription mode:
+    * `{"topicA":[0,1],"topicB":[2]}` pins EXPLICIT topic-partitions
+    * (no broker-side discovery). */
+  def parseAssignJson(json: String): Map[String, Seq[Int]] = {
+    val tree = mapper.readTree(json)
+    tree.fields().asScala.map { e =>
+      require(e.getValue.isArray,
+        s"assign: expected an array of partition ids for topic " +
+          s"${e.getKey}, got ${e.getValue}")
+      e.getKey -> e.getValue.elements().asScala.map(_.asInt()).toSeq
+    }.toMap
+  }
+
   def toOffsetJson(offsets: Map[(String, Int), Long]): String = {
     val byTopic = offsets.groupBy(_._1._1).toSeq.sortBy(_._1).map {
       case (topic, m) =>
@@ -154,34 +167,50 @@ final class KafkaSimScan(options: CaseInsensitiveStringMap,
 
   private val root = Option(options.get("path")).getOrElse(
     throw new IllegalArgumentException("kafkasim requires option 'path'"))
-  // Kafka option parity: exactly one of `subscribe` (explicit list)
-  // or `subscribePattern` (Java regex over the broker's topics). A
-  // pattern is re-matched against the broker EVERY time topics are
-  // needed — batch planning once, streaming once per micro-batch via
-  // latestOffset() — matching the real source's per-metadata-refresh
-  // subscription, so topics created after a stream starts are picked
-  // up by the next batch.
-  private val subscription: Either[Seq[String], java.util.regex.Pattern] =
-    (Option(options.get("subscribe")), Option(options.get("subscribePattern"))) match {
-      case (Some(_), Some(_)) => throw new IllegalArgumentException(
-        "kafkasim: set only one of 'subscribe' and 'subscribePattern'")
-      case (Some(list), None) =>
-        Left(list.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      case (None, Some(re)) =>
-        Right(java.util.regex.Pattern.compile(re))
-      case (None, None) => throw new IllegalArgumentException(
-        "kafkasim requires option 'subscribe' or 'subscribePattern'")
-    }
+  // Kafka option parity: exactly one of `subscribe` (explicit topic
+  // list), `subscribePattern` (Java regex over the broker's topics),
+  // or `assign` (explicit topic-partitions as JSON — no broker-side
+  // partition discovery at all). A pattern is re-matched against the
+  // broker EVERY time topics are needed — batch planning once,
+  // streaming once per micro-batch via latestOffset() — matching the
+  // real source's per-metadata-refresh subscription, so topics
+  // created after a stream starts are picked up by the next batch;
+  // an assignment is FIXED for the query's lifetime, exactly the
+  // connector's contract.
+  private sealed trait Subscription
+  private case class SubscribeList(ts: Seq[String]) extends Subscription
+  private case class SubscribePattern(p: java.util.regex.Pattern)
+    extends Subscription
+  private case class Assigned(tps: Map[String, Seq[Int]])
+    extends Subscription
+
+  private val subscription: Subscription = {
+    val given = Seq(
+      Option(options.get("subscribe")).map(list => SubscribeList(
+        list.split(",").map(_.trim).filter(_.nonEmpty).toSeq)),
+      Option(options.get("subscribePattern")).map(re =>
+        SubscribePattern(java.util.regex.Pattern.compile(re))),
+      Option(options.get("assign")).map(json =>
+        Assigned(KafkaSimSource.parseAssignJson(json)))).flatten
+    if (given.size != 1) throw new IllegalArgumentException(
+      "kafkasim requires exactly one of 'subscribe', 'subscribePattern' " +
+        s"or 'assign'; got ${given.size}")
+    given.head
+  }
 
   private def topics: Seq[String] = subscription match {
-    case Left(list) => list
-    case Right(p) =>
+    case SubscribeList(list) => list
+    case SubscribePattern(p) =>
       SimBroker.listTopics(root).filter(t => p.matcher(t).matches())
+    case Assigned(tps) => tps.keys.toSeq.sorted
   }
 
   private def subscriptionDesc: String = subscription match {
-    case Left(list) => list.mkString(",")
-    case Right(p) => s"pattern:${p.pattern}"
+    case SubscribeList(list) => list.mkString(",")
+    case SubscribePattern(p) => s"pattern:${p.pattern}"
+    case Assigned(tps) => "assign:" + tps.toSeq.sortBy(_._1).map {
+      case (t, ps) => s"$t[${ps.sorted.mkString(",")}]"
+    }.mkString(",")
   }
   private val failOnDataLoss =
     Option(options.get("failOnDataLoss")).forall(_.toBoolean)
@@ -225,8 +254,22 @@ final class KafkaSimScan(options: CaseInsensitiveStringMap,
     s"KafkaSimV2[subscribe=$subscriptionDesc, path=$root" +
       offsetLowerBound.map(b => s", pushedOffsetLowerBound=$b").getOrElse("") + "]"
 
-  private def allPartitions: Seq[(String, Int)] =
-    topics.flatMap(t => SimBroker.partitions(root, t).map(t -> _))
+  private def allPartitions: Seq[(String, Int)] = subscription match {
+    case Assigned(tps) =>
+      // explicit assignment: validate against the broker ONCE here so
+      // a nonexistent topic-partition fails the query loudly at plan
+      // time instead of reading silently-empty ranges
+      tps.toSeq.sortBy(_._1).flatMap { case (t, ps) =>
+        val real = SimBroker.partitions(root, t).toSet
+        ps.sorted.map { p =>
+          if (!real.contains(p)) throw new IllegalArgumentException(
+            s"assign: $t-$p does not exist (broker has " +
+              s"${real.toSeq.sorted.mkString(",")})")
+          t -> p
+        }
+      }
+    case _ => topics.flatMap(t => SimBroker.partitions(root, t).map(t -> _))
+  }
 
   private def resolveOffsets(spec: String, isStart: Boolean): Map[(String, Int), Long] =
     spec match {

@@ -35,6 +35,52 @@ class MultiTopicSpec extends SparkSpec {
       ("beta", 0, 5L), ("beta", 0, 6L)))
   }
 
+  test("assign pins explicit topic-partitions; no broker discovery") {
+    val root = tmpDir("broker_assign")
+    SimBroker.createTopic(root, "alpha", 3)
+    SimBroker.createTopic(root, "beta", 1)
+    (0 until 3).foreach(p => SimBroker.append(root, "alpha", p,
+      (0 until (p + 2)).map(i => (None, bytes(s"a$p-$i"), 1L))))
+    SimBroker.append(root, "beta", 0,
+      (0 until 4).map(i => (None, bytes(s"b0-$i"), 1L)))
+
+    // only alpha-0 and alpha-2 are assigned: alpha-1 and beta invisible
+    val df = spark.read.format("kafkasim")
+      .option("path", root)
+      .option("assign", """{"alpha":[0,2]}""").load()
+    val got = df.selectExpr("topic", "partition").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(got.toSet == Set(("alpha", 0), ("alpha", 2)))
+    assert(got.count(_ == ("alpha", 0)) == 2) // p0 holds 2 records
+    assert(got.count(_ == ("alpha", 2)) == 4) // p2 holds 4
+    // offsets ranges still honored per assigned partition
+    val ranged = spark.read.format("kafkasim")
+      .option("path", root)
+      .option("assign", """{"alpha":[2],"beta":[0]}""")
+      .option("startingOffsets", """{"alpha":{"2":3},"beta":{"0":2}}""")
+      .load()
+    assert(ranged.count() == 1 + 2)
+    // a nonexistent partition fails loudly at plan time
+    intercept[Exception] {
+      spark.read.format("kafkasim")
+        .option("path", root)
+        .option("assign", """{"alpha":[7]}""").load().collect()
+    }
+    // mutual exclusion across ALL THREE subscription modes
+    intercept[Exception] {
+      spark.read.format("kafkasim")
+        .option("path", root)
+        .option("subscribe", "alpha")
+        .option("assign", """{"alpha":[0]}""").load().collect()
+    }
+    intercept[Exception] {
+      spark.read.format("kafkasim")
+        .option("path", root)
+        .option("subscribePattern", "al.*")
+        .option("assign", """{"alpha":[0]}""").load().collect()
+    }
+  }
+
   test("subscribePattern resolves topics by regex against the broker") {
     val root = tmpDir("broker")
     SimBroker.createTopic(root, "orders-v1", 1)
@@ -197,6 +243,6 @@ class MultiTopicSpec extends SparkSpec {
         .option("path", root).option("subscribe", "t")
         .option("subscribePattern", "t.*").load().count()
     }
-    assert(e.getMessage.contains("only one of"))
+    assert(e.getMessage.contains("exactly one of"))
   }
 }
