@@ -94,12 +94,14 @@ object Bench {
       .mkString("[", ",", "]")
     // loud co-tenant-load flag: this host's loadavg swings 1 → 13 on
     // identical code (r7's driver artifact read 23.10 s over a 9.35 s
-    // quiet-host engine). A 1-min load > 3 at either end of the timed
-    // window marks the whole artifact suspect so the judge/driver can
-    // discount it instead of reading a phantom regression.
+    // quiet-host engine). A 1-min load > 3 at START marks the whole
+    // artifact suspect so the judge/driver can discount it instead of
+    // reading a phantom regression. Only the START reading counts:
+    // the bench itself saturates the local[32] cores, so the END
+    // loadavg is self-polluted on every healthy run.
     def load1(s: String): Double =
       s.split(" ").headOption.flatMap(_.toDoubleOption).getOrElse(0.0)
-    val hostLoaded = load1(loadStart) > 3.0 || load1(loadEnd) > 3.0
+    val hostLoaded = load1(loadStart) > 3.0
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"reps":$repJson,"stat":"min_of_$reps","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","host_loaded":$hostLoaded,"sf":"$sfDir"}"""
     // stdout is the driver contract, but sbt prefixes it with [info] —
