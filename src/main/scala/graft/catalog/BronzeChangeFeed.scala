@@ -64,6 +64,39 @@ object BronzeChangeFeed {
 
   def table(name: String, dir: String, declared: StructType): Table =
     new BronzeChangeFeedTable(name, dir, declared)
+
+  /** The per-snapshot change partitions of versions in (from, to] —
+    * shared by the streaming source (one micro-batch's walk) and the
+    * batch changelog scan (Iceberg's `create_changelog_view` shape).
+    * See the class doc for the operation → change-type mapping. */
+  private[catalog] def changePartitions(dir: String, from: Long,
+      to: Long): Array[InputPartition] = {
+    if (from >= to) return Array.empty
+    val parts = Seq.newBuilder[InputPartition]
+    ((from + 1) to to).foreach { v =>
+      val snap = SnapshotLog.read(dir, v)
+      val parentFiles =
+        if (v == 0) Set.empty[String]
+        else SnapshotLog.read(dir, v - 1).files.toSet
+      val files = snap.files.toSet
+      val added = (files -- parentFiles).toSeq.sorted
+      val removed = (parentFiles -- files).toSeq.sorted
+      def emit(names: Seq[String], changeType: String): Unit =
+        names.foreach(f => parts +=
+          BronzeCdcFilePartition(s"$dir/$f", changeType, v))
+      snap.operation match {
+        case "append" | "create" => emit(added, "insert")
+        case "delete" => emit(removed, "delete"); emit(added, "insert")
+        case "update" | "merge" =>
+          emit(removed, "update_before"); emit(added, "update_after")
+        case "replace" | "alter" => () // layout/metadata only: no rows
+        case other => throw new IllegalStateException(
+          s"change feed on $dir: unknown snapshot operation '$other' " +
+            s"at v$v; refusing to guess its change semantics")
+      }
+    }
+    parts.result().toArray
+  }
 }
 
 private final class BronzeChangeFeedTable(tableName: String, dir: String,
@@ -75,6 +108,7 @@ private final class BronzeChangeFeedTable(tableName: String, dir: String,
   override def capabilities(): util.Set[TableCapability] = {
     val caps = new util.HashSet[TableCapability]()
     caps.add(TableCapability.MICRO_BATCH_READ)
+    caps.add(TableCapability.BATCH_READ)
     caps
   }
 
@@ -89,6 +123,34 @@ private final class BronzeChangeFeedTable(tableName: String, dir: String,
           new BronzeCdcMicroBatchStream(dir, declared,
             Option(options.get("startingVersion")).getOrElse("latest"),
             Option(options.get("maxVersionsPerTrigger")).map(_.toLong))
+        // BATCH changelog scan (Iceberg's `create_changelog_view`):
+        // the changes of versions in (startingVersion, endingVersion],
+        // default full history to current — one-shot CDC audits and
+        // backfills without a streaming checkpoint.
+        override def toBatch: org.apache.spark.sql.connector.read.Batch =
+          new org.apache.spark.sql.connector.read.Batch {
+            private val to =
+              Option(options.get("endingVersion")).map(_.toLong)
+                .orElse(SnapshotLog.currentVersion(dir)).getOrElse(
+                  throw new IllegalStateException(
+                    s"change-feed read requires a snapshot-logged " +
+                      s"table: $dir"))
+            private val from =
+              Option(options.get("startingVersion")) match {
+                case Some("latest") => throw new IllegalArgumentException(
+                  "batch change-feed read: startingVersion must be a " +
+                    "version number (or absent = 0), not 'latest'")
+                case Some(v) => v.toLong
+                case None => -1L // full history incl. v0
+              }
+            override def planInputPartitions(): Array[InputPartition] = {
+              require(from <= to,
+                s"startingVersion $from is ahead of endingVersion $to")
+              BronzeChangeFeed.changePartitions(dir, from, to)
+            }
+            override def createReaderFactory(): PartitionReaderFactory =
+              new BronzeCdcReaderFactory(declared.json)
+          }
       }
     }
 }
@@ -152,35 +214,10 @@ private final class BronzeCdcMicroBatchStream(dir: String,
     CdcVersionOffset(json.trim.toLong)
 
   override def planInputPartitions(start: Offset,
-      end: Offset): Array[InputPartition] = {
-    val from = start.asInstanceOf[CdcVersionOffset].v
-    val to = end.asInstanceOf[CdcVersionOffset].v
-    if (from >= to) return Array.empty
-    val parts = Seq.newBuilder[InputPartition]
-    ((from + 1) to to).foreach { v =>
-      val snap = SnapshotLog.read(dir, v)
-      val parentFiles =
-        if (v == 0) Set.empty[String]
-        else SnapshotLog.read(dir, v - 1).files.toSet
-      val files = snap.files.toSet
-      val added = (files -- parentFiles).toSeq.sorted
-      val removed = (parentFiles -- files).toSeq.sorted
-      def emit(names: Seq[String], changeType: String): Unit =
-        names.foreach(f => parts +=
-          BronzeCdcFilePartition(s"$dir/$f", changeType, v))
-      snap.operation match {
-        case "append" | "create" => emit(added, "insert")
-        case "delete" => emit(removed, "delete"); emit(added, "insert")
-        case "update" | "merge" =>
-          emit(removed, "update_before"); emit(added, "update_after")
-        case "replace" | "alter" => () // layout/metadata only: no rows
-        case other => throw new IllegalStateException(
-          s"change feed on $dir: unknown snapshot operation '$other' " +
-            s"at v$v; refusing to guess its change semantics")
-      }
-    }
-    parts.result().toArray
-  }
+      end: Offset): Array[InputPartition] =
+    BronzeChangeFeed.changePartitions(dir,
+      start.asInstanceOf[CdcVersionOffset].v,
+      end.asInstanceOf[CdcVersionOffset].v)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new BronzeCdcReaderFactory(declared.json)

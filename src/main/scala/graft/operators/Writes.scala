@@ -667,6 +667,85 @@ object Writes {
           SELECT 4, COUNT(*), CAST(SUM(pri) AS BIGINT),
             ${Exact.sqlSum("p", 2)}, CAST(NULL AS BIGINT) FROM v3)
         SELECT version, n_orders, sum_pri, total_price, n_status
+        FROM stats ORDER BY version""")),
+
+    // ----- w12: BATCH CHANGELOG READ — the one-shot twin of st13's
+    // CDC stream (Iceberg's `create_changelog_view`): `spark.read`
+    // over `db.t.changes` with a VERSION WINDOW (startingVersion
+    // exclusive, matching the stream's offset semantics; endingVersion
+    // defaults to current) returns every change row of the window —
+    // no checkpoint, the audit/backfill shape. The gate windows PAST
+    // the first append (v1 invisible), covers a MERGE's
+    // update_before/update_after + insert rows, and nets the feed
+    // with retract semantics against a SQL-derived per-version delta
+    // — so window bounds, change typing, and carryover cancellation
+    // all hash-check at once.
+    QueryDef(
+      "w12_batch_change_feed",
+      (s, d) => {
+        val wh = scratch("w12", d)
+        val cat = "w12cat_" + Integer.toHexString(d.hashCode)
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.BronzeCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+        s.sql(s"DROP TABLE IF EXISTS $cat.db.orders_bcdf")
+        s.sql(s"""CREATE TABLE $cat.db.orders_bcdf
+          (o_orderkey BIGINT, o_orderdate DATE, o_totalprice DOUBLE)
+          USING parquet""")
+        val o = new Tables(s, d).orders.select(
+          col("o_orderkey").cast("long"),
+          col("o_orderdate").cast("date"),
+          col("o_totalprice").cast("double"))
+        Seq(
+          o.filter(col("o_orderdate") < lit("1997-01-01")),
+          o.filter(col("o_orderdate") >= lit("1997-01-01"))
+        ).foreach(_.writeTo(s"$cat.db.orders_bcdf").append())
+        new Tables(s, d).orders.select(
+            (col("o_orderkey").cast("long") * 2 + 1).as("k"),
+            col("o_totalprice").cast("double").as("p"))
+          .filter(col("k") % 13 === 0)
+          .createOrReplaceTempView("w12_src")
+        s.sql(s"""MERGE INTO $cat.db.orders_bcdf t USING w12_src s
+          ON t.o_orderkey = s.k
+          WHEN MATCHED THEN UPDATE
+            SET o_totalprice = t.o_totalprice + s.p
+          WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderdate,
+            o_totalprice) VALUES (s.k, DATE '1996-01-01', s.p)""")
+        val isRetract =
+          col("_change_type").isin("delete", "update_before")
+        s.read.option("startingVersion", "1")
+          .table(s"$cat.db.orders_bcdf.changes")
+          .groupBy(col("_commit_version").as("version"))
+          .agg(sum(when(isRetract, -1).otherwise(1)).cast("long")
+            .as("net_rows"),
+            Exact.dsum(when(isRetract, -col("o_totalprice"))
+              .otherwise(col("o_totalprice")), 2).as("net_price"))
+          .orderBy(col("version"))
+      },
+      Some(s"""WITH o AS (
+          SELECT o_orderkey AS k, o_totalprice AS p,
+            CAST(o_orderdate AS DATE) AS od
+          FROM orders),
+        src AS (
+          SELECT o_orderkey * 2 + 1 AS k, o_totalprice AS p FROM orders
+          WHERE (o_orderkey * 2 + 1) % 13 = 0),
+        matched AS (
+          SELECT s.p AS dp FROM o t JOIN src s ON t.k = s.k),
+        ins AS (
+          SELECT s.p FROM src s LEFT JOIN o t ON t.k = s.k
+          WHERE t.k IS NULL),
+        stats AS (
+          SELECT CAST(2 AS BIGINT) AS version, COUNT(*) AS net_rows,
+            ${Exact.sqlSum("p", 2)} AS net_price
+          FROM o WHERE od >= DATE '1997-01-01'
+          UNION ALL
+          SELECT 3, (SELECT COUNT(*) FROM ins),
+            CAST(CAST(
+              COALESCE((SELECT SUM(CAST(dp AS DECIMAL(18,2)))
+                FROM matched), 0)
+              + COALESCE((SELECT SUM(CAST(p AS DECIMAL(18,2)))
+                FROM ins), 0) AS VARCHAR) AS DOUBLE))
+        SELECT version, net_rows, net_price
         FROM stats ORDER BY version"""))
   )
 }

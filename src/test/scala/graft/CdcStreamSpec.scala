@@ -116,12 +116,32 @@ class CdcStreamSpec extends SparkSpec {
     assert(netRows.toLong == spark.table("bronze.cdc.resume").count())
   }
 
-  test("a batch read of .changes refuses (streaming-only surface)") {
-    mkTable("batchrefuse")
+  test("batch read of .changes: full history or a version window") {
+    mkTable("batchcdf")
     spark.sql(
-      "INSERT INTO bronze.cdc.batchrefuse SELECT id, 1.0 FROM range(3)")
-    intercept[Exception] {
-      spark.table("bronze.cdc.batchrefuse.changes").collect()
-    }
+      "INSERT INTO bronze.cdc.batchcdf SELECT id, id * 1.0 FROM range(4)")
+    spark.sql(
+      "INSERT INTO bronze.cdc.batchcdf SELECT id + 4, 1.0 FROM range(2)")
+    spark.sql("DELETE FROM bronze.cdc.batchcdf WHERE id = 1")
+    // full history (no options): every change row, v1..v3
+    val all = spark.read.table("bronze.cdc.batchcdf.changes")
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3)))
+    assert(all.count(t => t._2 == "insert" && t._3 == 1L) == 4)
+    assert(all.count(t => t._2 == "insert" && t._3 == 2L) == 2)
+    assert(all.exists(t => t._1 == 1L && t._2 == "delete" && t._3 == 3L))
+    // net across the feed = current table state
+    assert(all.map(t => if (t._2 == "insert") 1 else -1).sum.toLong ==
+      spark.table("bronze.cdc.batchcdf").count())
+    // version window (startingVersion EXCLUSIVE, like the stream's
+    // offset semantics): changes after v2 only
+    val tail = spark.read.option("startingVersion", "2")
+      .table("bronze.cdc.batchcdf.changes")
+      .collect().map(r => (r.getString(2), r.getLong(3)))
+    assert(tail.forall(_._2 == 3L))
+    // bounded window: (0, 1] = just the first append
+    val w1 = spark.read.option("startingVersion", "0")
+      .option("endingVersion", "1")
+      .table("bronze.cdc.batchcdf.changes").collect()
+    assert(w1.length == 4 && w1.forall(_.getString(2) == "insert"))
   }
 }
