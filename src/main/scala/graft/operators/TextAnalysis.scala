@@ -716,6 +716,89 @@ object TextAnalysis {
         SELECT query_id, rank, doc_id,
           CAST(score_scaled AS DOUBLE) / 100000000.0 AS score
         FROM ranked WHERE rank <= 3
-        ORDER BY query_id, rank"""))
+        ORDER BY query_id, rank""")),
+
+    // ----- t16: PII REDACTION — the scrub every released training
+    // corpus runs (emails, phone numbers, IPv4 addresses → typed
+    // placeholder tokens), as three chained regexp_replace passes the
+    // optimizer fuses into ONE codegen'd projection per row — no
+    // shuffle, no UDF; at 100 TB this is a pure map over the scan.
+    // The synthetic corpus carries no organic PII, so the query
+    // INJECTS deterministic doc_id-derived PII first (same derivation
+    // in the oracle) — the gate then proves detection counts,
+    // redacted-text digests, and zero residual matches agree
+    // cross-engine, i.e. the scrub semantics themselves are what is
+    // hash-checked. Patterns avoid lookarounds (RE2-safe) so Java
+    // regex and DuckDB RE2 agree by construction.
+    QueryDef(
+      "t16_pii_redaction",
+      (s, d) => {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phone = "\\d{3}-\\d{3}-\\d{4}"
+        val ip = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+        val dirty = new Tables(s, d).documents
+          .select(col("doc_id"), concat(col("text"),
+            lit(" contact user"), col("doc_id"), lit("@example.com or "),
+            lpad((col("doc_id") % 900 + 100).cast("string"), 3, "0"),
+            lit("-"),
+            lpad((col("doc_id") % 789 + 111).cast("string"), 3, "0"),
+            lit("-"),
+            lpad((col("doc_id") % 9000 + 1000).cast("string"), 4, "0"),
+            lit(" ip "), (col("doc_id") % 256).cast("string"), lit("."),
+            ((col("doc_id") * 7) % 256).cast("string"), lit("."),
+            ((col("doc_id") * 13) % 256).cast("string"), lit("."),
+            ((col("doc_id") * 31) % 256).cast("string")).as("t"))
+        val redacted = dirty.select(col("doc_id"),
+          (regexp_count(col("t"), lit(email)) +
+            regexp_count(col("t"), lit(ip)) +
+            regexp_count(col("t"), lit(phone))).as("n_pii"),
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("t"), email, "<EMAIL>"),
+              ip, "<IP>"),
+            phone, "<PHONE>").as("clean"))
+        redacted.select(col("doc_id"), col("n_pii"),
+          (regexp_count(col("clean"), lit(email)) +
+            regexp_count(col("clean"), lit(ip)) +
+            regexp_count(col("clean"), lit(phone))).as("n_residual"),
+          md5(col("clean")).as("clean_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH dirty AS (
+          SELECT doc_id, text || ' contact user' || doc_id
+            || '@example.com or '
+            || lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0') || '-'
+            || lpad(CAST(doc_id % 789 + 111 AS VARCHAR), 3, '0') || '-'
+            || lpad(CAST(doc_id % 9000 + 1000 AS VARCHAR), 4, '0')
+            || ' ip ' || CAST(doc_id % 256 AS VARCHAR)
+            || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+            || '.' || CAST((doc_id * 13) % 256 AS VARCHAR)
+            || '.' || CAST((doc_id * 31) % 256 AS VARCHAR) AS t
+          FROM documents),
+        redacted AS (
+          SELECT doc_id,
+            CAST(len(regexp_extract_all(t,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+              + len(regexp_extract_all(t,
+                '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}'))
+              + len(regexp_extract_all(t, '\d{3}-\d{3}-\d{4}'))
+              AS BIGINT) AS n_pii,
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(t,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                  '<EMAIL>', 'g'),
+                '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g'),
+              '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g') AS clean
+          FROM dirty)
+        SELECT doc_id, n_pii,
+          CAST(len(regexp_extract_all(clean,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+            + len(regexp_extract_all(clean,
+              '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}'))
+            + len(regexp_extract_all(clean, '\d{3}-\d{3}-\d{4}'))
+            AS BIGINT) AS n_residual,
+          md5(clean) AS clean_md5
+        FROM redacted ORDER BY doc_id"""))
   )
 }
