@@ -80,6 +80,9 @@ object GraftConf {
     * rescored at full precision per query; the cheap recall dial
     * (rescore cost is linear in it). */
   val BqShortlistKey = "spark.graft.bqShortlist"
+  /** Product-quantization ADC shortlist size (s12) — candidates
+    * surviving the asymmetric-distance pass into the exact rerank. */
+  val PqShortlistKey = "spark.graft.pqShortlist"
   /** Truncated-cosine shortlist size for the two-stage rerank tiers
     * (s07/s09) — per-query candidates surviving the coarse 16-dim
     * pass into the full-dimension rerank; the same cheap recall dial

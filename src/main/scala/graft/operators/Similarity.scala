@@ -133,6 +133,18 @@ object Similarity {
     * `spark.graft.truncShortlist`. */
   private[graft] val TruncShortlist = 64
 
+  /** ADC shortlist size (s12): product-quantization candidates
+    * surviving the asymmetric-distance pass into the exact L2 rerank
+    * — the same cheap recall dial as [[BqShortlist]] /
+    * [[TruncShortlist]]. Override with `spark.graft.pqShortlist`. */
+  private[graft] val PqShortlist = 64
+
+  private def pqShortlist(s: SparkSession): Int = {
+    val k = GraftConf.int(s, GraftConf.PqShortlistKey, PqShortlist)
+    require(k > 0, s"${GraftConf.PqShortlistKey} must be positive, got $k")
+    k
+  }
+
   /** Coarse-pass truncation width (s07/s09): leading coordinates of
     * the embedding scored in stage 1 ("matryoshka" first pass). 16
     * measured recall@1 = 0.22 on the test corpus even with a wide
@@ -440,7 +452,7 @@ object Similarity {
       "s04_ivf_ann",
       (s, d) => {
         val e = vecs(s, d)
-        val cents = e.filter(col("vec_id") < 8)
+        val cents = e.filter(col("vec_id") < 64)
           .select(col("vec_id").as("cid"), col("v").as("cv"),
             col("nrm").as("cnrm"))
         val affinity = e.crossJoin(broadcast(cents))
@@ -672,28 +684,31 @@ object Similarity {
             ORDER BY cos_sim DESC, c_id) AS r FROM cand)
         WHERE r = 1 ORDER BY q_id""")),
 
-    // ----- s12: PRODUCT QUANTIZATION + ADC — the memory-side scale
-    // story the other ANN queries don't cover: each corpus vector is
-    // compressed to M=4 sub-space codes (argmin-L2 against a K=8
-    // codebook per 16-dim sub-space; codebooks = sub-vectors of the 8
-    // lowest-id vectors, the s04 training-free idiom), and queries
-    // score candidates ASYMMETRICALLY — full-precision query vs a
-    // per-query 4×8 distance LUT indexed by the candidate's CODES.
-    // The scoring pass never touches corpus floats: 4 small ints per
-    // vector instead of 64 floats (64× less memory traffic), which is
-    // what lets a 10⁹-vector index fit in RAM at 100 TB. Candidates
-    // come from the same multi-probe LSH bucket join as s11 (never
-    // all-pairs); codebook joins broadcast (8 rows); the 4 LUT joins
-    // key on (q_id, code) — shuffle-bounded. The 4 sub-distances add
-    // in fixed left-to-right order, so the approximate distance is
-    // bit-identical across engines; top-1 per query by (adist, c_id).
+    // ----- s12: PRODUCT QUANTIZATION + ADC + exact rerank — the
+    // memory-side scale story the other ANN queries don't cover: each
+    // corpus vector is compressed to M=4 sub-space codes (argmin-L2
+    // against a K=64 codebook per 16-dim sub-space; codebooks =
+    // sub-vectors of the 64 lowest-id vectors, the s04 training-free
+    // idiom), and queries score candidates ASYMMETRICALLY —
+    // full-precision query vs a per-query 4×64 distance LUT indexed
+    // by the candidate's CODES. The scoring pass never touches corpus
+    // floats: 4 small ints per vector instead of 64 floats (64× less
+    // memory traffic), which is what lets a 10⁹-vector index fit in
+    // RAM at 100 TB. Candidates come from the same multi-probe LSH
+    // bucket join as s11 (never all-pairs); codebook joins broadcast
+    // (64 rows); the 4 LUT joins key on (q_id, code) —
+    // shuffle-bounded. The 4 sub-distances add in fixed left-to-right
+    // order (bit-identical across engines), the ADC top-`pqShortlist`
+    // (64) rerank exactly at full precision — the standard PQ serving
+    // recipe, lifting default recall@1 0.036 → 0.61 (dashboard) at
+    // |shortlist| full-vector touches per query.
     QueryDef(
       "s12_pq_adc",
       (s, d) => {
         val M = 4
         val sub = VecDim / M // 16
         val e = vecs(s, d).withColumn("bucket", expr(bucketExpr))
-        val cents = e.filter(col("vec_id") < 8)
+        val cents = e.filter(col("vec_id") < 64)
           .select(col("vec_id").as("c"), col("v").as("cv"))
         val corpus = e.filter(col("vec_id") % 2 === 0)
           .select(col("vec_id").as("c_id"), col("v").as("bv"),
@@ -743,17 +758,38 @@ object Similarity {
         }
         val wTop = Window.partitionBy(col("q_id"))
           .orderBy(col("adist"), col("c_id"))
-        scored
+        val shortlist = scored
           .withColumn("adist",
             col("p0") + col("p1") + col("p2") + col("p3"))
           .withColumn("r", row_number().over(wTop))
+          .filter(col("r") <= pqShortlist(s))
+          .select(col("q_id"), col("c_id"))
+        // stage 2: EXACT L2 rerank of the ADC shortlist only — the
+        // standard PQ serving shape (codes rank cheaply, full vectors
+        // are touched for |shortlist| rows per query). ADC alone with
+        // a tiny demo codebook measured recall@1 = 0.036; the rerank
+        // lifts the default into the dashboard's asserted band while
+        // keeping the scan-side cost structure (LUT adds, no full
+        // vectors) intact.
+        val l2 =
+          """aggregate(zip_with(av, bv,
+               (x, y) -> (cast(x as double) - cast(y as double))
+                       * (cast(x as double) - cast(y as double))),
+             cast(0.0 as double), (acc, x) -> acc + x)"""
+        val wF = Window.partitionBy(col("q_id"))
+          .orderBy(col("l2sq"), col("c_id"))
+        shortlist
+          .join(qs.select(col("q_id"), col("av")), "q_id")
+          .join(corpus.select(col("c_id"), col("bv")), "c_id")
+          .withColumn("l2sq", expr(l2))
+          .withColumn("r", row_number().over(wF))
           .filter(col("r") === 1)
-          .select(col("q_id"), col("c_id"), col("adist"))
+          .select(col("q_id"), col("c_id"), col("l2sq"))
           .orderBy(col("q_id"))
       },
       Some(s"""WITH e0 AS ($vecsSql),
         ${bucketedSqlCtes()},
-        cents AS (SELECT vec_id AS c, v AS cv FROM e0 WHERE vec_id < 8),
+        cents AS (SELECT vec_id AS c, v AS cv FROM e0 WHERE vec_id < 64),
         corpus AS (SELECT vec_id AS c_id, v AS bv, bucket FROM e
                    WHERE vec_id % 2 = 0),
         qs AS (SELECT vec_id AS q_id, v AS av, bucket FROM e
@@ -802,10 +838,20 @@ object Similarity {
         scored AS (
           SELECT s.q_id, s.c_id, ((s.p0 + s.p1) + s.p2) + l3.pdist AS adist
           FROM scored2 s
-          JOIN lut l3 ON l3.q_id = s.q_id AND l3.m = 3 AND l3.c = s.code3)
-        SELECT q_id, c_id, adist FROM (
+          JOIN lut l3 ON l3.q_id = s.q_id AND l3.m = 3 AND l3.c = s.code3),
+        short AS (SELECT q_id, c_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+              ORDER BY adist, c_id) AS r FROM scored)
+          WHERE r <= ${PqShortlist}),
+        rer AS (SELECT s.q_id, s.c_id,
+            list_sum(list_transform(list_zip(a.v, b.v),
+              t -> (t[1] - t[2]) * (t[1] - t[2]))) AS l2sq
+          FROM short s
+          JOIN e0 a ON a.vec_id = s.q_id
+          JOIN e0 b ON b.vec_id = s.c_id)
+        SELECT q_id, c_id, l2sq FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
-            ORDER BY adist, c_id) AS r FROM scored)
+            ORDER BY l2sq, c_id) AS r FROM rer)
         WHERE r = 1 ORDER BY q_id""")),
 
     // ----- s08: IVF with a TRAINED coarse quantizer — one Lloyd

@@ -100,12 +100,12 @@ class RecallDashboardSpec extends SparkSpec {
       s14.intersect(s14Exact).size.toDouble /
         math.max(1, s14Exact.size), 0.80)
 
-    // ---- s12 product quantization: ADC top-1 vs exact L2 top-1 over
-    // its query/corpus split (even/odd) — plain-Scala referee. Two
-    // approximations stack (LSH candidate gate + 4x8 codebook) on a
-    // UNIFORM-RANDOM corpus, PQ's worst case (no cluster structure to
-    // exploit): the floor is a multiple over random (1/250 = 0.004),
-    // not an absolute band ----
+    // ---- s12 product quantization: ADC-shortlist + exact-rerank
+    // top-1 vs exact L2 top-1 over its query/corpus split (even/odd)
+    // — plain-Scala referee. Measured 0.61 at the round-8 defaults
+    // (4x64 codebook, pqShortlist 64, exact L2 rerank — up from 0.036
+    // ADC-only); the remaining gap to ~0.70 is the shared LSH
+    // candidate gate, the same cap s02/s09 sit under ----
     val s12 = SparkEntry.queries("s12_pq_adc")(spark, dir)
       .select("q_id", "c_id").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -119,7 +119,7 @@ class RecallDashboardSpec extends SparkSpec {
     }.toMap
     score("s12_pq_adc", "recall@1 (L2)",
       l2Exact.count { case (q, c) => s12.get(q).contains(c) }.toDouble /
-        l2Exact.size, 0.02)
+        l2Exact.size, 0.50)
 
     // ---- minhash tiers vs exact jaccard ----
     // d03: verified LSH candidates — recall of the exact >=0.5 pairs
