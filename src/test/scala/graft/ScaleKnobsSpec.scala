@@ -182,4 +182,44 @@ class ScaleKnobsSpec extends SparkSpec {
     assert(out.toSeq.sorted == brute.sorted)
     assert(out.nonEmpty)
   }
+
+  test("truncShortlist at corpus size: s07's coarse stage can exclude nothing") {
+    // with the shortlist >= the corpus, the truncated coarse pass is
+    // pure ordering — stage 2 reranks EVERY candidate, so the result
+    // must equal the exact full-dimension top-1 (s01's rank-1 rows):
+    // the conf provably drives the funnel width, and the widest
+    // setting collapses the approximation entirely
+    withConf(GraftConf.TruncShortlistKey -> "500") {
+      val exact1 = SparkEntry.queries("s01_cosine_topk")(spark, sf)
+        .filter(col("rank") === 1).select(col("id_a"), col("id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val s07 = SparkEntry.queries("s07_truncated_rerank")(spark, sf)
+        .select(col("id_a"), col("id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(s07 == exact1)
+    }
+  }
+
+  test("pqShortlist=1 degenerates s12 to pure ADC top-1") {
+    // shortlist 1 makes the exact rerank a no-op (one candidate in,
+    // the same one out) — the output must equal the ADC argmin, i.e.
+    // the pre-round-8 behavior is still reachable through the conf
+    val adc = withConfValue(GraftConf.PqShortlistKey -> "1") {
+      SparkEntry.queries("s12_pq_adc")(spark, sf)
+        .select(col("q_id"), col("c_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val reranked = SparkEntry.queries("s12_pq_adc")(spark, sf)
+      .select(col("q_id"), col("c_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(adc.keySet == reranked.keySet) // same query set either way
+    // and the rerank actually changes answers at the default (the
+    // dial is live, not decorative)
+    assert(adc != reranked)
+  }
+
+  private def withConfValue[T](pair: (String, String))(body: => T): T = {
+    try { spark.conf.set(pair._1, pair._2); body }
+    finally spark.conf.unset(pair._1)
+  }
 }
