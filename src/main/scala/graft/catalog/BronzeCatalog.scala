@@ -207,14 +207,29 @@ class BronzeCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = dirOf(ident)
     if (!isTableDir(dir)) throw new NoSuchTableException(ident)
-    val v =
-      try version.toLong
-      catch { case _: NumberFormatException =>
+    // numeric = snapshot version; otherwise a TAG name (Iceberg's
+    // `VERSION AS OF 'ref'`) — "the table exactly as tag X pinned it"
+    val v = version.toLongOption.getOrElse(
+      SnapshotLog.resolveTag(dir.toString, version).getOrElse(
         throw new IllegalArgumentException(
-          s"bronze snapshot versions are numeric; got VERSION AS OF $version")
-      }
+          s"VERSION AS OF $version: not a snapshot number and no such " +
+            s"tag (tags: ${SnapshotLog.listTags(dir.toString).keys.toSeq
+              .sorted.mkString(", ")})")))
     loadSnapshot(ident, Some(SnapshotLog.read(dir.toString, v)))
   }
+
+  /** Create/drop/list snapshot TAGS — named refs vacuum retains
+    * (Iceberg's tag): pin "the exact table version run X consumed". */
+  def tagTable(namespace: Seq[String], name: String, tag: String,
+      version: Long): Unit =
+    SnapshotLog.createTag(tableDir(namespace, name), tag, version)
+
+  def dropTableTag(namespace: Seq[String], name: String,
+      tag: String): Boolean =
+    SnapshotLog.dropTag(tableDir(namespace, name), tag)
+
+  def tableTags(namespace: Seq[String], name: String): Map[String, Long] =
+    SnapshotLog.listTags(tableDir(namespace, name))
 
   /** `TIMESTAMP AS OF` — `timestamp` arrives in MICROSECONDS since
     * the epoch (the V2 contract); resolves to the latest snapshot

@@ -231,6 +231,57 @@ object SnapshotLog {
     }
   }
 
+  // ---- tags: named snapshot refs (Iceberg's TAG) ------------------
+  //
+  // A tag pins a VERSION under a stable name — "the table exactly as
+  // model-X trained on it". Tags are immutable (creation is the same
+  // hard-link CAS as manifests: second create of a name fails), and
+  // VACUUM RETAINS tagged snapshots and their files past the
+  // retainLast horizon — Iceberg's expire_snapshots keeps refs alive,
+  // same contract. `VERSION AS OF 'name'` resolves through the tag.
+
+  private val Tag = """tag-([A-Za-z0-9._-]+)\.json""".r
+
+  /** Atomically create tag `name` → `version`. Fails if the name
+    * exists (tags are immutable; drop first to move one) or the
+    * version doesn't. */
+  def createTag(tableDir: String, name: String, version: Long): Unit = {
+    require(name.matches("[A-Za-z0-9._-]+"),
+      s"tag name must be [A-Za-z0-9._-]+, got '$name'")
+    read(tableDir, version) // throws if the version doesn't exist
+    val d = logDir(tableDir)
+    Files.createDirectories(d)
+    val tmp = d.resolve(s".tag-$name-${java.util.UUID.randomUUID}.tmp")
+    Files.writeString(tmp, version.toString)
+    try Files.createLink(d.resolve(s"tag-$name.json"), tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalArgumentException(
+          s"tag '$name' already exists on $tableDir (tags are " +
+            "immutable; dropTag first to move it)")
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  def dropTag(tableDir: String, name: String): Boolean =
+    Files.deleteIfExists(logDir(tableDir).resolve(s"tag-$name.json"))
+
+  /** (tag name → version), all tags of the table. */
+  def listTags(tableDir: String): Map[String, Long] = {
+    val d = logDir(tableDir)
+    if (!Files.isDirectory(d)) Map.empty
+    else {
+      val s = Files.list(d)
+      try s.iterator.asScala.flatMap(p => p.getFileName.toString match {
+        case Tag(n) => Some(n -> Files.readString(p).trim.toLong)
+        case _ => None
+      }).toMap
+      finally s.close()
+    }
+  }
+
+  def resolveTag(tableDir: String, name: String): Option[Long] =
+    listTags(tableDir).get(name)
+
   /** Whether the dir has a snapshot log (i.e. is past the legacy
     * listing-only mode). */
   def enabled(tableDir: String): Boolean =
@@ -259,7 +310,16 @@ object SnapshotLog {
     require(retainLast >= 1, "must retain at least the current snapshot")
     val all = versions(tableDir)
     if (all.isEmpty) return Seq.empty
-    val (expired, retained) = all.splitAt(math.max(0, all.size - retainLast))
+    // TAGGED versions survive expiry regardless of age (Iceberg's
+    // expire_snapshots keeps refs): the tag listing happens BEFORE
+    // the manifest reads, so a tag created mid-vacuum protects either
+    // fully (seen here) or not at all (its version was already doomed
+    // when the tag landed — the documented race, same as Iceberg's)
+    val tagged = listTags(tableDir).values.toSet
+    val horizon = all.size - retainLast
+    val (expired, retained) = all.zipWithIndex.partition {
+      case (v, i) => i < horizon && !tagged.contains(v)
+    } match { case (e, r) => (e.map(_._1), r.map(_._1)) }
     // List candidates BEFORE reading the retained manifests: a commit
     // racing with the vacuum adds files under fresh names (not in this
     // listing -> untouched) referencing only parent files (in a

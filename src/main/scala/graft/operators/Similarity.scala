@@ -452,7 +452,7 @@ object Similarity {
       "s04_ivf_ann",
       (s, d) => {
         val e = vecs(s, d)
-        val cents = e.filter(col("vec_id") < 64)
+        val cents = e.filter(col("vec_id") < 8)
           .select(col("vec_id").as("cid"), col("v").as("cv"),
             col("nrm").as("cnrm"))
         val affinity = e.crossJoin(broadcast(cents))

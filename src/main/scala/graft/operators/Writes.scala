@@ -746,6 +746,67 @@ object Writes {
               + COALESCE((SELECT SUM(CAST(p AS DECIMAL(18,2)))
                 FROM ins), 0) AS VARCHAR) AS DOUBLE))
         SELECT version, net_rows, net_price
-        FROM stats ORDER BY version"""))
+        FROM stats ORDER BY version""")),
+
+    // ----- w13: SNAPSHOT TAGS — named refs (Iceberg's TAG) for
+    // REPRODUCIBLE TRAINING SNAPSHOTS: tag the exact version a run
+    // consumed ("training-v1" → v1) and that snapshot stays readable
+    // by NAME — through later appends, row-level deletes, AND a
+    // vacuum whose retainLast horizon would have expired it (vacuum
+    // keeps tagged versions and their files, Iceberg's
+    // expire_snapshots ref semantics). The gate reads the tag-pinned
+    // state and the current state after vacuum; the oracle re-derives
+    // both by predicate — so tag resolution, expiry protection, and
+    // the post-vacuum current state all hash-check.
+    QueryDef(
+      "w13_snapshot_tags",
+      (s, d) => {
+        val wh = scratch("w13", d)
+        val cat = "w13cat_" + Integer.toHexString(d.hashCode)
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.BronzeCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+        s.sql(s"DROP TABLE IF EXISTS $cat.db.orders_tag")
+        s.sql(s"""CREATE TABLE $cat.db.orders_tag
+          (o_orderkey BIGINT, o_orderdate DATE, o_totalprice DOUBLE)
+          USING parquet""")
+        val o = new Tables(s, d).orders.select(
+          col("o_orderkey").cast("long"),
+          col("o_orderdate").cast("date"),
+          col("o_totalprice").cast("double"))
+        val bc = s.sessionState.catalogManager.catalog(cat)
+          .asInstanceOf[graft.catalog.BronzeCatalog]
+        o.filter(col("o_orderdate") < lit("1997-01-01"))
+          .writeTo(s"$cat.db.orders_tag").append()
+        bc.tagTable(Seq("db"), "orders_tag", "training-v1", 1L)
+        o.filter(col("o_orderdate") >= lit("1997-01-01"))
+          .writeTo(s"$cat.db.orders_tag").append()
+        s.sql(s"DELETE FROM $cat.db.orders_tag WHERE o_orderkey % 3 = 0")
+        // expire everything the horizon allows — the TAG must keep v1
+        bc.vacuumTable(Seq("db"), "orders_tag", retainLast = 1)
+        def stats(ref: String, df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("n_orders"),
+            Exact.dsum(col("o_totalprice"), 2).as("total_price"))
+            .select(lit(ref).as("ref"), col("n_orders"),
+              col("total_price"))
+        stats("tagged",
+          s.sql(s"SELECT * FROM $cat.db.orders_tag " +
+            "VERSION AS OF 'training-v1'"))
+          .union(stats("current", s.table(s"$cat.db.orders_tag")))
+          .orderBy(col("ref"))
+      },
+      Some(s"""WITH o AS (
+          SELECT o_orderkey AS k, o_totalprice AS p,
+            CAST(o_orderdate AS DATE) AS od
+          FROM orders),
+        stats AS (
+          SELECT 'tagged' AS ref, COUNT(*) AS n_orders,
+            ${Exact.sqlSum("p", 2)} AS total_price
+          FROM o WHERE od < DATE '1997-01-01'
+          UNION ALL
+          SELECT 'current', COUNT(*), ${Exact.sqlSum("p", 2)}
+          FROM o WHERE k % 3 <> 0)
+        SELECT ref, n_orders, total_price
+        FROM stats ORDER BY ref"""))
   )
 }

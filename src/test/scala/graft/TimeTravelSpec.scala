@@ -180,6 +180,43 @@ class TimeTravelSpec extends SparkSpec {
       Seq("id", "batch", "note"))
   }
 
+  test("tags: named refs resolve in VERSION AS OF and survive vacuum") {
+    val dir = mkTable("tags")
+    spark.sql("INSERT INTO bronze.tt.tags SELECT id, 1 FROM range(10)")
+    bronzeCatalog.tagTable(Seq("tt"), "tags", "run-2026w33", 1L)
+    spark.sql("INSERT INTO bronze.tt.tags SELECT id, 2 FROM range(20)")
+    spark.sql("INSERT INTO bronze.tt.tags SELECT id, 3 FROM range(5)")
+    // a tag name resolves through VERSION AS OF
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM bronze.tt.tags VERSION AS OF 'run-2026w33'")
+      .head().getLong(0) == 10)
+    // tags are immutable; unknown names fail with the tag list
+    intercept[IllegalArgumentException] {
+      bronzeCatalog.tagTable(Seq("tt"), "tags", "run-2026w33", 2L)
+    }
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM bronze.tt.tags VERSION AS OF 'nope'")
+        .collect()
+    }
+    assert(e.getMessage.contains("run-2026w33"))
+    // vacuum to 1 snapshot: the TAGGED version (and its files) survive
+    // the expiry horizon; untagged v2 dies
+    bronzeCatalog.vacuumTable(Seq("tt"), "tags", retainLast = 1)
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM bronze.tt.tags VERSION AS OF 'run-2026w33'")
+      .head().getLong(0) == 10)
+    intercept[Exception] {
+      spark.sql("SELECT * FROM bronze.tt.tags VERSION AS OF 2").collect()
+    }
+    // dropping the tag releases it: the next vacuum reaps the version
+    assert(bronzeCatalog.dropTableTag(Seq("tt"), "tags", "run-2026w33"))
+    bronzeCatalog.vacuumTable(Seq("tt"), "tags", retainLast = 1)
+    intercept[Exception] {
+      spark.sql("SELECT * FROM bronze.tt.tags VERSION AS OF 1").collect()
+    }
+    assert(spark.table("bronze.tt.tags").count() == 35)
+  }
+
   test("incremental read returns only appended files; refuses replaces") {
     val dir = mkTable("inc")
     (1 to 3).foreach { b =>
