@@ -231,6 +231,11 @@ class BronzeCatalog extends TableCatalog with SupportsNamespaces {
   def tableTags(namespace: Seq[String], name: String): Map[String, Long] =
     SnapshotLog.listTags(tableDir(namespace, name))
 
+  /** Iceberg's `table$refs` metadata table — (name, version) per tag. */
+  def refsTable(namespace: Seq[String], name: String)
+      : org.apache.spark.sql.DataFrame =
+    BronzeMetaTables.refs(SparkSession.active, tableDir(namespace, name))
+
   /** `TIMESTAMP AS OF` — `timestamp` arrives in MICROSECONDS since
     * the epoch (the V2 contract); resolves to the latest snapshot
     * committed at or before it. */

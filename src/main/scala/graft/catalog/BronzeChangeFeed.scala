@@ -69,9 +69,26 @@ object BronzeChangeFeed {
     * shared by the streaming source (one micro-batch's walk) and the
     * batch changelog scan (Iceberg's `create_changelog_view` shape).
     * See the class doc for the operation → change-type mapping. */
+  private def versionSetOf(dir: String): Set[Long] =
+    SnapshotLog.versions(dir).toSet
+
   private[catalog] def changePartitions(dir: String, from: Long,
       to: Long): Array[InputPartition] = {
     if (from >= to) return Array.empty
+    // Vacuum + tag retention can leave INTERIOR gaps in the version
+    // sequence (a tagged island below the horizon, expired versions
+    // after it). A gap version's changes — and the parent manifest
+    // the NEXT version diffs against — are unrecoverable; refuse with
+    // the retained set instead of a bare missing-manifest error.
+    val have = versionSetOf(dir)
+    ((from + 1) to to).foreach { v =>
+      if (!have.contains(v) || (v - 1 >= 0 && !have.contains(v - 1)))
+        throw new IllegalStateException(
+          s"change feed on $dir: snapshot v$v or its parent was " +
+            "vacuum-expired; changes below the retention horizon are " +
+            "unrecoverable — restart from a retained contiguous " +
+            s"version (retained: ${have.toSeq.sorted.mkString(", ")})")
+    }
     val parts = Seq.newBuilder[InputPartition]
     ((from + 1) to to).foreach { v =>
       val snap = SnapshotLog.read(dir, v)
@@ -139,8 +156,13 @@ private final class BronzeChangeFeedTable(tableName: String, dir: String,
               Option(options.get("startingVersion")) match {
                 case Some("latest") => throw new IllegalArgumentException(
                   "batch change-feed read: startingVersion must be a " +
-                    "version number (or absent = 0), not 'latest'")
-                case Some(v) => v.toLong
+                    "version number or tag name (or absent = full " +
+                    "history), not 'latest'")
+                case Some(v) => v.toLongOption
+                  .orElse(SnapshotLog.resolveTag(dir, v))
+                  .getOrElse(throw new IllegalArgumentException(
+                    s"startingVersion: not a version number and no " +
+                      s"such tag: $v"))
                 case None => -1L // full history incl. v0
               }
             override def planInputPartitions(): Array[InputPartition] = {
@@ -196,12 +218,13 @@ private final class BronzeCdcMicroBatchStream(dir: String,
     startingVersion match {
       case "latest" => CdcVersionOffset(cur)
       case v =>
-        val n =
-          try v.toLong
-          catch { case _: NumberFormatException =>
-            throw new IllegalArgumentException(
-              s"startingVersion must be 'latest' or a version number; got $v")
-          }
+        // number, or a snapshot TAG name — "stream the changes made
+        // SINCE the tagged state" (tag exclusive, like any offset)
+        val n = v.toLongOption
+          .orElse(SnapshotLog.resolveTag(dir, v))
+          .getOrElse(throw new IllegalArgumentException(
+            s"startingVersion must be 'latest', a version number, or " +
+              s"a tag name; got $v"))
         require(n <= cur, s"startingVersion $n is ahead of the table ($cur)")
         CdcVersionOffset(n)
     }

@@ -52,6 +52,15 @@ object BronzeMetaTables {
       .orderBy("version")
   }
 
+  /** (name, version) of every snapshot TAG — Iceberg's `table$refs`
+    * audit surface, completing the metadata-table family
+    * (history / files / refs). */
+  def refs(spark: SparkSession, tableDir: String): DataFrame = {
+    import spark.implicits._
+    SnapshotLog.listTags(tableDir).toSeq.sortBy(_._1)
+      .toDF("name", "version")
+  }
+
   /** (file, n_rows, size_bytes) of the CURRENT snapshot's data files,
     * by name — the small-file/skew audit OPTIMIZE acts on. Files a
     * concurrent vacuum removed mid-walk are skipped (best-effort under

@@ -179,12 +179,13 @@ private final class BronzeMicroBatchStream(dir: String, schema: StructType,
     startingVersion match {
       case "latest" => VersionOffset(cur)
       case v =>
-        val n =
-          try v.toLong
-          catch { case _: NumberFormatException =>
-            throw new IllegalArgumentException(
-              s"startingVersion must be 'latest' or a version number; got $v")
-          }
+        // number, or a snapshot TAG name ("resume the tail from the
+        // version run X pinned")
+        val n = v.toLongOption
+          .orElse(SnapshotLog.resolveTag(dir, v))
+          .getOrElse(throw new IllegalArgumentException(
+            s"startingVersion must be 'latest', a version number, or " +
+              s"a tag name; got $v"))
         require(n <= cur, s"startingVersion $n is ahead of the table ($cur)")
         VersionOffset(n)
     }

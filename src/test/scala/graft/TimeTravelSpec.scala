@@ -199,6 +199,29 @@ class TimeTravelSpec extends SparkSpec {
         .collect()
     }
     assert(e.getMessage.contains("run-2026w33"))
+    // the refs metadata table lists every tag
+    bronzeCatalog.tagTable(Seq("tt"), "tags", "other", 3L)
+    assert(bronzeCatalog.refsTable(Seq("tt"), "tags").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("run-2026w33" -> 1L, "other" -> 3L))
+    bronzeCatalog.dropTableTag(Seq("tt"), "tags", "other")
+    // a tag name works as a STREAM's startingVersion: "the changes
+    // made since the tagged state" (tag exclusive, like any offset)
+    import org.apache.spark.sql.streaming.Trigger
+    def streamFromTag(): Set[Long] = {
+      val acc = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val q = spark.readStream.option("startingVersion", "run-2026w33")
+        .table("bronze.tt.tags.changes")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select("_commit_version").collect()
+            .foreach(r => acc.add(r.getLong(0)))
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      acc.asScala.toSet
+    }
+    assert(streamFromTag() == Set(2L, 3L)) // v1 itself excluded
     // vacuum to 1 snapshot: the TAGGED version (and its files) survive
     // the expiry horizon; untagged v2 dies
     bronzeCatalog.vacuumTable(Seq("tt"), "tags", retainLast = 1)
@@ -208,6 +231,12 @@ class TimeTravelSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql("SELECT * FROM bronze.tt.tags VERSION AS OF 2").collect()
     }
+    // the expired v2 is an interior GAP between the tagged island and
+    // the retained tail: the change feed refuses to cross it with a
+    // clear retention message, not a bare missing-manifest error
+    val gap = intercept[Exception] { streamFromTag() }
+    assert(gap.getMessage.contains("vacuum-expired") ||
+      Option(gap.getCause).exists(_.getMessage.contains("vacuum-expired")))
     // dropping the tag releases it: the next vacuum reaps the version
     assert(bronzeCatalog.dropTableTag(Seq("tt"), "tags", "run-2026w33"))
     bronzeCatalog.vacuumTable(Seq("tt"), "tags", retainLast = 1)
