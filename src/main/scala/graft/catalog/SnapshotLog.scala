@@ -384,6 +384,17 @@ object SnapshotLog {
       toVersion: Long): Seq[String] = {
     require(fromVersion <= toVersion,
       s"fromVersion $fromVersion > toVersion $toVersion")
+    // vacuum + tag retention can expire INTERIOR versions (a tagged
+    // island below the horizon); an expired version's operation kind
+    // is unknown, so crossing the gap could silently re-emit
+    // rewritten rows — refuse with the retained set
+    val have = versions(tableDir).toSet
+    (fromVersion to toVersion).find(v => !have.contains(v)).foreach { v =>
+      throw new IllegalArgumentException(
+        s"incremental read v$fromVersion..v$toVersion: snapshot v$v " +
+          "was vacuum-expired; restart from a retained contiguous " +
+          s"version (retained: ${have.toSeq.sorted.mkString(", ")})")
+    }
     val from = read(tableDir, fromVersion).files.toSet
     ((fromVersion + 1) to toVersion).foreach { v =>
       val op = read(tableDir, v).operation
