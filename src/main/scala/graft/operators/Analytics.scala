@@ -1446,6 +1446,48 @@ object Analytics {
             CAST(CAST(quantile_cont(value, 0.5) AS DECIMAL(18,4)) AS VARCHAR),
             CAST(CAST(quantile_cont(value, 0.9) AS DECIMAL(18,4)) AS VARCHAR)
           FROM events)
-        ORDER BY event_type"""))
+        ORDER BY event_type""")),
+
+    // ----- q79: RECURSIVE CTE — Spark 4's WITH RECURSIVE, the
+    // iterate-to-fixpoint surface (hierarchy rollups, reachability,
+    // bill-of-materials) that previously needed a driver loop (d07's
+    // shape). Walks a deterministic functional graph over the nation
+    // keys (dst = (node*7+3) mod 25) from three seeds, depth-bounded,
+    // then joins the reached nations to their names and customer
+    // counts — recursion composing with ordinary joins/aggregation.
+    // DuckDB runs the IDENTICAL statement: the recursion semantics
+    // themselves are what the hash checks. At scale each iteration is
+    // one self-join shuffle; the depth bound caps the plan exactly
+    // like the driver-loop variant, but planning/execution stay
+    // inside one Catalyst query.
+    QueryDef(
+      "q79_recursive_cte",
+      (s, d) => {
+        val t = new Tables(s, d)
+        t.nation.createOrReplaceTempView("nation")
+        t.customer.createOrReplaceTempView("customer")
+        s.sql("""WITH RECURSIVE walk(seed, node, hops) AS (
+            SELECT CAST(n_nationkey AS INT), CAST(n_nationkey AS INT), 0
+            FROM nation WHERE n_nationkey < 3
+            UNION ALL
+            SELECT seed, CAST((node * 7 + 3) % 25 AS INT), hops + 1
+            FROM walk WHERE hops < 6)
+          SELECT w.seed, w.hops, w.node, n.n_name,
+            (SELECT COUNT(*) FROM customer c
+             WHERE c.c_nationkey = w.node) AS n_customers
+          FROM walk w JOIN nation n ON n.n_nationkey = w.node
+          ORDER BY w.seed, w.hops, w.node""")
+      },
+      Some("""WITH RECURSIVE walk(seed, node, hops) AS (
+          SELECT CAST(n_nationkey AS INT), CAST(n_nationkey AS INT), 0
+          FROM nation WHERE n_nationkey < 3
+          UNION ALL
+          SELECT seed, CAST((node * 7 + 3) % 25 AS INT), hops + 1
+          FROM walk WHERE hops < 6)
+        SELECT w.seed, w.hops, w.node, n.n_name,
+          (SELECT COUNT(*) FROM customer c
+           WHERE c.c_nationkey = w.node) AS n_customers
+        FROM walk w JOIN nation n ON n.n_nationkey = w.node
+        ORDER BY w.seed, w.hops, w.node"""))
   )
 }
