@@ -186,7 +186,7 @@ class BronzeCatalog extends TableCatalog with SupportsNamespaces {
     val dir = dirOf(ident)
     if (!isTableDir(dir) &&
       ident.name == BronzeChangeFeed.NameSuffix &&
-      ident.namespace.length >= 2) {
+      ident.namespace.nonEmpty) {
       val baseDir = dirOf(ident.namespace)
       if (isTableDir(baseDir)) {
         val declared = schemaOf(baseDir,
