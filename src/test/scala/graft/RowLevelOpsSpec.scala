@@ -181,6 +181,33 @@ class RowLevelOpsSpec extends SparkSpec {
       s"VERSION AS OF ${pre.version}").head().getLong(0) == 10)
   }
 
+  test("by-source MERGE rewrites files with zero source matches") {
+    // two appends → two file sets; the source matches ONLY batch-2
+    // keys, but batch-1 rows are NOT MATCHED BY SOURCE and must flag.
+    // If runtime group filtering wrongly narrowed the rewrite to
+    // matched files (the plain-MERGE optimization), batch-1 files
+    // would be skipped and their rows never updated.
+    val dir = mkTable("mrgbsall")
+    spark.sql(
+      "INSERT INTO bronze.rl.mrgbsall SELECT id, 1, id * 1.0 FROM range(4)")
+    spark.sql("INSERT INTO bronze.rl.mrgbsall " +
+      "SELECT id + 100, 2, id * 1.0 FROM range(4)")
+    spark.sql("DROP VIEW IF EXISTS mrgbsall_src")
+    spark.sql("CREATE TEMP VIEW mrgbsall_src AS " +
+      "SELECT id + 100 AS id, 9.0 AS delta FROM range(4)")
+    spark.sql(
+      """MERGE INTO bronze.rl.mrgbsall t USING mrgbsall_src s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET amt = t.amt + s.delta
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET batch = -1""")
+    val t = spark.table("bronze.rl.mrgbsall")
+    // every batch-1 row (files with ZERO source matches) flagged
+    assert(t.filter("batch = -1").count() == 4)
+    assert(t.filter("batch = 1").count() == 0)
+    // matched rows bumped
+    assert(t.filter("id = 102").head().getDouble(2) == 11.0)
+    assert(t.count() == 8)
+  }
+
   test("incremental read refuses to cross an UPDATE snapshot") {
     val dir = mkTable("updinc")
     spark.sql("INSERT INTO bronze.rl.updinc SELECT id, 1, 0.0 FROM range(5)")
