@@ -95,8 +95,20 @@ object GraftConf {
     * organic collisions out of the hot set. */
   val LineDedupDfKey = "spark.graft.lineDedupDf"
 
+  /** Row-level operation isolation: "snapshot" (default — rewrites
+    * validate their inputs still exist, Iceberg's
+    * validateDataFilesExist) or "serializable" (additionally fails a
+    * DELETE/UPDATE/MERGE when files appended after its scan contain
+    * rows its predicate matches — Iceberg's validateAddedDataFiles,
+    * closing the write-skew window at the cost of one predicate scan
+    * over the late-arriving files at commit). */
+  val RowLevelIsolationKey = "spark.graft.rowLevelIsolation"
+
   def int(s: SparkSession, key: String, default: Int): Int =
     s.conf.getOption(key).map(_.trim.toInt).getOrElse(default)
+
+  def string(s: SparkSession, key: String, default: String): String =
+    s.conf.getOption(key).map(_.trim).getOrElse(default)
 }
 
 object Exact {

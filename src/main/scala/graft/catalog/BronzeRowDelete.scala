@@ -106,8 +106,21 @@ object BronzeRowDelete {
     deleteTree(stage)
     // rewrite-validated commit: if a concurrent op already rewrote or
     // removed any affected file, this delete's survivors were computed
-    // from stale bytes — fail loudly instead of duplicating rows
-    SnapshotLog.commitRewrite(dir, "delete", affected.toSet, written)
+    // from stale bytes — fail loudly instead of duplicating rows.
+    // At spark.graft.rowLevelIsolation=serializable, ALSO fail if a
+    // file appended after the scan snapshot contains rows this
+    // predicate matches (the write-skew those rows would dodge).
+    if (graft.GraftConf.string(spark, graft.GraftConf.RowLevelIsolationKey,
+      "snapshot") == "serializable")
+      SnapshotLog.commitRewriteSerializable(dir, "delete", affected.toSet,
+        written, snap.version, lateFiles =>
+          spark.read.schema(schema)
+            .parquet(lateFiles.map(f => s"$dir/$f"): _*)
+            .filter(cond)
+            .select(col("_metadata.file_name")).distinct()
+            .collect().map(_.getString(0)).toSeq.sorted)
+    else
+      SnapshotLog.commitRewrite(dir, "delete", affected.toSet, written)
     affected
   }
 

@@ -59,6 +59,16 @@ final class BronzeRowLevelOperation(dir: String, declared: StructType,
     * scan and commit can never disagree. */
   @volatile private var affected: Seq[String] = _
 
+  /** (scanned snapshot version, static predicate if translatable) —
+    * recorded at scan build for the optional SERIALIZABLE commit
+    * validation (late-append conflict detection). A None predicate
+    * (MERGE — the ON condition references the source, nothing static
+    * reaches pushFilters) validates conservatively: ANY file appended
+    * after the scan conflicts. */
+  @volatile private var scannedVersion: Long = -1L
+  @volatile private var scanPredicate
+    : Option[org.apache.spark.sql.Column] = None
+
   override def command(): RowLevelOperation.Command = cmd
 
   override def description(): String =
@@ -102,6 +112,10 @@ final class BronzeRowLevelOperation(dir: String, declared: StructType,
           throw new UnsupportedOperationException(
             s"row-level operations need a snapshot-logged table: $dir"))
         val conds = captured.map(BronzeRowDelete.translate)
+        scannedVersion = snap.version
+        scanPredicate =
+          if (captured.isEmpty || conds.exists(_.isEmpty)) None
+          else Some(conds.flatten.reduce(_ && _))
         affected =
           if (snap.files.isEmpty) Seq.empty
           else if (captured.isEmpty || conds.exists(_.isEmpty)) snap.files
@@ -164,7 +178,7 @@ final class BronzeRowLevelOperation(dir: String, declared: StructType,
               require(affected != null,
                 "row-level write committed before its scan was planned")
               affected
-            })
+            }, () => (scannedVersion, scanPredicate))
         }
       }
     }
@@ -185,7 +199,9 @@ final class BronzeRowLevelOperation(dir: String, declared: StructType,
 private final class BronzeReplaceGroupsWrite(dir: String,
     schema: StructType, queryId: String, writerConfs: Map[String, String],
     operation: String, stripMarker: Boolean,
-    affected: () => Seq[String]) extends BatchWrite {
+    affected: () => Seq[String],
+    scanInfo: () => (Long, Option[org.apache.spark.sql.Column]))
+    extends BatchWrite {
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
@@ -215,11 +231,31 @@ private final class BronzeReplaceGroupsWrite(dir: String,
     if (gone.isEmpty && added.isEmpty) return
     if (gone.isEmpty)
       SnapshotLog.commit(dir, "append")(parent => parent ++ added)
-    else
+    else {
       // rewrite-validated: the scanned groups must still be live at
       // commit, or this statement's output was computed from bytes a
-      // concurrent commit already replaced
-      SnapshotLog.commitRewrite(dir, operation, gone, added.toIndexedSeq)
+      // concurrent commit already replaced. At
+      // spark.graft.rowLevelIsolation=serializable, late appends are
+      // ALSO validated: files landing after the scan that hold rows
+      // this statement's predicate matches fail the commit (write
+      // skew); MERGE (no static predicate) treats any late append as
+      // a conflict, conservatively.
+      val spark = SparkSession.active
+      if (graft.GraftConf.string(spark,
+        graft.GraftConf.RowLevelIsolationKey, "snapshot") == "serializable") {
+        val (scannedV, pred) = scanInfo()
+        SnapshotLog.commitRewriteSerializable(dir, operation, gone,
+          added.toIndexedSeq, scannedV, lateFiles => pred match {
+            case Some(c) => spark.read.schema(schema)
+              .parquet(lateFiles.map(f => s"$dir/$f"): _*)
+              .filter(c)
+              .select(col("_metadata.file_name")).distinct()
+              .collect().map(_.getString(0)).toSeq.sorted
+            case None => lateFiles
+          })
+      } else
+        SnapshotLog.commitRewrite(dir, operation, gone, added.toIndexedSeq)
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -185,8 +185,10 @@ object SnapshotLog {
     * predicate: here a DELETE racing a concurrent append of
     * predicate-matching rows commits cleanly and leaves the new rows
     * untouched (write skew). That matches Iceberg's
-    * `snapshot` isolation setting; callers needing serializable
-    * semantics must re-scan-and-retry at a quiesced table. */
+    * `snapshot` isolation setting; [[commitRewriteSerializable]] (the
+    * `spark.graft.rowLevelIsolation=serializable` path) adds the
+    * late-append validation for callers who need the stronger
+    * level. */
   def commitRewrite(tableDir: String, operation: String,
       replaced: Set[String], added: Seq[String]): Snapshot =
     commitWith(tableDir, operation) { parent =>
@@ -200,6 +202,46 @@ object SnapshotLog {
           "snapshot and retry")
       (parentFiles -- replaced ++ added, parent.flatMap(_.schemaFile))
     }
+
+  /** [[commitRewrite]] at SERIALIZABLE isolation: additionally
+    * validates that no file APPENDED after the operation's scan
+    * snapshot (`scannedVersion`) conflicts with the operation —
+    * Iceberg's `validateAddedDataFiles`, closing the write-skew
+    * window snapshot isolation leaves open (a DELETE racing an
+    * append of predicate-matching rows). `conflictsWith` receives
+    * the files added since the scan and returns the conflicting
+    * subset (typically: files containing rows matching the
+    * operation's predicate; return everything for conservative
+    * no-predicate semantics). It runs INSIDE the CAS retry loop, so
+    * every retry revalidates against the winning parent. */
+  def commitRewriteSerializable(tableDir: String, operation: String,
+      replaced: Set[String], added: Seq[String], scannedVersion: Long,
+      conflictsWith: Seq[String] => Seq[String]): Snapshot = {
+    val scannedFiles = read(tableDir, scannedVersion).files.toSet
+    commitWith(tableDir, operation) { parent =>
+      val parentFiles = parent.map(_.files.toSet)
+        .getOrElse(listDataFiles(tableDir).toSet)
+      val missing = replaced -- parentFiles
+      if (missing.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"$operation on $tableDir conflicts with a concurrent " +
+            s"commit: ${missing.size} of its input files (e.g. " +
+            s"${missing.head}) were rewritten or removed; recompute " +
+            "against the current snapshot and retry")
+      val addedSinceScan = (parentFiles -- scannedFiles -- added).toSeq.sorted
+      val conflicting =
+        if (addedSinceScan.isEmpty) Seq.empty
+        else conflictsWith(addedSinceScan)
+      if (conflicting.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"$operation on $tableDir (serializable): " +
+            s"${conflicting.size} file(s) appended after the " +
+            s"operation's scan (v$scannedVersion) contain rows the " +
+            s"operation's predicate matches (e.g. ${conflicting.head})" +
+            "; rerun the statement against the current snapshot")
+      (parentFiles -- replaced ++ added, parent.flatMap(_.schemaFile))
+    }
+  }
 
   /** Schema sidecar I/O: sidecars live in the log dir under
     * uuid-unique names, so a racing evolution can never overwrite the

@@ -270,6 +270,64 @@ class RowLevelOpsSpec extends SparkSpec {
       s"lost update: extra$i missing from $cols"))
   }
 
+  test("serializable isolation fails a rewrite racing a matching append") {
+    // the write-skew scenario snapshot isolation admits: an append of
+    // predicate-MATCHING rows lands between a delete's scan and its
+    // commit. At serializable, the commit must detect the late file
+    // and refuse; a NON-matching late append must still commit.
+    val dir = mkTable("ser")
+    spark.sql("INSERT INTO bronze.rl.ser SELECT id, 1, id * 1.0 FROM range(6)")
+    val scanned = SnapshotLog.current(dir).get // the operation's scan
+    val replaced = scanned.files.toSet
+    // "concurrent" append lands AFTER the scan (matching rows: batch=1)
+    spark.sql("INSERT INTO bronze.rl.ser SELECT id + 10, 1, 0.5 FROM range(2)")
+    // stage a (fake) rewritten survivor file like the delete would
+    import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
+    val stage = java.nio.file.Files.createTempDirectory("ser-stage-")
+    spark.range(1).select(col("id"), lit(2).as("batch"),
+      lit(0.0).as("amt")).coalesce(1).write.mode("overwrite")
+      .parquet(stage.toString)
+    val partName = "part-ser-test.parquet"
+    val staged = {
+      val l = java.nio.file.Files.list(stage)
+      try l.iterator().asScala
+        .find(_.getFileName.toString.startsWith("part-")).get
+      finally l.close()
+    }
+    java.nio.file.Files.move(staged,
+      java.nio.file.Paths.get(dir, partName))
+    // matching late rows -> serializable commit refuses
+    val e = intercept[java.util.ConcurrentModificationException] {
+      SnapshotLog.commitRewriteSerializable(dir, "delete", replaced,
+        Seq(partName), scanned.version,
+        late => late) // conservative: everything conflicts
+    }
+    assert(e.getMessage.contains("serializable"))
+    // a check that clears the late files commits fine
+    val snap = SnapshotLog.commitRewriteSerializable(dir, "delete",
+      replaced, Seq(partName), scanned.version, _ => Seq.empty)
+    assert(snap.operation == "delete")
+    assert(snap.files.contains(partName))
+  }
+
+  test("serializable conf: UPDATE commits clean and validates predicates") {
+    val dir = mkTable("serconf")
+    spark.sql(
+      "INSERT INTO bronze.rl.serconf SELECT id, 1, id * 1.0 FROM range(8)")
+    spark.conf.set(GraftConf.RowLevelIsolationKey, "serializable")
+    try {
+      // no concurrent writer: the statement must behave identically
+      spark.sql(
+        "UPDATE bronze.rl.serconf SET amt = amt + 1.0 WHERE id < 3")
+      val t = spark.table("bronze.rl.serconf")
+      assert(t.filter("id < 3 AND amt = id + 1.0").count() == 3)
+      assert(SnapshotLog.current(dir).get.operation == "update")
+      spark.sql("DELETE FROM bronze.rl.serconf WHERE id = 7")
+      assert(spark.table("bronze.rl.serconf").count() == 7)
+    } finally spark.conf.unset(GraftConf.RowLevelIsolationKey)
+  }
+
   test("DELETE with an untranslatable predicate rewrites via the group path") {
     val dir = mkTable("delsub")
     spark.sql("INSERT INTO bronze.rl.delsub SELECT id, 1, id * 1.0 FROM range(10)")
