@@ -1,0 +1,145 @@
+package graft
+
+import scala.util.Random
+
+import graft.catalog.SnapshotLog
+
+/** MODEL-BASED property test of the bronze table's op algebra: a
+  * deterministic random sequence of append / DELETE / UPDATE /
+  * OPTIMIZE / VACUUM / tag steps runs against BOTH the real catalog
+  * table and a trivial in-memory model, and after EVERY step the
+  * table's content, its readable history (`VERSION AS OF` each
+  * retained version), and its tag resolution must match the model.
+  * Interleavings no single-purpose spec enumerates (delete-after-
+  * compaction, vacuum-under-tag, update-after-vacuum, …) all get
+  * exercised; any divergence pinpoints the first bad step. */
+class SnapshotModelSpec extends SparkSpec {
+
+  private lazy val warehouse: String = bronzeWarehouse
+
+  private def bronzeCatalog: graft.catalog.BronzeCatalog = {
+    warehouse
+    spark.sessionState.catalogManager.catalog("bronze")
+      .asInstanceOf[graft.catalog.BronzeCatalog]
+  }
+
+  private case class Model(
+      rows: Map[Long, Double],
+      history: Map[Long, Map[Long, Double]],
+      tags: Map[String, Long],
+      version: Long)
+
+  test("random op sequences: table == model at every step and version") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS bronze.model")
+    val rnd = new Random(20260813L) // deterministic — no wall-clock
+    (1 to 3).foreach { run =>
+      val name = s"m$run"
+      spark.sql(s"DROP TABLE IF EXISTS bronze.model.$name")
+      spark.sql(s"CREATE TABLE bronze.model.$name " +
+        "(id BIGINT, amt DOUBLE) USING parquet")
+      val dir = bronzeCatalog.tableDir(Seq("model"), name)
+      var m = Model(Map.empty, Map(0L -> Map.empty), Map.empty, 0L)
+      var nextId = 0L
+
+      def tableRows(): Map[Long, Double] =
+        spark.table(s"bronze.model.$name").collect()
+          .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+      def versionRows(v: Long): Map[Long, Double] =
+        spark.sql(s"SELECT * FROM bronze.model.$name VERSION AS OF $v")
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+      def check(step: String): Unit = {
+        def ops = SnapshotLog.versions(dir).map(v =>
+          s"v$v=${SnapshotLog.read(dir, v).operation}").mkString(" ")
+        assert(SnapshotLog.current(dir).get.version == m.version,
+          s"run $run after $step: version drift (real " +
+            s"${SnapshotLog.current(dir).get.version}, model ${m.version}; " +
+            s"real ops: $ops)")
+        assert(tableRows() == m.rows, s"run $run after $step: content")
+        // every RETAINED version must read exactly the model's memory
+        // of it (vacuum may have expired others — that's fine)
+        val retained = SnapshotLog.versions(dir).toSet
+        m.history.filter { case (v, _) => retained.contains(v) }
+          .foreach { case (v, want) =>
+            assert(versionRows(v) == want,
+              s"run $run after $step: VERSION AS OF $v")
+          }
+        // tags resolve to their pinned content (vacuum keeps them)
+        m.tags.foreach { case (t, v) =>
+          val got = spark.sql(s"SELECT * FROM bronze.model.$name " +
+            s"VERSION AS OF '$t'").collect()
+            .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+          assert(got == m.history(v),
+            s"run $run after $step: tag $t -> v$v")
+        }
+      }
+
+      (1 to 14).foreach { step =>
+        val op = rnd.nextInt(10)
+        val desc = op match {
+          case 0 | 1 | 2 | 3 => // append (weighted: tables mostly grow)
+            val n = 1 + rnd.nextInt(5)
+            val batch = (0 until n).map { i =>
+              (nextId + i, (nextId + i) * 1.5)
+            }
+            nextId += n
+            spark.sql(s"INSERT INTO bronze.model.$name VALUES " +
+              batch.map { case (id, a) => s"($id, $a)" }.mkString(", "))
+            m = m.copy(rows = m.rows ++ batch, version = m.version + 1)
+            m = m.copy(history = m.history + (m.version -> m.rows))
+            s"append($n)"
+          case 4 | 5 => // keyed DELETE (untranslatable % predicate:
+            // the group path can't prune files, so the statement
+            // rewrites and COMMITS whenever the table has rows at
+            // all — even a zero-match delete; only an empty table
+            // commits nothing)
+            val k = 2 + rnd.nextInt(3); val r = rnd.nextInt(k)
+            val commits = m.rows.nonEmpty
+            spark.sql(s"DELETE FROM bronze.model.$name " +
+              s"WHERE id % $k = $r")
+            if (commits) {
+              m = m.copy(rows = m.rows.filter(_._1 % k != r),
+                version = m.version + 1)
+              m = m.copy(history = m.history + (m.version -> m.rows))
+            }
+            s"delete(%$k==$r)"
+          case 6 | 7 => // keyed UPDATE (same commit contract as DELETE)
+            val k = 2 + rnd.nextInt(3); val r = rnd.nextInt(k)
+            val c = 1 + rnd.nextInt(9)
+            val commits = m.rows.nonEmpty
+            spark.sql(s"UPDATE bronze.model.$name " +
+              s"SET amt = amt + $c.0 WHERE id % $k = $r")
+            if (commits) {
+              m = m.copy(rows = m.rows.map { case (id, a) =>
+                id -> (if (id % k == r) a + c else a) },
+                version = m.version + 1)
+              m = m.copy(history = m.history + (m.version -> m.rows))
+            }
+            s"update(%$k==$r,+$c)"
+          case 8 => // OPTIMIZE: layout-only; commits only if it binned
+            val (compacted, _) =
+              bronzeCatalog.optimizeTable(Seq("model"), name, 1L << 30)
+            if (compacted > 0) {
+              m = m.copy(version = m.version + 1)
+              m = m.copy(history = m.history + (m.version -> m.rows))
+            }
+            s"optimize($compacted)"
+          case 9 => // tag current, sometimes vacuum
+            if (rnd.nextBoolean() && !m.tags.contains(s"t$step")) {
+              bronzeCatalog.tagTable(Seq("model"), name, s"t$step",
+                m.version)
+              m = m.copy(tags = m.tags + (s"t$step" -> m.version))
+              s"tag(t$step)"
+            } else {
+              bronzeCatalog.vacuumTable(Seq("model"), name,
+                retainLast = 2)
+              "vacuum(2)"
+            }
+        }
+        check(desc)
+      }
+    }
+  }
+}
