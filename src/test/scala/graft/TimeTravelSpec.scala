@@ -715,4 +715,49 @@ class TimeTravelSpec extends SparkSpec {
     assert(SnapshotLog.versions(dir).size == 8)
     assert(SnapshotLog.current(dir).get.files.size == 8)
   }
+
+  test("concurrent appenders racing OPTIMIZE: every row exactly once") {
+    // the invariant a 100 TB multi-writer table lives on: whatever
+    // interleaving the scheduler produces, appends that returned
+    // SUCCESS are all present exactly once, and compactions (which
+    // may lose their validation race and throw) never duplicate or
+    // resurrect rows
+    val dir = mkTable("stress")
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val appended = new java.util.concurrent.atomic.AtomicLong(0L)
+    val writers = (0 until 4).map { w =>
+      new Thread(() => {
+        try (0 until 3).foreach { b =>
+          val base = (w * 3 + b) * 10
+          spark.sql(s"INSERT INTO bronze.tt.stress " +
+            s"SELECT id + $base, $w FROM range(10)")
+          appended.addAndGet(10L)
+        } catch { case t: Throwable => errors.add(t) }
+        ()
+      })
+    }
+    val compactor = new Thread(() => {
+      (1 to 4).foreach { _ =>
+        try bronzeCatalog.optimizeTable(Seq("tt"), "stress", 1L << 30)
+        catch {
+          // losing the rewrite-validation race to a concurrent append
+          // is the documented loud-failure path, not an error
+          case _: java.util.ConcurrentModificationException => ()
+          case t: Throwable => errors.add(t)
+        }
+        Thread.sleep(25)
+      }
+    })
+    (writers :+ compactor).foreach(_.start())
+    (writers :+ compactor).foreach(_.join())
+    assert(errors.isEmpty, s"stress threw: ${errors.asScala.toSeq}")
+    val rows = spark.table("bronze.tt.stress").collect()
+      .map(_.getLong(0)).toSeq
+    assert(rows.length == appended.get(), "row count drifted")
+    assert(rows.distinct.length == rows.length, "duplicated rows")
+    // ids form exactly the appended ranges: nothing lost, nothing
+    // resurrected by a compaction that lost its race
+    assert(rows.sorted == (0 until 12).flatMap(g =>
+      (g * 10) until (g * 10 + 10)).map(_.toLong).sorted)
+  }
 }
