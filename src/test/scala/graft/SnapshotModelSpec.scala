@@ -6,12 +6,13 @@ import graft.catalog.SnapshotLog
 
 /** MODEL-BASED property test of the bronze table's op algebra: a
   * deterministic random sequence of append / DELETE / UPDATE /
-  * OPTIMIZE / VACUUM / tag steps runs against BOTH the real catalog
-  * table and a trivial in-memory model, and after EVERY step the
-  * table's content, its readable history (`VERSION AS OF` each
-  * retained version), and its tag resolution must match the model.
-  * Interleavings no single-purpose spec enumerates (delete-after-
-  * compaction, vacuum-under-tag, update-after-vacuum, …) all get
+  * OPTIMIZE / VACUUM / tag / RENAME COLUMN steps runs against BOTH
+  * the real catalog table and a trivial in-memory model, and after
+  * EVERY step the table's content, its readable history (`VERSION AS
+  * OF` each retained version, read with the COLUMN NAME of that
+  * era), and its tag resolution must match the model. Interleavings
+  * no single-purpose spec enumerates (delete-after-compaction,
+  * vacuum-under-tag, update-after-rename-after-vacuum, …) all get
   * exercised; any divergence pinpoints the first bad step. */
 class SnapshotModelSpec extends SparkSpec {
 
@@ -26,8 +27,11 @@ class SnapshotModelSpec extends SparkSpec {
   private case class Model(
       rows: Map[Long, Double],
       history: Map[Long, Map[Long, Double]],
+      colAt: Map[Long, String], // value-column NAME pinned per version
       tags: Map[String, Long],
-      version: Long)
+      version: Long) {
+    def col: String = colAt(version)
+  }
 
   test("random op sequences: table == model at every step and version") {
     warehouse
@@ -39,15 +43,20 @@ class SnapshotModelSpec extends SparkSpec {
       spark.sql(s"CREATE TABLE bronze.model.$name " +
         "(id BIGINT, amt DOUBLE) USING parquet")
       val dir = bronzeCatalog.tableDir(Seq("model"), name)
-      var m = Model(Map.empty, Map(0L -> Map.empty), Map.empty, 0L)
+      var m = Model(Map.empty, Map(0L -> Map.empty),
+        Map(0L -> "amt"), Map.empty, 0L)
       var nextId = 0L
 
       def tableRows(): Map[Long, Double] =
-        spark.table(s"bronze.model.$name").collect()
+        spark.table(s"bronze.model.$name")
+          .selectExpr("id", m.col).collect()
           .map(r => r.getLong(0) -> r.getDouble(1)).toMap
 
       def versionRows(v: Long): Map[Long, Double] =
-        spark.sql(s"SELECT * FROM bronze.model.$name VERSION AS OF $v")
+        // read with the column NAME of that era (schema is pinned
+        // per snapshot; a later rename must not leak backwards)
+        spark.sql(s"SELECT id, ${m.colAt(v)} FROM " +
+          s"bronze.model.$name VERSION AS OF $v")
           .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
 
       def check(step: String): Unit = {
@@ -68,8 +77,8 @@ class SnapshotModelSpec extends SparkSpec {
           }
         // tags resolve to their pinned content (vacuum keeps them)
         m.tags.foreach { case (t, v) =>
-          val got = spark.sql(s"SELECT * FROM bronze.model.$name " +
-            s"VERSION AS OF '$t'").collect()
+          val got = spark.sql(s"SELECT id, ${m.colAt(v)} FROM " +
+            s"bronze.model.$name VERSION AS OF '$t'").collect()
             .map(r => r.getLong(0) -> r.getDouble(1)).toMap
           assert(got == m.history(v),
             s"run $run after $step: tag $t -> v$v")
@@ -77,7 +86,7 @@ class SnapshotModelSpec extends SparkSpec {
       }
 
       (1 to 14).foreach { step =>
-        val op = rnd.nextInt(10)
+        val op = rnd.nextInt(11)
         val desc = op match {
           case 0 | 1 | 2 | 3 => // append (weighted: tables mostly grow)
             val n = 1 + rnd.nextInt(5)
@@ -88,7 +97,8 @@ class SnapshotModelSpec extends SparkSpec {
             spark.sql(s"INSERT INTO bronze.model.$name VALUES " +
               batch.map { case (id, a) => s"($id, $a)" }.mkString(", "))
             m = m.copy(rows = m.rows ++ batch, version = m.version + 1)
-            m = m.copy(history = m.history + (m.version -> m.rows))
+            m = m.copy(history = m.history + (m.version -> m.rows),
+              colAt = m.colAt + (m.version -> m.colAt(m.version - 1)))
             s"append($n)"
           case 4 | 5 => // keyed DELETE (untranslatable % predicate:
             // the group path can't prune files, so the statement
@@ -102,7 +112,8 @@ class SnapshotModelSpec extends SparkSpec {
             if (commits) {
               m = m.copy(rows = m.rows.filter(_._1 % k != r),
                 version = m.version + 1)
-              m = m.copy(history = m.history + (m.version -> m.rows))
+              m = m.copy(history = m.history + (m.version -> m.rows),
+                colAt = m.colAt + (m.version -> m.colAt(m.version - 1)))
             }
             s"delete(%$k==$r)"
           case 6 | 7 => // keyed UPDATE (same commit contract as DELETE)
@@ -110,12 +121,13 @@ class SnapshotModelSpec extends SparkSpec {
             val c = 1 + rnd.nextInt(9)
             val commits = m.rows.nonEmpty
             spark.sql(s"UPDATE bronze.model.$name " +
-              s"SET amt = amt + $c.0 WHERE id % $k = $r")
+              s"SET ${m.col} = ${m.col} + $c.0 WHERE id % $k = $r")
             if (commits) {
               m = m.copy(rows = m.rows.map { case (id, a) =>
                 id -> (if (id % k == r) a + c else a) },
                 version = m.version + 1)
-              m = m.copy(history = m.history + (m.version -> m.rows))
+              m = m.copy(history = m.history + (m.version -> m.rows),
+                colAt = m.colAt + (m.version -> m.colAt(m.version - 1)))
             }
             s"update(%$k==$r,+$c)"
           case 8 => // OPTIMIZE: layout-only; commits only if it binned
@@ -123,9 +135,18 @@ class SnapshotModelSpec extends SparkSpec {
               bronzeCatalog.optimizeTable(Seq("model"), name, 1L << 30)
             if (compacted > 0) {
               m = m.copy(version = m.version + 1)
-              m = m.copy(history = m.history + (m.version -> m.rows))
+              m = m.copy(history = m.history + (m.version -> m.rows),
+                colAt = m.colAt + (m.version -> m.colAt(m.version - 1)))
             }
             s"optimize($compacted)"
+          case 10 => // RENAME the value column (metadata-only alter)
+            val to = if (m.col == "amt") "amount" else "amt"
+            spark.sql(s"ALTER TABLE bronze.model.$name " +
+              s"RENAME COLUMN ${m.col} TO $to")
+            m = m.copy(version = m.version + 1)
+            m = m.copy(history = m.history + (m.version -> m.rows),
+              colAt = m.colAt + (m.version -> to))
+            s"rename(->$to)"
           case 9 => // tag current, sometimes vacuum
             if (rnd.nextBoolean() && !m.tags.contains(s"t$step")) {
               bronzeCatalog.tagTable(Seq("model"), name, s"t$step",
