@@ -231,6 +231,20 @@ class BronzeCatalog extends TableCatalog with SupportsNamespaces {
   def tableTags(namespace: Seq[String], name: String): Map[String, Long] =
     SnapshotLog.listTags(tableDir(namespace, name))
 
+  /** Iceberg's `rollback_to_snapshot`: step the table's CURRENT state
+    * back to `version` via a new history-preserving `rollback`
+    * snapshot (schema pin included — rolling back across an ALTER
+    * restores that era's columns). The bad commits stay auditable in
+    * history until vacuumed. */
+  def rollbackTable(namespace: Seq[String], name: String,
+      version: Long): Unit = {
+    SnapshotLog.rollback(tableDir(namespace, name), version)
+    // the root schema mirror follows the restored pin
+    val dir = Paths.get(tableDir(namespace, name))
+    mirrorSchemaFile(dir, schemaOf(dir,
+      SnapshotLog.current(dir.toString)))
+  }
+
   /** Iceberg's `table$refs` metadata table — (name, version) per tag. */
   def refsTable(namespace: Seq[String], name: String)
       : org.apache.spark.sql.DataFrame =

@@ -106,6 +106,9 @@ object BronzeChangeFeed {
         case "delete" => emit(removed, "delete"); emit(added, "insert")
         case "update" | "merge" =>
           emit(removed, "update_before"); emit(added, "update_after")
+        // a rollback's net effect IS its file diff: rows of the
+        // undone commits retract, restored rows re-insert
+        case "rollback" => emit(removed, "delete"); emit(added, "insert")
         case "replace" | "alter" => () // layout/metadata only: no rows
         case other => throw new IllegalStateException(
           s"change feed on $dir: unknown snapshot operation '$other' " +

@@ -450,10 +450,28 @@ object SnapshotLog {
 
   /** Operations whose snapshot rewrites existing rows under new file
     * names (vs pure appends) — the ones incremental readers must not
-    * silently cross. */
+    * silently cross. A rollback re-exposes previously-removed rows,
+    * which is the same hazard. */
   def rewritesRows(operation: String): Boolean =
     operation == "replace" || operation == "delete" ||
-      operation == "update" || operation == "merge"
+      operation == "update" || operation == "merge" ||
+      operation == "rollback"
+
+  /** ROLLBACK to an earlier snapshot — Iceberg's
+    * `rollback_to_snapshot`: commits a NEW snapshot whose file set
+    * AND schema pin are the target version's, so the bad commits stay
+    * in history (auditable, time-travelable until vacuumed) while the
+    * table's current state steps back — the bad-ingest recovery verb.
+    * The restored files are referenced by the new head, so vacuum
+    * retains them exactly like any live snapshot's. */
+  def rollback(tableDir: String, toVersion: Long): Snapshot = {
+    val target = read(tableDir, toVersion) // throws if expired/absent
+    val cur = currentVersion(tableDir).getOrElse(-1L)
+    require(toVersion < cur,
+      s"rollback target v$toVersion is not before the current v$cur")
+    commitWith(tableDir, "rollback")(_ =>
+      (target.files.toSet, target.schemaFile))
+  }
 
   // ---- manifest rendering / parsing (format owned by this object) --
 

@@ -807,6 +807,77 @@ object Writes {
           SELECT 'current', COUNT(*), ${Exact.sqlSum("p", 2)}
           FROM o WHERE k % 3 <> 0)
         SELECT ref, n_orders, total_price
+        FROM stats ORDER BY ref""")),
+
+    // ----- w14: ROLLBACK — Iceberg's `rollback_to_snapshot`, the
+    // bad-ingest recovery verb: a poisoned append steps back via ONE
+    // history-preserving `rollback` snapshot (the bad version stays
+    // time-travelable for the post-mortem until vacuumed; the
+    // restored files are live via the new head, so vacuum keeps
+    // them), and ingestion continues on the restored state. The gate
+    // reads the pre-rollback "bad" era, the post-rollback current
+    // era, and the net change-feed retraction of the undone commit —
+    // all re-derived by predicate in the oracle.
+    QueryDef(
+      "w14_rollback",
+      (s, d) => {
+        val wh = scratch("w14", d)
+        val cat = "w14cat_" + Integer.toHexString(d.hashCode)
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.BronzeCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+        s.sql(s"DROP TABLE IF EXISTS $cat.db.orders_rb")
+        s.sql(s"""CREATE TABLE $cat.db.orders_rb
+          (o_orderkey BIGINT, o_orderdate DATE, o_totalprice DOUBLE)
+          USING parquet""")
+        val o = new Tables(s, d).orders.select(
+          col("o_orderkey").cast("long"),
+          col("o_orderdate").cast("date"),
+          col("o_totalprice").cast("double"))
+        val bc = s.sessionState.catalogManager.catalog(cat)
+          .asInstanceOf[graft.catalog.BronzeCatalog]
+        o.filter(col("o_orderdate") < lit("1997-01-01"))
+          .writeTo(s"$cat.db.orders_rb").append()           // v1 good
+        o.filter(col("o_orderdate") >= lit("1997-01-01"))
+          .writeTo(s"$cat.db.orders_rb").append()           // v2 "bad"
+        bc.rollbackTable(Seq("db"), "orders_rb", 1L)        // v3
+        o.filter(col("o_orderdate") >= lit("1998-01-01"))
+          .writeTo(s"$cat.db.orders_rb").append()           // v4 redo
+        def stats(ref: String, df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("n_orders"),
+            Exact.dsum(col("o_totalprice"), 2).as("total_price"))
+            .select(lit(ref).as("ref"), col("n_orders"),
+              col("total_price"))
+        val isRetract =
+          col("_change_type").isin("delete", "update_before")
+        val rbNet = s.read.option("startingVersion", "2")
+          .option("endingVersion", "3")
+          .table(s"$cat.db.orders_rb.changes")
+          .agg(count(lit(1)).as("n_orders"),
+            Exact.dsum(when(isRetract, -col("o_totalprice"))
+              .otherwise(col("o_totalprice")), 2).as("total_price"))
+          .select(lit("rollback_net").as("ref"),
+            (-col("n_orders")).as("n_orders"), col("total_price"))
+        stats("bad_era",
+          s.sql(s"SELECT * FROM $cat.db.orders_rb VERSION AS OF 2"))
+          .union(stats("current", s.table(s"$cat.db.orders_rb")))
+          .union(rbNet)
+          .orderBy(col("ref"))
+      },
+      Some(s"""WITH o AS (
+          SELECT o_orderkey AS k, o_totalprice AS p,
+            CAST(o_orderdate AS DATE) AS od
+          FROM orders),
+        stats AS (
+          SELECT 'bad_era' AS ref, COUNT(*) AS n_orders,
+            ${Exact.sqlSum("p", 2)} AS total_price FROM o
+          UNION ALL
+          SELECT 'current', COUNT(*), ${Exact.sqlSum("p", 2)} FROM o
+          WHERE od < DATE '1997-01-01' OR od >= DATE '1998-01-01'
+          UNION ALL
+          SELECT 'rollback_net', 0 - COUNT(*), ${Exact.sqlSum("0 - p", 2)}
+          FROM o WHERE od >= DATE '1997-01-01')
+        SELECT ref, n_orders, total_price
         FROM stats ORDER BY ref"""))
   )
 }

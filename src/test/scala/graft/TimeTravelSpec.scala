@@ -246,6 +246,54 @@ class TimeTravelSpec extends SparkSpec {
     assert(spark.table("bronze.tt.tags").count() == 35)
   }
 
+  test("ROLLBACK steps current back, preserves history, feeds CDC") {
+    val dir = mkTable("rb")
+    spark.sql("INSERT INTO bronze.tt.rb SELECT id, 1 FROM range(10)")
+    spark.sql("INSERT INTO bronze.tt.rb SELECT id + 10, 2 FROM range(5)")
+    // the "bad ingest": roll the table back to v1
+    bronzeCatalog.rollbackTable(Seq("tt"), "rb", 1L)
+    assert(spark.table("bronze.tt.rb").count() == 10)
+    assert(SnapshotLog.current(dir).get.operation == "rollback")
+    // history preserved: the bad v2 is still time-travelable
+    assert(spark.sql("SELECT COUNT(*) FROM bronze.tt.rb VERSION AS OF 2")
+      .head().getLong(0) == 15)
+    // life goes on after the rollback
+    spark.sql("INSERT INTO bronze.tt.rb SELECT id + 20, 3 FROM range(3)")
+    assert(spark.table("bronze.tt.rb").count() == 13)
+    assert(spark.table("bronze.tt.rb")
+      .filter("batch = 2").count() == 0)
+    // incremental reads refuse to cross the rollback (re-exposed rows)
+    intercept[IllegalArgumentException] {
+      SnapshotLog.appendedFilesBetween(dir, 1, 4)
+    }
+    // the change feed nets it exactly: v2's rows retract
+    val rows = spark.read.table("bronze.tt.rb.changes").collect()
+      .map(r => (r.getString(2), r.getLong(3)))
+    val v3net = rows.filter(_._2 == 3L)
+      .map(t => if (t._1 == "insert") 1 else -1).sum
+    assert(v3net == -5, s"rollback net should be -5, got $v3net")
+    // rolling back to a non-past version refuses
+    intercept[IllegalArgumentException] {
+      bronzeCatalog.rollbackTable(Seq("tt"), "rb", 4L)
+    }
+    // vacuum after rollback: restored files are live via the new head
+    bronzeCatalog.vacuumTable(Seq("tt"), "rb", retainLast = 2)
+    assert(spark.table("bronze.tt.rb").count() == 13)
+  }
+
+  test("ROLLBACK across an ALTER restores that era's schema") {
+    val dir = mkTable("rbalter")
+    spark.sql("INSERT INTO bronze.tt.rbalter SELECT id, 1 FROM range(4)")
+    spark.sql("ALTER TABLE bronze.tt.rbalter ADD COLUMN note STRING")
+    spark.sql(
+      "INSERT INTO bronze.tt.rbalter SELECT id, 2, 'x' FROM range(2)")
+    bronzeCatalog.rollbackTable(Seq("tt"), "rbalter", 1L)
+    // pre-ALTER era restored: no `note` column, 4 rows
+    val t = spark.table("bronze.tt.rbalter")
+    assert(t.columns.toSeq == Seq("id", "batch"))
+    assert(t.count() == 4)
+  }
+
   test("incremental read returns only appended files; refuses replaces") {
     val dir = mkTable("inc")
     (1 to 3).foreach { b =>
