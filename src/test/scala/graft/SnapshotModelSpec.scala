@@ -86,7 +86,7 @@ class SnapshotModelSpec extends SparkSpec {
       }
 
       (1 to 14).foreach { step =>
-        val op = rnd.nextInt(11)
+        val op = rnd.nextInt(12)
         val desc = op match {
           case 0 | 1 | 2 | 3 => // append (weighted: tables mostly grow)
             val n = 1 + rnd.nextInt(5)
@@ -147,6 +147,20 @@ class SnapshotModelSpec extends SparkSpec {
             m = m.copy(history = m.history + (m.version -> m.rows),
               colAt = m.colAt + (m.version -> to))
             s"rename(->$to)"
+          case 11 => // ROLLBACK to a random retained earlier version
+            val retained = SnapshotLog.versions(dir).toSet
+            val candidates = m.history.keys
+              .filter(v => v < m.version && retained.contains(v))
+              .toSeq.sorted
+            if (candidates.isEmpty) "rollback(skip)"
+            else {
+              val v = candidates(rnd.nextInt(candidates.size))
+              bronzeCatalog.rollbackTable(Seq("model"), name, v)
+              m = m.copy(rows = m.history(v), version = m.version + 1)
+              m = m.copy(history = m.history + (m.version -> m.rows),
+                colAt = m.colAt + (m.version -> m.colAt(v)))
+              s"rollback(v$v)"
+            }
           case 9 => // tag current, sometimes vacuum
             if (rnd.nextBoolean() && !m.tags.contains(s"t$step")) {
               bronzeCatalog.tagTable(Seq("model"), name, s"t$step",
