@@ -118,7 +118,14 @@ object Bench {
     // machine-parseable regardless of how sbt decorates the streams
     println(json)
     System.err.println(json)
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    // a LOADED-host run must not clobber the committed quiet-host pin:
+    // divert its file artifact to a `.loaded` side file (stdout JSON —
+    // the driver contract — is unchanged), so the working tree keeps
+    // the newest LOW-LOAD run and a driver run on a busy host can't
+    // regress it
+    val outDefault = if (hostLoaded) "bench_out.loaded.json"
+      else "bench_out.json"
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", outDefault)
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes("UTF-8"))
     // shut down cleanly BEFORE the final stdout line: the state-store

@@ -290,6 +290,11 @@ object SnapshotLog {
   def createTag(tableDir: String, name: String, version: Long): Unit = {
     require(name.matches("[A-Za-z0-9._-]+"),
       s"tag name must be [A-Za-z0-9._-]+, got '$name'")
+    // `VERSION AS OF x` tries snapshot numbers FIRST, so a pure-numeric
+    // tag could never be resolved — refuse at creation, not lookup
+    require(name.toLongOption.isEmpty,
+      s"tag name must not be purely numeric ('$name' would be shadowed " +
+        "by snapshot-version resolution in VERSION AS OF)")
     read(tableDir, version) // throws if the version doesn't exist
     val d = logDir(tableDir)
     Files.createDirectories(d)
@@ -546,20 +551,23 @@ object SnapshotLog {
     // a bin crossing a RENAME boundary holds files whose footers
     // still use the old name, and only id-based resolution reads
     // them correctly. Spark's parquet reader takes that switch from
-    // the SESSION conf, so flip it for the duration of the rewrite
-    // and restore — optimize is a driver-side maintenance call, not
-    // a concurrent query path.
-    val fidKey = "spark.sql.parquet.fieldId.read.enabled"
-    val fidPrev = spark.conf.getOption(fidKey)
+    // the SESSION conf — mutating the caller's session would leak the
+    // flip to concurrent queries (and two concurrent optimizes could
+    // clobber each other's restore), so the rewrite runs in a CLONED
+    // session: own SQLConf, shared SparkContext, nothing to restore.
     val needIds = pinnedSchema.exists(_.fields.exists(
       _.metadata.contains("parquet.field.id")))
-    if (needIds) spark.conf.set(fidKey, "true")
+    val rw = if (!needIds) spark else {
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+      s2
+    }
     val id = java.util.UUID.randomUUID().toString.substring(0, 8)
-    val written = try toCompact.zipWithIndex.map { case (group, i) =>
+    val written = toCompact.zipWithIndex.map { case (group, i) =>
       val dest = s"part-opt-$id-g$i.parquet"
       val stage = Paths.get(tableDir, s".opt-$id-g$i")
       val reader = pinnedSchema.fold(
-        spark.read.option("mergeSchema", "true"))(spark.read.schema)
+        rw.read.option("mergeSchema", "true"))(rw.read.schema)
       reader.parquet(group.map(f => s"$tableDir/$f"): _*)
         .coalesce(1).write.parquet(stage.toString)
       val partFile = {
@@ -576,9 +584,6 @@ object SnapshotLog {
         .forEach(p => Files.deleteIfExists(p))
       finally walk.close()
       dest
-    } finally if (needIds) fidPrev match {
-      case Some(v) => spark.conf.set(fidKey, v)
-      case None => spark.conf.unset(fidKey)
     }
     val replaced = toCompact.flatten.toSet
     // rewrite-validated: a row-level op racing this compaction on the

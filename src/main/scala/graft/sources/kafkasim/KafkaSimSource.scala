@@ -66,7 +66,19 @@ object KafkaSimSource {
       require(e.getValue.isArray,
         s"assign: expected an array of partition ids for topic " +
           s"${e.getKey}, got ${e.getValue}")
-      e.getKey -> e.getValue.elements().asScala.map(_.asInt()).toSeq
+      val ids = e.getValue.elements().asScala.map { el =>
+        // Jackson's asInt() coerces non-numeric nodes to 0, which
+        // usually names a REAL partition — a typo would silently read
+        // partition 0 instead of failing the plan
+        require(el.isInt,
+          s"assign: partition ids for topic ${e.getKey} must be " +
+            s"integers, got $el")
+        el.asInt()
+      }.toSeq
+      require(ids.distinct.size == ids.size,
+        s"assign: duplicate partition ids for topic ${e.getKey}: " +
+          ids.mkString("[", ",", "]") + " (a duplicate would double-read)")
+      e.getKey -> ids
     }.toMap
   }
 
