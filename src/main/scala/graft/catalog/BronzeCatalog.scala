@@ -280,8 +280,11 @@ class BronzeCatalog extends TableCatalog with SupportsNamespaces {
     }
     // V2 file tables only advertise batch read/write; the wrapper adds
     // the streaming write (stage-then-rename, epoch-idempotent) so the
-    // reference's `writeStream...toTable("bronze.db.orders")` works
-    new BronzeWritableTable(parquet, dir.toString, snap.map(_.files))
+    // reference's `writeStream...toTable("bronze.db.orders")` works —
+    // and the snapshot's manifest entries ride along so pushed filters
+    // can stats-prune the file list at scan planning
+    new BronzeWritableTable(parquet, dir.toString, snap.map(_.files),
+      snap.map(_.entries).getOrElse(Seq.empty))
   }
 
   /** Iceberg `rewrite_data_files` (OPTIMIZE): compact this table's

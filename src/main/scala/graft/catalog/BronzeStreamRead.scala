@@ -41,14 +41,17 @@ object BronzeStreamRead {
     * per-file scan for metadata-column reads. */
   def scanBuilder(delegate: ScanBuilder, dir: String, schema: StructType,
       options: CaseInsensitiveStringMap,
-      mkMetadataScan: StructType => Scan = null): ScanBuilder =
+      mkMetadataScan: StructType => Scan = null,
+      filePruner: Seq[org.apache.spark.sql.sources.Filter] =>
+        Option[(ScanBuilder, String)] = null): ScanBuilder =
     new org.apache.spark.sql.graftshim.SnapshotScanBuilder(
       delegate,
       s"bronze snapshot scan $dir (streaming: version-per-batch)",
       () => new BronzeMicroBatchStream(dir, schema,
         Option(options.get("startingVersion")).getOrElse("latest"),
         Option(options.get("maxVersionsPerTrigger")).map(_.toLong)),
-      mkMetadataScan)
+      mkMetadataScan,
+      filePruner)
 }
 
 /** Batch scan that serves projections referencing the `_file`

@@ -42,7 +42,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * checkpoint rewrites.
   */
 final class BronzeWritableTable(delegate: Table, dir: String,
-    snapshotFiles: Option[Seq[String]] = None)
+    snapshotFiles: Option[Seq[String]] = None,
+    snapshotEntries: Seq[SnapshotLog.FileEntry] = Seq.empty)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
@@ -98,7 +99,27 @@ final class BronzeWritableTable(delegate: Table, dir: String,
     caps
   }
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // manifest-stats file skipping: when the pinned snapshot carries
+    // per-file stats, pushed filters can REBUILD the delegate over the
+    // surviving file list before Spark ever plans the scan — dropped
+    // files are never opened, never scheduled (BronzePruning)
+    val pruner: Seq[org.apache.spark.sql.sources.Filter] =>
+        Option[(ScanBuilder, String)] =
+      if (snapshotEntries.forall(e => e.stats.isEmpty && e.parts.isEmpty))
+        null
+      else filters => {
+        val keep = BronzePruning.survivors(snapshotEntries,
+          delegate.schema(), filters)
+        if (keep.size == snapshotEntries.size) None
+        else {
+          val pruned = shim.parquetTableFiles(
+            org.apache.spark.sql.SparkSession.active, delegate.name(),
+            keep.map(e => s"$dir/${e.name}"), delegate.schema())
+          Some((pruned.asInstanceOf[SupportsRead].newScanBuilder(options),
+            s" [stats-pruned ${keep.size}/${snapshotEntries.size} files]"))
+        }
+      }
     BronzeStreamRead.scanBuilder(
       delegate.asInstanceOf[SupportsRead].newScanBuilder(options),
       dir, delegate.schema(), options,
@@ -106,7 +127,9 @@ final class BronzeWritableTable(delegate: Table, dir: String,
       // a scan that needs the column diverts to the per-file reader
       // over this load's pinned snapshot
       required => BronzeMetadataFileScan.scan(dir, pinnedFiles,
-        delegate.schema(), required))
+        delegate.schema(), required),
+      pruner)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {

@@ -38,18 +38,82 @@ object SnapshotLog {
   private val LogDir = "_graft_snapshots"
   private val V = """v(\d+)\.json""".r
 
+  /** Per-column min/max/null-count statistics of ONE data file,
+    * scraped from its parquet footer at commit time (metadata only,
+    * no data pages) — the file-skipping input scan planning evaluates
+    * predicates against, Iceberg's manifest `lower_bounds` /
+    * `upper_bounds` / `null_value_counts`. Values are rendered in a
+    * typed canonical string domain (`typ` ∈ l=long d=double s=string):
+    * ints/dates(days)/timestamps(micros) land in `l`, float/double in
+    * `d`, utf8 ≤ 128 chars in `s`; anything else (decimal, bool,
+    * nano-timestamps, long strings) carries NO bounds — absent stats
+    * always mean "cannot prune", never "no rows". `fieldId` is the
+    * parquet field id when the file carries one, so bounds survive
+    * RENAME COLUMN (resolution by id, like the data itself). */
+  final case class ColStats(
+      typ: String,
+      min: Option[String],
+      max: Option[String],
+      nulls: Option[Long],
+      fieldId: Option[Long])
+
+  /** One data file in a manifest segment: name, footer row count and
+    * size, the file's PARTITION-TRANSFORM tuple when the writer
+    * recorded one (values as canonical strings keyed by transform
+    * name), and per-top-level-column [[ColStats]] keyed by the
+    * column's lower-cased name AT WRITE TIME (id-based lookup handles
+    * later renames). All metadata fields are optional: an entry with
+    * nothing but a name (legacy manifests, unreadable footers) is
+    * still a perfectly valid — just never-skippable — file. */
+  final case class FileEntry(
+      name: String,
+      rows: Option[Long] = None,
+      bytes: Option[Long] = None,
+      parts: Map[String, String] = Map.empty,
+      stats: Map[String, ColStats] = Map.empty)
+
+  /** One manifest segment file (`m-<uuid>.json` in the log dir): an
+    * immutable list of file entries SHARED across snapshots — a
+    * commit reuses every parent segment whose files all survive and
+    * writes one new segment for the delta (Iceberg's manifest-list
+    * shape), so commit WRITE cost is O(delta), not O(table). */
+  final case class ManifestSegment(name: String, entries: Seq[FileEntry])
+
   /** `schemaFile`: the name (inside the log dir) of the schema sidecar
     * PINNED at this snapshot — Iceberg's schema-id-per-snapshot, so
     * `VERSION AS OF` a pre-evolution version reads with the schema of
     * that time (old column names, no later columns). Absent on
     * manifests from before schema pinning: readers fall back to the
-    * table's current declared schema. */
+    * table's current declared schema.
+    *
+    * `segments`: the resolved manifest segments (empty on legacy
+    * inline-`files` manifests). `files` is ALWAYS the complete sorted
+    * visible file-name set, whichever format the manifest used. */
   final case class Snapshot(
       version: Long,
       timestampMicros: Long,
       operation: String,
       files: Seq[String],
-      schemaFile: Option[String] = None)
+      schemaFile: Option[String] = None,
+      segments: Seq[ManifestSegment] = Seq.empty) {
+
+    /** File entries with whatever metadata the manifest carries;
+      * name-only entries for legacy inline manifests. */
+    def entries: Seq[FileEntry] =
+      if (segments.isEmpty) files.map(FileEntry(_))
+      else segments.flatMap(_.entries)
+
+    def entriesByName: Map[String, FileEntry] =
+      entries.map(e => e.name -> e).toMap
+  }
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Segments per snapshot before the commit path consolidates: above
+    * this, the smallest half merge into one (size-tiered, LSM-style) —
+    * each entry is rewritten O(log table) times over the table's life,
+    * never O(commits). */
+  private val MaxSegments = 64
 
   private def logDir(tableDir: String): Path = Paths.get(tableDir, LogDir)
 
@@ -88,7 +152,7 @@ object SnapshotLog {
       throw new IllegalArgumentException(
         s"table at $tableDir has no snapshot version $version " +
           s"(available: ${versions(tableDir).mkString(", ")})")
-    parse(Files.readString(p))
+    parse(tableDir, Files.readString(p))
   }
 
   def current(tableDir: String): Option[Snapshot] =
@@ -111,9 +175,10 @@ object SnapshotLog {
     * files themselves must already be in place). Retries on a lost
     * race, recomputing against the winner's snapshot. Returns the
     * committed snapshot. */
-  def commit(tableDir: String, operation: String)(
+  def commit(tableDir: String, operation: String,
+      addedParts: Map[String, Map[String, String]] = Map.empty)(
       change: Set[String] => Set[String]): Snapshot =
-    commitWith(tableDir, operation)(parent =>
+    commitWith(tableDir, operation, addedParts)(parent =>
       // schema carries over from the parent: a data commit never
       // changes the schema pin
       (change(parent.map(_.files.toSet)
@@ -123,11 +188,28 @@ object SnapshotLog {
   /** [[commit]]'s general form: `change` maps the parent snapshot
     * (None for a legacy dir's first commit) to the new file set AND
     * the new schema-sidecar name — the hook schema evolution uses to
-    * serialize its read-modify-write through the same CAS. */
-  def commitWith(tableDir: String, operation: String)(
+    * serialize its read-modify-write through the same CAS.
+    *
+    * `addedParts`: partition-transform values per ADDED file name
+    * (recorded into its manifest entry — the fanout writer's hook).
+    * `entryHints`: pre-resolved entries for added files whose metadata
+    * is already known (rollback restoring a prior snapshot's entries);
+    * files in neither map get their entry scraped from the parquet
+    * footer — an O(|added|) metadata read, never data pages.
+    *
+    * Manifest segments: every parent segment whose files ALL survive
+    * is reused by reference; survivors of partially-removed segments
+    * plus added files land in ONE new segment. Above [[MaxSegments]]
+    * the smallest half merges (size-tiered) — commit manifest WRITES
+    * stay O(delta) amortized at millions of files. */
+  def commitWith(tableDir: String, operation: String,
+      addedParts: Map[String, Map[String, String]] = Map.empty,
+      entryHints: Map[String, FileEntry] = Map.empty)(
       change: Option[Snapshot] => (Set[String], Option[String])): Snapshot = {
     val d = logDir(tableDir)
     Files.createDirectories(d)
+    // footer scrapes survive CAS retries (file bytes are immutable)
+    val scrapeCache = scala.collection.mutable.Map.empty[String, FileEntry]
     var attempt = 0
     while (true) {
       // ONE read of the parent snapshot: version and file set must
@@ -148,7 +230,26 @@ object SnapshotLog {
       // across versions (Iceberg's snapshot log is monotonic too)
       val now = math.max(System.currentTimeMillis() * 1000L,
         parent.map(_.timestampMicros).getOrElse(Long.MinValue))
-      val snap = Snapshot(next, now, operation, files, schemaFile)
+      val parentEntries = parent.map(_.entriesByName)
+        .getOrElse(Map.empty[String, FileEntry])
+      def entryFor(name: String): FileEntry =
+        parentEntries.getOrElse(name,
+          entryHints.getOrElse(name,
+            scrapeCache.getOrElseUpdate(name, scrapeEntry(tableDir, name,
+              addedParts.getOrElse(name, Map.empty)))))
+      val kept = parent.map(_.segments).getOrElse(Seq.empty)
+        .filter(_.entries.forall(e => fileSet.contains(e.name)))
+      val keptNames = kept.flatMap(_.entries.map(_.name)).toSet
+      val leftover = (fileSet -- keptNames).toSeq.sorted.map(entryFor)
+      var segs = kept ++
+        (if (leftover.nonEmpty) Seq(writeSegment(tableDir, leftover))
+         else Seq.empty)
+      if (segs.size > MaxSegments) {
+        val sorted = segs.sortBy(_.entries.size)
+        val (small, big) = sorted.splitAt(segs.size / 2)
+        segs = big :+ writeSegment(tableDir, small.flatMap(_.entries))
+      }
+      val snap = Snapshot(next, now, operation, files, schemaFile, segs)
       val tmp = d.resolve(s".v$next-${java.util.UUID.randomUUID}.tmp")
       Files.writeString(tmp, render(snap))
       try {
@@ -190,8 +291,9 @@ object SnapshotLog {
     * late-append validation for callers who need the stronger
     * level. */
   def commitRewrite(tableDir: String, operation: String,
-      replaced: Set[String], added: Seq[String]): Snapshot =
-    commitWith(tableDir, operation) { parent =>
+      replaced: Set[String], added: Seq[String],
+      addedParts: Map[String, Map[String, String]] = Map.empty): Snapshot =
+    commitWith(tableDir, operation, addedParts) { parent =>
       val parentFiles = parent.map(_.files.toSet)
         .getOrElse(listDataFiles(tableDir).toSet)
       val missing = replaced -- parentFiles
@@ -216,9 +318,10 @@ object SnapshotLog {
     * every retry revalidates against the winning parent. */
   def commitRewriteSerializable(tableDir: String, operation: String,
       replaced: Set[String], added: Seq[String], scannedVersion: Long,
-      conflictsWith: Seq[String] => Seq[String]): Snapshot = {
+      conflictsWith: Seq[String] => Seq[String],
+      addedParts: Map[String, Map[String, String]] = Map.empty): Snapshot = {
     val scannedFiles = read(tableDir, scannedVersion).files.toSet
-    commitWith(tableDir, operation) { parent =>
+    commitWith(tableDir, operation, addedParts) { parent =>
       val parentFiles = parent.map(_.files.toSet)
         .getOrElse(listDataFiles(tableDir).toSet)
       val missing = replaced -- parentFiles
@@ -372,16 +475,19 @@ object SnapshotLog {
     // listing -> untouched) referencing only parent files (in a
     // retained manifest -> kept).
     val candidates = listDataFiles(tableDir)
-    // schema-sidecar candidates under the same discipline
+    // schema-sidecar and manifest-segment candidates under the same
+    // discipline (list BEFORE reading retained manifests)
     val d = logDir(tableDir)
-    val sidecarCandidates =
+    def logFiles(prefix: String): Seq[String] =
       if (!Files.isDirectory(d)) Seq.empty[String]
       else {
         val s = Files.list(d)
         try s.iterator.asScala.map(_.getFileName.toString)
-          .filter(_.startsWith("schema-")).toSeq
+          .filter(_.startsWith(prefix)).toSeq
         finally s.close()
       }
+    val sidecarCandidates = logFiles("schema-")
+    val segmentCandidates = logFiles("m-")
     val expiredSnaps = expired.map(read(tableDir, _))
     val retainedSnaps = retained.map(read(tableDir, _))
     val referenced = retainedSnaps.flatMap(_.files).toSet
@@ -415,6 +521,15 @@ object SnapshotLog {
     val expiredSchemas = expiredSnaps.flatMap(_.schemaFile).toSet
     sidecarCandidates.filterNot(keptSchemas.contains)
       .filter(f => expiredSchemas.contains(f) || oldEnough(d.resolve(f)))
+      .foreach(f => Files.deleteIfExists(d.resolve(f)))
+    // manifest segments: shared across snapshots, so delete only when
+    // referenced by NO retained manifest — expired-only references go
+    // now, unreferenced orphans (CAS-race losers, in-flight commits)
+    // age-guard exactly like data files and sidecars
+    val keptSegs = retainedSnaps.flatMap(_.segments.map(_.name)).toSet
+    val expiredSegs = expiredSnaps.flatMap(_.segments.map(_.name)).toSet
+    segmentCandidates.filterNot(keptSegs.contains)
+      .filter(f => expiredSegs.contains(f) || oldEnough(d.resolve(f)))
       .foreach(f => Files.deleteIfExists(d.resolve(f)))
     doomed
   }
@@ -474,19 +589,35 @@ object SnapshotLog {
     val cur = currentVersion(tableDir).getOrElse(-1L)
     require(toVersion < cur,
       s"rollback target v$toVersion is not before the current v$cur")
-    commitWith(tableDir, "rollback")(_ =>
+    // the target's entries ride along as hints: restored files keep
+    // their original stats/partition metadata without a re-scrape
+    commitWith(tableDir, "rollback", entryHints = target.entriesByName)(_ =>
       (target.files.toSet, target.schemaFile))
   }
 
   // ---- manifest rendering / parsing (format owned by this object) --
+  //
+  // Two snapshot-manifest formats coexist:
+  //   v1 (legacy): {"version":N,...,"files":["a.parquet",...]} — the
+  //     COMPLETE file list inline. Still parsed forever; still written
+  //     when a commit carries no entry metadata at all.
+  //   v2: {"version":N,...,"manifests":["m-<uuid>.json",...]} — the
+  //     file list lives in SHARED segment files holding per-file
+  //     stats; unchanged segments are reused across snapshots, so at
+  //     millions of files a commit writes O(delta) manifest bytes,
+  //     not O(table) (the Iceberg manifest-list shape).
 
   private def render(s: Snapshot): String =
     s"""{"version":${s.version},"timestampMicros":${s.timestampMicros},""" +
       s""""operation":"${s.operation}",""" +
       s.schemaFile.map(f => s""""schemaFile":"$f",""").getOrElse("") +
-      s""""files":[${s.files.map("\"" + _ + "\"").mkString(",")}]}"""
+      (if (s.segments.nonEmpty)
+        s""""manifests":[${s.segments.map("\"" + _.name + "\"")
+          .mkString(",")}]}"""
+      else
+        s""""files":[${s.files.map("\"" + _ + "\"").mkString(",")}]}""")
 
-  private def parse(json: String): Snapshot = {
+  private def parse(tableDir: String, json: String): Snapshot = {
     def long(key: String): Long =
       s""""$key":(\\d+)""".r.findFirstMatchIn(json)
         .getOrElse(throw new IllegalStateException(s"bad manifest: $json"))
@@ -495,12 +626,234 @@ object SnapshotLog {
       .map(_.group(1)).getOrElse("append")
     val schemaFile = """"schemaFile":"([^"]*)"""".r.findFirstMatchIn(json)
       .map(_.group(1))
-    val files = """"files":\[([^\]]*)\]""".r.findFirstMatchIn(json)
-      .map(_.group(1)).getOrElse("")
-    val names =
-      if (files.isEmpty) Seq.empty[String]
-      else files.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
-    Snapshot(long("version"), long("timestampMicros"), op, names, schemaFile)
+    val manifests = """"manifests":\[([^\]]*)\]""".r.findFirstMatchIn(json)
+      .map(_.group(1))
+    manifests match {
+      case Some(list) =>
+        val segNames =
+          if (list.isEmpty) Seq.empty[String]
+          else list.split(",").toSeq
+            .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        val segs = segNames.map(readSegment(tableDir, _))
+        Snapshot(long("version"), long("timestampMicros"), op,
+          segs.flatMap(_.entries.map(_.name)).sorted, schemaFile, segs)
+      case None =>
+        val files = """"files":\[([^\]]*)\]""".r.findFirstMatchIn(json)
+          .map(_.group(1)).getOrElse("")
+        val names =
+          if (files.isEmpty) Seq.empty[String]
+          else files.split(",").toSeq
+            .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        Snapshot(long("version"), long("timestampMicros"), op, names,
+          schemaFile)
+    }
+  }
+
+  // ---- manifest segment IO (Jackson: entries carry nested stats) ---
+
+  private def readSegment(tableDir: String, name: String): ManifestSegment = {
+    val root = mapper.readTree(
+      Files.readString(logDir(tableDir).resolve(name)))
+    val entries = root.get("entries").elements.asScala.map { e =>
+      def optLong(k: String): Option[Long] =
+        Option(e.get(k)).map(_.asLong())
+      val parts = Option(e.get("parts")).map { p =>
+        p.properties().asScala.map(kv => kv.getKey -> kv.getValue.asText())
+          .toMap
+      }.getOrElse(Map.empty[String, String])
+      val stats = Option(e.get("stats")).map { s =>
+        s.properties().asScala.map { kv =>
+          val v = kv.getValue
+          kv.getKey -> ColStats(
+            Option(v.get("t")).map(_.asText()).getOrElse(""),
+            Option(v.get("min")).map(_.asText()),
+            Option(v.get("max")).map(_.asText()),
+            Option(v.get("n")).map(_.asLong()),
+            Option(v.get("id")).map(_.asLong()))
+        }.toMap
+      }.getOrElse(Map.empty[String, ColStats])
+      FileEntry(e.get("f").asText(), optLong("rows"), optLong("bytes"),
+        parts, stats)
+    }.toSeq
+    ManifestSegment(name, entries)
+  }
+
+  /** Write `entries` as a fresh uuid-named segment (same discipline as
+    * schema sidecars: unique names, losers of a CAS race are orphans
+    * for vacuum's age guard). Returns the segment. */
+  private def writeSegment(tableDir: String,
+      entries: Seq[FileEntry]): ManifestSegment = {
+    val d = logDir(tableDir)
+    Files.createDirectories(d)
+    val root = mapper.createObjectNode()
+    val arr = root.putArray("entries")
+    entries.sortBy(_.name).foreach { e =>
+      val n = arr.addObject()
+      n.put("f", e.name)
+      e.rows.foreach(n.put("rows", _))
+      e.bytes.foreach(n.put("bytes", _))
+      if (e.parts.nonEmpty) {
+        val p = n.putObject("parts")
+        e.parts.toSeq.sortBy(_._1).foreach { case (k, v) => p.put(k, v) }
+      }
+      if (e.stats.nonEmpty) {
+        val s = n.putObject("stats")
+        e.stats.toSeq.sortBy(_._1).foreach { case (k, cs) =>
+          val c = s.putObject(k)
+          c.put("t", cs.typ)
+          cs.min.foreach(c.put("min", _))
+          cs.max.foreach(c.put("max", _))
+          cs.nulls.foreach(c.put("n", _))
+          cs.fieldId.foreach(c.put("id", _))
+        }
+      }
+    }
+    val name = s"m-${java.util.UUID.randomUUID.toString.substring(0, 13)}.json"
+    Files.writeString(d.resolve(name), mapper.writeValueAsString(root))
+    ManifestSegment(name, entries.sortBy(_.name))
+  }
+
+  // ---- footer-stats scraping (commit-time, added files only) -------
+
+  /** Build a [[FileEntry]] for one data file by reading its parquet
+    * FOOTER (no data pages; O(1) metadata read per ADDED file — the
+    * same cost class as Iceberg writing manifest stats). Files that
+    * are not readable parquet (crash debris a test plants, or a
+    * foreign format) yield a bare name-only entry — never an error,
+    * never a pruning claim. */
+  private[catalog] def scrapeEntry(tableDir: String, name: String,
+      parts: Map[String, String]): FileEntry = {
+    val p = Paths.get(tableDir, name)
+    try {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p.toString),
+        new org.apache.hadoop.conf.Configuration())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val md = r.getFooter
+        val schema = md.getFileMetaData.getSchema
+        val blocks = md.getBlocks.asScala.toSeq
+        val rows = blocks.map(_.getRowCount).sum
+        // merge per-row-group chunk stats per top-level column
+        final case class Acc(var lo: Any, var hi: Any, var nulls: Long,
+          var minmaxOk: Boolean, var nullsOk: Boolean)
+        val accs = scala.collection.mutable.LinkedHashMap[String, Acc]()
+        val typs = scala.collection.mutable.Map[String, String]()
+        val ids = scala.collection.mutable.Map[String, Long]()
+        for (b <- blocks; c <- b.getColumns.asScala) {
+          if (c.getPath.size == 1) {
+            val col = c.getPath.toDotString
+            statDomain(c) match {
+              case None => accs.remove(col); typs.remove(col)
+                typs(col) = "" // poison: mixed/unsupported — no bounds
+              case Some(t) if typs.getOrElse(col, t) != t =>
+                accs.remove(col); typs(col) = ""
+              case Some(t) =>
+                typs(col) = t
+                val acc = accs.getOrElseUpdate(col,
+                  Acc(null, null, 0L, minmaxOk = true, nullsOk = true))
+                val st = c.getStatistics
+                if (st == null) { acc.minmaxOk = false; acc.nullsOk = false }
+                else {
+                  if (st.isNumNullsSet) acc.nulls += st.getNumNulls
+                  else acc.nullsOk = false
+                  if (st.hasNonNullValue) {
+                    val (lo, hi) = statBounds(st, t)
+                    if (lo == null) acc.minmaxOk = false
+                    else {
+                      if (acc.lo == null || cmp(t, lo, acc.lo) < 0)
+                        acc.lo = lo
+                      if (acc.hi == null || cmp(t, hi, acc.hi) > 0)
+                        acc.hi = hi
+                    }
+                  } else if (!(st.isNumNullsSet &&
+                      st.getNumNulls == b.getRowCount)) {
+                    // not provably all-null: values unknown
+                    acc.minmaxOk = false
+                  }
+                }
+            }
+          }
+        }
+        schema.getFields.asScala.foreach { f =>
+          if (f.getId != null) ids(f.getName.toLowerCase) = f.getId.intValue()
+        }
+        val stats = accs.flatMap { case (col, a) =>
+          val t = typs.getOrElse(col, "")
+          if (t.isEmpty || (!a.minmaxOk && !a.nullsOk)) None
+          else Some(col.toLowerCase -> ColStats(t,
+            if (a.minmaxOk && a.lo != null) Some(a.lo.toString) else None,
+            if (a.minmaxOk && a.hi != null) Some(a.hi.toString) else None,
+            if (a.nullsOk) Some(a.nulls) else None,
+            ids.get(col.toLowerCase)))
+        }.toMap
+        FileEntry(name, Some(rows), Some(Files.size(p)), parts, stats)
+      } finally r.close()
+    } catch {
+      case _: Throwable => FileEntry(name, parts = parts)
+    }
+  }
+
+  /** The comparable stat domain of a column chunk: l(ong) for
+    * int32/int64/date/micro-timestamps, d(ouble) for float/double,
+    * s(tring) for utf8 — None for everything else (no pruning). */
+  private def statDomain(
+      c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData)
+      : Option[String] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val pt = c.getPrimitiveType
+    val lt = pt.getLogicalTypeAnnotation
+    pt.getPrimitiveTypeName match {
+      case _ if lt.isInstanceOf[
+        LogicalTypeAnnotation.DecimalLogicalTypeAnnotation] => None
+      case INT32 => Some("l")
+      case INT64 => lt match {
+        case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+          if ts.getUnit !=
+            LogicalTypeAnnotation.TimeUnit.MICROS => None
+        case _ => Some("l")
+      }
+      case FLOAT | DOUBLE => Some("d")
+      case BINARY if lt.isInstanceOf[
+        LogicalTypeAnnotation.StringLogicalTypeAnnotation] => Some("s")
+      case _ => None
+    }
+  }
+
+  /** (min, max) of one chunk's statistics in the given domain; (null,
+    * null) when unusable (e.g. an over-long string — footer bounds may
+    * be truncated by writers, so long strings are never trusted). */
+  private def statBounds(st: org.apache.parquet.column.statistics.Statistics[_],
+      t: String): (Any, Any) = t match {
+    case "l" => (st.genericGetMin, st.genericGetMax) match {
+      case (a: java.lang.Integer, b: java.lang.Integer) =>
+        (a.longValue: java.lang.Long, b.longValue: java.lang.Long)
+      case (a: java.lang.Long, b: java.lang.Long) => (a, b)
+      case _ => (null, null)
+    }
+    case "d" => (st.genericGetMin, st.genericGetMax) match {
+      case (a: java.lang.Float, b: java.lang.Float) =>
+        (a.doubleValue: java.lang.Double, b.doubleValue: java.lang.Double)
+      case (a: java.lang.Double, b: java.lang.Double) => (a, b)
+      case _ => (null, null)
+    }
+    case "s" => (st.genericGetMin, st.genericGetMax) match {
+      case (a: org.apache.parquet.io.api.Binary,
+            b: org.apache.parquet.io.api.Binary) =>
+        val (sa, sb) = (a.toStringUsingUTF8, b.toStringUsingUTF8)
+        if (sa.length <= 128 && sb.length <= 128) (sa, sb) else (null, null)
+      case _ => (null, null)
+    }
+    case _ => (null, null)
+  }
+
+  private def cmp(t: String, a: Any, b: Any): Int = t match {
+    case "l" => java.lang.Long.compare(a.asInstanceOf[Long],
+      b.asInstanceOf[Long])
+    case "d" => java.lang.Double.compare(a.asInstanceOf[Double],
+      b.asInstanceOf[Double])
+    case _ => a.asInstanceOf[String].compareTo(b.asInstanceOf[String])
   }
 
   /** Physically rewrite groups of small files into one file each and
@@ -533,19 +886,28 @@ object SnapshotLog {
           .fromJson(readSchemaSidecar(tableDir, name))
           .asInstanceOf[org.apache.spark.sql.types.StructType]
       }
-    val sizes = snap.files.map(f =>
-      f -> Files.size(Paths.get(tableDir, f)))
-    // greedy first-fit in name order: deterministic, no global sort
-    val bins = Seq.newBuilder[Seq[String]]
-    var bin = Seq.empty[String]; var binBytes = 0L
-    sizes.foreach { case (f, sz) =>
-      if (bin.nonEmpty && binBytes + sz > targetBytes) {
-        bins += bin; bin = Seq.empty; binBytes = 0L
+    // files bin WITHIN their partition tuple (merging across tuples
+    // would orphan the per-file partition values pruning relies on);
+    // unpartitioned entries share the empty tuple — the old behavior
+    val byPart: Seq[(Map[String, String], Seq[FileEntry])] =
+      snap.entries.groupBy(_.parts).toSeq
+        .sortBy(_._1.toSeq.sorted.mkString(","))
+    val toCompactParts = byPart.flatMap { case (parts, entries) =>
+      val sizes = entries.sortBy(_.name).map(e =>
+        e.name -> e.bytes.getOrElse(Files.size(Paths.get(tableDir, e.name))))
+      // greedy first-fit in name order: deterministic, no global sort
+      val bins = Seq.newBuilder[Seq[String]]
+      var bin = Seq.empty[String]; var binBytes = 0L
+      sizes.foreach { case (f, sz) =>
+        if (bin.nonEmpty && binBytes + sz > targetBytes) {
+          bins += bin; bin = Seq.empty; binBytes = 0L
+        }
+        bin :+= f; binBytes += sz
       }
-      bin :+= f; binBytes += sz
+      if (bin.nonEmpty) bins += bin
+      bins.result().filter(_.size >= 2).map(parts -> _)
     }
-    if (bin.nonEmpty) bins += bin
-    val toCompact = bins.result().filter(_.size >= 2)
+    val toCompact = toCompactParts.map(_._2)
     if (toCompact.isEmpty) return (0, 0)
     // Pinned schemas carry parquet FIELD IDS (the RENAME mechanism):
     // a bin crossing a RENAME boundary holds files whose footers
@@ -586,10 +948,13 @@ object SnapshotLog {
       dest
     }
     val replaced = toCompact.flatten.toSet
+    // the compacted file inherits its bin's partition tuple
+    val parts = written.zip(toCompactParts.map(_._1)).filter(_._2.nonEmpty)
+      .toMap
     // rewrite-validated: a row-level op racing this compaction on the
     // same files fails one of the two loudly instead of resurrecting
     // deleted/stale rows through the compacted copy
-    commitRewrite(tableDir, "replace", replaced, written)
+    commitRewrite(tableDir, "replace", replaced, written, parts)
     (replaced.size, written.size)
   }
 }

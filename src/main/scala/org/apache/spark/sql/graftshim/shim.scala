@@ -12,11 +12,13 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   * shim package. `mkStream` builds the stream from the scan options
   * (graft's snapshot-log version stream). */
 final class SnapshotScanBuilder(
-    delegate: org.apache.spark.sql.connector.read.ScanBuilder,
+    delegate0: org.apache.spark.sql.connector.read.ScanBuilder,
     desc: String,
     mkStream: () => org.apache.spark.sql.connector.read.streaming.MicroBatchStream,
     mkMetadataScan: org.apache.spark.sql.types.StructType =>
-      org.apache.spark.sql.connector.read.Scan = null)
+      org.apache.spark.sql.connector.read.Scan = null,
+    filePruner: Seq[org.apache.spark.sql.sources.Filter] =>
+      Option[(org.apache.spark.sql.connector.read.ScanBuilder, String)] = null)
     extends org.apache.spark.sql.connector.read.ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -24,6 +26,14 @@ final class SnapshotScanBuilder(
     with org.apache.spark.sql.connector.read.SupportsPushDownVariantExtractions {
 
   import org.apache.spark.sql.connector.read._
+
+  // the delegate is SWAPPED when manifest-stats file skipping applies:
+  // pushFilters (always the FIRST pushdown Catalyst performs on a V2
+  // relation) may replace it with a builder over the pruned file list,
+  // and every later call (aggregates, column pruning, build) lands on
+  // the pruned builder
+  private var delegate: ScanBuilder = delegate0
+  private var pruneInfo: String = ""
 
   // a projection that references the `_file` metadata column can't be
   // served by the delegate parquet scan — remember the requested
@@ -48,12 +58,25 @@ final class SnapshotScanBuilder(
 
   override def pushFilters(
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
-      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    // manifest-stats file skipping: translate what translates to the
+    // public Filter algebra (the SAME translation Spark applies for V1
+    // pushdown; untranslatable conjuncts just don't prune) and ask the
+    // table to rebuild the delegate over the surviving file list
+    if (filePruner != null && filters.nonEmpty) {
+      val translated = filters.flatMap(f =>
+        org.apache.spark.sql.execution.datasources.DataSourceStrategy
+          .translateFilter(f, supportNestedPredicatePushdown = true))
+      if (translated.nonEmpty) filePruner(translated).foreach {
+        case (pruned, info) => delegate = pruned; pruneInfo = info
+      }
+    }
     delegate match {
       case d: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =>
         d.pushFilters(filters)
       case _ => filters // nothing pushed: all remain post-scan
     }
+  }
 
   override def pushedFilters
       : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
@@ -89,7 +112,7 @@ final class SnapshotScanBuilder(
 
   override def build(): Scan =
     if (metadataSchema != null) mkMetadataScan(metadataSchema)
-    else new SnapshotScan(delegate.build(), desc, mkStream)
+    else new SnapshotScan(delegate.build(), desc + pruneInfo, mkStream)
 }
 
 /** The wrapper Scan: adds the micro-batch stream while FORWARDING the
@@ -106,6 +129,10 @@ private final class SnapshotScan(
     extends org.apache.spark.sql.connector.read.Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  /** The wrapped batch scan (spec/audit hook — [[shim.scanInputFiles]]
+    * unwraps through it to the planned file list). */
+  def delegateScan: org.apache.spark.sql.connector.read.Scan = batch
 
   import org.apache.spark.sql.connector.read._
 
@@ -151,6 +178,18 @@ private final class SnapshotScan(
 object shim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     Dataset.ofRows(spark, plan)
+
+  /** The data files a planned V2 scan will actually read — the audit
+    * hook specs use to PROVE manifest-stats pruning shrank a scan
+    * (unwraps graft's snapshot wrapper; `FileScan` is `private[sql]`,
+    * hence here). None for non-file scans. */
+  def scanInputFiles(scan: org.apache.spark.sql.connector.read.Scan)
+      : Option[Seq[String]] = scan match {
+    case s: SnapshotScan => scanInputFiles(s.delegateScan)
+    case f: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+      Some(f.fileIndex.inputFiles.toSeq)
+    case _ => None
+  }
 
   def analyzedPlan(df: org.apache.spark.sql.DataFrame): LogicalPlan =
     df.queryExecution.analyzed
