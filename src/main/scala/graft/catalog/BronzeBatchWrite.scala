@@ -29,35 +29,35 @@ import org.apache.spark.sql.types.StructType
   * commit to a handful of renames. Abort deletes staged files.
   */
 private final class BronzeBatchWrite(dir: String, schema: StructType,
-    queryId: String, writerConfs: Map[String, String]) extends BatchWrite {
+    queryId: String, writerConfs: Map[String, String],
+    partSpec: Seq[BronzePartitioning.PartField]) extends BatchWrite {
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new BronzeBatchWriterFactory(dir, schema, queryId, writerConfs)
+    new BronzeBatchWriterFactory(dir, schema, queryId, writerConfs,
+      partSpec)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    messages.foreach {
-      case StagedFile(staged, _) if staged.isEmpty => () // empty partition
-      case StagedFile(staged, dest) =>
-        Files.move(Paths.get(staged), Paths.get(dest),
-          StandardCopyOption.REPLACE_EXISTING)
-      case other =>
-        throw new IllegalStateException(s"unexpected commit message: $other")
+    val staged = StagedCommit.files(messages)
+    staged.foreach { f =>
+      Files.move(Paths.get(f.staged), Paths.get(f.dest),
+        StandardCopyOption.REPLACE_EXISTING)
     }
     // one atomic snapshot per batch append — the reference's
     // `append().appendFile(...).commit()` contract: readers see the
-    // whole batch (new manifest) or none of it (old manifest)
-    val added = messages.collect {
-      case StagedFile(staged, dest) if staged.nonEmpty =>
-        Paths.get(dest).getFileName.toString
-    }
-    SnapshotLog.commit(dir, "append")(_ ++ added)
+    // whole batch (new manifest) or none of it (old manifest).
+    // Partition tuples recorded by the fanout writers ride into the
+    // manifest entries for scan-planning pruning.
+    val added = staged.map(f => Paths.get(f.dest).getFileName.toString)
+    val parts = staged.filter(_.parts.nonEmpty)
+      .map(f => Paths.get(f.dest).getFileName.toString -> f.parts).toMap
+    SnapshotLog.commit(dir, "append", parts)(_ ++ added)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     messages.foreach {
-      case StagedFile(staged, _) if staged.nonEmpty =>
-        Files.deleteIfExists(Paths.get(staged))
+      case StagedFiles(fs) =>
+        fs.foreach(f => Files.deleteIfExists(Paths.get(f.staged)))
       case _ => ()
     }
     // Messages only cover tasks whose commit result reached the driver;
@@ -74,48 +74,85 @@ private final class BronzeBatchWrite(dir: String, schema: StructType,
 }
 
 private final class BronzeBatchWriterFactory(dir: String,
-    schema: StructType, queryId: String, writerConfs: Map[String, String])
+    schema: StructType, queryId: String, writerConfs: Map[String, String],
+    partSpec: Seq[BronzePartitioning.PartField] = Seq.empty)
     extends DataWriterFactory {
 
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
     new BronzeBatchDataWriter(dir, schema, partitionId, taskId, queryId,
-      writerConfs)
+      writerConfs, partSpec)
 }
 
 private final class BronzeBatchDataWriter(dir: String, schema: StructType,
     partitionId: Int, taskId: Long, queryId: String,
-    writerConfs: Map[String, String]) extends DataWriter[InternalRow] {
+    writerConfs: Map[String, String],
+    partSpec: Seq[BronzePartitioning.PartField])
+    extends DataWriter[InternalRow] {
 
-  // attempt-unique stage name (taskId differs across retries /
-  // speculation); deterministic destination scoped by the write's
-  // query id, so two concurrent batch appends never collide
-  private val staged =
-    s"$dir/.batch-q$queryId-p$partitionId-t$taskId.parquet"
-  private val dest = s"$dir/part-batch-q$queryId-p$partitionId.parquet"
-  Files.deleteIfExists(Paths.get(staged))
-  private val writer = shim.rowParquetWriter(staged, schema, writerConfs)
-  private var n = 0L
+  // attempt-unique stage names (taskId differs across retries /
+  // speculation); destinations scoped by the write's query id, so two
+  // concurrent batch appends never collide. `k` indexes the task's
+  // fanout writers (one per partition tuple; k0 only when the table
+  // is unpartitioned).
+  private val fanout = new FanoutParquetWriter(dir, schema,
+    i => s".batch-q$queryId-p$partitionId-t$taskId-k$i.parquet",
+    i => s"part-batch-q$queryId-p$partitionId-k$i.parquet",
+    partSpec, writerConfs)
 
-  override def write(record: InternalRow): Unit = {
-    writer.write(record)
-    n += 1
-  }
-
-  override def commit(): WriterCommitMessage = {
-    writer.close()
-    if (n == 0) { // empty partitions leave nothing behind
-      Files.deleteIfExists(Paths.get(staged))
-      StagedFile(staged = "", dest = "")
-    } else StagedFile(staged, dest)
-  }
-
-  override def abort(): Unit = {
-    try writer.close() catch { case _: Throwable => () }
-    Files.deleteIfExists(Paths.get(staged))
-  }
-
+  override def write(record: InternalRow): Unit = fanout.write(record)
+  override def commit(): WriterCommitMessage = fanout.commit()
+  override def abort(): Unit = fanout.abort()
   override def close(): Unit = ()
+}
+
+/** The executor-side FANOUT writer shared by the batch and streaming
+  * bronze writes: rows route to one open parquet writer per partition
+  * tuple (Iceberg's fanout writer — no required sort order; input
+  * clustered by the partition expressions simply opens fewer writers
+  * at once), so every produced file holds exactly ONE tuple, recorded
+  * in its commit message and from there in the file's manifest entry.
+  * Unpartitioned tables degenerate to the old single-writer path. */
+private final class FanoutParquetWriter(dir: String, schema: StructType,
+    stagedName: Int => String, destName: Int => String,
+    partSpec: Seq[BronzePartitioning.PartField],
+    writerConfs: Map[String, String]) {
+
+  private val eval = BronzePartitioning.evaluator(partSpec, schema)
+
+  private final class Open(val staged: String, val dest: String,
+      val parts: Map[String, String]) {
+    val writer: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = {
+      Files.deleteIfExists(Paths.get(staged))
+      shim.rowParquetWriter(staged, schema, writerConfs)
+    }
+    var n: Long = 0L
+  }
+
+  private val open =
+    scala.collection.mutable.LinkedHashMap.empty[Map[String, String], Open]
+
+  def write(record: InternalRow): Unit = {
+    val parts = eval(record)
+    val o = open.getOrElseUpdate(parts, {
+      val i = open.size
+      new Open(s"$dir/${stagedName(i)}", s"$dir/${destName(i)}", parts)
+    })
+    o.writer.write(record)
+    o.n += 1
+  }
+
+  def commit(): WriterCommitMessage = {
+    open.values.foreach(_.writer.close())
+    val (kept, empty) = open.values.toSeq.partition(_.n > 0)
+    empty.foreach(o => Files.deleteIfExists(Paths.get(o.staged)))
+    StagedFiles(kept.map(o => StagedEntry(o.staged, o.dest, o.parts)))
+  }
+
+  def abort(): Unit = open.values.foreach { o =>
+    try o.writer.close() catch { case _: Throwable => () }
+    Files.deleteIfExists(Paths.get(o.staged))
+  }
 }
 
 /** Stage-then-rename append for a PLAIN parquet directory (no

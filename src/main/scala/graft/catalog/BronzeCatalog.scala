@@ -326,13 +326,17 @@ class BronzeCatalog extends TableCatalog with SupportsNamespaces {
     if (!provider.forall(_.equalsIgnoreCase("parquet")))
       throw new UnsupportedOperationException(
         s"$catalogName catalog stores parquet tables; got USING ${provider.get}")
-    if (partitions.nonEmpty)
-      throw new UnsupportedOperationException(
-        s"$catalogName catalog does not support partition transforms")
+    // identity / days / bucket partition transforms (Iceberg's hidden
+    // partitioning, the reference sink's table shape): validated and
+    // pinned at create time; the write path fans rows out so each file
+    // holds one partition tuple, recorded in its manifest entry for
+    // scan-planning pruning. Unsupported transforms fail the DDL.
+    val partSpec = BronzePartitioning.fromTransforms(partitions, schema)
     val dir = dirOf(ident)
     if (isTableDir(dir))
       throw new TableAlreadyExistsException(ident)
     Files.createDirectories(dir)
+    if (partSpec.nonEmpty) BronzePartitioning.write(dir, partSpec)
     // assign parquet FIELD IDS 1..n at creation (Iceberg's column
     // identity): every data file carries them, so later renames are
     // metadata-only and old files keep resolving through the id
@@ -367,6 +371,15 @@ class BronzeCatalog extends TableCatalog with SupportsNamespaces {
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = dirOf(ident)
     if (!isTableDir(dir)) throw new NoSuchTableException(ident)
+
+    // partition columns are tracked BY NAME in the pinned spec; a
+    // rename/drop would silently un-partition every future write
+    val partCols = BronzePartitioning.read(dir).map(_.col.toLowerCase).toSet
+    def guardPartCol(verb: String, col: String): Unit =
+      if (partCols.contains(col.toLowerCase))
+        throw new UnsupportedOperationException(
+          s"$catalogName: cannot $verb partition column $col " +
+            "(partition-spec evolution is not supported)")
 
     def evolve(schema: StructType): StructType =
       changes.foldLeft(schema) { (sch, change) =>
@@ -403,6 +416,7 @@ class BronzeCatalog extends TableCatalog with SupportsNamespaces {
                   "(tables created before field-id support resolve by " +
                   "name; renaming would orphan existing files' data)")
             val from = ren.fieldNames.head
+            guardPartCol("rename", from)
             if (!sch.fieldNames.exists(_.equalsIgnoreCase(from)))
               throw new IllegalArgumentException(s"no column $from")
             if (sch.fieldNames.exists(_.equalsIgnoreCase(ren.newName)))
@@ -423,6 +437,7 @@ class BronzeCatalog extends TableCatalog with SupportsNamespaces {
                   "same-named column would resurrect the dropped " +
                   "column's old values)")
             val gone = del.fieldNames.head
+            guardPartCol("drop", gone)
             if (!sch.fieldNames.exists(_.equalsIgnoreCase(gone))) {
               if (del.ifExists) sch
               else throw new IllegalArgumentException(s"no column $gone")

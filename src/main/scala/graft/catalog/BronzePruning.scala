@@ -31,48 +31,164 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object BronzePruning {
 
-  /** Entries whose files may contain rows matching ALL of `filters`. */
+  import BronzePartitioning.PartField
+
+  /** Entries whose files may contain rows matching ALL of `filters`.
+    * `spec` (the table's partition transforms) adds tuple pruning on
+    * top of stats: bucket-equality is the one case min/max can never
+    * express — a bucket(n, col) file holds n-th of the key space, and
+    * `col = lit` keeps only files whose recorded bucket equals
+    * `bucketOf(lit)`. Identity/days tuples also prune (belt over the
+    * stats braces, e.g. files whose footers were unreadable). */
   def survivors(entries: Seq[FileEntry], schema: StructType,
-      filters: Seq[Filter]): Seq[FileEntry] =
-    entries.filter(e => filters.forall(f => mayMatch(e, schema, f)))
+      filters: Seq[Filter], spec: Seq[PartField] = Seq.empty)
+      : Seq[FileEntry] =
+    entries.filter(e => filters.forall(f => mayMatch(e, schema, spec, f)))
 
   // ---- per-filter evaluation ---------------------------------------
 
   private def mayMatch(e: FileEntry, schema: StructType,
-      f: Filter): Boolean = f match {
-    case And(l, r) => mayMatch(e, schema, l) && mayMatch(e, schema, r)
-    case Or(l, r) => mayMatch(e, schema, l) || mayMatch(e, schema, r)
+      spec: Seq[PartField], f: Filter): Boolean = f match {
+    case And(l, r) =>
+      mayMatch(e, schema, spec, l) && mayMatch(e, schema, spec, r)
+    case Or(l, r) =>
+      mayMatch(e, schema, spec, l) || mayMatch(e, schema, spec, r)
     // compare() yields sign(lit − bound): a matching row can exist
     // only if lit ≥ min (for =), lit ≤ max (for =), min < lit (for <),
     // max > lit (for >), …
     case EqualTo(a, v) => valueMayMatch(e, schema, a, v,
-      lo => lo >= 0, hi => hi <= 0)
+      lo => lo >= 0, hi => hi <= 0) && partsEq(e, schema, spec, a, v)
     case EqualNullSafe(a, null) => nullsMayMatch(e, schema, a)
     case EqualNullSafe(a, v) => valueMayMatch(e, schema, a, v,
-      lo => lo >= 0, hi => hi <= 0)
+      lo => lo >= 0, hi => hi <= 0) && partsEq(e, schema, spec, a, v)
     case GreaterThan(a, v) => valueMayMatch(e, schema, a, v,
-      _ => true, hi => hi < 0)
+      _ => true, hi => hi < 0) && partsRange(e, schema, spec, a, v, ">")
     case GreaterThanOrEqual(a, v) => valueMayMatch(e, schema, a, v,
-      _ => true, hi => hi <= 0)
+      _ => true, hi => hi <= 0) && partsRange(e, schema, spec, a, v, ">=")
     case LessThan(a, v) => valueMayMatch(e, schema, a, v,
-      lo => lo > 0, _ => true)
+      lo => lo > 0, _ => true) && partsRange(e, schema, spec, a, v, "<")
     case LessThanOrEqual(a, v) => valueMayMatch(e, schema, a, v,
-      lo => lo >= 0, _ => true)
+      lo => lo >= 0, _ => true) && partsRange(e, schema, spec, a, v, "<=")
     case In(a, vs) =>
       if (vs.isEmpty) false
       else vs.exists(v => valueMayMatch(e, schema, a, v,
-        lo => lo >= 0, hi => hi <= 0))
-    case IsNull(a) => nullsMayMatch(e, schema, a)
+        lo => lo >= 0, hi => hi <= 0) && partsEq(e, schema, spec, a, v))
+    case IsNull(a) => nullsMayMatch(e, schema, a) &&
+      partsNull(e, spec, a, wantNull = true)
     case IsNotNull(a) =>
-      resolve(e, schema, a) match {
+      (resolve(e, schema, a) match {
         // provably ALL null (null count == file row count) → no row
         case Some(cs) =>
           !(e.rows.isDefined && cs.nulls.isDefined &&
             cs.nulls == e.rows)
         case None => true
-      }
+      }) && partsNull(e, spec, a, wantNull = false)
     case StringStartsWith(a, p) => startsWithMayMatch(e, schema, a, p)
     case _ => true // Not / EndsWith / Contains / unknown: no pruning
+  }
+
+  // ---- partition-tuple evaluation ----------------------------------
+
+  /** Transforms of `spec` that key on column `attr`, paired with the
+    * file's recorded tuple value (absent → that transform can't
+    * prune this file). */
+  private def partValues(e: FileEntry, spec: Seq[PartField],
+      attr: String): Seq[(PartField, String)] =
+    if (e.parts.isEmpty) Seq.empty
+    else spec.filter(_.col.equalsIgnoreCase(attr))
+      .flatMap(f => e.parts.get(f.key).map(f -> _))
+
+  /** Can `attr = v` hold in the file, per its partition tuple? A
+    * single-tuple file with value "null" holds ONLY nulls in the
+    * column — no value predicate matches. */
+  private def partsEq(e: FileEntry, schema: StructType, spec: Seq[PartField],
+      attr: String, v: Any): Boolean =
+    partValues(e, spec, attr).forall { case (f, pv) =>
+      if (pv == "null") false
+      else f.kind match {
+        case "bucket" =>
+          bucketOfLiteral(v, f.n).forall(_.toString == pv)
+        case "identity" =>
+          identityRender(v).forall(_ == pv)
+        case "days" =>
+          dayOfLiteral(schema, attr, v)
+            .forall(d => pv.toLongOption.contains(d))
+        case _ => true
+      }
+    }
+
+  /** Range predicates only prune through the ORDERED transforms
+    * (days); bucket/identity hashes and strings stay conservative. */
+  private def partsRange(e: FileEntry, schema: StructType,
+      spec: Seq[PartField], attr: String, v: Any, op: String): Boolean =
+    partValues(e, spec, attr).forall { case (f, pv) =>
+      if (pv == "null") false // value comparisons never match null
+      else if (f.kind != "days") true
+      else (for {
+        d <- dayOfLiteral(schema, attr, v)
+        p <- pv.toLongOption
+      } yield op match {
+        // file day p vs literal day d: rows can satisfy ts > v only
+        // if p >= d (rows of day d can still exceed v within the day)
+        case ">" | ">=" => p >= d
+        case "<" => p <= d // rows of day d can still be below v
+        case "<=" => p <= d
+        case _ => true
+      }).getOrElse(true)
+    }
+
+  private def partsNull(e: FileEntry, spec: Seq[PartField], attr: String,
+      wantNull: Boolean): Boolean =
+    partValues(e, spec, attr).forall { case (_, pv) =>
+      if (wantNull) pv == "null" else pv != "null"
+    }
+
+  /** bucketOf for a FILTER literal (pre-canonicalized types only —
+    * None keeps the file). Must agree with the writer's evaluator:
+    * ints/longs/dates hash by long value, strings by utf8 bytes. */
+  private def bucketOfLiteral(v: Any, n: Int): Option[Int] = v match {
+    case null => None
+    case x: java.lang.Integer => Some(BronzePartitioning.bucketOf(x.intValue, n))
+    case x: java.lang.Long => Some(BronzePartitioning.bucketOf(x.longValue, n))
+    case s: String => Some(BronzePartitioning.bucketOf(s, n))
+    case d: java.sql.Date =>
+      Some(BronzePartitioning.bucketOf(d.toLocalDate.toEpochDay.toInt, n))
+    case d: java.time.LocalDate =>
+      Some(BronzePartitioning.bucketOf(d.toEpochDay.toInt, n))
+    case _ => None
+  }
+
+  /** The identity-transform rendering of a filter literal — must agree
+    * with the writer's evaluator (longs in decimal, strings raw,
+    * dates as epoch days, booleans true/false). */
+  private def identityRender(v: Any): Option[String] = v match {
+    case null => None
+    case x: java.lang.Byte => Some(x.toString)
+    case x: java.lang.Short => Some(x.toString)
+    case x: java.lang.Integer => Some(x.toString)
+    case x: java.lang.Long => Some(x.toString)
+    case x: java.lang.Boolean => Some(x.toString)
+    case s: String => Some(s)
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toString)
+    case d: java.time.LocalDate => Some(d.toEpochDay.toString)
+    case _ => None
+  }
+
+  /** Epoch day of a filter literal on a days()-partitioned column;
+    * for DATE columns the tuple is the day number itself. */
+  private def dayOfLiteral(schema: StructType, attr: String,
+      v: Any): Option[Long] = v match {
+    case null => None
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate => Some(d.toEpochDay)
+    case t: java.sql.Timestamp =>
+      val i = t.toInstant
+      Some(Math.floorDiv(
+        i.getEpochSecond * 1000000L + i.getNano / 1000L, 86400000000L))
+    case i: java.time.Instant =>
+      Some(Math.floorDiv(
+        i.getEpochSecond * 1000000L + i.getNano / 1000L, 86400000000L))
+    case _ => None
   }
 
   /** Can a NON-NULL value v with `loOk(sign(v ⋄ min))` and

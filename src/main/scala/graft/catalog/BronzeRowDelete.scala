@@ -83,27 +83,43 @@ object BronzeRowDelete {
       .collect().map(_.getString(0)).toSeq.sorted
     if (affected.isEmpty) return Seq.empty // no-op: no new snapshot
     val id = java.util.UUID.randomUUID().toString.substring(0, 8)
-    val stage = Paths.get(dir, s".del-$id")
-    val keep = declared.parquet(affected.map(f => s"$dir/$f"): _*)
-      .filter(!(cond <=> lit(true))) // NULL predicate -> row survives
-    try keep.write.parquet(stage.toString)
-    catch { case e: Throwable => deleteTree(stage); throw e }
-    val parts = {
-      val s = Files.list(stage)
-      try {
-        val b = Seq.newBuilder[Path]
-        s.iterator().forEachRemaining { p =>
-          if (p.getFileName.toString.startsWith("part-")) b += p
-        }
-        b.result().sortBy(_.getFileName.toString)
-      } finally s.close()
+    // rewrite per PARTITION-TUPLE group: each affected file holds one
+    // tuple (fanout write invariant), so grouping the rewrite by tuple
+    // lets the survivors inherit it — rewritten files stay prunable.
+    // Unpartitioned tables (and files without a tuple) form a single
+    // untagged group, the old single-job behavior. Cost: one job per
+    // TOUCHED partition, each over that partition's affected files —
+    // still |affected|-scale, never the table.
+    val entryParts = snap.entriesByName
+    val groups = affected.groupBy(f =>
+      entryParts.get(f).map(_.parts).getOrElse(Map.empty[String, String]))
+      .toSeq.sortBy(_._2.head)
+    val written = Seq.newBuilder[String]
+    val addedParts = Map.newBuilder[String, Map[String, String]]
+    groups.zipWithIndex.foreach { case ((tuple, groupFiles), gi) =>
+      val stage = Paths.get(dir, s".del-$id-t$gi")
+      val keep = declared.parquet(groupFiles.map(f => s"$dir/$f"): _*)
+        .filter(!(cond <=> lit(true))) // NULL predicate -> row survives
+      try keep.write.parquet(stage.toString)
+      catch { case e: Throwable => deleteTree(stage); throw e }
+      val parts = {
+        val s = Files.list(stage)
+        try {
+          val b = Seq.newBuilder[Path]
+          s.iterator().forEachRemaining { p =>
+            if (p.getFileName.toString.startsWith("part-")) b += p
+          }
+          b.result().sortBy(_.getFileName.toString)
+        } finally s.close()
+      }
+      parts.zipWithIndex.foreach { case (p, i) =>
+        val dest = s"part-del-$id-t$gi-g$i.parquet"
+        Files.move(p, Paths.get(dir, dest), StandardCopyOption.ATOMIC_MOVE)
+        written += dest
+        if (tuple.nonEmpty) addedParts += dest -> tuple
+      }
+      deleteTree(stage)
     }
-    val written = parts.zipWithIndex.map { case (p, i) =>
-      val dest = s"part-del-$id-g$i.parquet"
-      Files.move(p, Paths.get(dir, dest), StandardCopyOption.ATOMIC_MOVE)
-      dest
-    }
-    deleteTree(stage)
     // rewrite-validated commit: if a concurrent op already rewrote or
     // removed any affected file, this delete's survivors were computed
     // from stale bytes — fail loudly instead of duplicating rows.
@@ -113,14 +129,16 @@ object BronzeRowDelete {
     if (graft.GraftConf.string(spark, graft.GraftConf.RowLevelIsolationKey,
       "snapshot") == "serializable")
       SnapshotLog.commitRewriteSerializable(dir, "delete", affected.toSet,
-        written, snap.version, lateFiles =>
+        written.result(), snap.version, lateFiles =>
           spark.read.schema(schema)
             .parquet(lateFiles.map(f => s"$dir/$f"): _*)
             .filter(cond)
             .select(col("_metadata.file_name")).distinct()
-            .collect().map(_.getString(0)).toSeq.sorted)
+            .collect().map(_.getString(0)).toSeq.sorted,
+        addedParts.result())
     else
-      SnapshotLog.commitRewrite(dir, "delete", affected.toSet, written)
+      SnapshotLog.commitRewrite(dir, "delete", affected.toSet,
+        written.result(), addedParts.result())
     affected
   }
 

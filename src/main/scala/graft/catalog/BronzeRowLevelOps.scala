@@ -206,22 +206,21 @@ private final class BronzeReplaceGroupsWrite(dir: String,
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
     new MarkerStrippingWriterFactory(
-      new BronzeBatchWriterFactory(dir, schema, queryId, writerConfs),
+      new BronzeBatchWriterFactory(dir, schema, queryId, writerConfs,
+        // rewritten files keep their partition tuples: the fanout
+        // writer routes surviving rows exactly like an append's
+        BronzePartitioning.read(Paths.get(dir))),
       schema.length, stripMarker)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    messages.foreach {
-      case StagedFile(staged, _) if staged.isEmpty => () // empty partition
-      case StagedFile(staged, dest) =>
-        Files.move(Paths.get(staged), Paths.get(dest),
-          StandardCopyOption.REPLACE_EXISTING)
-      case other =>
-        throw new IllegalStateException(s"unexpected commit message: $other")
+    val staged = StagedCommit.files(messages)
+    staged.foreach { f =>
+      Files.move(Paths.get(f.staged), Paths.get(f.dest),
+        StandardCopyOption.REPLACE_EXISTING)
     }
-    val added = messages.collect {
-      case StagedFile(staged, dest) if staged.nonEmpty =>
-        Paths.get(dest).getFileName.toString
-    }
+    val added = staged.map(f => Paths.get(f.dest).getFileName.toString)
+    val parts = staged.filter(_.parts.nonEmpty)
+      .map(f => Paths.get(f.dest).getFileName.toString -> f.parts).toMap
     val gone = affected().toSet
     // a statement that touched nothing commits nothing: a no-op
     // 'update' snapshot would still make incremental/streaming
@@ -230,7 +229,7 @@ private final class BronzeReplaceGroupsWrite(dir: String,
     // as an append — it IS one, and consumers may stream across it.
     if (gone.isEmpty && added.isEmpty) return
     if (gone.isEmpty)
-      SnapshotLog.commit(dir, "append")(parent => parent ++ added)
+      SnapshotLog.commit(dir, "append", parts)(parent => parent ++ added)
     else {
       // rewrite-validated: the scanned groups must still be live at
       // commit, or this statement's output was computed from bytes a
@@ -252,16 +251,17 @@ private final class BronzeReplaceGroupsWrite(dir: String,
               .select(col("_metadata.file_name")).distinct()
               .collect().map(_.getString(0)).toSeq.sorted
             case None => lateFiles
-          })
+          }, parts)
       } else
-        SnapshotLog.commitRewrite(dir, operation, gone, added.toIndexedSeq)
+        SnapshotLog.commitRewrite(dir, operation, gone, added.toIndexedSeq,
+          parts)
     }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     messages.foreach {
-      case StagedFile(staged, _) if staged.nonEmpty =>
-        Files.deleteIfExists(Paths.get(staged))
+      case StagedFiles(fs) =>
+        fs.foreach(f => Files.deleteIfExists(Paths.get(f.staged)))
       case _ => ()
     }
     val prefix = s".batch-q$queryId-"

@@ -52,6 +52,16 @@ final class BronzeWritableTable(delegate: Table, dir: String,
   override def name(): String = delegate.name()
   override def schema(): StructType = delegate.schema()
 
+  /** The create-time partition transforms (identity/days/bucket) —
+    * reported to Spark (DESCRIBE/SHOW CREATE) and compiled into every
+    * write's fanout routing. */
+  private lazy val partSpec: Seq[BronzePartitioning.PartField] =
+    BronzePartitioning.read(Paths.get(dir))
+
+  override def partitioning()
+      : Array[org.apache.spark.sql.connector.expressions.Transform] =
+    BronzePartitioning.toTransforms(partSpec)
+
   /** The pinned snapshot's data files (None = legacy listing mode) —
     * what a `_file`-projecting scan and the row-level machinery read. */
   def pinnedFiles: Seq[String] =
@@ -110,7 +120,7 @@ final class BronzeWritableTable(delegate: Table, dir: String,
         null
       else filters => {
         val keep = BronzePruning.survivors(snapshotEntries,
-          delegate.schema(), filters)
+          delegate.schema(), filters, partSpec)
         if (keep.size == snapshotEntries.size) None
         else {
           val pruned = shim.parquetTableFiles(
@@ -147,7 +157,8 @@ final class BronzeWritableTable(delegate: Table, dir: String,
           // _temporary commit protocol can surface a partial batch.
           val confs =
             shim.parquetWriterConfs(org.apache.spark.sql.SparkSession.active)
-          new BronzeBatchWrite(dir, delegate.schema(), info.queryId(), confs)
+          new BronzeBatchWrite(dir, delegate.schema(), info.queryId(), confs,
+            partSpec)
         }
         override def toStreaming: StreamingWrite = {
           // Parquet-writer session confs must be captured HERE — this
@@ -156,18 +167,34 @@ final class BronzeWritableTable(delegate: Table, dir: String,
           val confs =
             shim.parquetWriterConfs(org.apache.spark.sql.SparkSession.active)
           new BronzeStreamingWrite(dir, delegate.schema(), info.queryId(),
-            confs)
+            confs, partSpec)
         }
       }
     }
 }
 
-/** One staged file, ready to move into place at epoch commit. */
-private final case class StagedFile(staged: String, dest: String)
+/** One staged file, ready to move into place at commit, with the
+  * partition tuple its rows share (empty on unpartitioned tables). */
+private[catalog] final case class StagedEntry(staged: String, dest: String,
+    parts: Map[String, String])
+
+/** A task's commit message: every file its fanout writers staged. */
+private[catalog] final case class StagedFiles(files: Seq[StagedEntry])
     extends WriterCommitMessage
 
+private[catalog] object StagedCommit {
+  /** Flatten task commit messages to non-empty staged files. */
+  def files(messages: Array[WriterCommitMessage]): Seq[StagedEntry] =
+    messages.toSeq.flatMap {
+      case StagedFiles(fs) => fs.filter(_.staged.nonEmpty)
+      case other =>
+        throw new IllegalStateException(s"unexpected commit message: $other")
+    }
+}
+
 private final class BronzeStreamingWrite(dir: String, schema: StructType,
-    queryId: String, writerConfs: Map[String, String])
+    queryId: String, writerConfs: Map[String, String],
+    partSpec: Seq[BronzePartitioning.PartField])
     extends StreamingWrite {
 
   // ATTEMPT token, fresh per StreamingWrite instance (per query run):
@@ -187,14 +214,12 @@ private final class BronzeStreamingWrite(dir: String, schema: StructType,
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new BronzeStreamingWriterFactory(dir, schema, queryId, attempt,
-      writerConfs)
+      writerConfs, partSpec)
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
-    val dests = messages.collect {
-      case StagedFile(staged, dest) if staged.nonEmpty =>
-        Paths.get(dest).getFileName.toString
-    }.toSet
+    val staged = StagedCommit.files(messages)
+    val dests = staged.map(f => Paths.get(f.dest).getFileName.toString).toSet
     // the epoch prefix matches EVERY attempt's files of this epoch
     // (and this query): the manifest swap below retires a crashed
     // attempt's epoch wholesale. Bytes stay on disk for pinned
@@ -212,18 +237,16 @@ private final class BronzeStreamingWrite(dir: String, schema: StructType,
           Files.deleteIfExists(p)
       } finally listing.close()
     }
-    messages.foreach {
-      case StagedFile(staged, _) if staged.isEmpty => () // empty partition
-      case StagedFile(staged, dest) =>
-        Files.move(Paths.get(staged), Paths.get(dest),
-          StandardCopyOption.REPLACE_EXISTING)
-      case other =>
-        throw new IllegalStateException(s"unexpected commit message: $other")
+    staged.foreach { f =>
+      Files.move(Paths.get(f.staged), Paths.get(f.dest),
+        StandardCopyOption.REPLACE_EXISTING)
     }
+    val parts = staged.filter(_.parts.nonEmpty)
+      .map(f => Paths.get(f.dest).getFileName.toString -> f.parts).toMap
     // one snapshot per epoch: this attempt's files REPLACE any same-
     // epoch files of prior attempts in the MANIFEST (set algebra
     // mirrors the legacy physical sweep), everything else carries over
-    SnapshotLog.commit(dir, "streaming-append") { parent =>
+    SnapshotLog.commit(dir, "streaming-append", parts) { parent =>
       parent.filterNot(f =>
         f.startsWith(epochPrefix) || f.startsWith("part-e")) ++ dests
     }
@@ -232,55 +255,42 @@ private final class BronzeStreamingWrite(dir: String, schema: StructType,
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case StagedFile(staged, _) => Files.deleteIfExists(Paths.get(staged))
+      case StagedFiles(fs) =>
+        fs.foreach(f => Files.deleteIfExists(Paths.get(f.staged)))
       case _ => ()
     }
 }
 
 private final class BronzeStreamingWriterFactory(dir: String,
     schema: StructType, queryId: String, attempt: String,
-    writerConfs: Map[String, String])
+    writerConfs: Map[String, String],
+    partSpec: Seq[BronzePartitioning.PartField])
     extends StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new BronzeDataWriter(dir, schema, partitionId, taskId, epochId, queryId,
-      attempt, writerConfs)
+      attempt, writerConfs, partSpec)
 }
 
 private final class BronzeDataWriter(dir: String, schema: StructType,
     partitionId: Int, taskId: Long, epochId: Long, queryId: String,
-    attempt: String, writerConfs: Map[String, String])
+    attempt: String, writerConfs: Map[String, String],
+    partSpec: Seq[BronzePartitioning.PartField])
     extends DataWriter[InternalRow] {
 
-  // task-unique stage name; destination scoped by the stable streaming
-  // query id + the RUN's attempt token (replays retire prior attempts
-  // via the manifest, never by overwriting their bytes)
-  private val staged =
-    s"$dir/.stage-q$queryId-e$epochId-a$attempt-p$partitionId-t$taskId.parquet"
-  private val dest =
-    s"$dir/part-q$queryId-e$epochId-a$attempt-p$partitionId.parquet"
-  Files.deleteIfExists(Paths.get(staged))
-  private val writer = shim.rowParquetWriter(staged, schema, writerConfs)
-  private var n = 0L
+  // task-unique stage names; destinations scoped by the stable
+  // streaming query id + the RUN's attempt token (replays retire prior
+  // attempts via the manifest, never by overwriting their bytes); `k`
+  // indexes the task's fanout writers (one per partition tuple)
+  private val fanout = new FanoutParquetWriter(dir, schema,
+    i => s".stage-q$queryId-e$epochId-a$attempt-p$partitionId-t$taskId" +
+      s"-k$i.parquet",
+    i => s"part-q$queryId-e$epochId-a$attempt-p$partitionId-k$i.parquet",
+    partSpec, writerConfs)
 
-  override def write(record: InternalRow): Unit = {
-    writer.write(record)
-    n += 1
-  }
-
-  override def commit(): WriterCommitMessage = {
-    writer.close()
-    if (n == 0) { // empty partitions leave nothing behind
-      Files.deleteIfExists(Paths.get(staged))
-      StagedFile(staged = "", dest = "")
-    } else StagedFile(staged, dest)
-  }
-
-  override def abort(): Unit = {
-    try writer.close() catch { case _: Throwable => () }
-    Files.deleteIfExists(Paths.get(staged))
-  }
-
+  override def write(record: InternalRow): Unit = fanout.write(record)
+  override def commit(): WriterCommitMessage = fanout.commit()
+  override def abort(): Unit = fanout.abort()
   override def close(): Unit = ()
 }

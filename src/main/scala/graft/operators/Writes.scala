@@ -878,6 +878,74 @@ object Writes {
           SELECT 'rollback_net', 0 - COUNT(*), ${Exact.sqlSum("0 - p", 2)}
           FROM o WHERE od >= DATE '1997-01-01')
         SELECT ref, n_orders, total_price
-        FROM stats ORDER BY ref"""))
+        FROM stats ORDER BY ref""")),
+
+    // ----- w15: PARTITIONED CATALOG TABLE + MANIFEST PRUNING — the
+    // Iceberg hidden-partitioning surface of the reference's sink
+    // (`KafkaAvroToIceberg.scala:79-89` creates a partitioned Iceberg
+    // table): CREATE TABLE ... PARTITIONED BY (status, bucket(8,
+    // o_orderkey)) fans every append out so each data file holds ONE
+    // (status, bucket) tuple, recorded with per-column min/max in the
+    // file's manifest entry; scan planning drops files the predicate
+    // provably misses BEFORE Spark schedules anything. The bucket
+    // transform is the part plain min/max can never express: a key
+    // equality prunes to the 1/8 of files whose bucket matches the
+    // literal's hash. OPTIMIZE then compacts WITHIN partition tuples,
+    // and the probes re-read through the compacted layout — key
+    // lookups, a status+date slice, and the full table (no rows lost
+    // through fanout + compaction). PartitionedTableSpec asserts the
+    // planned file list actually shrinks; this gate hash-checks the
+    // answers against DuckDB deriving them straight from `orders`.
+    QueryDef(
+      "w15_partitioned_prune",
+      (s, d) => {
+        val wh = scratch("w15", d)
+        val cat = "w15cat_" + Integer.toHexString(d.hashCode)
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.BronzeCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+        s.sql(s"DROP TABLE IF EXISTS $cat.db.orders_part")
+        s.sql(s"""CREATE TABLE $cat.db.orders_part
+          (o_orderkey BIGINT, o_orderdate DATE, o_totalprice DOUBLE,
+           status STRING)
+          USING parquet
+          PARTITIONED BY (status, bucket(8, o_orderkey))""")
+        new Tables(s, d).orders.select(
+            col("o_orderkey").cast("long"),
+            col("o_orderdate").cast("date"),
+            col("o_totalprice").cast("double"),
+            col("o_orderstatus").cast("string").as("status"))
+          .writeTo(s"$cat.db.orders_part").append()
+        val bc = s.sessionState.catalogManager.catalog(cat)
+          .asInstanceOf[graft.catalog.BronzeCatalog]
+        bc.optimizeTable(Seq("db"), "orders_part", 1L << 30)
+        val t = s.table(s"$cat.db.orders_part")
+        def stats(ref: String, df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("n_orders"),
+            Exact.dsum(col("o_totalprice"), 2).as("total_price"))
+            .select(lit(ref).as("probe"), col("n_orders"),
+              col("total_price"))
+        stats("key_probe",
+          t.filter(col("o_orderkey").isin(1L, 32L, 4242L)))
+          .union(stats("status_range", t.filter(col("status") === "F" &&
+            col("o_orderdate") >= lit("1995-06-01").cast("date"))))
+          .union(stats("full", t))
+          .orderBy(col("probe"))
+      },
+      Some(s"""WITH o AS (
+          SELECT o_orderkey AS k, o_totalprice AS p,
+            CAST(o_orderdate AS DATE) AS od, o_orderstatus AS st
+          FROM orders),
+        stats AS (
+          SELECT 'key_probe' AS probe, COUNT(*) AS n_orders,
+            ${Exact.sqlSum("p", 2)} AS total_price
+          FROM o WHERE k IN (1, 32, 4242)
+          UNION ALL
+          SELECT 'status_range', COUNT(*), ${Exact.sqlSum("p", 2)}
+          FROM o WHERE st = 'F' AND od >= DATE '1995-06-01'
+          UNION ALL
+          SELECT 'full', COUNT(*), ${Exact.sqlSum("p", 2)} FROM o)
+        SELECT probe, n_orders, total_price
+        FROM stats ORDER BY probe"""))
   )
 }
