@@ -101,6 +101,14 @@ object GraftConf {
     * organic collisions out of the hot set. */
   val LineDedupDfKey = "spark.graft.lineDedupDf"
 
+  /** Row-level DELETE write mode, Iceberg's `write.delete.mode`:
+    * "copy-on-write" (default — affected files rewrite; reads stay on
+    * the fast vectorized path) or "merge-on-read" (the delete writes
+    * one position-delete sidecar, O(deleted rows) bytes — the shape
+    * for frequent small deletes at 100 TB; reads of delete-carrying
+    * snapshots drop to per-file readers until OPTIMIZE purges). */
+  val DeleteModeKey = "spark.graft.deleteMode"
+
   /** Row-level operation isolation: "snapshot" (default — rewrites
     * validate their inputs still exist, Iceberg's
     * validateDataFilesExist) or "serializable" (additionally fails a

@@ -92,23 +92,66 @@ object BronzeChangeFeed {
     val parts = Seq.newBuilder[InputPartition]
     ((from + 1) to to).foreach { v =>
       val snap = SnapshotLog.read(dir, v)
-      val parentFiles =
-        if (v == 0) Set.empty[String]
-        else SnapshotLog.read(dir, v - 1).files.toSet
+      val parentEntries: Map[String, SnapshotLog.FileEntry] =
+        if (v == 0) Map.empty
+        else SnapshotLog.read(dir, v - 1).entriesByName
+      val curEntries = snap.entriesByName
+      val parentFiles = parentEntries.keySet
       val files = snap.files.toSet
       val added = (files -- parentFiles).toSeq.sorted
       val removed = (parentFiles -- files).toSeq.sorted
-      def emit(names: Seq[String], changeType: String): Unit =
-        names.foreach(f => parts +=
-          BronzeCdcFilePartition(s"$dir/$f", changeType, v))
+      // a removed file's retraction must SKIP its merge-on-read
+      // deleted positions — those rows were already retracted when the
+      // delete sidecar landed; an ADDED file skips its CURRENT entry's
+      // deletes (a rollback can restore a file together with the
+      // delete sidecars of its era)
+      def emit(names: Seq[String], changeType: String,
+          applyParentDels: Boolean): Unit =
+        names.foreach { f =>
+          val dels =
+            if (applyParentDels)
+              parentEntries.get(f).map(_.deletes).getOrElse(Seq.empty)
+            else curEntries.get(f).map(_.deletes).getOrElse(Seq.empty)
+          parts += BronzeCdcFilePartition(s"$dir/$f", changeType, v,
+            dels.map(s => s"$dir/$s"))
+        }
+      // MERGE-ON-READ delta on SURVIVING files: sidecars attached at
+      // this version retract exactly their listed positions; sidecars
+      // DETACHED (rollback across a MOR delete) re-insert theirs
+      def emitMorDelta(retractType: String): Unit =
+        (files & parentFiles).toSeq.sorted.foreach { f =>
+          val before = parentEntries(f).deletes
+          val after = curEntries(f).deletes
+          val attached = after.diff(before)
+          val detached = before.diff(after)
+          if (attached.nonEmpty)
+            parts += BronzeCdcFilePartition(s"$dir/$f", retractType, v,
+              before.map(s => s"$dir/$s"),
+              attached.map(s => s"$dir/$s"))
+          if (detached.nonEmpty)
+            parts += BronzeCdcFilePartition(s"$dir/$f", "insert", v,
+              after.map(s => s"$dir/$s"),
+              detached.map(s => s"$dir/$s"))
+        }
       snap.operation match {
-        case "append" | "create" => emit(added, "insert")
-        case "delete" => emit(removed, "delete"); emit(added, "insert")
+        case "append" | "create" => emit(added, "insert",
+          applyParentDels = false)
+        case "delete" =>
+          emit(removed, "delete", applyParentDels = true)
+          emit(added, "insert", applyParentDels = false)
+          emitMorDelta("delete")
         case "update" | "merge" =>
-          emit(removed, "update_before"); emit(added, "update_after")
+          emit(removed, "update_before", applyParentDels = true)
+          emit(added, "update_after", applyParentDels = false)
+          emitMorDelta("update_before")
         // a rollback's net effect IS its file diff: rows of the
-        // undone commits retract, restored rows re-insert
-        case "rollback" => emit(removed, "delete"); emit(added, "insert")
+        // undone commits retract, restored rows re-insert — and a
+        // rollback across a MOR delete re-inserts the un-deleted
+        // positions via the detached-sidecar delta
+        case "rollback" =>
+          emit(removed, "delete", applyParentDels = true)
+          emit(added, "insert", applyParentDels = false)
+          emitMorDelta("delete")
         case "replace" | "alter" => () // layout/metadata only: no rows
         case other => throw new IllegalStateException(
           s"change feed on $dir: unknown snapshot operation '$other' " +
@@ -258,8 +301,14 @@ private final case class CdcVersionOffset(v: Long) extends Offset {
   override def json(): String = v.toString
 }
 
+/** `applySidecars`: position deletes to SKIP (rows already retracted
+  * by earlier snapshots); `emitOnlySidecars`: when non-empty, emit
+  * ONLY the positions those sidecars list (a merge-on-read delta —
+  * the rows a delete sidecar retracts, or a rollback re-inserts). */
 private final case class BronzeCdcFilePartition(path: String,
-    changeType: String, version: Long) extends InputPartition
+    changeType: String, version: Long,
+    applySidecars: Seq[String] = Seq.empty,
+    emitOnlySidecars: Seq[String] = Seq.empty) extends InputPartition
 
 private final class BronzeCdcReaderFactory(declaredJson: String)
     extends PartitionReaderFactory {
@@ -268,22 +317,43 @@ private final class BronzeCdcReaderFactory(declaredJson: String)
     new BronzeCdcFileReader(part.path,
       org.apache.spark.sql.types.DataType.fromJson(declaredJson)
         .asInstanceOf[StructType],
-      part.changeType, part.version)
+      part.changeType, part.version, part.applySidecars,
+      part.emitOnlySidecars)
   }
 }
 
 /** Reads one data file with the DECLARED schema and appends the
   * constant (_change_type, _commit_version) pair to every row. */
 private final class BronzeCdcFileReader(path: String, declared: StructType,
-    changeType: String, version: Long) extends PartitionReader[InternalRow] {
+    changeType: String, version: Long,
+    applySidecars: Seq[String] = Seq.empty,
+    emitOnlySidecars: Seq[String] = Seq.empty)
+    extends PartitionReader[InternalRow] {
 
   private val reader = shim.rowParquetReader(path, declared)
   private val typeUtf8 =
     org.apache.spark.unsafe.types.UTF8String.fromString(changeType)
+  private val fileName = MorDeletes.fileNameOf(path)
+  private val skip: java.util.HashSet[java.lang.Long] =
+    if (applySidecars.isEmpty) null
+    else MorDeletes.skipSet(applySidecars, fileName)
+  private val emitOnly: java.util.HashSet[java.lang.Long] =
+    if (emitOnlySidecars.isEmpty) null
+    else MorDeletes.skipSet(emitOnlySidecars, fileName)
+  private var pos = -1L
   private var current: InternalRow = _
+
+  private def visible(): Boolean =
+    (skip == null || !skip.contains(pos)) &&
+      (emitOnly == null || emitOnly.contains(pos))
 
   override def next(): Boolean = {
     current = reader.read()
+    pos += 1
+    while (current != null && !visible()) {
+      current = reader.read()
+      pos += 1
+    }
     current != null
   }
 

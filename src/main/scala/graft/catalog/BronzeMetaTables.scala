@@ -42,15 +42,51 @@ object BronzeMetaTables {
       if (Files.isRegularFile(p)) Some(BronzeBatchAppend.parquetRowCount(p))
       else None
     })
+    val delCache =
+      scala.collection.mutable.Map.empty[String, Option[Map[String, Long]]]
     SnapshotLog.versions(tableDir).map { v =>
       val s = SnapshotLog.read(tableDir, v)
-      val counts = s.files.map(rowsOf)
+      // LIVE rows per entry: footer count minus the entry's
+      // merge-on-read deleted positions (sidecars read once each, at
+      // metadata scale) — an audit must see what a reader sees
+      val counts = s.entries.map { e =>
+        rowsOf(e.name).flatMap { physical =>
+          val dels = e.deletes.map(d =>
+            sidecarCounts(tableDir, delCache, d).map(_.getOrElse(e.name, 0L)))
+          if (dels.exists(_.isEmpty)) None // reaped sidecar: unknown
+          else Some(physical - dels.flatten.sum)
+        }
+      }
       val missing = counts.count(_.isEmpty)
       (s.version, s.operation, s.files.size,
         if (missing == 0) Some(counts.flatten.sum) else None, missing)
     }.toDF("version", "operation", "n_files", "n_rows", "missing_files")
       .orderBy("version")
   }
+
+  /** (file → deleted-position count) of one sidecar, cached; None if
+    * the sidecar is unreadable (reaped outside the vacuum protocol). */
+  private def sidecarCounts(tableDir: String,
+      cache: scala.collection.mutable.Map[String, Option[Map[String, Long]]],
+      name: String): Option[Map[String, Long]] =
+    cache.getOrElseUpdate(name, {
+      val p = Paths.get(tableDir, name)
+      if (!Files.isRegularFile(p)) None
+      else try {
+        val m = scala.collection.mutable.Map.empty[String, Long]
+        val r = org.apache.spark.sql.graftshim.shim.rowParquetReader(
+          p.toString, MorDeletes.DeleteSchema)
+        try {
+          var row = r.read()
+          while (row != null) {
+            val f = row.getUTF8String(0).toString
+            m.update(f, m.getOrElse(f, 0L) + 1L)
+            row = r.read()
+          }
+        } finally r.close()
+        Some(m.toMap)
+      } catch { case _: Exception => None }
+    })
 
   /** (name, version) of every snapshot TAG — Iceberg's `table$refs`
     * audit surface, completing the metadata-table family
@@ -67,11 +103,20 @@ object BronzeMetaTables {
     * concurrency, same policy as [[history]]'s zero-count). */
   def files(spark: SparkSession, tableDir: String): DataFrame = {
     import spark.implicits._
-    SnapshotLog.current(tableDir).map(_.files).getOrElse(
-      SnapshotLog.listDataFiles(tableDir)).flatMap { f =>
-      val p = Paths.get(tableDir, f)
+    val delCache =
+      scala.collection.mutable.Map.empty[String, Option[Map[String, Long]]]
+    SnapshotLog.current(tableDir).map(_.entries).getOrElse(
+      SnapshotLog.listDataFiles(tableDir)
+        .map(SnapshotLog.FileEntry(_))).flatMap { e =>
+      val p = Paths.get(tableDir, e.name)
       if (!Files.isRegularFile(p)) None
-      else Some((f, BronzeBatchAppend.parquetRowCount(p), Files.size(p)))
+      else {
+        val deleted = e.deletes.map(d =>
+          sidecarCounts(tableDir, delCache, d)
+            .map(_.getOrElse(e.name, 0L)).getOrElse(0L)).sum
+        Some((e.name, BronzeBatchAppend.parquetRowCount(p) - deleted,
+          Files.size(p)))
+      }
     }.toDF("file", "n_rows", "size_bytes").orderBy("file")
   }
 }

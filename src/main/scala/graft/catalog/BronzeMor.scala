@@ -1,0 +1,168 @@
+package graft.catalog
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import graft.catalog.SnapshotLog.FileEntry
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** MERGE-ON-READ row-level deletes (Iceberg v2's position-delete
+  * files) for bronze snapshot tables — the write-amplification fix
+  * for frequent small DELETEs at 100 TB:
+  *
+  *   - instead of rewriting every file containing a match
+  *     (copy-on-write), the delete writes ONE parquet sidecar of
+  *     (file, pos) rows — O(|deleted rows|) bytes — and commits a
+  *     `delete` snapshot that ATTACHES the sidecar to the targeted
+  *     files' manifest entries; file set unchanged;
+  *   - readers of that snapshot (and later ones) SKIP the listed
+  *     positions; earlier snapshots never see the sidecar, so time
+  *     travel to the pre-delete version still reads the rows;
+  *   - OPTIMIZE purges: compaction rewrites delete-carrying files with
+  *     positions applied, and the fresh entries carry no refs — the
+  *     table returns to the fast vectorized scan path;
+  *   - position computation and the rewrite paths ride Spark's
+  *     `_metadata.row_index` / anti-join machinery (plan-level,
+  *     vectorized); only the FINAL table read of a delete-carrying
+  *     snapshot drops to the row-based per-file readers, the
+  *     documented MOR read tax until the next compaction.
+  *
+  * Mode dial: `spark.graft.deleteMode` = `copy-on-write` (default) |
+  * `merge-on-read`, the same per-table choice Iceberg exposes as
+  * `write.delete.mode`.
+  */
+object BronzeMor {
+
+  def hasDeletes(entries: Seq[FileEntry]): Boolean =
+    entries.exists(_.deletes.nonEmpty)
+
+  /** (file, pos) of every CURRENTLY-LIVE row of `files` matching
+    * `cond` — existing position deletes are anti-joined away, so
+    * re-deleting an already-deleted row is a no-op (and the CDC feed
+    * never double-emits). */
+  def matchingPositions(spark: SparkSession, dir: String,
+      schema: StructType, entries: Seq[FileEntry],
+      cond: Column): DataFrame = {
+    val raw = spark.read.schema(schema)
+      .parquet(entries.map(e => s"$dir/${e.name}"): _*)
+      .filter(cond)
+      .select(col("_metadata.file_name").as("file"),
+        col("_metadata.row_index").as("pos"))
+    antiJoinDeleted(spark, dir, raw, entries)
+  }
+
+  /** The rows of `entries` with their position deletes APPLIED, as a
+    * vectorized plan (scan + broadcast-able anti-join) — the rewrite
+    * input for COW ops and compaction over delete-carrying files. */
+  def readWithDeletes(spark: SparkSession, dir: String,
+      schema: StructType, entries: Seq[FileEntry]): DataFrame = {
+    val raw = spark.read.schema(schema)
+      .parquet(entries.map(e => s"$dir/${e.name}"): _*)
+    if (!hasDeletes(entries)) raw
+    else {
+      val withPos = raw
+        .withColumn("__mor_file", col("_metadata.file_name"))
+        .withColumn("__mor_pos", col("_metadata.row_index"))
+      antiJoinDeleted(spark, dir,
+        withPos, entries, fileCol = "__mor_file", posCol = "__mor_pos")
+        .drop("__mor_file", "__mor_pos")
+    }
+  }
+
+  private def antiJoinDeleted(spark: SparkSession, dir: String,
+      df: DataFrame, entries: Seq[FileEntry], fileCol: String = "file",
+      posCol: String = "pos"): DataFrame = {
+    val sidecars = entries.flatMap(_.deletes).distinct
+    if (sidecars.isEmpty) return df
+    val dels = spark.read.schema(MorDeletes.DeleteSchema)
+      .parquet(sidecars.map(s => s"$dir/$s"): _*)
+      .select(col("file").as("__del_file"), col("pos").as("__del_pos"))
+    df.join(dels, df(fileCol) === col("__del_file") &&
+      df(posCol) === col("__del_pos"), "left_anti")
+  }
+
+  /** Write `positions` (file, pos) as ONE sidecar parquet in the
+    * table dir; returns its name, or None when empty. Stage + atomic
+    * move, the table's universal write discipline. */
+  def writeDeleteFile(spark: SparkSession, dir: String,
+      positions: DataFrame): Option[String] = {
+    val id = java.util.UUID.randomUUID().toString.substring(0, 8)
+    val stage = Paths.get(dir, s".delstage-$id")
+    positions.select(col("file").cast("string"), col("pos").cast("long"))
+      .coalesce(1).write.parquet(stage.toString)
+    val part = {
+      val s = Files.list(stage)
+      try s.iterator().asScala
+        .find(_.getFileName.toString.startsWith("part-"))
+      finally s.close()
+    }
+    val result = part.flatMap { p =>
+      if (BronzeBatchAppend.parquetRowCount(p) == 0L) None
+      else {
+        val dest = s"del-$id.parquet"
+        Files.move(p, Paths.get(dir, dest), StandardCopyOption.ATOMIC_MOVE)
+        Some(dest)
+      }
+    }
+    BronzeBatchAppend.deleteStageTree(stage)
+    result
+  }
+
+  /** The table read of a delete-carrying snapshot: per-file row-based
+    * readers applying each file's skip set. Honors column pruning;
+    * captures pushed filters for MANIFEST pruning only (all filters
+    * reported unpushed — Spark re-evaluates them post-scan), and
+    * keeps the snapshot-log streaming hook so `readStream.table`
+    * still resolves. */
+  def scanBuilder(dir: String, entries: Seq[FileEntry],
+      declared: StructType, partSpec: Seq[BronzePartitioning.PartField],
+      mkStream: () =>
+        org.apache.spark.sql.connector.read.streaming.MicroBatchStream)
+      : ScanBuilder =
+    new ScanBuilder
+      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+      with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+
+      private var required: StructType = declared
+      private var surviving: Seq[FileEntry] = entries
+
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+
+      override def pushFilters(
+          filters: Array[org.apache.spark.sql.sources.Filter])
+          : Array[org.apache.spark.sql.sources.Filter] = {
+        // manifest stats/tuple pruning still applies under MOR —
+        // deletes only REMOVE rows, so a file provably empty for the
+        // predicate stays provably empty
+        surviving = BronzePruning.survivors(entries, declared,
+          filters.toSeq, partSpec)
+        filters // nothing row-level is pushed; Spark filters post-scan
+      }
+      override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+        Array.empty
+
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = required
+        override def description(): String =
+          s"bronze mor scan $dir (position deletes applied; " +
+            s"${surviving.size}/${entries.size} files)"
+        override def toMicroBatchStream(loc: String)
+            : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+          mkStream()
+        override def toBatch: org.apache.spark.sql.connector.read.Batch =
+          new org.apache.spark.sql.connector.read.Batch {
+            override def planInputPartitions(): Array[InputPartition] =
+              surviving.map(e => BronzeFilePartition(s"$dir/${e.name}",
+                e.deletes.map(s => s"$dir/$s")): InputPartition).toArray
+            override def createReaderFactory(): PartitionReaderFactory =
+              new BronzeMetadataReaderFactory(required.json)
+          }
+      }
+    }
+}

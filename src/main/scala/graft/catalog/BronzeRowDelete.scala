@@ -75,11 +75,35 @@ object BronzeRowDelete {
         s"bronze DELETE requires a snapshot-logged table: $dir"))
     if (snap.files.isEmpty) return Seq.empty
     val declared = spark.read.schema(schema)
-    val all = declared.parquet(snap.files.map(f => s"$dir/$f"): _*)
-    // only files that CONTAIN matching rows rewrite; this listing is
-    // file-count-scale metadata, never row-scale
-    val affected = all.filter(cond)
-      .select(col("_metadata.file_name")).distinct()
+    // (file, pos) of the LIVE matching rows — existing position
+    // deletes anti-joined away, so both modes see only rows a reader
+    // of the current snapshot still sees
+    val matches = BronzeMor.matchingPositions(spark, dir, schema,
+      snap.entries, cond)
+
+    // MERGE-ON-READ mode: write one (file, pos) sidecar and attach it
+    // to the targeted entries — O(|deleted rows|) written, file set
+    // unchanged; readers skip the positions until OPTIMIZE purges
+    if (graft.GraftConf.string(spark, graft.GraftConf.DeleteModeKey,
+      "copy-on-write") == "merge-on-read") {
+      return BronzeMor.writeDeleteFile(spark, dir, matches) match {
+        case None => Seq.empty // nothing matched: no snapshot
+        case Some(sidecar) =>
+          val targets = spark.read.schema(MorDeletes.DeleteSchema)
+            .parquet(s"$dir/$sidecar")
+            .select(col("file")).distinct()
+            .collect().map(_.getString(0)).toSeq.sorted
+          SnapshotLog.commitAttachDeletes(dir, "delete",
+            targets.map(_ -> Seq(sidecar)).toMap)
+          targets
+      }
+    }
+
+    // COPY-ON-WRITE mode: only files that CONTAIN live matching rows
+    // rewrite; this listing is file-count-scale metadata, never
+    // row-scale
+    val affected = matches
+      .select(col("file")).distinct()
       .collect().map(_.getString(0)).toSeq.sorted
     if (affected.isEmpty) return Seq.empty // no-op: no new snapshot
     val id = java.util.UUID.randomUUID().toString.substring(0, 8)
@@ -98,7 +122,12 @@ object BronzeRowDelete {
     val addedParts = Map.newBuilder[String, Map[String, String]]
     groups.zipWithIndex.foreach { case ((tuple, groupFiles), gi) =>
       val stage = Paths.get(dir, s".del-$id-t$gi")
-      val keep = declared.parquet(groupFiles.map(f => s"$dir/$f"): _*)
+      // existing MOR position deletes are APPLIED to the rewrite input
+      // — a copy-on-write pass over a delete-carrying file must not
+      // resurrect its already-deleted rows (the rewrite then drops the
+      // sidecar refs: fresh entries carry none)
+      val groupEntries = groupFiles.flatMap(entryParts.get)
+      val keep = BronzeMor.readWithDeletes(spark, dir, schema, groupEntries)
         .filter(!(cond <=> lit(true))) // NULL predicate -> row survives
       try keep.write.parquet(stage.toString)
       catch { case e: Throwable => deleteTree(stage); throw e }

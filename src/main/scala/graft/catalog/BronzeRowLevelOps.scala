@@ -129,11 +129,22 @@ final class BronzeRowLevelOperation(dir: String, declared: StructType,
               .select(col("_metadata.file_name")).distinct()
               .collect().map(_.getString(0)).toSeq.sorted
           }
+        // existing merge-on-read deletes must be APPLIED by the
+        // rewrite scan — a copy-on-write pass reading raw bytes would
+        // resurrect already-deleted rows into the rewritten files
+        val delsOf: String => Seq[String] = {
+          val byName = snap.entriesByName
+          f => byName.get(f).map(_.deletes).getOrElse(Seq.empty)
+        }
+        val anyDels = affected.exists(f => delsOf(f).nonEmpty)
         if (required.fieldNames.contains("_file"))
           // MERGE: per-file scan emitting `_file`, narrowable by the
           // runtime group filter — commit follows the narrowed set
           new BronzeCowFileScan(dir, affected, required,
-            narrowed => { affected = narrowed })
+            narrowed => { affected = narrowed }, delsOf)
+        else if (anyDels)
+          BronzeMetadataFileScan.scan(dir, affected, declared, declared,
+            delsOf)
         else
           shim.parquetTableFiles(spark, s"cow:$dir",
             affected.map(f => s"$dir/$f"), declared)
@@ -365,7 +376,8 @@ private final class ShiftedInternalRow(offset: Int)
   * lockstep). At 100 TB this is what turns MERGE from a full-table
   * rewrite into |files with matches|. */
 private final class BronzeCowFileScan(dir: String, files0: Seq[String],
-    required: StructType, onNarrowed: Seq[String] => Unit)
+    required: StructType, onNarrowed: Seq[String] => Unit,
+    delsOf: String => Seq[String] = _ => Seq.empty)
     extends Scan with org.apache.spark.sql.connector.read.Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
@@ -417,7 +429,8 @@ private final class BronzeCowFileScan(dir: String, files0: Seq[String],
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    files.map(f => BronzeFilePartition(s"$dir/$f"): InputPartition).toArray
+    files.map(f => BronzeFilePartition(s"$dir/$f",
+      delsOf(f).map(s => s"$dir/$s")): InputPartition).toArray
 
   override def createReaderFactory()
       : org.apache.spark.sql.connector.read.PartitionReaderFactory =

@@ -47,11 +47,19 @@ object BronzeStreamRead {
     new org.apache.spark.sql.graftshim.SnapshotScanBuilder(
       delegate,
       s"bronze snapshot scan $dir (streaming: version-per-batch)",
-      () => new BronzeMicroBatchStream(dir, schema,
-        Option(options.get("startingVersion")).getOrElse("latest"),
-        Option(options.get("maxVersionsPerTrigger")).map(_.toLong)),
+      () => microBatchStream(dir, schema, options),
       mkMetadataScan,
       filePruner)
+
+  /** The snapshot-log micro-batch stream from scan options — shared
+    * with the merge-on-read scan path so `readStream.table` resolves
+    * identically whichever batch scan the snapshot needed. */
+  private[catalog] def microBatchStream(dir: String, schema: StructType,
+      options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new BronzeMicroBatchStream(dir, schema,
+      Option(options.get("startingVersion")).getOrElse("latest"),
+      Option(options.get("maxVersionsPerTrigger")).map(_.toLong))
 }
 
 /** Batch scan that serves projections referencing the `_file`
@@ -63,7 +71,8 @@ object BronzeStreamRead {
 object BronzeMetadataFileScan {
 
   def scan(dir: String, files: Seq[String], declared: StructType,
-      required: StructType): Scan = new Scan {
+      required: StructType,
+      sidecarsOf: String => Seq[String] = _ => Seq.empty): Scan = new Scan {
     override def readSchema(): StructType = required
     override def description(): String =
       s"bronze per-file scan $dir (+_file metadata column)"
@@ -71,11 +80,48 @@ object BronzeMetadataFileScan {
       new org.apache.spark.sql.connector.read.Batch {
         override def planInputPartitions(): Array[InputPartition] =
           files.map(f =>
-            BronzeFilePartition(s"$dir/$f"): InputPartition).toArray
+            BronzeFilePartition(s"$dir/$f",
+              sidecarsOf(f).map(s => s"$dir/$s")): InputPartition).toArray
         override def createReaderFactory(): PartitionReaderFactory =
           new BronzeMetadataReaderFactory(required.json)
       }
   }
+}
+
+/** Executor-side position-delete plumbing shared by every per-file
+  * reader: the (file, pos) sidecar schema and the skip-set loader.
+  * Sets are per-(reader, data file) — bounded by one file's deleted
+  * rows, the same working set Iceberg's readers hold. */
+private[catalog] object MorDeletes {
+
+  import org.apache.spark.sql.types.{LongType, StringType}
+
+  /** The position-delete sidecar schema: which file, which row. */
+  val DeleteSchema: StructType = new StructType()
+    .add("file", StringType, nullable = false)
+    .add("pos", LongType, nullable = false)
+
+  /** Positions of `fileName` listed across `sidecarPaths` (full
+    * paths); empty set when there are none. */
+  def skipSet(sidecarPaths: Seq[String],
+      fileName: String): java.util.HashSet[java.lang.Long] = {
+    val set = new java.util.HashSet[java.lang.Long]()
+    sidecarPaths.foreach { p =>
+      val r = shim.rowParquetReader(p, DeleteSchema)
+      try {
+        var row = r.read()
+        while (row != null) {
+          if (row.getUTF8String(0).toString == fileName)
+            set.add(row.getLong(1))
+          row = r.read()
+        }
+      } finally r.close()
+    }
+    set
+  }
+
+  def fileNameOf(path: String): String =
+    java.nio.file.Paths.get(path).getFileName.toString
 }
 
 private final class BronzeMetadataReaderFactory(requiredJson: String)
@@ -84,20 +130,27 @@ private final class BronzeMetadataReaderFactory(requiredJson: String)
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val required = org.apache.spark.sql.types.DataType
       .fromJson(requiredJson).asInstanceOf[StructType]
-    new BronzeMetadataFileReader(
-      p.asInstanceOf[BronzeFilePartition].path, required)
+    val fp = p.asInstanceOf[BronzeFilePartition]
+    new BronzeMetadataFileReader(fp.path, required, fp.sidecars)
   }
 }
 
 /** Reads the requested DATA columns from one parquet file and splices
-  * the constant `_file` path into each output row. */
+  * the constant `_file` path into each output row. `sidecars`:
+  * position-delete files to APPLY — listed row positions are
+  * skipped (merge-on-read). */
 private final class BronzeMetadataFileReader(path: String,
-    required: StructType) extends PartitionReader[InternalRow] {
+    required: StructType, sidecars: Seq[String] = Seq.empty)
+    extends PartitionReader[InternalRow] {
 
   private val dataSchema = StructType(required.filter(_.name != "_file"))
   private val reader = shim.rowParquetReader(path, dataSchema)
   private val filePath = org.apache.spark.unsafe.types.UTF8String
     .fromString(path)
+  private val skip: java.util.HashSet[java.lang.Long] =
+    if (sidecars.isEmpty) null
+    else MorDeletes.skipSet(sidecars, MorDeletes.fileNameOf(path))
+  private var pos = -1L
   // requested ordinal -> data-row ordinal (-1 = the _file constant)
   private val srcIdx: Array[Int] = {
     var j = 0
@@ -108,7 +161,12 @@ private final class BronzeMetadataFileReader(path: String,
   private var current: InternalRow = _
 
   override def next(): Boolean = {
-    val r = reader.read()
+    var r = reader.read()
+    pos += 1
+    while (r != null && skip != null && skip.contains(pos)) {
+      r = reader.read()
+      pos += 1
+    }
     // the materializer reuses its row (and nested buffers) between
     // read() calls — copy before extracting values that outlive it
     current = if (r == null) null else r.copy()
@@ -216,8 +274,8 @@ private final class BronzeMicroBatchStream(dir: String, schema: StructType,
   override def stop(): Unit = ()
 }
 
-private final case class BronzeFilePartition(path: String)
-    extends InputPartition
+private final case class BronzeFilePartition(path: String,
+    sidecars: Seq[String] = Seq.empty) extends InputPartition
 
 private final class BronzeFileReaderFactory(schemaJson: String)
     extends PartitionReaderFactory {

@@ -110,6 +110,19 @@ final class BronzeWritableTable(delegate: Table, dir: String,
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val delsOf: String => Seq[String] = {
+      val byName = snapshotEntries.map(e => e.name -> e.deletes).toMap
+      f => byName.getOrElse(f, Seq.empty)
+    }
+    // a snapshot carrying MERGE-ON-READ position deletes reads through
+    // the per-file readers that apply each file's skip set — the
+    // documented MOR read tax until OPTIMIZE purges the sidecars;
+    // manifest stats/tuple pruning still applies inside
+    if (BronzeMor.hasDeletes(snapshotEntries))
+      return BronzeMor.scanBuilder(dir, snapshotEntries,
+        delegate.schema(), partSpec,
+        () => BronzeStreamRead.microBatchStream(dir, delegate.schema(),
+          options))
     // manifest-stats file skipping: when the pinned snapshot carries
     // per-file stats, pushed filters can REBUILD the delegate over the
     // surviving file list before Spark ever plans the scan — dropped
@@ -135,9 +148,9 @@ final class BronzeWritableTable(delegate: Table, dir: String,
       dir, delegate.schema(), options,
       // `_file` projections can't come from the delegate parquet scan;
       // a scan that needs the column diverts to the per-file reader
-      // over this load's pinned snapshot
+      // over this load's pinned snapshot (position deletes applied)
       required => BronzeMetadataFileScan.scan(dir, pinnedFiles,
-        delegate.schema(), required),
+        delegate.schema(), required, delsOf),
       pruner)
   }
 

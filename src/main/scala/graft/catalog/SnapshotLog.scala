@@ -60,17 +60,22 @@ object SnapshotLog {
   /** One data file in a manifest segment: name, footer row count and
     * size, the file's PARTITION-TRANSFORM tuple when the writer
     * recorded one (values as canonical strings keyed by transform
-    * name), and per-top-level-column [[ColStats]] keyed by the
-    * column's lower-cased name AT WRITE TIME (id-based lookup handles
-    * later renames). All metadata fields are optional: an entry with
-    * nothing but a name (legacy manifests, unreadable footers) is
-    * still a perfectly valid — just never-skippable — file. */
+    * name), per-top-level-column [[ColStats]] keyed by the column's
+    * lower-cased name AT WRITE TIME (id-based lookup handles later
+    * renames), and the POSITION-DELETE sidecars attached to the file
+    * (merge-on-read row-level deletes — Iceberg v2's delete files):
+    * each named sidecar is a parquet of (file, pos) pairs in the
+    * table dir, and a reader of this snapshot must SKIP the file's
+    * listed positions. All metadata fields are optional: an entry
+    * with nothing but a name (legacy manifests, unreadable footers)
+    * is still a perfectly valid — just never-skippable — file. */
   final case class FileEntry(
       name: String,
       rows: Option[Long] = None,
       bytes: Option[Long] = None,
       parts: Map[String, String] = Map.empty,
-      stats: Map[String, ColStats] = Map.empty)
+      stats: Map[String, ColStats] = Map.empty,
+      deletes: Seq[String] = Seq.empty)
 
   /** One manifest segment file (`m-<uuid>.json` in the log dir): an
     * immutable list of file entries SHARED across snapshots — a
@@ -204,7 +209,8 @@ object SnapshotLog {
     * stay O(delta) amortized at millions of files. */
   def commitWith(tableDir: String, operation: String,
       addedParts: Map[String, Map[String, String]] = Map.empty,
-      entryHints: Map[String, FileEntry] = Map.empty)(
+      entryHints: Map[String, FileEntry] = Map.empty,
+      attachDeletes: Map[String, Seq[String]] = Map.empty)(
       change: Option[Snapshot] => (Set[String], Option[String])): Snapshot = {
     val d = logDir(tableDir)
     Files.createDirectories(d)
@@ -232,13 +238,35 @@ object SnapshotLog {
         parent.map(_.timestampMicros).getOrElse(Long.MinValue))
       val parentEntries = parent.map(_.entriesByName)
         .getOrElse(Map.empty[String, FileEntry])
-      def entryFor(name: String): FileEntry =
-        parentEntries.getOrElse(name,
-          entryHints.getOrElse(name,
+      // merge-on-read deletes attach to entries that must still be
+      // LIVE: positions were computed against a scanned snapshot, and
+      // a file rewritten since holds different rows at them
+      attachDeletes.keys.find(!fileSet.contains(_)).foreach { gone =>
+        throw new java.util.ConcurrentModificationException(
+          s"$operation on $tableDir: delete file targets $gone, which " +
+            "a concurrent commit rewrote or removed; recompute against " +
+            "the current snapshot and retry")
+      }
+      def entryFor(name: String): FileEntry = {
+        // HINTS WIN over the parent's entry: rollback restores the
+        // TARGET version's entry state (e.g. its delete-sidecar refs,
+        // or their absence — rolling back across a MOR delete must
+        // un-apply it), not whatever the parent evolved to
+        val base = entryHints.getOrElse(name,
+          parentEntries.getOrElse(name,
             scrapeCache.getOrElseUpdate(name, scrapeEntry(tableDir, name,
               addedParts.getOrElse(name, Map.empty)))))
+        attachDeletes.get(name) match {
+          case Some(dels) => base.copy(deletes = base.deletes ++ dels)
+          case None => base
+        }
+      }
       val kept = parent.map(_.segments).getOrElse(Seq.empty)
-        .filter(_.entries.forall(e => fileSet.contains(e.name)))
+        .filter(_.entries.forall(e => fileSet.contains(e.name) &&
+          !attachDeletes.contains(e.name) &&
+          // an entry whose hint DIFFERS from the parent's state must
+          // be rewritten, not reused through its parent segment
+          entryHints.get(e.name).forall(_ == e)))
       val keptNames = kept.flatMap(_.entries.map(_.name)).toSet
       val leftover = (fileSet -- keptNames).toSeq.sorted.map(entryFor)
       var segs = kept ++
@@ -345,6 +373,24 @@ object SnapshotLog {
       (parentFiles -- replaced ++ added, parent.flatMap(_.schemaFile))
     }
   }
+
+  /** Commit a MERGE-ON-READ row-level delete (Iceberg v2's position
+    * deletes): the file set is UNCHANGED; each targeted data file's
+    * entry gains a reference to a position-delete sidecar (a parquet
+    * of (file, pos) rows in the table dir) that readers of this and
+    * later snapshots must apply. Write amplification is O(|deleted
+    * rows|) instead of COW's O(|affected files|) — the shape a
+    * frequent-small-DELETE workload needs at 100 TB. Targets that a
+    * concurrent commit rewrote fail with
+    * [[java.util.ConcurrentModificationException]] (the positions
+    * were computed against stale bytes). Earlier snapshots never see
+    * the sidecar: time travel to the pre-delete version reads the
+    * rows. OPTIMIZE purges sidecars by rewriting their files. */
+  def commitAttachDeletes(tableDir: String, operation: String,
+      attach: Map[String, Seq[String]]): Snapshot =
+    commitWith(tableDir, operation, attachDeletes = attach)(parent =>
+      (parent.map(_.files.toSet).getOrElse(listDataFiles(tableDir).toSet),
+        parent.flatMap(_.schemaFile)))
 
   /** Schema sidecar I/O: sidecars live in the log dir under
     * uuid-unique names, so a racing evolution can never overwrite the
@@ -488,6 +534,14 @@ object SnapshotLog {
       }
     val sidecarCandidates = logFiles("schema-")
     val segmentCandidates = logFiles("m-")
+    // position-delete sidecars live in the TABLE dir (del-*.parquet,
+    // invisible to listDataFiles) — same listing-before-reads rule
+    val deleteFileCandidates = {
+      val s = Files.list(Paths.get(tableDir))
+      try s.iterator.asScala.map(_.getFileName.toString)
+        .filter(n => n.startsWith("del-") && n.endsWith(".parquet")).toSeq
+      finally s.close()
+    }
     val expiredSnaps = expired.map(read(tableDir, _))
     val retainedSnaps = retained.map(read(tableDir, _))
     val referenced = retainedSnaps.flatMap(_.files).toSet
@@ -531,6 +585,16 @@ object SnapshotLog {
     segmentCandidates.filterNot(keptSegs.contains)
       .filter(f => expiredSegs.contains(f) || oldEnough(d.resolve(f)))
       .foreach(f => Files.deleteIfExists(d.resolve(f)))
+    // position-delete sidecars under the same rule: kept while ANY
+    // retained snapshot's entries reference them (compaction drops the
+    // references; the bytes then age out or go with their expired
+    // snapshots)
+    val keptDels = retainedSnaps.flatMap(_.entries.flatMap(_.deletes)).toSet
+    val expiredDels = expiredSnaps.flatMap(_.entries.flatMap(_.deletes)).toSet
+    deleteFileCandidates.filterNot(keptDels.contains)
+      .filter(f => expiredDels.contains(f) ||
+        oldEnough(Paths.get(tableDir, f)))
+      .foreach(f => Files.deleteIfExists(Paths.get(tableDir, f)))
     doomed
   }
 
@@ -672,8 +736,10 @@ object SnapshotLog {
             Option(v.get("id")).map(_.asLong()))
         }.toMap
       }.getOrElse(Map.empty[String, ColStats])
+      val dels = Option(e.get("del")).map(_.elements().asScala
+        .map(_.asText()).toSeq).getOrElse(Seq.empty)
       FileEntry(e.get("f").asText(), optLong("rows"), optLong("bytes"),
-        parts, stats)
+        parts, stats, dels)
     }.toSeq
     ManifestSegment(name, entries)
   }
@@ -706,6 +772,10 @@ object SnapshotLog {
           cs.nulls.foreach(c.put("n", _))
           cs.fieldId.foreach(c.put("id", _))
         }
+      }
+      if (e.deletes.nonEmpty) {
+        val d = n.putArray("del")
+        e.deletes.sorted.foreach(d.add)
       }
     }
     val name = s"m-${java.util.UUID.randomUUID.toString.substring(0, 13)}.json"
@@ -886,6 +956,7 @@ object SnapshotLog {
           .fromJson(readSchemaSidecar(tableDir, name))
           .asInstanceOf[org.apache.spark.sql.types.StructType]
       }
+    val entryByName = snap.entriesByName
     // files bin WITHIN their partition tuple (merging across tuples
     // would orphan the per-file partition values pruning relies on);
     // unpartitioned entries share the empty tuple — the old behavior
@@ -905,7 +976,14 @@ object SnapshotLog {
         bin :+= f; binBytes += sz
       }
       if (bin.nonEmpty) bins += bin
-      bins.result().filter(_.size >= 2).map(parts -> _)
+      // a bin rewrites when it MERGES small files — or when any of its
+      // files carries merge-on-read position deletes: compaction is
+      // what PURGES delete sidecars (positions applied below, fresh
+      // entries carry no refs), returning the table to the vectorized
+      // scan path
+      bins.result().filter(bin => bin.size >= 2 ||
+        bin.exists(f => entryByName.get(f).exists(_.deletes.nonEmpty)))
+        .map(parts -> _)
     }
     val toCompact = toCompactParts.map(_._2)
     if (toCompact.isEmpty) return (0, 0)
@@ -928,10 +1006,20 @@ object SnapshotLog {
     val written = toCompact.zipWithIndex.map { case (group, i) =>
       val dest = s"part-opt-$id-g$i.parquet"
       val stage = Paths.get(tableDir, s".opt-$id-g$i")
-      val reader = pinnedSchema.fold(
-        rw.read.option("mergeSchema", "true"))(rw.read.schema)
-      reader.parquet(group.map(f => s"$tableDir/$f"): _*)
-        .coalesce(1).write.parquet(stage.toString)
+      val groupEntries = group.flatMap(entryByName.get)
+      val df =
+        if (groupEntries.exists(_.deletes.nonEmpty)) {
+          // merge-on-read purge: rewrite with positions APPLIED, so
+          // the compacted file holds only live rows
+          val sch = pinnedSchema.getOrElse(
+            rw.read.option("mergeSchema", "true")
+              .parquet(group.map(f => s"$tableDir/$f"): _*).schema)
+          graft.catalog.BronzeMor.readWithDeletes(rw, tableDir, sch,
+            groupEntries)
+        } else pinnedSchema.fold(
+          rw.read.option("mergeSchema", "true"))(rw.read.schema)
+          .parquet(group.map(f => s"$tableDir/$f"): _*)
+      df.coalesce(1).write.parquet(stage.toString)
       val partFile = {
         val s = Files.list(stage)
         try s.iterator.asScala

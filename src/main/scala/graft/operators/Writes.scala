@@ -946,6 +946,96 @@ object Writes {
           UNION ALL
           SELECT 'full', COUNT(*), ${Exact.sqlSum("p", 2)} FROM o)
         SELECT probe, n_orders, total_price
-        FROM stats ORDER BY probe"""))
+        FROM stats ORDER BY probe""")),
+
+    // ----- w16: MERGE-ON-READ ROW-LEVEL DELETE — Iceberg v2's
+    // position-delete files (`write.delete.mode=merge-on-read`),
+    // the write-amplification fix for frequent small deletes at
+    // 100 TB: the same GDPR-scrub change-set as w07 commits as ONE
+    // (file, pos) sidecar — O(|deleted rows|) bytes written, data
+    // files untouched — instead of rewriting every affected file.
+    // Readers of the delete snapshot skip the listed positions;
+    // VERSION AS OF the pre-delete snapshot still reads them
+    // (legal-hold); the change feed emits exactly the deleted rows as
+    // retractions; and OPTIMIZE purges the sidecar by rewriting with
+    // positions applied — answers must be IDENTICAL before and after
+    // the purge, and identical to what w07's copy-on-write path
+    // produces for the same change-set (the oracle re-derives both by
+    // predicate, so MOR vs COW equivalence is hash-checked).
+    QueryDef(
+      "w16_mor_delete",
+      (s, d) => {
+        val wh = scratch("w16", d)
+        val cat = "w16cat_" + Integer.toHexString(d.hashCode)
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.BronzeCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+        s.sql(s"DROP TABLE IF EXISTS $cat.db.orders_mor")
+        s.sql(s"""CREATE TABLE $cat.db.orders_mor
+          (o_orderkey BIGINT, o_orderdate DATE, o_totalprice DOUBLE)
+          USING parquet""")
+        val o = new Tables(s, d).orders.select(
+          col("o_orderkey").cast("long"),
+          col("o_orderdate").cast("date"),
+          col("o_totalprice").cast("double"))
+        Seq(
+          o.filter(col("o_orderdate") < lit("1997-01-01")),
+          o.filter(col("o_orderdate") >= lit("1997-01-01"))
+        ).foreach(_.writeTo(s"$cat.db.orders_mor").append())
+        // v3: the scrub, merge-on-read — one sidecar, zero rewrites
+        s.conf.set(graft.GraftConf.DeleteModeKey, "merge-on-read")
+        try s.sql(s"""DELETE FROM $cat.db.orders_mor
+          WHERE o_orderdate >= DATE '1998-01-01' AND o_totalprice > 150000""")
+        finally s.conf.unset(graft.GraftConf.DeleteModeKey)
+        def stats(ref: String, df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("n_orders"),
+            Exact.dsum(col("o_totalprice"), 2).as("total_price"))
+            .select(lit(ref).as("ref"), col("n_orders"), col("total_price"))
+        val isRetract =
+          col("_change_type").isin("delete", "update_before")
+        val cdcNet = s.read.option("startingVersion", "2")
+          .option("endingVersion", "3")
+          .table(s"$cat.db.orders_mor.changes")
+          .agg(sum(when(isRetract, -1).otherwise(1)).cast("long")
+            .as("n_orders"),
+            Exact.dsum(when(isRetract, -col("o_totalprice"))
+              .otherwise(col("o_totalprice")), 2).as("total_price"))
+          .select(lit("cdc_net").as("ref"), col("n_orders"),
+            col("total_price"))
+        val preOpt =
+          stats("v2_all",
+            s.sql(s"SELECT * FROM $cat.db.orders_mor VERSION AS OF 2"))
+            .union(stats("v3_scrubbed", s.table(s"$cat.db.orders_mor")))
+            .union(cdcNet)
+        // v4: purge the sidecar; answers must not move
+        val bc = s.sessionState.catalogManager.catalog(cat)
+          .asInstanceOf[graft.catalog.BronzeCatalog]
+        bc.optimizeTable(Seq("db"), "orders_mor", 1L << 30)
+        preOpt.union(stats("v4_optimized", s.table(s"$cat.db.orders_mor")))
+          .orderBy(col("ref"))
+      },
+      Some(s"""WITH o AS (
+          SELECT o_totalprice AS p, CAST(o_orderdate AS DATE) AS od
+          FROM orders),
+        scrubbed AS (
+          SELECT p FROM o
+          WHERE NOT (od >= DATE '1998-01-01' AND p > 150000)),
+        gone AS (
+          SELECT p FROM o
+          WHERE od >= DATE '1998-01-01' AND p > 150000),
+        stats AS (
+          SELECT 'v2_all' AS ref, COUNT(*) AS n_orders,
+            ${Exact.sqlSum("p", 2)} AS total_price FROM o
+          UNION ALL
+          SELECT 'v3_scrubbed', COUNT(*), ${Exact.sqlSum("p", 2)}
+          FROM scrubbed
+          UNION ALL
+          SELECT 'cdc_net', 0 - COUNT(*), ${Exact.sqlSum("0 - p", 2)}
+          FROM gone
+          UNION ALL
+          SELECT 'v4_optimized', COUNT(*), ${Exact.sqlSum("p", 2)}
+          FROM scrubbed)
+        SELECT ref, n_orders, total_price
+        FROM stats ORDER BY ref"""))
   )
 }

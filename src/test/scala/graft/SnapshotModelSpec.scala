@@ -5,15 +5,16 @@ import scala.util.Random
 import graft.catalog.SnapshotLog
 
 /** MODEL-BASED property test of the bronze table's op algebra: a
-  * deterministic random sequence of append / DELETE / UPDATE /
-  * OPTIMIZE / VACUUM / tag / RENAME COLUMN steps runs against BOTH
-  * the real catalog table and a trivial in-memory model, and after
-  * EVERY step the table's content, its readable history (`VERSION AS
-  * OF` each retained version, read with the COLUMN NAME of that
-  * era), and its tag resolution must match the model. Interleavings
-  * no single-purpose spec enumerates (delete-after-compaction,
-  * vacuum-under-tag, update-after-rename-after-vacuum, …) all get
-  * exercised; any divergence pinpoints the first bad step. */
+  * deterministic random sequence of append / DELETE (copy-on-write
+  * AND merge-on-read) / UPDATE / OPTIMIZE / VACUUM / tag / RENAME
+  * COLUMN / ROLLBACK steps runs against BOTH the real catalog table
+  * and a trivial in-memory model, and after EVERY step the table's
+  * content, its readable history (`VERSION AS OF` each retained
+  * version, read with the COLUMN NAME of that era), and its tag
+  * resolution must match the model. Interleavings no single-purpose
+  * spec enumerates (delete-after-compaction, vacuum-under-tag,
+  * update-after-MOR-delete, rollback-across-position-deletes, …) all
+  * get exercised; any divergence pinpoints the first bad step. */
 class SnapshotModelSpec extends SparkSpec {
 
   private lazy val warehouse: String = bronzeWarehouse
@@ -86,7 +87,7 @@ class SnapshotModelSpec extends SparkSpec {
       }
 
       (1 to 14).foreach { step =>
-        val op = rnd.nextInt(12)
+        val op = rnd.nextInt(14)
         val desc = op match {
           case 0 | 1 | 2 | 3 => // append (weighted: tables mostly grow)
             val n = 1 + rnd.nextInt(5)
@@ -102,11 +103,13 @@ class SnapshotModelSpec extends SparkSpec {
             s"append($n)"
           case 4 | 5 => // keyed DELETE (untranslatable % predicate:
             // the group path can't prune files, so the statement
-            // rewrites and COMMITS whenever the table has rows at
-            // all — even a zero-match delete; only an empty table
-            // commits nothing)
+            // rewrites and COMMITS whenever the table has FILES at
+            // all — even a zero-match delete, and even when every
+            // row in those files is already MOR-deleted (the rewrite
+            // then just drops the dead files); only a file-less
+            // table commits nothing
             val k = 2 + rnd.nextInt(3); val r = rnd.nextInt(k)
-            val commits = m.rows.nonEmpty
+            val commits = SnapshotLog.current(dir).get.files.nonEmpty
             spark.sql(s"DELETE FROM bronze.model.$name " +
               s"WHERE id % $k = $r")
             if (commits) {
@@ -119,7 +122,7 @@ class SnapshotModelSpec extends SparkSpec {
           case 6 | 7 => // keyed UPDATE (same commit contract as DELETE)
             val k = 2 + rnd.nextInt(3); val r = rnd.nextInt(k)
             val c = 1 + rnd.nextInt(9)
-            val commits = m.rows.nonEmpty
+            val commits = SnapshotLog.current(dir).get.files.nonEmpty
             spark.sql(s"UPDATE bronze.model.$name " +
               s"SET ${m.col} = ${m.col} + $c.0 WHERE id % $k = $r")
             if (commits) {
@@ -161,6 +164,25 @@ class SnapshotModelSpec extends SparkSpec {
                 colAt = m.colAt + (m.version -> m.colAt(v)))
               s"rollback(v$v)"
             }
+          case 12 | 13 => // MERGE-ON-READ range DELETE: a translatable
+            // predicate rides the SupportsDelete path, and the
+            // merge-on-read mode attaches a position-delete sidecar
+            // instead of rewriting — commits only when LIVE rows
+            // match (a no-match MOR delete writes nothing)
+            val lo = rnd.nextInt(math.max(1, nextId.toInt)).toLong
+            val hi = lo + rnd.nextInt(5)
+            val commits = m.rows.keys.exists(id => id >= lo && id <= hi)
+            spark.conf.set(GraftConf.DeleteModeKey, "merge-on-read")
+            try spark.sql(s"DELETE FROM bronze.model.$name " +
+              s"WHERE id >= $lo AND id <= $hi")
+            finally spark.conf.unset(GraftConf.DeleteModeKey)
+            if (commits) {
+              m = m.copy(rows = m.rows.filter { case (id, _) =>
+                id < lo || id > hi }, version = m.version + 1)
+              m = m.copy(history = m.history + (m.version -> m.rows),
+                colAt = m.colAt + (m.version -> m.colAt(m.version - 1)))
+            }
+            s"mor-delete($lo..$hi)"
           case 9 => // tag current, sometimes vacuum
             if (rnd.nextBoolean() && !m.tags.contains(s"t$step")) {
               bronzeCatalog.tagTable(Seq("model"), name, s"t$step",
