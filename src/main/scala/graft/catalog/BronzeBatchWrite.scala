@@ -175,7 +175,8 @@ object BronzeBatchAppend {
     * missing the newest column — stamping from a stale mirror would
     * write that column without its field id, and id-resolved reads
     * would surface its values as NULL. */
-  private def stampFieldIds(df: DataFrame, tableDir: String): DataFrame = {
+  private[catalog] def stampFieldIds(df: DataFrame,
+      tableDir: String): DataFrame = {
     val sf = Paths.get(tableDir, "_graft_schema.json")
     if (!Files.isRegularFile(sf)) return df
     val json = SnapshotLog.current(tableDir).flatMap(_.schemaFile) match {

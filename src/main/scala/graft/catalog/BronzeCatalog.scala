@@ -250,6 +250,46 @@ class BronzeCatalog extends TableCatalog with SupportsNamespaces {
       : org.apache.spark.sql.DataFrame =
     BronzeMetaTables.refs(SparkSession.active, tableDir(namespace, name))
 
+  // ---- branches / write-audit-publish (see BronzeBranches) ---------
+
+  /** Fork a staging BRANCH from the current (or given) main version. */
+  def createBranch(namespace: Seq[String], name: String, branch: String,
+      fromVersion: Option[Long] = None): Unit = {
+    BronzeBranches.createBranch(tableDir(namespace, name), branch,
+      fromVersion)
+    ()
+  }
+
+  /** Stage a batch ONTO a branch — durable, auditable, invisible to
+    * main readers. Returns rows appended. */
+  def appendToBranch(namespace: Seq[String], name: String, branch: String,
+      df: org.apache.spark.sql.DataFrame): Long =
+    BronzeBranches.append(SparkSession.active,
+      tableDir(namespace, name), branch, df)
+
+  /** The branch VIEW (base + staged rows) — what the audit queries. */
+  def readBranch(namespace: Seq[String], name: String,
+      branch: String): org.apache.spark.sql.DataFrame =
+    BronzeBranches.readBranch(SparkSession.active,
+      tableDir(namespace, name), branch)
+
+  /** PUBLISH: fast-forward main to the branch state in one atomic,
+    * CAS-validated commit; refuses if main advanced past the base. */
+  def publishBranch(namespace: Seq[String], name: String,
+      branch: String): Unit = {
+    BronzeBranches.fastForwardPublish(tableDir(namespace, name), branch)
+    ()
+  }
+
+  /** Abandon a staging branch (the failed-audit verb); its files age
+    * out as orphans. */
+  def dropBranch(namespace: Seq[String], name: String,
+      branch: String): Boolean =
+    BronzeBranches.dropBranch(tableDir(namespace, name), branch)
+
+  def branches(namespace: Seq[String], name: String): Seq[String] =
+    BronzeBranches.listBranches(tableDir(namespace, name))
+
   /** `TIMESTAMP AS OF` — `timestamp` arrives in MICROSECONDS since
     * the epoch (the V2 contract); resolves to the latest snapshot
     * committed at or before it. */

@@ -134,7 +134,9 @@ object BronzeChangeFeed {
               detached.map(s => s"$dir/$s"))
         }
       snap.operation match {
-        case "append" | "create" => emit(added, "insert",
+        // a PUBLISH (fast-forwarded write-audit-publish branch) is a
+        // pure append relative to its parent by construction
+        case "append" | "create" | "publish" => emit(added, "insert",
           applyParentDels = false)
         case "delete" =>
           emit(removed, "delete", applyParentDels = true)

@@ -512,6 +512,12 @@ object SnapshotLog {
     // fully (seen here) or not at all (its version was already doomed
     // when the tag landed — the documented race, same as Iceberg's)
     val tagged = listTags(tableDir).values.toSet
+    // files staged on LIVE BRANCHES (write-audit-publish in flight)
+    // are referenced only by branch-log snapshots — read the branch
+    // refs BEFORE the candidate listing, same protection order as
+    // tags: a branch created mid-vacuum stages under fresh names the
+    // listing below never saw
+    val branchReferenced = BronzeBranches.referencedFiles(tableDir)
     val horizon = all.size - retainLast
     val (expired, retained) = all.zipWithIndex.partition {
       case (v, i) => i < horizon && !tagged.contains(v)
@@ -544,7 +550,7 @@ object SnapshotLog {
     }
     val expiredSnaps = expired.map(read(tableDir, _))
     val retainedSnaps = retained.map(read(tableDir, _))
-    val referenced = retainedSnaps.flatMap(_.files).toSet
+    val referenced = retainedSnaps.flatMap(_.files).toSet ++ branchReferenced
     val expiredReferenced = expiredSnaps.flatMap(_.files).toSet
     // Age is measured in the FILESYSTEM's clock domain: a probe file
     // written now supplies the "now" reference, so a skew between

@@ -1036,6 +1036,90 @@ object Writes {
           SELECT 'v4_optimized', COUNT(*), ${Exact.sqlSum("p", 2)}
           FROM scrubbed)
         SELECT ref, n_orders, total_price
+        FROM stats ORDER BY ref""")),
+
+    // ----- w17: BRANCHES + WRITE-AUDIT-PUBLISH — the standard
+    // production-lakehouse ingestion workflow (Iceberg branch refs +
+    // the WAP pattern) on the refs machinery w13/w14 built: a BAD
+    // batch (poisoned negative prices) stages onto a branch where the
+    // audit sees it with full SQL while MAIN NEVER DOES; the branch
+    // drops; the clean batch stages on a fresh branch, audits green,
+    // and fast-forward-publishes as ONE atomic validated commit. The
+    // gate reads main-during-audit (only batch 1), the poisoned
+    // branch view the audit rejected, the audit's own finding count,
+    // and the published final state — each re-derived by predicate in
+    // the oracle, so staging isolation, audit visibility, AND the
+    // publish all hash-check.
+    QueryDef(
+      "w17_branch_wap",
+      (s, d) => {
+        val wh = scratch("w17", d)
+        val cat = "w17cat_" + Integer.toHexString(d.hashCode)
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.BronzeCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+        s.sql(s"DROP TABLE IF EXISTS $cat.db.orders_wap")
+        s.sql(s"""CREATE TABLE $cat.db.orders_wap
+          (o_orderkey BIGINT, o_orderdate DATE, o_totalprice DOUBLE)
+          USING parquet""")
+        val o = new Tables(s, d).orders.select(
+          col("o_orderkey").cast("long"),
+          col("o_orderdate").cast("date"),
+          col("o_totalprice").cast("double"))
+        val batch1 = o.filter(col("o_orderdate") < lit("1997-01-01"))
+        val batch2 = o.filter(col("o_orderdate") >= lit("1997-01-01"))
+        // the POISON: keys % 97 == 0 arrive with negated prices
+        val poisoned = batch2.withColumn("o_totalprice",
+          when(col("o_orderkey") % 97 === 0, -col("o_totalprice"))
+            .otherwise(col("o_totalprice")))
+        batch1.writeTo(s"$cat.db.orders_wap").append() // v1 good
+        val bc = s.sessionState.catalogManager.catalog(cat)
+          .asInstanceOf[graft.catalog.BronzeCatalog]
+        bc.createBranch(Seq("db"), "orders_wap", "audit")
+        bc.appendToBranch(Seq("db"), "orders_wap", "audit", poisoned)
+        def stats(ref: String, df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("n_orders"),
+            Exact.dsum(col("o_totalprice"), 2).as("total_price"))
+            .select(lit(ref).as("ref"), col("n_orders"), col("total_price"))
+        val branchView = bc.readBranch(Seq("db"), "orders_wap", "audit")
+        val auditFinding = branchView.filter(col("o_totalprice") < 0)
+          .agg(count(lit(1)).as("n_orders"),
+            Exact.dsum(col("o_totalprice"), 2).as("total_price"))
+          .select(lit("audit_bad").as("ref"), col("n_orders"),
+            col("total_price"))
+        val duringAudit = stats("main_during_audit",
+            s.table(s"$cat.db.orders_wap"))
+          .union(stats("branch_staged", branchView))
+          .union(auditFinding)
+        // audit FAILED → drop; restage clean; audit green → publish
+        bc.dropBranch(Seq("db"), "orders_wap", "audit")
+        bc.createBranch(Seq("db"), "orders_wap", "audit")
+        bc.appendToBranch(Seq("db"), "orders_wap", "audit", batch2)
+        bc.publishBranch(Seq("db"), "orders_wap", "audit")
+        duringAudit
+          .union(stats("published", s.table(s"$cat.db.orders_wap")))
+          .orderBy(col("ref"))
+      },
+      Some(s"""WITH o AS (
+          SELECT o_orderkey AS k, o_totalprice AS p,
+            CAST(o_orderdate AS DATE) AS od
+          FROM orders),
+        b1 AS (SELECT p FROM o WHERE od < DATE '1997-01-01'),
+        b2p AS (
+          SELECT CASE WHEN k % 97 = 0 THEN 0 - p ELSE p END AS p
+          FROM o WHERE od >= DATE '1997-01-01'),
+        stats AS (
+          SELECT 'main_during_audit' AS ref, COUNT(*) AS n_orders,
+            ${Exact.sqlSum("p", 2)} AS total_price FROM b1
+          UNION ALL
+          SELECT 'branch_staged', COUNT(*), ${Exact.sqlSum("p", 2)}
+          FROM (SELECT p FROM b1 UNION ALL SELECT p FROM b2p)
+          UNION ALL
+          SELECT 'audit_bad', COUNT(*), ${Exact.sqlSum("p", 2)}
+          FROM b2p WHERE p < 0
+          UNION ALL
+          SELECT 'published', COUNT(*), ${Exact.sqlSum("p", 2)} FROM o)
+        SELECT ref, n_orders, total_price
         FROM stats ORDER BY ref"""))
   )
 }
