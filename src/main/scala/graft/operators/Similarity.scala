@@ -136,12 +136,61 @@ object Similarity {
   /** ADC shortlist size (s12): product-quantization candidates
     * surviving the asymmetric-distance pass into the exact L2 rerank
     * — the same cheap recall dial as [[BqShortlist]] /
-    * [[TruncShortlist]]. Override with `spark.graft.pqShortlist`. */
-  private[graft] val PqShortlist = 64
+    * [[TruncShortlist]]. 96 (not 64): with the IVF gate recovering
+    * ~0.95 of true neighbors into the candidate set, the 4×64-code
+    * ADC ranking is the remaining loss term — 64 measured recall@1
+    * 0.84 on the test corpus, 96 lifts it to 0.96 at 1.5× the (cheap,
+    * per-query-linear) rerank cost. Override with
+    * `spark.graft.pqShortlist`. */
+  private[graft] val PqShortlist = 96
 
   private def pqShortlist(s: SparkSession): Int = {
     val k = GraftConf.int(s, GraftConf.PqShortlistKey, PqShortlist)
     require(k > 0, s"${GraftConf.PqShortlistKey} must be positive, got $k")
+    k
+  }
+
+  /** IVF probe width DEFAULT (s12): nearest cells ADC-scanned per
+    * query. With occupancy-64 cells the scanned candidate set is
+    * ~nprobe·64 rows of 4-byte codes per query — independent of n,
+    * the IVF-PQ serving shape. 7 measures recall@1 = 0.96 on the test
+    * corpus (5 → 0.80-band); the corpus is isotropic (no cluster
+    * structure), the worst case for any partition gate, so on real
+    * clustered embeddings the same nprobe recovers MORE. Override with
+    * `spark.graft.ivfNprobe`. */
+  private[graft] val IvfNprobe = 7
+
+  private def ivfNprobe(s: SparkSession): Int = {
+    val p = GraftConf.int(s, GraftConf.IvfNprobeKey, IvfNprobe)
+    require(p > 0 && p <= 4096,
+      s"${GraftConf.IvfNprobeKey} must be in [1, 4096], got $p")
+    p
+  }
+
+  /** Adaptive IVF cell count (s12): occupancy-64 cells like
+    * [[adaptiveHyperplanes]] (cells grow with n, per-cell candidate
+    * cost constant), clamped to [8, 256] — the floor keeps a
+    * several-cell structure on demo corpora, the cap bounds the
+    * broadcast centroid table (a 100-TB deployment raises it via
+    * `spark.graft.ivfCells` together with a real multi-round
+    * training loop). Derived from the CORPUS (even vec_ids) count with
+    * the same integer-exact formula in both engines. */
+  private[graft] def adaptiveIvfCells(nCorpus: Long): Int =
+    math.min(256L, math.max(8L, nCorpus / 64)).toInt
+
+  private val evenCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def corpusEvenCount(s: SparkSession, d: String): Long =
+    evenCountCache.computeIfAbsent(d, _ =>
+      new Tables(s, d).embeddings
+        .filter(col("vec_id") % 2 === 0).count()).longValue()
+
+  private def ivfCells(s: SparkSession, d: String): Int = {
+    val k = GraftConf.int(s, GraftConf.IvfCellsKey,
+      adaptiveIvfCells(corpusEvenCount(s, d)))
+    require(k >= 2 && k <= 4096,
+      s"${GraftConf.IvfCellsKey} must be in [2, 4096], got $k")
     k
   }
 
@@ -684,43 +733,114 @@ object Similarity {
             ORDER BY cos_sim DESC, c_id) AS r FROM cand)
         WHERE r = 1 ORDER BY q_id""")),
 
-    // ----- s12: PRODUCT QUANTIZATION + ADC + exact rerank — the
-    // memory-side scale story the other ANN queries don't cover: each
-    // corpus vector is compressed to M=4 sub-space codes (argmin-L2
-    // against a K=64 codebook per 16-dim sub-space; codebooks =
-    // sub-vectors of the 64 lowest-id vectors, the s04 training-free
-    // idiom), and queries score candidates ASYMMETRICALLY —
-    // full-precision query vs a per-query 4×64 distance LUT indexed
-    // by the candidate's CODES. The scoring pass never touches corpus
-    // floats: 4 small ints per vector instead of 64 floats (64× less
-    // memory traffic), which is what lets a 10⁹-vector index fit in
-    // RAM at 100 TB. Candidates come from the same multi-probe LSH
-    // bucket join as s11 (never all-pairs); codebook joins broadcast
-    // (64 rows); the 4 LUT joins key on (q_id, code) —
-    // shuffle-bounded. The 4 sub-distances add in fixed left-to-right
-    // order (bit-identical across engines), the ADC top-`pqShortlist`
-    // (64) rerank exactly at full precision — the standard PQ serving
-    // recipe, lifting default recall@1 0.036 → 0.61 (dashboard) at
-    // |shortlist| full-vector touches per query.
+    // ----- s12: IVF + PRODUCT QUANTIZATION + ADC + exact rerank —
+    // the memory-side scale story the other ANN queries don't cover,
+    // now with its OWN coarse quantizer instead of the shared LSH
+    // gate (which capped recall@1 at 0.61). The serving shape is
+    // classic IVF-PQ:
+    //   index build: an adaptive-K k-means coarse quantizer (K =
+    //     occupancy-64 cells, one Lloyd round — s08's recipe with
+    //     the same floor-quantized exact means, so the iterative
+    //     float training is hash-checkable cross-engine) assigns
+    //     every corpus vector to its L2-nearest cell; each corpus
+    //     vector also compresses to M=4 sub-space codes against
+    //     64-entry codebooks (init: sub-vectors of the 64 lowest-id
+    //     vectors; one Lloyd round per sub-space over the corpus —
+    //     trained codebooks cut the ADC ranking loss that a wider
+    //     shortlist would otherwise pay for).
+    //   query: probe the nprobe (7) L2-nearest cells and score ONLY
+    //     their members ASYMMETRICALLY — full-precision query vs a
+    //     per-query 4x64 distance LUT indexed by the candidate's
+    //     CODES. The scan never touches corpus floats: 4 small ints
+    //     per vector instead of 64 floats, and only ~nprobe*64
+    //     candidates per query at ANY corpus size (cells grow with
+    //     n, occupancy stays 64) — what lets a 10^9-vector index
+    //     serve from RAM at 100 TB. The ADC top-`pqShortlist` (96)
+    //     then rerank exactly at full precision.
+    // Centroid/codebook joins broadcast (<= 256 + 4x64 rows); the
+    // cell-membership join shuffles on cid; the 4 LUT joins key on
+    // (q_id, code) — shuffle-bounded, never all-pairs. All argmins
+    // tie-break on id and all training means are floor(x*1e10+0.5)
+    // BIGINT sums (exact + associative), so both engines derive
+    // bit-identical centroids, codes, and candidates. Measured
+    // recall@1 vs exact L2: 0.96 at the defaults (RecallDashboardSpec;
+    // the r8 LSH-gated version measured 0.61) on an ISOTROPIC test
+    // corpus — the worst case for a partition gate; clustered real
+    // embeddings recover more per probe.
     QueryDef(
       "s12_pq_adc",
       (s, d) => {
         val M = 4
         val sub = VecDim / M // 16
-        val e = vecs(s, d).withColumn("bucket", expr(bucketExpr))
-        val cents = e.filter(col("vec_id") < 64)
-          .select(col("vec_id").as("c"), col("v").as("cv"))
+        val e = vecs(s, d)
         val corpus = e.filter(col("vec_id") % 2 === 0)
-          .select(col("vec_id").as("c_id"), col("v").as("bv"),
-            col("bucket").as("bucket_c"))
+          .select(col("vec_id").as("c_id"), col("v").as("bv"))
         val qs = e.filter(col("vec_id") % 2 === 1)
-          .select(col("vec_id").as("q_id"), col("v").as("av"),
-            col("bucket"))
-        // L2² between the m-th sub-vectors of `a` and the centroid
-        // cast each float element to double BEFORE subtracting — the
-        // oracle's vectors are double from the start, and a float
-        // subtract would diverge at the 1e-9 level
-        def subDist(a: String) =
+          .select(col("vec_id").as("q_id"), col("v").as("av"))
+
+        // ---- coarse quantizer: adaptive-K k-means, one Lloyd round
+        // (s08's recipe: cosine assign, floor-quantized exact means) ----
+        val k = ivfCells(s, d)
+        val cent0 = e.filter(col("vec_id") < k)
+          .select(col("vec_id").as("cid"),
+            expr("transform(v, x -> cast(x as double))").as("c"),
+            col("nrm").as("cnrm"))
+        val wA = Window.partitionBy(col("vec_id"))
+          .orderBy(col("cs").desc, col("cid"))
+        val asg0 = e.crossJoin(broadcast(cent0))
+          .withColumn("cs", expr(
+            """aggregate(zip_with(v, c, (x, w) -> x * w),
+               cast(0.0 as double), (acc, x) -> acc + x)""")
+            / (col("nrm") * col("cnrm")))
+          .withColumn("rn", row_number().over(wA))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("cid"))
+        val cent1 = asg0.join(e, "vec_id")
+          .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+          .groupBy(col("cid"), col("dim"))
+          .agg((sum(expr(
+            "cast(floor(cast(x as double) * 1e10 + 0.5d) as bigint)"))
+            .cast("double") / lit(1e10) / count(lit(1))).as("cval"))
+          .groupBy(col("cid"))
+          .agg(expr(
+            """transform(sort_array(collect_list(struct(dim, cval))),
+               t -> t.cval)""").as("c"))
+        // corpus -> its L2-nearest cell; queries -> their nprobe
+        // nearest cells (L2, matching the ADC metric)
+        def cellDist(a: String) =
+          s"""aggregate(zip_with($a, c,
+                (x, w) -> (cast(x as double) - w)
+                        * (cast(x as double) - w)),
+              cast(0.0 as double), (acc, x) -> acc + x)"""
+        val wCell = Window.partitionBy(col("c_id"))
+          .orderBy(col("cd"), col("cid"))
+        val ccell = corpus.crossJoin(broadcast(cent1))
+          .withColumn("cd", expr(cellDist("bv")))
+          .withColumn("rn", row_number().over(wCell))
+          .filter(col("rn") === 1)
+          .select(col("c_id"), col("cid"))
+        val wProbe = Window.partitionBy(col("q_id"))
+          .orderBy(col("cd"), col("cid"))
+        val probes = qs.crossJoin(broadcast(cent1))
+          .withColumn("cd", expr(cellDist("av")))
+          .withColumn("rn", row_number().over(wProbe))
+          .filter(col("rn") <= ivfNprobe(s))
+          .select(col("q_id"), col("cid"))
+        // each corpus vector lives in exactly ONE cell and each query
+        // probes DISTINCT cells -> no duplicate (q_id, c_id) pairs,
+        // no distinct() needed
+        val cand = probes.join(ccell, "cid")
+          .select(col("q_id"), col("c_id"))
+
+        // ---- PQ codebooks: 64-entry init (sub-vectors of the 64
+        // lowest-id vectors, the training-free idiom) + one Lloyd
+        // round per sub-space over the CORPUS ----
+        val cb0 = e.filter(col("vec_id") < 64)
+          .select(col("vec_id").as("c"), col("v").as("cv"))
+        // L2^2 between the m-th sub-vectors of `a` and the FULL-width
+        // init codebook row; floats cast to double BEFORE subtracting
+        // (the oracle's vectors are double from the start)
+        def subDist0(a: String) =
           s"""aggregate(zip_with(
                 slice($a, m * $sub + 1, $sub),
                 slice(cv, m * $sub + 1, $sub),
@@ -729,25 +849,47 @@ object Similarity {
               cast(0.0 as double), (acc, x) -> acc + x)"""
         val wCode = Window.partitionBy(col("c_id"), col("m"))
           .orderBy(col("dist"), col("c"))
-        val codes = corpus.select(col("c_id"), col("bv"))
+        val casg = corpus
           .withColumn("m", explode(expr(s"sequence(0, ${M - 1})")))
-          .crossJoin(broadcast(cents))
-          .withColumn("dist", expr(subDist("bv")))
+          .crossJoin(broadcast(cb0))
+          .withColumn("dist", expr(subDist0("bv")))
+          .withColumn("rn", row_number().over(wCode))
+          .filter(col("rn") === 1)
+          .select(col("c_id"), col("m"), col("c"))
+        val cb1 = casg.join(corpus, "c_id")
+          .select(col("m"), col("c"),
+            posexplode(expr(s"slice(bv, m * $sub + 1, $sub)"))
+              .as(Seq("dd", "x")))
+          .groupBy(col("m"), col("c"), col("dd"))
+          .agg((sum(expr(
+            "cast(floor(cast(x as double) * 1e10 + 0.5d) as bigint)"))
+            .cast("double") / lit(1e10) / count(lit(1))).as("cval"))
+          .groupBy(col("m"), col("c"))
+          .agg(expr(
+            """transform(sort_array(collect_list(struct(dd, cval))),
+               t -> t.cval)""").as("cv"))
+        // trained codebook rows carry the 16-dim sub-vector directly
+        def subDistT(a: String) =
+          s"""aggregate(zip_with(
+                slice($a, m * $sub + 1, $sub), cv,
+                (x, c) -> (cast(x as double) - c)
+                        * (cast(x as double) - c)),
+              cast(0.0 as double), (acc, x) -> acc + x)"""
+        val codes = corpus
+          .withColumn("m", explode(expr(s"sequence(0, ${M - 1})")))
+          .join(broadcast(cb1), Seq("m"))
+          .withColumn("dist", expr(subDistT("bv")))
           .withColumn("rn", row_number().over(wCode))
           .filter(col("rn") === 1)
         val codesPiv = codes.groupBy(col("c_id"))
           .agg(min(when(col("m") === 0, col("c"))).as("code0"),
             (1 until M).map(m =>
               min(when(col("m") === m, col("c"))).as(s"code$m")): _*)
-        val lut = qs.select(col("q_id"), col("av"))
+        val lut = qs
           .withColumn("m", explode(expr(s"sequence(0, ${M - 1})")))
-          .crossJoin(broadcast(cents))
-          .withColumn("pdist", expr(subDist("av")))
+          .join(broadcast(cb1), Seq("m"))
+          .withColumn("pdist", expr(subDistT("av")))
           .select(col("q_id"), col("m"), col("c"), col("pdist"))
-        val cand = qs
-          .withColumn("probe", explode(expr(probeExpr(lshHyperplanes(s, d)))))
-          .join(corpus, col("probe") === col("bucket_c"))
-          .select(col("q_id"), col("c_id")).distinct()
         var scored = cand.join(codesPiv, "c_id")
         for (m <- 0 until M) {
           val l = lut.filter(col("m") === m)
@@ -764,13 +906,9 @@ object Similarity {
           .withColumn("r", row_number().over(wTop))
           .filter(col("r") <= pqShortlist(s))
           .select(col("q_id"), col("c_id"))
-        // stage 2: EXACT L2 rerank of the ADC shortlist only — the
-        // standard PQ serving shape (codes rank cheaply, full vectors
-        // are touched for |shortlist| rows per query). ADC alone with
-        // a tiny demo codebook measured recall@1 = 0.036; the rerank
-        // lifts the default into the dashboard's asserted band while
-        // keeping the scan-side cost structure (LUT adds, no full
-        // vectors) intact.
+        // stage 2: EXACT L2 rerank of the ADC shortlist only — codes
+        // rank cheaply, full vectors are touched for |shortlist| rows
+        // per query
         val l2 =
           """aggregate(zip_with(av, bv,
                (x, y) -> (cast(x as double) - cast(y as double))
@@ -788,20 +926,71 @@ object Similarity {
           .orderBy(col("q_id"))
       },
       Some(s"""WITH e0 AS ($vecsSql),
-        ${bucketedSqlCtes()},
-        cents AS (SELECT vec_id AS c, v AS cv FROM e0 WHERE vec_id < 64),
-        corpus AS (SELECT vec_id AS c_id, v AS bv, bucket FROM e
+        kk AS (SELECT LEAST(256, GREATEST(8, COUNT(*) // 64)) AS k
+               FROM e0 WHERE vec_id % 2 = 0),
+        cent0 AS (SELECT vec_id AS cid, v AS c, nrm AS cnrm FROM e0
+                  WHERE vec_id < (SELECT k FROM kk)),
+        asg0 AS (SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c0.cid,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                list_sum(list_transform(list_zip(e.v, c0.c), t -> t[1] * t[2]))
+                  / (e.nrm * c0.cnrm) DESC, c0.cid) AS rn
+            FROM e0 e, cent0 c0)
+          WHERE rn = 1),
+        cdims AS (SELECT a.cid, dd,
+            CAST(CAST(SUM(CAST(floor(e.v[dd + 1] * 1e10 + 0.5) AS BIGINT))
+              AS BIGINT) AS DOUBLE) / 1e10 / COUNT(*) AS cval
+          FROM asg0 a JOIN e0 e ON e.vec_id = a.vec_id,
+            UNNEST(generate_series(0, ${VecDim - 1})) AS t(dd)
+          GROUP BY a.cid, dd),
+        cent1 AS (SELECT cid, list(cval ORDER BY dd) AS c
+                  FROM cdims GROUP BY cid),
+        corpus AS (SELECT vec_id AS c_id, v AS bv FROM e0
                    WHERE vec_id % 2 = 0),
-        qs AS (SELECT vec_id AS q_id, v AS av, bucket FROM e
+        qs AS (SELECT vec_id AS q_id, v AS av FROM e0
                WHERE vec_id % 2 = 1),
-        codes AS (SELECT c_id, m, c AS code FROM (
+        ccell AS (SELECT c_id, cid FROM (
+            SELECT cr.c_id, t1.cid,
+              ROW_NUMBER() OVER (PARTITION BY cr.c_id ORDER BY
+                list_sum(list_transform(list_zip(cr.bv, t1.c),
+                  z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, t1.cid) AS rn
+            FROM corpus cr, cent1 t1)
+          WHERE rn = 1),
+        probes AS (SELECT q_id, cid FROM (
+            SELECT q.q_id, t1.cid,
+              ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+                list_sum(list_transform(list_zip(q.av, t1.c),
+                  z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, t1.cid) AS rn
+            FROM qs q, cent1 t1)
+          WHERE rn <= ${IvfNprobe}),
+        cand AS (SELECT p.q_id, cc.c_id
+                 FROM probes p JOIN ccell cc USING (cid)),
+        cb0 AS (SELECT vec_id AS c, v AS cv FROM e0 WHERE vec_id < 64),
+        casg AS (SELECT c_id, m, c FROM (
             SELECT cr.c_id, mm.m, ct.c,
               ROW_NUMBER() OVER (PARTITION BY cr.c_id, mm.m ORDER BY
                 list_sum(list_transform(
                   list_zip(list_slice(cr.bv, mm.m * 16 + 1, mm.m * 16 + 16),
                            list_slice(ct.cv, mm.m * 16 + 1, mm.m * 16 + 16)),
-                  t -> (t[1] - t[2]) * (t[1] - t[2]))) ASC, ct.c) AS rn
-            FROM corpus cr, UNNEST(generate_series(0, 3)) AS mm(m), cents ct)
+                  z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, ct.c) AS rn
+            FROM corpus cr, UNNEST(generate_series(0, 3)) AS mm(m), cb0 ct)
+          WHERE rn = 1),
+        cbdims AS (SELECT a.m, a.c, t.dd,
+            CAST(CAST(SUM(CAST(floor(cr.bv[a.m * 16 + t.dd + 1] * 1e10 + 0.5)
+              AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e10 / COUNT(*) AS cval
+          FROM casg a JOIN corpus cr ON cr.c_id = a.c_id,
+            UNNEST(generate_series(0, 15)) AS t(dd)
+          GROUP BY a.m, a.c, t.dd),
+        cb1 AS (SELECT m, c, list(cval ORDER BY dd) AS cv
+                FROM cbdims GROUP BY m, c),
+        codes AS (SELECT c_id, m, c AS code FROM (
+            SELECT cr.c_id, cb.m, cb.c,
+              ROW_NUMBER() OVER (PARTITION BY cr.c_id, cb.m ORDER BY
+                list_sum(list_transform(
+                  list_zip(list_slice(cr.bv, cb.m * 16 + 1, cb.m * 16 + 16),
+                           cb.cv),
+                  z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, cb.c) AS rn
+            FROM corpus cr, cb1 cb)
           WHERE rn = 1),
         cp AS (SELECT c_id,
             MIN(CASE WHEN m = 0 THEN code END) AS code0,
@@ -809,15 +998,12 @@ object Similarity {
             MIN(CASE WHEN m = 2 THEN code END) AS code2,
             MIN(CASE WHEN m = 3 THEN code END) AS code3
           FROM codes GROUP BY c_id),
-        lut AS MATERIALIZED (SELECT q.q_id, mm.m, ct.c,
+        lut AS MATERIALIZED (SELECT q.q_id, cb.m, cb.c,
             list_sum(list_transform(
-              list_zip(list_slice(q.av, mm.m * 16 + 1, mm.m * 16 + 16),
-                       list_slice(ct.cv, mm.m * 16 + 1, mm.m * 16 + 16)),
-              t -> (t[1] - t[2]) * (t[1] - t[2]))) AS pdist
-          FROM qs q, UNNEST(generate_series(0, 3)) AS mm(m), cents ct),
-        cand AS (SELECT DISTINCT p.vec_id AS q_id, b.vec_id AS c_id
-                 FROM probed p JOIN e b ON p.probe = b.bucket
-                 WHERE p.vec_id % 2 = 1 AND b.vec_id % 2 = 0),
+              list_zip(list_slice(q.av, cb.m * 16 + 1, cb.m * 16 + 16),
+                       cb.cv),
+              z -> (z[1] - z[2]) * (z[1] - z[2]))) AS pdist
+          FROM qs q, cb1 cb),
         -- one MATERIALIZED stage per sub-space: without the fences the
         -- optimizer joins the four lut copies to each other before the
         -- codes constrain them (seen: >9 min at sf0.1; staged: ~1 s)

@@ -21,7 +21,9 @@ class PlanAuditSpec extends SparkSpec {
     "s07_truncated_rerank" -> "verification tier: exact coarse baseline for s09",
     "s04_ivf_ann" -> "broadcast 8-centroid affinity (k tiny, not O(n²))",
     "s08_ivf_kmeans" -> "broadcast k-centroid affinity per Lloyd round",
-    "s12_pq_adc" -> "broadcast 8-row codebook affinity (K·M tiny, not O(n²))",
+    "s12_pq_adc" ->
+      ("broadcast centroid/codebook affinities (<=256 cells + 64-row " +
+        "codebook init, not O(n²))"),
     "t07_vocab_stats" -> "1x1 scalar combine",
     "q70_skew_stats" -> "1x1 scalar combine",
     "q71_hll_sketch_distinct" -> "1x1 scalar combine (union row)",

@@ -38,11 +38,12 @@ class PqAdcSpec extends SparkSpec {
     assert(n > 0)
     val hits = joined.filter(col("nn_pq") === col("nn_exact")).count()
     val recall = hits.toDouble / n
-    // two approximations stack here: the LSH candidate gate (the s09
-    // agreement band on this random-vector corpus) and the 8-code
-    // sub-space quantization. Random would be 1/250 = 0.4%; the gate
-    // is the multiple over random, not the absolute.
-    assert(recall >= 0.02, s"recall@1 vs exact L2 = $recall (n=$n)")
+    // two approximations stack here: the IVF candidate gate (nprobe
+    // of the occupancy-64 cells) and the trained 4x64 sub-space
+    // quantization ranking into the shortlist. Random would be
+    // 1/250 = 0.4%; RecallDashboardSpec floors the measured band at
+    // 0.85 — this assert is the collapse catch.
+    assert(recall >= 0.5, s"recall@1 vs exact L2 = $recall (n=$n)")
   }
 
   test("s12 plans no CartesianProduct (codebook broadcast is the only NLJ)") {

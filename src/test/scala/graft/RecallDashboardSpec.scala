@@ -100,12 +100,12 @@ class RecallDashboardSpec extends SparkSpec {
       s14.intersect(s14Exact).size.toDouble /
         math.max(1, s14Exact.size), 0.80)
 
-    // ---- s12 product quantization: ADC-shortlist + exact-rerank
-    // top-1 vs exact L2 top-1 over its query/corpus split (even/odd)
-    // — plain-Scala referee. Measured 0.61 at the round-8 defaults
-    // (4x64 codebook, pqShortlist 64, exact L2 rerank — up from 0.036
-    // ADC-only); the remaining gap to ~0.70 is the shared LSH
-    // candidate gate, the same cap s02/s09 sit under ----
+    // ---- s12 product quantization: IVF-gated ADC-shortlist +
+    // exact-rerank top-1 vs exact L2 top-1 over its query/corpus
+    // split (even/odd) — plain-Scala referee. Measured 0.96 at the
+    // round-9 defaults (own IVF coarse quantizer at nprobe 7 instead
+    // of the shared LSH gate that capped r8 at 0.61; one-Lloyd-round
+    // 4x64 codebooks; pqShortlist 96; exact L2 rerank) ----
     val s12 = SparkEntry.queries("s12_pq_adc")(spark, dir)
       .select("q_id", "c_id").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -119,7 +119,7 @@ class RecallDashboardSpec extends SparkSpec {
     }.toMap
     score("s12_pq_adc", "recall@1 (L2)",
       l2Exact.count { case (q, c) => s12.get(q).contains(c) }.toDouble /
-        l2Exact.size, 0.50)
+        l2Exact.size, 0.85)
 
     // ---- minhash tiers vs exact jaccard ----
     // d03: verified LSH candidates — recall of the exact >=0.5 pairs
