@@ -149,13 +149,25 @@ object StreamingOps {
     QueryDef(
       "st02_stream_sliding_window",
       (s, d) => {
-        val agg = eventStream(s, d)
-          .groupBy(window(col("ts"), "6 hours", "3 hours"))
-          .agg(count(lit(1)).as("n"), dsum(col("value"), 2).as("sum_value"))
-          .select(col("window.start").as("win_start"),
-            col("window.end").as("win_end"), col("n"), col("sum_value"))
-        runToMemory(s, agg, "complete")
-          .orderBy(col("win_start"))
+        // State partitioning is pinned for a streaming query's
+        // lifetime, so size it to the STATE's key cardinality (a
+        // handful of 6h/3h windows), not the session's batch-shuffle
+        // width: 32 state stores for 6 keys write 32 delta/commit
+        // files per micro-batch for nothing — on a shared-disk host
+        // that small-file fsync storm was also the dominant
+        // run-to-run jitter in the bench. Same discipline a
+        // production COMPLETE-mode dashboard agg applies.
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val mat = try {
+          val agg = eventStream(s, d)
+            .groupBy(window(col("ts"), "6 hours", "3 hours"))
+            .agg(count(lit(1)).as("n"), dsum(col("value"), 2).as("sum_value"))
+            .select(col("window.start").as("win_start"),
+              col("window.end").as("win_end"), col("n"), col("sum_value"))
+          runToMemory(s, agg, "complete")
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+        mat.orderBy(col("win_start"))
       },
       Some(s"""SELECT make_timestamp(start_us) AS win_start,
           make_timestamp(start_us + 21600000000) AS win_end,
