@@ -120,6 +120,21 @@ object GraftConf {
     * snapshots drop to per-file readers until OPTIMIZE purges). */
   val DeleteModeKey = "spark.graft.deleteMode"
 
+  /** Row-level UPDATE write mode, Iceberg's `write.update.mode`:
+    * "copy-on-write" (default — affected files rewrite whole) or
+    * "merge-on-read" (the statement commits a POSITION DELTA: one
+    * (file, pos) sidecar retracting the old versions of the touched
+    * rows plus ordinary data files holding the new versions —
+    * O(changed rows) write amplification, the shape for frequent
+    * small updates at 100 TB; reads apply the sidecars until
+    * OPTIMIZE purges). */
+  val UpdateModeKey = "spark.graft.updateMode"
+
+  /** Row-level MERGE INTO write mode, Iceberg's `write.merge.mode` —
+    * same dial and delta shape as [[UpdateModeKey]]; MERGE's inserts
+    * land as plain appended files either way. */
+  val MergeModeKey = "spark.graft.mergeMode"
+
   /** Row-level operation isolation: "snapshot" (default — rewrites
     * validate their inputs still exist, Iceberg's
     * validateDataFilesExist) or "serializable" (additionally fails a

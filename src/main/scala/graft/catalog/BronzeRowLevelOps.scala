@@ -46,8 +46,22 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 final class BronzeRowLevelOperationBuilder(dir: String, declared: StructType,
     info: RowLevelOperationInfo) extends RowLevelOperationBuilder {
-  override def build(): RowLevelOperation =
-    new BronzeRowLevelOperation(dir, declared, info.command)
+  override def build(): RowLevelOperation = {
+    // mode dial per command, Iceberg's write.<command>.mode: the
+    // merge-on-read choice swaps the whole operation for the
+    // position-delta machinery (SupportsDelta → WriteDelta plans)
+    val spark = SparkSession.active
+    val modeKey = info.command match {
+      case RowLevelOperation.Command.UPDATE => graft.GraftConf.UpdateModeKey
+      case RowLevelOperation.Command.MERGE => graft.GraftConf.MergeModeKey
+      case _ => graft.GraftConf.DeleteModeKey
+    }
+    if (graft.GraftConf.string(spark, modeKey,
+      "copy-on-write") == "merge-on-read")
+      new BronzeDeltaRowLevelOperation(dir, declared, info.command)
+    else
+      new BronzeRowLevelOperation(dir, declared, info.command)
+  }
 }
 
 final class BronzeRowLevelOperation(dir: String, declared: StructType,
@@ -375,9 +389,11 @@ private final class ShiftedInternalRow(offset: Int)
   * survive are scanned AND replaced (`onNarrowed` keeps the commit in
   * lockstep). At 100 TB this is what turns MERGE from a full-table
   * rewrite into |files with matches|. */
-private final class BronzeCowFileScan(dir: String, files0: Seq[String],
+private[catalog] final class BronzeCowFileScan(dir: String,
+    files0: Seq[String],
     required: StructType, onNarrowed: Seq[String] => Unit,
-    delsOf: String => Seq[String] = _ => Seq.empty)
+    delsOf: String => Seq[String] = _ => Seq.empty,
+    label: String = "cow merge")
     extends Scan with org.apache.spark.sql.connector.read.Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
@@ -389,7 +405,7 @@ private final class BronzeCowFileScan(dir: String, files0: Seq[String],
 
   override def readSchema(): StructType = required
   override def description(): String =
-    s"bronze cow merge scan $dir (runtime group filtering on _file)"
+    s"bronze $label scan $dir (runtime group filtering on _file)"
   override def toBatch: org.apache.spark.sql.connector.read.Batch = this
 
   override def filterAttributes(): Array[NamedReference] =

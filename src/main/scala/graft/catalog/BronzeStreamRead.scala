@@ -136,14 +136,17 @@ private final class BronzeMetadataReaderFactory(requiredJson: String)
 }
 
 /** Reads the requested DATA columns from one parquet file and splices
-  * the constant `_file` path into each output row. `sidecars`:
+  * the metadata columns in: the constant `_file` path, and `_pos` —
+  * the row's PHYSICAL position in its file (pre-skip ordinal, i.e.
+  * what a position-delete sidecar references). `sidecars`:
   * position-delete files to APPLY — listed row positions are
   * skipped (merge-on-read). */
 private final class BronzeMetadataFileReader(path: String,
     required: StructType, sidecars: Seq[String] = Seq.empty)
     extends PartitionReader[InternalRow] {
 
-  private val dataSchema = StructType(required.filter(_.name != "_file"))
+  private val dataSchema =
+    StructType(required.filter(f => f.name != "_file" && f.name != "_pos"))
   private val reader = shim.rowParquetReader(path, dataSchema)
   private val filePath = org.apache.spark.unsafe.types.UTF8String
     .fromString(path)
@@ -151,11 +154,14 @@ private final class BronzeMetadataFileReader(path: String,
     if (sidecars.isEmpty) null
     else MorDeletes.skipSet(sidecars, MorDeletes.fileNameOf(path))
   private var pos = -1L
-  // requested ordinal -> data-row ordinal (-1 = the _file constant)
+  // requested ordinal -> data-row ordinal
+  // (-1 = the _file constant, -2 = the _pos counter)
   private val srcIdx: Array[Int] = {
     var j = 0
     required.fields.map { f =>
-      if (f.name == "_file") -1 else { val i = j; j += 1; i }
+      if (f.name == "_file") -1
+      else if (f.name == "_pos") -2
+      else { val i = j; j += 1; i }
     }
   }
   private var current: InternalRow = _
@@ -178,7 +184,8 @@ private final class BronzeMetadataFileReader(path: String,
     var i = 0
     while (i < required.length) {
       vals(i) =
-        if (srcIdx(i) < 0) filePath
+        if (srcIdx(i) == -1) filePath
+        else if (srcIdx(i) == -2) java.lang.Long.valueOf(pos)
         else if (current.isNullAt(srcIdx(i))) null
         else current.get(srcIdx(i), dataSchema(srcIdx(i)).dataType)
       i += 1

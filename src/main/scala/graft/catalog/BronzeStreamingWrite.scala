@@ -67,18 +67,30 @@ final class BronzeWritableTable(delegate: Table, dir: String,
   def pinnedFiles: Seq[String] =
     snapshotFiles.getOrElse(SnapshotLog.listDataFiles(dir))
 
-  // `_file`: full path of the data file each row lives in (Iceberg's
-  // metadata column of the same name) — what group-granular row-level
-  // operations and file-targeted audits select on
+  // `_file`: full path of the data file each row lives in, and
+  // `_pos`: the row's physical position within it (Iceberg's metadata
+  // columns of the same names) — what group-granular row-level
+  // operations select on, and together the ROW ID the merge-on-read
+  // delta path retracts by (position-delete sidecars reference
+  // exactly (file, pos))
   override def metadataColumns()
       : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
-      override def name(): String = "_file"
-      override def dataType(): org.apache.spark.sql.types.DataType =
-        org.apache.spark.sql.types.StringType
-      override def isNullable: Boolean = false
-      override def comment(): String = "data file path of the row"
-    })
+    Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = "_file"
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.StringType
+        override def isNullable: Boolean = false
+        override def comment(): String = "data file path of the row"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = "_pos"
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.LongType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "physical row position within the data file"
+      })
 
   // UPDATE / MERGE INTO / untranslatable-predicate DELETE — the
   // group-based copy-on-write path (Spark plans the rewrite, this

@@ -392,6 +392,50 @@ object SnapshotLog {
       (parent.map(_.files.toSet).getOrElse(listDataFiles(tableDir).toSet),
         parent.flatMap(_.schemaFile)))
 
+  /** Commit a MERGE-ON-READ row-level UPDATE / MERGE (a POSITION
+    * DELTA, Iceberg v2's delta writes): in ONE snapshot, `attach`
+    * position-delete sidecars retract the old versions of the touched
+    * rows from their (still live) data files, and `added` ordinary
+    * data files append the new versions — O(changed rows) write
+    * amplification instead of COW's O(affected files). Targets a
+    * concurrent commit rewrote fail with
+    * [[java.util.ConcurrentModificationException]] (inside
+    * [[commitWith]]'s attach validation — positions were computed
+    * against stale bytes). `scannedVersion` ≥ 0 additionally
+    * validates, SERIALIZABLE-style, that no file appended since the
+    * operation's scan conflicts (`conflictsWith`, as in
+    * [[commitRewriteSerializable]]). */
+  def commitDelta(tableDir: String, operation: String,
+      attach: Map[String, Seq[String]], added: Seq[String],
+      addedParts: Map[String, Map[String, String]] = Map.empty,
+      scannedVersion: Long = -1L,
+      conflictsWith: Seq[String] => Seq[String] = identity): Snapshot = {
+    val scannedFiles =
+      if (scannedVersion < 0) Set.empty[String]
+      else read(tableDir, scannedVersion).files.toSet
+    commitWith(tableDir, operation, addedParts, attachDeletes = attach) {
+      parent =>
+        val parentFiles = parent.map(_.files.toSet)
+          .getOrElse(listDataFiles(tableDir).toSet)
+        if (scannedVersion >= 0) {
+          val addedSinceScan =
+            (parentFiles -- scannedFiles -- added).toSeq.sorted
+          val conflicting =
+            if (addedSinceScan.isEmpty) Seq.empty
+            else conflictsWith(addedSinceScan)
+          if (conflicting.nonEmpty)
+            throw new java.util.ConcurrentModificationException(
+              s"$operation on $tableDir (serializable): " +
+                s"${conflicting.size} file(s) appended after the " +
+                s"operation's scan (v$scannedVersion) contain rows the " +
+                s"operation's predicate matches (e.g. " +
+                s"${conflicting.head}); rerun the statement against " +
+                "the current snapshot")
+        }
+        (parentFiles ++ added, parent.flatMap(_.schemaFile))
+    }
+  }
+
   /** Schema sidecar I/O: sidecars live in the log dir under
     * uuid-unique names, so a racing evolution can never overwrite the
     * file a winning manifest references — the loser's orphan is just

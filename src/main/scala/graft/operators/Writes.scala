@@ -1120,6 +1120,147 @@ object Writes {
           UNION ALL
           SELECT 'published', COUNT(*), ${Exact.sqlSum("p", 2)} FROM o)
         SELECT ref, n_orders, total_price
+        FROM stats ORDER BY ref""")),
+
+    // ----- w18: MERGE-ON-READ UPDATE + MERGE INTO — Iceberg v2's
+    // POSITION DELTAS (`write.update.mode`/`write.merge.mode` =
+    // merge-on-read) through Spark's own SupportsDelta/WriteDelta
+    // machinery: each statement retracts the old row versions via ONE
+    // (file, pos) sidecar and appends only the new versions —
+    // O(changed rows) write amplification; NO pre-statement data file
+    // is rewritten (the `files_rewritten = 0` row is hash-checked).
+    // Readers apply the sidecars; VERSION AS OF each pre-statement
+    // version still reads the old values; the change feed nets to
+    // exactly the statements' effect under retraction consumption;
+    // and OPTIMIZE purges the sidecars with answers unmoved. All
+    // mutations stay in exact-2-decimal space (adds/doublings of
+    // 2-decimal inputs), so the decimal-sum gate is cross-engine
+    // exact.
+    QueryDef(
+      "w18_mor_update_merge",
+      (s, d) => {
+        val wh = scratch("w18", d)
+        val cat = "w18cat_" + Integer.toHexString(d.hashCode)
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.BronzeCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+        s.sql(s"DROP TABLE IF EXISTS $cat.db.orders_delta")
+        s.sql(s"""CREATE TABLE $cat.db.orders_delta
+          (o_orderkey BIGINT, o_orderdate DATE, o_totalprice DOUBLE)
+          USING parquet""")
+        val o = new Tables(s, d).orders.select(
+          col("o_orderkey").cast("long"),
+          col("o_orderdate").cast("date"),
+          col("o_totalprice").cast("double"))
+        Seq(
+          o.filter(col("o_orderdate") < lit("1997-01-01")),
+          o.filter(col("o_orderdate") >= lit("1997-01-01"))
+        ).foreach(_.writeTo(s"$cat.db.orders_delta").append())
+        o.createOrReplaceTempView("w18_orders_src")
+        s.conf.set(graft.GraftConf.UpdateModeKey, "merge-on-read")
+        s.conf.set(graft.GraftConf.MergeModeKey, "merge-on-read")
+        try {
+          // v3: the repricing, merge-on-read — sidecar + new versions
+          s.sql(s"""UPDATE $cat.db.orders_delta
+            SET o_totalprice = o_totalprice + 250
+            WHERE o_orderdate >= DATE '1997-06-01'""")
+          // v4: the correction feed — matched hot orders double from
+          // the SOURCE price, matched cold orders drop, late orders
+          // (shifted keys) insert
+          s.sql(s"""MERGE INTO $cat.db.orders_delta t
+            USING (
+              SELECT o_orderkey AS k, o_totalprice AS np
+              FROM w18_orders_src WHERE o_orderkey % 7 = 0
+              UNION ALL
+              SELECT o_orderkey + 10000000, o_totalprice
+              FROM w18_orders_src WHERE o_orderkey % 11 = 0) s
+            ON t.o_orderkey = s.k
+            WHEN MATCHED AND t.o_totalprice > 100000 THEN
+              UPDATE SET o_totalprice = s.np * 2
+            WHEN MATCHED THEN DELETE
+            WHEN NOT MATCHED AND s.k >= 10000000 THEN
+              INSERT (o_orderkey, o_orderdate, o_totalprice)
+              VALUES (s.k, DATE '2000-01-01', s.np)""")
+        } finally {
+          s.conf.unset(graft.GraftConf.UpdateModeKey)
+          s.conf.unset(graft.GraftConf.MergeModeKey)
+        }
+        def stats(ref: String, df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("n_orders"),
+            Exact.dsum(col("o_totalprice"), 2).as("total_price"))
+            .select(lit(ref).as("ref"), col("n_orders"), col("total_price"))
+        val isRetract =
+          col("_change_type").isin("delete", "update_before")
+        val cdcNet = s.read.option("startingVersion", "2")
+          .option("endingVersion", "4")
+          .table(s"$cat.db.orders_delta.changes")
+          .agg(sum(when(isRetract, -1).otherwise(1)).cast("long")
+            .as("n_orders"),
+            Exact.dsum(when(isRetract, -col("o_totalprice"))
+              .otherwise(col("o_totalprice")), 2).as("total_price"))
+          .select(lit("cdc_net").as("ref"), col("n_orders"),
+            col("total_price"))
+        // the MOR proof: NO v2 data file was rewritten by either
+        // statement — every pre-statement file survives into v4
+        val bc = s.sessionState.catalogManager.catalog(cat)
+          .asInstanceOf[graft.catalog.BronzeCatalog]
+        val dir = bc.tableDir(Seq("db"), "orders_delta")
+        val v2files = graft.catalog.SnapshotLog.read(dir, 2L).files.toSet
+        val v4files = graft.catalog.SnapshotLog.read(dir, 4L).files.toSet
+        val rewritten = (v2files -- v4files).size.toLong
+        val morProof = s.sql(s"""SELECT 'files_rewritten' AS ref,
+          CAST($rewritten AS BIGINT) AS n_orders,
+          CAST(0.0 AS DOUBLE) AS total_price""")
+        val preOpt =
+          stats("v2_all",
+            s.sql(s"SELECT * FROM $cat.db.orders_delta VERSION AS OF 2"))
+            .union(stats("v3_updated",
+              s.sql(s"SELECT * FROM $cat.db.orders_delta VERSION AS OF 3")))
+            .union(stats("v4_merged",
+              s.sql(s"SELECT * FROM $cat.db.orders_delta VERSION AS OF 4")))
+            .union(cdcNet)
+            .union(morProof)
+        // v5: purge the sidecars; answers must not move
+        bc.optimizeTable(Seq("db"), "orders_delta", 1L << 30)
+        preOpt
+          .union(stats("v5_optimized", s.table(s"$cat.db.orders_delta")))
+          .orderBy(col("ref"))
+      },
+      Some(s"""WITH o AS (
+          SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS od,
+            o_totalprice AS p
+          FROM orders),
+        u AS (
+          SELECT k, od, p AS orig,
+            CASE WHEN od >= DATE '1997-06-01' THEN p + 250 ELSE p END AS p
+          FROM o),
+        kept AS (
+          SELECT k, od,
+            CASE WHEN k % 7 = 0 THEN orig * 2 ELSE p END AS p
+          FROM u WHERE NOT (k % 7 = 0 AND p <= 100000)),
+        ins AS (
+          SELECT k + 10000000 AS k, DATE '2000-01-01' AS od, p
+          FROM o WHERE k % 11 = 0),
+        final AS (
+          SELECT k, od, p FROM kept UNION ALL SELECT k, od, p FROM ins),
+        stats AS (
+          SELECT 'v2_all' AS ref, COUNT(*) AS n_orders,
+            ${Exact.sqlSum("p", 2)} AS total_price FROM o
+          UNION ALL
+          SELECT 'v3_updated', COUNT(*), ${Exact.sqlSum("p", 2)} FROM u
+          UNION ALL
+          SELECT 'v4_merged', COUNT(*), ${Exact.sqlSum("p", 2)} FROM final
+          UNION ALL
+          SELECT 'cdc_net',
+            (SELECT COUNT(*) FROM final) - (SELECT COUNT(*) FROM o),
+            (SELECT ${Exact.sqlSum("p", 2)} FROM final) -
+              (SELECT ${Exact.sqlSum("p", 2)} FROM o)
+          UNION ALL
+          SELECT 'files_rewritten', 0, 0.0
+          UNION ALL
+          SELECT 'v5_optimized', COUNT(*), ${Exact.sqlSum("p", 2)}
+          FROM final)
+        SELECT ref, n_orders, total_price
         FROM stats ORDER BY ref"""))
   )
 }

@@ -48,7 +48,8 @@ final class SnapshotScanBuilder(
   override def pruneColumns(
       requiredSchema: org.apache.spark.sql.types.StructType): Unit =
     if (mkMetadataScan != null &&
-        requiredSchema.fieldNames.contains("_file")) {
+        (requiredSchema.fieldNames.contains("_file") ||
+          requiredSchema.fieldNames.contains("_pos"))) {
       metadataSchema = requiredSchema
     } else delegate match {
       case d: SupportsPushDownRequiredColumns =>
