@@ -63,12 +63,11 @@ object GraftConf {
   /** SimHash band count; bands lossless for hamming ≤ bands-1. */
   val SimHashBandsKey = "spark.graft.simhashBands"
   /** Random-hyperplane count for LSH ANN bucketing (bucket space 2^H).
-    * NOTE: the shipped DuckDB oracle twins re-derive the ADAPTIVE
-    * default H in SQL from the corpus count; setting this override
-    * makes the two engines derive DIFFERENT geometries, so the
-    * cross-engine hash gate on s02/s09/s10/s11/s12 no longer applies
-    * (it is a production recall/cost dial — re-derive the oracle via
-    * the `private[graft]` SQL generators if gating an override). */
+    * The DuckDB oracle twins are OVERRIDE-AWARE: with this conf set at
+    * oracle-materialization time they pin the resolved H as a literal
+    * (otherwise they re-derive the adaptive default in SQL from the
+    * corpus count), so the cross-engine hash gate stays valid under
+    * the production dial. */
   val LshHyperplanesKey = "spark.graft.lshHyperplanes"
   /** MinHash signature length (number of hash seeds). */
   val MinHashHashesKey = "spark.graft.minhashHashes"

@@ -88,6 +88,11 @@ object Similarity {
     r
   }
 
+  /** Table count for the s10 SQL twin, override-aware like [[hCte]]:
+    * the oracle must bucket with the same r the Spark side used. */
+  private def resolvedLshTables: Int =
+    SparkSession.getActiveSession.map(lshTables).getOrElse(LshTables)
+
   /** Embedding dimensionality of the `embeddings` table. */
   private[graft] val VecDim = 64
 
@@ -309,14 +314,29 @@ object Similarity {
          transform(sequence(0, ${h - 1}), p ->
            bucket ^ shiftleft(cast(1 as bigint), p)))"""
 
+  /** The `hh` CTE supplying the hyperplane count H to the SQL twins.
+    * Default: the ADAPTIVE formula, derived in SQL from the corpus
+    * count with the same integer-exact arithmetic as
+    * [[adaptiveHyperplanes]] — both engines compute the same H from
+    * the same data, no literal to drift. When the session carries a
+    * `spark.graft.lshHyperplanes` OVERRIDE at oracle-materialization
+    * time, the twin pins that resolved H as a literal instead, so the
+    * cross-engine hash gate stays valid under the production dial
+    * (queries re-materialize per access — [[queries]] is a def). */
+  private def hCte: String =
+    SparkSession.getActiveSession
+      .flatMap(s => s.conf.getOption(GraftConf.LshHyperplanesKey))
+      .map(_.trim.toInt) match {
+      case Some(h) => s"hh AS (SELECT $h AS h)"
+      case None =>
+        """hh AS (SELECT LEAST(62, GREATEST(2,
+            length(format('{:b}', (COUNT(*) - 1) // 64)))) AS h FROM e0)"""
+    }
+
   /** DuckDB twins of [[bucketExpr]] / [[probeExpr]] as CTE fragments
-    * over e0 (= $vecsSql). The hyperplane count is the ADAPTIVE
-    * default, derived in SQL from the corpus count with the same
-    * integer-exact formula as [[adaptiveHyperplanes]] — both engines
-    * compute the same H from the same data, no literal to drift. */
+    * over e0 (= $vecsSql); H supplied by [[hCte]] (override-aware). */
   private[graft] def bucketedSqlCtes(): String =
-    s"""hh AS (SELECT LEAST(62, GREATEST(2,
-            length(format('{:b}', (COUNT(*) - 1) // 64)))) AS h FROM e0),
+    s"""$hCte,
         e AS (SELECT vec_id, v, nrm,
             CAST(list_sum(list_transform(
               generate_series(0, (SELECT h FROM hh) - 1), p ->
@@ -338,10 +358,9 @@ object Similarity {
     * derives from md5('t<t>:<p>:<dd>') — same strings the Scala
     * [[tableWeights]] hashes. Each table probes its own bucket plus
     * every 1-bit flip, mirroring the Spark side. */
-  private[graft] def multiTableSql(r: Int = LshTables): String =
+  private[graft] def multiTableSql(r: Int = resolvedLshTables): String =
     s"""WITH e0 AS ($vecsSql),
-        hh AS (SELECT LEAST(62, GREATEST(2,
-            length(format('{:b}', (COUNT(*) - 1) // 64)))) AS h FROM e0),
+        $hCte,
         keyed AS (SELECT vec_id, t,
             CAST(list_sum(list_transform(
               generate_series(0, (SELECT h FROM hh) - 1), p ->
@@ -390,7 +409,10 @@ object Similarity {
       .filter(col("cos_sim") >= 0.4)
   }
 
-  val queries: Seq[QueryDef] = Seq(
+  // a DEF, not a val: the oracle SQL twins resolve session conf
+  // overrides (lshHyperplanes/lshTables) at materialization time, so
+  // the map must rebuild per access, not freeze at class load
+  def queries: Seq[QueryDef] = Seq(
 
     // ----- s01: brute-force cosine top-3 neighbors per vector.
     // VERIFICATION TIER: O(n²·dim) cartesian product — the exactness
