@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, StringType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType, TimestampNTZType, TimestampType}
 
 /** One declared operator/query: the Spark-side builder, and (when the
   * semantics are ANSI-SQL-expressible) an equivalent DuckDB oracle SQL
@@ -33,14 +33,23 @@ final class Tables(val spark: SparkSession, dir: String) {
   def orders: DataFrame = t("orders")
   def lineitem: DataFrame = t("lineitem")
 
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark 4 rejects
-    * natively; read nanos as long and truncate to microseconds —
-    * exactly what DuckDB does when it loads the same file. `ts` is
-    * TimestampType; the session runs in UTC so wall-times align. */
+  /** events.ts has shipped as both parquet TIMESTAMP(NANOS) — which
+    * Spark 4 rejects natively, so it is read as nanos-long and
+    * truncated to microseconds, exactly what DuckDB does — and as
+    * timestamp[us] without timezone, which Spark reads as
+    * TIMESTAMP_NTZ. Branch on the physical type so either encoding
+    * lands on `ts: TimestampType`; the session runs in UTC so the NTZ
+    * wall-times align with DuckDB's. */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events").withColumn("ts",
-      timestamp_micros(expr("ts div 1000")))
+    val raw = t("events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents: DataFrame = t("documents")
   def embeddings: DataFrame = t("embeddings")

@@ -43,13 +43,25 @@ object BronzeStreamRead {
       options: CaseInsensitiveStringMap,
       mkMetadataScan: StructType => Scan = null,
       filePruner: Seq[org.apache.spark.sql.sources.Filter] =>
-        Option[(ScanBuilder, String)] = null): ScanBuilder =
+        Option[(ScanBuilder, String, Option[Long], Option[Long])] = null,
+      snapStats: (Option[Long], Option[Long]) = (None, None)): ScanBuilder =
     new org.apache.spark.sql.graftshim.SnapshotScanBuilder(
       delegate,
       s"bronze snapshot scan $dir (streaming: version-per-batch)",
       () => microBatchStream(dir, schema, options),
       mkMetadataScan,
-      filePruner)
+      filePruner,
+      snapStats)
+
+  /** Exact (numRows, sizeInBytes) of a manifest file set — defined
+    * only when EVERY entry carries the footer-scraped field, so a
+    * partial sum can never masquerade as a total. */
+  def manifestStats(entries: Seq[graft.catalog.SnapshotLog.FileEntry])
+      : (Option[Long], Option[Long]) = (
+    if (entries.forall(_.rows.isDefined)) // vacuous for v0: exactly 0
+      Some(entries.flatMap(_.rows).sum) else None,
+    if (entries.forall(_.bytes.isDefined))
+      Some(entries.flatMap(_.bytes).sum) else None)
 
   /** The snapshot-log micro-batch stream from scan options — shared
     * with the merge-on-read scan path so `readStream.table` resolves

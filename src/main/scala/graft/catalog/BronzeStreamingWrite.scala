@@ -140,7 +140,7 @@ final class BronzeWritableTable(delegate: Table, dir: String,
     // surviving file list before Spark ever plans the scan — dropped
     // files are never opened, never scheduled (BronzePruning)
     val pruner: Seq[org.apache.spark.sql.sources.Filter] =>
-        Option[(ScanBuilder, String)] =
+        Option[(ScanBuilder, String, Option[Long], Option[Long])] =
       if (snapshotEntries.forall(e => e.stats.isEmpty && e.parts.isEmpty))
         null
       else filters => {
@@ -151,8 +151,10 @@ final class BronzeWritableTable(delegate: Table, dir: String,
           val pruned = shim.parquetTableFiles(
             org.apache.spark.sql.SparkSession.active, delegate.name(),
             keep.map(e => s"$dir/${e.name}"), delegate.schema())
+          val (rows, bytes) = BronzeStreamRead.manifestStats(keep)
           Some((pruned.asInstanceOf[SupportsRead].newScanBuilder(options),
-            s" [stats-pruned ${keep.size}/${snapshotEntries.size} files]"))
+            s" [stats-pruned ${keep.size}/${snapshotEntries.size} files]",
+            rows, bytes))
         }
       }
     BronzeStreamRead.scanBuilder(
@@ -163,7 +165,10 @@ final class BronzeWritableTable(delegate: Table, dir: String,
       // over this load's pinned snapshot (position deletes applied)
       required => BronzeMetadataFileScan.scan(dir, pinnedFiles,
         delegate.schema(), required, delsOf),
-      pruner)
+      pruner,
+      // unpruned scans still report the manifest's EXACT totals — the
+      // footer row counts the snapshot commit already scraped
+      BronzeStreamRead.manifestStats(snapshotEntries))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =

@@ -49,12 +49,34 @@ object StreamingOps {
 
   private val counter = new AtomicInteger(0)
 
+  /** Fingerprint of the staged source: every file under
+    * `$dir/events.parquet` (single file or directory) contributes its
+    * path, size, and mtime — so a driver-side testdata regeneration
+    * changes the cache key and forces a restage instead of silently
+    * replaying stale staged files. */
+  private[graft] def sourceFingerprint(dir: String): String = {
+    val src = Paths.get(s"$dir/events.parquet")
+    val parts = scala.collection.mutable.ArrayBuffer[String](dir)
+    def walk(p: Path): Unit =
+      if (Files.isDirectory(p)) {
+        val st = Files.list(p)
+        try st.sorted().forEach(walk(_)) finally st.close()
+      } else if (Files.exists(p)) {
+        parts += s"$p:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
+      }
+    walk(src)
+    parts.mkString("|")
+  }
+
   /** Stage `events` (ts converted ns→µs timestamp) as 3 single-file
     * parquets split on time order, modification times increasing so the
-    * file source replays them in event-time order. Cached per sf dir. */
+    * file source replays them in event-time order. Cached per sf dir,
+    * keyed on the source files' size+mtime so a testdata regen
+    * invalidates the cache. */
   private def staged(s: SparkSession, dir: String): String = synchronized {
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      .digest(sourceFingerprint(dir).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
     val root = Paths.get(s"/tmp/graft_stream_$key")
     if (Files.exists(root.resolve("_COMPLETE"))) return root.toString
     Files.createDirectories(root)

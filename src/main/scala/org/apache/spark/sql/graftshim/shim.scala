@@ -18,7 +18,9 @@ final class SnapshotScanBuilder(
     mkMetadataScan: org.apache.spark.sql.types.StructType =>
       org.apache.spark.sql.connector.read.Scan = null,
     filePruner: Seq[org.apache.spark.sql.sources.Filter] =>
-      Option[(org.apache.spark.sql.connector.read.ScanBuilder, String)] = null)
+      Option[(org.apache.spark.sql.connector.read.ScanBuilder, String,
+        Option[Long], Option[Long])] = null,
+    snapStats: (Option[Long], Option[Long]) = (None, None))
     extends org.apache.spark.sql.connector.read.ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -34,6 +36,20 @@ final class SnapshotScanBuilder(
   // the pruned builder
   private var delegate: ScanBuilder = delegate0
   private var pruneInfo: String = ""
+
+  // EXACT manifest statistics of the scan's current file set: the
+  // pinned snapshot's footer-scraped row/byte totals, replaced by the
+  // survivors' totals when pruning swaps the delegate. Reported from
+  // estimateStatistics() instead of the parquet scan's size-only
+  // estimate — the join-strategy input (broadcast-vs-shuffle) on
+  // bronze tables then sees true post-pruning cardinality. Residual
+  // (post-scan) predicates make the row count an upper bound — the
+  // same convention Iceberg's scan reports use. Disabled when an
+  // aggregate is pushed: the scan's output is aggregated rows, not
+  // base rows.
+  private var statRows: Option[Long] = snapStats._1
+  private var statBytes: Option[Long] = snapStats._2
+  private var aggPushed: Boolean = false
 
   // a projection that references the `_file` metadata column can't be
   // served by the delegate parquet scan — remember the requested
@@ -69,7 +85,9 @@ final class SnapshotScanBuilder(
         org.apache.spark.sql.execution.datasources.DataSourceStrategy
           .translateFilter(f, supportNestedPredicatePushdown = true))
       if (translated.nonEmpty) filePruner(translated).foreach {
-        case (pruned, info) => delegate = pruned; pruneInfo = info
+        case (pruned, info, rows, bytes) =>
+          delegate = pruned; pruneInfo = info
+          statRows = rows; statBytes = bytes
       }
     }
     delegate match {
@@ -99,7 +117,10 @@ final class SnapshotScanBuilder(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean =
     delegate match {
-      case d: SupportsPushDownAggregates => d.pushAggregation(agg)
+      case d: SupportsPushDownAggregates =>
+        val pushed = d.pushAggregation(agg)
+        if (pushed) aggPushed = true
+        pushed
       case _ => false
     }
 
@@ -113,7 +134,9 @@ final class SnapshotScanBuilder(
 
   override def build(): Scan =
     if (metadataSchema != null) mkMetadataScan(metadataSchema)
-    else new SnapshotScan(delegate.build(), desc + pruneInfo, mkStream)
+    else new SnapshotScan(delegate.build(), desc + pruneInfo, mkStream,
+      if (aggPushed) None else statRows,
+      if (aggPushed) None else statBytes)
 }
 
 /** The wrapper Scan: adds the micro-batch stream while FORWARDING the
@@ -126,7 +149,9 @@ final class SnapshotScanBuilder(
 private final class SnapshotScan(
     batch: org.apache.spark.sql.connector.read.Scan,
     desc: String,
-    mkStream: () => org.apache.spark.sql.connector.read.streaming.MicroBatchStream)
+    mkStream: () => org.apache.spark.sql.connector.read.streaming.MicroBatchStream,
+    exactRows: Option[Long] = None,
+    exactBytes: Option[Long] = None)
     extends org.apache.spark.sql.connector.read.Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
@@ -145,13 +170,26 @@ private final class SnapshotScan(
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     mkStream()
 
-  override def estimateStatistics(): Statistics = batch match {
-    case s: SupportsReportStatistics => s.estimateStatistics()
-    case _ => new Statistics { // unknown: the interface's neutral answer
-      override def sizeInBytes(): java.util.OptionalLong =
-        java.util.OptionalLong.empty()
+  override def estimateStatistics(): Statistics = {
+    // manifest-exact stats win over the delegate's size-only estimate;
+    // whichever of rows/bytes the manifest lacks falls back per-field
+    val fallback: Statistics = batch match {
+      case s: SupportsReportStatistics => s.estimateStatistics()
+      case _ => new Statistics { // unknown: the interface's neutral answer
+        override def sizeInBytes(): java.util.OptionalLong =
+          java.util.OptionalLong.empty()
+        override def numRows(): java.util.OptionalLong =
+          java.util.OptionalLong.empty()
+      }
+    }
+    if (exactRows.isEmpty && exactBytes.isEmpty) fallback
+    else new Statistics {
       override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.empty()
+        exactRows.map(java.util.OptionalLong.of)
+          .getOrElse(fallback.numRows())
+      override def sizeInBytes(): java.util.OptionalLong =
+        exactBytes.map(java.util.OptionalLong.of)
+          .getOrElse(fallback.sizeInBytes())
     }
   }
 
