@@ -99,14 +99,16 @@ object GraftConf {
   val PqShortlistKey = "spark.graft.pqShortlist"
   /** IVF coarse-quantizer cell count (s12). Defaults ADAPTIVE
     * (occupancy-64 cells, clamped to [8, 256]) derived from the corpus
-    * count by both engines — the same override caveat as
-    * [[LshHyperplanesKey]]: the shipped oracle re-derives the DEFAULT
-    * in SQL, so setting this invalidates the cross-engine hash gate. */
+    * count by both engines. Override caveat (NOT override-aware,
+    * unlike [[LshHyperplanesKey]]): the shipped oracle re-derives the
+    * DEFAULT in SQL, so setting this invalidates the cross-engine
+    * hash gate. */
   val IvfCellsKey = "spark.graft.ivfCells"
   /** IVF probe width (s12): how many nearest cells each query scans
     * with ADC. Fixed while cells grow with n → per-query candidate
-    * count stays ~nprobe·64 at any corpus size. Same override caveat
-    * as [[IvfCellsKey]]. */
+    * count stays ~nprobe·64 at any corpus size. Same caveat as
+    * [[IvfCellsKey]]: the oracle re-derives the default, so an
+    * override invalidates the hash gate. */
   val IvfNprobeKey = "spark.graft.ivfNprobe"
   /** Truncated-cosine shortlist size for the two-stage rerank tiers
     * (s07/s09) — per-query candidates surviving the coarse 16-dim

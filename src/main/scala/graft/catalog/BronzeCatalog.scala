@@ -324,7 +324,8 @@ class BronzeCatalog extends TableCatalog with SupportsNamespaces {
     // and the snapshot's manifest entries ride along so pushed filters
     // can stats-prune the file list at scan planning
     new BronzeWritableTable(parquet, dir.toString, snap.map(_.files),
-      snap.map(_.entries).getOrElse(Seq.empty))
+      snap.map(_.entries).getOrElse(Seq.empty),
+      snap.map(_.eqDeletes).getOrElse(Seq.empty))
   }
 
   /** Iceberg `rewrite_data_files` (OPTIMIZE): compact this table's
@@ -338,6 +339,26 @@ class BronzeCatalog extends TableCatalog with SupportsNamespaces {
     // post-evolution files) is resolved by optimize itself from the
     // snapshot's pinned sidecar — no caller-supplied schema to forget
     SnapshotLog.optimize(SparkSession.active, dir, targetBytes)
+  }
+
+  /** Iceberg `update_partition_spec` (PARTITION-SPEC EVOLUTION):
+    * replace the table's active partition transforms. Existing files
+    * are untouched and keep pruning under the spec of their era
+    * (retired fields stay in the spec file; each manifest entry only
+    * carries its own era's tuple keys); new writes fan out under the
+    * new spec. A re-parameterized transform (bucket width change)
+    * gets a fresh key generation so tuple values of different eras
+    * are never compared — the one comparison that could prune
+    * wrongly. Committed as an `alter` snapshot for audit. */
+  def evolvePartitionSpec(namespace: Seq[String], name: String,
+      transforms: Array[org.apache.spark.sql.connector.expressions.Transform])
+      : Unit = {
+    val dir = tableDir(namespace, name)
+    val snap = SnapshotLog.current(dir)
+    val schema = schemaOf(java.nio.file.Paths.get(dir), snap)
+    BronzePartitioning.evolve(java.nio.file.Paths.get(dir), transforms,
+      schema)
+    SnapshotLog.commitIfEnabled(dir, "alter")(files => files)
   }
 
   /** Iceberg `expire_snapshots` + orphan-file removal (VACUUM): keep

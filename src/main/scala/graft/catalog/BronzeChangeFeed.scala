@@ -92,9 +92,10 @@ object BronzeChangeFeed {
     val parts = Seq.newBuilder[InputPartition]
     ((from + 1) to to).foreach { v =>
       val snap = SnapshotLog.read(dir, v)
+      val parentSnap: Option[SnapshotLog.Snapshot] =
+        if (v == 0) None else Some(SnapshotLog.read(dir, v - 1))
       val parentEntries: Map[String, SnapshotLog.FileEntry] =
-        if (v == 0) Map.empty
-        else SnapshotLog.read(dir, v - 1).entriesByName
+        parentSnap.map(_.entriesByName).getOrElse(Map.empty)
       val curEntries = snap.entriesByName
       val parentFiles = parentEntries.keySet
       val files = snap.files.toSet
@@ -133,6 +134,38 @@ object BronzeChangeFeed {
               after.map(s => s"$dir/$s"),
               detached.map(s => s"$dir/$s"))
         }
+      // EQUALITY-delete delta on surviving pre-existing files:
+      // sidecars ADDED at this version (an upsert's retraction half)
+      // retract every still-live matching row of files with an
+      // earlier data sequence; sidecars REMOVED (rollback across an
+      // upsert) re-insert theirs. Rows are filtered to what the
+      // PARENT state still showed — parent position deletes and
+      // parent-applicable equality deletes applied — so nothing
+      // double-retracts.
+      def emitEqDelta(retractType: String): Unit = {
+        val parentEq = parentSnap.map(_.eqDeletes).getOrElse(Seq.empty)
+        val addedEq = snap.eqDeletes.diff(parentEq)
+        val removedEq = parentEq.diff(snap.eqDeletes)
+        if (addedEq.isEmpty && removedEq.isEmpty) return
+        (files & parentFiles).toSeq.sorted.foreach { f =>
+          val pe = parentEntries(f)
+          val fileSeq = pe.seq.getOrElse(Long.MinValue)
+          val appAdded = addedEq.filter(_.seq > fileSeq)
+          val appRemoved = removedEq.filter(_.seq > fileSeq)
+          if (appAdded.nonEmpty)
+            parts += BronzeCdcFilePartition(s"$dir/$f", retractType, v,
+              pe.deletes.map(s => s"$dir/$s"), Seq.empty,
+              applyEqSidecars = parentSnap.map(_.eqDeletesFor(pe))
+                .getOrElse(Seq.empty).map(d => s"$dir/${d.name}"),
+              emitOnlyEqSidecars = appAdded.map(d => s"$dir/${d.name}"))
+          if (appRemoved.nonEmpty)
+            parts += BronzeCdcFilePartition(s"$dir/$f", "insert", v,
+              curEntries(f).deletes.map(s => s"$dir/$s"), Seq.empty,
+              applyEqSidecars = snap.eqDeletesFor(curEntries(f))
+                .map(d => s"$dir/${d.name}"),
+              emitOnlyEqSidecars = appRemoved.map(d => s"$dir/${d.name}"))
+        }
+      }
       snap.operation match {
         // a PUBLISH (fast-forwarded write-audit-publish branch) is a
         // pure append relative to its parent by construction
@@ -146,14 +179,21 @@ object BronzeChangeFeed {
           emit(removed, "update_before", applyParentDels = true)
           emit(added, "update_after", applyParentDels = false)
           emitMorDelta("update_before")
+        // a keyed upsert: the appended files are the new row
+        // versions, the attached equality-delete sidecar retracts
+        // the old versions by key
+        case "upsert" =>
+          emit(added, "update_after", applyParentDels = false)
+          emitEqDelta("update_before")
         // a rollback's net effect IS its file diff: rows of the
         // undone commits retract, restored rows re-insert — and a
-        // rollback across a MOR delete re-inserts the un-deleted
-        // positions via the detached-sidecar delta
+        // rollback across a MOR delete (or upsert) re-inserts the
+        // un-deleted positions/keys via the detached-sidecar deltas
         case "rollback" =>
           emit(removed, "delete", applyParentDels = true)
           emit(added, "insert", applyParentDels = false)
           emitMorDelta("delete")
+          emitEqDelta("delete")
         case "replace" | "alter" => () // layout/metadata only: no rows
         case other => throw new IllegalStateException(
           s"change feed on $dir: unknown snapshot operation '$other' " +
@@ -306,11 +346,16 @@ private final case class CdcVersionOffset(v: Long) extends Offset {
 /** `applySidecars`: position deletes to SKIP (rows already retracted
   * by earlier snapshots); `emitOnlySidecars`: when non-empty, emit
   * ONLY the positions those sidecars list (a merge-on-read delta —
-  * the rows a delete sidecar retracts, or a rollback re-inserts). */
+  * the rows a delete sidecar retracts, or a rollback re-inserts).
+  * `applyEqSidecars` / `emitOnlyEqSidecars`: the same pair for
+  * EQUALITY deletes, matched on the sidecars' key columns instead of
+  * positions (an upsert's retraction half). */
 private final case class BronzeCdcFilePartition(path: String,
     changeType: String, version: Long,
     applySidecars: Seq[String] = Seq.empty,
-    emitOnlySidecars: Seq[String] = Seq.empty) extends InputPartition
+    emitOnlySidecars: Seq[String] = Seq.empty,
+    applyEqSidecars: Seq[String] = Seq.empty,
+    emitOnlyEqSidecars: Seq[String] = Seq.empty) extends InputPartition
 
 private final class BronzeCdcReaderFactory(declaredJson: String)
     extends PartitionReaderFactory {
@@ -320,7 +365,8 @@ private final class BronzeCdcReaderFactory(declaredJson: String)
       org.apache.spark.sql.types.DataType.fromJson(declaredJson)
         .asInstanceOf[StructType],
       part.changeType, part.version, part.applySidecars,
-      part.emitOnlySidecars)
+      part.emitOnlySidecars, part.applyEqSidecars,
+      part.emitOnlyEqSidecars)
   }
 }
 
@@ -329,7 +375,9 @@ private final class BronzeCdcReaderFactory(declaredJson: String)
 private final class BronzeCdcFileReader(path: String, declared: StructType,
     changeType: String, version: Long,
     applySidecars: Seq[String] = Seq.empty,
-    emitOnlySidecars: Seq[String] = Seq.empty)
+    emitOnlySidecars: Seq[String] = Seq.empty,
+    applyEqSidecars: Seq[String] = Seq.empty,
+    emitOnlyEqSidecars: Seq[String] = Seq.empty)
     extends PartitionReader[InternalRow] {
 
   private val reader = shim.rowParquetReader(path, declared)
@@ -342,12 +390,28 @@ private final class BronzeCdcFileReader(path: String, declared: StructType,
   private val emitOnly: java.util.HashSet[java.lang.Long] =
     if (emitOnlySidecars.isEmpty) null
     else MorDeletes.skipSet(emitOnlySidecars, fileName)
+  private val applyEq: Seq[MorDeletes.EqKeySet] =
+    if (applyEqSidecars.isEmpty) Seq.empty
+    else MorDeletes.eqKeySets(applyEqSidecars)
+  private val emitOnlyEq: Seq[MorDeletes.EqKeySet] =
+    if (emitOnlyEqSidecars.isEmpty) Seq.empty
+    else MorDeletes.eqKeySets(emitOnlyEqSidecars)
+  // key-column ordinals resolve against the DECLARED schema (the CDC
+  // reader always reads whole rows)
+  private def keyOf(set: MorDeletes.EqKeySet, r: InternalRow): Seq[Any] =
+    set.cols.map { c =>
+      val i = declared.fieldIndex(c)
+      if (r.isNullAt(i)) null else r.get(i, declared(i).dataType)
+    }
   private var pos = -1L
   private var current: InternalRow = _
 
   private def visible(): Boolean =
     (skip == null || !skip.contains(pos)) &&
-      (emitOnly == null || emitOnly.contains(pos))
+      (emitOnly == null || emitOnly.contains(pos)) &&
+      applyEq.forall(s => !s.keys.contains(keyOf(s, current))) &&
+      (emitOnlyEq.isEmpty ||
+        emitOnlyEq.exists(s => s.keys.contains(keyOf(s, current))))
 
   override def next(): Boolean = {
     current = reader.read()

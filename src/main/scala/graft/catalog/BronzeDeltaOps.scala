@@ -117,7 +117,7 @@ final class BronzeDeltaRowLevelOperation(dir: String, declared: StructType,
         // manifest-scale candidate pruning: stats + partition tuples,
         // no data pages read (files the predicate can't match never
         // reach the join/filter above)
-        val partSpec = BronzePartitioning.read(Paths.get(dir))
+        val partSpec = BronzePartitioning.readAll(Paths.get(dir))
         val candidates =
           if (captured.isEmpty) snap.entries
           else BronzePruning.survivors(snap.entries, declared,
@@ -126,11 +126,16 @@ final class BronzeDeltaRowLevelOperation(dir: String, declared: StructType,
           val byName = snap.entriesByName
           f => byName.get(f).map(_.deletes).getOrElse(Seq.empty)
         }
+        val eqOf: String => Seq[String] = {
+          val byName = snap.entriesByName
+          f => byName.get(f).map(e => snap.eqDeletesFor(e).map(_.name))
+            .getOrElse(Seq.empty)
+        }
         // per-file readers: splice (_file, _pos) row ids, apply
-        // existing position deletes (an already-retracted row must
-        // not match again)
+        // existing position AND equality deletes (an already-
+        // retracted row must not match again)
         new BronzeCowFileScan(dir, candidates.map(_.name), required,
-          _ => (), delsOf, label = "delta")
+          _ => (), delsOf, label = "delta", eqOf = eqOf)
       }
     }
 

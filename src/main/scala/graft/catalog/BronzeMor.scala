@@ -42,36 +42,73 @@ object BronzeMor {
     entries.exists(_.deletes.nonEmpty)
 
   /** (file, pos) of every CURRENTLY-LIVE row of `files` matching
-    * `cond` — existing position deletes are anti-joined away, so
-    * re-deleting an already-deleted row is a no-op (and the CDC feed
-    * never double-emits). */
+    * `cond` — existing position AND equality deletes are anti-joined
+    * away, so re-deleting an already-deleted row is a no-op (and the
+    * CDC feed never double-emits). */
   def matchingPositions(spark: SparkSession, dir: String,
       schema: StructType, entries: Seq[FileEntry],
-      cond: Column): DataFrame = {
-    val raw = spark.read.schema(schema)
-      .parquet(entries.map(e => s"$dir/${e.name}"): _*)
-      .filter(cond)
-      .select(col("_metadata.file_name").as("file"),
+      cond: Column,
+      eqDeletes: Seq[SnapshotLog.EqDelete] = Seq.empty): DataFrame = {
+    val groups: Seq[(Seq[SnapshotLog.EqDelete], Seq[FileEntry])] =
+      entries.groupBy(e =>
+        eqDeletes.filter(_.seq > e.seq.getOrElse(Long.MinValue)))
+        .toSeq.sortBy(_._2.map(_.name).min)
+    val raw = groups.map { case (dels, group) =>
+      val base = spark.read.schema(schema)
+        .parquet(group.map(e => s"$dir/${e.name}"): _*)
+        .filter(cond)
+      dels.foldLeft(base) { (df, d) =>
+        val keys = spark.read.parquet(s"$dir/${d.name}")
+        val jc = keys.columns.map(c => df(c) <=> keys(c)).reduce(_ && _)
+        df.join(org.apache.spark.sql.functions.broadcast(keys), jc,
+          "left_anti")
+      }.select(col("_metadata.file_name").as("file"),
         col("_metadata.row_index").as("pos"))
+    }.reduce(_ unionAll _)
     antiJoinDeleted(spark, dir, raw, entries)
   }
 
   /** The rows of `entries` with their position deletes APPLIED, as a
     * vectorized plan (scan + broadcast-able anti-join) — the rewrite
-    * input for COW ops and compaction over delete-carrying files. */
+    * input for COW ops and compaction over delete-carrying files.
+    * `eqDeletes` (the snapshot's equality-delete sidecars) are
+    * applied per the seq rule — each group of files sharing an
+    * applicable-sidecar set reads once, anti-joined on the sidecar's
+    * own key columns — so a compaction purges BOTH delete kinds. */
   def readWithDeletes(spark: SparkSession, dir: String,
-      schema: StructType, entries: Seq[FileEntry]): DataFrame = {
-    val raw = spark.read.schema(schema)
-      .parquet(entries.map(e => s"$dir/${e.name}"): _*)
-    if (!hasDeletes(entries)) raw
-    else {
-      val withPos = raw
-        .withColumn("__mor_file", col("_metadata.file_name"))
-        .withColumn("__mor_pos", col("_metadata.row_index"))
-      antiJoinDeleted(spark, dir,
-        withPos, entries, fileCol = "__mor_file", posCol = "__mor_pos")
-        .drop("__mor_file", "__mor_pos")
+      schema: StructType, entries: Seq[FileEntry],
+      eqDeletes: Seq[SnapshotLog.EqDelete] = Seq.empty): DataFrame = {
+    def posApplied(group: Seq[FileEntry]): DataFrame = {
+      val raw = spark.read.schema(schema)
+        .parquet(group.map(e => s"$dir/${e.name}"): _*)
+      if (!hasDeletes(group)) raw
+      else {
+        val withPos = raw
+          .withColumn("__mor_file", col("_metadata.file_name"))
+          .withColumn("__mor_pos", col("_metadata.row_index"))
+        antiJoinDeleted(spark, dir,
+          withPos, group, fileCol = "__mor_file", posCol = "__mor_pos")
+          .drop("__mor_file", "__mor_pos")
+      }
     }
+    if (entries.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val groups: Seq[(Seq[SnapshotLog.EqDelete], Seq[FileEntry])] =
+      entries.groupBy(e =>
+        eqDeletes.filter(_.seq > e.seq.getOrElse(Long.MinValue)))
+        .toSeq.sortBy(_._2.map(_.name).min)
+    groups.map { case (dels, group) =>
+      dels.foldLeft(posApplied(group)) { (df, d) =>
+        val keys = spark.read.parquet(s"$dir/${d.name}")
+        // null-safe equality on every key column of the sidecar's
+        // own schema; broadcast — the sidecar is O(changed keys)
+        val cond = keys.columns.map(c => df(c) <=> keys(c))
+          .reduce(_ && _)
+        df.join(org.apache.spark.sql.functions.broadcast(keys),
+          cond, "left_anti")
+      }
+    }.reduce(_ unionAll _)
   }
 
   private def antiJoinDeleted(spark: SparkSession, dir: String,
@@ -113,6 +150,34 @@ object BronzeMor {
     result
   }
 
+  /** Write `keys` (the equality-key columns, any schema) as ONE
+    * EQUALITY-DELETE sidecar parquet in the table dir; returns its
+    * name, or None when empty. The sidecar's own parquet schema IS
+    * the key declaration readers use. Stage + atomic move, the
+    * table's universal write discipline. */
+  def writeEqDeleteFile(spark: SparkSession, dir: String,
+      keys: DataFrame): Option[String] = {
+    val id = java.util.UUID.randomUUID().toString.substring(0, 8)
+    val stage = Paths.get(dir, s".eqdelstage-$id")
+    keys.coalesce(1).write.parquet(stage.toString)
+    val part = {
+      val s = Files.list(stage)
+      try s.iterator().asScala
+        .find(_.getFileName.toString.startsWith("part-"))
+      finally s.close()
+    }
+    val result = part.flatMap { p =>
+      if (BronzeBatchAppend.parquetRowCount(p) == 0L) None
+      else {
+        val dest = s"eqdel-$id.parquet"
+        Files.move(p, Paths.get(dir, dest), StandardCopyOption.ATOMIC_MOVE)
+        Some(dest)
+      }
+    }
+    BronzeBatchAppend.deleteStageTree(stage)
+    result
+  }
+
   /** The table read of a delete-carrying snapshot: per-file row-based
     * readers applying each file's skip set. Honors column pruning;
     * captures pushed filters for MANIFEST pruning only (all filters
@@ -122,7 +187,8 @@ object BronzeMor {
   def scanBuilder(dir: String, entries: Seq[FileEntry],
       declared: StructType, partSpec: Seq[BronzePartitioning.PartField],
       mkStream: () =>
-        org.apache.spark.sql.connector.read.streaming.MicroBatchStream)
+        org.apache.spark.sql.connector.read.streaming.MicroBatchStream,
+      eqOf: FileEntry => Seq[String] = _ => Seq.empty)
       : ScanBuilder =
     new ScanBuilder
       with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
@@ -159,7 +225,8 @@ object BronzeMor {
           new org.apache.spark.sql.connector.read.Batch {
             override def planInputPartitions(): Array[InputPartition] =
               surviving.map(e => BronzeFilePartition(s"$dir/${e.name}",
-                e.deletes.map(s => s"$dir/$s")): InputPartition).toArray
+                e.deletes.map(s => s"$dir/$s"),
+                eqOf(e).map(s => s"$dir/$s")): InputPartition).toArray
             override def createReaderFactory(): PartitionReaderFactory =
               new BronzeMetadataReaderFactory(required.json)
           }

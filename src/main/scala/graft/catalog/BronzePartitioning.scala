@@ -25,12 +25,21 @@ import org.apache.spark.sql.types._
   * 1/n of files whose bucket matches the literal's hash — which
   * min/max can never express.
   *
-  * The spec is fixed at CREATE TABLE (`_graft_partition.json` in the
-  * table dir) — partition-spec evolution is out of scope. Writers that
-  * bypass the fanout path (plain-dir helpers, row-level rewrites,
-  * compaction) produce files WITHOUT a tuple; such files are simply
-  * never partition-pruned — correctness never depends on the tuple
-  * being present.
+  * The spec is set at CREATE TABLE (`_graft_partition.json` in the
+  * table dir) and may EVOLVE ([[evolve]] — Iceberg's
+  * `update_partition_spec`): new writes fan out under the new spec
+  * while existing files keep the tuples of their era, and scan
+  * planning prunes EACH file with the transforms of the spec that
+  * wrote it (Iceberg's per-file spec-id pruning). The mechanism is
+  * the tuple KEY: a re-parameterized transform (bucket width change)
+  * bumps a GENERATION suffix on its key, so an old file's recorded
+  * `bucket_id` value can never be compared against the new width's
+  * hash — the one comparison that would prune wrongly. Retired
+  * fields stay in the spec file and keep pruning the files they
+  * wrote. Writers that bypass the fanout path (plain-dir helpers,
+  * row-level rewrites, compaction) produce files WITHOUT a tuple;
+  * such files are simply never partition-pruned — correctness never
+  * depends on the tuple being present.
   *
   * The bucket hash is this catalog's own (splitmix64 / FNV-1a — byte
   * compatibility with Iceberg's murmur3 is NOT claimed); writer and
@@ -41,35 +50,107 @@ object BronzePartitioning {
 
   private val SpecFile = "_graft_partition.json"
 
-  /** One transform of the spec: `kind` ∈ identity | days | bucket. */
-  final case class PartField(kind: String, col: String, n: Int = 0) {
+  /** One transform of the spec: `kind` ∈ identity | days | bucket.
+    * `gen` is the field's key GENERATION: 0 for the original era, and
+    * bumped whenever spec evolution re-parameterizes the transform on
+    * the same column (bucket width change) — the suffix keeps tuple
+    * values of different eras from ever being compared. */
+  final case class PartField(kind: String, col: String, n: Int = 0,
+      gen: Int = 0) {
     /** The manifest-entry `parts` key this transform writes. */
-    def key: String = kind match {
-      case "identity" => col.toLowerCase
-      case "days" => s"days_${col.toLowerCase}"
-      case "bucket" => s"bucket_${col.toLowerCase}"
+    def key: String = {
+      val base = kind match {
+        case "identity" => col.toLowerCase
+        case "days" => s"days_${col.toLowerCase}"
+        case "bucket" => s"bucket_${col.toLowerCase}"
+      }
+      if (gen == 0) base else s"$base@$gen"
     }
   }
 
   // ---- spec persistence --------------------------------------------
 
-  def write(tableDir: Path, spec: Seq[PartField]): Unit = {
-    val json = spec.map { f =>
-      s"""{"kind":"${f.kind}","col":"${f.col}","n":${f.n}}"""
+  private def renderFields(spec: Seq[PartField]): String =
+    spec.map { f =>
+      s"""{"kind":"${f.kind}","col":"${f.col}","n":${f.n},"gen":${f.gen}}"""
     }.mkString("[", ",", "]")
-    Files.writeString(tableDir.resolve(SpecFile), json)
+
+  def write(tableDir: Path, spec: Seq[PartField],
+      retired: Seq[PartField] = Seq.empty): Unit = {
+    val json =
+      if (retired.isEmpty) renderFields(spec) // original flat format
+      else s"""{"fields":${renderFields(spec)},""" +
+        s""""retired":${renderFields(retired)}}"""
+    // temp + move: a concurrent table load never sees a torn spec
+    val tmp = tableDir.resolve(s".$SpecFile.tmp")
+    Files.writeString(tmp, json)
+    Files.move(tmp, tableDir.resolve(SpecFile),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
-  def read(tableDir: Path): Seq[PartField] = {
+  private def parseFields(node: com.fasterxml.jackson.databind.JsonNode)
+      : Seq[PartField] = {
+    import scala.jdk.CollectionConverters._
+    node.elements().asScala.map { e =>
+      PartField(e.get("kind").asText(), e.get("col").asText(),
+        Option(e.get("n")).map(_.asInt()).getOrElse(0),
+        Option(e.get("gen")).map(_.asInt()).getOrElse(0))
+    }.toSeq
+  }
+
+  private def readSpec(tableDir: Path): (Seq[PartField], Seq[PartField]) = {
     val p = tableDir.resolve(SpecFile)
-    if (!Files.isRegularFile(p)) return Seq.empty
+    if (!Files.isRegularFile(p)) return (Seq.empty, Seq.empty)
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.readTree(Files.readString(p))
-    import scala.jdk.CollectionConverters._
-    root.elements().asScala.map { e =>
-      PartField(e.get("kind").asText(), e.get("col").asText(),
-        Option(e.get("n")).map(_.asInt()).getOrElse(0))
-    }.toSeq
+    if (root.isArray) (parseFields(root), Seq.empty) // legacy flat format
+    else (parseFields(root.get("fields")),
+      Option(root.get("retired")).map(parseFields).getOrElse(Seq.empty))
+  }
+
+  /** The ACTIVE spec — what new writes fan out under. */
+  def read(tableDir: Path): Seq[PartField] = readSpec(tableDir)._1
+
+  /** Active + RETIRED fields — what scan pruning evaluates: each file
+    * entry only carries the tuple keys of the spec era that wrote it,
+    * so every file is pruned by exactly its own era's transforms. */
+  def readAll(tableDir: Path): Seq[PartField] = {
+    val (active, retired) = readSpec(tableDir)
+    active ++ retired
+  }
+
+  /** PARTITION-SPEC EVOLUTION (Iceberg's `update_partition_spec`):
+    * replace the active spec with `transforms`. Existing data files
+    * are untouched and keep pruning under the spec that wrote them
+    * ([[readAll]]); only new writes fan out under the new spec. A
+    * transform identical to a current-or-retired one (same kind, col,
+    * AND parameter) keeps that field's generation — its tuple values
+    * are byte-comparable; a RE-PARAMETERIZED transform (bucket width
+    * change) gets the next generation so old and new tuple values
+    * can never be compared. */
+  def evolve(tableDir: Path, transforms: Array[Transform],
+      schema: StructType): Seq[PartField] = {
+    val (active, retired) = readSpec(tableDir)
+    val history = active ++ retired
+    val proposed = fromTransforms(transforms, schema)
+    val evolved = proposed.map { f =>
+      history.find(h => h.kind == f.kind && h.col.equalsIgnoreCase(f.col) &&
+          h.n == f.n) match {
+        case Some(h) => f.copy(gen = h.gen) // same semantics: same era key
+        case None =>
+          val prior = history.filter(h => h.kind == f.kind &&
+            h.col.equalsIgnoreCase(f.col))
+          if (prior.isEmpty) f // fresh field: generation 0
+          else f.copy(gen = prior.map(_.gen).max + 1)
+      }
+    }
+    val evolvedKeys = evolved.map(_.key).toSet
+    val newRetired = (retired ++ active)
+      .filterNot(h => evolvedKeys.contains(h.key))
+      .distinct
+    write(tableDir, evolved, newRetired)
+    evolved
   }
 
   // ---- V2 Transform array <-> spec ---------------------------------
@@ -131,9 +212,9 @@ object BronzePartitioning {
 
   def toTransforms(spec: Seq[PartField]): Array[Transform] =
     spec.map {
-      case PartField("identity", c, _) => Expressions.identity(c)
-      case PartField("days", c, _) => Expressions.days(c)
-      case PartField("bucket", c, n) => Expressions.bucket(n, c)
+      case PartField("identity", c, _, _) => Expressions.identity(c)
+      case PartField("days", c, _, _) => Expressions.days(c)
+      case PartField("bucket", c, n, _) => Expressions.bucket(n, c)
       case f => throw new IllegalStateException(s"bad spec field $f")
     }.toArray
 

@@ -79,7 +79,7 @@ object BronzeRowDelete {
     // deletes anti-joined away, so both modes see only rows a reader
     // of the current snapshot still sees
     val matches = BronzeMor.matchingPositions(spark, dir, schema,
-      snap.entries, cond)
+      snap.entries, cond, snap.eqDeletes)
 
     // MERGE-ON-READ mode: write one (file, pos) sidecar and attach it
     // to the targeted entries — O(|deleted rows|) written, file set
@@ -127,7 +127,8 @@ object BronzeRowDelete {
       // resurrect its already-deleted rows (the rewrite then drops the
       // sidecar refs: fresh entries carry none)
       val groupEntries = groupFiles.flatMap(entryParts.get)
-      val keep = BronzeMor.readWithDeletes(spark, dir, schema, groupEntries)
+      val keep = BronzeMor.readWithDeletes(spark, dir, schema, groupEntries,
+        snap.eqDeletes)
         .filter(!(cond <=> lit(true))) // NULL predicate -> row survives
       try keep.write.parquet(stage.toString)
       catch { case e: Throwable => deleteTree(stage); throw e }

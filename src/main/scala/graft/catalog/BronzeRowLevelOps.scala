@@ -143,22 +143,30 @@ final class BronzeRowLevelOperation(dir: String, declared: StructType,
               .select(col("_metadata.file_name")).distinct()
               .collect().map(_.getString(0)).toSeq.sorted
           }
-        // existing merge-on-read deletes must be APPLIED by the
-        // rewrite scan — a copy-on-write pass reading raw bytes would
-        // resurrect already-deleted rows into the rewritten files
+        // existing merge-on-read deletes — position AND equality —
+        // must be APPLIED by the rewrite scan: a copy-on-write pass
+        // reading raw bytes would resurrect already-deleted rows into
+        // the rewritten files (which then carry a fresh seq, making
+        // the resurrection permanent)
         val delsOf: String => Seq[String] = {
           val byName = snap.entriesByName
           f => byName.get(f).map(_.deletes).getOrElse(Seq.empty)
         }
-        val anyDels = affected.exists(f => delsOf(f).nonEmpty)
+        val eqOf: String => Seq[String] = {
+          val byName = snap.entriesByName
+          f => byName.get(f).map(e => snap.eqDeletesFor(e).map(_.name))
+            .getOrElse(Seq.empty)
+        }
+        val anyDels = affected.exists(f =>
+          delsOf(f).nonEmpty || eqOf(f).nonEmpty)
         if (required.fieldNames.contains("_file"))
           // MERGE: per-file scan emitting `_file`, narrowable by the
           // runtime group filter — commit follows the narrowed set
           new BronzeCowFileScan(dir, affected, required,
-            narrowed => { affected = narrowed }, delsOf)
+            narrowed => { affected = narrowed }, delsOf, eqOf = eqOf)
         else if (anyDels)
           BronzeMetadataFileScan.scan(dir, affected, declared, declared,
-            delsOf)
+            delsOf, eqOf)
         else
           shim.parquetTableFiles(spark, s"cow:$dir",
             affected.map(f => s"$dir/$f"), declared)
@@ -393,7 +401,8 @@ private[catalog] final class BronzeCowFileScan(dir: String,
     files0: Seq[String],
     required: StructType, onNarrowed: Seq[String] => Unit,
     delsOf: String => Seq[String] = _ => Seq.empty,
-    label: String = "cow merge")
+    label: String = "cow merge",
+    eqOf: String => Seq[String] = _ => Seq.empty)
     extends Scan with org.apache.spark.sql.connector.read.Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
@@ -446,7 +455,8 @@ private[catalog] final class BronzeCowFileScan(dir: String,
 
   override def planInputPartitions(): Array[InputPartition] =
     files.map(f => BronzeFilePartition(s"$dir/$f",
-      delsOf(f).map(s => s"$dir/$s")): InputPartition).toArray
+      delsOf(f).map(s => s"$dir/$s"),
+      eqOf(f).map(s => s"$dir/$s")): InputPartition).toArray
 
   override def createReaderFactory()
       : org.apache.spark.sql.connector.read.PartitionReaderFactory =

@@ -84,7 +84,8 @@ object BronzeMetadataFileScan {
 
   def scan(dir: String, files: Seq[String], declared: StructType,
       required: StructType,
-      sidecarsOf: String => Seq[String] = _ => Seq.empty): Scan = new Scan {
+      sidecarsOf: String => Seq[String] = _ => Seq.empty,
+      eqSidecarsOf: String => Seq[String] = _ => Seq.empty): Scan = new Scan {
     override def readSchema(): StructType = required
     override def description(): String =
       s"bronze per-file scan $dir (+_file metadata column)"
@@ -93,7 +94,8 @@ object BronzeMetadataFileScan {
         override def planInputPartitions(): Array[InputPartition] =
           files.map(f =>
             BronzeFilePartition(s"$dir/$f",
-              sidecarsOf(f).map(s => s"$dir/$s")): InputPartition).toArray
+              sidecarsOf(f).map(s => s"$dir/$s"),
+              eqSidecarsOf(f).map(s => s"$dir/$s")): InputPartition).toArray
         override def createReaderFactory(): PartitionReaderFactory =
           new BronzeMetadataReaderFactory(required.json)
       }
@@ -134,6 +136,59 @@ private[catalog] object MorDeletes {
 
   def fileNameOf(path: String): String =
     java.nio.file.Paths.get(path).getFileName.toString
+
+  /** One loaded EQUALITY-DELETE sidecar: its key schema (the sidecar
+    * parquet's own spark schema — names AND types) and the set of
+    * retracted key tuples. Bounded by the sidecar's changed-key count
+    * — the same working set Iceberg's readers hold for equality
+    * deletes. */
+  final case class EqKeySet(schema: StructType,
+      keys: java.util.HashSet[Seq[Any]]) {
+    def cols: Seq[String] = schema.fieldNames.toSeq
+  }
+
+  /** The [[org.apache.spark.sql.types.StructField]] for key column
+    * `name`, from whichever loaded sidecar carries it. */
+  def fieldFor(eqSets: Seq[EqKeySet], name: String)
+      : org.apache.spark.sql.types.StructField =
+    eqSets.flatMap(_.schema.fields).find(_.name == name)
+      .getOrElse(throw new IllegalStateException(
+        s"equality-delete key column $name missing from sidecar schemas"))
+
+  /** The spark schema a sidecar was written with, from its footer's
+    * `org.apache.spark.sql.parquet.row.metadata` (we wrote the file;
+    * the metadata is always present). */
+  def sidecarSchema(path: String): StructType = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.conf.Configuration())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val meta = r.getFooter.getFileMetaData.getKeyValueMetaData
+        .get("org.apache.spark.sql.parquet.row.metadata")
+      org.apache.spark.sql.types.DataType.fromJson(meta)
+        .asInstanceOf[StructType]
+    } finally r.close()
+  }
+
+  /** Load `sidecarPaths` (full paths) as key sets. */
+  def eqKeySets(sidecarPaths: Seq[String]): Seq[EqKeySet] =
+    sidecarPaths.map { p =>
+      val schema = sidecarSchema(p)
+      val set = new java.util.HashSet[Seq[Any]]()
+      val r = shim.rowParquetReader(p, schema)
+      try {
+        var row = r.read()
+        while (row != null) {
+          val copied = row.copy()
+          set.add(schema.fields.indices.map(i =>
+            if (copied.isNullAt(i)) null
+            else copied.get(i, schema(i).dataType)))
+          row = r.read()
+        }
+      } finally r.close()
+      EqKeySet(schema, set)
+    }
 }
 
 private final class BronzeMetadataReaderFactory(requiredJson: String)
@@ -143,23 +198,45 @@ private final class BronzeMetadataReaderFactory(requiredJson: String)
     val required = org.apache.spark.sql.types.DataType
       .fromJson(requiredJson).asInstanceOf[StructType]
     val fp = p.asInstanceOf[BronzeFilePartition]
-    new BronzeMetadataFileReader(fp.path, required, fp.sidecars)
+    new BronzeMetadataFileReader(fp.path, required, fp.sidecars,
+      fp.eqSidecars)
   }
 }
 
 /** Reads the requested DATA columns from one parquet file and splices
   * the metadata columns in: the constant `_file` path, and `_pos` —
   * the row's PHYSICAL position in its file (pre-skip ordinal, i.e.
-  * what a position-delete sidecar references). `sidecars`:
-  * position-delete files to APPLY — listed row positions are
-  * skipped (merge-on-read). */
+  * what a position-delete sidecar references). Decode is VECTORIZED
+  * (Spark's own columnar parquet reader underneath, rows iterated off
+  * each batch) — applying delete sidecars forces per-file readers,
+  * not per-row materialization. `sidecars`: position-delete files to
+  * APPLY — listed row positions are skipped. `eqSidecars`:
+  * EQUALITY-delete files to apply — rows whose key-column tuple
+  * appears in a sidecar are skipped; key columns are read even when
+  * the projection pruned them (appended past the required columns,
+  * never surfaced). */
 private final class BronzeMetadataFileReader(path: String,
-    required: StructType, sidecars: Seq[String] = Seq.empty)
+    required: StructType, sidecars: Seq[String] = Seq.empty,
+    eqSidecars: Seq[String] = Seq.empty)
     extends PartitionReader[InternalRow] {
 
   private val dataSchema =
     StructType(required.filter(f => f.name != "_file" && f.name != "_pos"))
-  private val reader = shim.rowParquetReader(path, dataSchema)
+  private val eqSets: Seq[MorDeletes.EqKeySet] =
+    if (eqSidecars.isEmpty) Seq.empty else MorDeletes.eqKeySets(eqSidecars)
+  // the read schema extends the projection with any equality-key
+  // column it pruned away (appended at the END, so required ordinals
+  // are stable); the extras never reach the output row
+  private val readSchema: StructType = {
+    val have = dataSchema.fieldNames.toSet
+    val extras = eqSets.flatMap(_.cols).distinct.filterNot(have.contains)
+      .map(c => MorDeletes.fieldFor(eqSets, c))
+    StructType(dataSchema.fields ++ extras)
+  }
+  // per eq sidecar: the key columns' ordinals in readSchema
+  private val eqIdx: Seq[Array[Int]] =
+    eqSets.map(_.cols.map(readSchema.fieldIndex).toArray)
+  private val reader = shim.vectorizedRowFileReader(path, readSchema)
   private val filePath = org.apache.spark.unsafe.types.UTF8String
     .fromString(path)
   private val skip: java.util.HashSet[java.lang.Long] =
@@ -178,15 +255,30 @@ private final class BronzeMetadataFileReader(path: String,
   }
   private var current: InternalRow = _
 
+  private def eqDeleted(r: InternalRow): Boolean = {
+    var s = 0
+    while (s < eqSets.size) {
+      val idx = eqIdx(s)
+      val key = idx.indices.map { k =>
+        val i = idx(k)
+        if (r.isNullAt(i)) null else r.get(i, readSchema(i).dataType)
+      }
+      if (eqSets(s).keys.contains(key)) return true
+      s += 1
+    }
+    false
+  }
+
   override def next(): Boolean = {
     var r = reader.read()
     pos += 1
-    while (r != null && skip != null && skip.contains(pos)) {
+    while (r != null && ((skip != null && skip.contains(pos)) ||
+        (eqSets.nonEmpty && eqDeleted(r)))) {
       r = reader.read()
       pos += 1
     }
-    // the materializer reuses its row (and nested buffers) between
-    // read() calls — copy before extracting values that outlive it
+    // the decoder reuses its row (a view into the current batch) —
+    // copy before extracting values that outlive it
     current = if (r == null) null else r.copy()
     current != null
   }
@@ -294,7 +386,8 @@ private final class BronzeMicroBatchStream(dir: String, schema: StructType,
 }
 
 private final case class BronzeFilePartition(path: String,
-    sidecars: Seq[String] = Seq.empty) extends InputPartition
+    sidecars: Seq[String] = Seq.empty,
+    eqSidecars: Seq[String] = Seq.empty) extends InputPartition
 
 private final class BronzeFileReaderFactory(schemaJson: String)
     extends PartitionReaderFactory {
@@ -308,7 +401,7 @@ private final class BronzeFileReaderFactory(schemaJson: String)
 private final class BronzeFileReader(path: String, schema: StructType)
     extends PartitionReader[InternalRow] {
 
-  private val reader = shim.rowParquetReader(path, schema)
+  private val reader = shim.vectorizedRowFileReader(path, schema)
   private var current: InternalRow = _
 
   override def next(): Boolean = {
@@ -316,7 +409,7 @@ private final class BronzeFileReader(path: String, schema: StructType)
     current != null
   }
 
-  // the materializer reuses its row between read() calls — copy
+  // the decoder reuses its row (a view into the current batch) — copy
   override def get(): InternalRow = current.copy()
 
   override def close(): Unit = reader.close()

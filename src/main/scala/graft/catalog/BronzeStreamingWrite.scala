@@ -43,7 +43,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 final class BronzeWritableTable(delegate: Table, dir: String,
     snapshotFiles: Option[Seq[String]] = None,
-    snapshotEntries: Seq[SnapshotLog.FileEntry] = Seq.empty)
+    snapshotEntries: Seq[SnapshotLog.FileEntry] = Seq.empty,
+    snapshotEqDeletes: Seq[SnapshotLog.EqDelete] = Seq.empty)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
@@ -52,11 +53,17 @@ final class BronzeWritableTable(delegate: Table, dir: String,
   override def name(): String = delegate.name()
   override def schema(): StructType = delegate.schema()
 
-  /** The create-time partition transforms (identity/days/bucket) —
+  /** The ACTIVE partition transforms (identity/days/bucket) —
     * reported to Spark (DESCRIBE/SHOW CREATE) and compiled into every
     * write's fanout routing. */
   private lazy val partSpec: Seq[BronzePartitioning.PartField] =
     BronzePartitioning.read(Paths.get(dir))
+
+  /** Active + retired transforms — what scan PRUNING evaluates, so a
+    * file written under a pre-evolution spec still prunes with the
+    * transforms of its own era (per-file spec pruning). */
+  private lazy val pruneSpec: Seq[BronzePartitioning.PartField] =
+    BronzePartitioning.readAll(Paths.get(dir))
 
   override def partitioning()
       : Array[org.apache.spark.sql.connector.expressions.Transform] =
@@ -122,19 +129,27 @@ final class BronzeWritableTable(delegate: Table, dir: String,
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // EQUALITY deletes applicable per file: sidecars committed at a
+    // strictly later data sequence than the file (upsert retractions)
+    val eqOf: SnapshotLog.FileEntry => Seq[String] = e =>
+      snapshotEqDeletes.filter(_.seq > e.seq.getOrElse(Long.MinValue))
+        .map(_.name)
     val delsOf: String => Seq[String] = {
       val byName = snapshotEntries.map(e => e.name -> e.deletes).toMap
       f => byName.getOrElse(f, Seq.empty)
     }
-    // a snapshot carrying MERGE-ON-READ position deletes reads through
-    // the per-file readers that apply each file's skip set — the
-    // documented MOR read tax until OPTIMIZE purges the sidecars;
-    // manifest stats/tuple pruning still applies inside
-    if (BronzeMor.hasDeletes(snapshotEntries))
+    // a snapshot carrying MERGE-ON-READ position or equality deletes
+    // reads through the per-file readers that apply each file's skip
+    // set and key sets (vectorized parquet decode underneath) until
+    // OPTIMIZE purges the sidecars; manifest stats/tuple pruning
+    // still applies inside
+    if (BronzeMor.hasDeletes(snapshotEntries) ||
+        snapshotEntries.exists(e => eqOf(e).nonEmpty))
       return BronzeMor.scanBuilder(dir, snapshotEntries,
-        delegate.schema(), partSpec,
+        delegate.schema(), pruneSpec,
         () => BronzeStreamRead.microBatchStream(dir, delegate.schema(),
-          options))
+          options),
+        eqOf)
     // manifest-stats file skipping: when the pinned snapshot carries
     // per-file stats, pushed filters can REBUILD the delegate over the
     // surviving file list before Spark ever plans the scan — dropped
@@ -145,7 +160,7 @@ final class BronzeWritableTable(delegate: Table, dir: String,
         null
       else filters => {
         val keep = BronzePruning.survivors(snapshotEntries,
-          delegate.schema(), filters, partSpec)
+          delegate.schema(), filters, pruneSpec)
         if (keep.size == snapshotEntries.size) None
         else {
           val pruned = shim.parquetTableFiles(
@@ -162,9 +177,12 @@ final class BronzeWritableTable(delegate: Table, dir: String,
       dir, delegate.schema(), options,
       // `_file` projections can't come from the delegate parquet scan;
       // a scan that needs the column diverts to the per-file reader
-      // over this load's pinned snapshot (position deletes applied)
+      // over this load's pinned snapshot (position+equality deletes
+      // applied)
       required => BronzeMetadataFileScan.scan(dir, pinnedFiles,
-        delegate.schema(), required, delsOf),
+        delegate.schema(), required, delsOf,
+        f => snapshotEntries.find(_.name == f).map(eqOf)
+          .getOrElse(Seq.empty)),
       pruner,
       // unpruned scans still report the manifest's EXACT totals — the
       // footer row counts the snapshot commit already scraped
@@ -194,10 +212,23 @@ final class BronzeWritableTable(delegate: Table, dir: String,
           // Parquet-writer session confs must be captured HERE — this
           // runs on the driver where `SparkSession.active` exists; the
           // factory ships the plain Map to executor-side writers.
-          val confs =
-            shim.parquetWriterConfs(org.apache.spark.sql.SparkSession.active)
+          val spark = org.apache.spark.sql.SparkSession.active
+          val confs = shim.parquetWriterConfs(spark)
+          // `.option("upsertKeys", "k1,k2")` turns the append sink
+          // into a KEYED UPSERT sink: each epoch commits its rows
+          // plus ONE equality-delete sidecar retracting every earlier
+          // row with a matching key — O(changes) written, zero
+          // target reads (the CDC write half)
+          val upsertKeys = Option(info.options.get("upsertKeys"))
+            .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          upsertKeys.foreach { ks =>
+            val have = delegate.schema().fieldNames.toSet
+            val missing = ks.filterNot(have.contains)
+            require(missing.isEmpty,
+              s"upsertKeys not in table schema: ${missing.mkString(", ")}")
+          }
           new BronzeStreamingWrite(dir, delegate.schema(), info.queryId(),
-            confs, partSpec)
+            confs, partSpec, upsertKeys, spark)
         }
       }
     }
@@ -224,7 +255,9 @@ private[catalog] object StagedCommit {
 
 private final class BronzeStreamingWrite(dir: String, schema: StructType,
     queryId: String, writerConfs: Map[String, String],
-    partSpec: Seq[BronzePartitioning.PartField])
+    partSpec: Seq[BronzePartitioning.PartField],
+    upsertKeys: Option[Seq[String]] = None,
+    spark: org.apache.spark.sql.SparkSession = null)
     extends StreamingWrite {
 
   // ATTEMPT token, fresh per StreamingWrite instance (per query run):
@@ -273,12 +306,32 @@ private final class BronzeStreamingWrite(dir: String, schema: StructType,
     }
     val parts = staged.filter(_.parts.nonEmpty)
       .map(f => Paths.get(f.dest).getFileName.toString -> f.parts).toMap
+    // keyed upsert: ONE equality-delete sidecar holding the epoch's
+    // distinct key tuples, committed with the data files — readers
+    // drop every EARLIER row with a matching key (strict seq order,
+    // so this epoch's own rows survive). Written from the just-moved
+    // dest files: O(epoch rows) read, zero reads of the target table.
+    val eqSidecar: Option[String] = upsertKeys.filter(_ => dests.nonEmpty)
+      .flatMap { ks =>
+        val keys = spark.read.schema(schema)
+          .parquet(dests.map(d => s"$dir/$d").toSeq: _*)
+          .select(ks.map(org.apache.spark.sql.functions.col): _*)
+          .distinct()
+        BronzeMor.writeEqDeleteFile(spark, dir, keys)
+      }
+    val operation = if (upsertKeys.isDefined) "upsert" else "streaming-append"
     // one snapshot per epoch: this attempt's files REPLACE any same-
     // epoch files of prior attempts in the MANIFEST (set algebra
     // mirrors the legacy physical sweep), everything else carries over
-    SnapshotLog.commit(dir, "streaming-append", parts) { parent =>
-      parent.filterNot(f =>
-        f.startsWith(epochPrefix) || f.startsWith("part-e")) ++ dests
+    SnapshotLog.commitWith(dir, operation, parts,
+      mkEqDeletes = (parent, next) =>
+        parent.map(_.eqDeletes).getOrElse(Seq.empty) ++
+          eqSidecar.map(SnapshotLog.EqDelete(_, next))) { parent =>
+      (parent.map(_.files.toSet)
+        .getOrElse(SnapshotLog.listDataFiles(dir).toSet)
+        .filterNot(f =>
+          f.startsWith(epochPrefix) || f.startsWith("part-e")) ++ dests,
+        parent.flatMap(_.schemaFile))
     }
   }
 

@@ -68,14 +68,32 @@ object SnapshotLog {
     * table dir, and a reader of this snapshot must SKIP the file's
     * listed positions. All metadata fields are optional: an entry
     * with nothing but a name (legacy manifests, unreadable footers)
-    * is still a perfectly valid — just never-skippable — file. */
+    * is still a perfectly valid — just never-skippable — file.
+    *
+    * `seq`: the snapshot VERSION that ADDED this file (Iceberg's data
+    * sequence number) — what decides which EQUALITY deletes apply: an
+    * equality-delete sidecar retracts matching rows only from files
+    * with a STRICTLY SMALLER seq, so the same commit's re-inserted
+    * rows survive their own retraction. Absent on entries from before
+    * seq stamping — treated as MIN (old files are subject to every
+    * equality delete, the conservative direction for upserts). */
   final case class FileEntry(
       name: String,
       rows: Option[Long] = None,
       bytes: Option[Long] = None,
       parts: Map[String, String] = Map.empty,
       stats: Map[String, ColStats] = Map.empty,
-      deletes: Seq[String] = Seq.empty)
+      deletes: Seq[String] = Seq.empty,
+      seq: Option[Long] = None)
+
+  /** One EQUALITY-DELETE sidecar (Iceberg v2's equality delete
+    * files): `name` is a parquet IN THE TABLE DIR whose columns ARE
+    * the equality key (schema carried by the file itself); a reader
+    * must drop every row of any data file with `entry.seq < seq`
+    * whose key-column values match any sidecar row. The streaming
+    * keyed-upsert sink writes one per epoch — O(changed keys) bytes,
+    * zero target reads. */
+  final case class EqDelete(name: String, seq: Long)
 
   /** One manifest segment file (`m-<uuid>.json` in the log dir): an
     * immutable list of file entries SHARED across snapshots — a
@@ -100,7 +118,13 @@ object SnapshotLog {
       operation: String,
       files: Seq[String],
       schemaFile: Option[String] = None,
-      segments: Seq[ManifestSegment] = Seq.empty) {
+      segments: Seq[ManifestSegment] = Seq.empty,
+      eqDeletes: Seq[EqDelete] = Seq.empty) {
+
+    /** The equality-delete sidecars a reader of `entry` must apply:
+      * those committed at a strictly later sequence than the file. */
+    def eqDeletesFor(entry: FileEntry): Seq[EqDelete] =
+      eqDeletes.filter(_.seq > entry.seq.getOrElse(Long.MinValue))
 
     /** File entries with whatever metadata the manifest carries;
       * name-only entries for legacy inline manifests. */
@@ -210,7 +234,20 @@ object SnapshotLog {
   def commitWith(tableDir: String, operation: String,
       addedParts: Map[String, Map[String, String]] = Map.empty,
       entryHints: Map[String, FileEntry] = Map.empty,
-      attachDeletes: Map[String, Seq[String]] = Map.empty)(
+      attachDeletes: Map[String, Seq[String]] = Map.empty,
+      // the new snapshot's EQUALITY-DELETE list, from (parent, next
+      // version): default carries the parent's forward unchanged; an
+      // upsert appends its sidecar at seq=next; OPTIMIZE clears after
+      // rewriting every file the deletes applied to. Runs inside the
+      // CAS retry loop — recomputed against each winning parent.
+      mkEqDeletes: (Option[Snapshot], Long) => Seq[EqDelete] =
+        (parent, _) => parent.map(_.eqDeletes).getOrElse(Seq.empty),
+      // data-sequence OVERRIDE for added files: a compaction's output
+      // inherits the MAX seq of its inputs (Iceberg's sequence-number
+      // inheritance) so an equality delete committed CONCURRENTLY
+      // with the rewrite still applies to the compacted rows; plain
+      // adds default to seq = this commit's version.
+      seqHints: Map[String, Long] = Map.empty)(
       change: Option[Snapshot] => (Set[String], Option[String])): Snapshot = {
     val d = logDir(tableDir)
     Files.createDirectories(d)
@@ -253,9 +290,16 @@ object SnapshotLog {
         // or their absence — rolling back across a MOR delete must
         // un-apply it), not whatever the parent evolved to
         val base = entryHints.getOrElse(name,
-          parentEntries.getOrElse(name,
-            scrapeCache.getOrElseUpdate(name, scrapeEntry(tableDir, name,
-              addedParts.getOrElse(name, Map.empty)))))
+          parentEntries.getOrElse(name, {
+            // a freshly-ADDED file is stamped with this commit's
+            // version as its data sequence number (outside the
+            // scrape cache — `next` moves on CAS retries); hints and
+            // parent entries keep their original seq
+            val scraped = scrapeCache.getOrElseUpdate(name,
+              scrapeEntry(tableDir, name,
+                addedParts.getOrElse(name, Map.empty)))
+            scraped.copy(seq = Some(seqHints.getOrElse(name, next)))
+          }))
         attachDeletes.get(name) match {
           case Some(dels) => base.copy(deletes = base.deletes ++ dels)
           case None => base
@@ -277,7 +321,8 @@ object SnapshotLog {
         val (small, big) = sorted.splitAt(segs.size / 2)
         segs = big :+ writeSegment(tableDir, small.flatMap(_.entries))
       }
-      val snap = Snapshot(next, now, operation, files, schemaFile, segs)
+      val snap = Snapshot(next, now, operation, files, schemaFile, segs,
+        mkEqDeletes(parent, next))
       val tmp = d.resolve(s".v$next-${java.util.UUID.randomUUID}.tmp")
       Files.writeString(tmp, render(snap))
       try {
@@ -320,8 +365,12 @@ object SnapshotLog {
     * level. */
   def commitRewrite(tableDir: String, operation: String,
       replaced: Set[String], added: Seq[String],
-      addedParts: Map[String, Map[String, String]] = Map.empty): Snapshot =
-    commitWith(tableDir, operation, addedParts) { parent =>
+      addedParts: Map[String, Map[String, String]] = Map.empty,
+      mkEqDeletes: (Option[Snapshot], Long) => Seq[EqDelete] =
+        (parent, _) => parent.map(_.eqDeletes).getOrElse(Seq.empty),
+      seqHints: Map[String, Long] = Map.empty): Snapshot =
+    commitWith(tableDir, operation, addedParts,
+      mkEqDeletes = mkEqDeletes, seqHints = seqHints) { parent =>
       val parentFiles = parent.map(_.files.toSet)
         .getOrElse(listDataFiles(tableDir).toSet)
       val missing = replaced -- parentFiles
@@ -435,6 +484,36 @@ object SnapshotLog {
         (parentFiles ++ added, parent.flatMap(_.schemaFile))
     }
   }
+
+  /** Commit a KEYED UPSERT (Iceberg v2's equality deletes): in ONE
+    * snapshot, `added` data files append the new row versions and
+    * `eqDeleteFile` (a parquet in the table dir whose columns are the
+    * equality key) retracts EVERY earlier row with a matching key —
+    * from all files with a smaller data sequence number, whichever
+    * files those are, WITHOUT reading any of them. This is the CDC
+    * write half: O(changed rows) bytes written per commit, zero
+    * target reads (position deltas must first scan the target to
+    * locate victims; equality deletes name them by value). The
+    * added files carry seq = this commit's version, the sidecar the
+    * same seq, and `>` is strict — so the batch's own re-inserted
+    * rows survive their own retraction. Readers of this and later
+    * snapshots apply the sidecar; time travel to earlier versions
+    * still reads the old rows; OPTIMIZE purges by rewriting.
+    *
+    * Incremental/streaming readers see upsert snapshots as plain
+    * appends (the new row versions) — retractions travel only
+    * through the change feed, matching Iceberg's incremental
+    * append-scan semantics. */
+  def commitUpsert(tableDir: String, operation: String,
+      added: Seq[String], eqDeleteFile: Option[String],
+      addedParts: Map[String, Map[String, String]] = Map.empty): Snapshot =
+    commitWith(tableDir, operation, addedParts,
+      mkEqDeletes = (parent, next) =>
+        parent.map(_.eqDeletes).getOrElse(Seq.empty) ++
+          eqDeleteFile.map(EqDelete(_, next)))(parent =>
+      (parent.map(_.files.toSet).getOrElse(listDataFiles(tableDir).toSet)
+        ++ added,
+        parent.flatMap(_.schemaFile)))
 
   /** Schema sidecar I/O: sidecars live in the log dir under
     * uuid-unique names, so a racing evolution can never overwrite the
@@ -589,7 +668,8 @@ object SnapshotLog {
     val deleteFileCandidates = {
       val s = Files.list(Paths.get(tableDir))
       try s.iterator.asScala.map(_.getFileName.toString)
-        .filter(n => n.startsWith("del-") && n.endsWith(".parquet")).toSeq
+        .filter(n => (n.startsWith("del-") || n.startsWith("eqdel-")) &&
+          n.endsWith(".parquet")).toSeq
       finally s.close()
     }
     val expiredSnaps = expired.map(read(tableDir, _))
@@ -639,8 +719,10 @@ object SnapshotLog {
     // retained snapshot's entries reference them (compaction drops the
     // references; the bytes then age out or go with their expired
     // snapshots)
-    val keptDels = retainedSnaps.flatMap(_.entries.flatMap(_.deletes)).toSet
-    val expiredDels = expiredSnaps.flatMap(_.entries.flatMap(_.deletes)).toSet
+    val keptDels = retainedSnaps.flatMap(s =>
+      s.entries.flatMap(_.deletes) ++ s.eqDeletes.map(_.name)).toSet
+    val expiredDels = expiredSnaps.flatMap(s =>
+      s.entries.flatMap(_.deletes) ++ s.eqDeletes.map(_.name)).toSet
     deleteFileCandidates.filterNot(keptDels.contains)
       .filter(f => expiredDels.contains(f) ||
         oldEnough(Paths.get(tableDir, f)))
@@ -704,8 +786,11 @@ object SnapshotLog {
     require(toVersion < cur,
       s"rollback target v$toVersion is not before the current v$cur")
     // the target's entries ride along as hints: restored files keep
-    // their original stats/partition metadata without a re-scrape
-    commitWith(tableDir, "rollback", entryHints = target.entriesByName)(_ =>
+    // their original stats/partition metadata without a re-scrape;
+    // the EQUALITY-DELETE list is restored too (entries keep their
+    // original seqs, so rolling back across an upsert un-applies it)
+    commitWith(tableDir, "rollback", entryHints = target.entriesByName,
+      mkEqDeletes = (_, _) => target.eqDeletes)(_ =>
       (target.files.toSet, target.schemaFile))
   }
 
@@ -725,6 +810,10 @@ object SnapshotLog {
     s"""{"version":${s.version},"timestampMicros":${s.timestampMicros},""" +
       s""""operation":"${s.operation}",""" +
       s.schemaFile.map(f => s""""schemaFile":"$f",""").getOrElse("") +
+      (if (s.eqDeletes.nonEmpty)
+        s""""eqdels":[${s.eqDeletes.map(d =>
+          s"""{"f":"${d.name}","s":${d.seq}}""").mkString(",")}],"""
+      else "") +
       (if (s.segments.nonEmpty)
         s""""manifests":[${s.segments.map("\"" + _.name + "\"")
           .mkString(",")}]}"""
@@ -742,6 +831,11 @@ object SnapshotLog {
       .map(_.group(1))
     val manifests = """"manifests":\[([^\]]*)\]""".r.findFirstMatchIn(json)
       .map(_.group(1))
+    val eqdels = """"eqdels":\[(.*?)\]""".r.findFirstMatchIn(json)
+      .map(_.group(1)).filter(_.nonEmpty).toSeq.flatMap { list =>
+        """\{"f":"([^"]+)","s":(\d+)\}""".r.findAllMatchIn(list)
+          .map(m => EqDelete(m.group(1), m.group(2).toLong)).toSeq
+      }
     manifests match {
       case Some(list) =>
         val segNames =
@@ -750,7 +844,8 @@ object SnapshotLog {
             .map(_.trim.stripPrefix("\"").stripSuffix("\""))
         val segs = segNames.map(readSegment(tableDir, _))
         Snapshot(long("version"), long("timestampMicros"), op,
-          segs.flatMap(_.entries.map(_.name)).sorted, schemaFile, segs)
+          segs.flatMap(_.entries.map(_.name)).sorted, schemaFile, segs,
+          eqdels)
       case None =>
         val files = """"files":\[([^\]]*)\]""".r.findFirstMatchIn(json)
           .map(_.group(1)).getOrElse("")
@@ -759,7 +854,7 @@ object SnapshotLog {
           else files.split(",").toSeq
             .map(_.trim.stripPrefix("\"").stripSuffix("\""))
         Snapshot(long("version"), long("timestampMicros"), op, names,
-          schemaFile)
+          schemaFile, Seq.empty, eqdels)
     }
   }
 
@@ -789,7 +884,7 @@ object SnapshotLog {
       val dels = Option(e.get("del")).map(_.elements().asScala
         .map(_.asText()).toSeq).getOrElse(Seq.empty)
       FileEntry(e.get("f").asText(), optLong("rows"), optLong("bytes"),
-        parts, stats, dels)
+        parts, stats, dels, optLong("seq"))
     }.toSeq
     ManifestSegment(name, entries)
   }
@@ -827,6 +922,7 @@ object SnapshotLog {
         val d = n.putArray("del")
         e.deletes.sorted.foreach(d.add)
       }
+      e.seq.foreach(n.put("seq", _))
     }
     val name = s"m-${java.util.UUID.randomUUID.toString.substring(0, 13)}.json"
     Files.writeString(d.resolve(name), mapper.writeValueAsString(root))
@@ -1027,12 +1123,14 @@ object SnapshotLog {
       }
       if (bin.nonEmpty) bins += bin
       // a bin rewrites when it MERGES small files — or when any of its
-      // files carries merge-on-read position deletes: compaction is
-      // what PURGES delete sidecars (positions applied below, fresh
-      // entries carry no refs), returning the table to the vectorized
+      // files carries merge-on-read position deletes or is subject to
+      // an EQUALITY delete: compaction is what PURGES delete sidecars
+      // (positions and keys applied below, fresh entries carry no
+      // refs and a fresh seq), returning the table to the vectorized
       // scan path
       bins.result().filter(bin => bin.size >= 2 ||
-        bin.exists(f => entryByName.get(f).exists(_.deletes.nonEmpty)))
+        bin.exists(f => entryByName.get(f).exists(e =>
+          e.deletes.nonEmpty || snap.eqDeletesFor(e).nonEmpty)))
         .map(parts -> _)
     }
     val toCompact = toCompactParts.map(_._2)
@@ -1058,14 +1156,15 @@ object SnapshotLog {
       val stage = Paths.get(tableDir, s".opt-$id-g$i")
       val groupEntries = group.flatMap(entryByName.get)
       val df =
-        if (groupEntries.exists(_.deletes.nonEmpty)) {
-          // merge-on-read purge: rewrite with positions APPLIED, so
-          // the compacted file holds only live rows
+        if (groupEntries.exists(e => e.deletes.nonEmpty ||
+            snap.eqDeletesFor(e).nonEmpty)) {
+          // merge-on-read purge: rewrite with positions AND equality
+          // keys APPLIED, so the compacted file holds only live rows
           val sch = pinnedSchema.getOrElse(
             rw.read.option("mergeSchema", "true")
               .parquet(group.map(f => s"$tableDir/$f"): _*).schema)
           graft.catalog.BronzeMor.readWithDeletes(rw, tableDir, sch,
-            groupEntries)
+            groupEntries, snap.eqDeletes)
         } else pinnedSchema.fold(
           rw.read.option("mergeSchema", "true"))(rw.read.schema)
           .parquet(group.map(f => s"$tableDir/$f"): _*)
@@ -1089,10 +1188,25 @@ object SnapshotLog {
     // the compacted file inherits its bin's partition tuple
     val parts = written.zip(toCompactParts.map(_._1)).filter(_._2.nonEmpty)
       .toMap
+    // sequence-number inheritance: each compacted file carries the
+    // MAX seq of its inputs, so an equality delete committed
+    // concurrently (seq between the scan and this commit) still
+    // applies to the compacted rows instead of being outrun by them
+    val seqHints = written.zip(toCompact).flatMap { case (dest, group) =>
+      group.flatMap(f => entryByName.get(f).flatMap(_.seq))
+        .maxOption.map(dest -> _)
+    }.toMap
+    // the equality deletes APPLIED in this rewrite are purged; ones a
+    // concurrent commit added since the scan carry forward untouched
+    val applied = snap.eqDeletes.toSet
     // rewrite-validated: a row-level op racing this compaction on the
     // same files fails one of the two loudly instead of resurrecting
     // deleted/stale rows through the compacted copy
-    commitRewrite(tableDir, "replace", replaced, written, parts)
+    commitRewrite(tableDir, "replace", replaced, written, parts,
+      mkEqDeletes = (parent, _) =>
+        parent.map(_.eqDeletes).getOrElse(Seq.empty)
+          .filterNot(applied.contains),
+      seqHints = seqHints)
     (replaced.size, written.size)
   }
 }

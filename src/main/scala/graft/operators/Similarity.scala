@@ -88,10 +88,19 @@ object Similarity {
     r
   }
 
+  /** The session whose confs the SQL-twin generators consult:
+    * thread-local active session first, DEFAULT session as fallback —
+    * a twin materialized from a non-query thread (scheduled oracle
+    * dump, test harness) must still see the override, or it would
+    * silently re-derive the adaptive default and reintroduce exactly
+    * the cross-engine drift the override-pinning fixes. */
+  private def sessionForOracle: Option[SparkSession] =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+
   /** Table count for the s10 SQL twin, override-aware like [[hCte]]:
     * the oracle must bucket with the same r the Spark side used. */
   private def resolvedLshTables: Int =
-    SparkSession.getActiveSession.map(lshTables).getOrElse(LshTables)
+    sessionForOracle.map(lshTables).getOrElse(LshTables)
 
   /** Embedding dimensionality of the `embeddings` table. */
   private[graft] val VecDim = 64
@@ -324,10 +333,18 @@ object Similarity {
     * cross-engine hash gate stays valid under the production dial
     * (queries re-materialize per access — [[queries]] is a def). */
   private def hCte: String =
-    SparkSession.getActiveSession
+    sessionForOracle
       .flatMap(s => s.conf.getOption(GraftConf.LshHyperplanesKey))
       .map(_.trim.toInt) match {
-      case Some(h) => s"hh AS (SELECT $h AS h)"
+      case Some(h) =>
+        // same [1, 62] validation the Spark side (lshHyperplanes)
+        // applies — an out-of-range override must fail HERE, not be
+        // silently embedded as a literal that overflows the BIGINT
+        // bucket sum in DuckDB
+        require(h >= 1 && h <= 62,
+          s"${GraftConf.LshHyperplanesKey} must be in [1, 62] (bucket " +
+            s"packs into a signed long), got $h")
+        s"hh AS (SELECT $h AS h)"
       case None =>
         """hh AS (SELECT LEAST(62, GREATEST(2,
             length(format('{:b}', (COUNT(*) - 1) // 64)))) AS h FROM e0)"""

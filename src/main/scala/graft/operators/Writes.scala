@@ -1261,6 +1261,247 @@ object Writes {
           SELECT 'v5_optimized', COUNT(*), ${Exact.sqlSum("p", 2)}
           FROM final)
         SELECT ref, n_orders, total_price
-        FROM stats ORDER BY ref"""))
+        FROM stats ORDER BY ref""")),
+
+    // ----- w19: EQUALITY DELETES + STREAMING KEYED UPSERT — the CDC
+    // write half (Iceberg v2 equality-delete files): each upsert
+    // epoch appends its new row versions and ONE equality-delete
+    // sidecar that retracts every EARLIER row with a matching key —
+    // O(changed rows) written, ZERO reads of the target (position
+    // deltas must scan the target to locate victims; equality deletes
+    // name them by value — the shape that keeps a 100 TB keyed table
+    // current from a change stream). Two epochs ride one
+    // Trigger.AvailableNow run of the upsert sink (`upsertKeys`
+    // option, one commit per micro-batch); the gate checks
+    // last-write-wins state per version (time travel), the CDC net
+    // across both upserts, that NO pre-existing data file was
+    // rewritten, and that OPTIMIZE purges the sidecars with answers
+    // unmoved.
+    QueryDef(
+      "w19_equality_upsert",
+      (s, d) => {
+        import java.nio.file.{Files, Paths, StandardCopyOption}
+        import java.nio.file.attribute.FileTime
+        val wh = scratch("w19", d)
+        val cat = "w19cat_" + Integer.toHexString(d.hashCode)
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.BronzeCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+        s.sql(s"DROP TABLE IF EXISTS $cat.db.ledger")
+        s.sql(s"CREATE TABLE $cat.db.ledger (k BIGINT, p DOUBLE) " +
+          "USING parquet")
+        val o = new Tables(s, d).orders.select(
+          col("o_orderkey").cast("long").as("k"),
+          col("o_totalprice").cast("double").as("p"))
+        o.writeTo(s"$cat.db.ledger").append() // v1: the base ledger
+        // stage the two upsert epochs as single mtime-ordered files —
+        // the file source replays them as two micro-batches, i.e. two
+        // upsert commits, in one AvailableNow run
+        def deleteRec(p: java.nio.file.Path): Unit = {
+          if (Files.isDirectory(p)) {
+            val st = Files.list(p)
+            try st.forEach(deleteRec(_)) finally st.close()
+          }
+          Files.deleteIfExists(p)
+        }
+        val stageDir = Paths.get(scratch("w19stage", d))
+        deleteRec(stageDir)
+        Files.createDirectories(stageDir)
+        def stageEpoch(df: org.apache.spark.sql.DataFrame, name: String,
+            mtime: Long): Unit = {
+          val tmp = stageDir.resolve(s"_tmp_$name")
+          df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = {
+            val st = Files.list(tmp)
+            try st.filter(p =>
+              p.getFileName.toString.startsWith("part-")).findFirst().get()
+            finally st.close()
+          }
+          Files.move(part, stageDir.resolve(s"$name.parquet"),
+            StandardCopyOption.REPLACE_EXISTING)
+          deleteRec(tmp)
+          Files.setLastModifiedTime(stageDir.resolve(s"$name.parquet"),
+            FileTime.fromMillis(mtime))
+        }
+        // epoch 1: reprice every 5th key, insert a shifted late feed
+        stageEpoch(
+          o.filter(col("k") % 5 === 0)
+            .select(col("k"), (col("p") * 2).as("p"))
+            .unionAll(o.filter(col("k") % 13 === 0)
+              .select((col("k") + 20000000L).as("k"), col("p"))),
+          "00", 1000000L)
+        // epoch 2: re-reprice every 10th key, another late feed
+        stageEpoch(
+          o.filter(col("k") % 10 === 0)
+            .select(col("k"), (col("p") * 3).as("p"))
+            .unionAll(o.filter(col("k") % 17 === 0)
+              .select((col("k") + 30000000L).as("k"), col("p"))),
+          "01", 1060000L)
+        val ckpt = Paths.get(scratch("w19ckpt", d))
+        deleteRec(ckpt) // fresh checkpoint: reruns replay both epochs
+        val q = s.readStream.schema("k BIGINT, p DOUBLE")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(stageDir.toString)
+          .writeStream
+          .option("checkpointLocation", ckpt.toString)
+          .option("upsertKeys", "k")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable(s"$cat.db.ledger")
+        q.awaitTermination()
+        def stats(ref: String, df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("n_rows"),
+            Exact.dsum(col("p"), 2).as("total"))
+            .select(lit(ref).as("ref"), col("n_rows"), col("total"))
+        val isRetract =
+          col("_change_type").isin("delete", "update_before")
+        val cdcNet = s.read.option("startingVersion", "1")
+          .option("endingVersion", "3")
+          .table(s"$cat.db.ledger.changes")
+          .agg(sum(when(isRetract, -1).otherwise(1)).cast("long")
+            .as("n_rows"),
+            Exact.dsum(when(isRetract, -col("p")).otherwise(col("p")), 2)
+              .as("total"))
+          .select(lit("cdc_net").as("ref"), col("n_rows"), col("total"))
+        // the equality-delete proof: NO pre-existing data file was
+        // rewritten by either upsert — every v1 file survives into v3
+        val bc = s.sessionState.catalogManager.catalog(cat)
+          .asInstanceOf[graft.catalog.BronzeCatalog]
+        val dir = bc.tableDir(Seq("db"), "ledger")
+        val v1files = graft.catalog.SnapshotLog.read(dir, 1L).files.toSet
+        val v3 = graft.catalog.SnapshotLog.read(dir, 3L)
+        val rewritten = (v1files -- v3.files.toSet).size.toLong +
+          (if (v3.operation == "upsert" && v3.eqDeletes.size == 2) 0L
+           else 1000L) // wrong op/eqdel bookkeeping reads as rewrites
+        val proof = s.sql(s"""SELECT 'files_rewritten' AS ref,
+          CAST($rewritten AS BIGINT) AS n_rows,
+          CAST(0.0 AS DOUBLE) AS total""")
+        val preOpt =
+          stats("v1_base",
+            s.sql(s"SELECT * FROM $cat.db.ledger VERSION AS OF 1"))
+            .union(stats("v2_epoch1",
+              s.sql(s"SELECT * FROM $cat.db.ledger VERSION AS OF 2")))
+            .union(stats("v3_epoch2",
+              s.sql(s"SELECT * FROM $cat.db.ledger VERSION AS OF 3")))
+            .union(cdcNet)
+            .union(proof)
+        // v4: purge the equality deletes; answers must not move
+        bc.optimizeTable(Seq("db"), "ledger", 1L << 30)
+        preOpt
+          .union(stats("v4_optimized", s.table(s"$cat.db.ledger")))
+          .orderBy(col("ref"))
+      },
+      Some(s"""WITH o AS (
+          SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+        e1 AS (
+          SELECT k, CASE WHEN k % 5 = 0 THEN p * 2 ELSE p END AS p
+          FROM o),
+        e2 AS (
+          SELECT k, CASE WHEN k % 10 = 0 THEN p * 3
+            WHEN k % 5 = 0 THEN p * 2 ELSE p END AS p
+          FROM o),
+        ins1 AS (
+          SELECT k + 20000000 AS k, p FROM o WHERE k % 13 = 0),
+        ins2 AS (
+          SELECT k + 30000000 AS k, p FROM o WHERE k % 17 = 0),
+        v2state AS (
+          SELECT k, p FROM e1 UNION ALL SELECT k, p FROM ins1),
+        v3state AS (
+          SELECT k, p FROM e2 UNION ALL SELECT k, p FROM ins1
+          UNION ALL SELECT k, p FROM ins2),
+        stats AS (
+          SELECT 'v1_base' AS ref, COUNT(*) AS n_rows,
+            ${Exact.sqlSum("p", 2)} AS total FROM o
+          UNION ALL
+          SELECT 'v2_epoch1', COUNT(*), ${Exact.sqlSum("p", 2)}
+          FROM v2state
+          UNION ALL
+          SELECT 'v3_epoch2', COUNT(*), ${Exact.sqlSum("p", 2)}
+          FROM v3state
+          UNION ALL
+          SELECT 'cdc_net',
+            (SELECT COUNT(*) FROM v3state) - (SELECT COUNT(*) FROM o),
+            -- ONE signed decimal sum (retractions negative), matching
+            -- the engine's single-pass net — a difference of two
+            -- separately-rounded doubles would drift in the last ulp
+            (SELECT ${Exact.sqlSum("p", 2)} FROM (
+              SELECT p FROM v3state
+              UNION ALL SELECT -p AS p FROM o) net)
+          UNION ALL
+          SELECT 'files_rewritten', 0, 0.0
+          UNION ALL
+          SELECT 'v4_optimized', COUNT(*), ${Exact.sqlSum("p", 2)}
+          FROM v3state)
+        SELECT ref, n_rows, total FROM stats ORDER BY ref""")),
+
+    // ----- w20: PARTITION-SPEC EVOLUTION — Iceberg's
+    // `update_partition_spec`: a table created `bucket(4, k)` evolves
+    // to `bucket(8, k)` mid-life; zero files rewrite, old files keep
+    // pruning under the width that wrote them (per-file spec-era
+    // pruning via generation-suffixed tuple keys — comparing an old
+    // mod-4 tuple against a mod-8 hash is the one comparison that
+    // would prune WRONG, and the key suffix makes it impossible), new
+    // writes fan out 8-ways. At 100 TB this is how a table's layout
+    // tracks its growth without a petabyte rewrite. The gate checks
+    // answers across the mixed-era table, a selective filter, and
+    // that every post-evolution file carries the new-era tuple.
+    QueryDef(
+      "w20_partition_evolution",
+      (s, d) => {
+        val wh = scratch("w20", d)
+        val cat = "w20cat_" + Integer.toHexString(d.hashCode)
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.BronzeCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+        s.sql(s"DROP TABLE IF EXISTS $cat.db.evo")
+        s.sql(s"""CREATE TABLE $cat.db.evo (k BIGINT, p DOUBLE)
+          USING parquet PARTITIONED BY (bucket(4, k))""")
+        val o = new Tables(s, d).orders.select(
+          col("o_orderkey").cast("long").as("k"),
+          col("o_totalprice").cast("double").as("p"))
+        // era 1 under bucket(4): the odd keys
+        o.filter(col("k") % 2 === 1).writeTo(s"$cat.db.evo").append()
+        val bc = s.sessionState.catalogManager.catalog(cat)
+          .asInstanceOf[graft.catalog.BronzeCatalog]
+        val dir = bc.tableDir(Seq("db"), "evo")
+        val era1 = graft.catalog.SnapshotLog.current(dir).get
+          .entries.map(_.name).toSet
+        // evolve to bucket(8) — an `alter` snapshot, no file touched
+        bc.evolvePartitionSpec(Seq("db"), "evo",
+          Array(org.apache.spark.sql.connector.expressions.Expressions
+            .bucket(8, "k")))
+        // era 2 under bucket(8): the even keys
+        o.filter(col("k") % 2 === 0).writeTo(s"$cat.db.evo").append()
+        val entries = graft.catalog.SnapshotLog.current(dir).get.entries
+        val era2 = entries.filterNot(e => era1.contains(e.name))
+        // structural proof rendered as a gated value: every era-2
+        // file carries the NEW generation's tuple key, no era-1 file
+        // was rewritten
+        val evolved =
+          if (era2.nonEmpty && era2.forall(_.parts.contains("bucket_k@1"))
+            && era1.forall(f => entries.exists(_.name == f))) 1L
+          else 0L
+        val proof = s.sql(s"""SELECT 'era2_new_spec' AS ref,
+          CAST($evolved AS BIGINT) AS n_rows, CAST(0.0 AS DOUBLE) AS total""")
+        def stats(ref: String, df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("n_rows"),
+            Exact.dsum(col("p"), 2).as("total"))
+            .select(lit(ref).as("ref"), col("n_rows"), col("total"))
+        stats("all", s.table(s"$cat.db.evo"))
+          .union(stats("bucket_probe", s.table(s"$cat.db.evo")
+            .filter(col("k") % 1000 === 7))) // hits both eras' buckets
+          .union(proof)
+          .orderBy(col("ref"))
+      },
+      Some(s"""WITH o AS (
+          SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+        stats AS (
+          SELECT 'all' AS ref, COUNT(*) AS n_rows,
+            ${Exact.sqlSum("p", 2)} AS total FROM o
+          UNION ALL
+          SELECT 'bucket_probe', COUNT(*), ${Exact.sqlSum("p", 2)}
+          FROM o WHERE k % 1000 = 7
+          UNION ALL
+          SELECT 'era2_new_spec', 1, 0.0)
+        SELECT ref, n_rows, total FROM stats ORDER BY ref"""))
   )
 }

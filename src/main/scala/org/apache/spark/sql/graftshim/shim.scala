@@ -282,6 +282,84 @@ object shim {
     new B(new org.apache.hadoop.fs.Path(path)).withConf(conf).build()
   }
 
+  /** Row-at-a-time view of one parquet file, whatever decoder is
+    * underneath: `read()` returns the next row or null at EOF. The
+    * returned row may be REUSED by the decoder — callers copy. */
+  trait RowFileReader {
+    def read(): org.apache.spark.sql.catalyst.InternalRow
+    def close(): Unit
+  }
+
+  /** Executor-side VECTORIZED parquet reader of one file, surfaced
+    * row-at-a-time: columnar decode through Spark's own
+    * `VectorizedParquetRecordReader` (the same decoder the fast
+    * whole-file scan path uses — `private[sql]`, hence here), rows
+    * iterated off each `ColumnarBatch`. This is what keeps bronze
+    * MERGE-ON-READ scans on vectorized decode: position-delete
+    * application needs per-file physical row ordinals, which forces a
+    * per-file reader — but NOT a per-row materializer. Falls back to
+    * [[rowParquetReader]] when the vectorized reader declines the
+    * schema (the same row-based fallback Spark's scan exec applies).
+    * Rows come back in file order with every position present, so
+    * callers' ordinal counting matches the sidecars' `pos` domain.
+    * `schema` is the DECLARED table schema — missing columns (files
+    * written before ADD COLUMN) surface as null vectors; resolution
+    * is by parquet field id when the schema carries ids. */
+  def vectorizedRowFileReader(
+      path: String,
+      schema: org.apache.spark.sql.types.StructType): RowFileReader = {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, VectorizedParquetRecordReader}
+    import org.apache.spark.sql.internal.SQLConf
+    try {
+      val conf = new Configuration()
+      conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, schema.json)
+      conf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+        classOf[ParquetReadSupport].getName)
+      Seq(SQLConf.PARQUET_BINARY_AS_STRING, SQLConf.PARQUET_INT96_AS_TIMESTAMP,
+        SQLConf.CASE_SENSITIVE, SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED,
+        SQLConf.LEGACY_PARQUET_NANOS_AS_LONG)
+        .foreach(e => conf.set(e.key, e.defaultValue.get.toString))
+      conf.set(SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key, "true")
+      // the base reader casts to the OLD-api FileSplit (which is-a
+      // mapreduce InputSplit in Hadoop 3) — construct that one
+      val split = new org.apache.hadoop.mapred.FileSplit(
+        new org.apache.hadoop.fs.Path(path), 0, Long.MaxValue,
+        Array.empty[String])
+      val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+        conf, new org.apache.hadoop.mapreduce.TaskAttemptID())
+      val vec = new VectorizedParquetRecordReader(
+        null, // convertTz: files carry UTC micros (writer conf)
+        "CORRECTED", "UTC", "CORRECTED", "UTC",
+        false, // on-heap vectors: executor-thread-local, short-lived
+        4096)
+      var ok = false
+      try {
+        vec.initialize(split, ctx)
+        vec.initBatch(new org.apache.spark.sql.types.StructType(),
+          InternalRow.empty)
+        ok = true
+      } finally if (!ok) vec.close()
+      new RowFileReader {
+        override def read(): InternalRow =
+          if (vec.nextKeyValue()) vec.getCurrentValue.asInstanceOf[InternalRow]
+          else null
+        override def close(): Unit = vec.close()
+      }
+    } catch {
+      // the vectorized reader declines some schemas (e.g. exotic
+      // nesting) with UnsupportedOperationException — same trigger
+      // Spark's own scan uses to fall back to row-based parquet-mr
+      case _: UnsupportedOperationException =>
+        val mr = rowParquetReader(path, schema)
+        new RowFileReader {
+          override def read(): InternalRow = mr.read()
+          override def close(): Unit = mr.close()
+        }
+    }
+  }
+
   /** Executor-side parquet reader of `InternalRow`s from one file —
     * the read twin of [[rowParquetWriter]], used by the bronze
     * snapshot log's STREAMING READ (each appended file of a

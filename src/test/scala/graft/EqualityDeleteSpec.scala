@@ -1,0 +1,149 @@
+package graft
+
+import graft.catalog.SnapshotLog
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Equality deletes (Iceberg v2) + the streaming keyed-upsert sink:
+  * each upsert epoch appends its rows and ONE equality-delete sidecar
+  * retracting every EARLIER row with a matching key — O(changes)
+  * written, zero target reads. Readers of the snapshot see
+  * last-write-wins state; time travel sees the old rows; the change
+  * feed emits update_before/update_after; OPTIMIZE purges the
+  * sidecars back onto the plain vectorized path; rollback across an
+  * upsert un-applies it. */
+class EqualityDeleteSpec extends SparkSpec {
+
+  private lazy val warehouse: String = bronzeWarehouse
+
+  private def mk(name: String): String = {
+    warehouse
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS bronze.eq")
+    spark.sql(s"DROP TABLE IF EXISTS bronze.eq.$name")
+    spark.sql(s"CREATE TABLE bronze.eq.$name " +
+      "(id BIGINT, v DOUBLE) USING parquet")
+    spark.sessionState.catalogManager.catalog("bronze")
+      .asInstanceOf[graft.catalog.BronzeCatalog].tableDir(Seq("eq"), name)
+  }
+
+  /** One keyed-upsert consumer: each `epoch(rows)` call adds the rows
+    * to the shared memory source and runs the sink to completion from
+    * the SAME checkpoint — a restartable upsert stream. */
+  private final class Upserter(table: String) {
+    private implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.sqlContext
+    import spark.implicits._
+    private val mem = MemoryStream[(Long, Double)]
+    private val ckpt = tmpDir("eq_ups_ckpt")
+    def epoch(rows: Seq[(Long, Double)]): Unit = {
+      mem.addData(rows: _*)
+      val q = mem.toDF().toDF("id", "v")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .option("upsertKeys", "id")
+        .trigger(Trigger.AvailableNow())
+        .toTable(table)
+      q.awaitTermination(60000)
+    }
+  }
+
+  test("streaming upsert: last-write-wins state, O(changes) writes") {
+    val dir = mk("ups")
+    spark.sql("INSERT INTO bronze.eq.ups SELECT id, 0.0 FROM range(10)")
+    val v0 = SnapshotLog.current(dir).get
+    val ups = new Upserter("bronze.eq.ups")
+
+    // epoch 1: update keys 3..6, insert 10..11
+    ups.epoch(Seq(3L -> 1.0, 4L -> 1.0, 5L -> 1.0, 6L -> 1.0,
+      10L -> 1.0, 11L -> 1.0))
+    val v1 = SnapshotLog.current(dir).get
+    assert(v1.operation == "upsert")
+    assert(v1.eqDeletes.size == 1, s"eqdels: ${v1.eqDeletes}")
+    // the original data files were NOT rewritten
+    assert(v0.files.forall(v1.files.contains),
+      "upsert rewrote pre-existing files")
+    // last-write-wins state
+    val state1 = spark.table("bronze.eq.ups")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(state1.size == 12, s"state: $state1")
+    assert((3L to 6L).forall(k => state1(k) == 1.0))
+    assert((0L to 2L).forall(k => state1(k) == 0.0))
+    assert(state1(10L) == 1.0 && state1(11L) == 1.0)
+
+    // time travel: the pre-upsert version still reads the old values
+    val old = spark.sql(
+      s"SELECT * FROM bronze.eq.ups VERSION AS OF ${v0.version}")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(old.size == 10 && old.values.forall(_ == 0.0))
+
+    // epoch 2 (same source + checkpoint, new data): re-update 5,6,10
+    ups.epoch(Seq(5L -> 2.0, 6L -> 2.0, 10L -> 2.0))
+    val v2 = SnapshotLog.current(dir).get
+    assert(v2.eqDeletes.size == 2)
+    val state2 = spark.table("bronze.eq.ups")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(state2.size == 12)
+    assert(state2(5L) == 2.0 && state2(6L) == 2.0 && state2(10L) == 2.0)
+    assert(state2(3L) == 1.0 && state2(4L) == 1.0 && state2(11L) == 1.0)
+    assert(state2(0L) == 0.0)
+
+    // projections that prune the key column still apply the deletes
+    val sum = spark.table("bronze.eq.ups").agg(org.apache.spark.sql
+      .functions.sum(col("v"))).head().getDouble(0)
+    assert(math.abs(sum - (2.0 * 3 + 1.0 * 3 + 0.0)) < 1e-9, s"sum: $sum")
+  }
+
+  test("change feed emits update_before/update_after across an upsert") {
+    val dir = mk("cdc")
+    spark.sql("INSERT INTO bronze.eq.cdc SELECT id, 0.0 FROM range(5)")
+    new Upserter("bronze.eq.cdc").epoch(Seq(1L -> 9.0, 2L -> 9.0, 7L -> 9.0))
+    val v = SnapshotLog.current(dir).get.version
+    val changes = spark.read.option("startingVersion", (v - 1).toString)
+      .table("bronze.eq.cdc.changes")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(changes == Set(
+      (1L, 0.0, "update_before", v), (2L, 0.0, "update_before", v),
+      (1L, 9.0, "update_after", v), (2L, 9.0, "update_after", v),
+      (7L, 9.0, "update_after", v)), s"changes: $changes")
+  }
+
+  test("OPTIMIZE purges equality deletes; state unchanged") {
+    val dir = mk("opt")
+    spark.sql("INSERT INTO bronze.eq.opt SELECT id, 0.0 FROM range(8)")
+    new Upserter("bronze.eq.opt").epoch(Seq(2L -> 5.0, 3L -> 5.0))
+    assert(SnapshotLog.current(dir).get.eqDeletes.nonEmpty)
+    val before = spark.table("bronze.eq.opt")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    spark.sessionState.catalogManager.catalog("bronze")
+      .asInstanceOf[graft.catalog.BronzeCatalog]
+      .optimizeTable(Seq("eq"), "opt", 512L * 1024 * 1024)
+    val snap = SnapshotLog.current(dir).get
+    assert(snap.eqDeletes.isEmpty, "OPTIMIZE left equality deletes")
+    assert(snap.entries.forall(_.deletes.isEmpty))
+    val after = spark.table("bronze.eq.opt")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(after == before, s"compaction changed state: $after vs $before")
+  }
+
+  test("rollback across an upsert un-applies it; DELETE respects eqdels") {
+    val dir = mk("rb")
+    spark.sql("INSERT INTO bronze.eq.rb SELECT id, 0.0 FROM range(6)")
+    val v0 = SnapshotLog.current(dir).get.version
+    new Upserter("bronze.eq.rb").epoch(Seq(1L -> 7.0, 2L -> 7.0))
+    // COW DELETE on the upserted table must not resurrect old rows
+    spark.sql("DELETE FROM bronze.eq.rb WHERE id = 3")
+    val state = spark.table("bronze.eq.rb")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(state == Map(0L -> 0.0, 1L -> 7.0, 2L -> 7.0, 4L -> 0.0,
+      5L -> 0.0), s"state: $state")
+    // rollback to before the upsert: old values return
+    SnapshotLog.rollback(dir, v0)
+    val rolled = spark.table("bronze.eq.rb")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rolled.size == 6 && rolled.values.forall(_ == 0.0),
+      s"rolled: $rolled")
+  }
+}
