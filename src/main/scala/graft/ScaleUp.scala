@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SCALE-UP VALIDATION RUN (on demand, not driver-gated): builds a
+  * ×K corpus from an sf dir as K ISOMETRIC copies and re-times the
+  * headline dedup/similarity/text queries on it.
+  *
+  * Why isometric copies: a naive ×K replication makes every document
+  * K-way duplicated — candidate pairs then grow quadratically in K by
+  * CONSTRUCTION and the measurement says nothing about the engine.
+  * Instead each copy c applies a structure-preserving bijection:
+  *
+  *   - documents: every whitespace token t maps to md5(c:t) (copy 0
+  *     keeps the original) — token renaming is BIJECTIVE per copy, so
+  *     shingle-set Jaccard inside a copy is EXACTLY the original
+  *     corpus's, while cross-copy vocabularies are disjoint;
+  *   - embeddings: dims permute by d → (a·d + b) mod 64 (a odd ⇒ a
+  *     bijection) with md5-derived sign flips — an orthogonal
+  *     transform, so cosine inside a copy is EXACTLY preserved and
+  *     cross-copy cosines are noise.
+  *
+  * Ground-truth near-dup/similar pairs therefore scale EXACTLY ×K,
+  * and (pairs found at ×K) / (K × pairs found at ×1) is a direct
+  * recall-retention measure for the adaptive geometry (H, bands, df
+  * caps) under scale — the formulas are scale-free iff it stays ~1
+  * while wall time stays ~linear.
+  *
+  * Usage: `sbt "runMain graft.ScaleUp [sfDir] [K]"`; prints one JSON
+  * line per query: name, rows at ×1, rows at ×K, wall seconds at ×1
+  * and ×K.
+  */
+object ScaleUp {
+
+  private val Queries =
+    Seq("d03_minhash_lsh", "d04_simhash", "t01_token_stats",
+      "s02_cosine_lsh_bucketed")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val k = args.lift(1).map(_.toInt).getOrElse(10)
+    // optional: "key=v,key=v" session-conf overrides (the scale
+    // dials), and a query-name substring filter
+    val confs = args.lift(2).toSeq.flatMap(_.split(",")).flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(ck, cv) if ck.nonEmpty => Some(ck -> cv)
+        case _ => None
+      }
+    }
+    val only = args.lift(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scaleup")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    confs.foreach { case (ck, cv) => spark.conf.set(ck, cv) }
+    val outDir = s"${System.getProperty("java.io.tmpdir")}/graft_scaleup_x$k"
+    build(spark, sfDir, outDir, k)
+
+    val results = Queries.filter(q => only.forall(q.contains)).map { name =>
+      val fn = SparkEntry.queries(name)
+      def time(dir: String): (Double, Long) = {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val n = fn(spark, dir).count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val (t1, n1) = time(sfDir)
+      val (tk, nk) = time(outDir)
+      val json = s"""{"query":"$name","k":$k,""" +
+        s""""rows_x1":$n1,"rows_xk":$nk,""" +
+        s""""retention":${nk.toDouble / (k * math.max(1L, n1))},""" +
+        s""""sec_x1":$t1,"sec_xk":$tk,""" +
+        s""""time_ratio":${tk / math.max(1e-9, t1)}}"""
+      println(json)
+      System.err.println(json)
+      json
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("scaleup_out.json"),
+      results.mkString("[", ",\n", "]\n"))
+    spark.stop()
+  }
+
+  /** Write the ×K isometric corpus (documents + embeddings) to
+    * `outDir`, skipping the build when it already exists with a
+    * completion marker for this (sfDir, K). */
+  def build(spark: SparkSession, sfDir: String, outDir: String,
+      k: Int): Unit = {
+    val marker = java.nio.file.Paths.get(outDir, "_COMPLETE")
+    val stamp = s"$sfDir|$k|${graft.streaming.StreamingOps
+      .sourceFingerprint(sfDir)}"
+    if (java.nio.file.Files.exists(marker) &&
+        java.nio.file.Files.readString(marker) == stamp) return
+    val t = new Tables(spark, sfDir)
+    val copies = spark.range(0, k).toDF("c")
+
+    // documents: bijective per-copy token renaming (copy 0 verbatim)
+    val docs = t.documents.crossJoin(broadcast(copies))
+      .select(
+        (col("doc_id") + col("c") * 100000000L).as("doc_id"),
+        when(col("c") === 0, col("text")).otherwise(
+          array_join(transform(split(col("text"), "\\s+"),
+            tok => concat(lit("t"),
+              substring(md5(concat(col("c"), lit(":"), tok)), 1, 8))),
+            " ")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    docs.repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/documents.parquet")
+
+    // embeddings: per-copy orthogonal transform (dim permutation by
+    // (a·d + b) mod dim with odd a, md5 sign flips)
+    val dim = 64
+    val emb = t.embeddings.crossJoin(broadcast(copies))
+      .select(
+        (col("vec_id") + col("c") * 100000000L).as("vec_id"),
+        when(col("c") === 0, col("embedding")).otherwise(
+          transform(sequence(lit(0), lit(dim - 1)), d => {
+            // src index: the inverse permutation is just another
+            // affine map; using the forward map on the TARGET index
+            // is itself a bijection, which is all isometry needs
+            val src = (d * (col("c") * 2 + 3) + col("c") * 7) % dim
+            val sign = when(
+              conv(substring(md5(concat(col("c"), lit("#"), d)), 1, 4),
+                16, 10).cast("long") % 2 === 0, 1.0f).otherwise(-1.0f)
+            element_at(col("embedding"), (src + 1).cast("int")) * sign
+          }).cast("array<float>")).as("embedding"),
+        col("label"))
+    emb.repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/embeddings.parquet")
+
+    java.nio.file.Files.writeString(marker, stamp)
+  }
+}
