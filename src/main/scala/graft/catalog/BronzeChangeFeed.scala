@@ -175,6 +175,7 @@ object BronzeChangeFeed {
           emit(removed, "delete", applyParentDels = true)
           emit(added, "insert", applyParentDels = false)
           emitMorDelta("delete")
+          emitEqDelta("delete") // equality fast-path DELETE sidecars
         case "update" | "merge" =>
           emit(removed, "update_before", applyParentDels = true)
           emit(added, "update_after", applyParentDels = false)

@@ -37,6 +37,29 @@ object BronzeRowDelete {
   def canTranslate(filters: Array[Filter]): Boolean =
     filters.forall(translate(_).isDefined)
 
+  /** The key columns and value tuples of a PURE KEY-EQUALITY delete
+    * predicate — Some only when the filters are exactly a conjunction
+    * of `col = literal` on distinct columns (one tuple), or a single
+    * `col IN (literals)` (one tuple per value). Null literals fall
+    * through to the position path: SQL `col = NULL` matches nothing,
+    * while an equality-delete key of NULL would match null cells. */
+  private[catalog] def equalityKeyTuples(filters: Array[Filter])
+      : Option[(Seq[String], Seq[Seq[Any]])] = filters.toSeq match {
+    case Seq(In(a, vs)) if vs.nonEmpty && vs.forall(_ != null) =>
+      Some((Seq(a), vs.toSeq.map(Seq(_))))
+    case fs if fs.nonEmpty && fs.forall {
+        case EqualTo(_, v) => v != null
+        case _ => false
+      } =>
+      val pairs = fs.collect { case EqualTo(a, v) => a -> v }
+      // distinct columns only: `k = 1 AND k = 2` must not become the
+      // key tuple (1, 2) — let the position path evaluate it
+      if (pairs.map(_._1).distinct.size == pairs.size)
+        Some((pairs.map(_._1), Seq(pairs.map(_._2))))
+      else None
+    case _ => None
+  }
+
   /** V1 source Filter → Column, None for shapes we don't translate
     * (then canDeleteWhere refuses and the DELETE fails loudly). */
   private[catalog] def translate(f: Filter): Option[Column] = f match {
@@ -86,6 +109,29 @@ object BronzeRowDelete {
     // unchanged; readers skip the positions until OPTIMIZE purges
     if (graft.GraftConf.string(spark, graft.GraftConf.DeleteModeKey,
       "copy-on-write") == "merge-on-read") {
+      // EQUALITY fast path: a pure key-equality predicate (every
+      // conjunct `col = lit`, or a single `col IN (...)`) becomes one
+      // EQUALITY-DELETE sidecar of the key values — O(|keys|) written
+      // with ZERO reads of the target (the position path below must
+      // first scan the target to locate victims). This is the
+      // Iceberg-v2 delete shape a CDC-driven retention job issues by
+      // the million at 100 TB.
+      equalityKeyTuples(filters).foreach { case (cols, tuples) =>
+        val rows = tuples.map(org.apache.spark.sql.Row.fromSeq)
+        val keySchema = StructType(cols.map(c => schema(
+          schema.fieldIndex(c)).copy(nullable = false)))
+        val keys = spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+          keySchema).distinct()
+        return BronzeMor.writeEqDeleteFile(spark, dir, keys) match {
+          case None => Seq.empty
+          case Some(sidecar) =>
+            SnapshotLog.commitUpsert(dir, "delete", Seq.empty,
+              Some(sidecar))
+            Seq.empty // no file rewritten, no file targeted
+        }
+      }
       return BronzeMor.writeDeleteFile(spark, dir, matches) match {
         case None => Seq.empty // nothing matched: no snapshot
         case Some(sidecar) =>

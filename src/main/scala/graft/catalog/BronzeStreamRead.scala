@@ -171,23 +171,34 @@ private[catalog] object MorDeletes {
     } finally r.close()
   }
 
-  /** Load `sidecarPaths` (full paths) as key sets. */
+  // sidecar files are IMMUTABLE once committed (uuid names, atomic
+  // move), so loaded key sets are shared across every reader in the
+  // JVM — without this, a scan with P partitions re-reads each
+  // sidecar P times. Bounded: evicts wholesale past 64 entries (a
+  // table rarely carries that many live eq sidecars; OPTIMIZE purges).
+  private val eqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, EqKeySet]()
+
+  /** Load `sidecarPaths` (full paths) as key sets (JVM-cached). */
   def eqKeySets(sidecarPaths: Seq[String]): Seq[EqKeySet] =
     sidecarPaths.map { p =>
-      val schema = sidecarSchema(p)
-      val set = new java.util.HashSet[Seq[Any]]()
-      val r = shim.rowParquetReader(p, schema)
-      try {
-        var row = r.read()
-        while (row != null) {
-          val copied = row.copy()
-          set.add(schema.fields.indices.map(i =>
-            if (copied.isNullAt(i)) null
-            else copied.get(i, schema(i).dataType)))
-          row = r.read()
-        }
-      } finally r.close()
-      EqKeySet(schema, set)
+      if (eqCache.size > 64) eqCache.clear()
+      eqCache.computeIfAbsent(p, _ => {
+        val schema = sidecarSchema(p)
+        val set = new java.util.HashSet[Seq[Any]]()
+        val r = shim.rowParquetReader(p, schema)
+        try {
+          var row = r.read()
+          while (row != null) {
+            val copied = row.copy()
+            set.add(schema.fields.indices.map(i =>
+              if (copied.isNullAt(i)) null
+              else copied.get(i, schema(i).dataType)))
+            row = r.read()
+          }
+        } finally r.close()
+        EqKeySet(schema, set)
+      })
     }
 }
 

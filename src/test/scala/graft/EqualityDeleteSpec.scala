@@ -128,6 +128,42 @@ class EqualityDeleteSpec extends SparkSpec {
     assert(after == before, s"compaction changed state: $after vs $before")
   }
 
+  test("MOR key-equality DELETE takes the zero-read equality path") {
+    val dir = mk("fast")
+    spark.sql("INSERT INTO bronze.eq.fast SELECT id, 0.0 FROM range(10)")
+    val v0 = SnapshotLog.current(dir).get
+    spark.conf.set(GraftConf.DeleteModeKey, "merge-on-read")
+    try {
+      spark.sql("DELETE FROM bronze.eq.fast WHERE id = 4")
+      spark.sql("DELETE FROM bronze.eq.fast WHERE id IN (6, 7, 99)")
+    } finally spark.conf.unset(GraftConf.DeleteModeKey)
+    val snap = SnapshotLog.current(dir).get
+    // zero files touched, zero position sidecars: pure equality
+    // deletes (file set unchanged, two eqdel sidecars, no del- refs)
+    assert(snap.files == v0.files, "equality DELETE changed the file set")
+    assert(snap.eqDeletes.size == 2, s"eqdels: ${snap.eqDeletes}")
+    assert(snap.entries.forall(_.deletes.isEmpty),
+      "equality DELETE attached position sidecars")
+    val left = spark.table("bronze.eq.fast")
+      .collect().map(_.getLong(0)).toSet
+    assert(left == Set(0L, 1L, 2L, 3L, 5L, 8L, 9L), s"left: $left")
+    // the change feed emits exactly the deleted rows
+    val v = snap.version
+    val changes = spark.read.option("startingVersion", (v - 2).toString)
+      .table("bronze.eq.fast.changes")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(changes == Set((4L, "delete"), (6L, "delete"), (7L, "delete")),
+      s"changes: $changes")
+    // a mixed predicate (range) still takes the position path
+    spark.conf.set(GraftConf.DeleteModeKey, "merge-on-read")
+    try spark.sql("DELETE FROM bronze.eq.fast WHERE id >= 8")
+    finally spark.conf.unset(GraftConf.DeleteModeKey)
+    val snap2 = SnapshotLog.current(dir).get
+    assert(snap2.entries.exists(_.deletes.nonEmpty),
+      "range DELETE should have written position sidecars")
+    assert(spark.table("bronze.eq.fast").count() == 5)
+  }
+
   test("rollback across an upsert un-applies it; DELETE respects eqdels") {
     val dir = mk("rb")
     spark.sql("INSERT INTO bronze.eq.rb SELECT id, 0.0 FROM range(6)")
