@@ -478,6 +478,23 @@ class BronzeCatalog extends TableCatalog with SupportsNamespaces {
                   "name; renaming would orphan existing files' data)")
             val from = ren.fieldNames.head
             guardPartCol("rename", from)
+            // live EQUALITY-DELETE sidecars reference their key
+            // columns BY NAME (the sidecar parquet's own schema);
+            // renaming a key column out from under them would make
+            // the key lookup silently miss — resurrecting every
+            // eq-deleted row. Refuse until OPTIMIZE purges.
+            SnapshotLog.current(dir.toString).foreach { snap =>
+              val keyCols = snap.eqDeletes.flatMap { d =>
+                try MorDeletes.sidecarSchema(s"$dir/${d.name}")
+                  .fieldNames.toSeq
+                catch { case _: Throwable => Seq.empty }
+              }.map(_.toLowerCase).toSet
+              if (keyCols.contains(from.toLowerCase))
+                throw new UnsupportedOperationException(
+                  s"$catalogName: cannot rename $from — it is an " +
+                    "equality-delete key column of a live sidecar; " +
+                    "run OPTIMIZE to purge the deletes first")
+            }
             if (!sch.fieldNames.exists(_.equalsIgnoreCase(from)))
               throw new IllegalArgumentException(s"no column $from")
             if (sch.fieldNames.exists(_.equalsIgnoreCase(ren.newName)))

@@ -213,10 +213,26 @@ object BronzeMor {
       override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
         Array.empty
 
-      override def build(): Scan = new Scan {
+      override def build(): Scan = new Scan
+          with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+        // manifest-exact stats for the SURVIVING file set — an upper
+        // bound under the delete sidecars (deletes only remove rows),
+        // same convention as the clean-path scan and Iceberg's
+        override def estimateStatistics()
+            : org.apache.spark.sql.connector.read.Statistics = {
+          val (rows, bytes) = BronzeStreamRead.manifestStats(surviving)
+          new org.apache.spark.sql.connector.read.Statistics {
+            override def numRows(): java.util.OptionalLong =
+              rows.map(java.util.OptionalLong.of)
+                .getOrElse(java.util.OptionalLong.empty())
+            override def sizeInBytes(): java.util.OptionalLong =
+              bytes.map(java.util.OptionalLong.of)
+                .getOrElse(java.util.OptionalLong.empty())
+          }
+        }
         override def readSchema(): StructType = required
         override def description(): String =
-          s"bronze mor scan $dir (position deletes applied; " +
+          s"bronze mor scan $dir (position+equality deletes applied; " +
             s"${surviving.size}/${entries.size} files)"
         override def toMicroBatchStream(loc: String)
             : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =

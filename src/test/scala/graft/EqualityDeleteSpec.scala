@@ -164,6 +164,30 @@ class EqualityDeleteSpec extends SparkSpec {
     assert(spark.table("bronze.eq.fast").count() == 5)
   }
 
+  test("renaming an equality-key column is refused until OPTIMIZE") {
+    val dir = mk("ren")
+    spark.sql("INSERT INTO bronze.eq.ren SELECT id, 0.0 FROM range(5)")
+    new Upserter("bronze.eq.ren").epoch(Seq(1L -> 9.0))
+    // the sidecar keys on `id` by name — a rename would silently
+    // resurrect the deleted row; must refuse loudly
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE bronze.eq.ren RENAME COLUMN id TO ident")
+    }
+    assert(e.getMessage.contains("equality-delete key"),
+      s"wrong refusal: ${e.getMessage}")
+    // non-key columns still rename; after OPTIMIZE the key renames too
+    spark.sql("ALTER TABLE bronze.eq.ren RENAME COLUMN v TO amount")
+    spark.sessionState.catalogManager.catalog("bronze")
+      .asInstanceOf[graft.catalog.BronzeCatalog]
+      .optimizeTable(Seq("eq"), "ren", 512L * 1024 * 1024)
+    assert(SnapshotLog.current(dir).get.eqDeletes.isEmpty)
+    spark.sql("ALTER TABLE bronze.eq.ren RENAME COLUMN id TO ident")
+    val state = spark.table("bronze.eq.ren")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(state == Map(0L -> 0.0, 1L -> 9.0, 2L -> 0.0, 3L -> 0.0,
+      4L -> 0.0), s"state: $state")
+  }
+
   test("rollback across an upsert un-applies it; DELETE respects eqdels") {
     val dir = mk("rb")
     spark.sql("INSERT INTO bronze.eq.rb SELECT id, 0.0 FROM range(6)")

@@ -75,6 +75,21 @@ class ExactStatsSpec extends SparkSpec {
     assert(pRows.contains(survivors.flatMap(_.rows).sum))
   }
 
+  test("delete-carrying (MOR) scan still reports manifest stats") {
+    mkTable("mor")
+    spark.sql("INSERT INTO bronze.es.mor " +
+      "SELECT id, CAST(id AS DOUBLE) FROM range(1000)")
+    spark.conf.set(GraftConf.DeleteModeKey, "merge-on-read")
+    try spark.sql("DELETE FROM bronze.es.mor WHERE id >= 900")
+    finally spark.conf.unset(GraftConf.DeleteModeKey)
+    // the per-file MOR scan reports the surviving manifest totals —
+    // an upper bound under the sidecars (deletes only remove rows)
+    val (rows, bytes) = scanStats(spark.table("bronze.es.mor"))
+    assert(rows.contains(1000L), s"expected manifest numRows, got $rows")
+    assert(bytes.exists(_ > 0))
+    assert(spark.table("bronze.es.mor").count() == 900)
+  }
+
   test("pruned bronze side flips a join to broadcast") {
     mkTable("dim")
     Seq(0, 1000, 2000, 3000, 4000, 5000).foreach { base =>
