@@ -35,7 +35,7 @@ class EqualityDeleteSpec extends SparkSpec {
       spark.sqlContext
     import spark.implicits._
     private val mem = MemoryStream[(Long, Double)]
-    private val ckpt = tmpDir("eq_ups_ckpt")
+    val ckpt = tmpDir("eq_ups_ckpt")
     def epoch(rows: Seq[(Long, Double)]): Unit = {
       mem.addData(rows: _*)
       val q = mem.toDF().toDF("id", "v")
@@ -45,6 +45,13 @@ class EqualityDeleteSpec extends SparkSpec {
         .trigger(Trigger.AvailableNow())
         .toTable(table)
       q.awaitTermination(60000)
+      // AvailableNow self-terminates, but deregistration from the
+      // streams manager is async — a back-to-back restart can race
+      // the "concurrently using checkpoint" guard
+      var spins = 0
+      while (spark.streams.active.exists(_.id == q.id) && spins < 600) {
+        Thread.sleep(100); spins += 1
+      }
     }
   }
 
@@ -162,6 +169,84 @@ class EqualityDeleteSpec extends SparkSpec {
     assert(snap2.entries.exists(_.deletes.nonEmpty),
       "range DELETE should have written position sidecars")
     assert(spark.table("bronze.eq.fast").count() == 5)
+  }
+
+  test("crashed upsert epoch replays exactly-once") {
+    val dir = mk("crash")
+    spark.sql("INSERT INTO bronze.eq.crash SELECT id, 0.0 FROM range(6)")
+    val ups = new Upserter("bronze.eq.crash")
+    ups.epoch(Seq(2L -> 5.0, 3L -> 5.0, 9L -> 5.0))
+    val committed = SnapshotLog.current(dir).get
+    // simulate a crash BETWEEN the table's snapshot commit and the
+    // checkpoint commit: drop the newest checkpoint commit marker so
+    // the restarted query replays the epoch against a table that
+    // already holds the crashed attempt's snapshot
+    val commits = java.nio.file.Paths.get(ups.ckpt, "commits")
+    val latest = {
+      import scala.jdk.CollectionConverters._
+      val st = java.nio.file.Files.list(commits)
+      try st.iterator().asScala.toSeq
+        .filter(_.getFileName.toString.forall(_.isDigit))
+        .maxBy(_.getFileName.toString.toLong)
+      finally st.close()
+    }
+    java.nio.file.Files.delete(latest)
+    // the local checkpoint FS keeps a checksum sibling; a stale one
+    // makes the replayed commit write throw FileAlreadyExists
+    java.nio.file.Files.deleteIfExists(
+      latest.resolveSibling("." + latest.getFileName + ".crc"))
+    ups.epoch(Seq.empty) // restart: replays the uncommitted epoch
+    val replayed = SnapshotLog.current(dir).get
+    assert(replayed.version > committed.version, "replay committed nothing")
+    // exactly-once STATE: the crashed attempt's files were retired by
+    // the replay's manifest swap — no duplicated rows, no lost update
+    val state = spark.table("bronze.eq.crash")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(state == Map(0L -> 0.0, 1L -> 0.0, 2L -> 5.0, 3L -> 5.0,
+      4L -> 0.0, 5L -> 0.0, 9L -> 5.0), s"state after replay: $state")
+    assert(spark.table("bronze.eq.crash").count() == 7,
+      "replayed epoch duplicated rows")
+  }
+
+  test("streaming read crosses upserts; vacuum reaps purged sidecars") {
+    val dir = mk("life")
+    spark.sql("INSERT INTO bronze.eq.life SELECT id, 0.0 FROM range(4)")
+    new Upserter("bronze.eq.life").epoch(Seq(1L -> 9.0, 7L -> 9.0))
+    // streaming read from v0: appended row VERSIONS only (upserts are
+    // appends to an incremental reader; retractions ride the change
+    // feed) — and the stream sails across the upsert snapshot
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double)]()
+    val q = spark.readStream.option("startingVersion", "0")
+      .table("bronze.eq.life")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => seen.add((r.getLong(0), r.getDouble(1))))
+      }
+      .option("checkpointLocation", tmpDir("eq_life_ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    import scala.jdk.CollectionConverters._
+    val rows = seen.asScala.toSet
+    assert(rows == Set(0L -> 0.0, 1L -> 0.0, 2L -> 0.0, 3L -> 0.0,
+      1L -> 9.0, 7L -> 9.0), s"stream saw: $rows")
+
+    // lifecycle: sidecar referenced -> vacuum keeps it; OPTIMIZE
+    // purges the reference -> vacuum (expiry + zero grace) reaps it
+    val sidecar = SnapshotLog.current(dir).get.eqDeletes.head.name
+    SnapshotLog.vacuum(dir, retainLast = 1, orphanGraceMs = 0L)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, sidecar)), "vacuum reaped a LIVE sidecar")
+    spark.sessionState.catalogManager.catalog("bronze")
+      .asInstanceOf[graft.catalog.BronzeCatalog]
+      .optimizeTable(Seq("eq"), "life", 512L * 1024 * 1024)
+    SnapshotLog.vacuum(dir, retainLast = 1, orphanGraceMs = 0L)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, sidecar)),
+      "vacuum kept a purged, expired sidecar")
+    val state = spark.table("bronze.eq.life")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(state == Map(0L -> 0.0, 1L -> 9.0, 2L -> 0.0, 3L -> 0.0,
+      7L -> 9.0), s"state after vacuum: $state")
   }
 
   test("renaming an equality-key column is refused until OPTIMIZE") {
