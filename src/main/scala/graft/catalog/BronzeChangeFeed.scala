@@ -381,7 +381,7 @@ private final class BronzeCdcFileReader(path: String, declared: StructType,
     emitOnlyEqSidecars: Seq[String] = Seq.empty)
     extends PartitionReader[InternalRow] {
 
-  private val reader = shim.rowParquetReader(path, declared)
+  private val reader = shim.vectorizedRowFileReader(path, declared)
   private val typeUtf8 =
     org.apache.spark.unsafe.types.UTF8String.fromString(changeType)
   private val fileName = MorDeletes.fileNameOf(path)

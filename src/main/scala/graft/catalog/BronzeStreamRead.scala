@@ -115,21 +115,42 @@ private[catalog] object MorDeletes {
     .add("file", StringType, nullable = false)
     .add("pos", LongType, nullable = false)
 
-  /** Positions of `fileName` listed across `sidecarPaths` (full
-    * paths); empty set when there are none. */
-  def skipSet(sidecarPaths: Seq[String],
-      fileName: String): java.util.HashSet[java.lang.Long] = {
-    val set = new java.util.HashSet[java.lang.Long]()
-    sidecarPaths.foreach { p =>
+  // position sidecars are immutable once committed — cache each one
+  // PARSED (file -> positions) JVM-wide, so a scan with P partitions
+  // over S sidecars reads each sidecar once, not P×S times. Bounded
+  // like the eq cache: wholesale eviction past 64 entries.
+  private val posCache = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.HashMap[String, java.util.HashSet[java.lang.Long]]]()
+
+  private def positionsOf(sidecarPath: String)
+      : java.util.HashMap[String, java.util.HashSet[java.lang.Long]] = {
+    if (posCache.size > 64) posCache.clear()
+    posCache.computeIfAbsent(sidecarPath, p => {
+      val byFile =
+        new java.util.HashMap[String, java.util.HashSet[java.lang.Long]]()
       val r = shim.rowParquetReader(p, DeleteSchema)
       try {
         var row = r.read()
         while (row != null) {
-          if (row.getUTF8String(0).toString == fileName)
-            set.add(row.getLong(1))
+          byFile.computeIfAbsent(row.getUTF8String(0).toString,
+            _ => new java.util.HashSet[java.lang.Long]())
+            .add(row.getLong(1))
           row = r.read()
         }
       } finally r.close()
+      byFile
+    })
+  }
+
+  /** Positions of `fileName` listed across `sidecarPaths` (full
+    * paths); empty set when there are none. Sidecars parse once per
+    * JVM (immutable files). */
+  def skipSet(sidecarPaths: Seq[String],
+      fileName: String): java.util.HashSet[java.lang.Long] = {
+    val set = new java.util.HashSet[java.lang.Long]()
+    sidecarPaths.foreach { p =>
+      val hit = positionsOf(p).get(fileName)
+      if (hit != null) set.addAll(hit)
     }
     set
   }

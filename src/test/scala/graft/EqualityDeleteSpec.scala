@@ -171,6 +171,26 @@ class EqualityDeleteSpec extends SparkSpec {
     assert(spark.table("bronze.eq.fast").count() == 5)
   }
 
+  test("upsert into a partitioned table fans out and prunes") {
+    warehouse
+    spark.sql("DROP TABLE IF EXISTS bronze.eq.part")
+    spark.sql("CREATE TABLE bronze.eq.part (id BIGINT, v DOUBLE) " +
+      "USING parquet PARTITIONED BY (bucket(4, id))")
+    val dir = spark.sessionState.catalogManager.catalog("bronze")
+      .asInstanceOf[graft.catalog.BronzeCatalog].tableDir(Seq("eq"), "part")
+    spark.sql("INSERT INTO bronze.eq.part SELECT id, 0.0 FROM range(100)")
+    new Upserter("bronze.eq.part").epoch(Seq(10L -> 9.0, 55L -> 9.0))
+    // the upsert's inserts rode the fanout writer: new entries carry
+    // bucket tuples, so tuple pruning works on the upserted table
+    val snap = SnapshotLog.current(dir).get
+    assert(snap.eqDeletes.size == 1)
+    assert(snap.entries.forall(_.parts.contains("bucket_id")),
+      s"missing tuples: ${snap.entries.filter(_.parts.isEmpty).map(_.name)}")
+    assert(spark.table("bronze.eq.part").filter(col("id") === 10)
+      .head().getDouble(1) == 9.0)
+    assert(spark.table("bronze.eq.part").count() == 100)
+  }
+
   test("crashed upsert epoch replays exactly-once") {
     val dir = mk("crash")
     spark.sql("INSERT INTO bronze.eq.crash SELECT id, 0.0 FROM range(6)")
