@@ -434,13 +434,40 @@ class BronzeCatalog extends TableCatalog with SupportsNamespaces {
     if (!isTableDir(dir)) throw new NoSuchTableException(ident)
 
     // partition columns are tracked BY NAME in the pinned spec; a
-    // rename/drop would silently un-partition every future write
-    val partCols = BronzePartitioning.read(dir).map(_.col.toLowerCase).toSet
+    // rename/drop would silently un-partition every future write.
+    // RETIRED spec fields count too: scan pruning still evaluates
+    // them against old files' tuples (BronzePartitioning.readAll), so
+    // renaming a retired partition column away — and worse, renaming
+    // another column onto the freed name — would let stale tuples
+    // prune the wrong files.
+    val partCols =
+      BronzePartitioning.readAll(dir).map(_.col.toLowerCase).toSet
     def guardPartCol(verb: String, col: String): Unit =
       if (partCols.contains(col.toLowerCase))
         throw new UnsupportedOperationException(
           s"$catalogName: cannot $verb partition column $col " +
-            "(partition-spec evolution is not supported)")
+            "(active or retired in the partition spec; evolve the " +
+            "spec instead)")
+
+    // live EQUALITY-DELETE sidecars reference their key columns BY
+    // NAME (the sidecar parquet's own schema); renaming or dropping a
+    // key column out from under them would make the key lookup
+    // silently miss — resurrecting every eq-deleted row — or brick
+    // the MOR read/OPTIMIZE paths outright. Refuse until OPTIMIZE
+    // purges the sidecars.
+    def guardEqKeyCol(verb: String, colName: String): Unit =
+      SnapshotLog.current(dir.toString).foreach { snap =>
+        val keyCols = snap.eqDeletes.flatMap { d =>
+          try MorDeletes.sidecarSchema(s"$dir/${d.name}")
+            .fieldNames.toSeq
+          catch { case _: Throwable => Seq.empty }
+        }.map(_.toLowerCase).toSet
+        if (keyCols.contains(colName.toLowerCase))
+          throw new UnsupportedOperationException(
+            s"$catalogName: cannot $verb $colName — it is an " +
+              "equality-delete key column of a live sidecar; " +
+              "run OPTIMIZE to purge the deletes first")
+      }
 
     def evolve(schema: StructType): StructType =
       changes.foldLeft(schema) { (sch, change) =>
@@ -478,23 +505,7 @@ class BronzeCatalog extends TableCatalog with SupportsNamespaces {
                   "name; renaming would orphan existing files' data)")
             val from = ren.fieldNames.head
             guardPartCol("rename", from)
-            // live EQUALITY-DELETE sidecars reference their key
-            // columns BY NAME (the sidecar parquet's own schema);
-            // renaming a key column out from under them would make
-            // the key lookup silently miss — resurrecting every
-            // eq-deleted row. Refuse until OPTIMIZE purges.
-            SnapshotLog.current(dir.toString).foreach { snap =>
-              val keyCols = snap.eqDeletes.flatMap { d =>
-                try MorDeletes.sidecarSchema(s"$dir/${d.name}")
-                  .fieldNames.toSeq
-                catch { case _: Throwable => Seq.empty }
-              }.map(_.toLowerCase).toSet
-              if (keyCols.contains(from.toLowerCase))
-                throw new UnsupportedOperationException(
-                  s"$catalogName: cannot rename $from — it is an " +
-                    "equality-delete key column of a live sidecar; " +
-                    "run OPTIMIZE to purge the deletes first")
-            }
+            guardEqKeyCol("rename", from)
             if (!sch.fieldNames.exists(_.equalsIgnoreCase(from)))
               throw new IllegalArgumentException(s"no column $from")
             if (sch.fieldNames.exists(_.equalsIgnoreCase(ren.newName)))
@@ -516,6 +527,7 @@ class BronzeCatalog extends TableCatalog with SupportsNamespaces {
                   "column's old values)")
             val gone = del.fieldNames.head
             guardPartCol("drop", gone)
+            guardEqKeyCol("drop", gone)
             if (!sch.fieldNames.exists(_.equalsIgnoreCase(gone))) {
               if (del.ifExists) sch
               else throw new IllegalArgumentException(s"no column $gone")

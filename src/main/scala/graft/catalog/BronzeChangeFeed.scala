@@ -102,19 +102,31 @@ object BronzeChangeFeed {
       val added = (files -- parentFiles).toSeq.sorted
       val removed = (parentFiles -- files).toSeq.sorted
       // a removed file's retraction must SKIP its merge-on-read
-      // deleted positions — those rows were already retracted when the
-      // delete sidecar landed; an ADDED file skips its CURRENT entry's
-      // deletes (a rollback can restore a file together with the
-      // delete sidecars of its era)
+      // deleted positions AND its parent-applicable EQUALITY deletes —
+      // those rows were already retracted when the sidecar landed; an
+      // ADDED file skips its CURRENT entry's deletes and the current
+      // snapshot's applicable equality sidecars (a rollback can
+      // restore a file together with the sidecars of its era; for a
+      // genuinely new file no equality sidecar applies, because a
+      // sidecar only matches files with a strictly OLDER data
+      // sequence)
       def emit(names: Seq[String], changeType: String,
           applyParentDels: Boolean): Unit =
         names.foreach { f =>
-          val dels =
-            if (applyParentDels)
-              parentEntries.get(f).map(_.deletes).getOrElse(Seq.empty)
-            else curEntries.get(f).map(_.deletes).getOrElse(Seq.empty)
+          val (dels, eqs) =
+            if (applyParentDels) {
+              val pe = parentEntries.get(f)
+              (pe.map(_.deletes).getOrElse(Seq.empty),
+                pe.flatMap(e => parentSnap.map(_.eqDeletesFor(e)))
+                  .getOrElse(Seq.empty))
+            } else {
+              val ce = curEntries.get(f)
+              (ce.map(_.deletes).getOrElse(Seq.empty),
+                ce.map(snap.eqDeletesFor).getOrElse(Seq.empty))
+            }
           parts += BronzeCdcFilePartition(s"$dir/$f", changeType, v,
-            dels.map(s => s"$dir/$s"))
+            dels.map(s => s"$dir/$s"),
+            applyEqSidecars = eqs.map(d => s"$dir/${d.name}"))
         }
       // MERGE-ON-READ delta on SURVIVING files: sidecars attached at
       // this version retract exactly their listed positions; sidecars
@@ -182,9 +194,14 @@ object BronzeChangeFeed {
           emitMorDelta("update_before")
         // a keyed upsert: the appended files are the new row
         // versions, the attached equality-delete sidecar retracts
-        // the old versions by key
+        // the old versions by key. A crash-REPLAYED upsert epoch's
+        // manifest swap can also REMOVE the failed attempt's files —
+        // retract them like an update's before-image, else the
+        // replay double-counts every row of the epoch.
         case "upsert" =>
+          emit(removed, "update_before", applyParentDels = true)
           emit(added, "update_after", applyParentDels = false)
+          emitMorDelta("update_before")
           emitEqDelta("update_before")
         // a rollback's net effect IS its file diff: rows of the
         // undone commits retract, restored rows re-insert — and a

@@ -130,6 +130,22 @@ object BronzePartitioning {
     * change) gets the next generation so old and new tuple values
     * can never be compared. */
   def evolve(tableDir: Path, transforms: Array[Transform],
+      schema: StructType): Seq[PartField] =
+    evolveLocks.computeIfAbsent(
+      tableDir.toAbsolutePath.normalize.toString, _ => new Object)
+      .synchronized { evolveLocked(tableDir, transforms, schema) }
+
+  // serialize the read-modify-write per table: the spec-file move is
+  // atomic but the RMW is not, and two racing evolutions could mint
+  // the SAME generation for different bucket widths — defeating the
+  // era-key isolation the generation suffix exists to provide. A
+  // JVM-wide lock covers every writer of this local-FS catalog (all
+  // sessions share the JVM); cross-process racers remain unserialized,
+  // like the rest of the local snapshot-log CAS machinery.
+  private val evolveLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def evolveLocked(tableDir: Path, transforms: Array[Transform],
       schema: StructType): Seq[PartField] = {
     val (active, retired) = readSpec(tableDir)
     val history = active ++ retired

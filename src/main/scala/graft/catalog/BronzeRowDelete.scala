@@ -97,11 +97,13 @@ object BronzeRowDelete {
       throw new UnsupportedOperationException(
         s"bronze DELETE requires a snapshot-logged table: $dir"))
     if (snap.files.isEmpty) return Seq.empty
-    val declared = spark.read.schema(schema)
     // (file, pos) of the LIVE matching rows — existing position
     // deletes anti-joined away, so both modes see only rows a reader
-    // of the current snapshot still sees
-    val matches = BronzeMor.matchingPositions(spark, dir, schema,
+    // of the current snapshot still sees. LAZY: the equality fast
+    // path below returns without ever locating victims, and building
+    // this plan eagerly would charge it one read relation per live
+    // file + sidecar (listing/footer I/O) for a plan it discards.
+    lazy val matches = BronzeMor.matchingPositions(spark, dir, schema,
       snap.entries, cond, snap.eqDeletes)
 
     // MERGE-ON-READ mode: write one (file, pos) sidecar and attach it
@@ -117,6 +119,22 @@ object BronzeRowDelete {
       // Iceberg-v2 delete shape a CDC-driven retention job issues by
       // the million at 100 TB.
       equalityKeyTuples(filters).foreach { case (cols, tuples) =>
+        // manifest-stats no-op guard: when NO live file's column
+        // ranges could contain ANY key tuple, the sidecar would
+        // retract nothing — skip the commit entirely. A sidecar that
+        // deletes nothing still demotes every scan to the per-file
+        // MOR read path until OPTIMIZE purges it, and equality
+        // deletes only ever apply to files already live at commit
+        // time, so skipping is semantically exact. Driver-side
+        // metadata only (files without stats conservatively survive).
+        val anyPossible = tuples.exists { t =>
+          val fs: Array[Filter] = cols.zip(t).map { case (c, v) =>
+            EqualTo(c, v): Filter
+          }.toArray
+          BronzePruning.survivors(snap.entries, schema, fs.toSeq,
+            BronzePartitioning.readAll(Paths.get(dir))).nonEmpty
+        }
+        if (!anyPossible) return Seq.empty
         val rows = tuples.map(org.apache.spark.sql.Row.fromSeq)
         val keySchema = StructType(cols.map(c => schema(
           schema.fieldIndex(c)).copy(nullable = false)))

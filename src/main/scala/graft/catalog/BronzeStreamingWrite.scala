@@ -180,9 +180,12 @@ final class BronzeWritableTable(delegate: Table, dir: String,
       // over this load's pinned snapshot (position+equality deletes
       // applied)
       required => BronzeMetadataFileScan.scan(dir, pinnedFiles,
-        delegate.schema(), required, delsOf,
-        f => snapshotEntries.find(_.name == f).map(eqOf)
-          .getOrElse(Seq.empty)),
+        delegate.schema(), required, delsOf, {
+          // prebuilt map, not a per-file linear scan: planning a
+          // 100k-file snapshot must stay O(files), not O(files^2)
+          val byName = snapshotEntries.map(e => e.name -> e).toMap
+          f => byName.get(f).map(eqOf).getOrElse(Seq.empty)
+        }),
       pruner,
       // unpruned scans still report the manifest's EXACT totals — the
       // footer row counts the snapshot commit already scraped

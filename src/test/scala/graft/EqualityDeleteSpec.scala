@@ -293,6 +293,119 @@ class EqualityDeleteSpec extends SparkSpec {
       4L -> 0.0), s"state: $state")
   }
 
+  /** NET changelog deltas of versions in (from, to]: +1 per
+    * insert/update_after, -1 per delete/update_before, zero-sum rows
+    * (carryovers) dropped — the consumption contract the class doc
+    * promises reproduces state deltas exactly. */
+  private def netChanges(table: String, from: Long,
+      to: Long): Map[(Long, Double), Long] =
+    spark.read.option("startingVersion", from.toString)
+      .option("endingVersion", to.toString)
+      .table(s"$table.changes")
+      .collect()
+      .map { r =>
+        val sign = r.getString(2) match {
+          case "insert" | "update_after" => 1L
+          case "delete" | "update_before" => -1L
+        }
+        ((r.getLong(0), r.getDouble(1)), sign)
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      .filter(_._2 != 0L)
+
+  test("change feed nets exactly across COW delete + rollback over upsert") {
+    val dir = mk("net")
+    // ONE data file so the upsert-retracted rows share it with id=3 —
+    // the regression shape: a later COW rewrite of that file must not
+    // re-retract (or, restored by rollback, re-insert) eq-deleted rows
+    spark.sql(
+      "INSERT INTO bronze.eq.net SELECT id, 0.0 FROM range(0, 6, 1, 1)")
+    new Upserter("bronze.eq.net").epoch(Seq(1L -> 7.0, 2L -> 7.0))
+    val vUps = SnapshotLog.current(dir).get.version
+    spark.sql("DELETE FROM bronze.eq.net WHERE id = 3")
+    val vDel = SnapshotLog.current(dir).get.version
+    assert(netChanges("bronze.eq.net", vDel - 1, vDel) ==
+      Map((3L, 0.0) -> -1L),
+      "COW delete re-retracted upsert-retracted rows of the rewritten file")
+    // rollback to the upsert state restores the pre-delete file WITH
+    // its era's live sidecar: only (3, 0.0) comes back
+    SnapshotLog.rollback(dir, vUps)
+    val vRb = SnapshotLog.current(dir).get.version
+    assert(netChanges("bronze.eq.net", vRb - 1, vRb) ==
+      Map((3L, 0.0) -> 1L),
+      "rollback re-inserted eq-deleted rows of the restored file")
+  }
+
+  test("replayed upsert epoch's change feed nets to zero") {
+    val dir = mk("netcrash")
+    spark.sql("INSERT INTO bronze.eq.netcrash SELECT id, 0.0 FROM range(6)")
+    val ups = new Upserter("bronze.eq.netcrash")
+    ups.epoch(Seq(2L -> 5.0, 3L -> 5.0, 9L -> 5.0))
+    val committed = SnapshotLog.current(dir).get
+    val commits = java.nio.file.Paths.get(ups.ckpt, "commits")
+    val latest = {
+      import scala.jdk.CollectionConverters._
+      val st = java.nio.file.Files.list(commits)
+      try st.iterator().asScala.toSeq
+        .filter(_.getFileName.toString.forall(_.isDigit))
+        .maxBy(_.getFileName.toString.toLong)
+      finally st.close()
+    }
+    java.nio.file.Files.delete(latest)
+    java.nio.file.Files.deleteIfExists(
+      latest.resolveSibling("." + latest.getFileName + ".crc"))
+    ups.epoch(Seq.empty) // restart: replays the uncommitted epoch
+    val replayed = SnapshotLog.current(dir).get
+    assert(replayed.version > committed.version)
+    // the replay's manifest swap changed NOTHING net: the first
+    // attempt's files retract as update_before, the replacements land
+    // as update_after, and they cancel — a consumer reading across
+    // the crash sees the epoch exactly once
+    assert(netChanges("bronze.eq.netcrash", committed.version,
+      replayed.version).isEmpty,
+      "replayed epoch double-counted in the change feed")
+  }
+
+  test("dropping an equality-key column is refused until OPTIMIZE") {
+    val dir = mk("dropk")
+    spark.sql("INSERT INTO bronze.eq.dropk SELECT id, 0.0 FROM range(5)")
+    new Upserter("bronze.eq.dropk").epoch(Seq(1L -> 9.0))
+    // a drop would leave the live sidecar keying on a column the MOR
+    // read/OPTIMIZE paths can no longer resolve; must refuse loudly
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE bronze.eq.dropk DROP COLUMN id")
+    }
+    assert(e.getMessage.contains("equality-delete key"),
+      s"wrong refusal: ${e.getMessage}")
+    spark.sessionState.catalogManager.catalog("bronze")
+      .asInstanceOf[graft.catalog.BronzeCatalog]
+      .optimizeTable(Seq("eq"), "dropk", 512L * 1024 * 1024)
+    spark.sql("ALTER TABLE bronze.eq.dropk DROP COLUMN id")
+    assert(spark.table("bronze.eq.dropk").columns.toSeq == Seq("v"))
+  }
+
+  test("out-of-range key-equality DELETE skips the commit entirely") {
+    val dir = mk("noop")
+    spark.sql("INSERT INTO bronze.eq.noop SELECT id, 0.0 FROM range(10)")
+    val v0 = SnapshotLog.current(dir).get.version
+    spark.conf.set(GraftConf.DeleteModeKey, "merge-on-read")
+    try {
+      // manifest stats prove no live file can hold these keys: a
+      // sidecar would retract nothing yet demote every scan to the
+      // per-file MOR path — the commit must be skipped
+      spark.sql("DELETE FROM bronze.eq.noop WHERE id = 99")
+      spark.sql("DELETE FROM bronze.eq.noop WHERE id IN (98, 99)")
+      val snap = SnapshotLog.current(dir).get
+      assert(snap.version == v0, "no-op equality DELETE committed")
+      assert(snap.eqDeletes.isEmpty)
+      // an in-range key still deletes (out-of-range ones ride along)
+      spark.sql("DELETE FROM bronze.eq.noop WHERE id IN (4, 99)")
+      assert(SnapshotLog.current(dir).get.eqDeletes.size == 1)
+    } finally spark.conf.unset(GraftConf.DeleteModeKey)
+    assert(spark.table("bronze.eq.noop").collect().map(_.getLong(0)).toSet ==
+      (0L to 9L).toSet - 4L)
+  }
+
   test("rollback across an upsert un-applies it; DELETE respects eqdels") {
     val dir = mk("rb")
     spark.sql("INSERT INTO bronze.eq.rb SELECT id, 0.0 FROM range(6)")

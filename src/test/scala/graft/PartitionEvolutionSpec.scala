@@ -134,4 +134,30 @@ class PartitionEvolutionSpec extends SparkSpec {
     val all = BronzePartitioning.readAll(java.nio.file.Paths.get(dir))
     assert(all.exists(_.gen == 1), s"retired bucket(8) missing: $all")
   }
+
+  test("retired partition columns cannot be renamed away") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS bronze.pe")
+    spark.sql("DROP TABLE IF EXISTS bronze.pe.ret")
+    spark.sql("CREATE TABLE bronze.pe.ret (id BIGINT, v DOUBLE) " +
+      "USING parquet PARTITIONED BY (bucket(4, id))")
+    spark.sql("INSERT INTO bronze.pe.ret " +
+      "SELECT id, CAST(id AS DOUBLE) FROM range(100)")
+    // un-partition: bucket(4, id) RETIRES, but old files still prune
+    // by their recorded bucket_id tuples — renaming id away (and
+    // worse, renaming another column onto the freed name) would let
+    // stale tuples prune the wrong files
+    cat.evolvePartitionSpec(Seq("pe"), "ret", Array.empty)
+    assert(BronzePartitioning.read(
+      java.nio.file.Paths.get(cat.tableDir(Seq("pe"), "ret"))).isEmpty)
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE bronze.pe.ret RENAME COLUMN id TO id2")
+    }
+    assert(e.getMessage.contains("partition column"),
+      s"wrong refusal: ${e.getMessage}")
+    // non-partition columns still rename freely
+    spark.sql("ALTER TABLE bronze.pe.ret RENAME COLUMN v TO amount")
+    assert(spark.table("bronze.pe.ret").columns.toSeq ==
+      Seq("id", "amount"))
+  }
 }
