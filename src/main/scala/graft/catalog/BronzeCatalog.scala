@@ -341,6 +341,18 @@ class BronzeCatalog extends TableCatalog with SupportsNamespaces {
     SnapshotLog.optimize(SparkSession.active, dir, targetBytes)
   }
 
+  /** Iceberg `rewrite_position_deletes` (MINOR delete compaction):
+    * merge every live position-delete sidecar into one combined
+    * sidecar without touching any data file — the cheap maintenance
+    * step between full OPTIMIZE passes for a long-lived merge-on-read
+    * table (see [[BronzeMor.rewritePositionDeletes]]). Returns
+    * (sidecarsMerged, sidecarsWritten). */
+  def rewritePositionDeletesTable(namespace: Seq[String],
+      name: String): (Int, Int) = {
+    val dir = tableDir(namespace, name)
+    BronzeMor.rewritePositionDeletes(SparkSession.active, dir)
+  }
+
   /** Iceberg `update_partition_spec` (PARTITION-SPEC EVOLUTION):
     * replace the table's active partition transforms. Existing files
     * are untouched and keep pruning under the spec of their era

@@ -150,6 +150,70 @@ object BronzeMor {
     result
   }
 
+  /** Iceberg's `rewrite_position_deletes` (MINOR delete compaction):
+    * merge every live position-delete sidecar into ONE combined
+    * sidecar and re-point each delete-carrying entry at it — WITHOUT
+    * touching any data file. A long-lived merge-on-read table
+    * accumulates one sidecar per DELETE; each scan then reads N small
+    * sidecar files per executor JVM and the manifest carries N refs
+    * per entry. This collapses the read tax to a single sidecar read
+    * at O(|live deleted positions|) cost, no data rewrite — the cheap
+    * maintenance step between full OPTIMIZE passes at 100 TB.
+    *
+    * Per-entry semantics are preserved EXACTLY: entry e's new skip
+    * set is the union, over e's OWN old refs, of their rows for
+    * e.name. A sidecar that holds rows for e.name but is NOT
+    * referenced by e (possible after a rollback restored an earlier
+    * era's refs) contributes nothing — blind whole-sidecar merging
+    * would silently re-apply the rolled-back delete.
+    *
+    * Commits one `replace` snapshot (layout-only: CDC emits nothing,
+    * incremental readers sail across, like data-file compaction);
+    * entries whose sidecar set changed under a concurrent commit fail
+    * with [[java.util.ConcurrentModificationException]]. Old sidecars
+    * become unreferenced and are reaped by vacuum once expired.
+    * Returns (sidecarsMerged, sidecarsWritten). */
+  def rewritePositionDeletes(spark: SparkSession,
+      dir: String): (Int, Int) = {
+    val snap = SnapshotLog.current(dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"rewrite_position_deletes requires a snapshot-logged table: " +
+          dir))
+    val carrying = snap.entries.filter(_.deletes.nonEmpty)
+    val old = carrying.flatMap(_.deletes).distinct.sorted
+    // already compact: one shared sidecar (or none) and no entry with
+    // multiple refs — nothing to merge
+    if (old.size <= 1) return (0, 0)
+    val allowed = carrying.flatMap(e => e.deletes.map(s => (e.name, s)))
+    val allowedDf = spark.createDataFrame(allowed)
+      .toDF("file", "__sidecar")
+    val rows = old.map { s =>
+      spark.read.schema(MorDeletes.DeleteSchema).parquet(s"$dir/$s")
+        .withColumn("__sidecar", lit(s))
+    }.reduce(_ unionAll _)
+    val merged = rows
+      .join(broadcast(allowedDf), Seq("file", "__sidecar"), "left_semi")
+      .select(col("file"), col("pos")).distinct()
+    val sidecar = writeDeleteFile(spark, dir, merged)
+    val expected = carrying.map(e => e.name -> e.deletes).toMap
+    val hints = carrying.map(e =>
+      e.name -> e.copy(deletes = sidecar.toSeq)).toMap
+    SnapshotLog.commitWith(dir, "replace", entryHints = hints) { parent =>
+      val pe = parent.map(_.entriesByName)
+        .getOrElse(Map.empty[String, FileEntry])
+      expected.foreach { case (name, dels) =>
+        if (!pe.get(name).exists(_.deletes == dels))
+          throw new java.util.ConcurrentModificationException(
+            s"rewrite_position_deletes on $dir: $name was rewritten " +
+              "or its delete sidecars changed since the merge was " +
+              "computed; rerun against the current snapshot")
+      }
+      (parent.map(_.files.toSet).getOrElse(Set.empty),
+        parent.flatMap(_.schemaFile))
+    }
+    (old.size, sidecar.size)
+  }
+
   /** Write `keys` (the equality-key columns, any schema) as ONE
     * EQUALITY-DELETE sidecar parquet in the table dir; returns its
     * name, or None when empty. The sidecar's own parquet schema IS

@@ -1502,6 +1502,87 @@ object Writes {
           FROM o WHERE k % 1000 = 7
           UNION ALL
           SELECT 'era2_new_spec', 1, 0.0)
+        SELECT ref, n_rows, total FROM stats ORDER BY ref""")),
+
+    // ----- w21: REWRITE POSITION DELETES — Iceberg's
+    // `rewrite_position_deletes`: a long-lived merge-on-read table
+    // accumulates one sidecar per DELETE; minor compaction merges
+    // them into ONE sidecar and re-points the manifest refs WITHOUT
+    // touching any data file — the cheap maintenance step between
+    // full OPTIMIZE passes at 100 TB (a scan then reads 1 sidecar
+    // per executor instead of N). The gate checks answers before the
+    // compaction (time travel), after it, and a structural proof:
+    // >=2 sidecars merged to exactly 1, zero data files touched, the
+    // snapshot is layout-only (`replace`, zero CDC rows), and a
+    // second call is a no-op.
+    QueryDef(
+      "w21_rewrite_position_deletes",
+      (s, d) => {
+        val wh = scratch("w21", d)
+        val cat = "w21cat_" + Integer.toHexString(d.hashCode)
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.BronzeCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+        s.sql(s"DROP TABLE IF EXISTS $cat.db.led")
+        s.sql(s"CREATE TABLE $cat.db.led (k BIGINT, p DOUBLE) " +
+          "USING parquet")
+        new Tables(s, d).orders.select(
+          col("o_orderkey").cast("long").as("k"),
+          col("o_totalprice").cast("double").as("p"))
+          .writeTo(s"$cat.db.led").append()
+        s.conf.set(graft.GraftConf.DeleteModeKey, "merge-on-read")
+        try {
+          s.sql(s"DELETE FROM $cat.db.led WHERE k < 600")
+          s.sql(s"DELETE FROM $cat.db.led WHERE k >= 600 AND k < 1200")
+          s.sql(s"DELETE FROM $cat.db.led WHERE k >= 55000")
+        } finally s.conf.unset(graft.GraftConf.DeleteModeKey)
+        val bc = s.sessionState.catalogManager.catalog(cat)
+          .asInstanceOf[graft.catalog.BronzeCatalog]
+        val dir = bc.tableDir(Seq("db"), "led")
+        val before = graft.catalog.SnapshotLog.current(dir).get
+        val oldRefs = before.entries.flatMap(_.deletes).distinct
+        val (merged, written) =
+          bc.rewritePositionDeletesTable(Seq("db"), "led")
+        val after = graft.catalog.SnapshotLog.current(dir).get
+        val cdcRows = s.read
+          .option("startingVersion", before.version.toString)
+          .option("endingVersion", after.version.toString)
+          .table(s"$cat.db.led.changes").count()
+        val ok =
+          if (oldRefs.size >= 2 && merged == oldRefs.size && written == 1
+            && after.operation == "replace"
+            && after.files == before.files
+            && after.entries.flatMap(_.deletes).distinct.size == 1
+            && cdcRows == 0L
+            && bc.rewritePositionDeletesTable(Seq("db"), "led") == ((0, 0)))
+            1L
+          else 0L
+        val proof = s.sql(s"""SELECT 'proof_compacted' AS ref,
+          CAST($ok AS BIGINT) AS n_rows, CAST(0.0 AS DOUBLE) AS total""")
+        def stats(ref: String, df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("n_rows"),
+            Exact.dsum(col("p"), 2).as("total"))
+            .select(lit(ref).as("ref"), col("n_rows"), col("total"))
+        stats("after_compact", s.table(s"$cat.db.led"))
+          .union(stats("pre_compact_version", s.sql(
+            s"SELECT * FROM $cat.db.led VERSION AS OF ${before.version}")))
+          .union(proof)
+          .orderBy(col("ref"))
+      },
+      Some(s"""WITH o AS (
+          SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+        live AS (
+          SELECT k, p FROM o
+          WHERE NOT (k < 600) AND NOT (k >= 600 AND k < 1200)
+            AND NOT (k >= 55000)),
+        stats AS (
+          SELECT 'after_compact' AS ref, COUNT(*) AS n_rows,
+            ${Exact.sqlSum("p", 2)} AS total FROM live
+          UNION ALL
+          SELECT 'pre_compact_version', COUNT(*), ${Exact.sqlSum("p", 2)}
+          FROM live
+          UNION ALL
+          SELECT 'proof_compacted', 1, 0.0)
         SELECT ref, n_rows, total FROM stats ORDER BY ref"""))
   )
 }

@@ -151,6 +151,62 @@ class MorDeleteSpec extends SparkSpec {
     assert(sidecarsOnDisk().isEmpty, "vacuum left unreferenced sidecars")
   }
 
+  test("rewrite_position_deletes merges sidecars, touches no data file") {
+    val dir = mk("rpd")
+    (0 until 3).foreach { b =>
+      spark.sql(s"INSERT INTO bronze.mor.rpd " +
+        s"SELECT id + ${b * 100}, CAST(id AS DOUBLE) FROM range(100)")
+    }
+    // three MOR deletes -> three sidecars, each attached to the files
+    // it touches
+    withMor {
+      spark.sql("DELETE FROM bronze.mor.rpd WHERE id < 10")
+      spark.sql("DELETE FROM bronze.mor.rpd WHERE id >= 110 AND id < 120")
+      spark.sql("DELETE FROM bronze.mor.rpd WHERE id >= 250")
+    }
+    val before = SnapshotLog.current(dir).get
+    val oldSidecars = before.entries.flatMap(_.deletes).distinct
+    assert(oldSidecars.size == 3, s"sidecars: $oldSidecars")
+    val stateBefore = spark.table("bronze.mor.rpd")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSet
+    assert(stateBefore.size == 230)
+
+    val (merged, written) =
+      bronzeCatalog.rewritePositionDeletesTable(Seq("mor"), "rpd")
+    assert((merged, written) == (3, 1), s"(merged, written)")
+    val after = SnapshotLog.current(dir).get
+    assert(after.operation == "replace")
+    assert(after.files == before.files,
+      "sidecar compaction touched a data file")
+    assert(after.entries.flatMap(_.deletes).distinct.size == 1,
+      "sidecars did not merge to one")
+    assert(after.entries.filter(_.deletes.nonEmpty).map(_.name).toSet ==
+      before.entries.filter(_.deletes.nonEmpty).map(_.name).toSet,
+      "compaction changed which entries carry deletes")
+    // answers identical; the layout-only replace emits NO change rows
+    val stateAfter = spark.table("bronze.mor.rpd")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSet
+    assert(stateAfter == stateBefore)
+    assert(spark.read.option("startingVersion", before.version.toString)
+      .option("endingVersion", after.version.toString)
+      .table("bronze.mor.rpd.changes").count() == 0,
+      "sidecar compaction leaked change rows")
+    // idempotent: a compact table is a no-op
+    assert(bronzeCatalog.rewritePositionDeletesTable(Seq("mor"), "rpd")
+      == (0, 0))
+    // old sidecars are unreferenced -> vacuum reaps them; the merged
+    // one is live and survives
+    import java.nio.file.{Files, Paths}
+    SnapshotLog.vacuum(dir, retainLast = 1, orphanGraceMs = 0L)
+    oldSidecars.foreach(s => assert(!Files.exists(Paths.get(dir, s)),
+      s"vacuum kept the merged-away sidecar $s"))
+    val mergedRef = after.entries.flatMap(_.deletes).distinct.head
+    assert(Files.exists(Paths.get(dir, mergedRef)))
+    assert(spark.table("bronze.mor.rpd")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSet
+      == stateBefore)
+  }
+
   test("change feed emits exactly the MOR-deleted rows; rollback undoes") {
     val dir = mk("cdc")
     spark.sql("INSERT INTO bronze.mor.cdc " +
