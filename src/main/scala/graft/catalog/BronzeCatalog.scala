@@ -353,6 +353,18 @@ class BronzeCatalog extends TableCatalog with SupportsNamespaces {
     BronzeMor.rewritePositionDeletes(SparkSession.active, dir)
   }
 
+  /** Convert equality deletes to position deletes (the
+    * Iceberg/Flink-upsert maintenance step): one read of the affected
+    * files locates every key-retracted row, the key-probe tax comes
+    * off every subsequent scan, and no data file rewrites (see
+    * [[BronzeMor.convertEqualityDeletes]]). Returns
+    * (eqSidecarsConverted, posSidecarsWritten). */
+  def convertEqualityDeletesTable(namespace: Seq[String],
+      name: String): (Int, Int) = {
+    val dir = tableDir(namespace, name)
+    BronzeMor.convertEqualityDeletes(SparkSession.active, dir)
+  }
+
   /** Iceberg `update_partition_spec` (PARTITION-SPEC EVOLUTION):
     * replace the table's active partition transforms. Existing files
     * are untouched and keep pruning under the spec of their era

@@ -214,6 +214,81 @@ object BronzeMor {
     (old.size, sidecar.size)
   }
 
+  /** Convert EQUALITY deletes to POSITION deletes (the
+    * Iceberg/Flink-upsert maintenance step between upserts and full
+    * OPTIMIZE): locate, once, every live row the key sets retract —
+    * a semi-join per sidecar over only the files it applies to — and
+    * commit the resulting (file, pos) sidecar while dropping the
+    * equality sidecars. No data file rewrites; live rows are
+    * unchanged, so the snapshot is layout-only (`replace`: zero CDC
+    * rows, incremental readers sail across). Afterwards scans apply
+    * cheap position skip sets instead of probing every row against
+    * every applicable key set, files with NO matching rows return to
+    * the vectorized path entirely, and [[rewritePositionDeletes]] can
+    * fold the result into the table's other position sidecars. Cost:
+    * one read of the affected files' key columns — O(affected data),
+    * vs OPTIMIZE's full rewrite.
+    *
+    * Concurrency: a concurrently-committed NEW equality sidecar (a
+    * racing upsert) is preserved — only the sidecars this call
+    * scanned are dropped; a concurrent rewrite of an affected file
+    * fails the attach validation with
+    * [[java.util.ConcurrentModificationException]]. Double-listing a
+    * position that an existing sidecar already carries is harmless
+    * (skip sets union). Returns (eqSidecarsConverted,
+    * posSidecarsWritten). */
+  def convertEqualityDeletes(spark: SparkSession,
+      dir: String): (Int, Int) = {
+    val snap = SnapshotLog.current(dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"convert_equality_deletes requires a snapshot-logged table: " +
+          dir))
+    if (snap.eqDeletes.isEmpty) return (0, 0)
+    val schema: StructType = snap.schemaFile.map { name =>
+      org.apache.spark.sql.types.DataType
+        .fromJson(SnapshotLog.readSchemaSidecar(dir, name))
+        .asInstanceOf[StructType]
+    }.getOrElse(spark.read
+      .parquet(snap.files.map(f => s"$dir/$f"): _*).schema)
+    val affected = snap.entries.filter(e => snap.eqDeletesFor(e).nonEmpty)
+    val groups = affected.groupBy(e => snap.eqDeletesFor(e))
+      .toSeq.sortBy(_._2.map(_.name).min)
+    val positions = groups.flatMap { case (dels, group) =>
+      dels.map { d =>
+        val base = spark.read.schema(schema)
+          .parquet(group.map(e => s"$dir/${e.name}"): _*)
+        val keys = spark.read.parquet(s"$dir/${d.name}")
+        // null-safe equality on the sidecar's own key columns — the
+        // exact predicate the per-file readers apply at scan time
+        val jc = keys.columns.map(c => base(c) <=> keys(c))
+          .reduce(_ && _)
+        base.join(broadcast(keys), jc, "left_semi")
+          .select(col("_metadata.file_name").as("file"),
+            col("_metadata.row_index").as("pos"))
+      }
+    }.reduce(_ unionAll _).distinct()
+    val sidecar = writeDeleteFile(spark, dir, positions)
+    // attach only to files that actually HOLD retracted rows: an
+    // affected file with no matches sheds its key-probe obligation
+    // and nothing replaces it
+    val targets = sidecar.map { s =>
+      spark.read.schema(MorDeletes.DeleteSchema).parquet(s"$dir/$s")
+        .select(col("file")).distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+    }.getOrElse(Seq.empty)
+    val converted = snap.eqDeletes.map(_.name).toSet
+    SnapshotLog.commitWith(dir, "replace",
+      attachDeletes =
+        targets.map(t => t -> sidecar.toSeq).toMap,
+      mkEqDeletes = (parent, _) =>
+        parent.map(_.eqDeletes).getOrElse(Seq.empty)
+          .filterNot(d => converted.contains(d.name))) { parent =>
+      (parent.map(_.files.toSet).getOrElse(Set.empty),
+        parent.flatMap(_.schemaFile))
+    }
+    (converted.size, sidecar.size)
+  }
+
   /** Write `keys` (the equality-key columns, any schema) as ONE
     * EQUALITY-DELETE sidecar parquet in the table dir; returns its
     * name, or None when empty. The sidecar's own parquet schema IS

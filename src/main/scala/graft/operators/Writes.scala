@@ -1583,6 +1583,87 @@ object Writes {
           FROM live
           UNION ALL
           SELECT 'proof_compacted', 1, 0.0)
+        SELECT ref, n_rows, total FROM stats ORDER BY ref""")),
+
+    // ----- w22: CONVERT EQUALITY DELETES — the Iceberg/Flink-upsert
+    // maintenance step between upserts and full OPTIMIZE: equality
+    // sidecars make every scan probe every row of every applicable
+    // file against the key sets; conversion locates the retracted
+    // rows ONCE (semi-join per sidecar over only its applicable
+    // files) and swaps the key sets for one cheap position sidecar —
+    // no data file rewritten, O(affected data) read vs OPTIMIZE's
+    // full rewrite. The gate checks answers before (time travel) and
+    // after, plus the structural proof: both eq sidecars converted to
+    // one position sidecar, zero files touched, layout-only snapshot
+    // (`replace`, zero CDC rows), second call a no-op.
+    QueryDef(
+      "w22_convert_equality_deletes",
+      (s, d) => {
+        val wh = scratch("w22", d)
+        val cat = "w22cat_" + Integer.toHexString(d.hashCode)
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.BronzeCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+        s.sql(s"DROP TABLE IF EXISTS $cat.db.led")
+        s.sql(s"CREATE TABLE $cat.db.led (k BIGINT, p DOUBLE) " +
+          "USING parquet")
+        new Tables(s, d).orders.select(
+          col("o_orderkey").cast("long").as("k"),
+          col("o_totalprice").cast("double").as("p"))
+          .writeTo(s"$cat.db.led").append()
+        // two zero-read key-equality MOR DELETEs -> two eq sidecars
+        s.conf.set(graft.GraftConf.DeleteModeKey, "merge-on-read")
+        try {
+          s.sql(s"DELETE FROM $cat.db.led " +
+            "WHERE k IN (1, 2, 3, 4, 5, 6, 7)")
+          s.sql(s"DELETE FROM $cat.db.led WHERE k = 32")
+        } finally s.conf.unset(graft.GraftConf.DeleteModeKey)
+        val bc = s.sessionState.catalogManager.catalog(cat)
+          .asInstanceOf[graft.catalog.BronzeCatalog]
+        val dir = bc.tableDir(Seq("db"), "led")
+        val before = graft.catalog.SnapshotLog.current(dir).get
+        val (converted, written) =
+          bc.convertEqualityDeletesTable(Seq("db"), "led")
+        val after = graft.catalog.SnapshotLog.current(dir).get
+        val cdcRows = s.read
+          .option("startingVersion", before.version.toString)
+          .option("endingVersion", after.version.toString)
+          .table(s"$cat.db.led.changes").count()
+        val ok =
+          if (before.eqDeletes.size == 2 && converted == 2 && written == 1
+            && after.operation == "replace"
+            && after.eqDeletes.isEmpty
+            && after.files == before.files
+            && after.entries.exists(_.deletes.nonEmpty)
+            && cdcRows == 0L
+            && bc.convertEqualityDeletesTable(Seq("db"), "led") == ((0, 0)))
+            1L
+          else 0L
+        val proof = s.sql(s"""SELECT 'proof_converted' AS ref,
+          CAST($ok AS BIGINT) AS n_rows, CAST(0.0 AS DOUBLE) AS total""")
+        def stats(ref: String, df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("n_rows"),
+            Exact.dsum(col("p"), 2).as("total"))
+            .select(lit(ref).as("ref"), col("n_rows"), col("total"))
+        stats("after_convert", s.table(s"$cat.db.led"))
+          .union(stats("eq_era_version", s.sql(
+            s"SELECT * FROM $cat.db.led VERSION AS OF ${before.version}")))
+          .union(proof)
+          .orderBy(col("ref"))
+      },
+      Some(s"""WITH o AS (
+          SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+        live AS (
+          SELECT k, p FROM o
+          WHERE k NOT IN (1, 2, 3, 4, 5, 6, 7) AND k <> 32),
+        stats AS (
+          SELECT 'after_convert' AS ref, COUNT(*) AS n_rows,
+            ${Exact.sqlSum("p", 2)} AS total FROM live
+          UNION ALL
+          SELECT 'eq_era_version', COUNT(*), ${Exact.sqlSum("p", 2)}
+          FROM live
+          UNION ALL
+          SELECT 'proof_converted', 1, 0.0)
         SELECT ref, n_rows, total FROM stats ORDER BY ref"""))
   )
 }

@@ -406,6 +406,56 @@ class EqualityDeleteSpec extends SparkSpec {
       (0L to 9L).toSet - 4L)
   }
 
+  test("convert_equality_deletes trades key probes for positions") {
+    val dir = mk("conv")
+    spark.sql("INSERT INTO bronze.eq.conv SELECT id, 0.0 FROM range(10)")
+    new Upserter("bronze.eq.conv").epoch(Seq(2L -> 5.0, 3L -> 5.0,
+      12L -> 5.0))
+    val before = SnapshotLog.current(dir).get
+    assert(before.eqDeletes.size == 1)
+    val eqSidecar = before.eqDeletes.head.name
+    val stateBefore = spark.table("bronze.eq.conv")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    val cat = spark.sessionState.catalogManager.catalog("bronze")
+      .asInstanceOf[graft.catalog.BronzeCatalog]
+    assert(cat.convertEqualityDeletesTable(Seq("eq"), "conv") == ((1, 1)))
+    val after = SnapshotLog.current(dir).get
+    assert(after.operation == "replace")
+    assert(after.eqDeletes.isEmpty, "conversion left equality sidecars")
+    assert(after.files == before.files, "conversion touched a data file")
+    // the retracted old versions of keys 2 and 3 became POSITIONS on
+    // the pre-upsert files; the upsert's own files carry nothing
+    // (their rows were never subject to their own sidecar)
+    val preUpsert = SnapshotLog.read(dir, 1L).files.toSet
+    val carrying = after.entries.filter(_.deletes.nonEmpty)
+    assert(carrying.nonEmpty &&
+      carrying.forall(e => preUpsert.contains(e.name)),
+      s"position refs on wrong files: ${carrying.map(_.name)}")
+    // answers identical; the layout-only replace emits NO change rows
+    val stateAfter = spark.table("bronze.eq.conv")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(stateAfter == stateBefore)
+    assert(spark.read.option("startingVersion", before.version.toString)
+      .option("endingVersion", after.version.toString)
+      .table("bronze.eq.conv.changes").count() == 0,
+      "conversion leaked change rows")
+    // time travel to the eq era still applies the key sets
+    assert(spark.sql(s"SELECT * FROM bronze.eq.conv " +
+      s"VERSION AS OF ${before.version}")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      == stateBefore)
+    // idempotent; the converted eq sidecar is reaped once expired
+    assert(cat.convertEqualityDeletesTable(Seq("eq"), "conv") == ((0, 0)))
+    SnapshotLog.vacuum(dir, retainLast = 1, orphanGraceMs = 0L)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, eqSidecar)),
+      "vacuum kept the converted equality sidecar")
+    assert(spark.table("bronze.eq.conv")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      == stateBefore)
+  }
+
   test("rollback across an upsert un-applies it; DELETE respects eqdels") {
     val dir = mk("rb")
     spark.sql("INSERT INTO bronze.eq.rb SELECT id, 0.0 FROM range(6)")
