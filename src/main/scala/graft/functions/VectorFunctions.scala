@@ -1,22 +1,35 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult.{TypeCheckFailure, TypeCheckSuccess}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Native vector primitives for similarity search over
-  * `array<float>` embedding columns.
+  * `array<float>` (or `array<double>`) embedding columns.
   *
-  * Both expressions compute a LEFT-TO-RIGHT double-precision fold with
-  * per-element float→double widening — bit-identical to the
+  * All expressions compute a LEFT-TO-RIGHT double-precision fold with
+  * per-element widening — bit-identical to the
   * `aggregate(zip_with(...))` higher-order-function formulation and to
   * DuckDB's `list_sum(list_transform(...))`, but with real codegen: a
   * tight primitive loop inside whole-stage codegen instead of one
   * lambda invocation per element. On the brute-force top-k benchmark
   * (4M pairs × 64 dims) this is the difference between interpreted
   * lambda dispatch and ~vectorizable machine code.
+  *
+  * ELEMENT TYPE: both `array<float>` and `array<double>` are accepted
+  * — float elements widen losslessly to double (the shipped
+  * `embeddings` encoding), double elements are read natively. The
+  * driver has regenerated testdata with changed physical types before
+  * (events.ts NANOS → micros broke 32 queries in round 10); accepting
+  * both here keeps the whole similarity surface alive — identically
+  * to DuckDB, which also computes the fold in double either way —
+  * should `embeddings` ever re-encode. Any other element type still
+  * fails at ANALYSIS time (an int array read via getDouble would be
+  * garbage, not an error).
   */
 object VectorFunctions {
   def register(spark: SparkSession): Unit = {
@@ -48,18 +61,50 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, exprs => VectorLshBucket(exprs.head, w), "built-in")
   }
+
+  /** Whether `dt` is a float/double array — the accepted vector shape. */
+  private[functions] def isVec(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  private[functions] def isDoubleVec(dt: DataType): Boolean = dt match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  /** Interpreted-path element read, widened to double. */
+  private[functions] def elem(x: ArrayData, i: Int,
+      double: Boolean): Double =
+    if (double) x.getDouble(i) else x.getFloat(i).toDouble
+
+  /** Codegen element read, widened to double. */
+  private[functions] def elemJava(a: String, i: String,
+      double: Boolean): String =
+    if (double) s"$a.getDouble($i)" else s"(double) $a.getFloat($i)"
+
+  private[functions] def vecTypeFailure(name: String,
+      dts: Seq[DataType]): TypeCheckFailure =
+    TypeCheckFailure(s"$name requires array<float> or array<double> " +
+      s"vector inputs, got ${dts.map(_.simpleString).mkString(", ")}")
 }
 
-/** dot(a, b) over float arrays, double accumulation, left-to-right. */
+/** dot(a, b) over float/double arrays, double accumulation,
+  * left-to-right. */
 case class VectorDot(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+    extends BinaryExpression {
+  import VectorFunctions._
 
-  // strict analysis-time typing: an array<double> input would
-  // otherwise be read via getFloat — garbage, not an error
-  override def inputTypes: Seq[DataType] =
-    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  // strict analysis-time typing: a non-float/double array would
+  // otherwise be read via getFloat/getDouble — garbage, not an error
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isVec(left.dataType) && isVec(right.dataType)) TypeCheckSuccess
+    else vecTypeFailure(prettyName, Seq(left.dataType, right.dataType))
 
   override def dataType: DataType = DoubleType
+
+  @transient private lazy val leftDouble = isDoubleVec(left.dataType)
+  @transient private lazy val rightDouble = isDoubleVec(right.dataType)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -68,7 +113,7 @@ case class VectorDot(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
-      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      acc += elem(x, i, leftDouble) * elem(y, i, rightDouble)
       i += 1
     }
     acc
@@ -83,7 +128,7 @@ case class VectorDot(left: Expression, right: Expression)
          |double ${ev.value}_acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  ${ev.value}_acc +=
-         |    (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |    ${elemJava(a, i, leftDouble)} * ${elemJava(b, i, rightDouble)};
          |}
          |${ev.value} = ${ev.value}_acc;
        """.stripMargin
@@ -97,12 +142,16 @@ case class VectorDot(left: Expression, right: Expression)
 }
 
 /** sqrt(dot(a, a)) — L2 norm with the same fold semantics. */
-case class VectorNorm(child: Expression) extends UnaryExpression
-    with ExpectsInputTypes {
+case class VectorNorm(child: Expression) extends UnaryExpression {
+  import VectorFunctions._
 
-  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isVec(child.dataType)) TypeCheckSuccess
+    else vecTypeFailure(prettyName, Seq(child.dataType))
 
   override def dataType: DataType = DoubleType
+
+  @transient private lazy val elemDouble = isDoubleVec(child.dataType)
 
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -110,7 +159,7 @@ case class VectorNorm(child: Expression) extends UnaryExpression
     var i = 0
     val n = x.numElements()
     while (i < n) {
-      val v = x.getFloat(i).toDouble
+      val v = elem(x, i, elemDouble)
       acc += v * v
       i += 1
     }
@@ -126,7 +175,7 @@ case class VectorNorm(child: Expression) extends UnaryExpression
          |int $n = $a.numElements();
          |double ${ev.value}_acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $v = (double) $a.getFloat($i);
+         |  double $v = ${elemJava(a, i, elemDouble)};
          |  ${ev.value}_acc += $v * $v;
          |}
          |${ev.value} = java.lang.Math.sqrt(${ev.value}_acc);
@@ -139,7 +188,7 @@ case class VectorNorm(child: Expression) extends UnaryExpression
   override def prettyName: String = "vec_norm"
 }
 
-/** `vec_signbits(v, off)` — the 32 SIGN BITS of float-array elements
+/** `vec_signbits(v, off)` — the 32 SIGN BITS of vector elements
   * `v[off] .. v[off+31]` (0-based `off`), packed little-endian into a
   * long: bit i is set iff element `off+i` exists, is non-null, and is
   * `>= 0`. This is binary quantization's signature builder (s14): one
@@ -151,16 +200,21 @@ case class VectorNorm(child: Expression) extends UnaryExpression
   * else branch, so short vectors simply contribute 0 bits
   * (NativeSignBitsSpec asserts the per-row equivalence). */
 case class VectorSignBits(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+    extends BinaryExpression {
+  import VectorFunctions._
 
-  // (ArrayType(FloatType), IntegerType): a BIGINT offset would hit
-  // asInstanceOf[Int] (runtime ClassCastException) and an
-  // array<double> vector would be read via getFloat (silently wrong
-  // sign bits) — both now fail at ANALYSIS time instead
-  override def inputTypes: Seq[DataType] =
-    Seq(ArrayType(FloatType), IntegerType)
+  // (float/double array, IntegerType): a BIGINT offset would hit
+  // asInstanceOf[Int] (runtime ClassCastException) and any other
+  // array element type would be read via the wrong getter (silently
+  // wrong sign bits) — both fail at ANALYSIS time instead
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isVec(left.dataType) && right.dataType == IntegerType)
+      TypeCheckSuccess
+    else vecTypeFailure(prettyName, Seq(left.dataType, right.dataType))
 
   override def dataType: DataType = LongType
+
+  @transient private lazy val elemDouble = isDoubleVec(left.dataType)
 
   override def nullSafeEval(a: Any, o: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -174,7 +228,8 @@ case class VectorSignBits(left: Expression, right: Expression)
       // number in Spark SQL, so `x >= 0` is TRUE for NaN — the HOF
       // twin sets the bit for a NaN coordinate and so must we
       if (j >= 0 && j < n && !x.isNullAt(j) && {
-        val v = x.getFloat(j); v >= 0f || java.lang.Float.isNaN(v)
+        val v = elem(x, j, elemDouble)
+        v >= 0d || java.lang.Double.isNaN(v)
       }) word |= (1L << i)
       i += 1
     }
@@ -194,9 +249,9 @@ case class VectorSignBits(left: Expression, right: Expression)
          |for (int $i = 0; $i < 32; $i++) {
          |  int $j = $o + $i;
          |  if ($j >= 0 && $j < $n && !$a.isNullAt($j)) {
-         |    float $v = $a.getFloat($j);
+         |    double $v = ${elemJava(a, j, elemDouble)};
          |    // SQL semantics: NaN >= 0 is TRUE (NaN sorts above all)
-         |    if ($v >= 0f || java.lang.Float.isNaN($v)) {
+         |    if ($v >= 0d || java.lang.Double.isNaN($v)) {
          |      $w |= (1L << $i);
          |    }
          |  }
@@ -212,7 +267,7 @@ case class VectorSignBits(left: Expression, right: Expression)
   override def prettyName: String = "vec_signbits"
 }
 
-/** Random-hyperplane LSH bucket id of a float vector: for each plane p,
+/** Random-hyperplane LSH bucket id of a vector: for each plane p,
   * bit p of the result is set iff `v · weights(p) > 0`. Arithmetic is
   * the exact left-to-right double fold of the HOF formulation it
   * replaces (`aggregate(zip_with(v, w, (x,w) -> x*w), 0d, +)` per
@@ -222,11 +277,16 @@ case class VectorSignBits(left: Expression, right: Expression)
   * reference-object `double[]`, vs interpreted lambdas per row).
   * NativeLshBucketSpec asserts the per-row equivalence. */
 case class VectorLshBucket(child: Expression, weights: Vector[Vector[Double]])
-    extends UnaryExpression with ExpectsInputTypes {
+    extends UnaryExpression {
+  import VectorFunctions._
 
-  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isVec(child.dataType)) TypeCheckSuccess
+    else vecTypeFailure(prettyName, Seq(child.dataType))
 
   override def dataType: DataType = LongType
+
+  @transient private lazy val elemDouble = isDoubleVec(child.dataType)
 
   private def numPlanes: Int = weights.length
 
@@ -262,7 +322,7 @@ case class VectorLshBucket(child: Expression, weights: Vector[Vector[Double]])
       val w = weights(p)
       var acc = 0.0
       var i = 0
-      while (i < dim) { acc += x.getFloat(i).toDouble * w(i); i += 1 }
+      while (i < dim) { acc += elem(x, i, elemDouble) * w(i); i += 1 }
       if (acc > 0) bucket += (1L << p)
       p += 1
     }
@@ -286,7 +346,7 @@ case class VectorLshBucket(child: Expression, weights: Vector[Vector[Double]])
          |for (int $p = 0; $p < $numPlanes; $p++) {
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $dim; $i++) {
-         |    $acc += (double) $a.getFloat($i) * $wRef[$p * $dim + $i];
+         |    $acc += ${elemJava(a, i, elemDouble)} * $wRef[$p * $dim + $i];
          |  }
          |  if ($acc > 0) $bkt += (1L << $p);
          |}
