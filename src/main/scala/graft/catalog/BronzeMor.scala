@@ -250,8 +250,14 @@ object BronzeMor {
         .asInstanceOf[StructType]
     }.getOrElse(spark.read
       .parquet(snap.files.map(f => s"$dir/$f"): _*).schema)
-    val affected = snap.entries.filter(e => snap.eqDeletesFor(e).nonEmpty)
-    val groups = affected.groupBy(e => snap.eqDeletesFor(e))
+    // stats-refined applicability: a file whose column ranges exclude
+    // every key of a sidecar needn't be read for it at all — at 100 TB
+    // this is most of the table for a recent-key upsert
+    def applicable(e: FileEntry): Seq[SnapshotLog.EqDelete] =
+      snap.eqDeletesFor(e).filter(d =>
+        MorDeletes.eqMayApply(s"$dir/${d.name}", e, schema))
+    val affected = snap.entries.filter(e => applicable(e).nonEmpty)
+    val groups = affected.groupBy(applicable)
       .toSeq.sortBy(_._2.map(_.name).min)
     val positions = groups.flatMap { case (dels, group) =>
       dels.map { d =>

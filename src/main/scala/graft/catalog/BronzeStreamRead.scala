@@ -106,7 +106,7 @@ object BronzeMetadataFileScan {
   * reader: the (file, pos) sidecar schema and the skip-set loader.
   * Sets are per-(reader, data file) — bounded by one file's deleted
   * rows, the same working set Iceberg's readers hold. */
-private[catalog] object MorDeletes {
+private[graft] object MorDeletes {
 
   import org.apache.spark.sql.types.{LongType, StringType}
 
@@ -175,6 +175,103 @@ private[catalog] object MorDeletes {
     eqSets.flatMap(_.schema.fields).find(_.name == name)
       .getOrElse(throw new IllegalStateException(
         s"equality-delete key column $name missing from sidecar schemas"))
+
+  // ---- stats-based equality-delete applicability -------------------
+  //
+  // An equality sidecar applies to a file by KEY VALUE; a file whose
+  // manifest column ranges cannot contain ANY key needn't probe the
+  // key set at all. Per sidecar we derive one BETWEEN filter per key
+  // column (min/max over its tuples — a sound over-approximation of
+  // the key set) and test files through BronzePruning. At 100 TB,
+  // where upsert keys are typically recent while most files are old,
+  // this keeps the bulk of a table's rows off the per-row key-probe
+  // path after an upsert. Strictly conservative: unsupported key
+  // types, null keys in a column, absent file stats, unreadable
+  // sidecars all answer "applies".
+  private val boundsCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Option[Seq[org.apache.spark.sql.sources.Filter]]]()
+
+  /** The per-key-column range filters of the sidecar at `path`, or
+    * None when no column supports range exclusion. JVM-cached
+    * (sidecars are immutable). */
+  def eqKeyBoundsFilters(path: String)
+      : Option[Seq[org.apache.spark.sql.sources.Filter]] = {
+    if (boundsCache.size > 64) boundsCache.clear()
+    boundsCache.computeIfAbsent(path, computeBounds(_))
+  }
+
+  private def computeBounds(path: String)
+      : Option[Seq[org.apache.spark.sql.sources.Filter]] = try {
+    import org.apache.spark.sql.sources.{Filter, GreaterThanOrEqual, LessThanOrEqual}
+    import org.apache.spark.sql.types._
+    val set = eqKeySets(Seq(path)).head
+    if (set.keys.isEmpty) return None
+    import scala.jdk.CollectionConverters._
+    val tuples = set.keys.asScala.toSeq
+    val filters = set.schema.fields.toSeq.zipWithIndex.flatMap {
+      case (field, i) =>
+        val vals = tuples.map(_(i))
+        // a NULL key in this column matches null cells, which range
+        // filters never cover — this column can't exclude (others
+        // still can: every tuple's value in THEIR column is inside
+        // that column's bounds)
+        if (vals.contains(null)) Seq.empty
+        else {
+          // catalyst-typed values -> filter-literal (lo, hi)
+          val bounds: Option[(Any, Any)] = field.dataType match {
+            case ByteType | ShortType | IntegerType | LongType =>
+              val ls = vals.map {
+                case b: Byte => b.toLong
+                case s: Short => s.toLong
+                case x: Int => x.toLong
+                case l: Long => l
+              }
+              Some((java.lang.Long.valueOf(ls.min),
+                java.lang.Long.valueOf(ls.max)))
+            case FloatType | DoubleType =>
+              val ds = vals.map {
+                case f: Float => f.toDouble
+                case d: Double => d
+              }
+              if (ds.exists(d => d.isNaN || d.isInfinite)) None
+              else Some((java.lang.Double.valueOf(ds.min),
+                java.lang.Double.valueOf(ds.max)))
+            case StringType =>
+              val us = vals.map(
+                _.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+              Some((us.min.toString, us.max.toString))
+            case DateType =>
+              val days = vals.map(_.asInstanceOf[Int])
+              Some((java.time.LocalDate.ofEpochDay(days.min.toLong),
+                java.time.LocalDate.ofEpochDay(days.max.toLong)))
+            case TimestampType =>
+              def instant(us: Long) = java.time.Instant.ofEpochSecond(
+                Math.floorDiv(us, 1000000L),
+                Math.floorMod(us, 1000000L) * 1000L)
+              val us = vals.map(_.asInstanceOf[Long])
+              Some((instant(us.min), instant(us.max)))
+            case _ => None // decimals, binary, NTZ: no exclusion
+          }
+          bounds.toSeq.flatMap { case (lo, hi) =>
+            Seq[Filter](GreaterThanOrEqual(field.name, lo),
+              LessThanOrEqual(field.name, hi))
+          }
+        }
+    }
+    if (filters.isEmpty) None else Some(filters)
+  } catch { case _: Throwable => None }
+
+  /** Whether the sidecar at `sidecarPath` MAY retract rows of
+    * `entry`, per the entry's manifest stats (true = must probe;
+    * false = provably no key in range). Callers must have already
+    * applied the data-sequence rule. */
+  def eqMayApply(sidecarPath: String, entry: SnapshotLog.FileEntry,
+      schema: StructType): Boolean =
+    eqKeyBoundsFilters(sidecarPath) match {
+      case None => true
+      case Some(fs) =>
+        BronzePruning.survivors(Seq(entry), schema, fs).nonEmpty
+    }
 
   /** The spark schema a sidecar was written with, from its footer's
     * `org.apache.spark.sql.parquet.row.metadata` (we wrote the file;

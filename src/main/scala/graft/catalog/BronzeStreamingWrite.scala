@@ -131,8 +131,13 @@ final class BronzeWritableTable(delegate: Table, dir: String,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // EQUALITY deletes applicable per file: sidecars committed at a
     // strictly later data sequence than the file (upsert retractions)
+    // AND whose key ranges the file's manifest stats cannot exclude —
+    // a file provably outside every key range skips the per-row key
+    // probes entirely (MorDeletes.eqMayApply, conservative)
     val eqOf: SnapshotLog.FileEntry => Seq[String] = e =>
-      snapshotEqDeletes.filter(_.seq > e.seq.getOrElse(Long.MinValue))
+      snapshotEqDeletes
+        .filter(d => d.seq > e.seq.getOrElse(Long.MinValue) &&
+          MorDeletes.eqMayApply(s"$dir/${d.name}", e, delegate.schema()))
         .map(_.name)
     val delsOf: String => Seq[String] = {
       val byName = snapshotEntries.map(e => e.name -> e.deletes).toMap

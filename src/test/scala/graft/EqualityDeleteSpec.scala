@@ -406,6 +406,41 @@ class EqualityDeleteSpec extends SparkSpec {
       (0L to 9L).toSet - 4L)
   }
 
+  test("equality sidecars skip files their key ranges provably exclude") {
+    val dir = mk("prune")
+    // two commits -> files with DISJOINT id ranges in the manifest
+    spark.sql("INSERT INTO bronze.eq.prune SELECT id, 0.0 FROM range(100)")
+    spark.sql("INSERT INTO bronze.eq.prune " +
+      "SELECT id + 100000, 0.0 FROM range(100)")
+    // upsert touching only the LOW range
+    new Upserter("bronze.eq.prune").epoch(Seq(5L -> 9.0, 7L -> 9.0))
+    val snap = SnapshotLog.current(dir).get
+    val sidecar = s"$dir/${snap.eqDeletes.head.name}"
+    val schema = spark.table("bronze.eq.prune").schema
+    // pre-upsert files split by whether their id range OVERLAPS the
+    // key range [5, 7] — the inserts fan out into several files, each
+    // holding a slice of the id space
+    val (hit, miss) = snap.entries
+      .filter(e => snap.eqDeletesFor(e).nonEmpty) // pre-upsert files
+      .partition(_.stats.get("id").exists(s =>
+        s.min.exists(_.toLong <= 7) && s.max.exists(_.toLong >= 5)))
+    assert(hit.nonEmpty && miss.nonEmpty, s"bad split: ${snap.entries}")
+    // overlapping files must probe the key set; every other file —
+    // including the whole high-range commit — provably skips it
+    hit.foreach(e => assert(
+      graft.catalog.MorDeletes.eqMayApply(sidecar, e, schema),
+      s"overlapping ${e.name} wrongly excluded"))
+    miss.foreach(e => assert(
+      !graft.catalog.MorDeletes.eqMayApply(sidecar, e, schema),
+      s"${e.name} not excluded by stats"))
+    // and answers are right with the refinement active
+    val state = spark.table("bronze.eq.prune")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(state.size == 200)
+    assert(state(5L) == 9.0 && state(7L) == 9.0 && state(6L) == 0.0)
+    assert(state(100005L) == 0.0)
+  }
+
   test("convert_equality_deletes trades key probes for positions") {
     val dir = mk("conv")
     spark.sql("INSERT INTO bronze.eq.conv SELECT id, 0.0 FROM range(10)")
