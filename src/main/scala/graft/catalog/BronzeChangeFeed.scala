@@ -130,7 +130,13 @@ object BronzeChangeFeed {
         }
       // MERGE-ON-READ delta on SURVIVING files: sidecars attached at
       // this version retract exactly their listed positions; sidecars
-      // DETACHED (rollback across a MOR delete) re-insert theirs
+      // DETACHED (rollback across a MOR delete) re-insert theirs.
+      // Both branches filter through the era-appropriate EQUALITY
+      // sidecars — rows the parent state already retracted by key
+      // must not re-retract, and rows the current state retracts by
+      // key must not re-insert (a rollback across
+      // convert_equality_deletes detaches a position sidecar whose
+      // rows are exactly the restored key sets' victims).
       def emitMorDelta(retractType: String): Unit =
         (files & parentFiles).toSeq.sorted.foreach { f =>
           val before = parentEntries(f).deletes
@@ -140,11 +146,16 @@ object BronzeChangeFeed {
           if (attached.nonEmpty)
             parts += BronzeCdcFilePartition(s"$dir/$f", retractType, v,
               before.map(s => s"$dir/$s"),
-              attached.map(s => s"$dir/$s"))
+              attached.map(s => s"$dir/$s"),
+              applyEqSidecars = parentSnap
+                .map(_.eqDeletesFor(parentEntries(f)))
+                .getOrElse(Seq.empty).map(d => s"$dir/${d.name}"))
           if (detached.nonEmpty)
             parts += BronzeCdcFilePartition(s"$dir/$f", "insert", v,
               after.map(s => s"$dir/$s"),
-              detached.map(s => s"$dir/$s"))
+              detached.map(s => s"$dir/$s"),
+              applyEqSidecars = snap.eqDeletesFor(curEntries(f))
+                .map(d => s"$dir/${d.name}"))
         }
       // EQUALITY-delete delta on surviving pre-existing files:
       // sidecars ADDED at this version (an upsert's retraction half)

@@ -250,16 +250,17 @@ object BronzeMor {
         .asInstanceOf[StructType]
     }.getOrElse(spark.read
       .parquet(snap.files.map(f => s"$dir/$f"): _*).schema)
-    // stats-refined applicability: a file whose column ranges exclude
-    // every key of a sidecar needn't be read for it at all — at 100 TB
-    // this is most of the table for a recent-key upsert
-    def applicable(e: FileEntry): Seq[SnapshotLog.EqDelete] =
-      snap.eqDeletesFor(e).filter(d =>
-        MorDeletes.eqMayApply(s"$dir/${d.name}", e, schema))
-    val affected = snap.entries.filter(e => applicable(e).nonEmpty)
-    val groups = affected.groupBy(applicable)
+    // stats-refined applicability (memoized once per entry): a file
+    // whose column ranges exclude every key of a sidecar needn't be
+    // read for it at all — at 100 TB this is most of the table for a
+    // recent-key upsert
+    val applicable: Map[String, Seq[SnapshotLog.EqDelete]] =
+      snap.entries.map(e => e.name -> snap.eqDeletesFor(e).filter(d =>
+        MorDeletes.eqMayApply(s"$dir/${d.name}", e, schema))).toMap
+    val affected = snap.entries.filter(e => applicable(e.name).nonEmpty)
+    val groups = affected.groupBy(e => applicable(e.name))
       .toSeq.sortBy(_._2.map(_.name).min)
-    val positions = groups.flatMap { case (dels, group) =>
+    val perSidecar = groups.flatMap { case (dels, group) =>
       dels.map { d =>
         val base = spark.read.schema(schema)
           .parquet(group.map(e => s"$dir/${e.name}"): _*)
@@ -272,8 +273,14 @@ object BronzeMor {
           .select(col("_metadata.file_name").as("file"),
             col("_metadata.row_index").as("pos"))
       }
-    }.reduce(_ unionAll _).distinct()
-    val sidecar = writeDeleteFile(spark, dir, positions)
+    }
+    // NO applicable file at all (fresh-key upserts, or every target
+    // since rewritten): the sidecars provably retract nothing — drop
+    // them without writing positions instead of crashing on an empty
+    // union
+    val sidecar = perSidecar.reduceOption(_ unionAll _)
+      .map(_.distinct())
+      .flatMap(writeDeleteFile(spark, dir, _))
     // attach only to files that actually HOLD retracted rows: an
     // affected file with no matches sheds its key-probe obligation
     // and nothing replaces it
@@ -289,6 +296,18 @@ object BronzeMor {
       mkEqDeletes = (parent, _) =>
         parent.map(_.eqDeletes).getOrElse(Seq.empty)
           .filterNot(d => converted.contains(d.name))) { parent =>
+      // every scanned sidecar must still be live in the winning
+      // parent: a concurrent ROLLBACK that removed one would leave
+      // this commit attaching positions no equality delete justifies
+      // any more — silent data loss, not a layout-only swap
+      val live = parent.map(_.eqDeletes.map(_.name).toSet)
+        .getOrElse(Set.empty)
+      if (!converted.subsetOf(live))
+        throw new java.util.ConcurrentModificationException(
+          s"convert_equality_deletes on $dir: sidecar(s) " +
+            s"${(converted -- live).mkString(", ")} were removed by a " +
+            "concurrent commit (rollback?); rerun against the current " +
+            "snapshot")
       (parent.map(_.files.toSet).getOrElse(Set.empty),
         parent.flatMap(_.schemaFile))
     }

@@ -127,12 +127,12 @@ object BronzeRowDelete {
         // deletes only ever apply to files already live at commit
         // time, so skipping is semantically exact. Driver-side
         // metadata only (files without stats conservatively survive).
+        val spec = BronzePartitioning.readAll(Paths.get(dir))
         val anyPossible = tuples.exists { t =>
-          val fs: Array[Filter] = cols.zip(t).map { case (c, v) =>
+          val fs: Seq[Filter] = cols.zip(t).map { case (c, v) =>
             EqualTo(c, v): Filter
-          }.toArray
-          BronzePruning.survivors(snap.entries, schema, fs.toSeq,
-            BronzePartitioning.readAll(Paths.get(dir))).nonEmpty
+          }
+          BronzePruning.survivors(snap.entries, schema, fs, spec).nonEmpty
         }
         if (!anyPossible) return Seq.empty
         val rows = tuples.map(org.apache.spark.sql.Row.fromSeq)

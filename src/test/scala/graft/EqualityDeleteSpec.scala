@@ -491,6 +491,51 @@ class EqualityDeleteSpec extends SparkSpec {
       == stateBefore)
   }
 
+  test("convert on a fresh-key-only upsert drops sidecars, writes nothing") {
+    val dir = mk("convfresh")
+    spark.sql(
+      "INSERT INTO bronze.eq.convfresh SELECT id, 0.0 FROM range(10)")
+    // a brand-new key: the sink writes the sidecar unconditionally,
+    // but stats prove NO live file can hold it — conversion must drop
+    // the sidecar without crashing on the empty position union
+    new Upserter("bronze.eq.convfresh").epoch(Seq(100L -> 1.0))
+    assert(SnapshotLog.current(dir).get.eqDeletes.size == 1)
+    val cat = spark.sessionState.catalogManager.catalog("bronze")
+      .asInstanceOf[graft.catalog.BronzeCatalog]
+    assert(cat.convertEqualityDeletesTable(Seq("eq"), "convfresh")
+      == ((1, 0)))
+    val after = SnapshotLog.current(dir).get
+    assert(after.eqDeletes.isEmpty)
+    assert(after.entries.forall(_.deletes.isEmpty),
+      "no-match conversion attached position sidecars")
+    val state = spark.table("bronze.eq.convfresh")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(state.size == 11 && state(100L) == 1.0 && state(0L) == 0.0)
+  }
+
+  test("rollback across convert_equality_deletes nets zero in the feed") {
+    val dir = mk("convrb")
+    spark.sql(
+      "INSERT INTO bronze.eq.convrb SELECT id, 0.0 FROM range(0, 6, 1, 1)")
+    new Upserter("bronze.eq.convrb").epoch(Seq(1L -> 7.0, 2L -> 7.0))
+    val vUps = SnapshotLog.current(dir).get.version
+    val cat = spark.sessionState.catalogManager.catalog("bronze")
+      .asInstanceOf[graft.catalog.BronzeCatalog]
+    assert(cat.convertEqualityDeletesTable(Seq("eq"), "convrb") == ((1, 1)))
+    // rollback detaches the conversion's position sidecar AND
+    // restores the equality sidecar — live rows are unchanged, so the
+    // change feed must net zero: the detached positions' rows are
+    // exactly the restored key sets' victims and must not re-insert
+    SnapshotLog.rollback(dir, vUps)
+    val vRb = SnapshotLog.current(dir).get.version
+    assert(netChanges("bronze.eq.convrb", vRb - 1, vRb).isEmpty,
+      "rollback across conversion leaked change rows")
+    val state = spark.table("bronze.eq.convrb")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(state == Map(0L -> 0.0, 1L -> 7.0, 2L -> 7.0, 3L -> 0.0,
+      4L -> 0.0, 5L -> 0.0), s"state after rollback: $state")
+  }
+
   test("rollback across an upsert un-applies it; DELETE respects eqdels") {
     val dir = mk("rb")
     spark.sql("INSERT INTO bronze.eq.rb SELECT id, 0.0 FROM range(6)")
