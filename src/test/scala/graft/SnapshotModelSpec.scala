@@ -6,15 +6,18 @@ import graft.catalog.SnapshotLog
 
 /** MODEL-BASED property test of the bronze table's op algebra: a
   * deterministic random sequence of append / DELETE (copy-on-write
-  * AND merge-on-read) / UPDATE / OPTIMIZE / VACUUM / tag / RENAME
-  * COLUMN / ROLLBACK steps runs against BOTH the real catalog table
-  * and a trivial in-memory model, and after EVERY step the table's
-  * content, its readable history (`VERSION AS OF` each retained
-  * version, read with the COLUMN NAME of that era), and its tag
-  * resolution must match the model. Interleavings no single-purpose
-  * spec enumerates (delete-after-compaction, vacuum-under-tag,
-  * update-after-MOR-delete, rollback-across-position-deletes, …) all
-  * get exercised; any divergence pinpoints the first bad step. */
+  * AND merge-on-read, position AND equality) / UPDATE / OPTIMIZE /
+  * VACUUM / tag / RENAME COLUMN / ROLLBACK /
+  * convert_equality_deletes / rewrite_position_deletes steps runs
+  * against BOTH the real catalog table and a trivial in-memory
+  * model, and after EVERY step the table's content, its readable
+  * history (`VERSION AS OF` each retained version, read with the
+  * COLUMN NAME of that era), and its tag resolution must match the
+  * model. Interleavings no single-purpose spec enumerates
+  * (delete-after-compaction, vacuum-under-tag,
+  * update-after-MOR-delete, rollback-across-position-deletes,
+  * convert-then-rollback-then-vacuum, …) all get exercised; any
+  * divergence pinpoints the first bad step. */
 class SnapshotModelSpec extends SparkSpec {
 
   private lazy val warehouse: String = bronzeWarehouse
@@ -86,8 +89,8 @@ class SnapshotModelSpec extends SparkSpec {
         }
       }
 
-      (1 to 14).foreach { step =>
-        val op = rnd.nextInt(14)
+      (1 to 18).foreach { step =>
+        val op = rnd.nextInt(18)
         val desc = op match {
           case 0 | 1 | 2 | 3 => // append (weighted: tables mostly grow)
             val n = 1 + rnd.nextInt(5)
@@ -194,6 +197,43 @@ class SnapshotModelSpec extends SparkSpec {
                 retainLast = 2)
               "vacuum(2)"
             }
+          case 14 | 15 => // EQUALITY MOR DELETE: an IN-list of LIVE
+            // keys rides the zero-read fast path and attaches one
+            // equality sidecar — always commits (keys match rows)
+            if (m.rows.isEmpty) "eq-delete(skip)"
+            else {
+              val live = m.rows.keys.toSeq.sorted
+              val ks = Seq(live(rnd.nextInt(live.size)),
+                live(rnd.nextInt(live.size))).distinct
+              spark.conf.set(GraftConf.DeleteModeKey, "merge-on-read")
+              try spark.sql(s"DELETE FROM bronze.model.$name " +
+                s"WHERE id IN (${ks.mkString(", ")})")
+              finally spark.conf.unset(GraftConf.DeleteModeKey)
+              m = m.copy(rows = m.rows -- ks, version = m.version + 1)
+              m = m.copy(history = m.history + (m.version -> m.rows),
+                colAt = m.colAt + (m.version -> m.colAt(m.version - 1)))
+              s"eq-delete(${ks.mkString(",")})"
+            }
+          case 16 => // convert eq deletes -> positions: layout-only;
+            // commits iff any equality sidecar was live
+            val (conv, _) = bronzeCatalog
+              .convertEqualityDeletesTable(Seq("model"), name)
+            if (conv > 0) {
+              m = m.copy(version = m.version + 1)
+              m = m.copy(history = m.history + (m.version -> m.rows),
+                colAt = m.colAt + (m.version -> m.colAt(m.version - 1)))
+            }
+            s"convert($conv)"
+          case 17 => // compact position sidecars: layout-only;
+            // commits iff >= 2 distinct sidecars were referenced
+            val (merged, _) = bronzeCatalog
+              .rewritePositionDeletesTable(Seq("model"), name)
+            if (merged > 0) {
+              m = m.copy(version = m.version + 1)
+              m = m.copy(history = m.history + (m.version -> m.rows),
+                colAt = m.colAt + (m.version -> m.colAt(m.version - 1)))
+            }
+            s"compact-dels($merged)"
         }
         check(desc)
       }
