@@ -207,6 +207,41 @@ class MorDeleteSpec extends SparkSpec {
       == stateBefore)
   }
 
+  test("accumulated sidecars: 12 deletes, 12 sidecars, one compaction") {
+    val dir = mk("accum")
+    spark.sql("INSERT INTO bronze.mor.accum " +
+      "SELECT id, CAST(id AS DOUBLE) FROM range(1200)")
+    // the production shape: a retention job trickling small deletes —
+    // every statement adds a sidecar, refs pile up per entry
+    withMor {
+      (0 until 12).foreach { i =>
+        spark.sql(s"DELETE FROM bronze.mor.accum " +
+          s"WHERE id >= ${i * 100} AND id < ${i * 100 + 3}")
+      }
+    }
+    val snap = SnapshotLog.current(dir).get
+    assert(snap.entries.flatMap(_.deletes).distinct.size == 12,
+      "expected one sidecar per DELETE")
+    val expect = (0L until 1200L).filterNot(id => id % 100 < 3).toSet
+    assert(spark.table("bronze.mor.accum")
+      .collect().map(_.getLong(0)).toSet == expect)
+    val (merged, written) =
+      bronzeCatalog.rewritePositionDeletesTable(Seq("mor"), "accum")
+    assert((merged, written) == (12, 1))
+    val after = SnapshotLog.current(dir).get
+    assert(after.entries.flatMap(_.deletes).distinct.size == 1)
+    assert(after.entries.filter(_.deletes.nonEmpty)
+      .forall(_.deletes.size == 1), "entries still carry multiple refs")
+    assert(spark.table("bronze.mor.accum")
+      .collect().map(_.getLong(0)).toSet == expect)
+    // and OPTIMIZE still purges everything afterwards
+    bronzeCatalog.optimizeTable(Seq("mor"), "accum", 1L << 30)
+    val opt = SnapshotLog.current(dir).get
+    assert(opt.entries.forall(_.deletes.isEmpty))
+    assert(spark.table("bronze.mor.accum")
+      .collect().map(_.getLong(0)).toSet == expect)
+  }
+
   test("change feed emits exactly the MOR-deleted rows; rollback undoes") {
     val dir = mk("cdc")
     spark.sql("INSERT INTO bronze.mor.cdc " +
