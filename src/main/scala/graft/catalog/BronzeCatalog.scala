@@ -482,9 +482,18 @@ class BronzeCatalog extends TableCatalog with SupportsNamespaces {
     def guardEqKeyCol(verb: String, colName: String): Unit =
       SnapshotLog.current(dir.toString).foreach { snap =>
         val keyCols = snap.eqDeletes.flatMap { d =>
+          // FAIL CLOSED on an unreadable sidecar: swallowing the
+          // error would let the guarded rename/drop through, and a
+          // missed key column silently resurrects every eq-deleted
+          // row — the exact outcome this guard exists to prevent
           try MorDeletes.sidecarSchema(s"$dir/${d.name}")
             .fieldNames.toSeq
-          catch { case _: Throwable => Seq.empty }
+          catch {
+            case e: Throwable => throw new IllegalStateException(
+              s"$catalogName: cannot $verb $colName — equality-delete " +
+                s"sidecar ${d.name} is unreadable, so its key columns " +
+                "cannot be checked; repair or OPTIMIZE first", e)
+          }
         }.map(_.toLowerCase).toSet
         if (keyCols.contains(colName.toLowerCase))
           throw new UnsupportedOperationException(

@@ -426,11 +426,16 @@ private final class BronzeCdcFileReader(path: String, declared: StructType,
     if (emitOnlyEqSidecars.isEmpty) Seq.empty
     else MorDeletes.eqKeySets(emitOnlyEqSidecars)
   // key-column ordinals resolve against the DECLARED schema (the CDC
-  // reader always reads whole rows)
-  private def keyOf(set: MorDeletes.EqKeySet, r: InternalRow): Seq[Any] =
-    set.cols.map { c =>
-      val i = declared.fieldIndex(c)
-      if (r.isNullAt(i)) null else r.get(i, declared(i).dataType)
+  // reader always reads whole rows) — precomputed once, not a
+  // name->ordinal lookup per key column per row in the hot loop
+  private val applyEqIdx: Seq[Array[Int]] =
+    applyEq.map(_.cols.map(declared.fieldIndex).toArray)
+  private val emitOnlyEqIdx: Seq[Array[Int]] =
+    emitOnlyEq.map(_.cols.map(declared.fieldIndex).toArray)
+  private def keyOf(idx: Array[Int], r: InternalRow): Seq[Any] =
+    idx.toSeq.map { i =>
+      if (r.isNullAt(i)) null
+      else MorDeletes.normKey(r.get(i, declared(i).dataType))
     }
   private var pos = -1L
   private var current: InternalRow = _
@@ -438,9 +443,11 @@ private final class BronzeCdcFileReader(path: String, declared: StructType,
   private def visible(): Boolean =
     (skip == null || !skip.contains(pos)) &&
       (emitOnly == null || emitOnly.contains(pos)) &&
-      applyEq.forall(s => !s.keys.contains(keyOf(s, current))) &&
+      applyEq.indices.forall(s =>
+        !applyEq(s).keys.contains(keyOf(applyEqIdx(s), current))) &&
       (emitOnlyEq.isEmpty ||
-        emitOnlyEq.exists(s => s.keys.contains(keyOf(s, current))))
+        emitOnlyEq.indices.exists(s =>
+          emitOnlyEq(s).keys.contains(keyOf(emitOnlyEqIdx(s), current))))
 
   override def next(): Boolean = {
     current = reader.read()

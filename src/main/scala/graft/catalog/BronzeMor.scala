@@ -123,15 +123,16 @@ object BronzeMor {
       df(posCol) === col("__del_pos"), "left_anti")
   }
 
-  /** Write `positions` (file, pos) as ONE sidecar parquet in the
-    * table dir; returns its name, or None when empty. Stage + atomic
-    * move, the table's universal write discipline. */
-  def writeDeleteFile(spark: SparkSession, dir: String,
-      positions: DataFrame): Option[String] = {
+  /** Write `rows` as ONE sidecar parquet in the table dir under
+    * `<destPrefix>-<uuid>.parquet`; returns its name, or None when
+    * empty. Stage + atomic move, the table's universal write
+    * discipline — shared by the position and equality writers so the
+    * staging rules (empty-file check, cleanup) can never diverge. */
+  private def writeSidecar(dir: String, destPrefix: String,
+      rows: DataFrame): Option[String] = {
     val id = java.util.UUID.randomUUID().toString.substring(0, 8)
-    val stage = Paths.get(dir, s".delstage-$id")
-    positions.select(col("file").cast("string"), col("pos").cast("long"))
-      .coalesce(1).write.parquet(stage.toString)
+    val stage = Paths.get(dir, s".${destPrefix}stage-$id")
+    rows.coalesce(1).write.parquet(stage.toString)
     val part = {
       val s = Files.list(stage)
       try s.iterator().asScala
@@ -141,7 +142,7 @@ object BronzeMor {
     val result = part.flatMap { p =>
       if (BronzeBatchAppend.parquetRowCount(p) == 0L) None
       else {
-        val dest = s"del-$id.parquet"
+        val dest = s"$destPrefix-$id.parquet"
         Files.move(p, Paths.get(dir, dest), StandardCopyOption.ATOMIC_MOVE)
         Some(dest)
       }
@@ -149,6 +150,13 @@ object BronzeMor {
     BronzeBatchAppend.deleteStageTree(stage)
     result
   }
+
+  /** Write `positions` (file, pos) as ONE sidecar parquet in the
+    * table dir; returns its name, or None when empty. */
+  def writeDeleteFile(spark: SparkSession, dir: String,
+      positions: DataFrame): Option[String] =
+    writeSidecar(dir, "del",
+      positions.select(col("file").cast("string"), col("pos").cast("long")))
 
   /** Iceberg's `rewrite_position_deletes` (MINOR delete compaction):
     * merge every live position-delete sidecar into ONE combined
@@ -261,18 +269,28 @@ object BronzeMor {
     val groups = affected.groupBy(e => applicable(e.name))
       .toSeq.sortBy(_._2.map(_.name).min)
     val perSidecar = groups.flatMap { case (dels, group) =>
-      dels.map { d =>
-        val base = spark.read.schema(schema)
-          .parquet(group.map(e => s"$dir/${e.name}"): _*)
-        val keys = spark.read.parquet(s"$dir/${d.name}")
-        // null-safe equality on the sidecar's own key columns — the
-        // exact predicate the per-file readers apply at scan time
-        val jc = keys.columns.map(c => base(c) <=> keys(c))
-          .reduce(_ && _)
-        base.join(broadcast(keys), jc, "left_semi")
-          .select(col("_metadata.file_name").as("file"),
-            col("_metadata.row_index").as("pos"))
-      }
+      // one scan per DISTINCT KEY SCHEMA per group, not per sidecar:
+      // every epoch of the same streaming upsert keys on the same
+      // columns, so S epochs' key sets union into ONE broadcast and
+      // one semi-join — O(affected data), not O(S × affected data).
+      // Grouping is by the sidecar's full schema (names AND types:
+      // a pre-widening sidecar must not union-read with a
+      // post-widening one)
+      dels.groupBy(d => MorDeletes.sidecarSchema(s"$dir/${d.name}"))
+        .toSeq.sortBy(_._2.map(_.name).min)
+        .map { case (keySchema, ds) =>
+          val base = spark.read.schema(schema)
+            .parquet(group.map(e => s"$dir/${e.name}"): _*)
+          val keys = spark.read.schema(keySchema)
+            .parquet(ds.map(d => s"$dir/${d.name}"): _*).distinct()
+          // null-safe equality on the sidecars' own key columns — the
+          // exact predicate the per-file readers apply at scan time
+          val jc = keySchema.fieldNames.map(c => base(c) <=> keys(c))
+            .reduce(_ && _)
+          base.join(broadcast(keys), jc, "left_semi")
+            .select(col("_metadata.file_name").as("file"),
+              col("_metadata.row_index").as("pos"))
+        }
     }
     // NO applicable file at all (fresh-key upserts, or every target
     // since rewritten): the sidecars provably retract nothing — drop
@@ -317,30 +335,10 @@ object BronzeMor {
   /** Write `keys` (the equality-key columns, any schema) as ONE
     * EQUALITY-DELETE sidecar parquet in the table dir; returns its
     * name, or None when empty. The sidecar's own parquet schema IS
-    * the key declaration readers use. Stage + atomic move, the
-    * table's universal write discipline. */
+    * the key declaration readers use. */
   def writeEqDeleteFile(spark: SparkSession, dir: String,
-      keys: DataFrame): Option[String] = {
-    val id = java.util.UUID.randomUUID().toString.substring(0, 8)
-    val stage = Paths.get(dir, s".eqdelstage-$id")
-    keys.coalesce(1).write.parquet(stage.toString)
-    val part = {
-      val s = Files.list(stage)
-      try s.iterator().asScala
-        .find(_.getFileName.toString.startsWith("part-"))
-      finally s.close()
-    }
-    val result = part.flatMap { p =>
-      if (BronzeBatchAppend.parquetRowCount(p) == 0L) None
-      else {
-        val dest = s"eqdel-$id.parquet"
-        Files.move(p, Paths.get(dir, dest), StandardCopyOption.ATOMIC_MOVE)
-        Some(dest)
-      }
-    }
-    BronzeBatchAppend.deleteStageTree(stage)
-    result
-  }
+      keys: DataFrame): Option[String] =
+    writeSidecar(dir, "eqdel", keys)
 
   /** The table read of a delete-carrying snapshot: per-file row-based
     * readers applying each file's skip set. Honors column pruning;

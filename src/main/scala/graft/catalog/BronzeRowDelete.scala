@@ -45,10 +45,15 @@ object BronzeRowDelete {
     * while an equality-delete key of NULL would match null cells. */
   private[catalog] def equalityKeyTuples(filters: Array[Filter])
       : Option[(Seq[String], Seq[Seq[Any]])] = filters.toSeq match {
-    case Seq(In(a, vs)) if vs.nonEmpty && vs.forall(_ != null) =>
+    // TOP-LEVEL columns only: a nested ref ("s.k") can't be a sidecar
+    // key column (the sidecar's own parquet schema declares the keys,
+    // and schema.fieldIndex on a dotted name throws) — the position
+    // path evaluates nested predicates fine
+    case Seq(In(a, vs))
+        if !a.contains(".") && vs.nonEmpty && vs.forall(_ != null) =>
       Some((Seq(a), vs.toSeq.map(Seq(_))))
     case fs if fs.nonEmpty && fs.forall {
-        case EqualTo(_, v) => v != null
+        case EqualTo(a, v) => !a.contains(".") && v != null
         case _ => false
       } =>
       val pairs = fs.collect { case EqualTo(a, v) => a -> v }
@@ -184,6 +189,7 @@ object BronzeRowDelete {
       .toSeq.sortBy(_._2.head)
     val written = Seq.newBuilder[String]
     val addedParts = Map.newBuilder[String, Map[String, String]]
+    val seqHints = Map.newBuilder[String, Long]
     groups.zipWithIndex.foreach { case ((tuple, groupFiles), gi) =>
       val stage = Paths.get(dir, s".del-$id-t$gi")
       // existing MOR position deletes are APPLIED to the rewrite input
@@ -206,20 +212,29 @@ object BronzeRowDelete {
           b.result().sortBy(_.getFileName.toString)
         } finally s.close()
       }
+      // sequence-number inheritance: survivors carry the MAX seq of
+      // their group's inputs, so an equality delete committed between
+      // this scan and the commit still applies to the rewritten rows
+      val groupSeq = groupEntries.flatMap(_.seq).maxOption
       parts.zipWithIndex.foreach { case (p, i) =>
         val dest = s"part-del-$id-t$gi-g$i.parquet"
         Files.move(p, Paths.get(dir, dest), StandardCopyOption.ATOMIC_MOVE)
         written += dest
         if (tuple.nonEmpty) addedParts += dest -> tuple
+        groupSeq.foreach(sq => seqHints += dest -> sq)
       }
       deleteTree(stage)
     }
     // rewrite-validated commit: if a concurrent op already rewrote or
     // removed any affected file, this delete's survivors were computed
-    // from stale bytes — fail loudly instead of duplicating rows.
-    // At spark.graft.rowLevelIsolation=serializable, ALSO fail if a
-    // file appended after the scan snapshot contains rows this
-    // predicate matches (the write-skew those rows would dodge).
+    // from stale bytes — fail loudly instead of duplicating rows; a
+    // sidecar concurrently ATTACHED to an input fails the same way
+    // (scannedDeletes). At spark.graft.rowLevelIsolation=serializable,
+    // ALSO fail if a file appended after the scan snapshot contains
+    // rows this predicate matches (the write-skew those rows would
+    // dodge).
+    val scannedDels = affected.map(f =>
+      f -> entryParts.get(f).map(_.deletes).getOrElse(Seq.empty)).toMap
     if (graft.GraftConf.string(spark, graft.GraftConf.RowLevelIsolationKey,
       "snapshot") == "serializable")
       SnapshotLog.commitRewriteSerializable(dir, "delete", affected.toSet,
@@ -229,10 +244,11 @@ object BronzeRowDelete {
             .filter(cond)
             .select(col("_metadata.file_name")).distinct()
             .collect().map(_.getString(0)).toSeq.sorted,
-        addedParts.result())
+        addedParts.result(), seqHints.result(), scannedDels)
     else
       SnapshotLog.commitRewrite(dir, "delete", affected.toSet,
-        written.result(), addedParts.result())
+        written.result(), addedParts.result(),
+        seqHints = seqHints.result(), scannedDeletes = scannedDels)
     affected
   }
 

@@ -273,9 +273,27 @@ private final class BronzeReplaceGroupsWrite(dir: String,
       // skew); MERGE (no static predicate) treats any late append as
       // a conflict, conservatively.
       val spark = SparkSession.active
+      // scanned-entry metadata for the commit validations: rewritten
+      // output inherits the MAX input seq (a concurrent equality
+      // delete still applies to it — sequence-number inheritance,
+      // like OPTIMIZE), and a position sidecar concurrently attached
+      // to an input fails the commit (the output was computed
+      // without applying it)
+      val (scannedV, pred) = scanInfo()
+      val scannedEntries: Map[String, SnapshotLog.FileEntry] =
+        try SnapshotLog.read(dir, scannedV).entriesByName
+        catch { case _: Throwable => Map.empty }
+      val goneEntries = gone.toSeq.flatMap(scannedEntries.get)
+      val seqHints: Map[String, Long] =
+        goneEntries.flatMap(_.seq).maxOption match {
+          case Some(sq) => added.map(_ -> sq).toMap
+          case None => Map.empty
+        }
+      val scannedDels: Map[String, Seq[String]] =
+        gone.toSeq.map(f => f -> scannedEntries.get(f)
+          .map(_.deletes).getOrElse(Seq.empty)).toMap
       if (graft.GraftConf.string(spark,
         graft.GraftConf.RowLevelIsolationKey, "snapshot") == "serializable") {
-        val (scannedV, pred) = scanInfo()
         SnapshotLog.commitRewriteSerializable(dir, operation, gone,
           added.toIndexedSeq, scannedV, lateFiles => pred match {
             case Some(c) => spark.read.schema(schema)
@@ -284,10 +302,10 @@ private final class BronzeReplaceGroupsWrite(dir: String,
               .select(col("_metadata.file_name")).distinct()
               .collect().map(_.getString(0)).toSeq.sorted
             case None => lateFiles
-          }, parts)
+          }, parts, seqHints, scannedDels)
       } else
         SnapshotLog.commitRewrite(dir, operation, gone, added.toIndexedSeq,
-          parts)
+          parts, seqHints = seqHints, scannedDeletes = scannedDels)
     }
   }
 

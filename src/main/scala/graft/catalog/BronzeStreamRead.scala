@@ -168,6 +168,22 @@ private[graft] object MorDeletes {
     def cols: Seq[String] = schema.fieldNames.toSeq
   }
 
+  /** Canonicalize a key value for hash-set membership: boxed
+    * Double/Float `equals` distinguishes -0.0 from 0.0, but every SQL
+    * application path of the same sidecar (`<=>` in readWithDeletes /
+    * matchingPositions / convert) uses primitive comparison where
+    * -0.0 == 0.0 — without this, a layout-only OPTIMIZE or conversion
+    * would change answers. NaN needs no handling: boxed equals and
+    * SQL `<=>` both treat NaN = NaN as true. Applied on BOTH sides
+    * (set build + row probe). */
+  def normKey(v: Any): Any = v match {
+    case d: java.lang.Double if d.doubleValue == 0.0d =>
+      java.lang.Double.valueOf(0.0d)
+    case f: java.lang.Float if f.floatValue == 0.0f =>
+      java.lang.Float.valueOf(0.0f)
+    case x => x
+  }
+
   /** The [[org.apache.spark.sql.types.StructField]] for key column
     * `name`, from whichever loaded sidecar carries it. */
   def fieldFor(eqSets: Seq[EqKeySet], name: String)
@@ -311,7 +327,7 @@ private[graft] object MorDeletes {
             val copied = row.copy()
             set.add(schema.fields.indices.map(i =>
               if (copied.isNullAt(i)) null
-              else copied.get(i, schema(i).dataType)))
+              else normKey(copied.get(i, schema(i).dataType))))
             row = r.read()
           }
         } finally r.close()
@@ -390,7 +406,8 @@ private final class BronzeMetadataFileReader(path: String,
       val idx = eqIdx(s)
       val key = idx.indices.map { k =>
         val i = idx(k)
-        if (r.isNullAt(i)) null else r.get(i, readSchema(i).dataType)
+        if (r.isNullAt(i)) null
+        else MorDeletes.normKey(r.get(i, readSchema(i).dataType))
       }
       if (eqSets(s).keys.contains(key)) return true
       s += 1

@@ -363,12 +363,39 @@ object SnapshotLog {
     * `spark.graft.rowLevelIsolation=serializable` path) adds the
     * late-append validation for callers who need the stronger
     * level. */
+  /** Replaced files' position-delete refs must be UNCHANGED since the
+    * rewriter's scan: a sidecar attached concurrently lists rows the
+    * rewrite's output was computed WITHOUT applying — committing
+    * would resurrect them through the rewritten copy. Runs inside the
+    * CAS retry loop (fresh parent each attempt). `scannedDeletes`
+    * maps each replaced file to the sidecar refs its entry carried at
+    * scan time; files absent from the map are not validated (legacy
+    * callers). */
+  private def validateReplacedDeletes(tableDir: String, operation: String,
+      parent: Option[Snapshot],
+      scannedDeletes: Map[String, Seq[String]]): Unit = {
+    if (scannedDeletes.isEmpty) return
+    val pe = parent.map(_.entriesByName)
+      .getOrElse(Map.empty[String, FileEntry])
+    scannedDeletes.foreach { case (f, dels) =>
+      val cur = pe.get(f).map(_.deletes).getOrElse(Seq.empty)
+      if (cur != dels)
+        throw new java.util.ConcurrentModificationException(
+          s"$operation on $tableDir: input file $f's delete sidecars " +
+            s"changed since the operation's scan (scanned " +
+            s"[${dels.mkString(",")}], now [${cur.mkString(",")}]); " +
+            "the rewritten output would resurrect freshly deleted " +
+            "rows — recompute against the current snapshot and retry")
+    }
+  }
+
   def commitRewrite(tableDir: String, operation: String,
       replaced: Set[String], added: Seq[String],
       addedParts: Map[String, Map[String, String]] = Map.empty,
       mkEqDeletes: (Option[Snapshot], Long) => Seq[EqDelete] =
         (parent, _) => parent.map(_.eqDeletes).getOrElse(Seq.empty),
-      seqHints: Map[String, Long] = Map.empty): Snapshot =
+      seqHints: Map[String, Long] = Map.empty,
+      scannedDeletes: Map[String, Seq[String]] = Map.empty): Snapshot =
     commitWith(tableDir, operation, addedParts,
       mkEqDeletes = mkEqDeletes, seqHints = seqHints) { parent =>
       val parentFiles = parent.map(_.files.toSet)
@@ -379,6 +406,7 @@ object SnapshotLog {
           s"${missing.size} of its input files (e.g. ${missing.head}) " +
           "were rewritten or removed; recompute against the current " +
           "snapshot and retry")
+      validateReplacedDeletes(tableDir, operation, parent, scannedDeletes)
       (parentFiles -- replaced ++ added, parent.flatMap(_.schemaFile))
     }
 
@@ -396,9 +424,12 @@ object SnapshotLog {
   def commitRewriteSerializable(tableDir: String, operation: String,
       replaced: Set[String], added: Seq[String], scannedVersion: Long,
       conflictsWith: Seq[String] => Seq[String],
-      addedParts: Map[String, Map[String, String]] = Map.empty): Snapshot = {
+      addedParts: Map[String, Map[String, String]] = Map.empty,
+      seqHints: Map[String, Long] = Map.empty,
+      scannedDeletes: Map[String, Seq[String]] = Map.empty): Snapshot = {
     val scannedFiles = read(tableDir, scannedVersion).files.toSet
-    commitWith(tableDir, operation, addedParts) { parent =>
+    commitWith(tableDir, operation, addedParts,
+      seqHints = seqHints) { parent =>
       val parentFiles = parent.map(_.files.toSet)
         .getOrElse(listDataFiles(tableDir).toSet)
       val missing = replaced -- parentFiles
@@ -408,6 +439,7 @@ object SnapshotLog {
             s"commit: ${missing.size} of its input files (e.g. " +
             s"${missing.head}) were rewritten or removed; recompute " +
             "against the current snapshot and retry")
+      validateReplacedDeletes(tableDir, operation, parent, scannedDeletes)
       val addedSinceScan = (parentFiles -- scannedFiles -- added).toSeq.sorted
       val conflicting =
         if (addedSinceScan.isEmpty) Seq.empty
@@ -1206,7 +1238,13 @@ object SnapshotLog {
       mkEqDeletes = (parent, _) =>
         parent.map(_.eqDeletes).getOrElse(Seq.empty)
           .filterNot(applied.contains),
-      seqHints = seqHints)
+      seqHints = seqHints,
+      // a MOR delete attaching a sidecar to an input AFTER this scan
+      // lists rows the compacted output was computed without — the
+      // position-delete twin of the eq race seqHints closes
+      scannedDeletes = replaced.toSeq.map(f =>
+        f -> entryByName.get(f).map(_.deletes).getOrElse(Seq.empty))
+        .toMap)
     (replaced.size, written.size)
   }
 }

@@ -242,6 +242,61 @@ class MorDeleteSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet == expect)
   }
 
+  test("negative zero: eq-key probe matches SQL equality across OPTIMIZE") {
+    val dir = mk("negzero")
+    spark.sql("INSERT INTO bronze.mor.negzero VALUES " +
+      "(1, CAST('-0.0' AS DOUBLE)), (2, CAST('0.0' AS DOUBLE)), (3, 1.0)")
+    // v = 0.0 is a pure equality -> the zero-read eq fast path; SQL
+    // says -0.0 = 0.0, so BOTH zero rows must go — and the answer
+    // must not change when OPTIMIZE re-applies the same sidecar
+    // through SQL <=> instead of the reader's hash-set probe
+    withMor { spark.sql("DELETE FROM bronze.mor.negzero WHERE v = 0.0") }
+    assert(SnapshotLog.current(dir).get.eqDeletes.nonEmpty,
+      "expected the equality fast path")
+    assert(spark.table("bronze.mor.negzero")
+      .collect().map(_.getLong(0)).toSet == Set(3L))
+    bronzeCatalog.optimizeTable(Seq("mor"), "negzero", 1L << 30)
+    assert(spark.table("bronze.mor.negzero")
+      .collect().map(_.getLong(0)).toSet == Set(3L),
+      "layout-only OPTIMIZE changed answers")
+  }
+
+  test("nested-field MOR DELETE avoids the equality fast path") {
+    warehouse
+    spark.sql("DROP TABLE IF EXISTS bronze.mor.nested")
+    spark.sql("CREATE TABLE bronze.mor.nested " +
+      "(id BIGINT, s STRUCT<k: BIGINT>) USING parquet")
+    val dir = bronzeCatalog.tableDir(Seq("mor"), "nested")
+    spark.sql("INSERT INTO bronze.mor.nested " +
+      "SELECT id, named_struct('k', id % 3) FROM range(9)")
+    // a nested ref can't become a sidecar key column; the statement
+    // must still succeed (position path or group rewrite), not throw
+    withMor { spark.sql("DELETE FROM bronze.mor.nested WHERE s.k = 1") }
+    assert(spark.table("bronze.mor.nested").count() == 6)
+    assert(SnapshotLog.current(dir).get.eqDeletes.isEmpty,
+      "nested predicate must not write an equality sidecar")
+  }
+
+  test("rewrite commit refuses inputs that gained sidecars since the scan") {
+    val dir = mk("race")
+    spark.sql("INSERT INTO bronze.mor.race " +
+      "SELECT id, CAST(id AS DOUBLE) FROM range(0, 100, 1, 1)")
+    val scanned = SnapshotLog.current(dir).get
+    val f0 = scanned.files.head
+    // a MOR delete lands AFTER the (simulated) rewrite scan
+    withMor { spark.sql(
+      "DELETE FROM bronze.mor.race WHERE id >= 10 AND id < 20") }
+    // the rewriter's commit carries the delete refs it SCANNED (none);
+    // the commit must refuse rather than resurrect the 10 rows through
+    // a rewritten copy computed without the sidecar
+    intercept[java.util.ConcurrentModificationException] {
+      SnapshotLog.commitRewrite(dir, "replace", Set(f0), Seq.empty,
+        scannedDeletes = Map(f0 -> Seq.empty))
+    }
+    assert(spark.table("bronze.mor.race").count() == 90,
+      "refused commit must leave the table untouched")
+  }
+
   test("change feed emits exactly the MOR-deleted rows; rollback undoes") {
     val dir = mk("cdc")
     spark.sql("INSERT INTO bronze.mor.cdc " +
