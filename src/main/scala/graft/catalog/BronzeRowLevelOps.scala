@@ -80,6 +80,9 @@ final class BronzeRowLevelOperation(dir: String, declared: StructType,
     * reaches pushFilters) validates conservatively: ANY file appended
     * after the scan conflicts. */
   @volatile private var scannedVersion: Long = -1L
+  @volatile private var scannedEntries: Map[String, SnapshotLog.FileEntry] =
+    Map.empty
+  @volatile private var scannedEqNames: Set[String] = Set.empty
   @volatile private var scanPredicate
     : Option[org.apache.spark.sql.Column] = None
 
@@ -127,6 +130,11 @@ final class BronzeRowLevelOperation(dir: String, declared: StructType,
             s"row-level operations need a snapshot-logged table: $dir"))
         val conds = captured.map(BronzeRowDelete.translate)
         scannedVersion = snap.version
+        // captured for the commit-time conflict validations — the
+        // commit must see the SCAN's state, never a re-read (a
+        // concurrent vacuum could expire the scanned manifest)
+        scannedEntries = snap.entriesByName
+        scannedEqNames = snap.eqDeletes.map(_.name).toSet
         scanPredicate =
           if (captured.isEmpty || conds.exists(_.isEmpty)) None
           else Some(conds.flatten.reduce(_ && _))
@@ -211,7 +219,8 @@ final class BronzeRowLevelOperation(dir: String, declared: StructType,
               require(affected != null,
                 "row-level write committed before its scan was planned")
               affected
-            }, () => (scannedVersion, scanPredicate))
+            }, () => (scannedVersion, scanPredicate, scannedEntries,
+              scannedEqNames))
         }
       }
     }
@@ -233,7 +242,8 @@ private final class BronzeReplaceGroupsWrite(dir: String,
     schema: StructType, queryId: String, writerConfs: Map[String, String],
     operation: String, stripMarker: Boolean,
     affected: () => Seq[String],
-    scanInfo: () => (Long, Option[org.apache.spark.sql.Column]))
+    scanInfo: () => (Long, Option[org.apache.spark.sql.Column],
+      Map[String, SnapshotLog.FileEntry], Set[String]))
     extends BatchWrite {
 
   override def createBatchWriterFactory(
@@ -273,22 +283,30 @@ private final class BronzeReplaceGroupsWrite(dir: String,
       // skew); MERGE (no static predicate) treats any late append as
       // a conflict, conservatively.
       val spark = SparkSession.active
-      // scanned-entry metadata for the commit validations: rewritten
-      // output inherits the MAX input seq (a concurrent equality
-      // delete still applies to it — sequence-number inheritance,
-      // like OPTIMIZE), and a position sidecar concurrently attached
-      // to an input fails the commit (the output was computed
-      // without applying it)
-      val (scannedV, pred) = scanInfo()
-      val scannedEntries: Map[String, SnapshotLog.FileEntry] =
-        try SnapshotLog.read(dir, scannedV).entriesByName
-        catch { case _: Throwable => Map.empty }
-      val goneEntries = gone.toSeq.flatMap(scannedEntries.get)
+      // commit-time conflict protection, from the SCAN's captured
+      // state (never a re-read — a concurrent vacuum could expire the
+      // scanned manifest). A position sidecar concurrently attached
+      // to an input always fails the commit (scannedDels: the output
+      // was computed without applying it). The concurrent EQUALITY
+      // delete race splits by operation kind, like Iceberg:
+      //   - DELETE (value-preserving: survivors keep their values)
+      //     uses sequence-number inheritance — the output inherits
+      //     the MAX input seq, so a racing eq delete still applies;
+      //   - UPDATE/MERGE (value-CHANGING: rewritten rows are NEW
+      //     versions that must NOT be retracted by pre-existing key
+      //     sidecars) keep the fresh commit seq and instead VALIDATE
+      //     that the eq-delete set is unchanged since the scan.
+      val (scannedV, pred, scannedEntries, scannedEqNames) = scanInfo()
+      val valuePreserving = operation == "delete"
       val seqHints: Map[String, Long] =
-        goneEntries.flatMap(_.seq).maxOption match {
+        if (!valuePreserving) Map.empty
+        else gone.toSeq.flatMap(scannedEntries.get).flatMap(_.seq)
+          .maxOption match {
           case Some(sq) => added.map(_ -> sq).toMap
           case None => Map.empty
         }
+      val eqGuard: Option[Set[String]] =
+        if (valuePreserving) None else Some(scannedEqNames)
       val scannedDels: Map[String, Seq[String]] =
         gone.toSeq.map(f => f -> scannedEntries.get(f)
           .map(_.deletes).getOrElse(Seq.empty)).toMap
@@ -302,10 +320,11 @@ private final class BronzeReplaceGroupsWrite(dir: String,
               .select(col("_metadata.file_name")).distinct()
               .collect().map(_.getString(0)).toSeq.sorted
             case None => lateFiles
-          }, parts, seqHints, scannedDels)
+          }, parts, seqHints, scannedDels, eqGuard)
       } else
         SnapshotLog.commitRewrite(dir, operation, gone, added.toIndexedSeq,
-          parts, seqHints = seqHints, scannedDeletes = scannedDels)
+          parts, seqHints = seqHints, scannedDeletes = scannedDels,
+          scannedEqNames = eqGuard)
     }
   }
 

@@ -289,20 +289,28 @@ private[graft] object MorDeletes {
         BronzePruning.survivors(Seq(entry), schema, fs).nonEmpty
     }
 
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
   /** The spark schema a sidecar was written with, from its footer's
     * `org.apache.spark.sql.parquet.row.metadata` (we wrote the file;
-    * the metadata is always present). */
+    * the metadata is always present). JVM-cached like the key sets —
+    * sidecars are immutable, and conversion's schema grouping would
+    * otherwise re-open the footer once per (file group × sidecar). */
   def sidecarSchema(path: String): StructType = {
-    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(path),
-      new org.apache.hadoop.conf.Configuration())
-    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    try {
-      val meta = r.getFooter.getFileMetaData.getKeyValueMetaData
-        .get("org.apache.spark.sql.parquet.row.metadata")
-      org.apache.spark.sql.types.DataType.fromJson(meta)
-        .asInstanceOf[StructType]
-    } finally r.close()
+    if (schemaCache.size > 256) schemaCache.clear()
+    schemaCache.computeIfAbsent(path, p => {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p),
+        new org.apache.hadoop.conf.Configuration())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val meta = r.getFooter.getFileMetaData.getKeyValueMetaData
+          .get("org.apache.spark.sql.parquet.row.metadata")
+        org.apache.spark.sql.types.DataType.fromJson(meta)
+          .asInstanceOf[StructType]
+      } finally r.close()
+    })
   }
 
   // sidecar files are IMMUTABLE once committed (uuid names, atomic

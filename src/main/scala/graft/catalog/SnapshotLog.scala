@@ -363,6 +363,76 @@ object SnapshotLog {
     * `spark.graft.rowLevelIsolation=serializable` path) adds the
     * late-append validation for callers who need the stronger
     * level. */
+  def commitRewrite(tableDir: String, operation: String,
+      replaced: Set[String], added: Seq[String],
+      addedParts: Map[String, Map[String, String]] = Map.empty,
+      mkEqDeletes: (Option[Snapshot], Long) => Seq[EqDelete] =
+        (parent, _) => parent.map(_.eqDeletes).getOrElse(Seq.empty),
+      seqHints: Map[String, Long] = Map.empty,
+      scannedDeletes: Map[String, Seq[String]] = Map.empty,
+      scannedEqNames: Option[Set[String]] = None): Snapshot =
+    commitWith(tableDir, operation, addedParts,
+      mkEqDeletes = mkEqDeletes, seqHints = seqHints) { parent =>
+      val parentFiles = parent.map(_.files.toSet)
+        .getOrElse(listDataFiles(tableDir).toSet)
+      val missing = replaced -- parentFiles
+      if (missing.nonEmpty) throw new java.util.ConcurrentModificationException(
+        s"$operation on $tableDir conflicts with a concurrent commit: " +
+          s"${missing.size} of its input files (e.g. ${missing.head}) " +
+          "were rewritten or removed; recompute against the current " +
+          "snapshot and retry")
+      validateReplacedDeletes(tableDir, operation, parent, scannedDeletes)
+      validateEqSetUnchanged(tableDir, operation, parent, scannedEqNames)
+      (parentFiles -- replaced ++ added, parent.flatMap(_.schemaFile))
+    }
+
+  /** [[commitRewrite]] at SERIALIZABLE isolation: additionally
+    * validates that no file APPENDED after the operation's scan
+    * snapshot (`scannedVersion`) conflicts with the operation —
+    * Iceberg's `validateAddedDataFiles`, closing the write-skew
+    * window snapshot isolation leaves open (a DELETE racing an
+    * append of predicate-matching rows). `conflictsWith` receives
+    * the files added since the scan and returns the conflicting
+    * subset (typically: files containing rows matching the
+    * operation's predicate; return everything for conservative
+    * no-predicate semantics). It runs INSIDE the CAS retry loop, so
+    * every retry revalidates against the winning parent. */
+  def commitRewriteSerializable(tableDir: String, operation: String,
+      replaced: Set[String], added: Seq[String], scannedVersion: Long,
+      conflictsWith: Seq[String] => Seq[String],
+      addedParts: Map[String, Map[String, String]] = Map.empty,
+      seqHints: Map[String, Long] = Map.empty,
+      scannedDeletes: Map[String, Seq[String]] = Map.empty,
+      scannedEqNames: Option[Set[String]] = None): Snapshot = {
+    val scannedFiles = read(tableDir, scannedVersion).files.toSet
+    commitWith(tableDir, operation, addedParts,
+      seqHints = seqHints) { parent =>
+      val parentFiles = parent.map(_.files.toSet)
+        .getOrElse(listDataFiles(tableDir).toSet)
+      val missing = replaced -- parentFiles
+      if (missing.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"$operation on $tableDir conflicts with a concurrent " +
+            s"commit: ${missing.size} of its input files (e.g. " +
+            s"${missing.head}) were rewritten or removed; recompute " +
+            "against the current snapshot and retry")
+      validateReplacedDeletes(tableDir, operation, parent, scannedDeletes)
+      validateEqSetUnchanged(tableDir, operation, parent, scannedEqNames)
+      val addedSinceScan = (parentFiles -- scannedFiles -- added).toSeq.sorted
+      val conflicting =
+        if (addedSinceScan.isEmpty) Seq.empty
+        else conflictsWith(addedSinceScan)
+      if (conflicting.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"$operation on $tableDir (serializable): " +
+            s"${conflicting.size} file(s) appended after the " +
+            s"operation's scan (v$scannedVersion) contain rows the " +
+            s"operation's predicate matches (e.g. ${conflicting.head})" +
+            "; rerun the statement against the current snapshot")
+      (parentFiles -- replaced ++ added, parent.flatMap(_.schemaFile))
+    }
+  }
+
   /** Replaced files' position-delete refs must be UNCHANGED since the
     * rewriter's scan: a sidecar attached concurrently lists rows the
     * rewrite's output was computed WITHOUT applying — committing
@@ -389,71 +459,29 @@ object SnapshotLog {
     }
   }
 
-  def commitRewrite(tableDir: String, operation: String,
-      replaced: Set[String], added: Seq[String],
-      addedParts: Map[String, Map[String, String]] = Map.empty,
-      mkEqDeletes: (Option[Snapshot], Long) => Seq[EqDelete] =
-        (parent, _) => parent.map(_.eqDeletes).getOrElse(Seq.empty),
-      seqHints: Map[String, Long] = Map.empty,
-      scannedDeletes: Map[String, Seq[String]] = Map.empty): Snapshot =
-    commitWith(tableDir, operation, addedParts,
-      mkEqDeletes = mkEqDeletes, seqHints = seqHints) { parent =>
-      val parentFiles = parent.map(_.files.toSet)
-        .getOrElse(listDataFiles(tableDir).toSet)
-      val missing = replaced -- parentFiles
-      if (missing.nonEmpty) throw new java.util.ConcurrentModificationException(
-        s"$operation on $tableDir conflicts with a concurrent commit: " +
-          s"${missing.size} of its input files (e.g. ${missing.head}) " +
-          "were rewritten or removed; recompute against the current " +
-          "snapshot and retry")
-      validateReplacedDeletes(tableDir, operation, parent, scannedDeletes)
-      (parentFiles -- replaced ++ added, parent.flatMap(_.schemaFile))
-    }
-
-  /** [[commitRewrite]] at SERIALIZABLE isolation: additionally
-    * validates that no file APPENDED after the operation's scan
-    * snapshot (`scannedVersion`) conflicts with the operation —
-    * Iceberg's `validateAddedDataFiles`, closing the write-skew
-    * window snapshot isolation leaves open (a DELETE racing an
-    * append of predicate-matching rows). `conflictsWith` receives
-    * the files added since the scan and returns the conflicting
-    * subset (typically: files containing rows matching the
-    * operation's predicate; return everything for conservative
-    * no-predicate semantics). It runs INSIDE the CAS retry loop, so
-    * every retry revalidates against the winning parent. */
-  def commitRewriteSerializable(tableDir: String, operation: String,
-      replaced: Set[String], added: Seq[String], scannedVersion: Long,
-      conflictsWith: Seq[String] => Seq[String],
-      addedParts: Map[String, Map[String, String]] = Map.empty,
-      seqHints: Map[String, Long] = Map.empty,
-      scannedDeletes: Map[String, Seq[String]] = Map.empty): Snapshot = {
-    val scannedFiles = read(tableDir, scannedVersion).files.toSet
-    commitWith(tableDir, operation, addedParts,
-      seqHints = seqHints) { parent =>
-      val parentFiles = parent.map(_.files.toSet)
-        .getOrElse(listDataFiles(tableDir).toSet)
-      val missing = replaced -- parentFiles
-      if (missing.nonEmpty)
+  /** The table's EQUALITY-delete sidecar set must be unchanged since
+    * the rewriter's scan — the conflict validation for VALUE-CHANGING
+    * rewrites (UPDATE/MERGE), where sequence-number inheritance is
+    * UNSOUND: the rewritten rows carry NEW values, and inheriting an
+    * old seq would let a pre-existing key sidecar retract them (an
+    * UPDATE setting k=5 under a live {k=5} delete would vanish).
+    * Value-preserving rewrites (DELETE survivors, OPTIMIZE) use
+    * inheritance instead and pass None here. Iceberg makes the same
+    * split: compaction inherits sequence numbers, row-level updates
+    * validate conflicts. */
+  private def validateEqSetUnchanged(tableDir: String, operation: String,
+      parent: Option[Snapshot],
+      scannedEqNames: Option[Set[String]]): Unit =
+    scannedEqNames.foreach { scanned =>
+      val cur = parent.map(_.eqDeletes.map(_.name).toSet)
+        .getOrElse(Set.empty[String])
+      if (cur != scanned)
         throw new java.util.ConcurrentModificationException(
-          s"$operation on $tableDir conflicts with a concurrent " +
-            s"commit: ${missing.size} of its input files (e.g. " +
-            s"${missing.head}) were rewritten or removed; recompute " +
-            "against the current snapshot and retry")
-      validateReplacedDeletes(tableDir, operation, parent, scannedDeletes)
-      val addedSinceScan = (parentFiles -- scannedFiles -- added).toSeq.sorted
-      val conflicting =
-        if (addedSinceScan.isEmpty) Seq.empty
-        else conflictsWith(addedSinceScan)
-      if (conflicting.nonEmpty)
-        throw new java.util.ConcurrentModificationException(
-          s"$operation on $tableDir (serializable): " +
-            s"${conflicting.size} file(s) appended after the " +
-            s"operation's scan (v$scannedVersion) contain rows the " +
-            s"operation's predicate matches (e.g. ${conflicting.head})" +
-            "; rerun the statement against the current snapshot")
-      (parentFiles -- replaced ++ added, parent.flatMap(_.schemaFile))
+          s"$operation on $tableDir: the table's equality-delete set " +
+            s"changed since the operation's scan (scanned " +
+            s"[${scanned.mkString(",")}], now [${cur.mkString(",")}]); " +
+            "rerun the statement against the current snapshot")
     }
-  }
 
   /** Commit a MERGE-ON-READ row-level delete (Iceberg v2's position
     * deletes): the file set is UNCHANGED; each targeted data file's

@@ -536,6 +536,25 @@ class EqualityDeleteSpec extends SparkSpec {
       4L -> 0.0, 5L -> 0.0), s"state after rollback: $state")
   }
 
+  test("COW UPDATE writing a retracted key value stays visible") {
+    val dir = mk("updkey")
+    spark.sql(
+      "INSERT INTO bronze.eq.updkey SELECT id, 0.0 FROM range(0, 6, 1, 1)")
+    new Upserter("bronze.eq.updkey").epoch(Seq(1L -> 9.0))
+    assert(SnapshotLog.current(dir).get.eqDeletes.size == 1)
+    // the rewritten file carries a NEW version of key 1: it must get
+    // a fresh data sequence (value-changing rewrites do NOT inherit
+    // their inputs' seq), else the live {1} sidecar would retract the
+    // freshly updated row
+    spark.sql("UPDATE bronze.eq.updkey SET id = 1 WHERE id = 2")
+    val rows = spark.table("bronze.eq.updkey")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows.size == 6, s"updated row vanished: $rows")
+    assert(rows.count(_._1 == 1L) == 2, s"rows: $rows")
+    assert(rows.toSet == Set((0L, 0.0), (1L, 9.0), (1L, 0.0), (3L, 0.0),
+      (4L, 0.0), (5L, 0.0)), s"rows: $rows")
+  }
+
   test("rollback across an upsert un-applies it; DELETE respects eqdels") {
     val dir = mk("rb")
     spark.sql("INSERT INTO bronze.eq.rb SELECT id, 0.0 FROM range(6)")
