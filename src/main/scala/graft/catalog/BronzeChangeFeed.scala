@@ -162,9 +162,15 @@ object BronzeChangeFeed {
       // retract every still-live matching row of files with an
       // earlier data sequence; sidecars REMOVED (rollback across an
       // upsert) re-insert theirs. Rows are filtered to what the
-      // PARENT state still showed — parent position deletes and
-      // parent-applicable equality deletes applied — so nothing
-      // double-retracts.
+      // PARENT state still showed — so nothing double-retracts — AND
+      // through the UNION of the parent's and current entry's
+      // position sidecars: a position listed on EITHER side of this
+      // commit is owned by emitMorDelta's attached/detached branches
+      // (a rollback can detach a position sidecar and remove an
+      // equality sidecar covering the SAME row in one commit; with
+      // only the current-side skip set the row would re-insert once
+      // through each delta — the symmetric double-retract is
+      // reachable via chained rollbacks).
       def emitEqDelta(retractType: String): Unit = {
         val parentEq = parentSnap.map(_.eqDeletes).getOrElse(Seq.empty)
         val addedEq = snap.eqDeletes.diff(parentEq)
@@ -175,15 +181,17 @@ object BronzeChangeFeed {
           val fileSeq = pe.seq.getOrElse(Long.MinValue)
           val appAdded = addedEq.filter(_.seq > fileSeq)
           val appRemoved = removedEq.filter(_.seq > fileSeq)
+          val posUnion = (pe.deletes ++ curEntries(f).deletes)
+            .distinct.map(s => s"$dir/$s")
           if (appAdded.nonEmpty)
             parts += BronzeCdcFilePartition(s"$dir/$f", retractType, v,
-              pe.deletes.map(s => s"$dir/$s"), Seq.empty,
+              posUnion, Seq.empty,
               applyEqSidecars = parentSnap.map(_.eqDeletesFor(pe))
                 .getOrElse(Seq.empty).map(d => s"$dir/${d.name}"),
               emitOnlyEqSidecars = appAdded.map(d => s"$dir/${d.name}"))
           if (appRemoved.nonEmpty)
             parts += BronzeCdcFilePartition(s"$dir/$f", "insert", v,
-              curEntries(f).deletes.map(s => s"$dir/$s"), Seq.empty,
+              posUnion, Seq.empty,
               applyEqSidecars = snap.eqDeletesFor(curEntries(f))
                 .map(d => s"$dir/${d.name}"),
               emitOnlyEqSidecars = appRemoved.map(d => s"$dir/${d.name}"))

@@ -168,19 +168,33 @@ private[graft] object MorDeletes {
     def cols: Seq[String] = schema.fieldNames.toSeq
   }
 
+  /** Sentinel all Float/Double NaN key values canonicalize to: the
+    * hash probes compare key tuples as Scala `Seq`s, whose element
+    * equality is COOPERATIVE numeric equality (`BoxesRunTime.equals`,
+    * primitive `==` underneath) — so boxed Double(NaN) != Double(NaN)
+    * and a NaN key would retract nothing at probe time, while the SQL
+    * `<=>` application paths of the same sidecar treat NaN = NaN as
+    * true. One shared object (reference equality + stable hashCode)
+    * restores the SQL semantics on the hash path. */
+  private[catalog] case object NaNKey
+
   /** Canonicalize a key value for hash-set membership: boxed
-    * Double/Float `equals` distinguishes -0.0 from 0.0, but every SQL
+    * Double/Float `equals` distinguishes -0.0 from 0.0 and Seq-element
+    * cooperative equality distinguishes NaN from NaN, but every SQL
     * application path of the same sidecar (`<=>` in readWithDeletes /
-    * matchingPositions / convert) uses primitive comparison where
-    * -0.0 == 0.0 — without this, a layout-only OPTIMIZE or conversion
-    * would change answers. NaN needs no handling: boxed equals and
-    * SQL `<=>` both treat NaN = NaN as true. Applied on BOTH sides
-    * (set build + row probe). */
+    * matchingPositions / convert) uses null-safe comparison where
+    * -0.0 == 0.0 AND NaN = NaN — without this, a layout-only OPTIMIZE
+    * or equality→position conversion would change answers. Applied on
+    * BOTH sides (set build + row probe). */
   def normKey(v: Any): Any = v match {
-    case d: java.lang.Double if d.doubleValue == 0.0d =>
-      java.lang.Double.valueOf(0.0d)
-    case f: java.lang.Float if f.floatValue == 0.0f =>
-      java.lang.Float.valueOf(0.0f)
+    case d: java.lang.Double =>
+      if (d.isNaN) NaNKey
+      else if (d.doubleValue == 0.0d) java.lang.Double.valueOf(0.0d)
+      else d
+    case f: java.lang.Float =>
+      if (f.isNaN) NaNKey
+      else if (f.floatValue == 0.0f) java.lang.Float.valueOf(0.0f)
+      else f
     case x => x
   }
 
@@ -246,6 +260,7 @@ private[graft] object MorDeletes {
                 java.lang.Long.valueOf(ls.max)))
             case FloatType | DoubleType =>
               val ds = vals.map {
+                case NaNKey => Double.NaN // normKey's NaN sentinel
                 case f: Float => f.toDouble
                 case d: Double => d
               }

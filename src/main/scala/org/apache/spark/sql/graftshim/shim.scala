@@ -335,23 +335,45 @@ object shim {
         false, // on-heap vectors: executor-thread-local, short-lived
         4096)
       var ok = false
+      var hasFirst = false
       try {
         vec.initialize(split, ctx)
         vec.initBatch(new org.apache.spark.sql.types.StructType(),
           InternalRow.empty)
+        // eagerly decode the FIRST batch inside the guarded block: the
+        // vectorized reader can also decline a physical-to-requested
+        // conversion LAZILY, at the first batch fetch (Spark raises
+        // SchemaColumnConvertNotSupportedException / UOE while decoding,
+        // e.g. for exotic widenings) — committing to the vectorized
+        // path on construction alone would fail the scan where Spark's
+        // own exec degrades to parquet-mr. No row is lost: the fetched
+        // first row is handed out on the first read() call.
+        hasFirst = vec.nextKeyValue()
         ok = true
       } finally if (!ok) vec.close()
       new RowFileReader {
+        private var pendingFirst = hasFirst
+        private var exhausted = !hasFirst
         override def read(): InternalRow =
-          if (vec.nextKeyValue()) vec.getCurrentValue.asInstanceOf[InternalRow]
-          else null
+          if (pendingFirst) {
+            pendingFirst = false
+            vec.getCurrentValue.asInstanceOf[InternalRow]
+          } else if (exhausted) null
+          else if (vec.nextKeyValue()) {
+            vec.getCurrentValue.asInstanceOf[InternalRow]
+          } else { exhausted = true; null }
         override def close(): Unit = vec.close()
       }
     } catch {
       // the vectorized reader declines some schemas (e.g. exotic
       // nesting) with UnsupportedOperationException — same trigger
-      // Spark's own scan uses to fall back to row-based parquet-mr
-      case _: UnsupportedOperationException =>
+      // Spark's own scan uses to fall back to row-based parquet-mr —
+      // and declines some physical-type conversions only at first-batch
+      // decode with SchemaColumnConvertNotSupportedException (caught
+      // here because the first batch is fetched inside the try above)
+      case e if e.isInstanceOf[UnsupportedOperationException] ||
+          e.isInstanceOf[org.apache.spark.sql.execution.datasources
+            .SchemaColumnConvertNotSupportedException] =>
         val mr = rowParquetReader(path, schema)
         new RowFileReader {
           override def read(): InternalRow = mr.read()

@@ -336,6 +336,85 @@ class EqualityDeleteSpec extends SparkSpec {
       "rollback re-inserted eq-deleted rows of the restored file")
   }
 
+  test("rollback detaching a position sidecar AND an eq sidecar nets once") {
+    // the double-emit shape: row (3, 0.0) is covered by BOTH a
+    // position sidecar (MOR delete) and an equality sidecar (upsert of
+    // key 3); one rollback commit detaches the former and removes the
+    // latter. The re-insert is owned by the position-delta partition —
+    // the equality-delta partition must skip positions listed on
+    // EITHER side of the commit, or the row inserts twice.
+    val dir = mk("dblins")
+    spark.sql(
+      "INSERT INTO bronze.eq.dblins SELECT id, 0.0 FROM range(0, 6, 1, 1)")
+    val v0 = SnapshotLog.current(dir).get.version
+    spark.conf.set(GraftConf.DeleteModeKey, "merge-on-read")
+    // range predicate: a pure `id = 3` would take the EQUALITY fast
+    // path — this test needs the POSITION sidecar shape
+    try spark.sql("DELETE FROM bronze.eq.dblins WHERE id >= 3 AND id < 4")
+    finally spark.conf.unset(GraftConf.DeleteModeKey)
+    assert(SnapshotLog.current(dir).get.entries.exists(_.deletes.nonEmpty),
+      "expected a position-delete sidecar")
+    new Upserter("bronze.eq.dblins").epoch(Seq(3L -> 9.0))
+    assert(SnapshotLog.current(dir).get.eqDeletes.nonEmpty)
+    SnapshotLog.rollback(dir, v0)
+    val vRb = SnapshotLog.current(dir).get.version
+    // net across the rollback: the upsert's row version retracts, the
+    // original row returns EXACTLY once
+    assert(netChanges("bronze.eq.dblins", vRb - 1, vRb) ==
+      Map((3L, 9.0) -> -1L, (3L, 0.0) -> 1L),
+      "rollback double-emitted the row covered by both sidecar kinds")
+    val state = spark.table("bronze.eq.dblins")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(state == (0L to 5L).map(_ -> 0.0).toMap, s"state: $state")
+  }
+
+  test("NaN upsert keys retract on the hash-probe scan path") {
+    val dir = mk("nankey")
+    spark.sql("DROP TABLE IF EXISTS bronze.eq.nankey")
+    spark.sql("CREATE TABLE bronze.eq.nankey (k DOUBLE, n BIGINT) " +
+      "USING parquet")
+    spark.sql("""INSERT INTO bronze.eq.nankey VALUES
+      (CAST('NaN' AS DOUBLE), 0), (1.5, 0), (-0.0, 0)""")
+    // upsert keyed on the DOUBLE column, with a NaN and a +0.0 key:
+    // the per-file readers probe a hash set of key tuples, where Seq
+    // cooperative equality says NaN != NaN — without canonicalization
+    // the NaN row never retracts at scan time while OPTIMIZE's SQL
+    // `<=>` path retracts it, so a layout-only compaction would
+    // change answers
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Double, Long)]
+    mem.addData((Double.NaN, 1L), (0.0, 1L))
+    val q = mem.toDF().toDF("k", "n").writeStream
+      .option("checkpointLocation", tmpDir("nan_ckpt"))
+      .option("upsertKeys", "k")
+      .trigger(Trigger.AvailableNow())
+      .toTable("bronze.eq.nankey")
+    q.awaitTermination(60000)
+    assert(SnapshotLog.current(dir).get.eqDeletes.nonEmpty)
+    // NaN-safe comparison key (Scala tuple equality says NaN != NaN —
+    // the very semantics under test)
+    def state(): Seq[(Double, Long)] = spark.table("bronze.eq.nankey")
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+      .sortBy(t => (java.lang.Double.doubleToLongBits(t._1), t._2))
+    def render(s: Seq[(Double, Long)]): Seq[(Long, Long)] =
+      s.map(t => (java.lang.Double.doubleToLongBits(t._1), t._2))
+    val before = state()
+    assert(before.count(_._1.isNaN) == 1 &&
+      before.find(_._1.isNaN).get._2 == 1L,
+      s"NaN key did not retract on the hash-probe path: $before")
+    // -0.0 key row must be retracted by the +0.0 upsert key too
+    assert(before.count(t => t._1 == 0.0) == 1 &&
+      before.find(t => t._1 == 0.0).get._2 == 1L, s"state: $before")
+    assert(before.size == 3, s"state: $before")
+    // the SQL <=> application path (OPTIMIZE) agrees — layout-only
+    spark.sessionState.catalogManager.catalog("bronze")
+      .asInstanceOf[graft.catalog.BronzeCatalog]
+      .optimizeTable(Seq("eq"), "nankey", 512L * 1024 * 1024)
+    assert(render(state()) == render(before),
+      "OPTIMIZE changed NaN/-0.0 key answers")
+  }
+
   test("replayed upsert epoch's change feed nets to zero") {
     val dir = mk("netcrash")
     spark.sql("INSERT INTO bronze.eq.netcrash SELECT id, 0.0 FROM range(6)")

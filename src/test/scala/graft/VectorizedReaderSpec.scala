@@ -60,4 +60,36 @@ class VectorizedReaderSpec extends SparkSpec {
       .select(col("id"), col("_pos")).orderBy("id").collect()
     assert(meta.length == 190)
   }
+
+  test("first-batch prefetch loses no rows (empty / 1 / multi-batch)") {
+    // the reader eagerly decodes the FIRST batch inside its guarded
+    // init (so lazy physical-type refusals fall back to parquet-mr
+    // instead of failing the scan); this asserts the buffered first
+    // row is handed out exactly once across batch-boundary shapes
+    import org.apache.spark.sql.graftshim.shim
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    for (n <- Seq(0L, 1L, 4096L, 4097L, 10000L)) {
+      val out = tmpDir(s"vrr_$n")
+      spark.range(n).repartition(1).write.mode("overwrite").parquet(out)
+      val part = new java.io.File(out).listFiles()
+        .find(f => f.getName.startsWith("part-")
+          && f.getName.endsWith(".parquet")).get.getAbsolutePath
+      val r = shim.vectorizedRowFileReader(part, schema)
+      var count = 0L
+      var sum = 0L
+      try {
+        var row = r.read()
+        while (row != null) {
+          count += 1; sum += row.getLong(0)
+          row = r.read()
+        }
+        // reads past EOF stay null (no rewind through the prefetch)
+        assert(r.read() == null)
+      } finally r.close()
+      assert(count == n, s"n=$n: read $count rows")
+      assert(sum == n * (n - 1) / 2, s"n=$n: row payload drifted")
+    }
+  }
 }
