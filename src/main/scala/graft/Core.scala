@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, StringType, TimestampNTZType, TimestampType}
 
 /** One declared operator/query: the Spark-side builder, and (when the
   * semantics are ANSI-SQL-expressible) an equivalent DuckDB oracle SQL
@@ -34,25 +34,110 @@ final class Tables(val spark: SparkSession, dir: String) {
   def lineitem: DataFrame = t("lineitem")
 
   /** events.ts has shipped as both parquet TIMESTAMP(NANOS) — which
-    * Spark 4 rejects natively, so it is read as nanos-long and
-    * truncated to microseconds, exactly what DuckDB does — and as
-    * timestamp[us] without timezone, which Spark reads as
-    * TIMESTAMP_NTZ. Branch on the physical type so either encoding
-    * lands on `ts: TimestampType`; the session runs in UTC so the NTZ
-    * wall-times align with DuckDB's. */
+    * Spark 4 rejects at schema inference — and as timestamp[us]
+    * without timezone, which Spark reads as TIMESTAMP_NTZ. The
+    * encoding is sniffed from a parquet FOOTER, not by toggling
+    * `spark.sql.legacy.parquet.nanosAsLong` session-wide: that conf is
+    * consulted again at every ACTION on the lazy DataFrame, so a
+    * scoped set/restore breaks execution and a sticky set leaks a
+    * session-global side effect out of a library accessor. Nanos
+    * files are instead read with an EXPLICIT schema mapping ts to
+    * LongType (raw INT64 decode — legal without the conf) and
+    * truncated to microseconds, exactly what DuckDB does. Either
+    * encoding lands on `ts: TimestampType`; the session runs in UTC
+    * so the NTZ wall-times align with DuckDB's. */
   def events: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = t("events")
-    raw.schema("ts").dataType match {
-      case LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType =>
-        raw.withColumn("ts", col("ts").cast(TimestampType))
-      case _ => raw
+    val path = s"$dir/events.parquet"
+    if (Tables.tsIsNanos(path)) {
+      spark.read.schema(Tables.nanosAsLongSchema(path)).parquet(path)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else {
+      val raw = t("events")
+      raw.schema("ts").dataType match {
+        case TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => raw
+      }
     }
   }
   def documents: DataFrame = t("documents")
   def embeddings: DataFrame = t("embeddings")
+}
+
+object Tables {
+
+  /** Footer schemas of sniffed parquet paths (immutable driver data —
+    * one footer read per path per JVM). */
+  private val footerCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.parquet.schema.MessageType]()
+
+  private def footerSchema(path: String)
+      : org.apache.parquet.schema.MessageType =
+    footerCache.computeIfAbsent(path, p => {
+      val f = new java.io.File(p)
+      val part =
+        if (f.isDirectory)
+          f.listFiles().filter(x => x.getName.endsWith(".parquet")
+              && !x.getName.startsWith("_") && !x.getName.startsWith("."))
+            .sortBy(_.getName).headOption.getOrElse(
+              throw new IllegalStateException(s"no parquet parts under $p"))
+        else f
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(part.getAbsolutePath),
+        new org.apache.hadoop.conf.Configuration())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getFooter.getFileMetaData.getSchema finally r.close()
+    })
+
+  /** Whether `path`'s `ts` column is physically INT64 TIMESTAMP with
+    * NANOS precision (the encoding Spark 4 refuses to infer). */
+  private[graft] def tsIsNanos(path: String): Boolean = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val sch = footerSchema(path)
+    sch.containsField("ts") && (sch.getType(Seq("ts"): _*) match {
+      case pt: org.apache.parquet.schema.PrimitiveType =>
+        pt.getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+          case _ => false
+        }
+      case _ => false
+    })
+  }
+
+  /** Explicit Spark read schema for a nanos-encoded events file: every
+    * primitive column mapped directly, the nanos ts surfacing as raw
+    * LongType (the caller truncates to micros). Covers exactly the
+    * primitive types driver tables carry. */
+  private[graft] def nanosAsLongSchema(path: String)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val sch = footerSchema(path)
+    StructType(sch.getFields.asScala.toSeq.map {
+      case pt: org.apache.parquet.schema.PrimitiveType =>
+        val dt = pt.getPrimitiveTypeName match {
+          case INT64 => LongType // incl. the nanos ts
+          case INT32 => IntegerType
+          case DOUBLE => DoubleType
+          case FLOAT => FloatType
+          case BOOLEAN => BooleanType
+          case BINARY
+            if pt.getLogicalTypeAnnotation.isInstanceOf[
+              LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+            StringType
+          case other => throw new IllegalStateException(
+            s"nanos-events schema: unmapped parquet type $other " +
+              s"for column ${pt.getName}")
+        }
+        StructField(pt.getName, dt)
+      case g: org.apache.parquet.schema.Type =>
+        throw new IllegalStateException(
+          s"nanos-events schema: unexpected group field ${g.getName}")
+    })
+  }
 }
 
 /** Runtime scale knobs. Each algorithmic constant that must grow with
@@ -115,12 +200,37 @@ object GraftConf {
     * pass into the full-dimension rerank; the same cheap recall dial
     * as bqShortlist. */
   val TruncShortlistKey = "spark.graft.truncShortlist"
+  /** Row-count cap above which the dedup candidate relations (d03/
+    * d06/d10 verify joins) fall back from `broadcast()` to a plain
+    * shuffle join: a high-dup corpus at 100 TB can outgrow the
+    * driver's broadcast limit. −1 (default) = always broadcast with
+    * no counting job; ≥ 0 = cache + count the candidates once and
+    * broadcast only at or below the cap. Output is identical either
+    * way — the knob trades one counting job for bounded memory. */
+  val CandBroadcastLimitKey = "spark.graft.candBroadcastLimit"
+
   /** Corpus line-dedup: a segment appearing in at least this many
     * distinct documents is boilerplate and scrubbed everywhere. A
     * bigger corpus repeats true boilerplate in far more docs, so the
     * threshold grows with corpus size (roughly with log n) to keep
     * organic collisions out of the hot set. */
   val LineDedupDfKey = "spark.graft.lineDedupDf"
+
+  /** Max age in ms since a WAP branch's last staged append before
+    * VACUUM drops the branch ref (Iceberg's branch max-ref-age): an
+    * abandoned-but-undropped branch otherwise pins its staged files
+    * forever. Default: never expire. The dropped branch's files then
+    * age out under vacuum's normal orphan grace. */
+  val BranchMaxAgeKey = "spark.graft.branchMaxAgeMs"
+
+  /** Driver-memory bound for copy-on-write row-level ops: when the
+    * count of files containing matching rows exceeds this, the
+    * matched-file-name list is never collect()ed — the DELETE/UPDATE/
+    * MERGE degrades to rewriting every candidate file (identical rows
+    * out, the narrowing optimization given up). Default: unbounded
+    * (list collected, today's behavior — fine to millions of names;
+    * the cap is the dial for manifests beyond that). */
+  val MaxRewriteFilesKey = "spark.graft.maxRewriteFiles"
 
   /** Row-level DELETE write mode, Iceberg's `write.delete.mode`:
     * "copy-on-write" (default — affected files rewrite; reads stay on

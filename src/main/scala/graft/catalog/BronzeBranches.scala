@@ -261,4 +261,29 @@ object BronzeBranches {
       val d = branchDir(tableDir, name)
       versions(d).flatMap(v => read(d, v).files)
     }.toSet
+
+  /** The abandoned-WAP reaper: drop branches whose last activity (the
+    * newest branch-log manifest's mtime — creation or latest staged
+    * append) is older than `maxAgeMs`. Without this, an
+    * abandoned-but-undropped branch pins its staged files through
+    * vacuum forever. Returns the dropped names; their staged files
+    * become unreferenced and age out under vacuum's normal orphan
+    * grace on a later pass. Default Long.MaxValue = never expire
+    * (live staging cycles are short; expiry is the operator's dial,
+    * `spark.graft.branchMaxAgeMs`). */
+  private[catalog] def expireStale(tableDir: String,
+      maxAgeMs: Long): Seq[String] =
+    if (maxAgeMs == Long.MaxValue) Seq.empty
+    else {
+      val now = System.currentTimeMillis()
+      listBranches(tableDir).filter { name =>
+        val d = branchDir(tableDir, name)
+        val vs = versions(d)
+        vs.nonEmpty && {
+          val last = vs.map(v =>
+            Files.getLastModifiedTime(d.resolve(s"v$v.json")).toMillis).max
+          now - last > maxAgeMs
+        }
+      }.map { name => dropBranch(tableDir, name); name }
+    }
 }

@@ -389,8 +389,14 @@ class BronzeCatalog extends TableCatalog with SupportsNamespaces {
     * the last `retainLast` snapshots, delete data files referenced by
     * none of them. Returns deleted file names. */
   def vacuumTable(namespace: Seq[String], name: String,
-      retainLast: Int): Seq[String] =
-    SnapshotLog.vacuum(tableDir(namespace, name), retainLast)
+      retainLast: Int): Seq[String] = {
+    // abandoned-branch expiry rides the session dial (default: never)
+    val branchMaxAge = SparkSession.getActiveSession
+      .flatMap(_.conf.getOption(graft.GraftConf.BranchMaxAgeKey))
+      .map(_.trim.toLong).getOrElse(Long.MaxValue)
+    SnapshotLog.vacuum(tableDir(namespace, name), retainLast,
+      branchMaxAgeMs = branchMaxAge)
+  }
 
   /** Iceberg's `table$history` metadata table — one row per snapshot
     * (version, operation, n_files, n_rows), built at manifest scale. */

@@ -170,10 +170,18 @@ object BronzeRowDelete {
 
     // COPY-ON-WRITE mode: only files that CONTAIN live matching rows
     // rewrite; this listing is file-count-scale metadata, never
-    // row-scale
-    val affected = matches
-      .select(col("file")).distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
+    // row-scale. Above spark.graft.maxRewriteFiles the matched-name
+    // list is never materialized on the driver — the delete degrades
+    // to rewriting every live file (same surviving rows; unmatched
+    // files rewrite identically and their change-feed carryover pairs
+    // cancel), keeping driver memory bounded at extreme match counts.
+    val matchedNames = matches.select(col("file")).distinct()
+    val cap = graft.GraftConf.int(spark,
+      graft.GraftConf.MaxRewriteFilesKey, Int.MaxValue)
+    val affected =
+      if (cap < Int.MaxValue && matchedNames.limit(cap + 1).count() > cap)
+        snap.files
+      else matchedNames.collect().map(_.getString(0)).toSeq.sorted
     if (affected.isEmpty) return Seq.empty // no-op: no new snapshot
     val id = java.util.UUID.randomUUID().toString.substring(0, 8)
     // rewrite per PARTITION-TUPLE group: each affected file holds one

@@ -145,11 +145,21 @@ final class BronzeRowLevelOperation(dir: String, declared: StructType,
             // file-count-scale pruning pass: only files CONTAINING
             // matching rows rewrite (same listing BronzeRowDelete does)
             val cond = conds.flatten.reduce(_ && _)
-            spark.read.schema(declared)
+            val matched = spark.read.schema(declared)
               .parquet(snap.files.map(f => s"$dir/$f"): _*)
               .filter(cond)
               .select(col("_metadata.file_name")).distinct()
-              .collect().map(_.getString(0)).toSeq.sorted
+            // driver-memory bound: above spark.graft.maxRewriteFiles
+            // the matched-name list is never materialized on the
+            // driver — the op degrades to rewriting every candidate
+            // file (identical rows out; only the narrowing
+            // optimization is given up). The guard count early-outs
+            // at cap+1, so the check itself is O(cap) driver-side.
+            val cap = graft.GraftConf.int(spark,
+              graft.GraftConf.MaxRewriteFilesKey, Int.MaxValue)
+            if (cap < Int.MaxValue &&
+                matched.limit(cap + 1).count() > cap) snap.files
+            else matched.collect().map(_.getString(0)).toSeq.sorted
           }
         // existing merge-on-read deletes — position AND equality —
         // must be APPLIED by the rewrite scan: a copy-on-write pass

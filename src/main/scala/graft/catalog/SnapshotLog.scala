@@ -685,10 +685,16 @@ object SnapshotLog {
     * older than `orphanGraceMs` (Iceberg's orphan-removal age
     * threshold, same reasoning). */
   def vacuum(tableDir: String, retainLast: Int,
-      orphanGraceMs: Long = 3600000L): Seq[String] = {
+      orphanGraceMs: Long = 3600000L,
+      branchMaxAgeMs: Long = Long.MaxValue): Seq[String] = {
     require(retainLast >= 1, "must retain at least the current snapshot")
     val all = versions(tableDir)
     if (all.isEmpty) return Seq.empty
+    // reap ABANDONED branches first (older than branchMaxAgeMs since
+    // their last staged append): an undropped WAP branch would pin its
+    // staged files forever; dropping it here lets them age out under
+    // the orphan grace below like any dropped branch's
+    BronzeBranches.expireStale(tableDir, branchMaxAgeMs)
     // TAGGED versions survive expiry regardless of age (Iceberg's
     // expire_snapshots keeps refs): the tag listing happens BEFORE
     // the manifest reads, so a tag created mid-vacuum protects either

@@ -200,6 +200,25 @@ object Dedup {
       .distinct()
   }
 
+  /** Broadcast a candidate-scale relation, or degrade to a plain
+    * shuffle join above the conf'd row cap
+    * ([[GraftConf.CandBroadcastLimitKey]]): the candidate sets the
+    * verify joins probe the corpus with are normally tiny, but a
+    * high-dup corpus at 100 TB can outgrow the driver's broadcast
+    * limit. Default −1 broadcasts unconditionally (no counting job);
+    * with a cap set, the relation is cached, counted once, and the
+    * hint applied only at or below the cap — the downstream join
+    * reuses the cached rows either way, so output is bit-identical
+    * (ScaleKnobsSpec forces the cap to 0 and diffs). */
+  private def gateBroadcast(s: SparkSession, df: DataFrame): DataFrame = {
+    val limit = GraftConf.int(s, GraftConf.CandBroadcastLimitKey, -1)
+    if (limit < 0) broadcast(df)
+    else {
+      val c = df.cache()
+      if (c.count() <= limit) broadcast(c) else c
+    }
+  }
+
   /** The (hashes, bands) geometry in effect for a session. */
   private def minhashGeometry(s: SparkSession): (Int, Int) =
     (GraftConf.int(s, GraftConf.MinHashHashesKey, 16),
@@ -297,9 +316,12 @@ object Dedup {
         // set against the shingle relation instead of computing
         // jaccard for every shingle-sharing pair in the corpus;
         // per-doc shingle counts come from the signature aggregation
-        // (no second pass over sh)
+        // (no second pass over sh). Every broadcast here is of a
+        // CANDIDATE-scale relation (gated by candBroadcastLimit); the
+        // corpus-scale cnt relation streams as the probe side — never
+        // broadcast, never shuffled.
         val cnt = sigs.select(col("doc_id"), col("n"))
-        val aSide = broadcast(cands)
+        val aSide = gateBroadcast(s, cands)
           .join(sh, col("id_a") === col("doc_id"))
           .select(col("id_a"), col("id_b"), col("shingle"))
         val common = aSide
@@ -307,11 +329,12 @@ object Dedup {
             && col("b.doc_id") === aSide("id_b"))
           .groupBy(col("id_a"), col("id_b"))
           .agg(count(lit(1)).as("n_common"))
-        common
-          .join(broadcast(cnt.withColumnRenamed("doc_id", "id_a")
-            .withColumnRenamed("n", "n_a")), "id_a")
-          .join(broadcast(cnt.withColumnRenamed("doc_id", "id_b")
-            .withColumnRenamed("n", "n_b")), "id_b")
+        val withA = gateBroadcast(s, gateBroadcast(s, common)
+          .join(cnt.withColumnRenamed("doc_id", "id_a")
+            .withColumnRenamed("n", "n_a"), "id_a"))
+        withA
+          .join(cnt.withColumnRenamed("doc_id", "id_b")
+            .withColumnRenamed("n", "n_b"), "id_b")
           .withColumn("jaccard", col("n_common").cast("double")
             / (col("n_a") + col("n_b") - col("n_common")))
           .filter(col("jaccard") >= 0.5)
@@ -346,8 +369,8 @@ object Dedup {
         val agree = (0 until hashes).map(i =>
           when(col(s"sa$i") === col(s"sb$i"), 1L).otherwise(0L))
           .reduce(_ + _)
-        broadcast(cands)
-          .join(sigs.select(renameA: _*), "id_a")
+        gateBroadcast(s, gateBroadcast(s, cands)
+          .join(sigs.select(renameA: _*), "id_a"))
           .join(sigs.select(renameB: _*), "id_b")
           .withColumn("n_agree", agree)
           .select(col("id_a"), col("id_b"), col("n_agree"),
@@ -518,7 +541,7 @@ object Dedup {
             col("c.doc_id").as("corpus_id"))
           .distinct()
         val cnt = sigs.select(col("doc_id"), col("n"))
-        val qSide = broadcast(cands)
+        val qSide = gateBroadcast(s, cands)
           .join(sh, col("delta_id") === col("doc_id"))
           .select(col("delta_id"), col("corpus_id"), col("shingle"))
         val common = qSide
@@ -526,11 +549,12 @@ object Dedup {
             && col("b.doc_id") === qSide("corpus_id"))
           .groupBy(col("delta_id"), col("corpus_id"))
           .agg(count(lit(1)).as("n_common"))
-        val scored = common
-          .join(broadcast(cnt.withColumnRenamed("doc_id", "delta_id")
-            .withColumnRenamed("n", "n_q")), "delta_id")
-          .join(broadcast(cnt.withColumnRenamed("doc_id", "corpus_id")
-            .withColumnRenamed("n", "n_c")), "corpus_id")
+        // candidate-scale side broadcasts; corpus-scale cnt streams
+        val scored = gateBroadcast(s, gateBroadcast(s, common)
+          .join(cnt.withColumnRenamed("doc_id", "delta_id")
+            .withColumnRenamed("n", "n_q"), "delta_id"))
+          .join(cnt.withColumnRenamed("doc_id", "corpus_id")
+            .withColumnRenamed("n", "n_c"), "corpus_id")
           .withColumn("jaccard", col("n_common").cast("double")
             / (col("n_q") + col("n_c") - col("n_common")))
           .filter(col("jaccard") >= 0.5)

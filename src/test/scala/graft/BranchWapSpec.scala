@@ -125,4 +125,46 @@ class BranchWapSpec extends SparkSpec {
       s"dropped-branch file $f was not reaped"))
     assert(spark.table("bronze.br.vac").count() == 10)
   }
+
+  test("branchMaxAgeMs expires an abandoned branch; a live one survives") {
+    val dir = mk("age")
+    spark.sql("INSERT INTO bronze.br.age " +
+      "SELECT id, CAST(id AS DOUBLE) FROM range(10)")
+    // "abandoned": staged long ago — backdate its branch-log mtimes
+    bronzeCatalog.createBranch(Seq("br"), "age", "stale")
+    bronzeCatalog.appendToBranch(Seq("br"), "age", "stale",
+      spark.range(10, 15).selectExpr("id", "CAST(id AS DOUBLE) AS v"))
+    val staleFiles = BronzeBranches.head(dir, "stale").get.files
+      .filter(_.startsWith("part-br-"))
+    assert(staleFiles.nonEmpty)
+    val bdir = java.nio.file.Paths.get(dir, "_graft_snapshots", "branch-stale")
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 7L * 24 * 3600 * 1000)
+    val s = java.nio.file.Files.list(bdir)
+    try s.forEach(p => java.nio.file.Files.setLastModifiedTime(p, old))
+    finally s.close()
+    // "live": just staged, inside the age
+    bronzeCatalog.createBranch(Seq("br"), "age", "fresh")
+    bronzeCatalog.appendToBranch(Seq("br"), "age", "fresh",
+      spark.range(20, 25).selectExpr("id", "CAST(id AS DOUBLE) AS v"))
+    val freshFiles = BronzeBranches.head(dir, "fresh").get.files
+      .filter(_.startsWith("part-br-"))
+
+    spark.conf.set(GraftConf.BranchMaxAgeKey, (24L * 3600 * 1000).toString)
+    try bronzeCatalog.vacuumTable(Seq("br"), "age", retainLast = 1)
+    finally spark.conf.unset(GraftConf.BranchMaxAgeKey)
+    // the stale branch ref is gone, the fresh one untouched
+    assert(bronzeCatalog.branches(Seq("br"), "age") == Seq("fresh"))
+    freshFiles.foreach(f => assert(
+      java.nio.file.Files.exists(java.nio.file.Paths.get(dir, f)),
+      s"expiry reaped live branch file $f"))
+    assert(bronzeCatalog.readBranch(Seq("br"), "age", "fresh").count() == 15)
+    // the expired branch's staged files are now orphans: a zero-grace
+    // vacuum pass reaps them
+    val reaped = SnapshotLog.vacuum(dir, retainLast = 1, orphanGraceMs = 0L)
+    staleFiles.foreach(f => assert(reaped.contains(f),
+      s"expired-branch file $f was not reaped"))
+    assert(spark.table("bronze.br.age").count() == 10)
+    bronzeCatalog.dropBranch(Seq("br"), "age", "fresh")
+  }
 }

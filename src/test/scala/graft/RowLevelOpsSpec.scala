@@ -125,6 +125,63 @@ class RowLevelOpsSpec extends SparkSpec {
         s"${rewritten.intersect(batch1Files)}")
   }
 
+  test("maxRewriteFiles cap: ops degrade to whole-candidate rewrite, same state") {
+    // with the cap forced to 0 the matched-file-name list is never
+    // collected on the driver; UPDATE/DELETE rewrite every candidate
+    // file instead — final state must be identical to the uncapped twin
+    def seed(t: String): String = {
+      val d = mkTable(t)
+      (1 to 3).foreach { b =>
+        spark.sql(s"INSERT INTO bronze.rl.$t " +
+          s"SELECT id, $b, id * 1.5 FROM range(10)")
+      }
+      d
+    }
+    def snap(t: String): Seq[String] =
+      spark.table(s"bronze.rl.$t").orderBy("id", "batch")
+        .collect().map(_.toString).toSeq
+    val dir = seed("cap"); seed("capref")
+
+    val pre = SnapshotLog.current(dir).get
+    spark.conf.set(GraftConf.MaxRewriteFilesKey, "0")
+    try {
+      spark.sql("UPDATE bronze.rl.cap SET amt = amt * 2 " +
+        "WHERE batch = 2 AND id >= 5")
+    } finally spark.conf.unset(GraftConf.MaxRewriteFilesKey)
+    spark.sql("UPDATE bronze.rl.capref SET amt = amt * 2 " +
+      "WHERE batch = 2 AND id >= 5")
+    assert(snap("cap") == snap("capref"),
+      "capped UPDATE drifted from the uncapped twin")
+    // the degrade actually happened: EVERY pre-existing file rewrote
+    val post = SnapshotLog.current(dir).get
+    assert(pre.files.toSet.intersect(post.files.toSet).isEmpty,
+      "cap=0 UPDATE still narrowed to matched files")
+
+    spark.conf.set(GraftConf.MaxRewriteFilesKey, "0")
+    try spark.sql("DELETE FROM bronze.rl.cap WHERE batch = 1 AND id < 3")
+    finally spark.conf.unset(GraftConf.MaxRewriteFilesKey)
+    spark.sql("DELETE FROM bronze.rl.capref WHERE batch = 1 AND id < 3")
+    assert(snap("cap") == snap("capref"),
+      "capped DELETE drifted from the uncapped twin")
+
+    // MERGE under the cap: runtime narrowing is Spark-side, state exact
+    spark.sql("DROP VIEW IF EXISTS cap_src")
+    spark.sql("CREATE TEMP VIEW cap_src AS " +
+      "SELECT id AS id, 2 AS sbatch, 100.0 AS samt FROM range(3)")
+    def mergeInto(t: String): Unit = spark.sql(
+      s"""MERGE INTO bronze.rl.$t t USING cap_src s
+         ON t.id = s.id AND t.batch = s.sbatch
+         WHEN MATCHED THEN UPDATE SET amt = s.samt
+         WHEN NOT MATCHED AND s.id = 0 THEN
+           INSERT (id, batch, amt) VALUES (s.id, 9, s.samt)""")
+    spark.conf.set(GraftConf.MaxRewriteFilesKey, "0")
+    try mergeInto("cap")
+    finally spark.conf.unset(GraftConf.MaxRewriteFilesKey)
+    mergeInto("capref")
+    assert(snap("cap") == snap("capref"),
+      "capped MERGE drifted from the uncapped twin")
+  }
+
   test("MERGE WHEN MATCHED THEN DELETE removes matched rows, one snapshot") {
     val dir = mkTable("mrgdel")
     spark.sql(

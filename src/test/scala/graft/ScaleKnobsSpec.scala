@@ -114,6 +114,27 @@ class ScaleKnobsSpec extends SparkSpec {
     }
   }
 
+  test("candBroadcastLimit=0: verify joins un-broadcast, output identical") {
+    // the broadcast-overflow fallback: with the cap forced to 0 every
+    // candidate-relation broadcast in d03/d06/d10 degrades to a plain
+    // join — results must be bit-identical (same rows, same values)
+    def snap(q: String): Seq[String] =
+      SparkEntry.queries(q)(spark, sf).collect().map(_.toString).toSeq
+    val defaults = Seq("d03_minhash_lsh", "d06_minhash_estimate",
+      "d10_incremental_dedup").map(q => q -> snap(q)).toMap
+    withConf(GraftConf.CandBroadcastLimitKey -> "0") {
+      defaults.foreach { case (q, expect) =>
+        val got = snap(q)
+        assert(got == expect, s"$q drifted under candBroadcastLimit=0")
+        assert(got.nonEmpty)
+      }
+    }
+    // and a cap big enough to keep broadcasting is also identical
+    withConf(GraftConf.CandBroadcastLimitKey -> "1000000") {
+      assert(snap("d03_minhash_lsh") == defaults("d03_minhash_lsh"))
+    }
+  }
+
   test("shingle df cap is conf-driven: a tiny cap drops hot shingles") {
     // default cap keeps everything on this corpus; cap=1 keeps ONLY
     // shingles unique to one document
