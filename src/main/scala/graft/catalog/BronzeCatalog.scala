@@ -341,6 +341,19 @@ class BronzeCatalog extends TableCatalog with SupportsNamespaces {
     SnapshotLog.optimize(SparkSession.active, dir, targetBytes)
   }
 
+  /** OPTIMIZE ZORDER — `rewrite_data_files` with a z-order sort
+    * strategy: re-clusters the whole table along the interleaved
+    * z-value of `zorderBy` so per-file min/max stats prune
+    * conjunctive predicates on EVERY listed dimension; committed as
+    * the same layout-only `replace` snapshot as plain OPTIMIZE (see
+    * [[SnapshotLog.optimizeZOrder]]). */
+  def optimizeTableZOrder(namespace: Seq[String], name: String,
+      targetBytes: Long, zorderBy: Seq[String]): (Int, Int) = {
+    val dir = tableDir(namespace, name)
+    SnapshotLog.optimizeZOrder(SparkSession.active, dir, targetBytes,
+      zorderBy)
+  }
+
   /** Iceberg `rewrite_position_deletes` (MINOR delete compaction):
     * merge every live position-delete sidecar into one combined
     * sidecar without touching any data file — the cheap maintenance

@@ -1281,4 +1281,176 @@ object SnapshotLog {
         .toMap)
     (replaced.size, written.size)
   }
+
+  /** OPTIMIZE ZORDER — Iceberg's `rewrite_data_files` with a z-order
+    * sort strategy: re-cluster every live file's rows along the
+    * bit-interleaved z-value of the `zorderBy` columns and re-tile
+    * them into ~`targetBytes` files, committed as the SAME layout-only
+    * `replace` snapshot as bin-packing [[optimize]] (old versions keep
+    * reading the originals until vacuum; the change feed emits
+    * nothing; incremental readers refuse to cross it like any
+    * compaction). Unlike bin-packing — which preserves row clustering
+    * and only merges small files — this is the maintenance op that
+    * RESTORES multi-dimensional data skipping on a table whose
+    * ingest order scattered the clustered dimensions: after the
+    * rewrite each file's manifest min/max box is narrow on EVERY
+    * z dimension, so conjunctive predicates on any of them prune at
+    * plan time (ZOrderOptimizeSpec measures the survivor drop).
+    *
+    * Mechanics: per PARTITION TUPLE independently (merging across
+    * tuples would orphan the per-file partition values), each
+    * dimension min/max-normalizes over the group's own bounds into
+    * B = min(16, 62/dims) bits, the per-row z-value interleaves the
+    * dimension bits, and file boundaries come from a RANGE
+    * repartition on the z-value (sampled boundaries — layout-only,
+    * so sampling nondeterminism is invisible to readers). Numeric,
+    * date, and timestamp dimensions only. Merge-on-read sidecars
+    * (positions and equality keys) are applied and purged, and
+    * sequence-number inheritance + rewrite validation follow the
+    * bin-packing path exactly. Cost: one full read + one range
+    * shuffle of the live data — the nightly-maintenance price, paid
+    * to move every later scan from O(files) to O(matching box).
+    */
+  def optimizeZOrder(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, targetBytes: Long,
+      zorderBy: Seq[String]): (Int, Int) = {
+    import org.apache.spark.sql.functions._
+    require(zorderBy.nonEmpty, "optimizeZOrder needs >= 1 column")
+    require(zorderBy.size <= 4, s"z-order supports <= 4 dims, got $zorderBy")
+    val snap = current(tableDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"optimize requires a snapshot-logged table: $tableDir"))
+    if (snap.files.isEmpty) return (0, 0)
+    val pinnedSchema: Option[org.apache.spark.sql.types.StructType] =
+      snap.schemaFile.map { name =>
+        org.apache.spark.sql.types.DataType
+          .fromJson(readSchemaSidecar(tableDir, name))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+      }
+    val needIds = pinnedSchema.exists(_.fields.exists(
+      _.metadata.contains("parquet.field.id")))
+    val rw = if (!needIds) spark else {
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+      s2
+    }
+    val entryByName = snap.entriesByName
+    val byPart: Seq[(Map[String, String], Seq[FileEntry])] =
+      snap.entries.groupBy(_.parts).toSeq
+        .sortBy(_._1.toSeq.sorted.mkString(","))
+    val bits = math.min(16, 62 / zorderBy.size)
+    val maxBucket = (1L << bits) - 1
+    val id = java.util.UUID.randomUUID().toString.substring(0, 8)
+    val written = Seq.newBuilder[String]
+    val addedParts = Map.newBuilder[String, Map[String, String]]
+    val seqHints = Map.newBuilder[String, Long]
+    byPart.zipWithIndex.foreach { case ((tuple, entries), gi) =>
+      val group = entries.map(_.name).sorted
+      val sch = pinnedSchema.getOrElse(
+        rw.read.option("mergeSchema", "true")
+          .parquet(group.map(f => s"$tableDir/$f"): _*).schema)
+      // dimension -> a LONG-space image preserving the column's order
+      def dimLong(c: String): org.apache.spark.sql.Column = {
+        import org.apache.spark.sql.types._
+        val f = sch.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"z-order column $c not in table schema"))
+        f.dataType match {
+          case ByteType | ShortType | IntegerType | LongType |
+               FloatType | DoubleType => col(c).cast("double")
+          case DateType => unix_date(col(c)).cast("double")
+          case TimestampType | TimestampNTZType =>
+            unix_micros(col(c).cast("timestamp")).cast("double")
+          case other => throw new IllegalArgumentException(
+            s"z-order on $c: unsupported type $other (numeric/date/" +
+              "timestamp only)")
+        }
+      }
+      val base =
+        if (entries.exists(e => e.deletes.nonEmpty ||
+            snap.eqDeletesFor(e).nonEmpty))
+          graft.catalog.BronzeMor.readWithDeletes(rw, tableDir, sch,
+            entries, snap.eqDeletes)
+        else rw.read.schema(sch)
+          .parquet(group.map(f => s"$tableDir/$f"): _*)
+      val cached = base.cache()
+      try {
+        // group-local bounds (one small agg job over the cached rows)
+        val aggs = zorderBy.flatMap(c =>
+          Seq(min(dimLong(c)), max(dimLong(c))))
+        val mmRow = cached.agg(aggs.head, aggs.tail: _*).head()
+        val bucketCols = zorderBy.zipWithIndex.map { case (c, i) =>
+          val (mnAny, mxAny) = (mmRow.get(2 * i), mmRow.get(2 * i + 1))
+          if (mnAny == null || mxAny == null) lit(0L)
+          else {
+            val mn = mnAny.asInstanceOf[Double]
+            val mx = mxAny.asInstanceOf[Double]
+            if (mx <= mn) lit(0L)
+            else least(greatest(floor(
+              (dimLong(c) - lit(mn)) / lit(mx - mn) * lit(maxBucket.toDouble))
+              .cast("long"), lit(0L)), lit(maxBucket))
+          }
+        }
+        val zval = (0 until bits).flatMap { j =>
+          bucketCols.zipWithIndex.map { case (b, i) =>
+            (shiftrightunsigned(b, j) % 2) *
+              lit(1L << (j * zorderBy.size + i))
+          }
+        }.reduce(_ + _)
+        val groupBytes = entries.map(e => e.bytes.getOrElse(
+          Files.size(Paths.get(tableDir, e.name)))).sum
+        val nFiles = math.max(1L,
+          (groupBytes + targetBytes - 1) / targetBytes).toInt
+        val stage = Paths.get(tableDir, s".optz-$id-t$gi")
+        try cached.withColumn("__gz", zval)
+          .repartitionByRange(nFiles, col("__gz"))
+          .sortWithinPartitions(col("__gz"))
+          .drop("__gz")
+          .write.parquet(stage.toString)
+        catch { case e: Throwable =>
+          val walk = Files.walk(stage)
+          try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+            .forEach(p => Files.deleteIfExists(p))
+          catch { case _: Throwable => () } finally walk.close()
+          throw e
+        }
+        val parts = {
+          val s = Files.list(stage)
+          try {
+            val b = Seq.newBuilder[Path]
+            s.iterator().forEachRemaining { p =>
+              if (p.getFileName.toString.startsWith("part-")) b += p
+            }
+            b.result().sortBy(_.getFileName.toString)
+          } finally s.close()
+        }
+        val groupSeq = entries.flatMap(_.seq).maxOption
+        parts.zipWithIndex.foreach { case (p, i) =>
+          val dest = s"part-optz-$id-t$gi-p$i.parquet"
+          Files.move(p, Paths.get(tableDir, dest),
+            StandardCopyOption.ATOMIC_MOVE)
+          written += dest
+          if (tuple.nonEmpty) addedParts += dest -> tuple
+          groupSeq.foreach(sq => seqHints += dest -> sq)
+        }
+        val walk = Files.walk(stage)
+        try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+        finally walk.close()
+      } finally cached.unpersist()
+    }
+    val replaced = snap.files.toSet
+    val applied = snap.eqDeletes.toSet
+    val adds = written.result()
+    commitRewrite(tableDir, "replace", replaced, adds,
+      addedParts.result(),
+      mkEqDeletes = (parent, _) =>
+        parent.map(_.eqDeletes).getOrElse(Seq.empty)
+          .filterNot(applied.contains),
+      seqHints = seqHints.result(),
+      scannedDeletes = replaced.toSeq.map(f =>
+        f -> entryByName.get(f).map(_.deletes).getOrElse(Seq.empty))
+        .toMap)
+    (replaced.size, adds.size)
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Exact, QueryDef, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Write-path operators: the STORAGE-LAYOUT half of a 100 TB
@@ -1664,6 +1665,92 @@ object Writes {
           FROM live
           UNION ALL
           SELECT 'proof_converted', 1, 0.0)
+        SELECT ref, n_rows, total FROM stats ORDER BY ref""")),
+
+    // ----- w23: OPTIMIZE ZORDER — `rewrite_data_files` with a
+    // z-order sort strategy, the one Iceberg maintenance op plain
+    // bin-packing OPTIMIZE doesn't cover: an ingest-ordered events
+    // table (every file spans the full (user, hour) range — no box
+    // predicate prunes anything) re-clusters along the interleaved
+    // z-value of BOTH dims in one layout-only `replace` snapshot.
+    // The proof bit folds the structural claims (replace op, full
+    // rewrite, multi-file tiling, per-file bounding boxes strictly
+    // narrower on BOTH dims — i.e. plan-time pruning restored);
+    // the cross-engine rows prove DATA invariance: per-type counts
+    // and exact decimal sums computed from the POST-rewrite table
+    // must equal DuckDB's from the raw source, and the pre-rewrite
+    // version must still time-travel exactly.
+    QueryDef(
+      "w23_optimize_zorder",
+      (s, d) => {
+        val wh = scratch("w23", d)
+        val cat = "w23cat_" + Integer.toHexString(d.hashCode)
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.BronzeCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+        s.sql(s"DROP TABLE IF EXISTS $cat.db.zev")
+        s.sql(s"CREATE TABLE $cat.db.zev " +
+          "(u BIGINT, h BIGINT, et STRING, p DOUBLE) USING parquet")
+        val ev = new Tables(s, d).events.select(
+          col("user_id").cast("long").as("u"),
+          expr("timestampdiff(HOUR, TIMESTAMP'2024-01-01 00:00:00', ts)")
+            .cast("long").as("h"),
+          col("event_type").as("et"),
+          col("value").cast("double").as("p"))
+        // two ingest-ordered appends: neither clusters u nor h
+        Seq(ev.filter(col("u") % 2 === 0), ev.filter(col("u") % 2 === 1))
+          .foreach(_.writeTo(s"$cat.db.zev").append())
+        val bc = s.sessionState.catalogManager.catalog(cat)
+          .asInstanceOf[graft.catalog.BronzeCatalog]
+        val dir = bc.tableDir(Seq("db"), "zev")
+        val before = graft.catalog.SnapshotLog.current(dir).get
+        def meanSpans(): (Double, Double) = {
+          val b = s.table(s"$cat.db.zev").groupBy(col("_file"))
+            .agg(min("u").as("a"), max("u").as("b"),
+              min("h").as("c"), max("h").as("e"))
+            .collect()
+          (b.map(r => r.getLong(2) - r.getLong(1)).sum.toDouble / b.length,
+            b.map(r => r.getLong(4) - r.getLong(3)).sum.toDouble / b.length)
+        }
+        val (preU, preH) = meanSpans()
+        val totalBytes = before.entries.map(e => e.bytes.getOrElse(
+          java.nio.file.Files.size(
+            java.nio.file.Paths.get(dir, e.name)))).sum
+        // targetBytes scales with the corpus (≥8 output tiles at any
+        // SF — enough z-curve splits that BOTH dims' spans shrink)
+        val (nIn, nOut) = bc.optimizeTableZOrder(Seq("db"), "zev",
+          math.max(2L * 1024, totalBytes / 8), Seq("u", "h"))
+        val after = graft.catalog.SnapshotLog.current(dir).get
+        val (postU, postH) = meanSpans()
+        val ok =
+          if (after.operation == "replace"
+            && nIn == before.files.size && nOut >= 2
+            && after.files.toSet.intersect(before.files.toSet).isEmpty
+            && postU < preU && postH < preH)
+            1L
+          else 0L
+        val proof = s.sql(s"""SELECT '_proof_zorder' AS ref,
+          CAST($ok AS BIGINT) AS n_rows, CAST(0.0 AS DOUBLE) AS total""")
+        def stats(refCol: Column, df: org.apache.spark.sql.DataFrame) =
+          df.groupBy(refCol.as("ref"))
+            .agg(count(lit(1)).as("n_rows"),
+              Exact.dsum(col("p"), 2).as("total"))
+        stats(col("et"), s.table(s"$cat.db.zev"))
+          .union(stats(concat(lit("pre_"), col("et")), s.sql(
+            s"SELECT * FROM $cat.db.zev VERSION AS OF ${before.version}")))
+          .union(proof)
+          .orderBy(col("ref"))
+      },
+      Some(s"""WITH e AS (
+          SELECT event_type AS et, value AS p FROM events),
+        stats AS (
+          SELECT et AS ref, COUNT(*) AS n_rows,
+            ${Exact.sqlSum("p", 2)} AS total FROM e GROUP BY et
+          UNION ALL
+          SELECT 'pre_' || et, COUNT(*), ${Exact.sqlSum("p", 2)}
+          FROM e GROUP BY et
+          UNION ALL
+          SELECT '_proof_zorder', 1, 0.0)
         SELECT ref, n_rows, total FROM stats ORDER BY ref"""))
   )
 }
