@@ -35,7 +35,11 @@ object ScaleUp {
 
   private val Queries =
     Seq("d03_minhash_lsh", "d04_simhash", "t01_token_stats",
-      "s02_cosine_lsh_bucketed")
+      "s02_cosine_lsh_bucketed",
+      // r12 additions: PQ+ADC retrieval, corpus line dedup, BM25,
+      // and the equality-upsert write path (orders-driven)
+      "s12_pq_adc", "t13_line_dedup", "t15_bm25_retrieval",
+      "w19_equality_upsert")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -94,7 +98,8 @@ object ScaleUp {
   def build(spark: SparkSession, sfDir: String, outDir: String,
       k: Int): Unit = {
     val marker = java.nio.file.Paths.get(outDir, "_COMPLETE")
-    val stamp = s"$sfDir|$k|${graft.streaming.StreamingOps
+    // v2: corpus also carries ×K orders (the w19 upsert probe)
+    val stamp = s"$sfDir|$k|v2|${graft.streaming.StreamingOps
       .sourceFingerprint(sfDir)}"
     if (java.nio.file.Files.exists(marker) &&
         java.nio.file.Files.readString(marker) == stamp) return
@@ -134,6 +139,16 @@ object ScaleUp {
         col("label"))
     emb.repartition(32).write.mode("overwrite")
       .parquet(s"$outDir/embeddings.parquet")
+
+    // orders: per-copy key shift (the w19 upsert probe keys on
+    // o_orderkey; value columns ride along unchanged — upsert
+    // throughput needs key cardinality, not text isometry)
+    val ord = t.orders.crossJoin(broadcast(copies))
+      .select((col("o_orderkey") + col("c") * 100000000L)
+        .as("o_orderkey") +:
+        t.orders.columns.filter(_ != "o_orderkey").map(col): _*)
+    ord.repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/orders.parquet")
 
     java.nio.file.Files.writeString(marker, stamp)
   }

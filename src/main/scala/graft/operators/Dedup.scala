@@ -47,20 +47,51 @@ object Dedup {
   private def shingleDfCap(s: SparkSession): Int =
     GraftConf.int(s, GraftConf.ShingleDfCapKey, ShingleDfCap)
 
-  /** SimHash geometry DEFAULTS: a 60-bit signature (15 md5 hex chars
-    * per token) split into 4 bands of 15 bits. Banding is lossless for
-    * hamming ≤ bands-1 (pigeonhole: ≤3 flipped bits can dirty at most
-    * 3 of the 4 bands), and 2^15 = 32,768 buckets per band keeps
-    * per-bucket occupancy at n/32768. At larger corpora this is the
-    * knob that must grow with log n — widen the signature / bands so
-    * bucket cardinality keeps pace. (A fixed 16-bucket band key, the
-    * r2 nibble design, pins candidate pairs at O(n²/32) forever.)
-    * Override at runtime with `spark.graft.simhashBits` (multiple of 4,
-    * ≤ 60: the signature derives from md5 hex chars) and
-    * `spark.graft.simhashBands` (must divide bits).
+  /** SimHash geometry: a 60-bit signature (15 md5 hex chars per
+    * token) split into bands; banding is lossless for hamming ≤
+    * bands-1 (pigeonhole: ≤ bands-1 flipped bits can dirty at most
+    * bands-1 of the bands, so at least one band matches exactly).
+    * The band count doubles as the NEAR-DUP THRESHOLD, and that is
+    * the knob that must TIGHTEN with corpus size: the ×10 scale-up
+    * measured pair retention 3.83× super-linear at a fixed hamming ≤
+    * 3 — the tail is hash-luck collisions between long unrelated
+    * docs (Zipf-convergent tf vectors compress their angles), a
+    * population that grows faster than n while true near-dups grow
+    * with n. [[adaptiveSimHashBands]] derives bands from the corpus
+    * count exactly the way s02 derives LSH hyperplanes; with it, the
+    * ×10 run holds retention ≈ 0.99 (scaleup_out.json). Overrides:
+    * `spark.graft.simhashBits` (multiple of 4, ≤ 60: md5-hex-derived)
+    * and `spark.graft.simhashBands` (must divide bits) — the DuckDB
+    * oracle twin is override-aware like s02's hCte.
     */
   private[graft] val SimHashBits = 60
   private[graft] val SimHashBands = 4
+
+  /** Largest band count b ≤ 4 dividing `bits` whose per-band bucket
+    * space 2^(bits/b) holds the corpus at occupancy ≤ 1/4
+    * (2^(bits/b) ≥ 4n): recall (threshold = b-1) is spent only while
+    * the band key space dwarfs the corpus; as n grows past each
+    * boundary the threshold tightens by one. 60-bit default: ≤ 8,192
+    * docs → 4 bands (hamming ≤ 3), ≤ 262,144 → 3 (≤ 2), ≤ 2.7e8 → 2
+    * (≤ 1), beyond → 1 (exact signature match). Integer-exact so the
+    * DuckDB twin derives the SAME bands from COUNT(*). */
+  private[graft] def adaptiveSimHashBands(bits: Int, n: Long): Int =
+    (4 to 1 by -1).find { b =>
+      bits % b == 0 && {
+        val e = bits / b
+        e >= 62 || (1L << e) >= 4L * n
+      }
+    }.getOrElse(1)
+
+  /** One doc count per sf dir per JVM (footer-count scale) feeds the
+    * adaptive geometry — a dedup pass legitimately knows its corpus
+    * size. */
+  private val docCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private[graft] def docCount(s: SparkSession, d: String): Long =
+    docCountCache.computeIfAbsent(d,
+      _ => new Tables(s, d).documents.count()).longValue()
 
   private def simHashBits(s: SparkSession): Int = {
     val b = GraftConf.int(s, GraftConf.SimHashBitsKey, SimHashBits)
@@ -69,9 +100,10 @@ object Dedup {
     b
   }
 
-  private def simHashBands(s: SparkSession): Int = {
-    val bands = GraftConf.int(s, GraftConf.SimHashBandsKey, SimHashBands)
+  private def simHashBands(s: SparkSession, d: String): Int = {
     val bits = simHashBits(s)
+    val bands = GraftConf.int(s, GraftConf.SimHashBandsKey,
+      adaptiveSimHashBands(bits, docCount(s, d)))
     require(bands > 0 && bits % bands == 0,
       s"${GraftConf.SimHashBandsKey} must divide $bits, got $bands")
     bands
@@ -166,10 +198,16 @@ object Dedup {
     hashed.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
   }
 
-  /** (doc_id, band, band_key) — one row per document per LSH band;
+  /** (doc_id, n, band, band_key) — one row per document per LSH band;
     * band_key format matches the oracle's string_agg("NN:sig" ORDER BY
-    * seed). Shared by the self-join candidates (d03/d06) and the
-    * delta-vs-corpus probe (d10). */
+    * seed). The per-doc shingle count `n` RIDES ALONG from the
+    * signature aggregation: candidates carry both endpoints' counts
+    * out of the band join, so the verify tail never joins a
+    * corpus-scale count relation (the r12 fix — the count relation is
+    * O(corpus) and neither broadcasting it nor re-broadcasting the
+    * computed verify intermediates survives 100 TB). Shared by the
+    * self-join candidates (d03/d06) and the delta-vs-corpus probe
+    * (d10, where the persisted index stores n per row). */
   private[graft] def minhashBands(sigs: DataFrame, hashes: Int = 16,
       bands: Int = 4): DataFrame = {
     require(hashes % bands == 0 && hashes <= 100,
@@ -180,14 +218,16 @@ object Dedup {
         concat(lit(f"$i%02d:"), col(s"s$i").cast("string"))): _*).as(s"b$b")
     }
     val stackArgs = (0 until bands).map(b => s"$b, b$b").mkString(", ")
-    sigs.select(col("doc_id") +: bandCols: _*)
-      .selectExpr("doc_id",
+    sigs.select(col("doc_id") +: col("n") +: bandCols: _*)
+      .selectExpr("doc_id", "n",
         s"stack($bands, $stackArgs) AS (band, band_key)")
   }
 
-  /** DISTINCT (id_a, id_b) LSH candidates: `bands` bands ×
-    * hashes/bands rows. The band count is the recall/precision dial —
-    * runtime conf `spark.graft.minhashBands` at the query layer. */
+  /** DISTINCT (id_a, id_b, n_a, n_b) LSH candidates: `bands` bands ×
+    * hashes/bands rows, endpoint shingle counts carried through (n is
+    * functionally dependent on the id, so the distinct is still
+    * per-pair). The band count is the recall/precision dial — runtime
+    * conf `spark.graft.minhashBands` at the query layer. */
   private[graft] def minhashCands(sigs: DataFrame, hashes: Int = 16,
       bands: Int = 4): DataFrame = {
     val bandsDf = minhashBands(sigs, hashes, bands)
@@ -196,7 +236,8 @@ object Dedup {
         col("x.band") === col("y.band")
           && col("x.band_key") === col("y.band_key")
           && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        col("x.n").as("n_a"), col("y.n").as("n_b"))
       .distinct()
   }
 
@@ -249,7 +290,10 @@ object Dedup {
                        AND x.doc_id < y.doc_id)"""
   }
 
-  val queries: Seq[QueryDef] = Seq(
+  // a DEF like Similarity's: the d04 oracle twin is override-aware
+  // (bandsCte consults the session at materialization time), so the
+  // QueryDefs must re-materialize per access, not pin at class load
+  def queries: Seq[QueryDef] = Seq(
 
     // ----- d01: exact dedup via content hash. One shuffle on the
     // md5; keeps the lowest doc_id per content group.
@@ -314,27 +358,22 @@ object Dedup {
         val cands = minhashCands(sigs, hashes, bands)
         // verify ONLY the candidates: broadcast the (tiny) candidate
         // set against the shingle relation instead of computing
-        // jaccard for every shingle-sharing pair in the corpus;
-        // per-doc shingle counts come from the signature aggregation
-        // (no second pass over sh). Every broadcast here is of a
-        // CANDIDATE-scale relation (gated by candBroadcastLimit); the
-        // corpus-scale cnt relation streams as the probe side — never
-        // broadcast, never shuffled.
-        val cnt = sigs.select(col("doc_id"), col("n"))
+        // jaccard for every shingle-sharing pair in the corpus. The
+        // per-doc shingle counts RIDE INSIDE the candidate rows
+        // (carried out of the band join from the signature agg), so
+        // the verify tail touches NO corpus-scale relation besides
+        // the two sh probes — no count joins, nothing corpus-sized
+        // broadcast, no computed intermediate re-broadcast. The one
+        // candidate broadcast is gated by candBroadcastLimit.
         val aSide = gateBroadcast(s, cands)
           .join(sh, col("id_a") === col("doc_id"))
-          .select(col("id_a"), col("id_b"), col("shingle"))
-        val common = aSide
+          .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
+            col("shingle"))
+        aSide
           .join(sh.as("b"), aSide("shingle") === col("b.shingle")
             && col("b.doc_id") === aSide("id_b"))
-          .groupBy(col("id_a"), col("id_b"))
+          .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
           .agg(count(lit(1)).as("n_common"))
-        val withA = gateBroadcast(s, gateBroadcast(s, common)
-          .join(cnt.withColumnRenamed("doc_id", "id_a")
-            .withColumnRenamed("n", "n_a"), "id_a"))
-        withA
-          .join(cnt.withColumnRenamed("doc_id", "id_b")
-            .withColumnRenamed("n", "n_b"), "id_b")
           .withColumn("jaccard", col("n_common").cast("double")
             / (col("n_a") + col("n_b") - col("n_common")))
           .filter(col("jaccard") >= 0.5)
@@ -474,7 +513,7 @@ object Dedup {
     QueryDef(
       "d04_simhash",
       (s, d) => {
-        val bands = simHashBands(s)
+        val bands = simHashBands(s, d)
         // banded candidate join instead of the O(n²) cross join:
         // hamming ≤ bands-1 means at most bands-1 differing bits across
         // `bands` equal-width bands, so (pigeonhole) at least one band
@@ -533,28 +572,29 @@ object Dedup {
           Integer.toHexString(d.hashCode)
         corpusBands.write.mode("overwrite").parquet(idxPath)
         val idx = s.read.parquet(idxPath)
+        // endpoint shingle counts ride inside the candidates (the
+        // persisted index stores n per row; the delta side carries
+        // its own) — the verify tail joins NO corpus-scale count
+        // relation (the per-doc count of the whole corpus is itself
+        // O(corpus) and must neither broadcast nor shuffle nightly)
         val cands = idx.as("c")
           .join(broadcast(deltaBands.as("q")),
             col("c.band") === col("q.band")
               && col("c.band_key") === col("q.band_key"))
           .select(col("q.doc_id").as("delta_id"),
-            col("c.doc_id").as("corpus_id"))
+            col("c.doc_id").as("corpus_id"),
+            col("q.n").as("n_q"), col("c.n").as("n_c"))
           .distinct()
-        val cnt = sigs.select(col("doc_id"), col("n"))
         val qSide = gateBroadcast(s, cands)
           .join(sh, col("delta_id") === col("doc_id"))
-          .select(col("delta_id"), col("corpus_id"), col("shingle"))
-        val common = qSide
+          .select(col("delta_id"), col("corpus_id"), col("n_q"),
+            col("n_c"), col("shingle"))
+        val scored = qSide
           .join(sh.as("b"), qSide("shingle") === col("b.shingle")
             && col("b.doc_id") === qSide("corpus_id"))
-          .groupBy(col("delta_id"), col("corpus_id"))
+          .groupBy(col("delta_id"), col("corpus_id"), col("n_q"),
+            col("n_c"))
           .agg(count(lit(1)).as("n_common"))
-        // candidate-scale side broadcasts; corpus-scale cnt streams
-        val scored = gateBroadcast(s, gateBroadcast(s, common)
-          .join(cnt.withColumnRenamed("doc_id", "delta_id")
-            .withColumnRenamed("n", "n_q"), "delta_id"))
-          .join(cnt.withColumnRenamed("doc_id", "corpus_id")
-            .withColumnRenamed("n", "n_c"), "corpus_id")
           .withColumn("jaccard", col("n_common").cast("double")
             / (col("n_q") + col("n_c") - col("n_common")))
           .filter(col("jaccard") >= 0.5)
@@ -671,10 +711,42 @@ object Dedup {
       .select(col("doc_id"), simhashExpr.cast("long").as("simhash"))
   }
 
-  /** DuckDB twin of d04 at a given geometry (defaults = shipped oracle). */
-  private[graft] def simhashOracleSql(bits: Int = SimHashBits,
-      bands: Int = SimHashBands): String =
-    s"""WITH tok AS (
+  /** The session whose confs the SQL-twin generator consults —
+    * same discipline as Similarity's [[Similarity.sessionForOracle]]:
+    * active first, default as fallback, so a twin materialized from a
+    * non-query thread still sees the override. */
+  private def sessionForOracle: Option[SparkSession] =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+
+  /** The `geom` CTE supplying the band count (= hamming threshold +
+    * 1) to the d04 SQL twin — override-aware like s02's hCte: with
+    * `spark.graft.simhashBands` set at oracle-materialization time
+    * the resolved value pins as a literal; otherwise the twin derives
+    * the SAME [[adaptiveSimHashBands]] from COUNT(*) in SQL, with the
+    * per-band bucket-space thresholds precomputed as integer literals
+    * for the generator's `bits` (no floating pow in either engine). */
+  private def bandsCte(bits: Int): String =
+    sessionForOracle
+      .flatMap(s => s.conf.getOption(GraftConf.SimHashBandsKey))
+      .map(_.trim.toInt) match {
+      case Some(b) =>
+        require(b > 0 && bits % b == 0,
+          s"${GraftConf.SimHashBandsKey} must divide $bits, got $b")
+        s"geom AS (SELECT $b AS bands)"
+      case None =>
+        val cases = (4 to 2 by -1).filter(bits % _ == 0).map { b =>
+          val e = bits / b
+          val cap = if (e >= 62) Long.MaxValue else 1L << e
+          s"WHEN $cap >= 4 * (SELECT COUNT(*) FROM documents) THEN $b"
+        }.mkString(" ")
+        s"geom AS (SELECT (CASE $cases ELSE 1 END) AS bands)"
+    }
+
+  /** DuckDB twin of d04 (bits literal from the generator; bands from
+    * [[bandsCte]] — adaptive or override-pinned). */
+  private[graft] def simhashOracleSql(bits: Int = SimHashBits): String =
+    s"""WITH ${bandsCte(bits)},
+        tok AS (
           SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
           FROM documents),
         th AS (SELECT doc_id,
@@ -694,6 +766,7 @@ object Dedup {
           a.simhash AS simhash_a, b.simhash AS simhash_b,
           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.simhash, b.simhash)) <= ${bands - 1}
+        WHERE bit_count(xor(a.simhash, b.simhash))
+          <= (SELECT bands FROM geom) - 1
         ORDER BY id_a, id_b"""
 }

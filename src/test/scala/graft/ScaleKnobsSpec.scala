@@ -114,6 +114,31 @@ class ScaleKnobsSpec extends SparkSpec {
     }
   }
 
+  test("simhash bands derive from corpus count (threshold tightens with n)") {
+    // boundaries of the occupancy-1/4 rule at 60 bits: 2^(60/b) >= 4n
+    assert(Dedup.adaptiveSimHashBands(60, 500) == 4)
+    assert(Dedup.adaptiveSimHashBands(60, 5000) == 4)
+    assert(Dedup.adaptiveSimHashBands(60, 8192) == 4)
+    assert(Dedup.adaptiveSimHashBands(60, 8193) == 3)
+    assert(Dedup.adaptiveSimHashBands(60, 50000) == 3)
+    assert(Dedup.adaptiveSimHashBands(60, 262144) == 3)
+    assert(Dedup.adaptiveSimHashBands(60, 262145) == 2)
+    assert(Dedup.adaptiveSimHashBands(60, 268435456L) == 2)
+    assert(Dedup.adaptiveSimHashBands(60, 268435457L) == 1)
+    // non-dividing band counts are skipped (32 % 3 != 0)
+    assert(Dedup.adaptiveSimHashBands(32, 50) == 4)
+    assert(Dedup.adaptiveSimHashBands(32, 100) == 2)
+    // the gated query runs at the adaptive default (sf0.001: 500 docs
+    // -> 4 bands, the historical geometry — results unchanged)
+    assert(SparkEntry.queries("d04_simhash")(spark, sf).count() > 0)
+    // and the SQL twin derives bands from COUNT(*) (no literal pin)
+    assert(SparkEntry.oracleSql("d04_simhash").contains("CASE"))
+    withConf(GraftConf.SimHashBandsKey -> "2") {
+      // an override pins the twin instead
+      assert(SparkEntry.oracleSql("d04_simhash").contains("SELECT 2 AS bands"))
+    }
+  }
+
   test("candBroadcastLimit=0: verify joins un-broadcast, output identical") {
     // the broadcast-overflow fallback: with the cap forced to 0 every
     // candidate-relation broadcast in d03/d06/d10 degrades to a plain
