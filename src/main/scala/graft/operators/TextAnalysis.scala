@@ -799,6 +799,58 @@ object TextAnalysis {
             + len(regexp_extract_all(clean, '\d{3}-\d{3}-\d{4}'))
             AS BIGINT) AS n_residual,
           md5(clean) AS clean_md5
-        FROM redacted ORDER BY doc_id"""))
+        FROM redacted ORDER BY doc_id""")),
+
+    // ----- t17: MODEL-BASED QUALITY CLASSIFIER — the fasttext-style
+    // linear scorer production pipelines run after the heuristic
+    // filters (GPT-3's quality classifier, LLaMA's wiki-ref model):
+    // hashed bag-of-words features (token -> md5 -> one of 1024
+    // buckets) dotted with a shipped weight table, normalized by
+    // length, thresholded into a keep bit. The "trained model" here
+    // is a deterministic md5-derived weight per bucket — the SHAPE is
+    // the deliverable: at 100 TB this is ONE codegen'd projection
+    // (per-row HOF aggregate over the token array, no shuffle, no
+    // UDF), and swapping real learned weights in changes only the
+    // lookup. INTEGER weights ([-1000, 1000], exact in both engines)
+    // summed as longs keep the score cross-engine exact: one final
+    // division per row is a single IEEE op.
+    QueryDef(
+      "t17_quality_classifier",
+      (s, d) => {
+        val feats = 1024
+        // per-token integer weight: bucket = low 10 bits of md5(tok),
+        // weight = md5('w:'||bucket) scaled into [-1000, 1000]
+        val wExpr =
+          s"""aggregate(transform($toksExpr, t ->
+                cast(conv(substring(md5(concat('w:',
+                  cast(conv(substring(md5(t), 1, 4), 16, 10) % $feats
+                    as string))), 1, 8), 16, 10) % 2001 - 1000
+                  as bigint)),
+              cast(0 as bigint), (acc, x) -> acc + x)"""
+        new Tables(s, d).documents
+          .withColumn("n_toks", size(expr(toksExpr)).cast("long"))
+          .filter(col("n_toks") >= 1)
+          .withColumn("wsum", expr(wExpr))
+          .withColumn("score",
+            col("wsum").cast("double") / (col("n_toks") * 1000.0d))
+          .select(col("doc_id"), col("n_toks"), col("wsum"),
+            col("score"), (col("score") > 0.0d).as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (
+          SELECT doc_id,
+            unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+          FROM documents),
+        scored AS (
+          SELECT doc_id, COUNT(*) AS n_toks,
+            CAST(SUM(('0x' || substr(md5('w:' ||
+                CAST(('0x' || substr(md5(t), 1, 4))::BIGINT % 1024
+                  AS VARCHAR)), 1, 8))::BIGINT % 2001 - 1000)
+              AS BIGINT) AS wsum
+          FROM tok GROUP BY doc_id)
+        SELECT doc_id, n_toks, wsum,
+          CAST(wsum AS DOUBLE) / (n_toks * 1000.0) AS score,
+          CAST(wsum AS DOUBLE) / (n_toks * 1000.0) > 0.0 AS keep
+        FROM scored WHERE n_toks >= 1 ORDER BY doc_id"""))
   )
 }
