@@ -631,7 +631,116 @@ object Dedup {
           COALESCE(p.n_corpus_dups, 0) = 0 AS is_new
         FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
         LEFT JOIN per p ON p.delta_id = d.doc_id
-        ORDER BY delta_id"""))
+        ORDER BY delta_id""")),
+
+    // ----- d11: PARAGRAPH-granularity fuzzy dedup — the RefinedWeb/
+    // Dolma pass that document-level dedup (d03) misses: boilerplate
+    // and quoted passages REPEATED ACROSS otherwise-distinct
+    // documents. The "paragraph" on this single-line corpus is a
+    // non-overlapping 32-token window (t12/t13's segmentation
+    // convention); each paragraph gets its own MinHash signature over
+    // its word-3-gram shingles, LSH banding yields candidate
+    // paragraph pairs, exact jaccard >= 0.5 verifies, and the scrub
+    // keeps the FIRST occurrence (min packed id = lexicographic
+    // (doc_id, start) — the deterministic distributed stand-in for
+    // sequential keep-first: a paragraph is dropped iff it verifies
+    // against ANY earlier paragraph, dropped or not). Output is the
+    // shipped deliverable: per doc, paragraph counts and the md5 of
+    // the scrubbed text.
+    // Scale: identical shape to d03 — linear explodes, df-capped
+    // shingles, band-key join, gated-broadcast verify of only the
+    // candidates — just keyed by paragraph (the relation is ~3x the
+    // doc count here, corpus-linear always). Paragraph ids pack as
+    // doc_id * 2^32 + token_start (safe to 2^31 docs x 2^32 tokens).
+    QueryDef(
+      "d11_paragraph_neardup",
+      (s, d) => {
+        val (hashes, bands) = minhashGeometry(s)
+        val cap = shingleDfCap(s)
+        val paras = new Tables(s, d).documents
+          .withColumn("toks", expr(toksExpr))
+          .withColumn("start", explode(expr("sequence(1, size(toks), 32)")))
+          .select(col("doc_id"), col("start").cast("long").as("start"),
+            array_join(slice(col("toks"), col("start"), lit(32)), " ")
+              .as("ptext"))
+          .withColumn("pid",
+            col("doc_id") * lit(4294967296L) + col("start"))
+        val psh0 = paras
+          .withColumn("ptoks", split(col("ptext"), " "))
+          .filter(size(col("ptoks")) >= 3)
+          .select(col("pid").as("doc_id"), explode(expr(
+            """array_distinct(transform(sequence(0, size(ptoks) - 3),
+               i -> concat(ptoks[i], ' ', ptoks[i+1], ' ', ptoks[i+2])))"""))
+            .as("shingle"))
+        val hot = psh0.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap)
+          .select(col("shingle"))
+        val psh = psh0.join(hot, Seq("shingle"), "left_anti")
+          .select(col("doc_id"), col("shingle")).cache()
+        val cands = minhashCands(minhashSigs(psh, hashes), hashes, bands)
+        val aSide = gateBroadcast(s, cands)
+          .join(psh, col("id_a") === col("doc_id"))
+          .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
+            col("shingle"))
+        val dropped = aSide
+          .join(psh.as("b"), aSide("shingle") === col("b.shingle")
+            && col("b.doc_id") === aSide("id_b"))
+          .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+          .agg(count(lit(1)).as("n_common"))
+          .filter(col("n_common").cast("double")
+            / (col("n_a") + col("n_b") - col("n_common")) >= 0.5)
+          .select(col("id_b").as("pid")).distinct()
+          .withColumn("is_dup", lit(true))
+        paras.join(dropped, Seq("pid"), "left")
+          .withColumn("is_dup", coalesce(col("is_dup"), lit(false)))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_paras"),
+            sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dropped"),
+            sort_array(collect_list(
+              struct(col("start"), col("ptext"), col("is_dup")))).as("pg"))
+          .select(col("doc_id"), col("n_paras"), col("n_dropped"),
+            md5(array_join(
+              expr("transform(filter(pg, x -> NOT x.is_dup), x -> x.ptext)"),
+              " ")).as("scrubbed_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH paras AS (
+          SELECT doc_id, CAST(g AS BIGINT) AS start,
+            doc_id * 4294967296 + g AS pid,
+            array_to_string(toks[g:g+31], ' ') AS ptext
+          FROM (SELECT doc_id,
+                  string_split_regex(lower(trim(text)), '\\s+') AS toks
+                FROM documents),
+            UNNEST(generate_series(1, len(toks), 32)) AS t(g)),
+        sh AS (
+          SELECT pid AS doc_id, shingle FROM (
+            SELECT DISTINCT pid,
+              ptoks[i] || ' ' || ptoks[i+1] || ' ' || ptoks[i+2] AS shingle
+            FROM (SELECT pid, string_split(ptext, ' ') AS ptoks FROM paras) t,
+              UNNEST(generate_series(1, len(ptoks) - 2)) AS u(i)
+            WHERE len(ptoks) >= 3)
+          QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= $ShingleDfCap),
+        ${minhashCtesSql()},
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        ver AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+          FROM cands c
+          JOIN sh a ON a.doc_id = c.id_a
+          JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+          GROUP BY 1, 2),
+        dropped AS (SELECT DISTINCT v.id_b AS pid
+          FROM ver v
+          JOIN cnt ca ON ca.doc_id = v.id_a
+          JOIN cnt cb ON cb.doc_id = v.id_b
+          WHERE CAST(v.n_common AS DOUBLE)
+            / (ca.n + cb.n - v.n_common) >= 0.5)
+        SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras,
+          CAST(SUM(CASE WHEN dr.pid IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped,
+          md5(coalesce(string_agg(p.ptext, ' ' ORDER BY p.start)
+            FILTER (WHERE dr.pid IS NULL), '')) AS scrubbed_md5
+        FROM paras p LEFT JOIN dropped dr ON dr.pid = p.pid
+        GROUP BY p.doc_id ORDER BY p.doc_id"""))
   )
 
   /** Iterative min-label propagation to a fixpoint — connected
