@@ -1490,6 +1490,133 @@ object Similarity {
           SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
             ORDER BY cos_sim DESC, c_id) AS rank FROM rer)
         WHERE rank <= 3 ORDER BY q_id, rank"""
-      })
+      }),
+
+    // ----- s15: MMR DIVERSITY-AWARE top-k — the rerank retrieval
+    // pipelines run between ANN and the consumer (Carbonell &
+    // Goldstein 1998): greedily pick k=5 of the top-16 cosine
+    // candidates maximizing λ·rel(q,c) − (1−λ)·max_{p∈picked}
+    // sim(c,p), λ=0.7 — near-duplicate hits stop crowding out
+    // coverage. The greedy fold is SEQUENTIAL BY DESIGN, but over a
+    // bounded candidate array per query: one nested higher-order
+    // `aggregate` (5 steps × ≤16 argmax scans × 64-dim native
+    // vec_dot) evaluated per query ROW — distributed across queries,
+    // zero extra shuffle after candidate generation. Candidate
+    // generation here is the verification-tier all-pairs scan (s01's
+    // role); at scale swap in s09's index-backed shortlist — the MMR
+    // stage is unchanged. Determinism: argmax uses the total order
+    // (score DESC, id ASC), scores are the same left-to-right double
+    // folds both engines compute, so the DuckDB recursive-CTE twin
+    // picks identical ids; per-rank scores are recomputed post-hoc
+    // from the picked prefix (same max over the same set = same
+    // IEEE double) on both sides.
+    QueryDef(
+      "s15_mmr_diverse_topk",
+      (s, d) => {
+        val e = vecs(s, d)
+        val cand = e.filter(col("vec_id") % 25 === 0)
+          .select(col("vec_id").as("qid"), col("v").as("av"),
+            col("nrm").as("nrm_a"))
+          .crossJoin(e.select(col("vec_id").as("id_b"), col("v").as("bv"),
+            col("nrm").as("nrm_b")))
+          .filter(col("qid") =!= col("id_b"))
+          .withColumn("cos_q", expr(dotExpr) / (col("nrm_a") * col("nrm_b")))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("cos_q").desc, col("id_b"))
+        val packed = cand.withColumn("r", row_number().over(w))
+          .filter(col("r") <= 16)
+          .groupBy(col("qid"))
+          .agg(sort_array(collect_list(struct(col("r"), col("id_b"),
+            col("cos_q"), col("bv"), col("nrm_b")))).as("cands"))
+        // sim(c, p) and the MMR score of candidate c against a picked
+        // id set, as SQL fragments (c, picked in lambda scope)
+        val sim = "vec_dot(c.bv, p.bv) / (c.nrm_b * p.nrm_b)"
+        val msim = s"""coalesce(aggregate(
+            filter(cands, p -> array_contains(picked, p.id_b)),
+            cast(null as double),
+            (m, p) -> CASE WHEN m IS NULL OR $sim > m THEN $sim ELSE m END),
+          cast(0.0 as double))"""
+        val sc = s"cast(0.7 as double) * c.cos_q" +
+          s" - cast(0.3 as double) * $msim"
+        val selExpr = s"""aggregate(
+            sequence(1, 5),
+            cast(array() as array<bigint>),
+            (picked, step) -> array_append(picked,
+              aggregate(
+                filter(cands, c -> NOT array_contains(picked, c.id_b)),
+                cast(null as struct<id: bigint, sc: double>),
+                (best, c) -> CASE
+                  WHEN best IS NULL OR $sc > best.sc
+                    OR ($sc = best.sc AND c.id_b < best.id)
+                  THEN named_struct('id', c.id_b, 'sc', $sc)
+                  ELSE best END,
+                best -> best.id)))"""
+        // post-hoc per-rank score from the picked prefix (oracle twin
+        // recomputes identically from its recursive picked list)
+        val selv = "filter(cands, c -> c.id_b = sel_id)[0]"
+        val psim = s"vec_dot($selv.bv, p.bv) / ($selv.nrm_b * p.nrm_b)"
+        val pmsim = s"""coalesce(aggregate(
+            filter(cands, p -> array_contains(slice(picked, 1, pos), p.id_b)),
+            cast(null as double),
+            (m, p) -> CASE WHEN m IS NULL OR $psim > m THEN $psim ELSE m END),
+          cast(0.0 as double))"""
+        packed.withColumn("picked", expr(selExpr))
+          .select(col("qid"), col("cands"), col("picked"),
+            posexplode(col("picked")).as(Seq("pos", "sel_id")))
+          .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
+            col("sel_id"),
+            expr(s"$selv.cos_q").as("relevance"),
+            (expr(s"cast(0.7 as double) * $selv.cos_q")
+              - expr(s"cast(0.3 as double) * $pmsim")).as("mmr_score"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s"""WITH e AS ($vecsSql),
+        cand0 AS (SELECT a.vec_id AS qid, b.vec_id AS id_b,
+            $dotSql / (a.nrm * b.nrm) AS cos_q
+          FROM (SELECT * FROM e WHERE vec_id % 25 = 0) a
+          JOIN e b ON a.vec_id <> b.vec_id),
+        cand AS (SELECT qid, id_b, cos_q FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY cos_q DESC, id_b) AS r FROM cand0)
+          WHERE r <= 16),
+        csim AS (SELECT c1.qid, c1.id_b AS id_x, c2.id_b AS id_y,
+            $dotSql / (a.nrm * b.nrm) AS sim
+          FROM cand c1 JOIN cand c2
+            ON c1.qid = c2.qid AND c1.id_b <> c2.id_b
+          JOIN e a ON a.vec_id = c1.id_b
+          JOIN e b ON b.vec_id = c2.id_b),
+        sel AS (
+          WITH RECURSIVE s(qid, step, picked) AS (
+            SELECT DISTINCT qid, 0, CAST([] AS BIGINT[]) FROM cand
+            UNION ALL
+            SELECT s.qid, s.step + 1,
+              list_append(s.picked, (
+                SELECT c.id_b FROM cand c
+                WHERE c.qid = s.qid AND NOT list_contains(s.picked, c.id_b)
+                ORDER BY CAST(0.7 AS DOUBLE) * c.cos_q
+                    - CAST(0.3 AS DOUBLE) * coalesce((
+                      SELECT max(cs.sim) FROM csim cs
+                      WHERE cs.qid = s.qid AND cs.id_x = c.id_b
+                        AND list_contains(s.picked, cs.id_y)),
+                      CAST(0.0 AS DOUBLE)) DESC, c.id_b
+                LIMIT 1))
+            FROM s WHERE s.step < 5)
+          SELECT qid, picked FROM s WHERE step = 5),
+        ranked AS (SELECT qid, CAST(i AS BIGINT) AS rank,
+            picked[i] AS sel_id, picked[1:i-1] AS prior
+          FROM sel, UNNEST(generate_series(1, len(picked))) AS t(i)),
+        prior_sim AS (SELECT r.qid, r.rank, max(cs.sim) AS msim
+          FROM ranked r JOIN csim cs
+            ON cs.qid = r.qid AND cs.id_x = r.sel_id
+               AND list_contains(r.prior, cs.id_y)
+          GROUP BY 1, 2)
+        SELECT r.qid, r.rank, r.sel_id, c.cos_q AS relevance,
+          CAST(0.7 AS DOUBLE) * c.cos_q
+            - CAST(0.3 AS DOUBLE) * coalesce(p.msim, CAST(0.0 AS DOUBLE))
+            AS mmr_score
+        FROM ranked r
+        JOIN cand c ON c.qid = r.qid AND c.id_b = r.sel_id
+        LEFT JOIN prior_sim p ON p.qid = r.qid AND p.rank = r.rank
+        ORDER BY r.qid, r.rank"""))
   )
 }
