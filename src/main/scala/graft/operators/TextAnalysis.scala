@@ -23,6 +23,31 @@ object TextAnalysis {
   private val toksExpr = "split(lower(trim(text)), '\\\\s+')"
   private val stoplist = "('the','a','of','and','to','in','is','it')"
 
+  /** t17's hashed-linear quality scorer as a reusable STAGE: adds
+    * n_toks/wsum/score/keep to any frame with a `text` column and
+    * drops token-less rows. A stateless codegen'd projection, so it
+    * runs unchanged as a Structured Streaming stage — st14 gates the
+    * document INGEST stream with exactly this frame. */
+  private[graft] def qualityClassified(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val feats = 1024
+    // per-token integer weight: bucket = low 10 bits of md5(tok),
+    // weight = md5('w:'||bucket) scaled into [-1000, 1000]
+    val wExpr =
+      s"""aggregate(transform($toksExpr, t ->
+            cast(conv(substring(md5(concat('w:',
+              cast(conv(substring(md5(t), 1, 4), 16, 10) % $feats
+                as string))), 1, 8), 16, 10) % 2001 - 1000
+              as bigint)),
+          cast(0 as bigint), (acc, x) -> acc + x)"""
+    df.withColumn("n_toks", size(expr(toksExpr)).cast("long"))
+      .filter(col("n_toks") >= 1)
+      .withColumn("wsum", expr(wExpr))
+      .withColumn("score",
+        col("wsum").cast("double") / (col("n_toks") * 1000.0d))
+      .withColumn("keep", col("score") > 0.0d)
+  }
+
   val queries: Seq[QueryDef] = Seq(
 
     // ----- t01: token counting — whitespace tokens and a word-regex
@@ -816,27 +841,10 @@ object TextAnalysis {
     // division per row is a single IEEE op.
     QueryDef(
       "t17_quality_classifier",
-      (s, d) => {
-        val feats = 1024
-        // per-token integer weight: bucket = low 10 bits of md5(tok),
-        // weight = md5('w:'||bucket) scaled into [-1000, 1000]
-        val wExpr =
-          s"""aggregate(transform($toksExpr, t ->
-                cast(conv(substring(md5(concat('w:',
-                  cast(conv(substring(md5(t), 1, 4), 16, 10) % $feats
-                    as string))), 1, 8), 16, 10) % 2001 - 1000
-                  as bigint)),
-              cast(0 as bigint), (acc, x) -> acc + x)"""
-        new Tables(s, d).documents
-          .withColumn("n_toks", size(expr(toksExpr)).cast("long"))
-          .filter(col("n_toks") >= 1)
-          .withColumn("wsum", expr(wExpr))
-          .withColumn("score",
-            col("wsum").cast("double") / (col("n_toks") * 1000.0d))
-          .select(col("doc_id"), col("n_toks"), col("wsum"),
-            col("score"), (col("score") > 0.0d).as("keep"))
-          .orderBy(col("doc_id"))
-      },
+      (s, d) => qualityClassified(new Tables(s, d).documents)
+        .select(col("doc_id"), col("n_toks"), col("wsum"),
+          col("score"), col("keep"))
+        .orderBy(col("doc_id")),
       Some("""WITH tok AS (
           SELECT doc_id,
             unnest(string_split_regex(lower(trim(text)), '\s+')) AS t

@@ -54,8 +54,9 @@ object StreamingOps {
     * path, size, and mtime — so a driver-side testdata regeneration
     * changes the cache key and forces a restage instead of silently
     * replaying stale staged files. */
-  private[graft] def sourceFingerprint(dir: String): String = {
-    val src = Paths.get(s"$dir/events.parquet")
+  private[graft] def sourceFingerprint(dir: String,
+      table: String = "events"): String = {
+    val src = Paths.get(s"$dir/$table.parquet")
     val parts = scala.collection.mutable.ArrayBuffer[String](dir)
     def walk(p: Path): Unit =
       if (Files.isDirectory(p)) {
@@ -114,6 +115,49 @@ object StreamingOps {
       try s.forEach(deleteRec) finally s.close()
     }
     Files.deleteIfExists(p)
+  }
+
+  /** Stage `documents` as 3 single-file parquets split on doc_id
+    * order — the document INGEST stream st14 gates. Same content-keyed
+    * cache discipline as [[staged]]. */
+  private def stagedDocs(s: SparkSession, dir: String): String = synchronized {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(sourceFingerprint(dir, "documents").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val root = Paths.get(s"/tmp/graft_docstream_$key")
+    if (Files.exists(root.resolve("_COMPLETE"))) return root.toString
+    Files.createDirectories(root)
+    val docs = new Tables(s, dir).documents
+    val n = docs.count()
+    val withRn = docs.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("doc_id"))) - 1)
+    Seq((0L, n / 3, "00"), (n / 3, 2 * n / 3, "01"), (2 * n / 3, n, "02"))
+      .foreach { case (lo, hi, name) =>
+        val part = withRn.filter(col("rn") >= lo && col("rn") < hi).drop("rn")
+        val tmp = root.resolve(s"_tmp_$name")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val file = Files.list(tmp).filter(p =>
+          p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        Files.move(file, root.resolve(s"$name.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        deleteRec(tmp)
+      }
+    Seq("00", "01", "02").zipWithIndex.foreach { case (f, i) =>
+      Files.setLastModifiedTime(root.resolve(s"$f.parquet"),
+        FileTime.fromMillis(1000000L + i * 60000L))
+    }
+    Files.createFile(root.resolve("_COMPLETE"))
+    root.toString
+  }
+
+  /** documents as an unbounded stream, one staged file per micro-batch. */
+  private def docStream(s: SparkSession, dir: String): DataFrame = {
+    val stage = stagedDocs(s, dir)
+    val schema = s.read.parquet(stage + "/00.parquet").schema
+    s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage)
   }
 
   /** events as an unbounded stream, one staged file per micro-batch. */
@@ -683,6 +727,55 @@ object StreamingOps {
               - SUM(CAST(p AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
           FROM o WHERE k % 7 = 0 AND k % 5 <> 0)
         SELECT version, net_rows, net_price
-        FROM stats ORDER BY version"""))
+        FROM stats ORDER BY version""")),
+
+    // ----- st14: STREAMING QUALITY GATE — the t17 model-based
+    // classifier run where production actually runs it: on the
+    // document INGEST stream, before anything lands in the lake. The
+    // scorer is a stateless codegen'd projection (the exact frame
+    // batch t17 uses, via TextAnalysis.qualityClassified), so the
+    // stage adds ZERO state; the per-language admission dashboard is
+    // the only stateful agg (a handful of keys, COMPLETE mode). All
+    // outputs are integer-exact (doc/kept counts + kept weight sums),
+    // so the batch-SQL oracle hash-matches — the streaming/batch
+    // consistency contract for the curation stage itself.
+    QueryDef(
+      "st14_stream_quality_gate",
+      (s, d) => {
+        // state = one row per language: size state partitioning to
+        // the key cardinality, not the session's batch-shuffle width
+        // (st02's discipline)
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val mat = try {
+          val gated = graft.operators.TextAnalysis
+            .qualityClassified(docStream(s, d))
+            .groupBy(col("lang"))
+            .agg(count(lit(1)).as("n_docs"),
+              sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+              sum(when(col("keep"), col("wsum")).otherwise(0L))
+                .as("kept_wsum"))
+          runToMemory(s, gated, "complete")
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+        mat.orderBy(col("lang"))
+      },
+      Some("""WITH tok AS (
+          SELECT doc_id, lang,
+            unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+          FROM documents),
+        scored AS (
+          SELECT doc_id, lang, COUNT(*) AS n_toks,
+            CAST(SUM(('0x' || substr(md5('w:' ||
+                CAST(('0x' || substr(md5(t), 1, 4))::BIGINT % 1024
+                  AS VARCHAR)), 1, 8))::BIGINT % 2001 - 1000)
+              AS BIGINT) AS wsum
+          FROM tok GROUP BY doc_id, lang)
+        SELECT lang, COUNT(*) AS n_docs,
+          CAST(SUM(CASE WHEN wsum > 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_kept,
+          CAST(SUM(CASE WHEN wsum > 0 THEN wsum ELSE 0 END) AS BIGINT)
+            AS kept_wsum
+        FROM scored WHERE n_toks >= 1
+        GROUP BY lang ORDER BY lang"""))
   )
 }
