@@ -149,7 +149,7 @@ object Dedup {
        QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= $cap"""
 
   /** Candidate-pair jaccard over the shingle relation (SQL twin below). */
-  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+  private[operators] def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     val sh = cappedShingles(s, d).cache()
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a")

@@ -251,5 +251,92 @@ object Pipeline {
             / (SELECT CAST(sum(w_scaled) AS BIGINT) FROM weighted)
             * 100000.0) AS BIGINT) AS docs_per_epoch
         FROM weighted ORDER BY lang"""))
+  ,
+
+    // ----- p04: TRAIN/VAL/TEST SPLIT + NEAR-DUP LEAKAGE AUDIT — the
+    // split step every training pipeline runs, plus the check t10's
+    // exact n-gram decontamination can't make: a VAL/TEST document
+    // whose near-duplicate sits in TRAIN leaks the answer even though
+    // no exact n-gram crosses. Assignment is a deterministic hash
+    // split on document identity (md5('split:'||doc_id) first hex
+    // digit: 0-b train 12/16, c-d val 2/16, e-f test 2/16 — no RNG
+    // state to ship, any engine re-derives it); the audit joins the
+    // VERIFIED near-dup pair relation (d02's df-capped shingle
+    // jaccard >= 0.5) against both endpoints' splits and rolls up
+    // counts per unordered split pair. Cross-split rows with
+    // n_pairs > 0 are the leakage report; the fix is d08's scrub or
+    // re-assignment by CLUSTER (d07) instead of by doc.
+    // Scale: the pair relation is the d02 machinery (linear, df-cap
+    // bounded); the split column is a per-row projection; the rollup
+    // is 6 groups. Nothing new shuffles at 100 TB.
+    QueryDef(
+      "p04_split_leakage",
+      (s, d) => {
+        val splitExpr = expr(
+          """CASE WHEN substring(md5(concat('split:',
+               cast(doc_id as string))), 1, 1) < 'c' THEN 'train'
+             WHEN substring(md5(concat('split:',
+               cast(doc_id as string))), 1, 1) < 'e' THEN 'val'
+             ELSE 'test' END""")
+        val splits = new Tables(s, d).documents
+          .select(col("doc_id"), splitExpr.as("split"))
+        val sizes = splits.groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"))
+        val pairs = Dedup.jaccardPairs(s, d)
+          .filter(col("jaccard") >= 0.5)
+          .join(splits.select(col("doc_id").as("id_a"),
+            col("split").as("sa")), "id_a")
+          .join(splits.select(col("doc_id").as("id_b"),
+            col("split").as("sb")), "id_b")
+          .groupBy(least(col("sa"), col("sb")).as("split_a"),
+            greatest(col("sa"), col("sb")).as("split_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+        import s.implicits._
+        val combos = Seq("test", "train", "val")
+          .combinations(2).map(c => (c(0), c(1))).toSeq
+          .++(Seq(("test", "test"), ("train", "train"), ("val", "val")))
+          .toDF("split_a", "split_b")
+        combos
+          .join(pairs, Seq("split_a", "split_b"), "left")
+          .join(sizes.withColumnRenamed("split", "split_a")
+            .withColumnRenamed("n_docs", "n_docs_a"), "split_a")
+          .join(sizes.withColumnRenamed("split", "split_b")
+            .withColumnRenamed("n_docs", "n_docs_b"), "split_b")
+          .select(col("split_a"), col("split_b"),
+            col("n_docs_a"), col("n_docs_b"),
+            coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+            (col("split_a") =!= col("split_b")
+              && coalesce(col("n_pairs"), lit(0L)) > 0).as("leaky"))
+          .orderBy(col("split_a"), col("split_b"))
+      },
+      Some(s"""WITH ${Dedup.jaccardPairsSql()},
+        splits AS (SELECT doc_id,
+            CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1)
+                   < 'c' THEN 'train'
+                 WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1)
+                   < 'e' THEN 'val'
+                 ELSE 'test' END AS split
+          FROM documents),
+        sizes AS (SELECT split, COUNT(*) AS n_docs FROM splits
+                  GROUP BY split),
+        sp AS (SELECT LEAST(a.split, b.split) AS split_a,
+            GREATEST(a.split, b.split) AS split_b, COUNT(*) AS n_pairs
+          FROM jac j
+          JOIN splits a ON a.doc_id = j.id_a
+          JOIN splits b ON b.doc_id = j.id_b
+          WHERE j.jaccard >= 0.5
+          GROUP BY 1, 2),
+        combos(split_a, split_b) AS (VALUES
+          ('test', 'train'), ('test', 'val'), ('train', 'val'),
+          ('test', 'test'), ('train', 'train'), ('val', 'val'))
+        SELECT c.split_a, c.split_b, sa.n_docs AS n_docs_a,
+          sb.n_docs AS n_docs_b,
+          CAST(COALESCE(sp.n_pairs, 0) AS BIGINT) AS n_pairs,
+          c.split_a <> c.split_b AND COALESCE(sp.n_pairs, 0) > 0 AS leaky
+        FROM combos c
+        JOIN sizes sa ON sa.split = c.split_a
+        JOIN sizes sb ON sb.split = c.split_b
+        LEFT JOIN sp ON sp.split_a = c.split_a AND sp.split_b = c.split_b
+        ORDER BY c.split_a, c.split_b"""))
   )
 }
