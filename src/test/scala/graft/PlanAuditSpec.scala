@@ -34,7 +34,10 @@ class PlanAuditSpec extends SparkSpec {
       ("binary-code linear scan: broadcast query rows x 8-byte codes " +
         "(the BQ rescoring shape; floats touched only for the shortlist)"),
     "q78_kll_quantile_sketch" -> "1x1 scalar combine (merged-sketch row)",
-    "t15_bm25_retrieval" -> "broadcast 1-row corpus stats (nd, tl)")
+    "t15_bm25_retrieval" -> "broadcast 1-row corpus stats (nd, tl)",
+    "s15_mmr_diverse_topk" ->
+      ("verification-tier candidate stage (s01's role); the MMR fold " +
+        "itself is per-row — swap in s09's index path at scale"))
 
   test("no unlabeled cartesian product in any gated batch query plan") {
     val sf = "/root/testdata/sf0.001"
