@@ -39,7 +39,21 @@ object ScaleUp {
       // r12 additions: PQ+ADC retrieval, corpus line dedup, BM25,
       // and the equality-upsert write path (orders-driven)
       "s12_pq_adc", "t13_line_dedup", "t15_bm25_retrieval",
-      "w19_equality_upsert")
+      "w19_equality_upsert",
+      // late-r12: paragraph-granularity fuzzy dedup + the hashed
+      // linear quality classifier (pure projection — its signal here
+      // is wall-time linearity)
+      "d11_paragraph_neardup", "t17_quality_classifier")
+
+  /** What a query's "found" count IS for retention purposes, when a
+    * plain row count is structurally trivial (one row per doc): d11
+    * reports one row per document, but the scale-sensitive quantity
+    * is the DROPPED-paragraph total — within-copy near-dup paragraph
+    * pairs are ×K exact under the isometric build, so drops must
+    * scale ×K too. */
+  private val Measures: Map[String, DataFrame => Long] = Map(
+    "d11_paragraph_neardup" ->
+      (df => df.agg(sum(col("n_dropped"))).head().getLong(0)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -69,10 +83,11 @@ object ScaleUp {
 
     val results = Queries.filter(q => only.forall(q.contains)).map { name =>
       val fn = SparkEntry.queries(name)
+      val measure = Measures.getOrElse(name, (df: DataFrame) => df.count())
       def time(dir: String): (Double, Long) = {
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        val n = fn(spark, dir).count()
+        val n = measure(fn(spark, dir))
         ((System.nanoTime() - t0) / 1e9, n)
       }
       val (t1, n1) = time(sfDir)
