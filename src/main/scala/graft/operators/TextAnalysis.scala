@@ -859,6 +859,80 @@ object TextAnalysis {
         SELECT doc_id, n_toks, wsum,
           CAST(wsum AS DOUBLE) / (n_toks * 1000.0) AS score,
           CAST(wsum AS DOUBLE) / (n_toks * 1000.0) > 0.0 AS keep
-        FROM scored WHERE n_toks >= 1 ORDER BY doc_id"""))
+        FROM scored WHERE n_toks >= 1 ORDER BY doc_id""")),
+
+    // ----- t18: CORPUS-TRAINED LM FLUENCY — the CCNet-style language-
+    // model filter, with the LM trained on the corpus ITSELF in the
+    // same job (the two-pass train-then-score shape t17's fixed
+    // weights sidestep): pass 1 aggregates bigram MLE counts
+    // c(w1,w2)/c(w1·), pass 2 scores each document by its mean
+    // conditional bigram probability — how predictable its
+    // transitions are under corpus statistics: templated/repeated
+    // phrasing scores high, common words in unusual orders score
+    // low. (Self-trained MLE caveat: a doc of globally-UNIQUE tokens
+    // trivially scores 1.0 — c(w1)=c(w1,w2)=1; production trains the
+    // reference LM on a held-out clean corpus instead. The two-pass
+    // train-then-score SHAPE is the deliverable; swapping the count
+    // relation for a shipped one changes only the join source.)
+    // Keep cut 0.0345 sits at the corpus median (~0.030-0.049 span),
+    // so the gate genuinely splits.
+    // Scale: two map-side-combinable count shuffles on the bigram/
+    // unigram key, one join back on the same key (co-partitioned
+    // with the c2 exchange), one doc_id rollup — all linear; the
+    // per-doc probability fold runs over a sort_array'd bounded
+    // array. Determinism: each probability is ONE IEEE division of
+    // exact counts; the per-doc sum is an ORDERED (position-
+    // ascending) left-to-right fold in both engines, the vec_dot
+    // discipline.
+    QueryDef(
+      "t18_lm_fluency",
+      (s, d) => {
+        val big = new Tables(s, d).documents
+          .withColumn("toks", expr(toksExpr))
+          .filter(size(col("toks")) >= 2)
+          .select(col("doc_id"), posexplode(expr(
+            """transform(sequence(0, size(toks) - 2),
+               i -> struct(toks[i] AS w1, toks[i+1] AS w2))"""))
+            .as(Seq("pos", "bg")))
+          .select(col("doc_id"), col("pos"),
+            col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        val c2 = big.groupBy(col("w1"), col("w2"))
+          .agg(count(lit(1)).as("c2"))
+        val c1 = big.groupBy(col("w1"))
+          .agg(count(lit(1)).as("c1"))
+        big.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+          .withColumn("p", col("c2").cast("double") / col("c1"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            sort_array(collect_list(struct(col("pos"), col("p"))))
+              .as("ps"))
+          .select(col("doc_id"), col("n_bigrams"),
+            (expr("""aggregate(ps, cast(0.0 as double),
+               (acc, x) -> acc + x.p)""") / col("n_bigrams"))
+              .as("fluency"))
+          .withColumn("keep", col("fluency") > 0.0345d)
+          .select(col("doc_id"), col("n_bigrams"), col("fluency"),
+            col("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id,
+            string_split_regex(lower(trim(text)), '\s+') AS tk
+          FROM documents),
+        big AS (SELECT doc_id, i AS pos, tk[i+1] AS w1, tk[i+2] AS w2
+          FROM toks, UNNEST(generate_series(0, len(tk) - 2)) AS u(i)
+          WHERE len(tk) >= 2),
+        c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY 1, 2),
+        c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY 1),
+        sc AS (SELECT b.doc_id, COUNT(*) AS n_bigrams,
+            list_sum(list(CAST(c2.c2 AS DOUBLE) / c1.c1
+              ORDER BY b.pos)) AS tot
+          FROM big b
+          JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+          JOIN c1 ON c1.w1 = b.w1
+          GROUP BY b.doc_id)
+        SELECT doc_id, n_bigrams, tot / n_bigrams AS fluency,
+          tot / n_bigrams > 0.0345 AS keep
+        FROM sc ORDER BY doc_id"""))
   )
 }
