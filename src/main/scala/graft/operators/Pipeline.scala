@@ -337,6 +337,70 @@ object Pipeline {
         JOIN sizes sa ON sa.split = c.split_a
         JOIN sizes sb ON sb.split = c.split_b
         LEFT JOIN sp ON sp.split_a = c.split_a AND sp.split_b = c.split_b
-        ORDER BY c.split_a, c.split_b"""))
+        ORDER BY c.split_a, c.split_b""")),
+
+    // ----- p05: CLUSTER-BALANCED SAMPLE — diversity-aware subset
+    // selection over the embedding space (the SemDeDup-adjacent
+    // "don't let one dense mode dominate the sample" step): every
+    // vector is assigned to its nearest of 8 centroids (s04's
+    // training-free coarse quantizer — broadcast affinity, the IVF
+    // assignment shape; swap in s08's Lloyd-trained centroids
+    // unchanged), then each cluster contributes an EQUAL quota of 16,
+    // picked by deterministic md5 order (t09's RNG-free discipline).
+    // A plain md5 sample of the same total size would apportion by
+    // cluster mass; the quota caps every mode at 16.
+    // Scale: centroids broadcast (k tiny); assignment is map-side;
+    // the per-cluster pick is rank<=quota over the cid key — Spark's
+    // WindowGroupLimit pushes the top-k down map-side, so the 8-key
+    // skew never materializes a full per-cluster sort.
+    QueryDef(
+      "p05_cluster_balanced_sample",
+      (s, d) => {
+        graft.functions.VectorFunctions.register(s)
+        val e = new Tables(s, d).embeddings
+          .withColumn("nrm", expr("vec_norm(embedding)"))
+          .select(col("vec_id"), col("embedding").as("v"), col("nrm"))
+        val cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("v").as("cv"),
+            col("nrm").as("cnrm"))
+        val wAssign = Window.partitionBy(col("vec_id"))
+          .orderBy(col("cs").desc, col("cid"))
+        val assigned = e.crossJoin(broadcast(cents))
+          .withColumn("cs",
+            expr("vec_dot(v, cv)") / (col("nrm") * col("cnrm")))
+          .withColumn("rn", row_number().over(wAssign))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("cid"),
+            md5(concat(lit("p05:"), col("vec_id").cast("string")))
+              .as("gate"))
+        val wPick = Window.partitionBy(col("cid"))
+          .orderBy(col("gate"), col("vec_id"))
+        assigned
+          .withColumn("pick_rank", row_number().over(wPick))
+          .filter(col("pick_rank") <= 16)
+          .select(col("cid"), col("pick_rank").cast("long").as("pick_rank"),
+            col("vec_id"))
+          .orderBy(col("cid"), col("pick_rank"))
+      },
+      Some("""WITH e AS (SELECT vec_id, v,
+            sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+          FROM (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings)),
+        cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM e
+                 WHERE vec_id < 8),
+        assigned AS (SELECT vec_id, cid,
+            md5('p05:' || CAST(vec_id AS VARCHAR)) AS gate
+          FROM (SELECT e.vec_id, cent.cid,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                list_sum(list_transform(list_zip(e.v, cent.cv),
+                  t -> t[1] * t[2])) / (e.nrm * cent.cnrm) DESC,
+                cent.cid) AS rn
+            FROM e, cent)
+          WHERE rn = 1)
+        SELECT cid, CAST(pick_rank AS BIGINT) AS pick_rank, vec_id FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY cid
+            ORDER BY gate, vec_id) AS pick_rank FROM assigned)
+        WHERE pick_rank <= 16 ORDER BY cid, pick_rank"""))
   )
 }

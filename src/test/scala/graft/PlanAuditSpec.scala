@@ -37,7 +37,9 @@ class PlanAuditSpec extends SparkSpec {
     "t15_bm25_retrieval" -> "broadcast 1-row corpus stats (nd, tl)",
     "s15_mmr_diverse_topk" ->
       ("verification-tier candidate stage (s01's role); the MMR fold " +
-        "itself is per-row — swap in s09's index path at scale"))
+        "itself is per-row — swap in s09's index path at scale"),
+    "p05_cluster_balanced_sample" ->
+      "broadcast 8-centroid affinity (s04's assignment shape, not O(n²))")
 
   test("no unlabeled cartesian product in any gated batch query plan") {
     val sf = "/root/testdata/sf0.001"
