@@ -24,15 +24,19 @@ object Dedup {
 
   private val toksExpr = "split(lower(trim(text)), '\\\\s+')"
 
-  /** DISTINCT word-3-gram shingles per doc: (doc_id, shingle). */
-  private def shingles(s: SparkSession, d: String): DataFrame =
-    new Tables(s, d).documents
-      .withColumn("toks", expr(toksExpr))
+  /** DISTINCT word-3-gram shingles per doc of any frame with
+    * (doc_id, text) — st15 applies it to streaming micro-batches. */
+  private[graft] def shinglesOf(df: DataFrame): DataFrame =
+    df.withColumn("toks", expr(toksExpr))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(
         """array_distinct(transform(sequence(0, size(toks) - 3),
            i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))"""))
         .as("shingle"))
+
+  /** DISTINCT word-3-gram shingles per doc: (doc_id, shingle). */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    shinglesOf(new Tables(s, d).documents)
 
   /** Doc-frequency cap DEFAULT: a shingle appearing in more than this
     * many documents is stopword-like similarity evidence AND the
@@ -44,7 +48,7 @@ object Dedup {
     */
   private[graft] val ShingleDfCap = 100
 
-  private def shingleDfCap(s: SparkSession): Int =
+  private[graft] def shingleDfCap(s: SparkSession): Int =
     GraftConf.int(s, GraftConf.ShingleDfCapKey, ShingleDfCap)
 
   /** SimHash geometry: a 60-bit signature (15 md5 hex chars per
@@ -261,7 +265,7 @@ object Dedup {
   }
 
   /** The (hashes, bands) geometry in effect for a session. */
-  private def minhashGeometry(s: SparkSession): (Int, Int) =
+  private[graft] def minhashGeometry(s: SparkSession): (Int, Int) =
     (GraftConf.int(s, GraftConf.MinHashHashesKey, 16),
       GraftConf.int(s, GraftConf.MinHashBandsKey, 4))
 

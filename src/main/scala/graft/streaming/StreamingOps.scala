@@ -776,6 +776,88 @@ object StreamingOps {
           CAST(SUM(CASE WHEN wsum > 0 THEN wsum ELSE 0 END) AS BIGINT)
             AS kept_wsum
         FROM scored WHERE n_toks >= 1
-        GROUP BY lang ORDER BY lang"""))
+        GROUP BY lang ORDER BY lang""")),
+
+    // ----- st15: STREAMING DEDUP ADMISSION GATE — d10's persisted
+    // MinHash band index turned into streaming admission control: the
+    // corpus index (+ the hot-shingle list it was built with — the
+    // "index bundle") persists once; each MICRO-BATCH of arriving
+    // documents computes only ITS OWN signatures inside foreachBatch
+    // (batch semantics per epoch — the per-batch-merge shape
+    // streaming lakehouse pipelines run) and probes the index with a
+    // broadcast band join. Output per arriving doc: how many distinct
+    // corpus docs share an LSH band (probable-dup evidence) and the
+    // admit bit. The stream runs the CHEAP probabilistic gate;
+    // d10's exact-jaccard verify stays the nightly reconciliation.
+    // Scale: per-epoch work is O(|batch|); the corpus is scanned
+    // (index read), never shuffled; band-key join is the only
+    // exchange.
+    QueryDef(
+      "st15_stream_dedup_gate",
+      (s, d) => {
+        import graft.operators.Dedup
+        val (hashes, bands) = Dedup.minhashGeometry(s)
+        val cap = Dedup.shingleDfCap(s)
+        val bundle = Files.createTempDirectory("graft_st15_idx").toString
+        // index build (once, nightly): full-corpus hot list + the
+        // historical stripe's band index
+        val shAll = Dedup.shinglesOf(new Tables(s, d).documents)
+        shAll.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap)
+          .select(col("shingle"))
+          .write.mode("overwrite").parquet(s"$bundle/hot")
+        val hot = s.read.parquet(s"$bundle/hot")
+        val corpusSh = shAll.filter(col("doc_id") % 5 =!= 0)
+          .join(hot, Seq("shingle"), "left_anti")
+        Dedup.minhashBands(Dedup.minhashSigs(corpusSh, hashes),
+          hashes, bands)
+          .write.mode("overwrite").parquet(s"$bundle/bands")
+        val out = Files.createTempDirectory("graft_st15_out").toString
+        // the gate: per micro-batch, signatures of the batch only
+        val q = docStream(s, d)
+          .filter(col("doc_id") % 5 === 0)
+          .writeStream
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft_st15_ckpt").toString)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val sess = batch.sparkSession
+            val batchSh = Dedup.shinglesOf(batch)
+              .join(sess.read.parquet(s"$bundle/hot"),
+                Seq("shingle"), "left_anti")
+            val probe = Dedup.minhashBands(
+              Dedup.minhashSigs(batchSh, hashes), hashes, bands)
+            val hits = sess.read.parquet(s"$bundle/bands").as("c")
+              .join(broadcast(probe.as("q")),
+                col("c.band") === col("q.band")
+                  && col("c.band_key") === col("q.band_key"))
+              .groupBy(col("q.doc_id").as("doc_id"))
+              .agg(countDistinct(col("c.doc_id")).as("n_band_hits"))
+            batch.select(col("doc_id"))
+              .join(hits, Seq("doc_id"), "left")
+              .select(col("doc_id"),
+                coalesce(col("n_band_hits"), lit(0L)).as("n_band_hits"),
+                (coalesce(col("n_band_hits"), lit(0L)) === 0).as("admit"))
+              .write.mode("append").parquet(out)
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.read.parquet(out).orderBy(col("doc_id"))
+      },
+      Some(s"""WITH sh AS (${graft.operators.Dedup.shinglesSql()}),
+        ${graft.operators.Dedup.minhashCtesSql()},
+        hits AS (SELECT q.doc_id AS delta_id,
+            COUNT(DISTINCT c.doc_id) AS n_band_hits
+          FROM bands q JOIN bands c
+            ON q.band = c.band AND q.band_key = c.band_key
+          WHERE q.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+          GROUP BY 1)
+        SELECT d.doc_id,
+          CAST(COALESCE(h.n_band_hits, 0) AS BIGINT) AS n_band_hits,
+          COALESCE(h.n_band_hits, 0) = 0 AS admit
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+        LEFT JOIN hits h ON h.delta_id = d.doc_id
+        ORDER BY d.doc_id"""))
   )
 }
