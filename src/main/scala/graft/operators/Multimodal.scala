@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.{Encoder, Encoders}
@@ -193,6 +194,86 @@ object Multimodal {
                         CAST(length(text) // 1000 AS INT) + 1 AS n_chunks
                       FROM documents WHERE doc_id % 3 = 2),
                      UNNEST(generate_series(0, n_chunks - 1, 3)) AS u(frame_idx)))
-        GROUP BY doc_id ORDER BY doc_id"""))
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ----- m05: MODALITY-AWARE SEQUENCE PACKING — the VLM training-
+    // data step text-only packing (p02) can't do: each record costs
+    // its TEXT tokens PLUS its media's token footprint under m01's
+    // stub frame model (image = one 64-token tile; audio = 8 tokens
+    // per frame; video = 64 per sampled frame — the projector-output
+    // budget an interleaved image-text model trains on), and records
+    // pack into 4096-token sequences with p02's md5-dealt shard
+    // discipline (embarrassingly parallel, bit-deterministic). Output
+    // per sequence: document count, text/media token split, and the
+    // modality mix — what a data loader needs to budget attention.
+    // Scale: one projection + one per-shard running-sum window + one
+    // rollup; no joins. All integer arithmetic.
+    QueryDef(
+      "m05_multimodal_pack",
+      (s, d) => new Tables(s, d).documents
+        .withColumn("payload", encode(col("text"), "utf-8"))
+        .select(col("doc_id"),
+          size(expr("split(lower(trim(text)), '\\\\s+')"))
+            .cast(LongType).as("n_tok"),
+          when(col("doc_id") % 3 === 0, "image")
+            .when(col("doc_id") % 3 === 1, "audio")
+            .otherwise("video").as("media_type"),
+          (expr("cast(length(payload) as bigint) div 1000") + 1)
+            .as("n_frames"))
+        .withColumn("media_tok",
+          when(col("media_type") === "image", 64L)
+            .when(col("media_type") === "audio", col("n_frames") * 8L)
+            .otherwise(col("n_frames") * 64L))
+        .withColumn("cost", col("n_tok") + col("media_tok"))
+        .withColumn("shard",
+          (conv(substring(md5(concat(lit("mshard:"),
+            col("doc_id").cast("string"))), 1, 7), 16, 10)
+            .cast("long") % 8).cast("int"))
+        .withColumn("cum", sum(col("cost")).over(
+          Window.partitionBy(col("shard")).orderBy(col("doc_id"))))
+        .withColumn("pack_id", expr("(cum - cost) div 4096"))
+        .groupBy(col("shard"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_text_tokens"),
+          sum(col("media_tok")).as("n_media_tokens"),
+          sum(when(col("media_type") === "image", 1L).otherwise(0L))
+            .as("n_images"),
+          sum(when(col("media_type") === "audio", 1L).otherwise(0L))
+            .as("n_audio"),
+          sum(when(col("media_type") === "video", 1L).otherwise(0L))
+            .as("n_video"))
+        .orderBy(col("shard"), col("pack_id")),
+      Some("""WITH base AS (
+          SELECT doc_id,
+            CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+              AS BIGINT) AS n_tok,
+            CASE WHEN doc_id % 3 = 0 THEN 'image'
+                 WHEN doc_id % 3 = 1 THEN 'audio'
+                 ELSE 'video' END AS media_type,
+            CAST(octet_length(encode(text)) // 1000 + 1 AS BIGINT)
+              AS n_frames
+          FROM documents),
+        costed AS (SELECT doc_id, n_tok, media_type,
+            CASE WHEN media_type = 'image' THEN 64
+                 WHEN media_type = 'audio' THEN n_frames * 8
+                 ELSE n_frames * 64 END AS media_tok,
+            CAST(('0x' || substr(md5('mshard:' || CAST(doc_id AS VARCHAR)),
+              1, 7))::BIGINT % 8 AS INT) AS shard
+          FROM base),
+        packed AS (SELECT shard, doc_id, n_tok, media_tok, media_type,
+            CAST((SUM(n_tok + media_tok) OVER (PARTITION BY shard
+              ORDER BY doc_id) - (n_tok + media_tok)) // 4096 AS BIGINT)
+              AS pack_id
+          FROM costed)
+        SELECT shard, pack_id, COUNT(*) AS n_docs,
+          CAST(SUM(n_tok) AS BIGINT) AS n_text_tokens,
+          CAST(SUM(media_tok) AS BIGINT) AS n_media_tokens,
+          CAST(SUM(CASE WHEN media_type = 'image' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_images,
+          CAST(SUM(CASE WHEN media_type = 'audio' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_audio,
+          CAST(SUM(CASE WHEN media_type = 'video' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_video
+        FROM packed GROUP BY shard, pack_id ORDER BY shard, pack_id"""))
   )
 }
