@@ -820,7 +820,7 @@ object StreamingOps {
           .writeStream
           .option("checkpointLocation",
             Files.createTempDirectory("graft_st15_ckpt").toString)
-          .foreachBatch { (batch: DataFrame, _: Long) =>
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
             val sess = batch.sparkSession
             val batchSh = Dedup.shinglesOf(batch)
               .join(sess.read.parquet(s"$bundle/hot"),
@@ -833,17 +833,21 @@ object StreamingOps {
                   && col("c.band_key") === col("q.band_key"))
               .groupBy(col("q.doc_id").as("doc_id"))
               .agg(countDistinct(col("c.doc_id")).as("n_band_hits"))
+            // idempotent per-epoch landing: a RETRIED micro-batch
+            // overwrites its own batchId directory instead of
+            // double-appending — the standard foreachBatch
+            // exactly-once discipline for file sinks
             batch.select(col("doc_id"))
               .join(hits, Seq("doc_id"), "left")
               .select(col("doc_id"),
                 coalesce(col("n_band_hits"), lit(0L)).as("n_band_hits"),
                 (coalesce(col("n_band_hits"), lit(0L)) === 0).as("admit"))
-              .write.mode("append").parquet(out)
+              .write.mode("overwrite").parquet(s"$out/b$batchId")
             ()
           }
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
-        s.read.parquet(out).orderBy(col("doc_id"))
+        s.read.parquet(s"$out/*").orderBy(col("doc_id"))
       },
       Some(s"""WITH sh AS (${graft.operators.Dedup.shinglesSql()}),
         ${graft.operators.Dedup.minhashCtesSql()},
