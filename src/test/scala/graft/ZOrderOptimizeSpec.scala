@@ -141,4 +141,47 @@ class ZOrderOptimizeSpec extends SparkSpec {
     val east = spark.table("bronze.zo.evp").filter(col("region") === "east")
     assert(east.count() == pre.count(_.contains("east")))
   }
+
+  test("z-order applies and purges EQUALITY deletes; later eq-deletes " +
+      "still apply via seq inheritance") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS bronze.zo")
+    spark.sql("DROP TABLE IF EXISTS bronze.zo.eqz")
+    spark.sql(
+      "CREATE TABLE bronze.zo.eqz (id BIGINT, u BIGINT, h BIGINT) " +
+        "USING parquet")
+    (0 until 2).foreach { b =>
+      spark.sql("INSERT INTO bronze.zo.eqz " +
+        s"SELECT id, (id * 48271) % 64, (id * 69621) % 64 " +
+        s"FROM range(${b * 500}, ${b * 500 + 500})")
+    }
+    // live equality-delete sidecars via the zero-read key path
+    val dir = bronzeCatalog.tableDir(Seq("zo"), "eqz")
+    spark.conf.set(GraftConf.DeleteModeKey, "merge-on-read")
+    try spark.sql("DELETE FROM bronze.zo.eqz WHERE id IN (3, 250, 700)")
+    finally spark.conf.unset(GraftConf.DeleteModeKey)
+    assert(SnapshotLog.current(dir).get.eqDeletes.nonEmpty)
+    val pre = spark.table("bronze.zo.eqz").orderBy("id")
+      .collect().map(_.toString).toSeq
+    assert(pre.length == 997)
+
+    bronzeCatalog.optimizeTableZOrder(Seq("zo"), "eqz",
+      targetBytes = 16L * 1024, Seq("u", "h"))
+    val snap = SnapshotLog.current(dir).get
+    assert(snap.eqDeletes.isEmpty, "ZORDER left applied equality deletes")
+    assert(snap.entries.forall(_.deletes.isEmpty))
+    val post = spark.table("bronze.zo.eqz").orderBy("id")
+      .collect().map(_.toString).toSeq
+    assert(post == pre, "ZORDER + eq-delete purge changed state")
+
+    // an eq-delete issued AFTER the rewrite must retract rewritten
+    // rows: the rewritten files inherited their group's max data
+    // sequence, strictly below the new delete's
+    spark.conf.set(GraftConf.DeleteModeKey, "merge-on-read")
+    try spark.sql("DELETE FROM bronze.zo.eqz WHERE id IN (10, 900)")
+    finally spark.conf.unset(GraftConf.DeleteModeKey)
+    val left = spark.table("bronze.zo.eqz")
+      .filter(col("id").isin(10L, 900L)).count()
+    assert(left == 0L, "post-rewrite equality delete failed to apply")
+  }
 }
