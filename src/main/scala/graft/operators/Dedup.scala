@@ -470,6 +470,41 @@ object Dedup {
           MAX(doc_id) AS max_member
         FROM lbl GROUP BY cluster_id ORDER BY cluster_id""")),
 
+    // ----- d12: the SAME clusters by LARGE-STAR/SMALL-STAR star
+    // contraction (O(log n) rounds; see ccLargeSmallStar) — the
+    // algorithm a 100 TB component search runs when components can be
+    // DEEP (duplicate cascades, quote chains), where d07's one-hop-
+    // per-round propagation would pay diameter rounds. Same verified
+    // near-dup edge relation, same fixpoint, same oracle: the two
+    // implementations hash-check against the identical recursive-CTE
+    // answer, so the algorithmic swap is provably answer-preserving.
+    QueryDef(
+      "d12_cc_star_contraction",
+      (s, d) => {
+        val docs = new Tables(s, d).documents.select(col("doc_id"))
+        val edges = nearDupEdges(s, d).cache()
+        val labels = ccLargeSmallStar(docs, edges)._1
+        edges.unpersist()
+        labels.groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("n_members"),
+            max(col("doc_id")).as("max_member"))
+          .orderBy(col("cluster_id"))
+      },
+      Some(s"""WITH RECURSIVE ${jaccardPairsSql()},
+        edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM jac
+                    WHERE jaccard >= 0.5
+                  UNION ALL
+                  SELECT id_b, id_a FROM jac WHERE jaccard >= 0.5),
+        reach(src, dst) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        lbl AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+                FROM reach GROUP BY src)
+        SELECT cluster_id, COUNT(*) AS n_members,
+          MAX(doc_id) AS max_member
+        FROM lbl GROUP BY cluster_id ORDER BY cluster_id""")),
+
     // ----- d08: the SCRUB — the deliverable a dedup pipeline actually
     // ships: per document, its cluster and whether it is the KEPT
     // representative (min doc_id per near-dup cluster — which IS the
@@ -790,6 +825,83 @@ object Dedup {
       labels = next
     }
     (labels, round)
+  }
+
+  /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
+    * rounds — the O(log n)-round algorithm (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", 2014; public),
+    * vs [[propagateLabels]]' O(diameter) rounds. On dedup graphs
+    * (shallow clusters) the two cost the same; on a long-chain
+    * component — duplicate CASCADES, quote chains, template drift —
+    * min-label propagation pays one round PER HOP while star
+    * contraction halves the component's height every other round.
+    * `LargeSmallStarSpec` drives both over a diameter-256 chain:
+    * 257 rounds vs 9.
+    *
+    * Each round is two grouped aggregations + two co-keyed joins over
+    * the CURRENT edge set (which only ever shrinks toward one edge
+    * per non-root node) — no step touches anything corpus-quadratic,
+    * and per-round `localCheckpoint` bounds lineage exactly as in
+    * [[propagateLabels]]. Convergence is an exact set comparison
+    * (count + one-row `except` probe); a 100 TB deployment would
+    * swap that for the cheaper count-only check the paper proves
+    * sufficient alongside checkpoint()-to-reliable-storage.
+    *
+    * large-star: per center u over the SYMMETRIZED edges, m =
+    * min(N(u) ∪ {u}); every STRICTLY LARGER neighbor re-links to m.
+    * small-star: per larger endpoint u of each edge, m = min of its
+    * smaller neighbors; u and all its smaller neighbors except m
+    * re-link to m. Both preserve connectivity; the fixpoint is a
+    * star per component centered at its minimum id.
+    *
+    * Returns (labels (doc_id, cluster_id), rounds) — cluster_id is
+    * the component minimum, identical to [[propagateLabels]]. */
+  private[graft] def ccLargeSmallStar(nodes: DataFrame,
+      edges0: DataFrame): (DataFrame, Int) = {
+    def canon(df: DataFrame): DataFrame = df
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    var cur = canon(edges0
+        .select(col("src").as("u"), col("dst").as("v")))
+      .localCheckpoint(false)
+    cur.cache()
+    var rounds = 0
+    var done = cur.isEmpty
+    while (!done) {
+      rounds += 1
+      // large-star
+      val sym = cur.select(col("u").as("c"), col("v").as("n"))
+        .union(cur.select(col("v").as("c"), col("u").as("n")))
+      val lMins = sym.groupBy(col("c"))
+        .agg(min(col("n")).as("nm"))
+        .select(col("c"), least(col("nm"), col("c")).as("m"))
+      val large = sym.filter(col("n") > col("c"))
+        .join(lMins, "c")
+        .select(col("n").as("u"), col("m").as("v"))
+      // small-star over the large-star output (edges already (u > v))
+      val ls = canon(large)
+      val sMins = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val linked = ls.join(sMins, "u")
+      val next = canon(
+          linked.filter(col("v") =!= col("m"))
+            .select(col("v").as("u"), col("m").as("v"))
+          .union(linked.select(col("u"), col("m").as("v"))))
+        .localCheckpoint(false)
+      next.cache()
+      val nCur = cur.count()
+      val nNext = next.count()
+      done = nCur == nNext && next.except(cur).isEmpty
+      cur.unpersist()
+      cur = next
+    }
+    val roots = cur.groupBy(col("u")).agg(min(col("v")).as("root"))
+    val labels = nodes
+      .join(roots, nodes("doc_id") === roots("u"), "left")
+      .select(col("doc_id"),
+        coalesce(col("root"), col("doc_id")).as("cluster_id"))
+    (labels, rounds)
   }
 
   /** d07's edge relation: the verified near-dup pairs (same predicate

@@ -401,6 +401,46 @@ object Pipeline {
         SELECT cid, CAST(pick_rank AS BIGINT) AS pick_rank, vec_id FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY cid
             ORDER BY gate, vec_id) AS pick_rank FROM assigned)
-        WHERE pick_rank <= 16 ORDER BY cid, pick_rank"""))
+        WHERE pick_rank <= 16 ORDER BY cid, pick_rank""")),
+
+    // ----- p06: EXACT-QUOTA stratified sample — the mixture contract
+    // a training run actually signs ("exactly 100 en docs, exactly 40
+    // per other language"), which t09's Bernoulli hash-gate cannot
+    // honor (it delivers rate·n only in expectation). Per stratum,
+    // rank documents by a salted md5 (deterministic, reproducible,
+    // uncorrelated with any content attribute) and keep rank ≤ quota;
+    // strata smaller than their quota surface whole.
+    // Scale: ONE shuffle on the stratum key; Spark's WindowGroupLimit
+    // prunes to quota rows per stratum MAP-SIDE before the exchange,
+    // so the shuffle carries O(|strata| · quota), not the corpus —
+    // the same physical shape as q66/p05 (verified in PLANS.md §q66).
+    // The md5 rank also makes the sample STABLE under corpus append:
+    // a new document displaces at most one incumbent per stratum,
+    // never reshuffles the whole sample (rand() reshuffles every run).
+    QueryDef(
+      "p06_exact_quota_sample",
+      (s, d) => {
+        val docs = new Tables(s, d).documents
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("gate"), col("doc_id"))
+        docs
+          .withColumn("gate",
+            md5(concat(lit("quota:"), col("doc_id").cast("string"))))
+          .withColumn("quota",
+            when(col("lang") === "en", 100L).otherwise(40L))
+          .withColumn("samp_rank", row_number().over(w).cast("long"))
+          .filter(col("samp_rank") <= col("quota"))
+          .select(col("lang"), col("samp_rank"), col("doc_id"))
+          .orderBy(col("lang"), col("samp_rank"))
+      },
+      Some("""SELECT lang, samp_rank, doc_id FROM (
+          SELECT lang, doc_id,
+            CAST(ROW_NUMBER() OVER (PARTITION BY lang
+              ORDER BY md5('quota:' || CAST(doc_id AS VARCHAR)), doc_id)
+              AS BIGINT) AS samp_rank,
+            CASE WHEN lang = 'en' THEN 100 ELSE 40 END AS quota
+          FROM documents)
+        WHERE samp_rank <= quota
+        ORDER BY lang, samp_rank"""))
   )
 }

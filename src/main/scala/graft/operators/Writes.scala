@@ -1751,6 +1751,127 @@ object Writes {
           FROM e GROUP BY et
           UNION ALL
           SELECT '_proof_zorder', 1, 0.0)
-        SELECT ref, n_rows, total FROM stats ORDER BY ref"""))
+        SELECT ref, n_rows, total FROM stats ORDER BY ref""")),
+
+    // ----- w24: JSONL EXPORT + RE-READ — the interchange format every
+    // LLM-data pipeline ships to and from (tokenizers, labelers,
+    // eval harnesses all speak JSON-lines). The corpus lands as
+    // sharded JSONL (one JSON object per line; newlines inside `text`
+    // are escaped by the writer, so records stay line-delimited) and
+    // is read back with an EXPLICIT schema — never inference, which
+    // at 100 TB would cost a full pre-scan and can widen types on
+    // dirty data. The gated result aggregates the RE-READ copy with a
+    // per-row content digest (md5-derived 56-bit hash of every field,
+    // summed per group) against the oracle computed from the original
+    // parquet: any row lost, duplicated, or corrupted by the
+    // round-trip breaks the hash. Scale: export is embarrassingly
+    // parallel (one task per shard, no shuffle beyond the deal);
+    // JSONL is row-oriented — fine as an EDGE format, but the gated
+    // w01/w02 parquet layouts remain the analytical store (JSON scans
+    // read every byte; no column pruning, no min/max skipping).
+    QueryDef(
+      "w24_jsonl_roundtrip",
+      (s, d) => {
+        val out = scratch("w24", d)
+        val docs = new Tables(s, d).documents
+        docs.repartition(4, col("doc_id"))
+          .write.mode("overwrite").json(out)
+        val back = s.read.schema(docs.schema).json(out)
+        // digest: BIT_XOR of a 60-bit per-row hash — order-independent
+        // AND overflow-free at any corpus size (a SUM of 56-bit hashes
+        // overflows BIGINT past ~2^8 rows); n_docs guards the
+        // duplicate-row case XOR alone would cancel
+        back.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            expr("bit_xor(cast(conv(substring(md5(concat(" +
+              "cast(doc_id as string), ':', text, ':', source)), 1, 15)," +
+              " 16, 10) as bigint))").as("payload_digest"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+          BIT_XOR(('0x' || substr(md5(
+              CAST(doc_id AS VARCHAR) || ':' || text || ':' || source),
+            1, 15))::BIGINT) AS payload_digest
+        FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // ----- w25: CSV EXPORT + RE-READ — the lowest-common-denominator
+    // edge format (spreadsheets, legacy ETL, vendor drops). Same
+    // digest-gated round-trip discipline as w24: explicit schema on
+    // the read-back (CSV inference misreads everything at scale),
+    // header row, quoting left to the writer. Doubles survive because
+    // Java's Double.toString is shortest-round-trip and the reader
+    // parses it back to the identical IEEE value; the digest's
+    // decimal-cast sum would catch any engine that broke that.
+    QueryDef(
+      "w25_csv_roundtrip",
+      (s, d) => {
+        val out = scratch("w25", d)
+        val src = new Tables(s, d).orders.select(
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"),
+          col("o_orderdate").cast("date").as("o_orderdate"),
+          col("o_orderpriority"))
+        // the CSV writer TRIMS leading/trailing whitespace by default
+        // (lossy for text payloads) — disabled for a faithful export
+        src.repartition(4, col("o_orderkey"))
+          .write.mode("overwrite").option("header", "true")
+          .option("ignoreLeadingWhiteSpace", "false")
+          .option("ignoreTrailingWhiteSpace", "false")
+          .csv(out)
+        val back = s.read.schema(src.schema)
+          .option("header", "true").csv(out)
+        back.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"),
+            Exact.dsum(col("o_totalprice"), 2).as("total_price"),
+            min(col("o_orderdate").cast("string")).as("first_day"),
+            max(col("o_orderdate").cast("string")).as("last_day"),
+            expr("bit_xor(cast(conv(substring(md5(concat_ws(':'," +
+              "cast(o_orderkey as string), cast(o_custkey as string)," +
+              "o_orderstatus, cast(o_orderdate as string)," +
+              "o_orderpriority)), 1, 15), 16, 10) as bigint))")
+              .as("payload_digest"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some(s"""SELECT o_orderstatus, COUNT(*) AS n_orders,
+          ${Exact.sqlSum("o_totalprice", 2)} AS total_price,
+          MIN(CAST(CAST(o_orderdate AS DATE) AS VARCHAR)) AS first_day,
+          MAX(CAST(CAST(o_orderdate AS DATE) AS VARCHAR)) AS last_day,
+          BIT_XOR(('0x' || substr(md5(
+              CAST(o_orderkey AS VARCHAR) || ':' ||
+              CAST(o_custkey AS VARCHAR) || ':' || o_orderstatus || ':' ||
+              CAST(CAST(o_orderdate AS DATE) AS VARCHAR) || ':' ||
+              o_orderpriority), 1, 15))::BIGINT) AS payload_digest
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ----- w26: ORC EXPORT + PUSHED-DOWN RE-READ — the OTHER
+    // columnar lake format (Hive/Trino shops); unlike the w24/w25
+    // edge formats it keeps the analytical properties: column
+    // pruning, min/max stripe skipping, and predicate pushdown all
+    // survive the re-read (FormatsSpec asserts the ORC scan plans
+    // with the filters PUSHED — the same audit q02 pins for
+    // parquet). The gated query filters and aggregates THROUGH the
+    // ORC copy and hash-checks against the parquet-derived oracle.
+    QueryDef(
+      "w26_orc_roundtrip",
+      (s, d) => {
+        val out = scratch("w26", d)
+        new Tables(s, d).lineitem
+          .write.mode("overwrite").orc(out)
+        s.read.orc(out)
+          .filter(col("l_quantity") >= 30.0 && col("l_quantity") <= 50.0)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_items"),
+            Exact.dsum(col("l_extendedprice"), 2).as("sum_price"),
+            Exact.dsum(col("l_quantity"), 2).as("sum_qty"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n_items,
+          ${Exact.sqlSum("l_extendedprice", 2)} AS sum_price,
+          ${Exact.sqlSum("l_quantity", 2)} AS sum_qty
+        FROM lineitem
+        WHERE l_quantity >= 30.0 AND l_quantity <= 50.0
+        GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** d12's star-contraction component search vs d07's min-label
+  * propagation: identical labels on every graph, but rounds scale
+  * O(log n) vs O(diameter). A diameter-256 chain is the adversarial
+  * shape (duplicate cascades / quote chains produce exactly this):
+  * propagation needs ~257 rounds; alternating large-star/small-star
+  * halves the component height every other round and lands in ~9. */
+class LargeSmallStarSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def chain(n: Int) = {
+    val nodes = spark.range(0, n).toDF("doc_id")
+    val fwd = (0 until n - 1).map(i => (i.toLong, i.toLong + 1))
+      .toDF("src", "dst")
+    val edges = fwd.union(
+      fwd.select(col("dst").as("src"), col("src").as("dst")))
+    (nodes, edges)
+  }
+
+  test("star contraction: logarithmic rounds on a diameter-256 chain") {
+    val n = 257
+    val (nodes, edges) = chain(n)
+
+    val (labels, rounds) = Dedup.ccLargeSmallStar(nodes, edges)
+    val out = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+
+    assert(out.length == n)
+    assert(out.forall(_._2 == 0L),
+      s"unconverged: ${out.filterNot(_._2 == 0L).take(5).toSeq}")
+    // log2(257) ≈ 8; each (large, small) round at least halves the
+    // height, plus the fixpoint-detection round
+    assert(rounds <= 12, s"rounds = $rounds — not logarithmic")
+  }
+
+  test("labels agree with propagateLabels on a multi-component graph") {
+    // two chains (0..5, 10..13), one star (20 center of 21..24),
+    // two singletons (30, 31), plus a triangle (40,41,42)
+    val nodes = (0L to 5L) ++ (10L to 13L) ++ (20L to 24L) ++
+      Seq(30L, 31L) ++ (40L to 42L)
+    val fwd = (0 until 5).map(i => (i.toLong, i + 1L)) ++
+      (10 until 13).map(i => (i.toLong, i + 1L)) ++
+      (21 to 24).map(i => (20L, i.toLong)) ++
+      Seq((40L, 41L), (41L, 42L), (40L, 42L))
+    val nodesDf = nodes.toDF("doc_id")
+    val fwdDf = fwd.toDF("src", "dst")
+    val edges = fwdDf.union(
+      fwdDf.select(col("dst").as("src"), col("src").as("dst")))
+
+    val star = Dedup.ccLargeSmallStar(nodesDf, edges)._1
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val prop = Dedup.propagateLabels(nodesDf, edges)._1
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+    assert(star == prop, s"diverged: ${star.toSeq.diff(prop.toSeq).take(5)}")
+    assert(star(31L) == 31L && star(24L) == 20L && star(42L) == 40L)
+  }
+
+  test("empty edge set: every node is its own component, zero rounds") {
+    val nodes = spark.range(0, 5).toDF("doc_id")
+    val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val (labels, rounds) = Dedup.ccLargeSmallStar(nodes, edges)
+    assert(rounds == 0)
+    val out = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.forall(p => p._1 == p._2))
+  }
+}
