@@ -43,7 +43,12 @@ object ScaleUp {
       // late-r12: paragraph-granularity fuzzy dedup + the hashed
       // linear quality classifier (pure projection — its signal here
       // is wall-time linearity)
-      "d11_paragraph_neardup", "t17_quality_classifier")
+      "d11_paragraph_neardup", "t17_quality_classifier",
+      // session 3: star-contraction components — cluster count is ×K
+      // exact under isometric copies (components replicate per copy,
+      // zero cross-copy edges); rounds stay constant, per-round work
+      // scales linearly
+      "d12_cc_star_contraction")
 
   /** What a query's "found" count IS for retention purposes, when a
     * plain row count is structurally trivial (one row per doc): d11
