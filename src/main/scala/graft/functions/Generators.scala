@@ -45,18 +45,23 @@ case class NGramGenerator(child: Expression, n: Int)
 }
 
 object Generators {
+  /** SQL builder — shared by per-session [[register]] and the
+    * cluster-wide [[graft.GraftExtensions]] injection. */
+  private[graft] val ngramsBuilder
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression =
+    { exprs =>
+      require(exprs.size == 2, "ngrams(text, n)")
+      val n = exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+          v.toString.toInt
+        case other => throw new IllegalArgumentException(
+          s"ngrams: n must be an integer literal, got $other")
+      }
+      NGramGenerator(exprs.head, n)
+    }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "ngrams",
-      { exprs =>
-        require(exprs.size == 2, "ngrams(text, n)")
-        val n = exprs(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
-            v.toString.toInt
-          case other => throw new IllegalArgumentException(
-            s"ngrams: n must be an integer literal, got $other")
-        }
-        NGramGenerator(exprs.head, n)
-      },
-      "built-in")
+      "ngrams", ngramsBuilder, "built-in")
 }

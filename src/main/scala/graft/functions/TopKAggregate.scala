@@ -88,18 +88,23 @@ case class TopKAggregate(child: Expression, k: Int,
 }
 
 object TopKAggregate {
+  /** SQL builder — shared by per-session [[register]] and the
+    * cluster-wide [[graft.GraftExtensions]] injection. */
+  private[graft] val builder
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression =
+    { exprs =>
+      require(exprs.size == 2, "top_k(value, k)")
+      val k = exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+          v.toString.toInt
+        case other => throw new IllegalArgumentException(
+          s"top_k: k must be an integer literal, got $other")
+      }
+      TopKAggregate(exprs.head, k).toAggregateExpression()
+    }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "top_k",
-      { exprs =>
-        require(exprs.size == 2, "top_k(value, k)")
-        val k = exprs(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
-            v.toString.toInt
-          case other => throw new IllegalArgumentException(
-            s"top_k: k must be an integer literal, got $other")
-        }
-        TopKAggregate(exprs.head, k).toAggregateExpression()
-      },
-      "built-in")
+      "top_k", builder, "built-in")
 }

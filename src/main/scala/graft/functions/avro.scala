@@ -15,21 +15,26 @@ import org.apache.spark.sql.{Column, SparkSession}
   */
 object avro {
 
+  /** SQL builder — shared by per-session [[registerAvroDecode]] and
+    * the cluster-wide [[graft.GraftExtensions]] injection. */
+  private[graft] val decodeBuilder
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression =
+    { exprs =>
+      require(exprs.size == 2, "avro_decode(value, schemaJson)")
+      val json = exprs(1) match {
+        case lit: org.apache.spark.sql.catalyst.expressions.Literal =>
+          lit.value.toString
+        case other =>
+          throw new IllegalArgumentException(
+            s"avro_decode schema must be a string literal, got $other")
+      }
+      AvroDeserialize(exprs.head, json)
+    }
+
   def registerAvroDecode(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "avro_decode",
-      { exprs =>
-        require(exprs.size == 2, "avro_decode(value, schemaJson)")
-        val json = exprs(1) match {
-          case lit: org.apache.spark.sql.catalyst.expressions.Literal =>
-            lit.value.toString
-          case other =>
-            throw new IllegalArgumentException(
-              s"avro_decode schema must be a string literal, got $other")
-        }
-        AvroDeserialize(exprs.head, json)
-      },
-      "built-in")
+      "avro_decode", decodeBuilder, "built-in")
 
   /** Column-level decode; requires registerAvroDecode first. */
   def avroDecode(spark: SparkSession, value: Column, schemaJson: String): Column = {

@@ -118,7 +118,12 @@ object AsOf {
   def join(spark: SparkSession, leftDf: DataFrame, rightDf: DataFrame,
       leftKey: Column, rightKey: Column,
       leftTime: Column, rightTime: Column): DataFrame = {
-    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+    // skip the experimental-methods fallback when the strategy is
+    // already present — via [[graft.GraftExtensions]] injection (its
+    // strategies surface in sessionState.planner.strategies) or a
+    // prior call
+    if (!spark.sessionState.planner.strategies.contains(AsOfJoinStrategy) &&
+        !spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
     val lPlan = org.apache.spark.sql.graftshim.shim.analyzedPlan(leftDf)
