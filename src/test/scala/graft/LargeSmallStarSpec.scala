@@ -60,6 +60,42 @@ class LargeSmallStarSpec extends SparkSpec {
     assert(star(31L) == 31L && star(24L) == 20L && star(42L) == 40L)
   }
 
+  test("property: labels equal driver-side union-find on random graphs") {
+    val rnd = new scala.util.Random(42) // fixed seed — deterministic
+    for (trial <- 1 to 8) {
+      val n = 2 + rnd.nextInt(50)
+      val p = rnd.nextDouble() * 0.08
+      val edgeSeq = for {
+        a <- 0 until n; b <- a + 1 until n if rnd.nextDouble() < p
+      } yield (a.toLong, b.toLong)
+
+      // independent referee: driver-side union-find → min-id labels
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x
+        else { parent(x) = find(parent(x)); parent(x) }
+      edgeSeq.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(ra) = rb
+      }
+      val minOfRoot = (0 until n).groupBy(find).map {
+        case (r, members) => r -> members.min.toLong
+      }
+      val expected = (0 until n)
+        .map(i => i.toLong -> minOfRoot(find(i))).toMap
+
+      val nodes = spark.range(0, n).toDF("doc_id")
+      val edges =
+        if (edgeSeq.isEmpty) Seq.empty[(Long, Long)].toDF("src", "dst")
+        else edgeSeq.toDF("src", "dst")
+      val got = Dedup.ccLargeSmallStar(nodes, edges)._1
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == expected,
+        s"trial $trial (n=$n, |E|=${edgeSeq.size}): " +
+          s"${got.toSeq.diff(expected.toSeq).take(5)}")
+    }
+  }
+
   test("empty edge set: every node is its own component, zero rounds") {
     val nodes = spark.range(0, 5).toDF("doc_id")
     val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
