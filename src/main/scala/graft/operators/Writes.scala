@@ -1827,9 +1827,11 @@ object Writes {
             Exact.dsum(col("o_totalprice"), 2).as("total_price"),
             min(col("o_orderdate").cast("string")).as("first_day"),
             max(col("o_orderdate").cast("string")).as("last_day"),
-            expr("bit_xor(cast(conv(substring(md5(concat_ws(':'," +
-              "cast(o_orderkey as string), cast(o_custkey as string)," +
-              "o_orderstatus, cast(o_orderdate as string)," +
+            // concat, not concat_ws: ws SKIPS nulls while the oracle's
+            // || NULL-propagates — they agree only on null-free data
+            expr("bit_xor(cast(conv(substring(md5(concat(" +
+              "cast(o_orderkey as string), ':', cast(o_custkey as string)," +
+              "':', o_orderstatus, ':', cast(o_orderdate as string), ':'," +
               "o_orderpriority)), 1, 15), 16, 10) as bigint))")
               .as("payload_digest"))
           .orderBy(col("o_orderstatus"))
