@@ -933,6 +933,89 @@ object TextAnalysis {
           GROUP BY b.doc_id)
         SELECT doc_id, n_bigrams, tot / n_bigrams AS fluency,
           tot / n_bigrams > 0.0345 AS keep
-        FROM sc ORDER BY doc_id"""))
+        FROM sc ORDER BY doc_id""")),
+
+    // ----- t19: EXACT-SUBSTRING dedup spans — the repeated-span
+    // detector from "Deduplicating Training Data Makes Language
+    // Models Better" (Lee et al. 2021, public): any token window
+    // appearing verbatim in ≥2 DISTINCT documents marks a duplicated
+    // region; overlapping window hits merge into MAXIMAL per-doc
+    // spans (gaps-and-islands), the unit a surgical scrub removes.
+    // Complements the fuzzy tiers: d03/d04 find near-dup DOCUMENTS,
+    // d11 near-dup paragraphs, t13 hot LINES — t19 finds verbatim
+    // RUNS at token granularity regardless of any segment boundary.
+    // Window = 8 tokens (corpus docs are ~60 tokens; production uses
+    // 50 on long docs — the plan is identical, only the literal
+    // changes). Shape at 100 TB: window explode is map-only and
+    // linear in corpus tokens (windows are md5'd to 16-byte keys
+    // immediately — the raw window text never shuffles); the df agg
+    // carries map-side partials; the hot set (windows with cross-doc
+    // df ≥ 2) is bounded by truly-duplicated content and BROADCASTS
+    // (t13's discipline — AQE degrades to a co-shuffled join if a
+    // pathological corpus outgrows it); the island merge is ONE
+    // doc_id exchange whose per-doc sort is bounded by doc length.
+    QueryDef(
+      "t19_substring_dedup",
+      (s, d) => {
+        val W = 8
+        val toks = new Tables(s, d).documents
+          .withColumn("t", expr(toksExpr))
+          .filter(size(col("t")) >= W)
+        val wins = toks
+          .withColumn("pos", explode(expr(s"sequence(1, size(t) - ${W - 1})")))
+          .select(col("doc_id"), col("pos"),
+            md5(array_join(slice(col("t"), col("pos"), lit(W)), " ")).as("h"))
+          .cache()
+        val hot = wins.groupBy(col("h"))
+          .agg(countDistinct(col("doc_id")).as("wdf"))
+          .filter(col("wdf") >= 2)
+          .select(col("h"))
+        val hits = wins.join(broadcast(hot), "h")
+          .select(col("doc_id"), col("pos")).distinct()
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val islands = hits
+          .withColumn("brk",
+            when(col("pos") > coalesce(lag(col("pos"), 1).over(w),
+              lit(-1000000)) + (W - 1), 1L).otherwise(0L))
+          .withColumn("island", sum(col("brk")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        islands.groupBy(col("doc_id"), col("island"))
+          .agg(min(col("pos")).as("st"), (max(col("pos")) + (W - 1)).as("en"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_dup_spans"),
+            sum(col("en") - col("st") + 1).cast(LongType).as("dup_tokens"),
+            max(col("en") - col("st") + 1).cast(LongType).as("longest_span"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id,
+            string_split_regex(lower(trim(text)), '\s+') AS t
+          FROM documents),
+        wins AS (
+          SELECT doc_id, i AS pos, md5(array_to_string(t[i:i+7], ' ')) AS h
+          FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS g(i)
+          WHERE len(t) >= 8),
+        hot AS (
+          SELECT h FROM wins GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+        hits AS (
+          SELECT DISTINCT w.doc_id, w.pos FROM wins w JOIN hot USING (h)),
+        isl AS (
+          SELECT doc_id, pos,
+            CASE WHEN pos > COALESCE(LAG(pos) OVER (
+                PARTITION BY doc_id ORDER BY pos), -1000000) + 7
+              THEN 1 ELSE 0 END AS brk
+          FROM hits),
+        isl2 AS (
+          SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id
+            ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS island
+          FROM isl),
+        spans AS (
+          SELECT doc_id, island, MIN(pos) AS st, MAX(pos) + 7 AS en
+          FROM isl2 GROUP BY doc_id, island)
+        SELECT doc_id, COUNT(*) AS n_dup_spans,
+          CAST(SUM(en - st + 1) AS BIGINT) AS dup_tokens,
+          CAST(MAX(en - st + 1) AS BIGINT) AS longest_span
+        FROM spans GROUP BY doc_id ORDER BY doc_id"""))
   )
 }
