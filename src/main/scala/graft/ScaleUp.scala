@@ -48,7 +48,11 @@ object ScaleUp {
       // exact under isometric copies (components replicate per copy,
       // zero cross-copy edges); rounds stay constant, per-round work
       // scales linearly
-      "d12_cc_star_contraction")
+      "d12_cc_star_contraction",
+      // exact-substring spans: within-copy window equality is
+      // preserved by the bijective token renaming, cross-copy
+      // vocabularies are disjoint — dup-token totals are ×K exact
+      "t19_substring_dedup")
 
   /** What a query's "found" count IS for retention purposes, when a
     * plain row count is structurally trivial (one row per doc): d11
@@ -58,7 +62,9 @@ object ScaleUp {
     * scale ×K too. */
   private val Measures: Map[String, DataFrame => Long] = Map(
     "d11_paragraph_neardup" ->
-      (df => df.agg(sum(col("n_dropped"))).head().getLong(0)))
+      (df => df.agg(sum(col("n_dropped"))).head().getLong(0)),
+    "t19_substring_dedup" ->
+      (df => df.agg(sum(col("dup_tokens"))).head().getLong(0)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
