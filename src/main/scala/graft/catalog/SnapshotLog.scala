@@ -796,6 +796,25 @@ object SnapshotLog {
     doomed
   }
 
+  /** Iceberg's `expire_snapshots(older_than => ts)` twin: expire every
+    * snapshot committed STRICTLY BEFORE `olderThanMicros`, always
+    * retaining the current snapshot, every TAGGED version, and live
+    * branch state (all via [[vacuum]]'s machinery — this is the
+    * time-based front-end to the same expiry). Commit timestamps are
+    * monotone in version order (single log dir, CAS-serialized
+    * commits), so the age predicate reduces to a retain-last count:
+    * one manifest read per version (metadata-scale), then one vacuum.
+    * Returns the deleted data-file names. */
+  def expireSnapshots(tableDir: String, olderThanMicros: Long,
+      orphanGraceMs: Long = 3600000L,
+      branchMaxAgeMs: Long = Long.MaxValue): Seq[String] = {
+    val all = versions(tableDir)
+    if (all.isEmpty) return Seq.empty
+    val fresh = all.count(v =>
+      read(tableDir, v).timestampMicros >= olderThanMicros)
+    vacuum(tableDir, math.max(1, fresh), orphanGraceMs, branchMaxAgeMs)
+  }
+
   /** Data files APPENDED between two snapshots — the incremental-scan
     * primitive (Iceberg's `incremental read`): a nightly consumer
     * remembers the version it last processed and reads only what

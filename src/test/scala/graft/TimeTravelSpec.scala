@@ -126,6 +126,31 @@ class TimeTravelSpec extends SparkSpec {
     }
   }
 
+  test("expireSnapshots(olderThan) expires by commit timestamp, retains current") {
+    val dir = mkTable("expirets")
+    (1 to 3).foreach { b =>
+      spark.sql(
+        s"INSERT INTO bronze.tt.expirets SELECT id, $b FROM range(100)")
+      Thread.sleep(3) // commit stamps are millis-derived; force strict order
+    }
+    val vs = SnapshotLog.versions(dir) // CREATE snapshot + 3 appends
+    assert(vs.size == 4)
+    val cut = SnapshotLog.read(dir, vs(2)).timestampMicros
+    // strictly-older-than the 2nd append's commit: create + 1st expire
+    SnapshotLog.expireSnapshots(dir, cut)
+    assert(SnapshotLog.versions(dir) == vs.drop(2))
+    // appended files carried forward by v2/v3 — data intact
+    assert(spark.table("bronze.tt.expirets").count() == 300)
+    // far-future cutoff: everything but the CURRENT snapshot expires
+    SnapshotLog.expireSnapshots(dir, Long.MaxValue)
+    assert(SnapshotLog.versions(dir) == Seq(vs.last))
+    assert(spark.table("bronze.tt.expirets").count() == 300)
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM bronze.tt.expirets VERSION AS OF ${vs.head}")
+        .collect()
+    }
+  }
+
   test("metadata tables: history tracks every op, files audits the layout") {
     val dir = mkTable("meta")
     spark.sql("INSERT INTO bronze.tt.meta SELECT id, 1 FROM range(10)")
