@@ -97,6 +97,40 @@ object BronzeMetaTables {
       .toDF("name", "version")
   }
 
+  /** (partition, n_files, n_rows, size_bytes) of the CURRENT
+    * snapshot grouped by each file's partition tuple — Iceberg's
+    * `table$partitions`, completing the audit family (history /
+    * files / refs / partitions). The partition renders as the sorted
+    * `k=v/k2=v2` string (empty for unpartitioned files — a
+    * spec-evolved table legitimately holds both eras, w20). Row
+    * counts are LIVE (footer count minus merge-on-read deletes),
+    * matching what a reader of that partition sees. Manifest-scale:
+    * |files| footer opens, zero data pages. */
+  def partitions(spark: SparkSession, tableDir: String): DataFrame = {
+    import spark.implicits._
+    val delCache =
+      scala.collection.mutable.Map.empty[String, Option[Map[String, Long]]]
+    val perFile = SnapshotLog.current(tableDir).map(_.entries)
+      .getOrElse(Seq.empty).flatMap { e =>
+        val p = Paths.get(tableDir, e.name)
+        if (!Files.isRegularFile(p)) None
+        else {
+          val deleted = e.deletes.map(d =>
+            sidecarCounts(tableDir, delCache, d)
+              .map(_.getOrElse(e.name, 0L)).getOrElse(0L)).sum
+          val part = e.parts.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"$k=$v" }.mkString("/")
+          Some((part, BronzeBatchAppend.parquetRowCount(p) - deleted,
+            Files.size(p)))
+        }
+      }
+    perFile.groupBy(_._1).toSeq.map { case (part, es) =>
+      (part, es.size.toLong, es.map(_._2).sum, es.map(_._3).sum)
+    }.sortBy(_._1)
+      .toDF("partition", "n_files", "n_rows", "size_bytes")
+      .orderBy("partition")
+  }
+
   /** (file, n_rows, size_bytes) of the CURRENT snapshot's data files,
     * by name — the small-file/skew audit OPTIMIZE acts on. Files a
     * concurrent vacuum removed mid-walk are skipped (best-effort under

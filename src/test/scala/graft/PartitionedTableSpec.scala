@@ -135,6 +135,28 @@ class PartitionedTableSpec extends SparkSpec {
     assert(q.count() == 3)
   }
 
+  test("partitions metadata table: live rows per partition, MOR-aware") {
+    val dir = mk("ptmeta", "id BIGINT, cat STRING", "cat")
+    spark.sql("INSERT INTO bronze.pt.ptmeta SELECT id, " +
+      "concat('c', id % 3) FROM range(300)")
+    val before = graft.catalog.BronzeMetaTables.partitions(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(before == Map("cat=c0" -> 100L, "cat=c1" -> 100L, "cat=c2" -> 100L))
+    // a MOR position delete must shrink the LIVE count of exactly c1
+    spark.sql("DELETE FROM bronze.pt.ptmeta WHERE cat = 'c1' AND id < 30")
+    val after = graft.catalog.BronzeMetaTables.partitions(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(after("cat=c0") == 100L && after("cat=c2") == 100L)
+    assert(after("cat=c1") == 90L, s"got $after")
+    // totals agree with what a reader sees
+    assert(after.values.sum == spark.table("bronze.pt.ptmeta").count())
+    // n_files + bytes populated for every partition
+    graft.catalog.BronzeMetaTables.partitions(spark, dir).collect()
+      .foreach { r =>
+        assert(r.getLong(1) >= 1L && r.getLong(3) > 0L)
+      }
+  }
+
   test("partition columns are evolution-frozen; bad transforms fail DDL") {
     mk("frozen", "id BIGINT, cat STRING", "cat")
     intercept[UnsupportedOperationException] {
