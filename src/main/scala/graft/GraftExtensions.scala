@@ -45,7 +45,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     def fn(name: String, clazz: Class[_], usage: String)(
         builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((FunctionIdentifier(name),
-        new ExpressionInfo(clazz.getName, name), builder))
+        // 5-arg ctor carries the usage into DESCRIBE FUNCTION
+        new ExpressionInfo(clazz.getName, null, name, usage, ""), builder))
 
     fn("vec_dot", classOf[VectorDot],
       "vec_dot(a, b) - exact double dot product of two float/double arrays") {

@@ -60,11 +60,14 @@ object ScaleUp {
     * is the DROPPED-paragraph total — within-copy near-dup paragraph
     * pairs are ×K exact under the isometric build, so drops must
     * scale ×K too. */
+  private def sumOf(c: String)(df: DataFrame): Long = {
+    val r = df.agg(sum(col(c))).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0) // sum of an empty frame is null
+  }
+
   private val Measures: Map[String, DataFrame => Long] = Map(
-    "d11_paragraph_neardup" ->
-      (df => df.agg(sum(col("n_dropped"))).head().getLong(0)),
-    "t19_substring_dedup" ->
-      (df => df.agg(sum(col("dup_tokens"))).head().getLong(0)))
+    "d11_paragraph_neardup" -> sumOf("n_dropped") _,
+    "t19_substring_dedup" -> sumOf("dup_tokens") _)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -58,8 +58,13 @@ object BronzeMetaTables {
         }
       }
       val missing = counts.count(_.isEmpty)
+      // an APPLICABLE equality delete retracts an unknown number of
+      // rows without a data scan — report n_rows NULL, never an
+      // overcount (same policy as files()/partitions())
+      val eqUnknown = s.entries.exists(e => s.eqDeletesFor(e).nonEmpty)
       (s.version, s.operation, s.files.size,
-        if (missing == 0) Some(counts.flatten.sum) else None, missing)
+        if (missing == 0 && !eqUnknown) Some(counts.flatten.sum) else None,
+        missing)
     }.toDF("version", "operation", "n_files", "n_rows", "missing_files")
       .orderBy("version")
   }
@@ -97,60 +102,78 @@ object BronzeMetaTables {
       .toDF("name", "version")
   }
 
+  /** The per-entry LIVE-row walk shared by [[files]] and
+    * [[partitions]]: rows = footer count minus the entry's
+    * POSITION-delete positions; `None` ("unknown") when a sidecar is
+    * unreadable OR an EQUALITY delete applies to the entry —
+    * counting eq-retracted rows needs a key probe over the DATA,
+    * which a metadata-scale audit must not run, and must not
+    * silently overcount either (the [[history]] "never a silent
+    * undercount" policy, extended to eq-deletes). Files a concurrent
+    * vacuum removed mid-walk are skipped. */
+  private def liveEntries(tableDir: String,
+      delCache: scala.collection.mutable.Map[String, Option[Map[String, Long]]],
+      snap: SnapshotLog.Snapshot)
+      : Seq[(SnapshotLog.FileEntry, Option[Long], Long)] =
+    snap.entries.flatMap { e =>
+      val p = Paths.get(tableDir, e.name)
+      if (!Files.isRegularFile(p)) None
+      else {
+        val pos = e.deletes.map(d =>
+          sidecarCounts(tableDir, delCache, d).map(_.getOrElse(e.name, 0L)))
+        val rows =
+          if (pos.exists(_.isEmpty) || snap.eqDeletesFor(e).nonEmpty) None
+          else Some(BronzeBatchAppend.parquetRowCount(p) - pos.flatten.sum)
+        Some((e, rows, Files.size(p)))
+      }
+    }
+
+  private def currentOrLegacy(tableDir: String): SnapshotLog.Snapshot =
+    SnapshotLog.current(tableDir).getOrElse(
+      SnapshotLog.Snapshot(0L, 0L, "legacy",
+        SnapshotLog.listDataFiles(tableDir)))
+
   /** (partition, n_files, n_rows, size_bytes) of the CURRENT
     * snapshot grouped by each file's partition tuple — Iceberg's
     * `table$partitions`, completing the audit family (history /
     * files / refs / partitions). The partition renders as the sorted
     * `k=v/k2=v2` string (empty for unpartitioned files — a
     * spec-evolved table legitimately holds both eras, w20). Row
-    * counts are LIVE (footer count minus merge-on-read deletes),
-    * matching what a reader of that partition sees. Manifest-scale:
-    * |files| footer opens, zero data pages. */
+    * counts are LIVE (position deletes subtracted); a partition
+    * holding any file with an applicable EQUALITY delete reports
+    * n_rows NULL — unknown at metadata scale — rather than an
+    * overcount a reader would contradict. Manifest-scale: |files|
+    * footer opens, zero data pages. */
   def partitions(spark: SparkSession, tableDir: String): DataFrame = {
     import spark.implicits._
     val delCache =
       scala.collection.mutable.Map.empty[String, Option[Map[String, Long]]]
-    val perFile = SnapshotLog.current(tableDir).map(_.entries)
-      .getOrElse(Seq.empty).flatMap { e =>
-        val p = Paths.get(tableDir, e.name)
-        if (!Files.isRegularFile(p)) None
-        else {
-          val deleted = e.deletes.map(d =>
-            sidecarCounts(tableDir, delCache, d)
-              .map(_.getOrElse(e.name, 0L)).getOrElse(0L)).sum
-          val part = e.parts.toSeq.sortBy(_._1)
-            .map { case (k, v) => s"$k=$v" }.mkString("/")
-          Some((part, BronzeBatchAppend.parquetRowCount(p) - deleted,
-            Files.size(p)))
-        }
+    liveEntries(tableDir, delCache, currentOrLegacy(tableDir))
+      .groupBy { case (e, _, _) =>
+        e.parts.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"$k=$v" }.mkString("/")
       }
-    perFile.groupBy(_._1).toSeq.map { case (part, es) =>
-      (part, es.size.toLong, es.map(_._2).sum, es.map(_._3).sum)
-    }.sortBy(_._1)
+      .toSeq.map { case (part, es) =>
+        val rows =
+          if (es.exists(_._2.isEmpty)) None
+          else Some(es.flatMap(_._2).sum)
+        (part, es.size.toLong, rows, es.map(_._3).sum)
+      }
       .toDF("partition", "n_files", "n_rows", "size_bytes")
       .orderBy("partition")
   }
 
   /** (file, n_rows, size_bytes) of the CURRENT snapshot's data files,
-    * by name — the small-file/skew audit OPTIMIZE acts on. Files a
-    * concurrent vacuum removed mid-walk are skipped (best-effort under
-    * concurrency, same policy as [[history]]'s zero-count). */
+    * by name — the small-file/skew audit OPTIMIZE acts on. n_rows is
+    * LIVE net of position deletes, NULL when unknown at metadata
+    * scale (unreadable sidecar, or an applicable equality delete —
+    * see [[liveEntries]]). */
   def files(spark: SparkSession, tableDir: String): DataFrame = {
     import spark.implicits._
     val delCache =
       scala.collection.mutable.Map.empty[String, Option[Map[String, Long]]]
-    SnapshotLog.current(tableDir).map(_.entries).getOrElse(
-      SnapshotLog.listDataFiles(tableDir)
-        .map(SnapshotLog.FileEntry(_))).flatMap { e =>
-      val p = Paths.get(tableDir, e.name)
-      if (!Files.isRegularFile(p)) None
-      else {
-        val deleted = e.deletes.map(d =>
-          sidecarCounts(tableDir, delCache, d)
-            .map(_.getOrElse(e.name, 0L)).getOrElse(0L)).sum
-        Some((e.name, BronzeBatchAppend.parquetRowCount(p) - deleted,
-          Files.size(p)))
-      }
-    }.toDF("file", "n_rows", "size_bytes").orderBy("file")
+    liveEntries(tableDir, delCache, currentOrLegacy(tableDir))
+      .map { case (e, rows, size) => (e.name, rows, size) }
+      .toDF("file", "n_rows", "size_bytes").orderBy("file")
   }
 }

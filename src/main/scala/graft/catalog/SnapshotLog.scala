@@ -686,7 +686,8 @@ object SnapshotLog {
     * threshold, same reasoning). */
   def vacuum(tableDir: String, retainLast: Int,
       orphanGraceMs: Long = 3600000L,
-      branchMaxAgeMs: Long = Long.MaxValue): Seq[String] = {
+      branchMaxAgeMs: Long = Long.MaxValue,
+      keepFromVersion: Option[Long] = None): Seq[String] = {
     require(retainLast >= 1, "must retain at least the current snapshot")
     val all = versions(tableDir)
     if (all.isEmpty) return Seq.empty
@@ -707,9 +708,19 @@ object SnapshotLog {
     // tags: a branch created mid-vacuum stages under fresh names the
     // listing below never saw
     val branchReferenced = BronzeBranches.referencedFiles(tableDir)
+    // expiry predicate: positional horizon (retain-last) or an
+    // explicit VERSION FLOOR (expireSnapshots' time cutoff resolved
+    // to a version — race-safe: a commit landing between the
+    // caller's listing and this one only ADDS versions above the
+    // floor, which are never expired; a positional horizon would
+    // shift under it). Either way the current snapshot survives.
     val horizon = all.size - retainLast
+    val expires: ((Long, Int)) => Boolean = keepFromVersion match {
+      case Some(k) => { case (v, _) => v < math.min(k, all.last) }
+      case None => { case (_, i) => i < horizon }
+    }
     val (expired, retained) = all.zipWithIndex.partition {
-      case (v, i) => i < horizon && !tagged.contains(v)
+      case (v, i) => expires((v, i)) && !tagged.contains(v)
     } match { case (e, r) => (e.map(_._1), r.map(_._1)) }
     // List candidates BEFORE reading the retained manifests: a commit
     // racing with the vacuum adds files under fresh names (not in this
@@ -802,17 +813,24 @@ object SnapshotLog {
     * branch state (all via [[vacuum]]'s machinery — this is the
     * time-based front-end to the same expiry). Commit timestamps are
     * monotone in version order (single log dir, CAS-serialized
-    * commits), so the age predicate reduces to a retain-last count:
-    * one manifest read per version (metadata-scale), then one vacuum.
-    * Returns the deleted data-file names. */
+    * commits), so the age predicate resolves to a VERSION FLOOR —
+    * the first version at/after the cutoff. The floor, not a
+    * retain-last count, is what vacuum enforces: a commit racing in
+    * between this listing and vacuum's own only adds versions ABOVE
+    * the floor (never expired), where a positional horizon would
+    * shift under it and expire a snapshot committed after the
+    * cutoff. One manifest read per version (metadata-scale), then
+    * one vacuum. Returns the deleted data-file names. */
   def expireSnapshots(tableDir: String, olderThanMicros: Long,
       orphanGraceMs: Long = 3600000L,
       branchMaxAgeMs: Long = Long.MaxValue): Seq[String] = {
     val all = versions(tableDir)
     if (all.isEmpty) return Seq.empty
-    val fresh = all.count(v =>
+    val keepFrom = all.find(v =>
       read(tableDir, v).timestampMicros >= olderThanMicros)
-    vacuum(tableDir, math.max(1, fresh), orphanGraceMs, branchMaxAgeMs)
+      .getOrElse(all.last) // everything older: retain only current
+    vacuum(tableDir, retainLast = 1, orphanGraceMs, branchMaxAgeMs,
+      keepFromVersion = Some(keepFrom))
   }
 
   /** Data files APPENDED between two snapshots — the incremental-scan

@@ -255,7 +255,7 @@ object Dedup {
     * hint applied only at or below the cap — the downstream join
     * reuses the cached rows either way, so output is bit-identical
     * (ScaleKnobsSpec forces the cap to 0 and diffs). */
-  private def gateBroadcast(s: SparkSession, df: DataFrame): DataFrame = {
+  private[operators] def gateBroadcast(s: SparkSession, df: DataFrame): DataFrame = {
     val limit = GraftConf.int(s, GraftConf.CandBroadcastLimitKey, -1)
     if (limit < 0) broadcast(df)
     else {
@@ -867,8 +867,9 @@ object Dedup {
         .select(col("src").as("u"), col("dst").as("v")))
       .localCheckpoint(false)
     cur.cache()
+    var nCur = cur.count() // carried across rounds: next round's |cur|
     var rounds = 0
-    var done = cur.isEmpty
+    var done = nCur == 0L
     while (!done) {
       rounds += 1
       // large-star
@@ -890,11 +891,11 @@ object Dedup {
           .union(linked.select(col("u"), col("m").as("v"))))
         .localCheckpoint(false)
       next.cache()
-      val nCur = cur.count()
       val nNext = next.count()
       done = nCur == nNext && next.except(cur).isEmpty
       cur.unpersist()
       cur = next
+      nCur = nNext
     }
     val roots = cur.groupBy(col("u")).agg(min(col("v")).as("root"))
     val labels = nodes

@@ -423,13 +423,19 @@ object Pipeline {
         val docs = new Tables(s, d).documents
         val w = Window.partitionBy(col("lang"))
           .orderBy(col("gate"), col("doc_id"))
+        // the rank prune must compare against a LITERAL (the max
+        // quota) for InferWindowGroupLimit to fire — a rank <= column
+        // predicate plans a full per-stratum sort+shuffle; the exact
+        // per-stratum quota then filters the pruned survivors
+        // (QuotaSampleSpec asserts the WindowGroupLimit is present)
         docs
           .withColumn("gate",
             md5(concat(lit("quota:"), col("doc_id").cast("string"))))
           .withColumn("quota",
             when(col("lang") === "en", 100L).otherwise(40L))
           .withColumn("samp_rank", row_number().over(w).cast("long"))
-          .filter(col("samp_rank") <= col("quota"))
+          .filter(col("samp_rank") <= 100L &&
+            col("samp_rank") <= col("quota"))
           .select(col("lang"), col("samp_rank"), col("doc_id"))
           .orderBy(col("lang"), col("samp_rank"))
       },

@@ -950,10 +950,14 @@ object TextAnalysis {
     // linear in corpus tokens (windows are md5'd to 16-byte keys
     // immediately — the raw window text never shuffles); the df agg
     // carries map-side partials; the hot set (windows with cross-doc
-    // df ≥ 2) is bounded by truly-duplicated content and BROADCASTS
-    // (t13's discipline — AQE degrades to a co-shuffled join if a
-    // pathological corpus outgrows it); the island merge is ONE
-    // doc_id exchange whose per-doc sort is bounded by doc length.
+    // df ≥ 2) is bounded by truly-duplicated content and broadcasts
+    // through the CONF-GATED hint (spark.graft.candBroadcastLimit,
+    // d03's discipline: an explicit broadcast hint is honored
+    // unconditionally by Spark — AQE never demotes it — so the
+    // overflow escape must be the hint NOT being applied, falling
+    // back to a plain shuffle join with identical output); the
+    // island merge is ONE doc_id exchange whose per-doc sort is
+    // bounded by doc length.
     QueryDef(
       "t19_substring_dedup",
       (s, d) => {
@@ -970,7 +974,7 @@ object TextAnalysis {
           .agg(countDistinct(col("doc_id")).as("wdf"))
           .filter(col("wdf") >= 2)
           .select(col("h"))
-        val hits = wins.join(broadcast(hot), "h")
+        val hits = wins.join(Dedup.gateBroadcast(s, hot), "h")
           .select(col("doc_id"), col("pos")).distinct()
         val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
         val islands = hits

@@ -652,4 +652,30 @@ class EqualityDeleteSpec extends SparkSpec {
     assert(rolled.size == 6 && rolled.values.forall(_ == 0.0),
       s"rolled: $rolled")
   }
+
+  test("metadata tables report NULL rows under live eq-deletes, exact after convert") {
+    val dir = mk("meta")
+    spark.sql("INSERT INTO bronze.eq.meta SELECT id, 0.0 FROM range(10)")
+    new Upserter("bronze.eq.meta").epoch(Seq((3L, 1.0), (12L, 1.0)))
+    // the live equality sidecar applies to the initial file: a
+    // metadata-scale audit cannot know how many rows it retracts —
+    // n_rows must be NULL there, never an overcount
+    val files = graft.catalog.BronzeMetaTables.files(spark, dir).collect()
+    assert(files.exists(_.isNullAt(1)),
+      s"expected a NULL n_rows under a live eq-delete: ${files.toSeq}")
+    val parts = graft.catalog.BronzeMetaTables.partitions(spark, dir)
+      .collect()
+    assert(parts.exists(_.isNullAt(2)), s"partitions: ${parts.toSeq}")
+    assert(graft.catalog.BronzeMetaTables.history(spark, dir)
+      .orderBy(col("version")).collect().last.isNullAt(3),
+      "history must not overcount under a live eq-delete")
+    // converting keys → positions restores exact metadata-scale counts
+    graft.catalog.BronzeMor.convertEqualityDeletes(spark, dir)
+    val after = graft.catalog.BronzeMetaTables.files(spark, dir).collect()
+    assert(after.forall(!_.isNullAt(1)), s"after convert: ${after.toSeq}")
+    val total = graft.catalog.BronzeMetaTables.partitions(spark, dir)
+      .agg(sum(col("n_rows"))).head().getLong(0)
+    assert(total == spark.table("bronze.eq.meta").count(),
+      "partition totals must equal the reader's view after convert")
+  }
 }
