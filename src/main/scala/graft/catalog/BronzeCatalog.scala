@@ -411,6 +411,19 @@ class BronzeCatalog extends TableCatalog with SupportsNamespaces {
       branchMaxAgeMs = branchMaxAge)
   }
 
+  /** Time-based twin of [[vacuumTable]]: Iceberg's
+    * `expire_snapshots(older_than => ts)` — expires snapshots
+    * committed strictly before `olderThanMicros`, retaining the
+    * current snapshot, tags, and live branches. */
+  def expireSnapshotsTable(namespace: Seq[String], name: String,
+      olderThanMicros: Long): Seq[String] = {
+    val branchMaxAge = SparkSession.getActiveSession
+      .flatMap(_.conf.getOption(graft.GraftConf.BranchMaxAgeKey))
+      .map(_.trim.toLong).getOrElse(Long.MaxValue)
+    SnapshotLog.expireSnapshots(tableDir(namespace, name),
+      olderThanMicros, branchMaxAgeMs = branchMaxAge)
+  }
+
   /** Iceberg's `table$history` metadata table — one row per snapshot
     * (version, operation, n_files, n_rows), built at manifest scale. */
   def historyTable(namespace: Seq[String], name: String)

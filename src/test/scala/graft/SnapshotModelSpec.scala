@@ -192,10 +192,20 @@ class SnapshotModelSpec extends SparkSpec {
                 m.version)
               m = m.copy(tags = m.tags + (s"t$step" -> m.version))
               s"tag(t$step)"
-            } else {
+            } else if (rnd.nextBoolean()) {
               bronzeCatalog.vacuumTable(Seq("model"), name,
                 retainLast = 2)
               "vacuum(2)"
+            } else {
+              // time-based expiry to a random retained version's
+              // commit stamp: everything strictly older goes (tags
+              // and current survive); the check's retained-only
+              // history walk validates exactly what must remain
+              val vs = SnapshotLog.versions(dir)
+              val cutV = vs(rnd.nextInt(vs.size))
+              bronzeCatalog.expireSnapshotsTable(Seq("model"), name,
+                SnapshotLog.read(dir, cutV).timestampMicros)
+              s"expire(<v$cutV)"
             }
           case 14 | 15 => // EQUALITY MOR DELETE: an IN-list of LIVE
             // keys rides the zero-read fast path and attaches one
