@@ -1488,6 +1488,44 @@ object Analytics {
           (SELECT COUNT(*) FROM customer c
            WHERE c.c_nationkey = w.node) AS n_customers
         FROM walk w JOIN nation n ON n.n_nationkey = w.node
-        ORDER BY w.seed, w.hops, w.node"""))
+        ORDER BY w.seed, w.hops, w.node""")),
+
+    // ----- q80: SQL SESSION VARIABLES + EXECUTE IMMEDIATE — the
+    // parameterized-SQL surface (Spark 4 / SQL:2023): DECLARE
+    // VARIABLE holds typed session state, SET VAR computes it FROM A
+    // QUERY (here the corpus median price — a data-dependent
+    // parameter no literal can express), and EXECUTE IMMEDIATE runs
+    // dynamic SQL with `?` parameter binding — how a production job
+    // templates one audited query over many thresholds without
+    // string-splicing values (injection-safe by construction). The
+    // oracle re-derives the same median inline; variables are a
+    // session-state convenience, never a semantics change — which is
+    // exactly what hash-equality proves.
+    QueryDef(
+      "q80_sql_variables",
+      (s, d) => {
+        new Tables(s, d).orders.createOrReplaceTempView("q80_orders")
+        s.sql("DECLARE OR REPLACE VARIABLE q80_cut DOUBLE DEFAULT 0.0")
+        s.sql("""SET VAR q80_cut =
+          (SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice)
+           FROM q80_orders)""")
+        s.sql("""EXECUTE IMMEDIATE
+            'SELECT o_orderstatus,
+               COUNT(*) AS n_above,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                 AS STRING) AS DOUBLE) AS total_above
+             FROM q80_orders WHERE o_totalprice > ?
+             GROUP BY o_orderstatus ORDER BY o_orderstatus'
+          USING q80_cut""")
+      },
+      Some("""WITH cut AS (
+          SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice)
+            AS c
+          FROM orders)
+        SELECT o_orderstatus, COUNT(*) AS n_above,
+          CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+            AS DOUBLE) AS total_above
+        FROM orders, cut WHERE o_totalprice > cut.c
+        GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
   )
 }

@@ -1617,6 +1617,44 @@ object Similarity {
         FROM ranked r
         JOIN cand c ON c.qid = r.qid AND c.id_b = r.sel_id
         LEFT JOIN prior_sim p ON p.qid = r.qid AND p.rank = r.rank
-        ORDER BY r.qid, r.rank"""))
+        ORDER BY r.qid, r.rank""")),
+
+    // ----- s16: GROUP CENTROIDS via the typed Aggregator API — the
+    // representative-vector pass every clustering/mixture step needs
+    // (s04/s08 compute theirs inline; this is the REUSABLE custom
+    // aggregate). Mechanism coverage: Aggregator[IN, BUF, OUT] +
+    // functions.udaf — the documented public custom-agg surface —
+    // with floor-quantized exact Long accumulation so partial/merge
+    // order cannot change the answer (see VecCentroid). One
+    // map-side-combinable shuffle; the exchange carries one 8·dims-
+    // byte buffer per (group, partition), never the vectors.
+    QueryDef(
+      "s16_centroid_udaf",
+      (s, d) => {
+        val e = new Tables(s, d).embeddings
+          .withColumn("v", col("embedding").cast("array<double>"))
+        val dims = e.selectExpr("size(v)").head().getInt(0)
+        graft.functions.VecCentroid.register(s, dims)
+        e.withColumn("grp", (col("vec_id") % 4).cast("long"))
+          .groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"),
+            expr("vec_centroid(v)").as("c"))
+          .select(col("grp"), col("n"),
+            element_at(col("c"), 1).as("c0"),
+            element_at(col("c"), 2).as("c1"),
+            element_at(col("c"), 3).as("c2"),
+            element_at(col("c"), 4).as("c3"))
+          .orderBy(col("grp"))
+      },
+      Some("""SELECT vec_id % 4 AS grp, COUNT(*) AS n,
+          CAST(SUM(FLOOR(CAST(embedding[1] AS DOUBLE) * 1000000.0))
+            AS DOUBLE) / 1000000.0 / COUNT(*) AS c0,
+          CAST(SUM(FLOOR(CAST(embedding[2] AS DOUBLE) * 1000000.0))
+            AS DOUBLE) / 1000000.0 / COUNT(*) AS c1,
+          CAST(SUM(FLOOR(CAST(embedding[3] AS DOUBLE) * 1000000.0))
+            AS DOUBLE) / 1000000.0 / COUNT(*) AS c2,
+          CAST(SUM(FLOOR(CAST(embedding[4] AS DOUBLE) * 1000000.0))
+            AS DOUBLE) / 1000000.0 / COUNT(*) AS c3
+        FROM embeddings GROUP BY 1 ORDER BY 1"""))
   )
 }
