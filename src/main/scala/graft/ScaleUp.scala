@@ -95,7 +95,15 @@ object ScaleUp {
     val outDir = s"${System.getProperty("java.io.tmpdir")}/graft_scaleup_x$k"
     build(spark, sfDir, outDir, k)
 
-    val results = Queries.filter(q => only.forall(q.contains)).map { name =>
+    // comma-separated substring filter (matching Verify's contract);
+    // refuse silently-empty runs — an unmatched filter would
+    // otherwise overwrite scaleup_out.json with []
+    val selected = Queries.filter(q =>
+      only.forall(_.split(",").exists(p => p.nonEmpty && q.contains(p))))
+    require(selected.nonEmpty,
+      s"no query matches filter ${only.getOrElse("")} — " +
+        s"available: ${Queries.mkString(", ")}")
+    val results = selected.map { name =>
       val fn = SparkEntry.queries(name)
       val measure = Measures.getOrElse(name, (df: DataFrame) => df.count())
       def time(dir: String): (Double, Long) = {
@@ -115,9 +123,25 @@ object ScaleUp {
       System.err.println(json)
       json
     }
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("scaleup_out.json"),
-      results.mkString("[", ",\n", "]\n"))
+    // MERGE into the committed matrix rather than overwrite: a
+    // filtered run updates its own (query, k) rows and leaves every
+    // other probe's evidence in place
+    val outPath = java.nio.file.Paths.get("scaleup_out.json")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def keyOf(json: String): (String, Int) = {
+      val n = mapper.readTree(json)
+      (n.get("query").asText(), n.get("k").asInt())
+    }
+    val prior =
+      if (!java.nio.file.Files.isRegularFile(outPath)) Seq.empty[String]
+      else try {
+        val arr = mapper.readTree(java.nio.file.Files.readString(outPath))
+        (0 until arr.size).map(i => arr.get(i).toString)
+      } catch { case _: Exception => Seq.empty[String] }
+    val fresh = results.map(keyOf).toSet
+    val merged = prior.filterNot(p => fresh.contains(keyOf(p))) ++ results
+    java.nio.file.Files.writeString(outPath,
+      merged.mkString("[", ",\n", "]\n"))
     spark.stop()
   }
 
