@@ -1874,6 +1874,67 @@ object Writes {
           ${Exact.sqlSum("l_quantity", 2)} AS sum_qty
         FROM lineitem
         WHERE l_quantity >= 30.0 AND l_quantity <= 50.0
-        GROUP BY l_returnflag ORDER BY l_returnflag"""))
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ----- w27: TIME-BASED SNAPSHOT EXPIRY + PARTITIONS AUDIT — the
+    // maintenance pair through the oracle gate: a partitioned table
+    // takes two appends and a merge-on-read DELETE, then
+    // expire_snapshots(older_than = 2nd append's commit) retires the
+    // create + first append (version-floor semantics: never a
+    // snapshot at/after the cutoff — the race-safe contract), and
+    // the `partitions` metadata table reports per-partition LIVE
+    // rows (net of the position-delete sidecars) that must equal the
+    // oracle's derivation from the source rows. Proof columns:
+    // retained version count and the time-travel refusal for the
+    // expired append.
+    QueryDef(
+      "w27_snapshot_expiry_audit",
+      (s, d) => {
+        val wh = scratch("w27", d)
+        val cat = "w27cat_" + Integer.toHexString(d.hashCode)
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.BronzeCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+        s.sql(s"DROP TABLE IF EXISTS $cat.db.exp")
+        s.sql(s"""CREATE TABLE $cat.db.exp
+          (k BIGINT, status STRING, p DOUBLE) USING parquet
+          PARTITIONED BY (status)""")
+        val o = new Tables(s, d).orders.select(
+          col("o_orderkey").cast("long").as("k"),
+          col("o_orderstatus").as("status"),
+          col("o_totalprice").cast("double").as("p"))
+        // two appends with a strict commit-stamp boundary between
+        // them (stamps are millis-derived and clamped monotone)
+        o.filter(col("k") % 2 === 0).writeTo(s"$cat.db.exp").append()
+        Thread.sleep(10)
+        o.filter(col("k") % 2 === 1).writeTo(s"$cat.db.exp").append()
+        // merge-on-read DELETE: position sidecars, no rewrite
+        s.conf.set(graft.GraftConf.DeleteModeKey, "merge-on-read")
+        try s.sql(s"DELETE FROM $cat.db.exp WHERE k BETWEEN 100 AND 500")
+        finally s.conf.unset(graft.GraftConf.DeleteModeKey)
+        val bc = s.sessionState.catalogManager.catalog(cat)
+          .asInstanceOf[graft.catalog.BronzeCatalog]
+        val dir = bc.tableDir(Seq("db"), "exp")
+        val vs = graft.catalog.SnapshotLog.versions(dir) // v0..v3
+        bc.expireSnapshotsTable(Seq("db"), "exp",
+          graft.catalog.SnapshotLog.read(dir, vs(2)).timestampMicros)
+        val retained = graft.catalog.SnapshotLog.versions(dir)
+        val v1Expired =
+          try { s.sql(s"SELECT * FROM $cat.db.exp VERSION AS OF ${vs(1)}")
+            .collect(); false }
+          catch { case _: Exception => true }
+        graft.catalog.BronzeMetaTables.partitions(s, dir)
+          .select(col("partition"), col("n_rows"),
+            lit(retained.size.toLong).as("n_versions"),
+            lit(v1Expired).as("v1_expired"))
+          .orderBy(col("partition"))
+      },
+      Some("""SELECT 'status=' || o_orderstatus AS partition,
+          COUNT(*) AS n_rows,
+          CAST(2 AS BIGINT) AS n_versions,
+          TRUE AS v1_expired
+        FROM orders
+        WHERE o_orderkey NOT BETWEEN 100 AND 500
+        GROUP BY o_orderstatus ORDER BY partition"""))
   )
 }
