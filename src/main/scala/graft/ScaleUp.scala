@@ -92,17 +92,20 @@ object ScaleUp {
     spark.sparkContext.setLogLevel("WARN")
 
     confs.foreach { case (ck, cv) => spark.conf.set(ck, cv) }
-    val outDir = s"${System.getProperty("java.io.tmpdir")}/graft_scaleup_x$k"
-    build(spark, sfDir, outDir, k)
 
     // comma-separated substring filter (matching Verify's contract);
-    // refuse silently-empty runs — an unmatched filter would
-    // otherwise overwrite scaleup_out.json with []
+    // validated BEFORE the ×K build so a typo'd filter fails in
+    // milliseconds, not after minutes of corpus construction — and a
+    // matched-nothing run can't overwrite scaleup_out.json with []
     val selected = Queries.filter(q =>
       only.forall(_.split(",").exists(p => p.nonEmpty && q.contains(p))))
     require(selected.nonEmpty,
       s"no query matches filter ${only.getOrElse("")} — " +
         s"available: ${Queries.mkString(", ")}")
+
+    val outDir = s"${System.getProperty("java.io.tmpdir")}/graft_scaleup_x$k"
+    build(spark, sfDir, outDir, k)
+
     val results = selected.map { name =>
       val fn = SparkEntry.queries(name)
       val measure = Measures.getOrElse(name, (df: DataFrame) => df.count())
@@ -125,21 +128,30 @@ object ScaleUp {
     }
     // MERGE into the committed matrix rather than overwrite: a
     // filtered run updates its own (query, k) rows and leaves every
-    // other probe's evidence in place
+    // other probe's evidence in place. Prior entries that fail to
+    // parse (older format, hand edits) are KEPT verbatim — the merge
+    // must never lose evidence it cannot read; a whole-file parse
+    // failure aborts loudly instead of silently replacing the matrix.
     val outPath = java.nio.file.Paths.get("scaleup_out.json")
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    def keyOf(json: String): (String, Int) = {
-      val n = mapper.readTree(json)
-      (n.get("query").asText(), n.get("k").asInt())
-    }
+    def keyOf(json: String): Option[(String, Int)] =
+      try {
+        val n = mapper.readTree(json)
+        val (q, kk) = (n.get("query"), n.get("k"))
+        if (q == null || kk == null) None else Some((q.asText(), kk.asInt()))
+      } catch { case _: Exception => None }
     val prior =
       if (!java.nio.file.Files.isRegularFile(outPath)) Seq.empty[String]
-      else try {
+      else {
         val arr = mapper.readTree(java.nio.file.Files.readString(outPath))
+        require(arr != null && arr.isArray,
+          s"$outPath exists but is not a JSON array — refusing to " +
+            "overwrite it; move it aside to rebuild the matrix")
         (0 until arr.size).map(i => arr.get(i).toString)
-      } catch { case _: Exception => Seq.empty[String] }
-    val fresh = results.map(keyOf).toSet
-    val merged = prior.filterNot(p => fresh.contains(keyOf(p))) ++ results
+      }
+    val fresh = selected.map(n => (n, k)).toSet
+    val merged =
+      prior.filterNot(p => keyOf(p).exists(fresh.contains)) ++ results
     java.nio.file.Files.writeString(outPath,
       merged.mkString("[", ",\n", "]\n"))
     spark.stop()

@@ -401,28 +401,25 @@ class BronzeCatalog extends TableCatalog with SupportsNamespaces {
   /** Iceberg `expire_snapshots` + orphan-file removal (VACUUM): keep
     * the last `retainLast` snapshots, delete data files referenced by
     * none of them. Returns deleted file names. */
+  /** Abandoned-branch expiry age from the session dial (default:
+    * never) — shared by both maintenance entry points. */
+  private def branchMaxAgeFromSession: Long = SparkSession.getActiveSession
+    .flatMap(_.conf.getOption(graft.GraftConf.BranchMaxAgeKey))
+    .map(_.trim.toLong).getOrElse(Long.MaxValue)
+
   def vacuumTable(namespace: Seq[String], name: String,
-      retainLast: Int): Seq[String] = {
-    // abandoned-branch expiry rides the session dial (default: never)
-    val branchMaxAge = SparkSession.getActiveSession
-      .flatMap(_.conf.getOption(graft.GraftConf.BranchMaxAgeKey))
-      .map(_.trim.toLong).getOrElse(Long.MaxValue)
+      retainLast: Int): Seq[String] =
     SnapshotLog.vacuum(tableDir(namespace, name), retainLast,
-      branchMaxAgeMs = branchMaxAge)
-  }
+      branchMaxAgeMs = branchMaxAgeFromSession)
 
   /** Time-based twin of [[vacuumTable]]: Iceberg's
     * `expire_snapshots(older_than => ts)` — expires snapshots
     * committed strictly before `olderThanMicros`, retaining the
     * current snapshot, tags, and live branches. */
   def expireSnapshotsTable(namespace: Seq[String], name: String,
-      olderThanMicros: Long): Seq[String] = {
-    val branchMaxAge = SparkSession.getActiveSession
-      .flatMap(_.conf.getOption(graft.GraftConf.BranchMaxAgeKey))
-      .map(_.trim.toLong).getOrElse(Long.MaxValue)
+      olderThanMicros: Long): Seq[String] =
     SnapshotLog.expireSnapshots(tableDir(namespace, name),
-      olderThanMicros, branchMaxAgeMs = branchMaxAge)
-  }
+      olderThanMicros, branchMaxAgeMs = branchMaxAgeFromSession)
 
   /** Iceberg's `table$history` metadata table — one row per snapshot
     * (version, operation, n_files, n_rows), built at manifest scale. */

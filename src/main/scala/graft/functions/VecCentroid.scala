@@ -16,9 +16,12 @@ import org.apache.spark.sql.functions
   * is floor-quantized to 1e-6 ticks and accumulated as an exact Long
   * (associative and commutative, so Spark's arbitrary partial/merge
   * order cannot change the sum — s08/q75/t15's discipline), and the
-  * mean is two IEEE ops (long→double exact below 2^53, one divide by
-  * the scale, one by the count) the DuckDB oracle mirrors verbatim:
-  * `CAST(SUM(FLOOR(x * 1e6)) AS DOUBLE) / 1e6 / COUNT(*)`.
+  * mean converts the exact Long sum to double ONCE (round-half-even —
+  * the only rounding in the computation) then divides by scale and
+  * count. The DuckDB oracle accumulates the same ticks in
+  * DECIMAL(38,0) — exact; a DOUBLE sum would round order-dependently
+  * past 2^53 ticks — and casts to DOUBLE the same single time:
+  * `CAST(SUM(CAST(FLOOR(x*1e6) AS DECIMAL(38,0))) AS DOUBLE)/1e6/n`.
   *
   * Input is `Seq[Double]` — callers cast the column to
   * `array<double>` (float→double widening is exact), so both

@@ -1518,13 +1518,12 @@ object Analytics {
              GROUP BY o_orderstatus ORDER BY o_orderstatus'
           USING q80_cut""")
       },
-      Some("""WITH cut AS (
+      Some(s"""WITH cut AS (
           SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice)
             AS c
           FROM orders)
         SELECT o_orderstatus, COUNT(*) AS n_above,
-          CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
-            AS DOUBLE) AS total_above
+          ${graft.Exact.sqlSum("o_totalprice", 2)} AS total_above
         FROM orders, cut WHERE o_totalprice > cut.c
         GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
   )

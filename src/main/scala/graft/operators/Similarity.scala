@@ -1647,14 +1647,14 @@ object Similarity {
           .orderBy(col("grp"))
       },
       Some("""SELECT vec_id % 4 AS grp, COUNT(*) AS n,
-          CAST(SUM(FLOOR(CAST(embedding[1] AS DOUBLE) * 1000000.0))
-            AS DOUBLE) / 1000000.0 / COUNT(*) AS c0,
-          CAST(SUM(FLOOR(CAST(embedding[2] AS DOUBLE) * 1000000.0))
-            AS DOUBLE) / 1000000.0 / COUNT(*) AS c1,
-          CAST(SUM(FLOOR(CAST(embedding[3] AS DOUBLE) * 1000000.0))
-            AS DOUBLE) / 1000000.0 / COUNT(*) AS c2,
-          CAST(SUM(FLOOR(CAST(embedding[4] AS DOUBLE) * 1000000.0))
-            AS DOUBLE) / 1000000.0 / COUNT(*) AS c3
+          CAST(SUM(CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1000000.0)
+            AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 / COUNT(*) AS c0,
+          CAST(SUM(CAST(FLOOR(CAST(embedding[2] AS DOUBLE) * 1000000.0)
+            AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 / COUNT(*) AS c1,
+          CAST(SUM(CAST(FLOOR(CAST(embedding[3] AS DOUBLE) * 1000000.0)
+            AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 / COUNT(*) AS c2,
+          CAST(SUM(CAST(FLOOR(CAST(embedding[4] AS DOUBLE) * 1000000.0)
+            AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 / COUNT(*) AS c3
         FROM embeddings GROUP BY 1 ORDER BY 1"""))
   )
 }

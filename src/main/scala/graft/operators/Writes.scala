@@ -1916,13 +1916,25 @@ object Writes {
           .asInstanceOf[graft.catalog.BronzeCatalog]
         val dir = bc.tableDir(Seq("db"), "exp")
         val vs = graft.catalog.SnapshotLog.versions(dir) // v0..v3
+        // prove time travel WORKS before expiry, so the refusal below
+        // can only mean expiry (a catch-all would also pass on an
+        // unrelated time-travel breakage)
+        require(s.sql(s"SELECT * FROM $cat.db.exp VERSION AS OF ${vs(1)}")
+          .count() >= 0, "pre-expiry time travel must succeed")
         bc.expireSnapshotsTable(Seq("db"), "exp",
           graft.catalog.SnapshotLog.read(dir, vs(2)).timestampMicros)
         val retained = graft.catalog.SnapshotLog.versions(dir)
         val v1Expired =
           try { s.sql(s"SELECT * FROM $cat.db.exp VERSION AS OF ${vs(1)}")
             .collect(); false }
-          catch { case _: Exception => true }
+          catch { case e: Exception =>
+            def msgs(t: Throwable): Seq[String] =
+              if (t == null) Seq.empty
+              else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+            // the specific missing-snapshot refusal only (any other
+            // failure leaves the bit false and the gate red)
+            msgs(e).exists(_.contains(s"no snapshot version ${vs(1)}"))
+          }
         graft.catalog.BronzeMetaTables.partitions(s, dir)
           .select(col("partition"), col("n_rows"),
             lit(retained.size.toLong).as("n_versions"),
