@@ -318,6 +318,37 @@ object Similarity {
          cast(0 as bigint), (acc, x) -> acc + x)"""
 
   /** Multi-probe set: own bucket + one flip per hyperplane. */
+  /** s17's index-lifecycle phases, package-visible so
+    * `PersistedIndexSpec` can snapshot the index files BETWEEN them
+    * (the O(|delta|) maintenance proof: base files byte-identical
+    * across the append). */
+  private[graft] def s17IndexPath(d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_s17-" +
+      Integer.toHexString(d.hashCode)
+
+  private[graft] def s17BuildBase(s: SparkSession, d: String): Unit = {
+    val e = vecs(s, d).withColumn("bucket", expr(bucketExpr))
+    // last night's index: the even stripe minus today's arrivals
+    e.filter(col("vec_id") % 2 === 0 && col("vec_id") % 10 =!= 0)
+      .select(col("vec_id").as("c_id"), col("v").as("bv"),
+        col("nrm").as("nrm_c"), col("bucket").as("bucket_c"))
+      .write.mode("overwrite").option("path", s17IndexPath(d))
+      .bucketBy(8, "bucket_c")
+      .saveAsTable("s17_corpus_idx")
+  }
+
+  /** Nightly maintenance: bucket ONLY the delta and append through
+    * the table's bucket spec — insertInto routes the new files into
+    * the same 8-bucket layout (the catalog spec, not the data path,
+    * owns the bucketing). Idempotence: callers re-running the whole
+    * lifecycle rebuild the base first (mode overwrite above). */
+  private[graft] def s17AppendDelta(s: SparkSession, d: String): Unit =
+    vecs(s, d).withColumn("bucket", expr(bucketExpr))
+      .filter(col("vec_id") % 2 === 0 && col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("bv"),
+        col("nrm").as("nrm_c"), col("bucket").as("bucket_c"))
+      .write.mode("append").insertInto("s17_corpus_idx")
+
   private def probeExpr(h: Int = LshHyperplanes): String =
     s"""concat(array(bucket),
          transform(sequence(0, ${h - 1}), p ->
@@ -1376,6 +1407,52 @@ object Similarity {
           .bucketBy(8, "bucket_c").sortBy("bucket_c")
           .saveAsTable("s13_corpus_idx")
         val corpus = s.table("s13_corpus_idx")
+        val qs = e.filter(col("vec_id") % 2 === 1)
+          .select(col("vec_id").as("q_id"), col("v").as("av"),
+            col("nrm").as("nrm_q"), col("bucket"))
+          .withColumn("probe", explode(expr(probeExpr(lshHyperplanes(s, d)))))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_sim").desc, col("c_id"))
+        qs.join(corpus, col("probe") === col("bucket_c"))
+          .withColumn("cos_sim", expr(dotExpr) / (col("nrm_q") * col("nrm_c")))
+          .withColumn("r", row_number().over(w))
+          .filter(col("r") === 1)
+          .select(col("q_id"), col("c_id"), col("cos_sim"))
+          .orderBy(col("q_id"))
+      },
+      Some(s"""WITH e0 AS ($vecsSql),
+        ${bucketedSqlCtes()},
+        cand AS (SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+            list_sum(list_transform(list_zip(a.v, b.v), t -> t[1] * t[2]))
+              / (a.nrm * b.nrm) AS cos_sim
+          FROM probed a JOIN e b ON a.probe = b.bucket
+          WHERE a.vec_id % 2 = 1 AND b.vec_id % 2 = 0)
+        SELECT q_id, c_id, cos_sim FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY cos_sim DESC, c_id) AS r FROM cand)
+        WHERE r = 1 ORDER BY q_id""")),
+
+    // ----- s17: INCREMENTAL INDEX MAINTENANCE — d10's nightly-delta
+    // discipline applied to the ANN serving index: the persisted
+    // bucket index (s13) must GROW as the corpus does, and rebuilding
+    // it is a full corpus shuffle a nightly pipeline cannot re-pay.
+    // Here the index is built from last night's corpus, and today's
+    // delta computes ONLY ITS OWN buckets and APPENDS through the
+    // table's bucket spec (insertInto routes the new files into the
+    // same 8-bucket layout — the catalog spec, not the data path,
+    // owns the bucketing) — maintenance work is O(|delta|), base
+    // index files are never rewritten (byte-identical before/after,
+    // asserted in PersistedIndexSpec), and the very next probe joins
+    // the UNION exchange-free exactly as before. Answers equal a
+    // from-scratch full index (same oracle as s13's construction
+    // over the whole even stripe).
+    QueryDef(
+      "s17_incremental_index",
+      (s, d) => {
+        val e = vecs(s, d).withColumn("bucket", expr(bucketExpr))
+        s17BuildBase(s, d)
+        s17AppendDelta(s, d)
+        val corpus = s.table("s17_corpus_idx")
         val qs = e.filter(col("vec_id") % 2 === 1)
           .select(col("vec_id").as("q_id"), col("v").as("av"),
             col("nrm").as("nrm_q"), col("bucket"))

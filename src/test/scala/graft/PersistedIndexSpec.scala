@@ -51,4 +51,56 @@ class PersistedIndexSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS s13_corpus_idx")
     }
   }
+
+  test("s17 delta append: base index files byte-identical, probe still exchange-free") {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val idxDir = new java.io.File(graft.operators.Similarity.s17IndexPath(sf))
+      def listing(): Map[String, (Long, Long)] =
+        idxDir.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+
+      graft.operators.Similarity.s17BuildBase(spark, sf)
+      val baseFiles = listing()
+      assert(baseFiles.nonEmpty)
+
+      graft.operators.Similarity.s17AppendDelta(spark, sf)
+      val afterAppend = listing()
+
+      // O(|delta|) maintenance: every base file survives the append
+      // with identical size AND mtime (never rewritten), and the
+      // delta arrived as strictly NEW files
+      baseFiles.foreach { case (name, meta) =>
+        assert(afterAppend.get(name).contains(meta),
+          s"base index file $name was rewritten by the delta append")
+      }
+      assert(afterAppend.size > baseFiles.size,
+        "append added no new files — did it rewrite in place?")
+      val corpus = spark.table("s17_corpus_idx")
+      assert(corpus.filter(col("c_id") % 10 === 0).count() > 0,
+        "delta rows missing from the index")
+
+      // and the probe over the grown index still plans exchange-free
+      // on the corpus side (the s13 assertion, post-append)
+      val df = SparkEntry.queries("s17_incremental_index")(spark, sf)
+      def findJoin(p: SparkPlan): Option[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => findJoin(a.executedPlan)
+        case j: SortMergeJoinExec => Some(j)
+        case j: ShuffledHashJoinExec => Some(j)
+        case other => other.children.view.flatMap(findJoin).headOption
+      }
+      val join = findJoin(df.queryExecution.executedPlan)
+      assert(join.isDefined, "expected a shuffle-family probe join")
+      def shuffles(p: SparkPlan) = p.collect { case e: ShuffleExchangeExec => e }
+      val corpusSide = join.get.children
+        .find(_.toString.contains("s17_corpus_idx"))
+      assert(corpusSide.isDefined, s"no corpus side in:\n${join.get}")
+      assert(shuffles(corpusSide.get).isEmpty,
+        s"appended index re-shuffled at probe time:\n${corpusSide.get}")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS s17_corpus_idx")
+    }
+  }
 }
