@@ -37,11 +37,17 @@ class SnapshotModelSpec extends SparkSpec {
     def col: String = colAt(version)
   }
 
+  // CI defaults (3 runs x 18 steps, ~1 min); a deep soak overrides via
+  // GRAFT_MODEL_RUNS / GRAFT_MODEL_STEPS — same fixed seed, so any
+  // failure reproduces exactly by re-running with the same dials
+  private val Runs = sys.env.get("GRAFT_MODEL_RUNS").map(_.toInt).getOrElse(3)
+  private val Steps = sys.env.get("GRAFT_MODEL_STEPS").map(_.toInt).getOrElse(18)
+
   test("random op sequences: table == model at every step and version") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS bronze.model")
     val rnd = new Random(20260813L) // deterministic — no wall-clock
-    (1 to 3).foreach { run =>
+    (1 to Runs).foreach { run =>
       val name = s"m$run"
       spark.sql(s"DROP TABLE IF EXISTS bronze.model.$name")
       spark.sql(s"CREATE TABLE bronze.model.$name " +
@@ -89,7 +95,7 @@ class SnapshotModelSpec extends SparkSpec {
         }
       }
 
-      (1 to 18).foreach { step =>
+      (1 to Steps).foreach { step =>
         val op = rnd.nextInt(18)
         val desc = op match {
           case 0 | 1 | 2 | 3 => // append (weighted: tables mostly grow)
