@@ -291,6 +291,17 @@ object Exact {
   def sqlSum(x: String, scale: Int = 4): String =
     s"CAST(CAST(SUM(CAST($x AS DECIMAL(18,$scale))) AS VARCHAR) AS DOUBLE)"
 
+  /** DIFFERENCE of two decimal sums, subtracted in DECIMAL and cast
+    * to DOUBLE once — never difference two double-cast sums: each is
+    * only the nearest double to its decimal, and their difference
+    * loses the 6th decimal at 1e10 magnitudes (w18, caught by the
+    * sf0.1 sweep). Matches a Spark-side single signed [[dsum]]. */
+  def sqlSumDiff(x: String, from1: String, from2: String,
+      scale: Int = 4): String =
+    s"""CAST(CAST((SELECT SUM(CAST($x AS DECIMAL(18,$scale))) FROM $from1)
+        - (SELECT SUM(CAST($x AS DECIMAL(18,$scale))) FROM $from2)
+      AS VARCHAR) AS DOUBLE)"""
+
   def sqlAvg(x: String, scale: Int = 4): String =
     s"${sqlSum(x, scale)} / COUNT($x)"
 }

@@ -318,6 +318,11 @@ object Similarity {
          cast(0 as bigint), (acc, x) -> acc + x)"""
 
   /** Multi-probe set: own bucket + one flip per hyperplane. */
+  private def probeExpr(h: Int = LshHyperplanes): String =
+    s"""concat(array(bucket),
+         transform(sequence(0, ${h - 1}), p ->
+           bucket ^ shiftleft(cast(1 as bigint), p)))"""
+
   /** s17's index-lifecycle phases, package-visible so
     * `PersistedIndexSpec` can snapshot the index files BETWEEN them
     * (the O(|delta|) maintenance proof: base files byte-identical
@@ -349,10 +354,27 @@ object Similarity {
         col("nrm").as("nrm_c"), col("bucket").as("bucket_c"))
       .write.mode("append").insertInto("s17_corpus_idx")
 
-  private def probeExpr(h: Int = LshHyperplanes): String =
-    s"""concat(array(bucket),
-         transform(sequence(0, ${h - 1}), p ->
-           bucket ^ shiftleft(cast(1 as bigint), p)))"""
+  /** The serving probe over whatever `s17_corpus_idx` currently
+    * holds — shared by the s17 QueryDef and by `PersistedIndexSpec`
+    * (which calls it directly after its own build/append phases, so
+    * the plan assertion doesn't pay a second index build). */
+  private[graft] def s17Probe(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d).withColumn("bucket", expr(bucketExpr))
+    val corpus = s.table("s17_corpus_idx")
+    val qs = e.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("q_id"), col("v").as("av"),
+        col("nrm").as("nrm_q"), col("bucket"))
+      .withColumn("probe", explode(expr(probeExpr(lshHyperplanes(s, d)))))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("c_id"))
+    qs.join(corpus, col("probe") === col("bucket_c"))
+      .withColumn("cos_sim", expr(dotExpr) / (col("nrm_q") * col("nrm_c")))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") === 1)
+      .select(col("q_id"), col("c_id"), col("cos_sim"))
+      .orderBy(col("q_id"))
+  }
+
 
   /** The `hh` CTE supplying the hyperplane count H to the SQL twins.
     * Default: the ADAPTIVE formula, derived in SQL from the corpus
@@ -1449,22 +1471,9 @@ object Similarity {
     QueryDef(
       "s17_incremental_index",
       (s, d) => {
-        val e = vecs(s, d).withColumn("bucket", expr(bucketExpr))
         s17BuildBase(s, d)
         s17AppendDelta(s, d)
-        val corpus = s.table("s17_corpus_idx")
-        val qs = e.filter(col("vec_id") % 2 === 1)
-          .select(col("vec_id").as("q_id"), col("v").as("av"),
-            col("nrm").as("nrm_q"), col("bucket"))
-          .withColumn("probe", explode(expr(probeExpr(lshHyperplanes(s, d)))))
-        val w = Window.partitionBy(col("q_id"))
-          .orderBy(col("cos_sim").desc, col("c_id"))
-        qs.join(corpus, col("probe") === col("bucket_c"))
-          .withColumn("cos_sim", expr(dotExpr) / (col("nrm_q") * col("nrm_c")))
-          .withColumn("r", row_number().over(w))
-          .filter(col("r") === 1)
-          .select(col("q_id"), col("c_id"), col("cos_sim"))
-          .orderBy(col("q_id"))
+        s17Probe(s, d)
       },
       Some(s"""WITH e0 AS ($vecsSql),
         ${bucketedSqlCtes()},

@@ -1254,13 +1254,7 @@ object Writes {
           UNION ALL
           SELECT 'cdc_net',
             (SELECT COUNT(*) FROM final) - (SELECT COUNT(*) FROM o),
-            -- subtract in DECIMAL, cast to DOUBLE once: differencing
-            -- two double-cast sums loses the 6th decimal at 1e10
-            -- magnitude (caught by the sf0.1 sweep), while the Spark
-            -- side's one signed decimal sum is exact
-            CAST(CAST((SELECT SUM(CAST(p AS DECIMAL(18,2))) FROM final)
-                - (SELECT SUM(CAST(p AS DECIMAL(18,2))) FROM o)
-              AS VARCHAR) AS DOUBLE)
+            ${Exact.sqlSumDiff("p", "final", "o", 2)}
           UNION ALL
           SELECT 'files_rewritten', 0, 0.0
           UNION ALL

@@ -81,9 +81,24 @@ class PersistedIndexSpec extends SparkSpec {
       assert(corpus.filter(col("c_id") % 10 === 0).count() > 0,
         "delta rows missing from the index")
 
+      // the grown index must answer EXACTLY like a from-scratch full
+      // index (s11's self-join over the same even stripe) — this is
+      // what catches a bucketed-insert routing the delta into wrong
+      // bucket files, which every file/plan assertion above survives
+      val probe = graft.operators.Similarity.s17Probe(spark, sf)
+      val viaIncremental = probe.collect()
+      val fullIndex = SparkEntry.queries("s11_corpus_retrieval")(spark, sf)
+        .collect()
+      assert(viaIncremental.length == fullIndex.length &&
+        viaIncremental.length > 0)
+      viaIncremental.zip(fullIndex).foreach { case (a, b) => assert(a == b) }
+
       // and the probe over the grown index still plans exchange-free
-      // on the corpus side (the s13 assertion, post-append)
-      val df = SparkEntry.queries("s17_incremental_index")(spark, sf)
+      // on the corpus side (the s13 assertion, post-append) — a FRESH
+      // probe frame over the existing table (no second build; and not
+      // the collected one above, whose AQE run may have re-planned
+      // the join as broadcast, hiding the shuffle-family node)
+      val df = graft.operators.Similarity.s17Probe(spark, sf)
       def findJoin(p: SparkPlan): Option[SparkPlan] = p match {
         case a: AdaptiveSparkPlanExec => findJoin(a.executedPlan)
         case j: SortMergeJoinExec => Some(j)

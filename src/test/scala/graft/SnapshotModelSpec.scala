@@ -40,8 +40,17 @@ class SnapshotModelSpec extends SparkSpec {
   // CI defaults (3 runs x 18 steps, ~1 min); a deep soak overrides via
   // GRAFT_MODEL_RUNS / GRAFT_MODEL_STEPS — same fixed seed, so any
   // failure reproduces exactly by re-running with the same dials
-  private val Runs = sys.env.get("GRAFT_MODEL_RUNS").map(_.toInt).getOrElse(3)
-  private val Steps = sys.env.get("GRAFT_MODEL_STEPS").map(_.toInt).getOrElse(18)
+  private def dial(name: String, default: Int): Int =
+    sys.env.get(name).map { v =>
+      val n = v.toIntOption.getOrElse(
+        fail(s"$name must be a positive integer, got '$v'"))
+      require(n > 0, s"$name must be > 0, got $n — a zero-run soak " +
+        "would report the property green having verified nothing")
+      n
+    }.getOrElse(default)
+
+  private lazy val Runs = dial("GRAFT_MODEL_RUNS", 3)
+  private lazy val Steps = dial("GRAFT_MODEL_STEPS", 18)
 
   test("random op sequences: table == model at every step and version") {
     warehouse
