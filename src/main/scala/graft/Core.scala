@@ -183,7 +183,7 @@ object GraftConf {
     * surviving the asymmetric-distance pass into the exact rerank. */
   val PqShortlistKey = "spark.graft.pqShortlist"
   /** IVF coarse-quantizer cell count (s12). Defaults ADAPTIVE
-    * (occupancy-64 cells, clamped to [8, 256]) derived from the corpus
+    * (occupancy-64 cells, clamped to [8, 4096]) derived from the corpus
     * count by both engines. Override caveat (NOT override-aware,
     * unlike [[LshHyperplanesKey]]): the shipped oracle re-derives the
     * DEFAULT in SQL, so setting this invalidates the cross-engine
@@ -195,6 +195,13 @@ object GraftConf {
     * [[IvfCellsKey]]: the oracle re-derives the default, so an
     * override invalidates the hash gate. */
   val IvfNprobeKey = "spark.graft.ivfNprobe"
+  /** IVF two-level routing width (s12): how many of the ceil(√k)
+    * level-1 super-cells the cell search descends into per vector —
+    * assignment stays O(√k) per vector while recall across super-cell
+    * boundaries is recovered by probing more than one. Same caveat as
+    * [[IvfCellsKey]]: the oracle bakes the default, so an override
+    * invalidates the hash gate. */
+  val IvfSuperProbeKey = "spark.graft.ivfSuperProbe"
   /** Truncated-cosine shortlist size for the two-stage rerank tiers
     * (s07/s09) — per-query candidates surviving the coarse 16-dim
     * pass into the full-dimension rerank; the same cheap recall dial

@@ -183,14 +183,44 @@ object Similarity {
 
   /** Adaptive IVF cell count (s12): occupancy-64 cells like
     * [[adaptiveHyperplanes]] (cells grow with n, per-cell candidate
-    * cost constant), clamped to [8, 256] — the floor keeps a
-    * several-cell structure on demo corpora, the cap bounds the
-    * broadcast centroid table (a 100-TB deployment raises it via
-    * `spark.graft.ivfCells` together with a real multi-round
-    * training loop). Derived from the CORPUS (even vec_ids) count with
-    * the same integer-exact formula in both engines. */
+    * cost constant), clamped to [8, 4096] — the floor keeps a
+    * several-cell structure on demo corpora; the cap bounds the
+    * broadcast centroid table at ~2 MB of doubles (raise via
+    * `spark.graft.ivfCells` past ~256k vectors; the two-level
+    * quantizer keeps assignment O(√k) per vector at any k). Derived
+    * from the CORPUS (even vec_ids) count with the same integer-exact
+    * formula in both engines. The r12 clamp was 256, which froze k
+    * while n grew — candidate volume then grew O(n²/k); measured
+    * 316 s at ×100 (see PLANS.md, retained for contrast). */
   private[graft] def adaptiveIvfCells(nCorpus: Long): Int =
-    math.min(256L, math.max(8L, nCorpus / 64)).toInt
+    math.min(4096L, math.max(8L, nCorpus / 64)).toInt
+
+  /** Super-cell probe width (s12): how many of the ceil(√k) level-1
+    * super-cells a vector's cell search descends into. Assignment
+    * cost per vector is K1 + w·(k/K1) ≈ (1+w)·√k instead of the flat
+    * scan's k; w > 1 recovers vectors whose true nearest cell sits
+    * just across a super-cell boundary. 3 holds the measured recall@1
+    * band on the test corpus (RecallDashboardSpec); on demo corpora
+    * K1 ≤ 3 so every super-cell is probed and routing is exhaustive.
+    * Override with `spark.graft.ivfSuperProbe` (oracle caveat as
+    * [[IvfCellsKey]]: the shipped oracle bakes the default). */
+  private[graft] val IvfSuperProbe = 3
+
+  private def ivfSuperProbe(s: SparkSession): Int = {
+    val w = GraftConf.int(s, GraftConf.IvfSuperProbeKey, IvfSuperProbe)
+    require(w > 0 && w <= 64,
+      s"${GraftConf.IvfSuperProbeKey} must be in [1, 64], got $w")
+    w
+  }
+
+  /** Coarse-quantizer training-sample budget (s12): expected sample
+    * size is TrainPerCell·k vectors (md5-threshold Bernoulli over
+    * vec_id — deterministic, no global sort, identical in both
+    * engines), so training cost is O(k^1.5) for the two-level Lloyd
+    * rounds instead of the full corpus's n·k. 16 per cell estimates
+    * a 64-occupancy cell's mean from a quarter of its mass — recall
+    * measured unchanged vs full-corpus training on the test corpus. */
+  private[graft] val IvfTrainPerCell = 16L
 
   private val evenCountCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
@@ -203,8 +233,8 @@ object Similarity {
   private def ivfCells(s: SparkSession, d: String): Int = {
     val k = GraftConf.int(s, GraftConf.IvfCellsKey,
       adaptiveIvfCells(corpusEvenCount(s, d)))
-    require(k >= 2 && k <= 4096,
-      s"${GraftConf.IvfCellsKey} must be in [2, 4096], got $k")
+    require(k >= 2 && k <= 65536,
+      s"${GraftConf.IvfCellsKey} must be in [2, 65536], got $k")
     k
   }
 
@@ -826,39 +856,47 @@ object Similarity {
         WHERE r = 1 ORDER BY q_id""")),
 
     // ----- s12: IVF + PRODUCT QUANTIZATION + ADC + exact rerank —
-    // the memory-side scale story the other ANN queries don't cover,
-    // now with its OWN coarse quantizer instead of the shared LSH
-    // gate (which capped recall@1 at 0.61). The serving shape is
-    // classic IVF-PQ:
-    //   index build: an adaptive-K k-means coarse quantizer (K =
-    //     occupancy-64 cells, one Lloyd round — s08's recipe with
-    //     the same floor-quantized exact means, so the iterative
-    //     float training is hash-checkable cross-engine) assigns
-    //     every corpus vector to its L2-nearest cell; each corpus
-    //     vector also compresses to M=4 sub-space codes against
-    //     64-entry codebooks (init: sub-vectors of the 64 lowest-id
-    //     vectors; one Lloyd round per sub-space over the corpus —
-    //     trained codebooks cut the ADC ranking loss that a wider
-    //     shortlist would otherwise pay for).
-    //   query: probe the nprobe (7) L2-nearest cells and score ONLY
-    //     their members ASYMMETRICALLY — full-precision query vs a
-    //     per-query 4x64 distance LUT indexed by the candidate's
-    //     CODES. The scan never touches corpus floats: 4 small ints
-    //     per vector instead of 64 floats, and only ~nprobe*64
-    //     candidates per query at ANY corpus size (cells grow with
-    //     n, occupancy stays 64) — what lets a 10^9-vector index
-    //     serve from RAM at 100 TB. The ADC top-`pqShortlist` (96)
-    //     then rerank exactly at full precision.
-    // Centroid/codebook joins broadcast (<= 256 + 4x64 rows); the
-    // cell-membership join shuffles on cid; the 4 LUT joins key on
-    // (q_id, code) — shuffle-bounded, never all-pairs. All argmins
-    // tie-break on id and all training means are floor(x*1e10+0.5)
-    // BIGINT sums (exact + associative), so both engines derive
-    // bit-identical centroids, codes, and candidates. Measured
-    // recall@1 vs exact L2: 0.96 at the defaults (RecallDashboardSpec;
-    // the r8 LSH-gated version measured 0.61) on an ISOTROPIC test
-    // corpus — the worst case for a partition gate; clustered real
-    // embeddings recover more per probe.
+    // the memory-side scale story the other ANN queries don't cover.
+    // The serving shape is classic IVF-PQ; since r13 the coarse
+    // quantizer is TWO-LEVEL and SAMPLE-TRAINED (the r12 flat design
+    // measured 316 s clamped / 425 s unclamped at ×100 — quadratic in
+    // either regime; both numbers retained in PLANS.md):
+    //   index build: an adaptive-K coarse quantizer (K = occupancy-64
+    //     cells, clamp [8, 4096]) trained on a bounded md5-Bernoulli
+    //     SAMPLE (~16 vectors per cell in expectation): one Lloyd
+    //     round derives K1 = ceil(√K) super-centroids from the K1
+    //     lowest-id sample seeds, then ceil(K/K1) cells seed + train
+    //     within each super-cell — training cost O(K^1.5) on the
+    //     sample, never n·K over the corpus. Every corpus vector then
+    //     routes through its IvfSuperProbe (3) nearest super-cells to
+    //     its L2-nearest cell: (1+w)·√K distance evals per vector
+    //     instead of the flat scan's K. Each corpus vector also
+    //     compresses to M=4 sub-space codes against 64-entry
+    //     codebooks (init: sub-vectors of the 64 lowest-id vectors;
+    //     one Lloyd round per sub-space over the corpus — empty
+    //     entries keep their init sub-vector, so codes stay DENSE in
+    //     0..63, the positional-LUT contract).
+    //   query: route through the same super-cells to the nprobe (7)
+    //     L2-nearest cells and score ONLY their members
+    //     ASYMMETRICALLY — each query precomputes one 256-entry
+    //     (4×64) positional distance LUT; candidates carry 4 small
+    //     ints and the scan never touches corpus floats. Cells grow
+    //     with n at occupancy 64, so the candidate set stays
+    //     ~nprobe·64 per query at ANY corpus size — what lets a
+    //     10⁹-vector index serve from RAM at 100 TB. The ADC
+    //     top-`pqShortlist` (96) then rerank exactly at full
+    //     precision.
+    // Centroid/codebook joins broadcast (≤ 4096 cells + ceil(√K)
+    // super-centroids + 4×64 codebook rows); the cell-membership join
+    // shuffles on cid; the LUT applies in ONE q_id-keyed join (the
+    // r12 four-join chain shuffled the candidate set four times). All
+    // argmins tie-break on id and all training means are
+    // floor(x·1e10+0.5) BIGINT sums (exact + associative), so both
+    // engines derive bit-identical centroids, codes, and candidates.
+    // Measured recall@1 vs exact L2 on an ISOTROPIC test corpus — the
+    // worst case for a partition gate — is asserted by
+    // RecallDashboardSpec (≥ 0.85 floor); clustered real embeddings
+    // recover more per probe.
     QueryDef(
       "s12_pq_adc",
       (s, d) => {
@@ -870,63 +908,120 @@ object Similarity {
         val qs = e.filter(col("vec_id") % 2 === 1)
           .select(col("vec_id").as("q_id"), col("v").as("av"))
 
-        // ---- coarse quantizer: adaptive-K k-means, one Lloyd round
-        // (s08's recipe: cosine assign, floor-quantized exact means) ----
+        // ---- coarse quantizer: TWO-LEVEL, trained on a bounded
+        // md5-deterministic sample ----
+        val n = corpusEvenCount(s, d)
         val k = ivfCells(s, d)
-        val cent0 = e.filter(col("vec_id") < k)
-          .select(col("vec_id").as("cid"),
-            expr("transform(v, x -> cast(x as double))").as("c"),
-            col("nrm").as("cnrm"))
-        val wA = Window.partitionBy(col("vec_id"))
-          .orderBy(col("cs").desc, col("cid"))
-        val asg0 = e.crossJoin(broadcast(cent0))
-          .withColumn("cs", expr(
-            """aggregate(zip_with(v, c, (x, w) -> x * w),
-               cast(0.0 as double), (acc, x) -> acc + x)""")
-            / (col("nrm") * col("cnrm")))
-          .withColumn("rn", row_number().over(wA))
+        val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
+        val cps = (k + k1 - 1) / k1
+        val wSup = ivfSuperProbe(s)
+
+        def l2d(a: String, c: String) =
+          expr(s"""aggregate(zip_with($a, $c,
+                (x, w) -> (cast(x as double) - cast(w as double))
+                        * (cast(x as double) - cast(w as double))),
+              cast(0.0 as double), (acc, x) -> acc + x)""")
+        def quantMean = (sum(expr(
+          "cast(floor(cast(x as double) * 1e10 + 0.5d) as bigint)"))
+          .cast("double") / lit(1e10) / count(lit(1))).as("cval")
+
+        // md5-threshold Bernoulli sample: E[|samp|] = 16·k, no global
+        // sort, identical row set in both engines
+        val samp = corpus.filter(
+          conv(substring(md5(concat(lit("s12s:"),
+            col("c_id").cast("string"))), 1, 8), 16, 10).cast("long")
+            * lit(n) < lit(IvfTrainPerCell * 4294967296L * k))
+
+        // level-1: one Lloyd round from the k1 lowest-id sample seeds
+        val seeds1 = samp.orderBy(col("c_id")).limit(k1)
+          .select(col("c_id").as("scid"), col("bv").as("sc"))
+        val wVec = Window.partitionBy(col("c_id"))
+          .orderBy(col("sd"), col("scid"))
+        val asg1 = samp.crossJoin(broadcast(seeds1))
+          .withColumn("sd", l2d("bv", "sc"))
+          .withColumn("rn", row_number().over(wVec))
           .filter(col("rn") === 1)
-          .select(col("vec_id"), col("cid"))
-        val cent1 = asg0.join(e, "vec_id")
-          .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
-          .groupBy(col("cid"), col("dim"))
-          .agg((sum(expr(
-            "cast(floor(cast(x as double) * 1e10 + 0.5d) as bigint)"))
-            .cast("double") / lit(1e10) / count(lit(1))).as("cval"))
-          .groupBy(col("cid"))
+          .select(col("c_id"), col("scid"))
+        val scCent = asg1.join(samp, "c_id")
+          .select(col("scid"), posexplode(col("bv")).as(Seq("dim", "x")))
+          .groupBy(col("scid"), col("dim"))
+          .agg(quantMean)
+          .groupBy(col("scid"))
+          .agg(expr(
+            """transform(sort_array(collect_list(struct(dim, cval))),
+               t -> t.cval)""").as("sc"))
+
+        // level-2: re-assign the sample to the TRAINED super-centroids
+        // (routing and training must share the model), seed
+        // ceil(k/K1) cells per super-cell from its lowest-id members,
+        // one Lloyd round within each
+        val asg2 = samp.crossJoin(broadcast(scCent))
+          .withColumn("sd", l2d("bv", "sc"))
+          .withColumn("rn", row_number().over(wVec))
+          .filter(col("rn") === 1)
+          .select(col("c_id"), col("scid"))
+        val wSeed = Window.partitionBy(col("scid")).orderBy(col("c_id"))
+        val subSeeds = asg2.withColumn("rn", row_number().over(wSeed))
+          .filter(col("rn") <= cps)
+          .join(samp, "c_id")
+          .select(col("c_id").as("cid"), col("scid"),
+            col("bv").as("cseed"))
+        val wCellOf = Window.partitionBy(col("c_id"))
+          .orderBy(col("cd"), col("cid"))
+        val asg3 = asg2.join(samp, "c_id")
+          .join(broadcast(subSeeds), "scid")
+          .withColumn("cd", l2d("bv", "cseed"))
+          .withColumn("rn", row_number().over(wCellOf))
+          .filter(col("rn") === 1)
+          .select(col("c_id"), col("cid"), col("scid"))
+        val cellCent = asg3.join(samp, "c_id")
+          .select(col("cid"), col("scid"),
+            posexplode(col("bv")).as(Seq("dim", "x")))
+          .groupBy(col("cid"), col("scid"), col("dim"))
+          .agg(quantMean)
+          .groupBy(col("cid"), col("scid"))
           .agg(expr(
             """transform(sort_array(collect_list(struct(dim, cval))),
                t -> t.cval)""").as("c"))
-        // corpus -> its L2-nearest cell; queries -> their nprobe
-        // nearest cells (L2, matching the ADC metric)
-        def cellDist(a: String) =
-          s"""aggregate(zip_with($a, c,
-                (x, w) -> (cast(x as double) - w)
-                        * (cast(x as double) - w)),
-              cast(0.0 as double), (acc, x) -> acc + x)"""
-        val wCell = Window.partitionBy(col("c_id"))
-          .orderBy(col("cd"), col("cid"))
-        val ccell = corpus.crossJoin(broadcast(cent1))
-          .withColumn("cd", expr(cellDist("bv")))
-          .withColumn("rn", row_number().over(wCell))
+
+        // serving assignment: w nearest super-cells, then the cells
+        // within them — (K1 + w·k/K1) ≈ (1+w)·√k distance evals per
+        // vector vs the flat scan's k
+        val corpSc = corpus.crossJoin(broadcast(scCent))
+          .withColumn("sd", l2d("bv", "sc"))
+          .withColumn("rn", row_number().over(wVec))
+          .filter(col("rn") <= wSup)
+          .select(col("c_id"), col("bv"), col("scid"))
+        val ccell = corpSc.join(broadcast(cellCent), "scid")
+          .withColumn("cd", l2d("bv", "c"))
+          .withColumn("rn", row_number().over(wCellOf))
           .filter(col("rn") === 1)
           .select(col("c_id"), col("cid"))
+        val wScQ = Window.partitionBy(col("q_id"))
+          .orderBy(col("sd"), col("scid"))
+        val qSc = qs.crossJoin(broadcast(scCent))
+          .withColumn("sd", l2d("av", "sc"))
+          .withColumn("rn", row_number().over(wScQ))
+          .filter(col("rn") <= wSup)
+          .select(col("q_id"), col("av"), col("scid"))
         val wProbe = Window.partitionBy(col("q_id"))
           .orderBy(col("cd"), col("cid"))
-        val probes = qs.crossJoin(broadcast(cent1))
-          .withColumn("cd", expr(cellDist("av")))
+        val probes = qSc.join(broadcast(cellCent), "scid")
+          .withColumn("cd", l2d("av", "c"))
           .withColumn("rn", row_number().over(wProbe))
           .filter(col("rn") <= ivfNprobe(s))
           .select(col("q_id"), col("cid"))
         // each corpus vector lives in exactly ONE cell and each query
         // probes DISTINCT cells -> no duplicate (q_id, c_id) pairs,
         // no distinct() needed
-        val cand = probes.join(ccell, "cid")
-          .select(col("q_id"), col("c_id"))
 
         // ---- PQ codebooks: 64-entry init (sub-vectors of the 64
         // lowest-id vectors, the training-free idiom) + one Lloyd
-        // round per sub-space over the CORPUS ----
+        // round per sub-space over the CORPUS (coding touches every
+        // vector anyway; training rides the same linear pass). Empty
+        // entries KEEP their init sub-vector — standard empty-cluster
+        // handling, and it keeps codes DENSE in 0..63 for the
+        // positional LUT below ----
         val cb0 = e.filter(col("vec_id") < 64)
           .select(col("vec_id").as("c"), col("v").as("cv"))
         // L2^2 between the m-th sub-vectors of `a` and the FULL-width
@@ -960,6 +1055,14 @@ object Similarity {
           .agg(expr(
             """transform(sort_array(collect_list(struct(dd, cval))),
                t -> t.cval)""").as("cv"))
+        val cbInit = cb0
+          .withColumn("m", explode(expr(s"sequence(0, ${M - 1})")))
+          .select(col("m"), col("c"),
+            expr(s"transform(slice(cv, m * $sub + 1, $sub)," +
+              " x -> cast(x as double))").as("cvi"))
+        val cb1f = cbInit.join(cb1, Seq("m", "c"), "left")
+          .select(col("m"), col("c"),
+            coalesce(col("cv"), col("cvi")).as("cv"))
         // trained codebook rows carry the 16-dim sub-vector directly
         def subDistT(a: String) =
           s"""aggregate(zip_with(
@@ -969,7 +1072,7 @@ object Similarity {
               cast(0.0 as double), (acc, x) -> acc + x)"""
         val codes = corpus
           .withColumn("m", explode(expr(s"sequence(0, ${M - 1})")))
-          .join(broadcast(cb1), Seq("m"))
+          .join(broadcast(cb1f), Seq("m"))
           .withColumn("dist", expr(subDistT("bv")))
           .withColumn("rn", row_number().over(wCode))
           .filter(col("rn") === 1)
@@ -977,24 +1080,34 @@ object Similarity {
           .agg(min(when(col("m") === 0, col("c"))).as("code0"),
             (1 until M).map(m =>
               min(when(col("m") === m, col("c"))).as(s"code$m")): _*)
-        val lut = qs
+
+        // ---- ADC: per-query 256-entry positional LUT (4 sub-spaces
+        // × 64 dense codes, ordered by m·64+c) applied in ONE
+        // q_id-keyed join — the r12 four-join chain shuffled the
+        // candidate set four times; here the flat list rides only the
+        // small per-query side and adist projects out before any
+        // further exchange ----
+        val lutFlat = qs
           .withColumn("m", explode(expr(s"sequence(0, ${M - 1})")))
-          .join(broadcast(cb1), Seq("m"))
+          .join(broadcast(cb1f), Seq("m"))
           .withColumn("pdist", expr(subDistT("av")))
-          .select(col("q_id"), col("m"), col("c"), col("pdist"))
-        var scored = cand.join(codesPiv, "c_id")
-        for (m <- 0 until M) {
-          val l = lut.filter(col("m") === m)
-            .select(col("q_id"), col("c").as(s"cc$m"),
-              col("pdist").as(s"p$m"))
-          scored = scored.join(l, Seq("q_id"))
-            .filter(col(s"code$m") === col(s"cc$m"))
-        }
+          .withColumn("kk", col("m") * 64 + col("c"))
+          .groupBy(col("q_id"))
+          .agg(expr(
+            """transform(sort_array(collect_list(struct(kk, pdist))),
+               t -> t.pdist)""").as("pl"))
+        val cellm = ccell.join(codesPiv, "c_id")
+        val cand = probes.join(cellm, "cid")
+          .select(col("q_id"), col("c_id"),
+            col("code0"), col("code1"), col("code2"), col("code3"))
         val wTop = Window.partitionBy(col("q_id"))
           .orderBy(col("adist"), col("c_id"))
-        val shortlist = scored
+        val shortlist = cand.join(lutFlat, "q_id")
           .withColumn("adist",
-            col("p0") + col("p1") + col("p2") + col("p3"))
+            element_at(col("pl"), (col("code0") + 1).cast("int"))
+              + element_at(col("pl"), (col("code1") + 65).cast("int"))
+              + element_at(col("pl"), (col("code2") + 129).cast("int"))
+              + element_at(col("pl"), (col("code3") + 193).cast("int")))
           .withColumn("r", row_number().over(wTop))
           .filter(col("r") <= pqShortlist(s))
           .select(col("q_id"), col("c_id"))
@@ -1018,46 +1131,101 @@ object Similarity {
           .orderBy(col("q_id"))
       },
       Some(s"""WITH e0 AS ($vecsSql),
-        kk AS (SELECT LEAST(256, GREATEST(8, COUNT(*) // 64)) AS k
-               FROM e0 WHERE vec_id % 2 = 0),
-        cent0 AS (SELECT vec_id AS cid, v AS c, nrm AS cnrm FROM e0
-                  WHERE vec_id < (SELECT k FROM kk)),
-        asg0 AS (SELECT vec_id, cid FROM (
-            SELECT e.vec_id, c0.cid,
-              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-                list_sum(list_transform(list_zip(e.v, c0.c), t -> t[1] * t[2]))
-                  / (e.nrm * c0.cnrm) DESC, c0.cid) AS rn
-            FROM e0 e, cent0 c0)
-          WHERE rn = 1),
-        cdims AS (SELECT a.cid, dd,
-            CAST(CAST(SUM(CAST(floor(e.v[dd + 1] * 1e10 + 0.5) AS BIGINT))
-              AS BIGINT) AS DOUBLE) / 1e10 / COUNT(*) AS cval
-          FROM asg0 a JOIN e0 e ON e.vec_id = a.vec_id,
-            UNNEST(generate_series(0, ${VecDim - 1})) AS t(dd)
-          GROUP BY a.cid, dd),
-        cent1 AS (SELECT cid, list(cval ORDER BY dd) AS c
-                  FROM cdims GROUP BY cid),
+        nn AS (SELECT COUNT(*) AS n FROM e0 WHERE vec_id % 2 = 0),
+        kk AS (SELECT LEAST(4096, GREATEST(8, n // 64)) AS k FROM nn),
+        k1k AS (SELECT CAST(CEIL(SQRT(k)) AS BIGINT) AS k1 FROM kk),
+        cpsk AS (SELECT ((SELECT k FROM kk) + k1 - 1) // k1 AS cps
+                 FROM k1k),
         corpus AS (SELECT vec_id AS c_id, v AS bv FROM e0
                    WHERE vec_id % 2 = 0),
         qs AS (SELECT vec_id AS q_id, v AS av FROM e0
                WHERE vec_id % 2 = 1),
-        ccell AS (SELECT c_id, cid FROM (
-            SELECT cr.c_id, t1.cid,
-              ROW_NUMBER() OVER (PARTITION BY cr.c_id ORDER BY
-                list_sum(list_transform(list_zip(cr.bv, t1.c),
-                  z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, t1.cid) AS rn
-            FROM corpus cr, cent1 t1)
+        samp AS (SELECT c_id, bv FROM corpus
+          WHERE ('0x' || substr(md5('s12s:' || c_id), 1, 8))::BIGINT
+                  * (SELECT n FROM nn)
+                < ${IvfTrainPerCell * 4294967296L} * (SELECT k FROM kk)),
+        seeds1 AS (SELECT c_id AS scid, bv AS sc FROM (
+            SELECT c_id, bv, ROW_NUMBER() OVER (ORDER BY c_id) AS rn
+            FROM samp)
+          WHERE rn <= (SELECT k1 FROM k1k)),
+        asg1 AS (SELECT c_id, scid FROM (
+            SELECT sa.c_id, s1.scid,
+              ROW_NUMBER() OVER (PARTITION BY sa.c_id ORDER BY
+                list_sum(list_transform(list_zip(sa.bv, s1.sc),
+                  z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, s1.scid) AS rn
+            FROM samp sa, seeds1 s1)
           WHERE rn = 1),
-        probes AS (SELECT q_id, cid FROM (
-            SELECT q.q_id, t1.cid,
+        scdims AS (SELECT a.scid, t.dd,
+            CAST(CAST(SUM(CAST(floor(sa.bv[t.dd + 1] * 1e10 + 0.5)
+              AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e10 / COUNT(*) AS cval
+          FROM asg1 a JOIN samp sa USING (c_id),
+            UNNEST(generate_series(0, ${VecDim - 1})) AS t(dd)
+          GROUP BY a.scid, t.dd),
+        sccent AS (SELECT scid, list(cval ORDER BY dd) AS sc
+                   FROM scdims GROUP BY scid),
+        asg2 AS (SELECT c_id, scid FROM (
+            SELECT sa.c_id, s1.scid,
+              ROW_NUMBER() OVER (PARTITION BY sa.c_id ORDER BY
+                list_sum(list_transform(list_zip(sa.bv, s1.sc),
+                  z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, s1.scid) AS rn
+            FROM samp sa, sccent s1)
+          WHERE rn = 1),
+        subseeds AS (SELECT a.c_id AS cid, a.scid, sa.bv AS cseed
+          FROM (SELECT c_id, scid, ROW_NUMBER() OVER (
+                  PARTITION BY scid ORDER BY c_id) AS rn FROM asg2) a
+          JOIN samp sa ON sa.c_id = a.c_id
+          WHERE a.rn <= (SELECT cps FROM cpsk)),
+        asg3 AS (SELECT c_id, cid, scid FROM (
+            SELECT a.c_id, ss.cid, a.scid,
+              ROW_NUMBER() OVER (PARTITION BY a.c_id ORDER BY
+                list_sum(list_transform(list_zip(sa.bv, ss.cseed),
+                  z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, ss.cid) AS rn
+            FROM asg2 a
+            JOIN samp sa ON sa.c_id = a.c_id
+            JOIN subseeds ss ON ss.scid = a.scid)
+          WHERE rn = 1),
+        celldims AS (SELECT a.cid, a.scid, t.dd,
+            CAST(CAST(SUM(CAST(floor(sa.bv[t.dd + 1] * 1e10 + 0.5)
+              AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e10 / COUNT(*) AS cval
+          FROM asg3 a JOIN samp sa USING (c_id),
+            UNNEST(generate_series(0, ${VecDim - 1})) AS t(dd)
+          GROUP BY a.cid, a.scid, t.dd),
+        cellcent AS (SELECT cid, scid, list(cval ORDER BY dd) AS c
+                     FROM celldims GROUP BY cid, scid),
+        corpsc AS (SELECT c_id, bv, scid FROM (
+            SELECT cr.c_id, cr.bv, s1.scid,
+              ROW_NUMBER() OVER (PARTITION BY cr.c_id ORDER BY
+                list_sum(list_transform(list_zip(cr.bv, s1.sc),
+                  z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, s1.scid) AS rn
+            FROM corpus cr, sccent s1)
+          WHERE rn <= ${IvfSuperProbe}),
+        ccell AS (SELECT c_id, cid FROM (
+            SELECT cs.c_id, cc.cid,
+              ROW_NUMBER() OVER (PARTITION BY cs.c_id ORDER BY
+                list_sum(list_transform(list_zip(cs.bv, cc.c),
+                  z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, cc.cid) AS rn
+            FROM corpsc cs JOIN cellcent cc USING (scid))
+          WHERE rn = 1),
+        qsc AS (SELECT q_id, av, scid FROM (
+            SELECT q.q_id, q.av, s1.scid,
               ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
-                list_sum(list_transform(list_zip(q.av, t1.c),
-                  z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, t1.cid) AS rn
-            FROM qs q, cent1 t1)
+                list_sum(list_transform(list_zip(q.av, s1.sc),
+                  z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, s1.scid) AS rn
+            FROM qs q, sccent s1)
+          WHERE rn <= ${IvfSuperProbe}),
+        probes AS (SELECT q_id, cid FROM (
+            SELECT qc.q_id, cc.cid,
+              ROW_NUMBER() OVER (PARTITION BY qc.q_id ORDER BY
+                list_sum(list_transform(list_zip(qc.av, cc.c),
+                  z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, cc.cid) AS rn
+            FROM qsc qc JOIN cellcent cc USING (scid))
           WHERE rn <= ${IvfNprobe}),
         cand AS (SELECT p.q_id, cc.c_id
                  FROM probes p JOIN ccell cc USING (cid)),
         cb0 AS (SELECT vec_id AS c, v AS cv FROM e0 WHERE vec_id < 64),
+        cbinit AS (SELECT mm.m, ct.c,
+            list_slice(ct.cv, mm.m * 16 + 1, mm.m * 16 + 16) AS cvi
+          FROM UNNEST(generate_series(0, 3)) AS mm(m), cb0 ct),
         casg AS (SELECT c_id, m, c FROM (
             SELECT cr.c_id, mm.m, ct.c,
               ROW_NUMBER() OVER (PARTITION BY cr.c_id, mm.m ORDER BY
@@ -1075,6 +1243,8 @@ object Similarity {
           GROUP BY a.m, a.c, t.dd),
         cb1 AS (SELECT m, c, list(cval ORDER BY dd) AS cv
                 FROM cbdims GROUP BY m, c),
+        cb1f AS (SELECT i.m, i.c, COALESCE(t.cv, i.cvi) AS cv
+                 FROM cbinit i LEFT JOIN cb1 t USING (m, c)),
         codes AS (SELECT c_id, m, c AS code FROM (
             SELECT cr.c_id, cb.m, cb.c,
               ROW_NUMBER() OVER (PARTITION BY cr.c_id, cb.m ORDER BY
@@ -1082,7 +1252,7 @@ object Similarity {
                   list_zip(list_slice(cr.bv, cb.m * 16 + 1, cb.m * 16 + 16),
                            cb.cv),
                   z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, cb.c) AS rn
-            FROM corpus cr, cb1 cb)
+            FROM corpus cr, cb1f cb)
           WHERE rn = 1),
         cp AS (SELECT c_id,
             MIN(CASE WHEN m = 0 THEN code END) AS code0,
@@ -1090,33 +1260,24 @@ object Similarity {
             MIN(CASE WHEN m = 2 THEN code END) AS code2,
             MIN(CASE WHEN m = 3 THEN code END) AS code3
           FROM codes GROUP BY c_id),
-        lut AS MATERIALIZED (SELECT q.q_id, cb.m, cb.c,
+        lut AS (SELECT q.q_id, cb.m, cb.c,
             list_sum(list_transform(
               list_zip(list_slice(q.av, cb.m * 16 + 1, cb.m * 16 + 16),
                        cb.cv),
               z -> (z[1] - z[2]) * (z[1] - z[2]))) AS pdist
-          FROM qs q, cb1 cb),
-        -- one MATERIALIZED stage per sub-space: without the fences the
-        -- optimizer joins the four lut copies to each other before the
-        -- codes constrain them (seen: >9 min at sf0.1; staged: ~1 s)
-        scored0 AS MATERIALIZED (
-          SELECT cand.q_id, cand.c_id, cp.code1, cp.code2, cp.code3,
-            l0.pdist AS p0
-          FROM cand
-          JOIN cp USING (c_id)
-          JOIN lut l0 ON l0.q_id = cand.q_id AND l0.m = 0 AND l0.c = cp.code0),
-        scored1 AS MATERIALIZED (
-          SELECT s.q_id, s.c_id, s.code2, s.code3, s.p0, l1.pdist AS p1
-          FROM scored0 s
-          JOIN lut l1 ON l1.q_id = s.q_id AND l1.m = 1 AND l1.c = s.code1),
-        scored2 AS MATERIALIZED (
-          SELECT s.q_id, s.c_id, s.code3, s.p0, s.p1, l2.pdist AS p2
-          FROM scored1 s
-          JOIN lut l2 ON l2.q_id = s.q_id AND l2.m = 2 AND l2.c = s.code2),
-        scored AS (
-          SELECT s.q_id, s.c_id, ((s.p0 + s.p1) + s.p2) + l3.pdist AS adist
-          FROM scored2 s
-          JOIN lut l3 ON l3.q_id = s.q_id AND l3.m = 3 AND l3.c = s.code3),
+          FROM qs q, cb1f cb),
+        -- the 256-entry positional LUT per query, ordered by m*64+c
+        -- (codes are dense 0..63 by the cb1f coalesce) — one list
+        -- lookup per sub-space replaces the r12 four-join chain
+        lutflat AS MATERIALIZED (SELECT q_id,
+            list(pdist ORDER BY m * 64 + c) AS pl
+          FROM lut GROUP BY q_id),
+        scored AS MATERIALIZED (SELECT cand.q_id, cand.c_id,
+            ((pl[CAST(cp.code0 + 1 AS INT)]
+              + pl[CAST(cp.code1 + 65 AS INT)])
+              + pl[CAST(cp.code2 + 129 AS INT)])
+              + pl[CAST(cp.code3 + 193 AS INT)] AS adist
+          FROM cand JOIN cp USING (c_id) JOIN lutflat USING (q_id)),
         short AS (SELECT q_id, c_id FROM (
             SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
               ORDER BY adist, c_id) AS r FROM scored)

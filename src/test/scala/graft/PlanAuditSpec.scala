@@ -22,8 +22,8 @@ class PlanAuditSpec extends SparkSpec {
     "s04_ivf_ann" -> "broadcast 8-centroid affinity (k tiny, not O(n²))",
     "s08_ivf_kmeans" -> "broadcast k-centroid affinity per Lloyd round",
     "s12_pq_adc" ->
-      ("broadcast centroid/codebook affinities (<=256 cells + 64-row " +
-        "codebook init, not O(n²))"),
+      ("broadcast centroid/codebook affinities (ceil(√k) super-cells " +
+        "+ <=4096 cells + 64-row codebook init, not O(n²))"),
     "t07_vocab_stats" -> "1x1 scalar combine",
     "q70_skew_stats" -> "1x1 scalar combine",
     "q71_hll_sketch_distinct" -> "1x1 scalar combine (union row)",
