@@ -156,6 +156,18 @@ object GraftConf {
   val SimHashBitsKey = "spark.graft.simhashBits"
   /** SimHash band count; bands lossless for hamming ≤ bands-1. */
   val SimHashBandsKey = "spark.graft.simhashBands"
+  /** RECALL-FIRST SimHash policy (default false): pin the band count
+    * at 4 (hamming ≤ 3) regardless of corpus occupancy, instead of
+    * the adaptive rule that tightens the threshold as n grows. The
+    * adaptive default is PRECISION-first — at 500k docs it drops to
+    * 2 bands (hamming ≤ 1) and sheds the hash-luck tail, measured
+    * retention 0.27 at ×100 with zero cross-copy false pairs. A
+    * deployment that must keep every hamming ≤ 3 candidate (e.g.
+    * feeding a downstream verifier that re-checks pairs exactly)
+    * sets this instead of hand-picking `spark.graft.simhashBands`.
+    * An explicit simhashBands override wins over this policy. The
+    * d04 oracle twin is override-aware for both. */
+  val SimHashRecallFirstKey = "spark.graft.simhashRecallFirst"
   /** Random-hyperplane count for LSH ANN bucketing (bucket space 2^H).
     * The DuckDB oracle twins are OVERRIDE-AWARE: with this conf set at
     * oracle-materialization time they pin the resolved H as a literal
@@ -216,6 +228,29 @@ object GraftConf {
     * way — the knob trades one counting job for bounded memory. */
   val CandBroadcastLimitKey = "spark.graft.candBroadcastLimit"
 
+  /** Reliable checkpointing for the iterative connected-components
+    * loops (d07 min-label propagation, d12 star contraction). Default
+    * false: each round lineage-truncates with `localCheckpoint`
+    * (executor-local blocks — fastest, but a lost executor
+    * mid-iteration kills the job, since truncated lineage cannot
+    * recompute). True: rounds checkpoint to reliable storage under
+    * [[CcCheckpointDirKey]] every [[CcCheckpointIntervalKey]] rounds,
+    * keeping plain lineage (cache only) in between — a lost executor
+    * recomputes at most interval−1 rounds from the last durable
+    * checkpoint instead of failing the job. The 100 TB hardening the
+    * r12 verdict prescribed. */
+  val CcReliableCheckpointKey = "spark.graft.ccReliableCheckpoint"
+  /** Directory for reliable CC checkpoints (HDFS/object-store path on
+    * a cluster). Required when [[CcReliableCheckpointKey]] is true
+    * and the SparkContext has no checkpoint dir already set. */
+  val CcCheckpointDirKey = "spark.graft.ccCheckpointDir"
+  /** Reliable-checkpoint cadence in rounds (default 1 = every round).
+    * Larger values trade recovery-window depth (≤ interval−1 rounds
+    * recomputed after an executor loss) against checkpoint-write I/O;
+    * in-between rounds keep full lineage, so plan depth grows 2^R
+    * within a window — keep the interval small. */
+  val CcCheckpointIntervalKey = "spark.graft.ccCheckpointInterval"
+
   /** Corpus line-dedup: a segment appearing in at least this many
     * distinct documents is boilerplate and scrubbed everywhere. A
     * bigger corpus repeats true boilerplate in far more docs, so the
@@ -273,6 +308,9 @@ object GraftConf {
 
   def int(s: SparkSession, key: String, default: Int): Int =
     s.conf.getOption(key).map(_.trim.toInt).getOrElse(default)
+
+  def bool(s: SparkSession, key: String, default: Boolean): Boolean =
+    s.conf.getOption(key).map(_.trim.toBoolean).getOrElse(default)
 
   def string(s: SparkSession, key: String, default: String): String =
     s.conf.getOption(key).map(_.trim).getOrElse(default)

@@ -106,8 +106,12 @@ object Dedup {
 
   private def simHashBands(s: SparkSession, d: String): Int = {
     val bits = simHashBits(s)
+    // precedence: explicit band override > recall-first policy pin
+    // (bands = 4, hamming ≤ 3 at any corpus size) > adaptive rule
     val bands = GraftConf.int(s, GraftConf.SimHashBandsKey,
-      adaptiveSimHashBands(bits, docCount(s, d)))
+      if (GraftConf.bool(s, GraftConf.SimHashRecallFirstKey, false))
+        SimHashBands
+      else adaptiveSimHashBands(bits, docCount(s, d)))
     require(bands > 0 && bits % bands == 0,
       s"${GraftConf.SimHashBandsKey} must divide $bits, got $bands")
     bands
@@ -702,8 +706,16 @@ object Dedup {
           .select(col("doc_id"), col("start").cast("long").as("start"),
             array_join(slice(col("toks"), col("start"), lit(32)), " ")
               .as("ptext"))
+          // paragraph key: fixed-width zero-padded string, NOT the
+          // r12 bit-packing doc_id·2^32+start — that multiply
+          // overflows BIGINT once doc_id ≥ 2^31 (found live by the
+          // ×100 scale probe, whose copy-shifted ids reach ~10^10;
+          // real 100 TB corpora pass 2^31 ids routinely). Padding
+          // keeps the string order identical to the numeric order,
+          // so candidate orientation (id_a < id_b) is unchanged.
           .withColumn("pid",
-            col("doc_id") * lit(4294967296L) + col("start"))
+            concat(lpad(col("doc_id").cast("string"), 19, "0"),
+              lit(":"), lpad(col("start").cast("string"), 10, "0")))
         val psh0 = paras
           .withColumn("ptoks", split(col("ptext"), " "))
           .filter(size(col("ptoks")) >= 3)
@@ -746,7 +758,8 @@ object Dedup {
       },
       Some(s"""WITH paras AS (
           SELECT doc_id, CAST(g AS BIGINT) AS start,
-            doc_id * 4294967296 + g AS pid,
+            lpad(CAST(doc_id AS VARCHAR), 19, '0') || ':'
+              || lpad(CAST(g AS VARCHAR), 10, '0') AS pid,
             array_to_string(toks[g:g+31], ' ') AS ptext
           FROM (SELECT doc_id,
                   string_split_regex(lower(trim(text)), '\\s+') AS toks
@@ -795,11 +808,55 @@ object Dedup {
     * job, and plan depth stays O(1) in the round count (DeepChainSpec
     * drives a diameter-16 chain through this loop and asserts it).
     * Dedup graphs themselves converge in 2-3 rounds. On a multi-
-    * executor cluster prefer `checkpoint()` to a reliable dir —
-    * localCheckpoint blocks die with their executor.
+    * executor cluster set `spark.graft.ccReliableCheckpoint=true`
+    * (see [[ccTruncate]]) — localCheckpoint blocks die with their
+    * executor and the truncated lineage cannot recompute.
     *
     * `nodes`: one `doc_id` per vertex; `edges`: (src, dst),
     * symmetrized. Returns (labels (doc_id, cluster_id), rounds). */
+  /** Per-round lineage control for the iterative CC loops. Default:
+    * lazy `localCheckpoint` — fastest, but executor-local blocks die
+    * with their executor and truncated lineage cannot recompute, so a
+    * lost executor mid-iteration kills the whole job. With
+    * `spark.graft.ccReliableCheckpoint=true`, every
+    * `spark.graft.ccCheckpointInterval`-th round (default 1 = each)
+    * checkpoints to reliable storage under
+    * `spark.graft.ccCheckpointDir` instead; in-between rounds keep
+    * full lineage (cache only), so recovery after an executor loss
+    * recomputes at most interval−1 rounds from the last durable
+    * checkpoint — the standard hardening for long iterative jobs at
+    * 100 TB. All three variants return a persisted frame the loop's
+    * gating count materializes; labels are bit-identical either way
+    * (`DeepChainSpec`/`LargeSmallStarSpec` assert it). */
+  private val ccDirApplied =
+    new java.util.concurrent.atomic.AtomicReference[String]("")
+
+  private def ccTruncate(df: DataFrame, round: Int): DataFrame = {
+    val s = df.sparkSession
+    if (!GraftConf.bool(s, GraftConf.CcReliableCheckpointKey, false))
+      df.localCheckpoint(false)
+    else {
+      val every = GraftConf.int(s, GraftConf.CcCheckpointIntervalKey, 1)
+      require(every > 0,
+        s"${GraftConf.CcCheckpointIntervalKey} must be positive, got $every")
+      if (round % every == 0) {
+        val dir = GraftConf.string(s, GraftConf.CcCheckpointDirKey, "")
+        if (dir.nonEmpty) {
+          // the context's checkpoint dir is global and sticky (Spark
+          // appends a UUID subdir per set); re-point it only when the
+          // conf actually changed so successive jobs with different
+          // dirs land where their conf says
+          if (ccDirApplied.getAndSet(dir) != dir)
+            s.sparkContext.setCheckpointDir(dir)
+        } else require(s.sparkContext.getCheckpointDir.nonEmpty,
+          s"${GraftConf.CcReliableCheckpointKey} needs " +
+            s"${GraftConf.CcCheckpointDirKey} (or a SparkContext " +
+            "checkpoint dir) pointing at reliable storage")
+        df.checkpoint(false)
+      } else df.cache()
+    }
+  }
+
   private[graft] def propagateLabels(nodes: DataFrame,
       edges: DataFrame): (DataFrame, Int) = {
     var labels = nodes.withColumn("cluster_id", col("doc_id")).cache()
@@ -811,13 +868,12 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "nid"),
           col("dst") === col("nid"))
         .groupBy(col("src")).agg(min(col("cluster_id")).as("nbr_min"))
-      val next = labels
+      val next = ccTruncate(labels
         .join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"),
             coalesce(col("nbr_min"), col("cluster_id")))
-            .as("cluster_id"))
-        .localCheckpoint(false)
+            .as("cluster_id")), round)
       changed = next.as("n")
         .join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
         .filter(col("cluster_id") =!= col("old")).count()
@@ -841,11 +897,12 @@ object Dedup {
     * Each round is two grouped aggregations + two co-keyed joins over
     * the CURRENT edge set (which only ever shrinks toward one edge
     * per non-root node) — no step touches anything corpus-quadratic,
-    * and per-round `localCheckpoint` bounds lineage exactly as in
-    * [[propagateLabels]]. Convergence is an exact set comparison
-    * (count + one-row `except` probe); a 100 TB deployment would
-    * swap that for the cheaper count-only check the paper proves
-    * sufficient alongside checkpoint()-to-reliable-storage.
+    * and per-round [[ccTruncate]] bounds lineage exactly as in
+    * [[propagateLabels]] (reliable checkpointing under the same
+    * `spark.graft.ccReliableCheckpoint` dial). Convergence is an
+    * exact set comparison (count + one-row `except` probe); a 100 TB
+    * deployment would swap that for the cheaper count-only check the
+    * paper proves sufficient.
     *
     * large-star: per center u over the SYMMETRIZED edges, m =
     * min(N(u) ∪ {u}); every STRICTLY LARGER neighbor re-links to m.
@@ -863,9 +920,8 @@ object Dedup {
         least(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-    var cur = canon(edges0
-        .select(col("src").as("u"), col("dst").as("v")))
-      .localCheckpoint(false)
+    var cur = ccTruncate(canon(edges0
+        .select(col("src").as("u"), col("dst").as("v"))), 0)
     cur.cache()
     var nCur = cur.count() // carried across rounds: next round's |cur|
     var rounds = 0
@@ -885,11 +941,10 @@ object Dedup {
       val ls = canon(large)
       val sMins = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
       val linked = ls.join(sMins, "u")
-      val next = canon(
+      val next = ccTruncate(canon(
           linked.filter(col("v") =!= col("m"))
             .select(col("v").as("u"), col("m").as("v"))
-          .union(linked.select(col("u"), col("m").as("v"))))
-        .localCheckpoint(false)
+          .union(linked.select(col("u"), col("m").as("v")))), rounds)
       next.cache()
       val nNext = next.count()
       done = nCur == nNext && next.except(cur).isEmpty
@@ -959,6 +1014,11 @@ object Dedup {
         require(b > 0 && bits % b == 0,
           s"${GraftConf.SimHashBandsKey} must divide $bits, got $b")
         s"geom AS (SELECT $b AS bands)"
+      case None if sessionForOracle.exists(s =>
+          GraftConf.bool(s, GraftConf.SimHashRecallFirstKey, false)) =>
+        // recall-first policy: same literal pin as an explicit
+        // override — bands = 4 regardless of corpus count
+        s"geom AS (SELECT $SimHashBands AS bands)"
       case None =>
         val cases = (4 to 2 by -1).filter(bits % _ == 0).map { b =>
           val e = bits / b

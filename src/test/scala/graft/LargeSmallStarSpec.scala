@@ -37,6 +37,35 @@ class LargeSmallStarSpec extends SparkSpec {
     assert(rounds <= 12, s"rounds = $rounds — not logarithmic")
   }
 
+  test("ccReliableCheckpoint: star contraction identical under the knob") {
+    val n = 65 // enough rounds to cross several checkpoint intervals
+    val (nodes, edges) = chain(n)
+    val (base, baseRounds) = Dedup.ccLargeSmallStar(nodes, edges)
+    val baseOut = base.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt_star")
+    try {
+      spark.conf.set(GraftConf.CcReliableCheckpointKey, "true")
+      spark.conf.set(GraftConf.CcCheckpointDirKey, dir.toString)
+      spark.conf.set(GraftConf.CcCheckpointIntervalKey, "3")
+      val (rel, relRounds) = Dedup.ccLargeSmallStar(nodes, edges)
+      val relOut = rel.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(relOut == baseOut)
+      assert(relRounds == baseRounds)
+      val walk = java.nio.file.Files.walk(dir)
+      val files = try walk.filter(java.nio.file.Files.isRegularFile(_)).count()
+        finally walk.close()
+      assert(files > 0, s"no checkpoint files under $dir")
+    } finally {
+      spark.conf.unset(GraftConf.CcReliableCheckpointKey)
+      spark.conf.unset(GraftConf.CcCheckpointDirKey)
+      spark.conf.unset(GraftConf.CcCheckpointIntervalKey)
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
   test("labels agree with propagateLabels on a multi-component graph") {
     // two chains (0..5, 10..13), one star (20 center of 21..24),
     // two singletons (30, 31), plus a triangle (40,41,42)

@@ -139,6 +139,40 @@ class ScaleKnobsSpec extends SparkSpec {
     }
   }
 
+  test("simhashRecallFirst pins 4 bands over the adaptive tightening") {
+    // at 32 bits / 500 docs the adaptive rule picks 2 bands (hamming
+    // <= 1); the recall-first policy must pin 4 (hamming <= 3) and be
+    // indistinguishable from an explicit bands=4 override — the dial a
+    // deployment sets when a downstream exact verifier re-checks pairs
+    // and recall of weak candidates matters more than the hash-luck
+    // tail the adaptive rule sheds
+    def pairs(): Set[(Long, Long)] =
+      SparkEntry.queries("d04_simhash")(spark, sf)
+        .select(col("id_a"), col("id_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    var explicit4, adaptive, recallFirst = Set.empty[(Long, Long)]
+    withConf(GraftConf.SimHashBitsKey -> "32",
+        GraftConf.SimHashBandsKey -> "4") { explicit4 = pairs() }
+    withConf(GraftConf.SimHashBitsKey -> "32") { adaptive = pairs() }
+    withConf(GraftConf.SimHashBitsKey -> "32",
+        GraftConf.SimHashRecallFirstKey -> "true") { recallFirst = pairs() }
+    assert(recallFirst == explicit4)
+    // the policy is LIVE at this geometry: the adaptive threshold
+    // (hamming <= 1) returns strictly fewer pairs
+    assert(adaptive.subsetOf(recallFirst))
+    assert(adaptive.size < recallFirst.size)
+    // the SQL twin pins the policy literal (override-aware)
+    withConf(GraftConf.SimHashRecallFirstKey -> "true") {
+      assert(SparkEntry.oracleSql("d04_simhash")
+        .contains("SELECT 4 AS bands"))
+      // ... and an explicit bands override still wins over the policy
+      withConf(GraftConf.SimHashBandsKey -> "2") {
+        assert(SparkEntry.oracleSql("d04_simhash")
+          .contains("SELECT 2 AS bands"))
+      }
+    }
+  }
+
   test("candBroadcastLimit=0: verify joins un-broadcast, output identical") {
     // the broadcast-overflow fallback: with the cap forced to 0 every
     // candidate-relation broadcast in d03/d06/d10 degrades to a plain
