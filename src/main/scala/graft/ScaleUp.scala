@@ -150,6 +150,14 @@ object ScaleUp {
         (0 until arr.size).map(i => arr.get(i).toString)
       }
     val fresh = selected.map(n => (n, k)).toSet
+    // entries whose (query, k) key cannot be parsed are kept verbatim
+    // (the merge must never lose evidence it cannot read) — but warn,
+    // because a re-run of the same probe in a newer format would then
+    // leave TWO rows for one (query, k) with no other signal
+    prior.filter(p => keyOf(p).isEmpty).foreach(p =>
+      System.err.println(s"scaleup merge: keeping unparseable entry " +
+        s"verbatim (possible duplicate key in the matrix): " +
+        p.linesIterator.next().take(120)))
     val merged =
       prior.filterNot(p => keyOf(p).exists(fresh.contains)) ++ results
     java.nio.file.Files.writeString(outPath,

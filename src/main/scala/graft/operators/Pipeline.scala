@@ -38,6 +38,16 @@ object Pipeline {
   // (≈52% pass at sf0.01) instead of passing or dropping everything
   private val QualityThreshold = 0.44
 
+  /** p06's per-stratum quotas. The map-side prune literal is the MAX
+    * of these by construction — a hand-repeated literal smaller than
+    * a raised quota would silently truncate that stratum (the DuckDB
+    * gate would catch it, but only at gate time). Declared BEFORE
+    * `queries`: the oracle SQL interpolates them eagerly at object
+    * init. */
+  private[graft] val EnQuota = 100L
+  private[graft] val OtherQuota = 40L
+  private[graft] val MaxQuota = math.max(EnQuota, OtherQuota)
+
   val queries: Seq[QueryDef] = Seq(
 
     // ----- p01: the curation funnel over the training stripe
@@ -427,24 +437,26 @@ object Pipeline {
         // quota) for InferWindowGroupLimit to fire — a rank <= column
         // predicate plans a full per-stratum sort+shuffle; the exact
         // per-stratum quota then filters the pruned survivors
-        // (QuotaSampleSpec asserts the WindowGroupLimit is present)
+        // (QuotaSampleSpec asserts the WindowGroupLimit is present).
+        // The literal is DERIVED ([[MaxQuota]]), so raising a quota
+        // can never silently truncate the sample.
         docs
           .withColumn("gate",
             md5(concat(lit("quota:"), col("doc_id").cast("string"))))
           .withColumn("quota",
-            when(col("lang") === "en", 100L).otherwise(40L))
+            when(col("lang") === "en", EnQuota).otherwise(OtherQuota))
           .withColumn("samp_rank", row_number().over(w).cast("long"))
-          .filter(col("samp_rank") <= 100L &&
+          .filter(col("samp_rank") <= MaxQuota &&
             col("samp_rank") <= col("quota"))
           .select(col("lang"), col("samp_rank"), col("doc_id"))
           .orderBy(col("lang"), col("samp_rank"))
       },
-      Some("""SELECT lang, samp_rank, doc_id FROM (
+      Some(s"""SELECT lang, samp_rank, doc_id FROM (
           SELECT lang, doc_id,
             CAST(ROW_NUMBER() OVER (PARTITION BY lang
               ORDER BY md5('quota:' || CAST(doc_id AS VARCHAR)), doc_id)
               AS BIGINT) AS samp_rank,
-            CASE WHEN lang = 'en' THEN 100 ELSE 40 END AS quota
+            CASE WHEN lang = 'en' THEN $EnQuota ELSE $OtherQuota END AS quota
           FROM documents)
         WHERE samp_rank <= quota
         ORDER BY lang, samp_rank"""))

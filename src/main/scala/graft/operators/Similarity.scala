@@ -361,7 +361,22 @@ object Similarity {
     s"${System.getProperty("java.io.tmpdir")}/graft_s17-" +
       Integer.toHexString(d.hashCode)
 
+  private def deleteDir(path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
+  }
+
   private[graft] def s17BuildBase(s: SparkSession, d: String): Unit = {
+    // idempotent across lifecycles: clear any compaction generation a
+    // previous run left behind (the live table may point at one)
+    s.sql("DROP TABLE IF EXISTS s17_corpus_idx")
+    deleteDir(s"${s17IndexPath(d)}-a")
+    deleteDir(s"${s17IndexPath(d)}-b")
     val e = vecs(s, d).withColumn("bucket", expr(bucketExpr))
     // last night's index: the even stripe minus today's arrivals
     e.filter(col("vec_id") % 2 === 0 && col("vec_id") % 10 =!= 0)
@@ -370,6 +385,47 @@ object Similarity {
       .write.mode("overwrite").option("path", s17IndexPath(d))
       .bucketBy(8, "bucket_c")
       .saveAsTable("s17_corpus_idx")
+  }
+
+  /** OPTIMIZE pass for the incremental index: every nightly
+    * [[s17AppendDelta]] lands one new small file per (task, bucket),
+    * so a year of deltas reads as hundreds of tiny files per bucket.
+    * Compaction bin-packs each bucket back to ONE file WITHOUT a
+    * shuffle: with auto-bucketed-scan forced on, the read of the
+    * bucketed table is one partition per bucket, so the bucketed
+    * rewrite streams bucket j's files into a single new bucket-j
+    * file — per-bucket merge I/O, zero exchange, the same property
+    * the probe relies on. The rewrite lands as a sibling GENERATION
+    * directory (-a/-b alternating) under a staging table name, then
+    * swaps via drop + rename — a single-writer maintenance window,
+    * like every OPTIMIZE in the w-series — and the superseded
+    * generation's files are removed. Probe answers and the
+    * zero-exchange corpus side are unchanged (`PersistedIndexSpec`,
+    * plus the s17 gate which now runs build→append→compact→probe
+    * through the DuckDB oracle). */
+  private[graft] def s17Compact(s: SparkSession, d: String): Unit = {
+    val cat = s.sessionState.catalog
+    val curLoc = cat.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("s17_corpus_idx"))
+      .location
+    val base = s17IndexPath(d)
+    val next =
+      if (curLoc.getPath.stripSuffix("/").endsWith("-a")) s"$base-b"
+      else s"$base-a"
+    val scanKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = s.conf.get(scanKey, "true")
+    // force the bucketed scan (the auto mode drops it when no join or
+    // aggregate exploits the distribution — a plain rewrite doesn't)
+    s.conf.set(scanKey, "false")
+    try {
+      s.table("s17_corpus_idx")
+        .write.mode("overwrite").option("path", next)
+        .bucketBy(8, "bucket_c")
+        .saveAsTable("s17_corpus_idx_next")
+    } finally s.conf.set(scanKey, prev)
+    s.sql("DROP TABLE s17_corpus_idx")
+    s.sql("ALTER TABLE s17_corpus_idx_next RENAME TO s17_corpus_idx")
+    deleteDir(curLoc.getPath)
   }
 
   /** Nightly maintenance: bucket ONLY the delta and append through
@@ -1626,14 +1682,19 @@ object Similarity {
     // owns the bucketing) — maintenance work is O(|delta|), base
     // index files are never rewritten (byte-identical before/after,
     // asserted in PersistedIndexSpec), and the very next probe joins
-    // the UNION exchange-free exactly as before. Answers equal a
-    // from-scratch full index (same oracle as s13's construction
-    // over the whole even stripe).
+    // the UNION exchange-free exactly as before. After the append,
+    // the OPTIMIZE pass ([[s17Compact]]) bin-packs each bucket's
+    // accumulated small files back to one — shuffle-free (bucketed
+    // scan in, bucketed write out) — so the gated result also proves
+    // compaction answer-preserving through the DuckDB oracle.
+    // Answers equal a from-scratch full index (same oracle as s13's
+    // construction over the whole even stripe).
     QueryDef(
       "s17_incremental_index",
       (s, d) => {
         s17BuildBase(s, d)
         s17AppendDelta(s, d)
+        s17Compact(s, d)
         s17Probe(s, d)
       },
       Some(s"""WITH e0 AS ($vecsSql),

@@ -1760,8 +1760,8 @@ object Writes {
     // is read back with an EXPLICIT schema — never inference, which
     // at 100 TB would cost a full pre-scan and can widen types on
     // dirty data. The gated result aggregates the RE-READ copy with a
-    // per-row content digest (md5-derived 56-bit hash of every field,
-    // summed per group) against the oracle computed from the original
+    // per-row content digest (md5-derived 60-bit hash of every field,
+    // XOR-folded per group) against the oracle computed from the original
     // parquet: any row lost, duplicated, or corrupted by the
     // round-trip breaks the hash. Scale: export is embarrassingly
     // parallel (one task per shard, no shuffle beyond the deal);
@@ -1776,10 +1776,12 @@ object Writes {
         docs.repartition(4, col("doc_id"))
           .write.mode("overwrite").json(out)
         val back = s.read.schema(docs.schema).json(out)
-        // digest: BIT_XOR of a 60-bit per-row hash — order-independent
-        // AND overflow-free at any corpus size (a SUM of 56-bit hashes
-        // overflows BIGINT past ~2^8 rows); n_docs guards the
-        // duplicate-row case XOR alone would cancel
+        // digest: BIT_XOR of a 60-bit (15 hex chars) per-row hash —
+        // order-independent AND overflow-free at any corpus size (a
+        // SUM of 60-bit values can exceed signed-64 after as few as
+        // 2^3 rows; found live as ARITHMETIC_OVERFLOW under ANSI
+        // mode); n_docs guards the duplicate-row case XOR alone
+        // would cancel
         back.groupBy(col("lang"))
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_chars")).as("sum_chars"),

@@ -57,9 +57,17 @@ class PersistedIndexSpec extends SparkSpec {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val idxDir = new java.io.File(graft.operators.Similarity.s17IndexPath(sf))
-      def listing(): Map[String, (Long, Long)] =
+      // byte-identity proof via CONTENT checksum — size+mtime would
+      // falsely pass an in-place same-size rewrite landing in the
+      // same millisecond
+      def md5Of(f: java.io.File): String = {
+        val d = java.security.MessageDigest.getInstance("MD5")
+        d.digest(java.nio.file.Files.readAllBytes(f.toPath))
+          .map("%02x".format(_)).mkString
+      }
+      def listing(): Map[String, String] =
         idxDir.listFiles().filter(_.getName.endsWith(".parquet"))
-          .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+          .map(f => f.getName -> md5Of(f)).toMap
 
       graft.operators.Similarity.s17BuildBase(spark, sf)
       val baseFiles = listing()
@@ -69,10 +77,10 @@ class PersistedIndexSpec extends SparkSpec {
       val afterAppend = listing()
 
       // O(|delta|) maintenance: every base file survives the append
-      // with identical size AND mtime (never rewritten), and the
-      // delta arrived as strictly NEW files
-      baseFiles.foreach { case (name, meta) =>
-        assert(afterAppend.get(name).contains(meta),
+      // byte-identical (never rewritten), and the delta arrived as
+      // strictly NEW files
+      baseFiles.foreach { case (name, sum) =>
+        assert(afterAppend.get(name).contains(sum),
           s"base index file $name was rewritten by the delta append")
       }
       assert(afterAppend.size > baseFiles.size,
@@ -113,6 +121,60 @@ class PersistedIndexSpec extends SparkSpec {
       assert(corpusSide.isDefined, s"no corpus side in:\n${join.get}")
       assert(shuffles(corpusSide.get).isEmpty,
         s"appended index re-shuffled at probe time:\n${corpusSide.get}")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS s17_corpus_idx")
+    }
+  }
+
+  test("s17 compaction: one file per bucket, answers and probe plan unchanged") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def parquets(dir: String): Array[java.io.File] = {
+        val d = new java.io.File(dir)
+        if (d.exists()) d.listFiles().filter(_.getName.endsWith(".parquet"))
+        else Array.empty
+      }
+      graft.operators.Similarity.s17BuildBase(spark, sf)
+      graft.operators.Similarity.s17AppendDelta(spark, sf)
+      val basePath = graft.operators.Similarity.s17IndexPath(sf)
+      val beforeCount = parquets(basePath).length
+      val before = graft.operators.Similarity.s17Probe(spark, sf).collect()
+
+      graft.operators.Similarity.s17Compact(spark, sf)
+
+      // the rewrite landed in a sibling generation, bin-packed to at
+      // most one file per bucket, and the superseded files are gone
+      val genFiles = parquets(s"$basePath-a") ++ parquets(s"$basePath-b")
+      assert(genFiles.nonEmpty, "compaction wrote no generation dir")
+      assert(genFiles.length <= 8,
+        s"${genFiles.length} files after compaction — not bin-packed per bucket")
+      assert(genFiles.length < beforeCount,
+        s"file count did not drop ($beforeCount -> ${genFiles.length})")
+      assert(parquets(basePath).isEmpty,
+        "superseded generation's files were not removed")
+
+      // answers identical post-compaction
+      val after = graft.operators.Similarity.s17Probe(spark, sf).collect()
+      assert(after.length == before.length && after.length > 0)
+      after.zip(before).foreach { case (a, b) => assert(a == b) }
+
+      // and the probe still plans zero exchange under the corpus side
+      val df = graft.operators.Similarity.s17Probe(spark, sf)
+      def findJoin(p: SparkPlan): Option[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => findJoin(a.executedPlan)
+        case j: SortMergeJoinExec => Some(j)
+        case j: ShuffledHashJoinExec => Some(j)
+        case other => other.children.view.flatMap(findJoin).headOption
+      }
+      val join = findJoin(df.queryExecution.executedPlan)
+      assert(join.isDefined, "expected a shuffle-family probe join")
+      def shuffles(p: SparkPlan) = p.collect { case e: ShuffleExchangeExec => e }
+      val corpusSide = join.get.children
+        .find(_.toString.contains("s17_corpus_idx"))
+      assert(corpusSide.isDefined, s"no corpus side in:\n${join.get}")
+      assert(shuffles(corpusSide.get).isEmpty,
+        s"compacted index re-shuffled at probe time:\n${corpusSide.get}")
     } finally {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       spark.sql("DROP TABLE IF EXISTS s17_corpus_idx")
