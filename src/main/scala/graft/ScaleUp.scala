@@ -52,7 +52,18 @@ object ScaleUp {
       // exact-substring spans: within-copy window equality is
       // preserved by the bijective token renaming, cross-copy
       // vocabularies are disjoint — dup-token totals are ×K exact
-      "t19_substring_dedup")
+      "t19_substring_dedup",
+      // r13: the O(|delta|) claim, probed — incremental delta-vs-
+      // corpus dedup over the persisted band index; within-copy
+      // delta pairs scale ×K (the copy shift is ≡ 0 mod 5, so every
+      // copy keeps the same delta stripe)
+      "d10_incremental_dedup",
+      // r13: the streaming probe — sliding-window agg over ×K events
+      // (key-shifted copies, timestamps unchanged: the window set is
+      // constant while every window's count scales ×K exactly). The
+      // first run on a fresh corpus pays the one-time staging split;
+      // re-run to time the steady state.
+      "st02_stream_sliding_window")
 
   /** What a query's "found" count IS for retention purposes, when a
     * plain row count is structurally trivial (one row per doc): d11
@@ -67,7 +78,10 @@ object ScaleUp {
 
   private val Measures: Map[String, DataFrame => Long] = Map(
     "d11_paragraph_neardup" -> sumOf("n_dropped") _,
-    "t19_substring_dedup" -> sumOf("dup_tokens") _)
+    "t19_substring_dedup" -> sumOf("dup_tokens") _,
+    // windows are fixed by the (unchanged) time span; the ×K-exact
+    // quantity is the total event-window memberships
+    "st02_stream_sliding_window" -> sumOf("n") _)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -171,8 +185,9 @@ object ScaleUp {
   def build(spark: SparkSession, sfDir: String, outDir: String,
       k: Int): Unit = {
     val marker = java.nio.file.Paths.get(outDir, "_COMPLETE")
-    // v2: corpus also carries ×K orders (the w19 upsert probe)
-    val stamp = s"$sfDir|$k|v2|${graft.streaming.StreamingOps
+    // v3: corpus also carries ×K events (the st02 streaming probe);
+    // v2 added ×K orders (the w19 upsert probe)
+    val stamp = s"$sfDir|$k|v3|${graft.streaming.StreamingOps
       .sourceFingerprint(sfDir)}"
     if (java.nio.file.Files.exists(marker) &&
         java.nio.file.Files.readString(marker) == stamp) return
@@ -222,6 +237,18 @@ object ScaleUp {
         t.orders.columns.filter(_ != "o_orderkey").map(col): _*)
     ord.repartition(32).write.mode("overwrite")
       .parquet(s"$outDir/orders.parquet")
+
+    // events: per-copy key shift on event_id/user_id; ts, type, value
+    // ride along unchanged — the sliding-window probe needs volume
+    // per window, and an unchanged time span keeps the window set
+    // constant so per-window counts are ×K exact
+    val ev = t.events.crossJoin(broadcast(copies))
+      .select((col("event_id") + col("c") * 100000000L).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("c") * 100000000L).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    ev.repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/events.parquet")
 
     java.nio.file.Files.writeString(marker, stamp)
   }
