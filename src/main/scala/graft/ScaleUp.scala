@@ -53,6 +53,11 @@ object ScaleUp {
       // preserved by the bijective token renaming, cross-copy
       // vocabularies are disjoint — dup-token totals are ×K exact
       "t19_substring_dedup",
+      // r13: the composed curation funnel (quality + canonical dedup
+      // + decontamination + sampling in <= 2 shuffles) — measured by
+      // kept-count (see Measures: a bare count() would let the
+      // optimizer eliminate the whole funnel)
+      "p01_curation_pipeline",
       // r13: the O(|delta|) claim, probed — incremental delta-vs-
       // corpus dedup over the persisted band index; within-copy
       // delta pairs scale ×K (the copy shift is ≡ 0 mod 5, so every
@@ -79,6 +84,16 @@ object ScaleUp {
   private val Measures: Map[String, DataFrame => Long] = Map(
     "d11_paragraph_neardup" -> sumOf("n_dropped") _,
     "t19_substring_dedup" -> sumOf("dup_tokens") _,
+    // a plain count() would let Catalyst ELIMINATE the funnel's left
+    // join and every projection (verified: 0.75 s for 450k docs);
+    // filtering on final_keep forces quality + canonical dedup +
+    // decontamination + sampling to actually run. Retention reads as
+    // the renamed-copy pass rate (token renaming zeroes the stopword/
+    // punctuation signals uniformly, so every copy c >= 1 keeps the
+    // same length-qualified subset) — the signal is its CROSS-DECADE
+    // STABILITY plus wall-time linearity, not 1.0.
+    "p01_curation_pipeline" ->
+      ((df: DataFrame) => df.filter(col("final_keep")).count()),
     // windows are fixed by the (unchanged) time span; the ×K-exact
     // quantity is the total event-window memberships
     "st02_stream_sliding_window" -> sumOf("n") _)
