@@ -53,6 +53,12 @@ object ScaleUp {
       // preserved by the bijective token renaming, cross-copy
       // vocabularies are disjoint — dup-token totals are ×K exact
       "t19_substring_dedup",
+      // r13: SemDeDup — cluster-gated semantic dedup; within-copy
+      // cosine structure is isometry-preserved, so dropped counts
+      // track the per-copy dup population; clusters retrain on the
+      // mixed corpus, so retention is a RECALL-retention of the
+      // cluster gate (like d03's), not a structural 1.0
+      "d13_semdedup",
       // r13: the composed curation funnel (quality + canonical dedup
       // + decontamination + sampling in <= 2 shuffles) — measured by
       // kept-count (see Measures: a bare count() would let the
@@ -94,6 +100,10 @@ object ScaleUp {
     // STABILITY plus wall-time linearity, not 1.0.
     "p01_curation_pipeline" ->
       ((df: DataFrame) => df.filter(col("final_keep")).count()),
+    // the scale-sensitive quantity is how many dups the cluster gate
+    // catches (rows are one-per-vector, structurally ×K)
+    "d13_semdedup" ->
+      ((df: DataFrame) => df.filter(!col("kept")).count()),
     // windows are fixed by the (unchanged) time span; the ×K-exact
     // quantity is the total event-window memberships
     "st02_stream_sliding_window" -> sumOf("n") _)

@@ -565,6 +565,114 @@ object Similarity {
       .filter(col("cos_sim") >= 0.4)
   }
 
+  // ---------- shared two-level coarse quantizer (s12 IVF gate, d13
+  // SemDeDup clustering) ----------
+
+  /** Exact L2² between two array columns — floats cast to double
+    * BEFORE subtracting, strict left-to-right fold: bit-identical to
+    * the DuckDB twins' `list_sum(list_transform(list_zip(...)))`. */
+  private def l2d(a: String, c: String) =
+    expr(s"""aggregate(zip_with($a, $c,
+          (x, w) -> (cast(x as double) - cast(w as double))
+                  * (cast(x as double) - cast(w as double))),
+        cast(0.0 as double), (acc, x) -> acc + x)""")
+
+  /** Floor-quantized exact mean of column `x` (s08's recipe): BIGINT
+    * sums are exact and associative, so Spark's parallel partials and
+    * the oracle's sequential sum agree to the bit. */
+  private def quantMean = (sum(expr(
+    "cast(floor(cast(x as double) * 1e10 + 0.5d) as bigint)"))
+    .cast("double") / lit(1e10) / count(lit(1))).as("cval")
+
+  /** Sample-trained TWO-LEVEL coarse quantizer: one Lloyd round
+    * derives ceil(√k) super-centroids from the k1 lowest-id members
+    * of a deterministic md5-Bernoulli sample (E[|samp|] = 16·k), then
+    * ceil(k/K1) cells seed + Lloyd-refine within each super-cell —
+    * training cost O(k^1.5) on the sample, never n·k over the corpus.
+    * `corpus` must expose (c_id, bv); returns (super-centroids
+    * (scid, sc), cell centroids (cid, scid, c)). Shared by s12 (IVF
+    * gate) and d13 (SemDeDup clustering); each caller salts its own
+    * sample so the structures are independent. */
+  private[graft] def twoLevelTrain(corpus: DataFrame, salt: String,
+      n: Long, k: Int): (DataFrame, DataFrame) = {
+    val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
+    val cps = (k + k1 - 1) / k1
+    val samp = corpus.filter(
+      conv(substring(md5(concat(lit(salt),
+        col("c_id").cast("string"))), 1, 8), 16, 10).cast("long")
+        * lit(n) < lit(IvfTrainPerCell * 4294967296L * k))
+    val seeds1 = samp.orderBy(col("c_id")).limit(k1)
+      .select(col("c_id").as("scid"), col("bv").as("sc"))
+    val wVec = Window.partitionBy(col("c_id"))
+      .orderBy(col("sd"), col("scid"))
+    val asg1 = samp.crossJoin(broadcast(seeds1))
+      .withColumn("sd", l2d("bv", "sc"))
+      .withColumn("rn", row_number().over(wVec))
+      .filter(col("rn") === 1)
+      .select(col("c_id"), col("scid"))
+    val scCent = asg1.join(samp, "c_id")
+      .select(col("scid"), posexplode(col("bv")).as(Seq("dim", "x")))
+      .groupBy(col("scid"), col("dim"))
+      .agg(quantMean)
+      .groupBy(col("scid"))
+      .agg(expr(
+        """transform(sort_array(collect_list(struct(dim, cval))),
+           t -> t.cval)""").as("sc"))
+    val asg2 = samp.crossJoin(broadcast(scCent))
+      .withColumn("sd", l2d("bv", "sc"))
+      .withColumn("rn", row_number().over(wVec))
+      .filter(col("rn") === 1)
+      .select(col("c_id"), col("scid"))
+    val wSeed = Window.partitionBy(col("scid")).orderBy(col("c_id"))
+    val subSeeds = asg2.withColumn("rn", row_number().over(wSeed))
+      .filter(col("rn") <= cps)
+      .join(samp, "c_id")
+      .select(col("c_id").as("cid"), col("scid"),
+        col("bv").as("cseed"))
+    val wCellOf = Window.partitionBy(col("c_id"))
+      .orderBy(col("cd"), col("cid"))
+    val asg3 = asg2.join(samp, "c_id")
+      .join(broadcast(subSeeds), "scid")
+      .withColumn("cd", l2d("bv", "cseed"))
+      .withColumn("rn", row_number().over(wCellOf))
+      .filter(col("rn") === 1)
+      .select(col("c_id"), col("cid"), col("scid"))
+    val cellCent = asg3.join(samp, "c_id")
+      .select(col("cid"), col("scid"),
+        posexplode(col("bv")).as(Seq("dim", "x")))
+      .groupBy(col("cid"), col("scid"), col("dim"))
+      .agg(quantMean)
+      .groupBy(col("cid"), col("scid"))
+      .agg(expr(
+        """transform(sort_array(collect_list(struct(dim, cval))),
+           t -> t.cval)""").as("c"))
+    (scCent, cellCent)
+  }
+
+  /** Route vectors to their `topN` L2-nearest cells through the `wSup`
+    * nearest super-cells — (K1 + wSup·k/K1) ≈ (1+w)·√k distance evals
+    * per vector vs a flat scan's k. `v` must expose (`idCol`,
+    * `vecCol`); returns (`idCol`, cid, cd) with cd = exact L2² to the
+    * chosen cell centroid (rank ≤ topN per id, ties by cid). */
+  private[graft] def routeToCells(v: DataFrame, idCol: String,
+      vecCol: String, scCent: DataFrame, cellCent: DataFrame,
+      wSup: Int, topN: Int): DataFrame = {
+    val wSc = Window.partitionBy(col(idCol))
+      .orderBy(col("sd"), col("scid"))
+    val sel = v.crossJoin(broadcast(scCent))
+      .withColumn("sd", l2d(vecCol, "sc"))
+      .withColumn("rn", row_number().over(wSc))
+      .filter(col("rn") <= wSup)
+      .select(col(idCol), col(vecCol), col("scid"))
+    val wCell = Window.partitionBy(col(idCol))
+      .orderBy(col("cd"), col("cid"))
+    sel.join(broadcast(cellCent), "scid")
+      .withColumn("cd", l2d(vecCol, "c"))
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") <= topN)
+      .select(col(idCol), col("cid"), col("cd"))
+  }
+
   // a DEF, not a val: the oracle SQL twins resolve session conf
   // overrides (lshHyperplanes/lshTables) at materialization time, so
   // the map must rebuild per access, not freeze at class load
@@ -869,6 +977,155 @@ object Similarity {
         SELECT vec_id, cluster_id, vec_id = cluster_id AS kept
         FROM lbl ORDER BY vec_id""")),
 
+    // ----- d13: SemDeDup — CLUSTER-GATED semantic dedup (Abbas et
+    // al. 2023, arXiv:2303.09540, public): k-means-cluster the
+    // corpus, compare pairs only WITHIN a cluster, and of each
+    // cosine-≥-ε pair drop the member NEARER its cluster centroid —
+    // the anti-prototype keep rule (far-from-centroid examples carry
+    // the cluster's diversity; the near-centroid one is the
+    // redundant prototype). Differs from d09 on both axes: the gate
+    // is a trained partition (occupancy-64 k-means cells via the
+    // shared [[twoLevelTrain]]/[[routeToCells]] backbone — sampled
+    // training, O(√k) routing) rather than an LSH family, and the
+    // keep rule selects for diversity rather than min-id. The
+    // accepted approximation is the paper's: a dup pair split across
+    // cluster boundaries is missed (SemDedupSpec quantifies pair
+    // recall vs s03's exact pairs and proves the drop rule exact on
+    // the co-clustered ones).
+    // Scale: pair work is bounded by occupancy² per cell (64² at the
+    // adaptive k), linear in n; training O(k^1.5) on the sample;
+    // routing (1+w)·√k per vector — the d13 twin of s12's serving
+    // math, reused verbatim.
+    QueryDef(
+      "d13_semdedup",
+      (s, d) => {
+        val e = vecs(s, d)
+        val corpus = e.select(col("vec_id").as("c_id"),
+          col("v").as("bv"), col("nrm"))
+        val n = corpusCount(s, d)
+        val k = adaptiveIvfCells(n)
+        val (scCent, cellCent) =
+          twoLevelTrain(corpus.select(col("c_id"), col("bv")),
+            "d13s:", n, k)
+        val asgn = routeToCells(corpus, "c_id", "bv",
+          scCent, cellCent, ivfSuperProbe(s), 1)
+        val sides = asgn.join(corpus, "c_id")
+        val aSide = sides.select(col("c_id").as("id_a"), col("cid"),
+          col("cd").as("cd_a"), col("bv").as("av"),
+          col("nrm").as("nrm_a"))
+        val bSide = sides.select(col("c_id").as("id_b"), col("cid"),
+          col("cd").as("cd_b"), col("bv"), col("nrm").as("nrm_b"))
+        val victims = aSide.join(bSide,
+            aSide("cid") === bSide("cid") && col("id_a") < col("id_b"))
+          .withColumn("cos_sim",
+            expr("vec_dot(av, bv)") / (col("nrm_a") * col("nrm_b")))
+          .filter(col("cos_sim") >= 0.4)
+          // of each in-cluster dup pair the NEARER-to-centroid member
+          // drops; exact-distance tie -> the smaller id drops
+          .select(when(col("cd_a") < col("cd_b"), col("id_a"))
+            .when(col("cd_b") < col("cd_a"), col("id_b"))
+            .otherwise(col("id_a")).as("victim"))
+          .distinct()
+        asgn.join(victims, asgn("c_id") === victims("victim"), "left")
+          .select(col("c_id").as("vec_id"), col("cid"),
+            col("cd").as("cent_l2"), col("victim").isNull.as("kept"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH e0 AS ($vecsSql),
+        nn AS (SELECT COUNT(*) AS n FROM e0),
+        kk AS (SELECT LEAST(4096, GREATEST(8, n // 64)) AS k FROM nn),
+        k1k AS (SELECT CAST(CEIL(SQRT(k)) AS BIGINT) AS k1 FROM kk),
+        cpsk AS (SELECT ((SELECT k FROM kk) + k1 - 1) // k1 AS cps
+                 FROM k1k),
+        corpus AS (SELECT vec_id AS c_id, v AS bv, nrm FROM e0),
+        samp AS (SELECT c_id, bv FROM corpus
+          WHERE ('0x' || substr(md5('d13s:' || c_id), 1, 8))::BIGINT
+                  * (SELECT n FROM nn)
+                < ${IvfTrainPerCell * 4294967296L} * (SELECT k FROM kk)),
+        seeds1 AS (SELECT c_id AS scid, bv AS sc FROM (
+            SELECT c_id, bv, ROW_NUMBER() OVER (ORDER BY c_id) AS rn
+            FROM samp)
+          WHERE rn <= (SELECT k1 FROM k1k)),
+        asg1 AS (SELECT c_id, scid FROM (
+            SELECT sa.c_id, s1.scid,
+              ROW_NUMBER() OVER (PARTITION BY sa.c_id ORDER BY
+                list_sum(list_transform(list_zip(sa.bv, s1.sc),
+                  z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, s1.scid) AS rn
+            FROM samp sa, seeds1 s1)
+          WHERE rn = 1),
+        scdims AS (SELECT a.scid, t.dd,
+            CAST(CAST(SUM(CAST(floor(sa.bv[t.dd + 1] * 1e10 + 0.5)
+              AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e10 / COUNT(*) AS cval
+          FROM asg1 a JOIN samp sa USING (c_id),
+            UNNEST(generate_series(0, ${VecDim - 1})) AS t(dd)
+          GROUP BY a.scid, t.dd),
+        sccent AS (SELECT scid, list(cval ORDER BY dd) AS sc
+                   FROM scdims GROUP BY scid),
+        asg2 AS (SELECT c_id, scid FROM (
+            SELECT sa.c_id, s1.scid,
+              ROW_NUMBER() OVER (PARTITION BY sa.c_id ORDER BY
+                list_sum(list_transform(list_zip(sa.bv, s1.sc),
+                  z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, s1.scid) AS rn
+            FROM samp sa, sccent s1)
+          WHERE rn = 1),
+        subseeds AS (SELECT a.c_id AS cid, a.scid, sa.bv AS cseed
+          FROM (SELECT c_id, scid, ROW_NUMBER() OVER (
+                  PARTITION BY scid ORDER BY c_id) AS rn FROM asg2) a
+          JOIN samp sa ON sa.c_id = a.c_id
+          WHERE a.rn <= (SELECT cps FROM cpsk)),
+        asg3 AS (SELECT c_id, cid, scid FROM (
+            SELECT a.c_id, ss.cid, a.scid,
+              ROW_NUMBER() OVER (PARTITION BY a.c_id ORDER BY
+                list_sum(list_transform(list_zip(sa.bv, ss.cseed),
+                  z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, ss.cid) AS rn
+            FROM asg2 a
+            JOIN samp sa ON sa.c_id = a.c_id
+            JOIN subseeds ss ON ss.scid = a.scid)
+          WHERE rn = 1),
+        celldims AS (SELECT a.cid, a.scid, t.dd,
+            CAST(CAST(SUM(CAST(floor(sa.bv[t.dd + 1] * 1e10 + 0.5)
+              AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e10 / COUNT(*) AS cval
+          FROM asg3 a JOIN samp sa USING (c_id),
+            UNNEST(generate_series(0, ${VecDim - 1})) AS t(dd)
+          GROUP BY a.cid, a.scid, t.dd),
+        cellcent AS (SELECT cid, scid, list(cval ORDER BY dd) AS c
+                     FROM celldims GROUP BY cid, scid),
+        corpsc AS (SELECT c_id, bv, scid FROM (
+            SELECT cr.c_id, cr.bv, s1.scid,
+              ROW_NUMBER() OVER (PARTITION BY cr.c_id ORDER BY
+                list_sum(list_transform(list_zip(cr.bv, s1.sc),
+                  z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, s1.scid) AS rn
+            FROM corpus cr, sccent s1)
+          WHERE rn <= ${IvfSuperProbe}),
+        asgn AS MATERIALIZED (SELECT c_id, cid, cd FROM (
+            SELECT cs.c_id, cc.cid,
+              list_sum(list_transform(list_zip(cs.bv, cc.c),
+                z -> (z[1] - z[2]) * (z[1] - z[2]))) AS cd,
+              ROW_NUMBER() OVER (PARTITION BY cs.c_id ORDER BY
+                list_sum(list_transform(list_zip(cs.bv, cc.c),
+                  z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, cc.cid) AS rn
+            FROM corpsc cs JOIN cellcent cc USING (scid))
+          WHERE rn = 1),
+        pairs AS (SELECT * FROM (
+            SELECT a.c_id AS id_a, b.c_id AS id_b,
+              a.cd AS cd_a, b.cd AS cd_b,
+              list_sum(list_transform(list_zip(ea.v, eb.v),
+                t -> t[1] * t[2])) / (ea.nrm * eb.nrm) AS cos_sim
+            FROM asgn a JOIN asgn b
+              ON a.cid = b.cid AND a.c_id < b.c_id
+            JOIN e0 ea ON ea.vec_id = a.c_id
+            JOIN e0 eb ON eb.vec_id = b.c_id)
+          WHERE cos_sim >= 0.4),
+        victims AS (SELECT DISTINCT
+            CASE WHEN cd_a < cd_b THEN id_a
+                 WHEN cd_b < cd_a THEN id_b
+                 ELSE id_a END AS victim
+          FROM pairs)
+        SELECT a.c_id AS vec_id, a.cid, a.cd AS cent_l2,
+          v.victim IS NULL AS kept
+        FROM asgn a LEFT JOIN victims v ON v.victim = a.c_id
+        ORDER BY vec_id""")),
+
     // ----- s11: QUERY-vs-CORPUS retrieval — the production serving
     // shape the self-join queries (s02/s05) stand in for: an INDEXED
     // corpus (even vec_ids, bucketed once) probed by a SEPARATE query
@@ -964,108 +1221,17 @@ object Similarity {
         val qs = e.filter(col("vec_id") % 2 === 1)
           .select(col("vec_id").as("q_id"), col("v").as("av"))
 
-        // ---- coarse quantizer: TWO-LEVEL, trained on a bounded
-        // md5-deterministic sample ----
+        // ---- coarse quantizer: the shared sample-trained TWO-LEVEL
+        // structure ([[twoLevelTrain]] + [[routeToCells]], also d13's
+        // clustering backbone) ----
         val n = corpusEvenCount(s, d)
         val k = ivfCells(s, d)
-        val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
-        val cps = (k + k1 - 1) / k1
         val wSup = ivfSuperProbe(s)
-
-        def l2d(a: String, c: String) =
-          expr(s"""aggregate(zip_with($a, $c,
-                (x, w) -> (cast(x as double) - cast(w as double))
-                        * (cast(x as double) - cast(w as double))),
-              cast(0.0 as double), (acc, x) -> acc + x)""")
-        def quantMean = (sum(expr(
-          "cast(floor(cast(x as double) * 1e10 + 0.5d) as bigint)"))
-          .cast("double") / lit(1e10) / count(lit(1))).as("cval")
-
-        // md5-threshold Bernoulli sample: E[|samp|] = 16·k, no global
-        // sort, identical row set in both engines
-        val samp = corpus.filter(
-          conv(substring(md5(concat(lit("s12s:"),
-            col("c_id").cast("string"))), 1, 8), 16, 10).cast("long")
-            * lit(n) < lit(IvfTrainPerCell * 4294967296L * k))
-
-        // level-1: one Lloyd round from the k1 lowest-id sample seeds
-        val seeds1 = samp.orderBy(col("c_id")).limit(k1)
-          .select(col("c_id").as("scid"), col("bv").as("sc"))
-        val wVec = Window.partitionBy(col("c_id"))
-          .orderBy(col("sd"), col("scid"))
-        val asg1 = samp.crossJoin(broadcast(seeds1))
-          .withColumn("sd", l2d("bv", "sc"))
-          .withColumn("rn", row_number().over(wVec))
-          .filter(col("rn") === 1)
-          .select(col("c_id"), col("scid"))
-        val scCent = asg1.join(samp, "c_id")
-          .select(col("scid"), posexplode(col("bv")).as(Seq("dim", "x")))
-          .groupBy(col("scid"), col("dim"))
-          .agg(quantMean)
-          .groupBy(col("scid"))
-          .agg(expr(
-            """transform(sort_array(collect_list(struct(dim, cval))),
-               t -> t.cval)""").as("sc"))
-
-        // level-2: re-assign the sample to the TRAINED super-centroids
-        // (routing and training must share the model), seed
-        // ceil(k/K1) cells per super-cell from its lowest-id members,
-        // one Lloyd round within each
-        val asg2 = samp.crossJoin(broadcast(scCent))
-          .withColumn("sd", l2d("bv", "sc"))
-          .withColumn("rn", row_number().over(wVec))
-          .filter(col("rn") === 1)
-          .select(col("c_id"), col("scid"))
-        val wSeed = Window.partitionBy(col("scid")).orderBy(col("c_id"))
-        val subSeeds = asg2.withColumn("rn", row_number().over(wSeed))
-          .filter(col("rn") <= cps)
-          .join(samp, "c_id")
-          .select(col("c_id").as("cid"), col("scid"),
-            col("bv").as("cseed"))
-        val wCellOf = Window.partitionBy(col("c_id"))
-          .orderBy(col("cd"), col("cid"))
-        val asg3 = asg2.join(samp, "c_id")
-          .join(broadcast(subSeeds), "scid")
-          .withColumn("cd", l2d("bv", "cseed"))
-          .withColumn("rn", row_number().over(wCellOf))
-          .filter(col("rn") === 1)
-          .select(col("c_id"), col("cid"), col("scid"))
-        val cellCent = asg3.join(samp, "c_id")
-          .select(col("cid"), col("scid"),
-            posexplode(col("bv")).as(Seq("dim", "x")))
-          .groupBy(col("cid"), col("scid"), col("dim"))
-          .agg(quantMean)
-          .groupBy(col("cid"), col("scid"))
-          .agg(expr(
-            """transform(sort_array(collect_list(struct(dim, cval))),
-               t -> t.cval)""").as("c"))
-
-        // serving assignment: w nearest super-cells, then the cells
-        // within them — (K1 + w·k/K1) ≈ (1+w)·√k distance evals per
-        // vector vs the flat scan's k
-        val corpSc = corpus.crossJoin(broadcast(scCent))
-          .withColumn("sd", l2d("bv", "sc"))
-          .withColumn("rn", row_number().over(wVec))
-          .filter(col("rn") <= wSup)
-          .select(col("c_id"), col("bv"), col("scid"))
-        val ccell = corpSc.join(broadcast(cellCent), "scid")
-          .withColumn("cd", l2d("bv", "c"))
-          .withColumn("rn", row_number().over(wCellOf))
-          .filter(col("rn") === 1)
-          .select(col("c_id"), col("cid"))
-        val wScQ = Window.partitionBy(col("q_id"))
-          .orderBy(col("sd"), col("scid"))
-        val qSc = qs.crossJoin(broadcast(scCent))
-          .withColumn("sd", l2d("av", "sc"))
-          .withColumn("rn", row_number().over(wScQ))
-          .filter(col("rn") <= wSup)
-          .select(col("q_id"), col("av"), col("scid"))
-        val wProbe = Window.partitionBy(col("q_id"))
-          .orderBy(col("cd"), col("cid"))
-        val probes = qSc.join(broadcast(cellCent), "scid")
-          .withColumn("cd", l2d("av", "c"))
-          .withColumn("rn", row_number().over(wProbe))
-          .filter(col("rn") <= ivfNprobe(s))
+        val (scCent, cellCent) = twoLevelTrain(corpus, "s12s:", n, k)
+        val ccell = routeToCells(corpus, "c_id", "bv",
+          scCent, cellCent, wSup, 1).select(col("c_id"), col("cid"))
+        val probes = routeToCells(qs, "q_id", "av",
+          scCent, cellCent, wSup, ivfNprobe(s))
           .select(col("q_id"), col("cid"))
         // each corpus vector lives in exactly ONE cell and each query
         // probes DISTINCT cells -> no duplicate (q_id, c_id) pairs,

@@ -24,6 +24,10 @@ class PlanAuditSpec extends SparkSpec {
     "s12_pq_adc" ->
       ("broadcast centroid/codebook affinities (ceil(√k) super-cells " +
         "+ <=4096 cells + 64-row codebook init, not O(n²))"),
+    "d13_semdedup" ->
+      ("broadcast centroid affinities via the shared two-level " +
+        "quantizer (<=4096 cells; pair work bounded per cell, " +
+        "not O(n²))"),
     "t07_vocab_stats" -> "1x1 scalar combine",
     "q70_skew_stats" -> "1x1 scalar combine",
     "q71_hll_sketch_distinct" -> "1x1 scalar combine (union row)",
