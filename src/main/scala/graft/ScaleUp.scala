@@ -53,6 +53,16 @@ object ScaleUp {
       // preserved by the bijective token renaming, cross-copy
       // vocabularies are disjoint — dup-token totals are ×K exact
       "t19_substring_dedup",
+      // r13: CCNet perplexity terciles — the per-copy bigram LMs are
+      // vocabulary-disjoint, so every copy's fluency scores replicate
+      // the original's exactly and the kept-count scales ~×K (small
+      // boundary wobble from cross-copy rank ties + the md5 gate on
+      // shifted ids)
+      "p07_perplexity_partition",
+      // r13: the full ANN index LIFECYCLE (build -> delta append ->
+      // compaction -> exchange-free probe) — the nightly maintenance
+      // path, timed end-to-end; probe rows are one per query vector
+      "s17_incremental_index",
       // r13: SemDeDup — cluster-gated semantic dedup; within-copy
       // cosine structure is isometry-preserved, so dropped counts
       // track the per-copy dup population; clusters retrain on the
@@ -104,6 +114,8 @@ object ScaleUp {
     // catches (rows are one-per-vector, structurally ×K)
     "d13_semdedup" ->
       ((df: DataFrame) => df.filter(!col("kept")).count()),
+    "p07_perplexity_partition" ->
+      ((df: DataFrame) => df.filter(col("keep")).count()),
     // windows are fixed by the (unchanged) time span; the ×K-exact
     // quantity is the total event-window memberships
     "st02_stream_sliding_window" -> sumOf("n") _)

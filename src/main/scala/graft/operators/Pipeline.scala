@@ -459,6 +459,87 @@ object Pipeline {
             CASE WHEN lang = 'en' THEN $EnQuota ELSE $OtherQuota END AS quota
           FROM documents)
         WHERE samp_rank <= quota
-        ORDER BY lang, samp_rank"""))
+        ORDER BY lang, samp_rank""")),
+
+    // ----- p07: PERPLEXITY-TERCILE PARTITION — CCNet's language-model
+    // quality bucketing (Wenzek et al. 2020, public): score every doc
+    // with the corpus-trained LM (t18's bigram fluency, shared code),
+    // split the corpus into head/middle/tail TERCILES of the score
+    // distribution, keep head whole, sample middle at 50% (md5 gate,
+    // reproducible), drop tail — the standard head+middle training
+    // mix. Terciles are EXACT ORDER STATISTICS, not interpolated
+    // percentiles: the rank-⌊n/3⌋ and rank-⌊2n/3⌋ (fluency, doc_id)
+    // elements are taken via a distributed TakeOrdered (orderBy +
+    // limit — never a single-partition global window) and broadcast
+    // as 1-row thresholds; interpolation would be engine-specific
+    // float arithmetic (the w18 lesson), order statistics are exact
+    // in both. Ties split by doc_id, so tercile SIZES are exactly
+    // ⌊n/3⌋ / ⌊2n/3⌋−⌊n/3⌋ / rest, deterministically.
+    // Scale: the fluency chain is t18's two map-side-combinable
+    // shuffles; the thresholds are two TakeOrdered passes over the
+    // cached scores; assignment is a broadcast compare. No global
+    // sort anywhere.
+    QueryDef(
+      "p07_perplexity_partition",
+      (s, d) => {
+        val fl = graft.operators.TextAnalysis.lmFluencyScores(s, d)
+          .select(col("doc_id"), col("fluency")).cache()
+        val n = fl.count()
+        def rankElem(k: Long) =
+          if (k < 1) fl.select(col("fluency").as("tf"),
+            col("doc_id").as("td")).limit(0)
+          else fl.orderBy(col("fluency"), col("doc_id"))
+            .limit(k.toInt)
+            .agg(max(struct(col("fluency"), col("doc_id"))).as("t"))
+            .select(col("t.fluency").as("tf"), col("t.doc_id").as("td"))
+        val t1 = rankElem(n / 3)
+          .select(col("tf").as("f1"), col("td").as("d1"))
+        val t2 = rankElem(2L * n / 3)
+          .select(col("tf").as("f2"), col("td").as("d2"))
+        val out = fl.crossJoin(broadcast(t1)).crossJoin(broadcast(t2))
+          .withColumn("bucket",
+            when(col("d1").isNotNull && (col("fluency") < col("f1") ||
+              (col("fluency") === col("f1")
+                && col("doc_id") <= col("d1"))), "tail")
+            .when(col("d2").isNotNull && (col("fluency") < col("f2") ||
+              (col("fluency") === col("f2")
+                && col("doc_id") <= col("d2"))), "middle")
+            .otherwise("head"))
+          .withColumn("keep", col("bucket") === "head" ||
+            (col("bucket") === "middle" &&
+              conv(substring(md5(concat(lit("ppl:"),
+                col("doc_id").cast("string"))), 1, 7), 16, 10)
+                .cast("long") % 100 < 50))
+          .select(col("doc_id"), col("fluency"), col("bucket"),
+            col("keep"))
+          .orderBy(col("doc_id"))
+        fl.unpersist()
+        out
+      },
+      Some(s"""WITH ${graft.operators.TextAnalysis.lmFluencySqlCtes},
+        fl AS (SELECT doc_id, tot / n_bigrams AS fluency FROM sc),
+        nn AS (SELECT COUNT(*) AS n FROM fl),
+        ranked AS (SELECT fluency, doc_id,
+            ROW_NUMBER() OVER (ORDER BY fluency, doc_id) AS rn
+          FROM fl),
+        t1 AS (SELECT fluency AS f1, doc_id AS d1 FROM ranked
+               WHERE rn = (SELECT n // 3 FROM nn)),
+        t2 AS (SELECT fluency AS f2, doc_id AS d2 FROM ranked
+               WHERE rn = (SELECT 2 * n // 3 FROM nn))
+        SELECT f.doc_id, f.fluency,
+          CASE WHEN d1 IS NOT NULL AND (f.fluency < f1
+                 OR (f.fluency = f1 AND f.doc_id <= d1)) THEN 'tail'
+               WHEN d2 IS NOT NULL AND (f.fluency < f2
+                 OR (f.fluency = f2 AND f.doc_id <= d2)) THEN 'middle'
+               ELSE 'head' END AS bucket,
+          CASE WHEN d1 IS NOT NULL AND (f.fluency < f1
+                 OR (f.fluency = f1 AND f.doc_id <= d1)) THEN FALSE
+               WHEN d2 IS NOT NULL AND (f.fluency < f2
+                 OR (f.fluency = f2 AND f.doc_id <= d2))
+                 THEN ('0x' || substr(md5('ppl:' || f.doc_id), 1, 7))::BIGINT
+                        % 100 < 50
+               ELSE TRUE END AS keep
+        FROM fl f LEFT JOIN t1 ON TRUE LEFT JOIN t2 ON TRUE
+        ORDER BY f.doc_id"""))
   )
 }

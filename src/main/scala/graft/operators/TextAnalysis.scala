@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GraftConf, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.LongType
@@ -21,6 +22,60 @@ object TextAnalysis {
 
   /** tokens column expression shared by the queries below. */
   private val toksExpr = "split(lower(trim(text)), '\\\\s+')"
+
+  /** Per-doc corpus-trained bigram fluency (t18's score):
+    * (doc_id, n_bigrams, fluency) for every doc with ≥ 2 tokens.
+    * Shared by t18 (threshold filter) and p07 (CCNet-style
+    * perplexity-tercile partition). Two map-side-combinable shuffles
+    * (bigram and unigram counts) + one per-doc aggregation; the
+    * per-bigram probabilities sum position-ordered so the mean is
+    * bit-identical cross-engine. */
+  private[operators] def lmFluencyScores(s: SparkSession,
+      d: String): DataFrame = {
+    val big = new Tables(s, d).documents
+      .withColumn("toks", expr(toksExpr))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(0, size(toks) - 2),
+           i -> struct(toks[i] AS w1, toks[i+1] AS w2))"""))
+        .as(Seq("pos", "bg")))
+      .select(col("doc_id"), col("pos"),
+        col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c2 = big.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val c1 = big.groupBy(col("w1"))
+      .agg(count(lit(1)).as("c1"))
+    big.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .withColumn("p", col("c2").cast("double") / col("c1"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sort_array(collect_list(struct(col("pos"), col("p"))))
+          .as("ps"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (expr("""aggregate(ps, cast(0.0 as double),
+           (acc, x) -> acc + x.p)""") / col("n_bigrams"))
+          .as("fluency"))
+  }
+
+  /** DuckDB twin of [[lmFluencyScores]] as a CTE chain ending in
+    * `sc(doc_id, n_bigrams, tot)` (fluency = tot / n_bigrams). */
+  private[operators] val lmFluencySqlCtes: String =
+    """toks AS (
+          SELECT doc_id,
+            string_split_regex(lower(trim(text)), '\s+') AS tk
+          FROM documents),
+        big AS (SELECT doc_id, i AS pos, tk[i+1] AS w1, tk[i+2] AS w2
+          FROM toks, UNNEST(generate_series(0, len(tk) - 2)) AS u(i)
+          WHERE len(tk) >= 2),
+        c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY 1, 2),
+        c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY 1),
+        sc AS (SELECT b.doc_id, COUNT(*) AS n_bigrams,
+            list_sum(list(CAST(c2.c2 AS DOUBLE) / c1.c1
+              ORDER BY b.pos)) AS tot
+          FROM big b
+          JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+          JOIN c1 ON c1.w1 = b.w1
+          GROUP BY b.doc_id)"""
   private val stoplist = "('the','a','of','and','to','in','is','it')"
 
   /** t17's hashed-linear quality scorer as a reusable STAGE: adds
@@ -887,50 +942,13 @@ object TextAnalysis {
     QueryDef(
       "t18_lm_fluency",
       (s, d) => {
-        val big = new Tables(s, d).documents
-          .withColumn("toks", expr(toksExpr))
-          .filter(size(col("toks")) >= 2)
-          .select(col("doc_id"), posexplode(expr(
-            """transform(sequence(0, size(toks) - 2),
-               i -> struct(toks[i] AS w1, toks[i+1] AS w2))"""))
-            .as(Seq("pos", "bg")))
-          .select(col("doc_id"), col("pos"),
-            col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-        val c2 = big.groupBy(col("w1"), col("w2"))
-          .agg(count(lit(1)).as("c2"))
-        val c1 = big.groupBy(col("w1"))
-          .agg(count(lit(1)).as("c1"))
-        big.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
-          .withColumn("p", col("c2").cast("double") / col("c1"))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_bigrams"),
-            sort_array(collect_list(struct(col("pos"), col("p"))))
-              .as("ps"))
-          .select(col("doc_id"), col("n_bigrams"),
-            (expr("""aggregate(ps, cast(0.0 as double),
-               (acc, x) -> acc + x.p)""") / col("n_bigrams"))
-              .as("fluency"))
+        lmFluencyScores(s, d)
           .withColumn("keep", col("fluency") > 0.0345d)
           .select(col("doc_id"), col("n_bigrams"), col("fluency"),
             col("keep"))
           .orderBy(col("doc_id"))
       },
-      Some("""WITH toks AS (
-          SELECT doc_id,
-            string_split_regex(lower(trim(text)), '\s+') AS tk
-          FROM documents),
-        big AS (SELECT doc_id, i AS pos, tk[i+1] AS w1, tk[i+2] AS w2
-          FROM toks, UNNEST(generate_series(0, len(tk) - 2)) AS u(i)
-          WHERE len(tk) >= 2),
-        c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY 1, 2),
-        c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY 1),
-        sc AS (SELECT b.doc_id, COUNT(*) AS n_bigrams,
-            list_sum(list(CAST(c2.c2 AS DOUBLE) / c1.c1
-              ORDER BY b.pos)) AS tot
-          FROM big b
-          JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
-          JOIN c1 ON c1.w1 = b.w1
-          GROUP BY b.doc_id)
+      Some(s"""WITH $lmFluencySqlCtes
         SELECT doc_id, n_bigrams, tot / n_bigrams AS fluency,
           tot / n_bigrams > 0.0345 AS keep
         FROM sc ORDER BY doc_id""")),
