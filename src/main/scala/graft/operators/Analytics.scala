@@ -1525,6 +1525,39 @@ object Analytics {
         SELECT o_orderstatus, COUNT(*) AS n_above,
           ${graft.Exact.sqlSum("o_totalprice", 2)} AS total_above
         FROM orders, cut WHERE o_totalprice > cut.c
-        GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ----- q81: SQL PIPE SYNTAX — Spark 4's |> operator chain
+    // (public SQL surface since 4.0): the linear FROM → WHERE →
+    // EXTEND → AGGREGATE → WHERE → ORDER BY dataflow a reviewer
+    // reads top-to-bottom, desugaring to exactly the classic
+    // nested-SELECT plan (the oracle IS that classic form, so the
+    // hash gate proves the desugaring is a syntax change, not a
+    // semantics change). The revenue sum rides the repo's
+    // decimal-exact convention; the post-AGGREGATE WHERE is HAVING
+    // in the classic form.
+    QueryDef(
+      "q81_pipe_syntax",
+      (s, d) => {
+        new Tables(s, d).lineitem.createOrReplaceTempView("q81_lineitem")
+        s.sql("""
+          FROM q81_lineitem
+          |> WHERE l_shipdate <= DATE '1998-09-02'
+          |> EXTEND l_extendedprice * (1 - l_discount) AS net
+          |> AGGREGATE COUNT(*) AS n_items,
+               CAST(CAST(SUM(CAST(net AS DECIMAL(18,4)))
+                 AS STRING) AS DOUBLE) AS revenue
+             GROUP BY l_returnflag, l_linestatus
+          |> WHERE n_items >= 10
+          |> ORDER BY l_returnflag, l_linestatus""")
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+          ${graft.Exact.sqlSum("l_extendedprice * (1 - l_discount)", 4)}
+            AS revenue
+        FROM lineitem
+        WHERE l_shipdate <= DATE '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        HAVING COUNT(*) >= 10
+        ORDER BY l_returnflag, l_linestatus"""))
   )
 }
