@@ -469,29 +469,58 @@ object Pipeline {
     // reproducible), drop tail — the standard head+middle training
     // mix. Terciles are EXACT ORDER STATISTICS, not interpolated
     // percentiles: the rank-⌊n/3⌋ and rank-⌊2n/3⌋ (fluency, doc_id)
-    // elements are taken via a distributed TakeOrdered (orderBy +
-    // limit — never a single-partition global window) and broadcast
+    // elements are located by a histogram pass and extracted by
+    // ordering only the ONE bucket that holds them, then broadcast
     // as 1-row thresholds; interpolation would be engine-specific
     // float arithmetic (the w18 lesson), order statistics are exact
     // in both. Ties split by doc_id, so tercile SIZES are exactly
     // ⌊n/3⌋ / ⌊2n/3⌋−⌊n/3⌋ / rest, deterministically.
     // Scale: the fluency chain is t18's two map-side-combinable
-    // shuffles; the thresholds are two TakeOrdered passes over the
-    // cached scores; assignment is a broadcast compare. No global
-    // sort anywhere.
+    // shuffles; the thresholds cost one histogram aggregation plus
+    // a single-bucket top-r over the cached scores; assignment is a
+    // broadcast compare. No global sort, no global window, and no
+    // GlobalLimit concentrating O(n) rows in one partition.
     QueryDef(
       "p07_perplexity_partition",
       (s, d) => {
         val fl = graft.operators.TextAnalysis.lmFluencyScores(s, d)
           .select(col("doc_id"), col("fluency")).cache()
         val n = fl.count()
+        // exact rank-k selection WITHOUT concentrating k rows
+        // anywhere: a histogram pass locates the bucket holding the
+        // k-th (fluency, doc_id) element, then only THAT bucket (n/B
+        // rows expected) is ordered. The bucket boundaries use float
+        // arithmetic but only for PARTITIONING — any deterministic
+        // bucketing yields the same selected element, so the oracle's
+        // plain ROW_NUMBER derivation still matches bit-for-bit. A
+        // global orderBy+limit(k) would plan GlobalLimit: k = n/3
+        // rows into ONE partition — the non-starter at 10⁹ docs.
+        val B = 65536
+        val (fmin, fmax) = {
+          val r = fl.agg(min(col("fluency")), max(col("fluency"))).head()
+          (r.getDouble(0), r.getDouble(1))
+        }
+        val bCol =
+          if (fmax > fmin)
+            least(lit(B - 1), floor((col("fluency") - lit(fmin))
+              / (lit(fmax) - lit(fmin)) * lit(B))).cast("int")
+          else lit(0)
+        val hist = fl.groupBy(bCol.as("b")).count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
         def rankElem(k: Long) =
           if (k < 1) fl.select(col("fluency").as("tf"),
             col("doc_id").as("td")).limit(0)
-          else fl.orderBy(col("fluency"), col("doc_id"))
-            .limit(k.toInt)
-            .agg(max(struct(col("fluency"), col("doc_id"))).as("t"))
-            .select(col("t.fluency").as("tf"), col("t.doc_id").as("td"))
+          else {
+            var cum = 0L
+            val (bStar, before) = hist.collectFirst {
+              case (b, c) if { cum += c; cum >= k } => (b, cum - c)
+            }.get
+            fl.filter(bCol === bStar)
+              .orderBy(col("fluency"), col("doc_id"))
+              .limit((k - before).toInt)
+              .agg(max(struct(col("fluency"), col("doc_id"))).as("t"))
+              .select(col("t.fluency").as("tf"), col("t.doc_id").as("td"))
+          }
         val t1 = rankElem(n / 3)
           .select(col("tf").as("f1"), col("td").as("d1"))
         val t2 = rankElem(2L * n / 3)
