@@ -469,9 +469,9 @@ object Pipeline {
     // reproducible), drop tail — the standard head+middle training
     // mix. Terciles are EXACT ORDER STATISTICS, not interpolated
     // percentiles: the rank-⌊n/3⌋ and rank-⌊2n/3⌋ (fluency, doc_id)
-    // elements are located by a histogram pass and extracted by
-    // ordering only the ONE bucket that holds them, then broadcast
-    // as 1-row thresholds; interpolation would be engine-specific
+    // elements are located by a histogram pass, extracted by
+    // ordering only the ONE bucket that holds them, and embedded as
+    // plan LITERALS; interpolation would be engine-specific
     // float arithmetic (the w18 lesson), order statistics are exact
     // in both. Ties split by doc_id, so tercile SIZES are exactly
     // ⌊n/3⌋ / ⌊2n/3⌋−⌊n/3⌋ / rest, deterministically.
@@ -507,32 +507,33 @@ object Pipeline {
           else lit(0)
         val hist = fl.groupBy(bCol.as("b")).count().collect()
           .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-        def rankElem(k: Long) =
-          if (k < 1) fl.select(col("fluency").as("tf"),
-            col("doc_id").as("td")).limit(0)
+        // thresholds collect EAGERLY (1-row each) while fl is cached,
+        // then embed as LITERALS — no broadcast join in the plan, and
+        // the fluency chain is never re-evaluated at execution time
+        def rankElem(k: Long): Option[(Double, Long)] =
+          if (k < 1) None
           else {
             var cum = 0L
             val (bStar, before) = hist.collectFirst {
               case (b, c) if { cum += c; cum >= k } => (b, cum - c)
             }.get
-            fl.filter(bCol === bStar)
+            val r = fl.filter(bCol === bStar)
               .orderBy(col("fluency"), col("doc_id"))
               .limit((k - before).toInt)
               .agg(max(struct(col("fluency"), col("doc_id"))).as("t"))
-              .select(col("t.fluency").as("tf"), col("t.doc_id").as("td"))
+              .select(col("t.fluency"), col("t.doc_id")).head()
+            Some((r.getDouble(0), r.getLong(1)))
           }
         val t1 = rankElem(n / 3)
-          .select(col("tf").as("f1"), col("td").as("d1"))
         val t2 = rankElem(2L * n / 3)
-          .select(col("tf").as("f2"), col("td").as("d2"))
-        val out = fl.crossJoin(broadcast(t1)).crossJoin(broadcast(t2))
-          .withColumn("bucket",
-            when(col("d1").isNotNull && (col("fluency") < col("f1") ||
-              (col("fluency") === col("f1")
-                && col("doc_id") <= col("d1"))), "tail")
-            .when(col("d2").isNotNull && (col("fluency") < col("f2") ||
-              (col("fluency") === col("f2")
-                && col("doc_id") <= col("d2"))), "middle")
+        def leTh(t: Option[(Double, Long)]) = t match {
+          case Some((f, id)) => col("fluency") < lit(f) ||
+            (col("fluency") === lit(f) && col("doc_id") <= lit(id))
+          case None => lit(false)
+        }
+        fl.withColumn("bucket",
+            when(leTh(t1), "tail")
+            .when(leTh(t2), "middle")
             .otherwise("head"))
           .withColumn("keep", col("bucket") === "head" ||
             (col("bucket") === "middle" &&
@@ -542,8 +543,6 @@ object Pipeline {
           .select(col("doc_id"), col("fluency"), col("bucket"),
             col("keep"))
           .orderBy(col("doc_id"))
-        fl.unpersist()
-        out
       },
       Some(s"""WITH ${graft.operators.TextAnalysis.lmFluencySqlCtes},
         fl AS (SELECT doc_id, tot / n_bigrams AS fluency FROM sc),

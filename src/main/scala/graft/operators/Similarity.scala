@@ -1007,8 +1007,12 @@ object Similarity {
         val (scCent, cellCent) =
           twoLevelTrain(corpus.select(col("c_id"), col("bv")),
             "d13s:", n, k)
+        // cached: the routed assignment feeds BOTH self-join sides
+        // and the final projection — uncached, the whole training +
+        // routing chain would re-evaluate three times (d10/d11's
+        // in-query cache discipline)
         val asgn = routeToCells(corpus, "c_id", "bv",
-          scCent, cellCent, ivfSuperProbe(s), 1)
+          scCent, cellCent, ivfSuperProbe(s), 1).cache()
         val sides = asgn.join(corpus, "c_id")
         val aSide = sides.select(col("c_id").as("id_a"), col("cid"),
           col("cd").as("cd_a"), col("bv").as("av"),

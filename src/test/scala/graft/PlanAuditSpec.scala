@@ -43,9 +43,7 @@ class PlanAuditSpec extends SparkSpec {
       ("verification-tier candidate stage (s01's role); the MMR fold " +
         "itself is per-row — swap in s09's index path at scale"),
     "p05_cluster_balanced_sample" ->
-      "broadcast 8-centroid affinity (s04's assignment shape, not O(n²))",
-    "p07_perplexity_partition" ->
-      "broadcast 1-row tercile thresholds (two order-statistic scalars)")
+      "broadcast 8-centroid affinity (s04's assignment shape, not O(n²))")
 
   test("no unlabeled cartesian product in any gated batch query plan") {
     val sf = "/root/testdata/sf0.001"
