@@ -1028,9 +1028,30 @@ object Dedup {
         s"geom AS (SELECT (CASE $cases ELSE 1 END) AS bands)"
     }
 
-  /** DuckDB twin of d04 (bits literal from the generator; bands from
-    * [[bandsCte]] — adaptive or override-pinned). */
-  private[graft] def simhashOracleSql(bits: Int = SimHashBits): String =
+  /** Signature width the SQL twin should embed: a session
+    * `spark.graft.simhashBits` override at oracle-materialization
+    * time wins (queries is a def — twins re-materialize per access),
+    * else the static default. Without this the Spark side would
+    * compute override-width signatures while the twin stayed at 60 —
+    * exactly the silent gate-invalidation [[bandsCte]] already
+    * guards against for the band count. */
+  private def resolvedSimHashBits: Int =
+    sessionForOracle
+      .flatMap(s => s.conf.getOption(GraftConf.SimHashBitsKey))
+      .map(_.trim.toInt) match {
+      case Some(b) =>
+        require(b > 0 && b <= 60 && b % 4 == 0,
+          s"${GraftConf.SimHashBitsKey} must be a positive multiple " +
+            s"of 4 <= 60, got $b")
+        b
+      case None => SimHashBits
+    }
+
+  /** DuckDB twin of d04 (bits from [[resolvedSimHashBits]] —
+    * override-aware; bands from [[bandsCte]] — adaptive or
+    * override-pinned). */
+  private[graft] def simhashOracleSql(
+      bits: Int = resolvedSimHashBits): String =
     s"""WITH ${bandsCte(bits)},
         tok AS (
           SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok

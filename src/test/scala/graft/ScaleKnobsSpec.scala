@@ -137,6 +137,13 @@ class ScaleKnobsSpec extends SparkSpec {
       // an override pins the twin instead
       assert(SparkEntry.oracleSql("d04_simhash").contains("SELECT 2 AS bands"))
     }
+    withConf(GraftConf.SimHashBitsKey -> "32") {
+      // the twin embeds the overridden WIDTH too (bits/4 hex chars) —
+      // a 60-bit twin against 32-bit Spark signatures would silently
+      // invalidate the gate
+      assert(SparkEntry.oracleSql("d04_simhash")
+        .contains("substr(md5(tok), 1, 8)"))
+    }
   }
 
   test("simhashRecallFirst pins 4 bands over the adaptive tightening") {
