@@ -51,6 +51,15 @@ object Dedup {
   private[graft] def shingleDfCap(s: SparkSession): Int =
     GraftConf.int(s, GraftConf.ShingleDfCapKey, ShingleDfCap)
 
+  /** Df cap the SQL twins should embed: a session override at
+    * oracle-materialization time wins (queries is a def — twins
+    * re-materialize per access), else the static default — the same
+    * override-awareness discipline as [[resolvedSimHashBits]]; a
+    * baked 100 against an overridden Spark side would silently
+    * invalidate the hash gate. */
+  private def resolvedShingleDfCap: Int =
+    sessionForOracle.map(shingleDfCap).getOrElse(ShingleDfCap)
+
   /** SimHash geometry: a 60-bit signature (15 md5 hex chars per
     * token) split into bands; banding is lossless for hamming ≤
     * bands-1 (pigeonhole: ≤ bands-1 flipped bits can dirty at most
@@ -146,7 +155,7 @@ object Dedup {
       .select(col("doc_id"), col("shingle"))
   }
 
-  private[graft] def shinglesSql(cap: Int = ShingleDfCap): String =
+  private[graft] def shinglesSql(cap: Int = resolvedShingleDfCap): String =
     s"""SELECT doc_id, shingle FROM (
          SELECT DISTINCT doc_id,
            toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
@@ -176,7 +185,7 @@ object Dedup {
           / (col("n_a") + col("n_b") - col("n_common")))
   }
 
-  private[graft] def jaccardPairsSql(cap: Int = ShingleDfCap): String =
+  private[graft] def jaccardPairsSql(cap: Int = resolvedShingleDfCap): String =
     s"""sh AS (${shinglesSql(cap)}),
        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
@@ -772,7 +781,7 @@ object Dedup {
             FROM (SELECT pid, string_split(ptext, ' ') AS ptoks FROM paras) t,
               UNNEST(generate_series(1, len(ptoks) - 2)) AS u(i)
             WHERE len(ptoks) >= 3)
-          QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= $ShingleDfCap),
+          QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= $resolvedShingleDfCap),
         ${minhashCtesSql()},
         cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
         ver AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_common

@@ -212,7 +212,15 @@ class ScaleKnobsSpec extends SparkSpec {
       val maxDf = capped.groupBy(col("shingle")).count()
         .agg(max(col("count"))).collect().head.getLong(0)
       assert(maxDf == 1L)
+      // and the SQL twin embeds the OVERRIDDEN cap (r13: a baked 100
+      // against a capped Spark side would silently invalidate the
+      // hash gate)
+      assert(SparkEntry.oracleSql("d02_ngram_jaccard")
+        .contains("COUNT(*) OVER (PARTITION BY shingle) <= 1"))
     }
+    // default path: the twin carries the static default
+    assert(SparkEntry.oracleSql("d02_ngram_jaccard")
+      .contains("COUNT(*) OVER (PARTITION BY shingle) <= 100"))
   }
 
   /** s14's whole pipeline recomputed in plain Scala from collected
