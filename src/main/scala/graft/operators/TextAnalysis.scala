@@ -103,7 +103,22 @@ object TextAnalysis {
       .withColumn("keep", col("score") > 0.0d)
   }
 
-  val queries: Seq[QueryDef] = Seq(
+  /** The session whose confs the SQL-twin generator consults —
+    * Similarity/Dedup's discipline: active first, default fallback. */
+  private def sessionForOracle: Option[SparkSession] =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+
+  /** t13's boilerplate threshold as the SQL twin should embed it —
+    * override-aware: a session `spark.graft.lineDedupDf` at
+    * materialization time wins, else the default 3. */
+  private def resolvedLineDedupDf: Int =
+    sessionForOracle
+      .map(s => GraftConf.int(s, GraftConf.LineDedupDfKey, 3))
+      .getOrElse(3)
+
+  // a DEF, not a val: the override-aware twin (t13) must re-resolve
+  // session confs at materialization time, not freeze at class load
+  def queries: Seq[QueryDef] = Seq(
 
     // ----- t01: token counting — whitespace tokens and a word-regex
     // token count (a cheap BPE-ish proxy), plus average token length.
@@ -591,16 +606,16 @@ object TextAnalysis {
               " ")).as("scrubbed_md5"))
           .orderBy(col("doc_id"))
       },
-      Some("""WITH segs AS (
+      Some(s"""WITH segs AS (
           SELECT doc_id, g AS start, array_to_string(toks[g:g+3], ' ') AS seg
           FROM (SELECT doc_id,
-                  string_split_regex(lower(trim(text)), '\s+') AS toks
+                  string_split_regex(lower(trim(text)), '\\s+') AS toks
                 FROM documents),
             UNNEST(generate_series(1, len(toks), 4)) AS t(g)),
         hot AS (
           SELECT seg FROM (SELECT seg, count(DISTINCT doc_id) AS seg_df
                            FROM segs GROUP BY seg)
-          WHERE seg_df >= 3),
+          WHERE seg_df >= $resolvedLineDedupDf),
         marked AS (
           SELECT s.doc_id, s.start, s.seg, h.seg IS NOT NULL AS is_hot
           FROM segs s LEFT JOIN hot h ON s.seg = h.seg)

@@ -223,6 +223,23 @@ class ScaleKnobsSpec extends SparkSpec {
       .contains("COUNT(*) OVER (PARTITION BY shingle) <= 100"))
   }
 
+  test("lineDedupDf override reaches both engine and twin") {
+    // t13's boilerplate threshold: a tighter df scrubs MORE segments
+    // (more segments qualify as boilerplate), and the SQL twin embeds
+    // the resolved value — the r13 override-awareness discipline
+    val defRemoved = SparkEntry.queries("t13_line_dedup")(spark, sf)
+      .agg(sum(col("n_removed"))).collect().head.getLong(0)
+    withConf(GraftConf.LineDedupDfKey -> "2") {
+      val tightRemoved = SparkEntry.queries("t13_line_dedup")(spark, sf)
+        .agg(sum(col("n_removed"))).collect().head.getLong(0)
+      assert(tightRemoved >= defRemoved)
+      assert(SparkEntry.oracleSql("t13_line_dedup")
+        .contains("WHERE seg_df >= 2)"))
+    }
+    assert(SparkEntry.oracleSql("t13_line_dedup")
+      .contains("WHERE seg_df >= 3)"))
+  }
+
   /** s14's whole pipeline recomputed in plain Scala from collected
     * vectors at GEOMETRY (bits, shortlist) — the brute-force referee
     * for conf-driven geometries the DuckDB oracle (pinned to the
