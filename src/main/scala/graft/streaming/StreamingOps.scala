@@ -180,7 +180,10 @@ object StreamingOps {
     s.table(name)
   }
 
-  val queries: Seq[QueryDef] = Seq(
+  // a DEF, not a val: st15's oracle embeds Dedup's override-aware
+  // shingle df cap — a val would freeze whatever conf happened to be
+  // set at first access (the Similarity/Dedup/TextAnalysis discipline)
+  def queries: Seq[QueryDef] = Seq(
 
     // ----- st01: watermark + tumbling window, APPEND mode — only
     // windows sealed by the final watermark (max event time − 30 min)
