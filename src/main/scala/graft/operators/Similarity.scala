@@ -565,6 +565,59 @@ object Similarity {
       .filter(col("cos_sim") >= 0.4)
   }
 
+  // ---------- st16's shared pieces: the persisted-index build and
+  // the probe-side preparation, written once so the STREAMING serving
+  // query (st16) provably runs the same code as the batch one ----------
+
+  /** Build the persisted LSH-bucket index (s13's layout — even-id
+    * corpus, bucketed+sorted on the bucket key at write time) under
+    * `table`. The bucket shuffle is paid HERE, once; probes join it
+    * with zero exchange on the corpus side. */
+  private[graft] def buildBucketIndex(s: SparkSession, d: String,
+      table: String): Unit = {
+    val e = vecs(s, d).withColumn("bucket", expr(bucketExpr))
+    val idxPath = s"${System.getProperty("java.io.tmpdir")}/graft_$table-" +
+      Integer.toHexString(d.hashCode)
+    e.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("bv"),
+        col("nrm").as("nrm_c"), col("bucket").as("bucket_c"))
+      .write.mode("overwrite").option("path", idxPath)
+      .bucketBy(8, "bucket_c").sortBy("bucket_c")
+      .saveAsTable(table)
+  }
+
+  /** Turn any (vec_id, embedding) frame — batch OR a streaming
+    * micro-batch — into exploded multi-probe rows (q_id, av, nrm_q,
+    * probe): the bucket/probe expressions are stateless codegen'd
+    * scalars, so the identical code plans inside a streaming query.
+    * Registers the session's vector functions as a side effect. */
+  private[graft] def probeRows(s: SparkSession, d: String,
+      df: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    graft.functions.VectorFunctions.registerLshBucket(
+      s, hyperplaneWeights(lshHyperplanes(s, d)))
+    df.select(col("vec_id").as("q_id"),
+        col("embedding").as("av"),
+        expr("vec_norm(embedding)").as("nrm_q"),
+        expr("vec_lsh_bucket(embedding)").as("bucket"))
+      .withColumn("probe", explode(expr(probeExpr(lshHyperplanes(s, d)))))
+  }
+
+  /** The query-vs-corpus top-1 oracle (s11/s13's text) — also st16's:
+    * the streaming serving run must equal the batch serving answer. */
+  private[graft] def queryVsCorpusOracleSql: String =
+    s"""WITH e0 AS ($vecsSql),
+        ${bucketedSqlCtes()},
+        cand AS (SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+            list_sum(list_transform(list_zip(a.v, b.v), t -> t[1] * t[2]))
+              / (a.nrm * b.nrm) AS cos_sim
+          FROM probed a JOIN e b ON a.probe = b.bucket
+          WHERE a.vec_id % 2 = 1 AND b.vec_id % 2 = 0)
+        SELECT q_id, c_id, cos_sim FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY cos_sim DESC, c_id) AS r FROM cand)
+        WHERE r = 1 ORDER BY q_id"""
+
   // ---------- shared two-level coarse quantizer (s12 IVF gate, d13
   // SemDeDup clustering) ----------
 

@@ -151,6 +151,50 @@ object StreamingOps {
     root.toString
   }
 
+  /** Stage `embeddings` as 3 single-file parquets split on vec_id
+    * order — the QUERY stream st16 serves. Same content-keyed cache
+    * discipline as [[staged]]/[[stagedDocs]]. */
+  private def stagedEmb(s: SparkSession, dir: String): String = synchronized {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(sourceFingerprint(dir, "embeddings").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val root = Paths.get(s"/tmp/graft_embstream_$key")
+    if (Files.exists(root.resolve("_COMPLETE"))) return root.toString
+    Files.createDirectories(root)
+    val emb = new Tables(s, dir).embeddings
+    val n = emb.count()
+    val withRn = emb.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("vec_id"))) - 1)
+    Seq((0L, n / 3, "00"), (n / 3, 2 * n / 3, "01"), (2 * n / 3, n, "02"))
+      .foreach { case (lo, hi, name) =>
+        val part = withRn.filter(col("rn") >= lo && col("rn") < hi).drop("rn")
+        val tmp = root.resolve(s"_tmp_$name")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val file = Files.list(tmp).filter(p =>
+          p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        Files.move(file, root.resolve(s"$name.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        deleteRec(tmp)
+      }
+    Seq("00", "01", "02").zipWithIndex.foreach { case (f, i) =>
+      Files.setLastModifiedTime(root.resolve(s"$f.parquet"),
+        FileTime.fromMillis(1000000L + i * 60000L))
+    }
+    Files.createFile(root.resolve("_COMPLETE"))
+    root.toString
+  }
+
+  /** embeddings as an unbounded stream, one staged file per
+    * micro-batch. */
+  private def embStream(s: SparkSession, dir: String): DataFrame = {
+    val stage = stagedEmb(s, dir)
+    val schema = s.read.parquet(stage + "/00.parquet").schema
+    s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage)
+  }
+
   /** documents as an unbounded stream, one staged file per micro-batch. */
   private def docStream(s: SparkSession, dir: String): DataFrame = {
     val stage = stagedDocs(s, dir)
@@ -866,5 +910,38 @@ object StreamingOps {
         FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
         LEFT JOIN hits h ON h.delta_id = d.doc_id
         ORDER BY d.doc_id"""))
+    ,
+
+    // ----- st16: STREAMING ANN SERVING — a continuous query stream
+    // probing the PERSISTED bucket index (s13's layout, built once by
+    // the shared [[Similarity.buildBucketIndex]]): each micro-batch
+    // of query vectors explodes its H+1 multi-probe buckets through
+    // the same codegen'd expressions the batch path uses
+    // ([[Similarity.probeRows]]) and stream-static joins the bucketed
+    // table; a COMPLETE-mode max-of-(cos, −id) aggregation keeps the
+    // running EXACT top-1 per query — associative, so micro-batch
+    // slicing cannot change the answer, which is why the oracle is
+    // s11's batch serving SQL verbatim. The serving loop a production
+    // retrieval endpoint runs: index maintained nightly (s17's
+    // lifecycle), queries arriving continuously, per-query work =
+    // occupancy × (H+1) probes regardless of corpus size.
+    QueryDef(
+      "st16_stream_ann_serving",
+      (s, d) => {
+        graft.operators.Similarity.buildBucketIndex(s, d, "st16_corpus_idx")
+        val corpus = s.table("st16_corpus_idx")
+        val qs = graft.operators.Similarity.probeRows(s, d,
+          embStream(s, d).filter(col("vec_id") % 2 === 1)
+            .select(col("vec_id"), col("embedding")))
+        val top = qs.join(corpus, col("probe") === col("bucket_c"))
+          .withColumn("cos_sim",
+            expr("vec_dot(av, bv)") / (col("nrm_q") * col("nrm_c")))
+          .groupBy(col("q_id"))
+          .agg(max(struct(col("cos_sim"), (-col("c_id")).as("nci"))).as("t"))
+          .select(col("q_id"), (-col("t.nci")).as("c_id"),
+            col("t.cos_sim").as("cos_sim"))
+        runToMemory(s, top, "complete").orderBy(col("q_id"))
+      },
+      Some(graft.operators.Similarity.queryVsCorpusOracleSql))
   )
 }
