@@ -79,6 +79,12 @@ object ScaleUp {
       // delta pairs scale ×K (the copy shift is ≡ 0 mod 5, so every
       // copy keeps the same delta stripe)
       "d10_incremental_dedup",
+      // r13: streaming ANN serving — index build on the ×K corpus +
+      // the staged query stream probing it; answered-query count is
+      // the probe-hit rate under the adaptive-H geometry (s02's
+      // retention logic, streaming machinery on top). First run pays
+      // the embeddings staging split like st02.
+      "st16_stream_ann_serving",
       // r13: the streaming probe — sliding-window agg over ×K events
       // (key-shifted copies, timestamps unchanged: the window set is
       // constant while every window's count scales ×K exactly). The
