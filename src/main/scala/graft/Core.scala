@@ -252,10 +252,15 @@ object GraftConf {
   val CcCheckpointIntervalKey = "spark.graft.ccCheckpointInterval"
 
   /** Corpus line-dedup: a segment appearing in at least this many
-    * distinct documents is boilerplate and scrubbed everywhere. A
-    * bigger corpus repeats true boilerplate in far more docs, so the
-    * threshold grows with corpus size (roughly with log n) to keep
-    * organic collisions out of the hot set. */
+    * distinct documents is boilerplate and scrubbed everywhere.
+    * Default 3 (FIXED — unlike the SimHash/LSH geometry this does not
+    * auto-derive from corpus count). A bigger corpus repeats true
+    * boilerplate in far more docs, so a deployment RAISES it with
+    * corpus size (roughly with log n) to keep organic collisions out
+    * of the hot set; the t13 oracle twin resolves the override at
+    * materialization time. The ×100 probe at the default measured
+    * retention exactly 1.000 — organic collisions did not enter at
+    * that scale. */
   val LineDedupDfKey = "spark.graft.lineDedupDf"
 
   /** Max age in ms since a WAP branch's last staged append before
