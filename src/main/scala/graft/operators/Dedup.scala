@@ -837,9 +837,6 @@ object Dedup {
     * 100 TB. All three variants return a persisted frame the loop's
     * gating count materializes; labels are bit-identical either way
     * (`DeepChainSpec`/`LargeSmallStarSpec` assert it). */
-  private val ccDirApplied =
-    new java.util.concurrent.atomic.AtomicReference[String]("")
-
   private def ccTruncate(df: DataFrame, round: Int): DataFrame = {
     val s = df.sparkSession
     if (!GraftConf.bool(s, GraftConf.CcReliableCheckpointKey, false))
@@ -851,12 +848,20 @@ object Dedup {
       if (round % every == 0) {
         val dir = GraftConf.string(s, GraftConf.CcCheckpointDirKey, "")
         if (dir.nonEmpty) {
-          // the context's checkpoint dir is global and sticky (Spark
-          // appends a UUID subdir per set); re-point it only when the
-          // conf actually changed so successive jobs with different
-          // dirs land where their conf says
-          if (ccDirApplied.getAndSet(dir) != dir)
-            s.sparkContext.setCheckpointDir(dir)
+          // The context's checkpoint dir is global and sticky (Spark
+          // appends a UUID subdir per set), so decide from the
+          // CONTEXT itself whether it already points under the
+          // configured dir — a JVM-global "applied" flag would
+          // survive a context restart (leaving the fresh context with
+          // no dir at all) and race between concurrent sessions with
+          // different dirs.
+          val wanted = new org.apache.hadoop.fs.Path(dir).toUri.getPath
+          val already = s.sparkContext.getCheckpointDir.exists { cur =>
+            val curP = new org.apache.hadoop.fs.Path(cur)
+            (Option(curP.getParent).toSeq :+ curP)
+              .exists(_.toUri.getPath == wanted)
+          }
+          if (!already) s.sparkContext.setCheckpointDir(dir)
         } else require(s.sparkContext.getCheckpointDir.nonEmpty,
           s"${GraftConf.CcReliableCheckpointKey} needs " +
             s"${GraftConf.CcCheckpointDirKey} (or a SparkContext " +

@@ -402,7 +402,16 @@ object Similarity {
     * generation's files are removed. Probe answers and the
     * zero-exchange corpus side are unchanged (`PersistedIndexSpec`,
     * plus the s17 gate which now runs build→append→compact→probe
-    * through the DuckDB oracle). */
+    * through the DuckDB oracle).
+    *
+    * Crash recovery: the DROP→RENAME swap is two statements, not one
+    * atomic operation. A crash BEFORE the drop leaves the live table
+    * untouched (re-run compaction; the defensive drop below clears
+    * the orphaned staging table). A crash BETWEEN drop and rename
+    * leaves no live `s17_corpus_idx` — the new generation's files
+    * survive under the staging name, so recover with either `ALTER
+    * TABLE s17_corpus_idx_next RENAME TO s17_corpus_idx` or a full
+    * rebuild via [[s17BuildBase]]. */
   private[graft] def s17Compact(s: SparkSession, d: String): Unit = {
     val cat = s.sessionState.catalog
     val curLoc = cat.getTableMetadata(
@@ -417,6 +426,10 @@ object Similarity {
     // force the bucketed scan (the auto mode drops it when no join or
     // aggregate exploits the distribution — a plain rewrite doesn't)
     s.conf.set(scanKey, "false")
+    // a prior crash after the staging write can leave an orphaned
+    // staging table whose metadata saveAsTable would trip over —
+    // clear it before writing the new generation
+    s.sql("DROP TABLE IF EXISTS s17_corpus_idx_next")
     try {
       s.table("s17_corpus_idx")
         .write.mode("overwrite").option("path", next)
@@ -650,10 +663,17 @@ object Similarity {
       n: Long, k: Int): (DataFrame, DataFrame) = {
     val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
     val cps = (k + k1 - 1) / k1
+    // Sample gate compares the 32-bit hash against a DRIVER-side
+    // threshold instead of multiplying hash*n in the plan: past
+    // ~2.1e9 corpus vectors the product wraps negative in signed
+    // 64-bit (rows would spuriously pass) while DuckDB would raise —
+    // hash*n < C  ⟺  hash ≤ (C-1)/n for non-negative integers, so
+    // the sampled set is bit-identical to the product form.
+    val sampThresh = (IvfTrainPerCell * 4294967296L * k - 1L) / n + 1L
     val samp = corpus.filter(
       conv(substring(md5(concat(lit(salt),
         col("c_id").cast("string"))), 1, 8), 16, 10).cast("long")
-        * lit(n) < lit(IvfTrainPerCell * 4294967296L * k))
+        < lit(sampThresh))
     val seeds1 = samp.orderBy(col("c_id")).limit(k1)
       .select(col("c_id").as("scid"), col("bv").as("sc"))
     val wVec = Window.partitionBy(col("c_id"))
@@ -1097,8 +1117,8 @@ object Similarity {
         corpus AS (SELECT vec_id AS c_id, v AS bv, nrm FROM e0),
         samp AS (SELECT c_id, bv FROM corpus
           WHERE ('0x' || substr(md5('d13s:' || c_id), 1, 8))::BIGINT
-                  * (SELECT n FROM nn)
-                < ${IvfTrainPerCell * 4294967296L} * (SELECT k FROM kk)),
+                < (${IvfTrainPerCell * 4294967296L} * (SELECT k FROM kk)
+                   - 1) // (SELECT n FROM nn) + 1),
         seeds1 AS (SELECT c_id AS scid, bv AS sc FROM (
             SELECT c_id, bv, ROW_NUMBER() OVER (ORDER BY c_id) AS rn
             FROM samp)
@@ -1301,8 +1321,16 @@ object Similarity {
         // entries KEEP their init sub-vector — standard empty-cluster
         // handling, and it keeps codes DENSE in 0..63 for the
         // positional LUT below ----
-        val cb0 = e.filter(col("vec_id") < 64)
-          .select(col("vec_id").as("c"), col("v").as("cv"))
+        // Entry ids are ROW_NUMBER over the 64 lowest-id vectors, not
+        // raw vec_ids: the positional LUT below indexes pl[m*64+c+1],
+        // which requires c DENSE in 0..63 — raw ids satisfy that only
+        // when the corpus happens to contain every id < 64. (On dense
+        // test corpora rank-1 == vec_id, so this is hash-neutral.)
+        val cb0 = e.orderBy(col("vec_id")).limit(64)
+          .select(
+            (row_number().over(Window.orderBy(col("vec_id"))) - 1)
+              .as("c"),
+            col("v").as("cv"))
         // L2^2 between the m-th sub-vectors of `a` and the FULL-width
         // init codebook row; floats cast to double BEFORE subtracting
         // (the oracle's vectors are double from the start)
@@ -1421,8 +1449,8 @@ object Similarity {
                WHERE vec_id % 2 = 1),
         samp AS (SELECT c_id, bv FROM corpus
           WHERE ('0x' || substr(md5('s12s:' || c_id), 1, 8))::BIGINT
-                  * (SELECT n FROM nn)
-                < ${IvfTrainPerCell * 4294967296L} * (SELECT k FROM kk)),
+                < (${IvfTrainPerCell * 4294967296L} * (SELECT k FROM kk)
+                   - 1) // (SELECT n FROM nn) + 1),
         seeds1 AS (SELECT c_id AS scid, bv AS sc FROM (
             SELECT c_id, bv, ROW_NUMBER() OVER (ORDER BY c_id) AS rn
             FROM samp)
@@ -1501,7 +1529,10 @@ object Similarity {
           WHERE rn <= ${IvfNprobe}),
         cand AS (SELECT p.q_id, cc.c_id
                  FROM probes p JOIN ccell cc USING (cid)),
-        cb0 AS (SELECT vec_id AS c, v AS cv FROM e0 WHERE vec_id < 64),
+        cb0 AS (SELECT rn - 1 AS c, cv FROM (
+            SELECT v AS cv,
+              ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM e0)
+          WHERE rn <= 64),
         cbinit AS (SELECT mm.m, ct.c,
             list_slice(ct.cv, mm.m * 16 + 1, mm.m * 16 + 16) AS cvi
           FROM UNNEST(generate_series(0, 3)) AS mm(m), cb0 ct),
