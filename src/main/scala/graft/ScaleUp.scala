@@ -90,7 +90,19 @@ object ScaleUp {
       // constant while every window's count scales ×K exactly). The
       // first run on a fresh corpus pays the one-time staging split;
       // re-run to time the steady state.
-      "st02_stream_sliding_window")
+      "st02_stream_sliding_window",
+      // r14: the RocksDB state-store probes — the one axis the matrix
+      // never measured. Key cardinality grows ∝ corpus (user_id /
+      // event_id are copy-shifted), so state rows must scale ×K while
+      // wall time stays linear; each row also records PEAK state rows
+      // and state-store bytes from StateOperatorProgress (see
+      // stateMetrics below). st03: session windows per user on
+      // RocksDB; st04: dropDuplicatesWithinWatermark (watermark-
+      // bounded eviction — peak is mid-stream, not final); st09:
+      // transformWithState + ValueState running-max (mandatory
+      // RocksDB).
+      "st03_stream_session_window", "st04_stream_dedup",
+      "st09_transform_with_state")
 
   /** What a query's "found" count IS for retention purposes, when a
     * plain row count is structurally trivial (one row per doc): d11
@@ -163,32 +175,60 @@ object ScaleUp {
     val outDir = s"${System.getProperty("java.io.tmpdir")}/graft_scaleup_x$k"
     build(spark, sfDir, outDir, k)
 
+    // PEAK state across the run's micro-batches (rows and store bytes
+    // summed over state operators per batch, then maxed over batches):
+    // watermark-evicting shapes (st04) peak mid-stream, so the final
+    // batch under-reports the store a 100 TB deployment must size for.
+    def stateMetrics(): Option[(Long, Long)] = {
+      val perBatch = graft.streaming.StreamingOps.lastProgress.get()
+        .filter(_.stateOperators.nonEmpty)
+        .map(p => (p.stateOperators.map(_.numRowsTotal).sum,
+          p.stateOperators.map(_.memoryUsedBytes).sum))
+      if (perBatch.isEmpty) None
+      else Some((perBatch.map(_._1).max, perBatch.map(_._2).max))
+    }
+
     val results = selected.map { name =>
       val fn = SparkEntry.queries(name)
       val measure = Measures.getOrElse(name, (df: DataFrame) => df.count())
-      def time(dir: String): (Double, Long) = {
+      def time(dir: String): (Double, Long, Option[(Long, Long)]) = {
         spark.catalog.clearCache()
+        graft.streaming.StreamingOps.lastProgress.set(Nil)
         val t0 = System.nanoTime()
         val n = measure(fn(spark, dir))
-        ((System.nanoTime() - t0) / 1e9, n)
+        ((System.nanoTime() - t0) / 1e9, n, stateMetrics())
       }
-      val (t1, n1) = time(sfDir)
-      val (tk, nk) = time(outDir)
+      val (t1, n1, st1) = time(sfDir)
+      val (tk, nk, stk) = time(outDir)
+      val stateJson = (st1, stk) match {
+        case (Some((r1, b1)), Some((rk, bk))) =>
+          s""","state_rows_x1":$r1,"state_bytes_x1":$b1,""" +
+            s""""state_rows_xk":$rk,"state_bytes_xk":$bk,""" +
+            s""""state_rows_ratio":${rk.toDouble / math.max(1L, r1)}"""
+        case _ => ""
+      }
       val json = s"""{"query":"$name","k":$k,""" +
         s""""rows_x1":$n1,"rows_xk":$nk,""" +
         s""""retention":${nk.toDouble / (k * math.max(1L, n1))},""" +
         s""""sec_x1":$t1,"sec_xk":$tk,""" +
-        s""""time_ratio":${tk / math.max(1e-9, t1)}}"""
+        s""""time_ratio":${tk / math.max(1e-9, t1)}$stateJson}"""
       println(json)
       System.err.println(json)
       json
     }
-    // MERGE into the committed matrix rather than overwrite: a
-    // filtered run updates its own (query, k) rows and leaves every
-    // other probe's evidence in place. Prior entries that fail to
-    // parse (older format, hand edits) are KEPT verbatim — the merge
-    // must never lose evidence it cannot read; a whole-file parse
-    // failure aborts loudly instead of silently replacing the matrix.
+    mergeIntoMatrix(results, selected.map(n => (n, k)).toSet)
+    spark.stop()
+  }
+
+  /** MERGE probe rows into the committed matrix rather than
+    * overwrite: a filtered run updates its own (query, k) rows and
+    * leaves every other probe's evidence in place. Prior entries that
+    * fail to parse (older format, hand edits) are KEPT verbatim —
+    * the merge must never lose evidence it cannot read; a whole-file
+    * parse failure aborts loudly instead of silently replacing the
+    * matrix. Shared with [[SkewProbe]]. */
+  private[graft] def mergeIntoMatrix(results: Seq[String],
+      fresh: Set[(String, Int)]): Unit = {
     val outPath = java.nio.file.Paths.get("scaleup_out.json")
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     def keyOf(json: String): Option[(String, Int)] =
@@ -206,7 +246,6 @@ object ScaleUp {
             "overwrite it; move it aside to rebuild the matrix")
         (0 until arr.size).map(i => arr.get(i).toString)
       }
-    val fresh = selected.map(n => (n, k)).toSet
     // entries whose (query, k) key cannot be parsed are kept verbatim
     // (the merge must never lose evidence it cannot read) — but warn,
     // because a re-run of the same probe in a newer format would then
@@ -219,7 +258,6 @@ object ScaleUp {
       prior.filterNot(p => keyOf(p).exists(fresh.contains)) ++ results
     java.nio.file.Files.writeString(outPath,
       merged.mkString("[", ",\n", "]\n"))
-    spark.stop()
   }
 
   /** Write the ×K isometric corpus (documents + embeddings) to

@@ -871,6 +871,15 @@ object Dedup {
     }
   }
 
+  /** Failure-injection hook for the CC loops, called with the 1-based
+    * round number at the TOP of each propagation round — BEFORE the
+    * round's plan re-reads the previous round's truncated labels.
+    * `CcFailureInjectionSpec` points it at a block-manager wipe to
+    * prove the `ccReliableCheckpoint` recovery path actually recovers
+    * (and that the default localCheckpoint path actually cannot).
+    * Production value is a no-op; never set outside tests. */
+  @volatile private[graft] var ccRoundHook: Int => Unit = _ => ()
+
   private[graft] def propagateLabels(nodes: DataFrame,
       edges: DataFrame): (DataFrame, Int) = {
     var labels = nodes.withColumn("cluster_id", col("doc_id")).cache()
@@ -878,6 +887,7 @@ object Dedup {
     var round = 0
     while (changed > 0) {
       round += 1
+      ccRoundHook(round)
       val nbrMin = edges
         .join(labels.withColumnRenamed("doc_id", "nid"),
           col("dst") === col("nid"))

@@ -213,6 +213,15 @@ object StreamingOps {
       .parquet(stage)
   }
 
+  /** Progress rows of the most recent [[runToMemory]] query. The
+    * ScaleUp state probes read `StateOperatorProgress` (state rows,
+    * state-store bytes) from here after a probe completes — state
+    * growth ∝ keys is the axis that kills streaming jobs at 100 TB,
+    * so it is measured alongside wall time, not inferred. */
+  private[graft] val lastProgress = new java.util.concurrent.atomic
+    .AtomicReference[Seq[org.apache.spark.sql.streaming
+      .StreamingQueryProgress]](Nil)
+
   /** Run a streaming frame to a memory sink until all staged input is
     * consumed; returns the materialized sink table. */
   private def runToMemory(s: SparkSession, streamed: DataFrame,
@@ -221,6 +230,7 @@ object StreamingOps {
     val q = streamed.writeStream.format("memory").queryName(name)
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    lastProgress.set(q.recentProgress.toSeq)
     s.table(name)
   }
 

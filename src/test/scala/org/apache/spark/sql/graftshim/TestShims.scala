@@ -13,4 +13,17 @@ object TestShims {
     sc.conf.set(k, v)
   def removeContextConf(sc: SparkContext, k: String): Unit =
     sc.conf.remove(k)
+
+  /** Destroy EVERY cached / localCheckpoint RDD block in the block
+    * manager — the single-JVM moral equivalent of losing the executor
+    * that held them. Cached-only RDDs recompute from lineage;
+    * localCheckpoint'd RDDs cannot (their lineage was truncated), so
+    * this is the failure `spark.graft.ccReliableCheckpoint` exists to
+    * survive. Returns the number of blocks removed. */
+  def dropAllRddBlocks(sc: SparkContext): Int = {
+    val master = org.apache.spark.SparkEnv.get.blockManager.master
+    val ids = master.getMatchingBlockIds(_.isRDD, askStorageEndpoints = true)
+    ids.foreach(master.removeBlock)
+    ids.size
+  }
 }
