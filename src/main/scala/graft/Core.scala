@@ -311,6 +311,14 @@ object GraftConf {
     * over the late-arriving files at commit). */
   val RowLevelIsolationKey = "spark.graft.rowLevelIsolation"
 
+  /** Profiling aid (never set in gated runs): multi-phase lifecycle
+    * queries (w19) print per-phase elapsed times to stderr so a
+    * scale probe can attribute wall time to phases instead of
+    * guessing. Off by default; phase prints force intermediate
+    * materialization, so the measured total under this dial is NOT
+    * comparable to a quiet run. */
+  val PhaseLogKey = "spark.graft.phaseLog"
+
   def int(s: SparkSession, key: String, default: Int): Int =
     s.conf.getOption(key).map(_.trim.toInt).getOrElse(default)
 

@@ -568,6 +568,7 @@ object Pipeline {
                         % 100 < 50
                ELSE TRUE END AS keep
         FROM fl f LEFT JOIN t1 ON TRUE LEFT JOIN t2 ON TRUE
-        ORDER BY f.doc_id"""))
+        ORDER BY f.doc_id"""),
+      headline = true)
   )
 }

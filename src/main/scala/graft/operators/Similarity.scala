@@ -1201,7 +1201,8 @@ object Similarity {
         SELECT a.c_id AS vec_id, a.cid, a.cd AS cent_l2,
           v.victim IS NULL AS kept
         FROM asgn a LEFT JOIN victims v ON v.victim = a.c_id
-        ORDER BY vec_id""")),
+        ORDER BY vec_id"""),
+      headline = true),
 
     // ----- s11: QUERY-vs-CORPUS retrieval — the production serving
     // shape the self-join queries (s02/s05) stand in for: an INDEXED
@@ -1601,7 +1602,8 @@ object Similarity {
         SELECT q_id, c_id, l2sq FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
             ORDER BY l2sq, c_id) AS r FROM rer)
-        WHERE r = 1 ORDER BY q_id""")),
+        WHERE r = 1 ORDER BY q_id"""),
+      headline = true),
 
     // ----- s08: IVF with a TRAINED coarse quantizer — one Lloyd
     // (k-means) refinement of s04's training-free centroids, written
