@@ -202,11 +202,25 @@ object GraftConf {
     * hash gate. */
   val IvfCellsKey = "spark.graft.ivfCells"
   /** IVF probe width (s12): how many nearest cells each query scans
-    * with ADC. Fixed while cells grow with n → per-query candidate
-    * count stays ~nprobe·64 at any corpus size. Same caveat as
-    * [[IvfCellsKey]]: the oracle re-derives the default, so an
-    * override invalidates the hash gate. */
+    * with ADC. Default AUTO-CALIBRATED per corpus: a deterministic
+    * ~256-query sample gets exact nearest neighbors, the rank of each
+    * true NN's cell in the query's gated cell ordering is measured,
+    * and nprobe is the [[IvfRecallTargetPctKey]]-th percentile of
+    * those ranks, clamped to [7, 4·ceil(√k)] — recall tracks the
+    * corpus geometry instead of decaying silently as adaptive k grows
+    * (clustered corpora calibrate low; isotropic corpora hit the cost
+    * cap, which bounds per-query candidates at ~4·√k·64). Setting
+    * this key pins a fixed width; the override IS oracle-aware
+    * (unlike [[IvfCellsKey]]): the twin interpolates the session
+    * value at materialization. */
   val IvfNprobeKey = "spark.graft.ivfNprobe"
+  /** Candidate-recall target percentile for the s12 nprobe
+    * auto-calibration, in [1, 100] (default 90): nprobe becomes the
+    * smallest probe width that would have recovered the true nearest
+    * neighbor for this fraction of the calibration sample, subject to
+    * the cost cap. Override-aware in the oracle (resolved at
+    * materialization). Ignored when [[IvfNprobeKey]] is set. */
+  val IvfRecallTargetPctKey = "spark.graft.ivfRecallTargetPct"
   /** IVF two-level routing width (s12): how many of the ceil(√k)
     * level-1 super-cells the cell search descends into per vector —
     * assignment stays O(√k) per vector while recall across super-cell

@@ -1,0 +1,185 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end recall@1 probe for s12 IVF-PQ under the AUTO-CALIBRATED
+  * nprobe (on demand, not driver-gated): measures the full pipeline's
+  * top-1 against an exact brute-force referee on a deterministic
+  * query sample, at ×K, on BOTH corpus geometries:
+  *
+  *  - `iso`: the ×K isometric-copy corpus — uniform random vectors,
+  *    the documented worst case where no sublinear gate can hold
+  *    recall (curse of dimensionality). Calibration is expected to
+  *    land ON the cost cap (4·ceil(√k) cells) and recall@1 reports
+  *    whatever that budget buys — the decay is measured, not silent.
+  *  - `clustered`: the same ×K vector ids rewritten as a C-mode
+  *    mixture (mode + 0.3·noise, all md5-deterministic) — the
+  *    deployment geometry real embedding corpora have. Calibration is
+  *    expected to pick a SMALL nprobe and recall@1 to hold at or
+  *    above the `spark.graft.ivfRecallTargetPct` target (90).
+  *
+  * The referee computes exact L2 argmin via the codegen'd
+  * vec_norm/vec_dot identity |a−b|² = |a|²+|b|²−2a·b — Spark-only
+  * measurement, so cross-engine bit-parity is not required (unlike
+  * the calibration chain itself, which is oracle-twinned inside s12).
+  *
+  * Usage: `sbt "runMain graft.RecallProbe [sfDir] [K] [iso|clustered|both]"`.
+  * Merges `s12_recall_iso` / `s12_recall_clustered` rows into
+  * `scaleup_out.json`.
+  */
+object RecallProbe {
+
+  private val Modes = 256  // mixture components in the clustered variant
+  private val NoiseAmp = 0.3
+  private val RefereeSample = 512L  // E[sampled queries] for the referee
+  private val VecDim = 64
+
+  /** Rewrite `srcDir/embeddings.parquet` into `dstDir` as a C-mode
+    * mixture: vector = modeDir(md5(vec_id)%C) + NoiseAmp·noise. */
+  private def buildClustered(spark: SparkSession, srcDir: String,
+      dstDir: String): Unit = {
+    val marker = java.nio.file.Paths.get(dstDir, "_COMPLETE")
+    val stamp = s"$srcDir|$Modes|$NoiseAmp|v1"
+    if (java.nio.file.Files.exists(marker) &&
+        java.nio.file.Files.readString(marker) == stamp) return
+    // mode directions as a broadcast lookup table built on the driver
+    val modeRows = (0 until Modes).map { m =>
+      (m.toLong, (0 until VecDim).map { dd =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"mode:$m:$dd".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex.take(8), 16).toDouble /
+          4294967296.0 - 0.5
+      })
+    }
+    val modeDf = spark.createDataFrame(modeRows).toDF("mode", "mv")
+    val withMode = spark.read.parquet(s"$srcDir/embeddings.parquet")
+      .withColumn("mode",
+        conv(substring(md5(concat(lit("cm:"),
+          col("vec_id").cast("string"))), 1, 8), 16, 10).cast("long")
+          % Modes)
+      .join(broadcast(modeDf), "mode")
+    val noisy = array((0 until VecDim).map { dd =>
+      element_at(col("mv"), dd + 1) +
+        (conv(substring(md5(concat(col("vec_id").cast("string"),
+          lit(s"~$dd"))), 1, 8), 16, 10).cast("double")
+          / lit(4294967296.0) - lit(0.5)) * lit(NoiseAmp)
+    }: _*).cast("array<float>")
+    withMode
+      .select(col("vec_id"), noisy.as("embedding"), col("label"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dstDir/embeddings.parquet")
+    java.nio.file.Files.writeString(marker, stamp)
+  }
+
+  /** Exact top-1 for an E[RefereeSample] md5-gated query sample, via
+    * the codegen'd vec identities (fast path; not oracle-twinned). */
+  private def referee(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val nQ = e.filter(col("vec_id") % 2 === 1).count()
+    val thresh = (RefereeSample * 4294967296L - 1L) /
+      math.max(1L, nQ) + 1L
+    val sq = e.filter(col("vec_id") % 2 === 1)
+      .filter(conv(substring(md5(concat(lit("rcl:"),
+        col("vec_id").cast("string"))), 1, 8), 16, 10).cast("long")
+        < lit(thresh))
+      .select(col("vec_id").as("q_id"), col("embedding").as("av"))
+      .withColumn("an2", expr("vec_dot(av, av)"))
+    val corpus = e.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("c_id"), col("embedding").as("bv"))
+      .withColumn("bn2", expr("vec_dot(bv, bv)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("l2sq"), col("c_id"))
+    corpus.crossJoin(broadcast(sq))
+      .withColumn("l2sq",
+        col("an2") + col("bn2") - lit(2.0) * expr("vec_dot(av, bv)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("c_id").as("true_nn"))
+  }
+
+  private def recallOf(spark: SparkSession, dir: String): (Long, Long) = {
+    val pred = SparkEntry.queries("s12_pq_adc")(spark, dir)
+      .select(col("q_id"), col("c_id").as("pred_nn"))
+    val ref = referee(spark, dir)
+    val agg = ref.join(pred, "q_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pred_nn") === col("true_nn"), 1L)
+          .otherwise(0L)).as("hit"))
+      .head()
+    (agg.getLong(0), agg.getLong(1))
+  }
+
+  private def measure(spark: SparkSession, dir: String,
+      tag: String, k: Int, diag: Boolean): String = {
+    spark.catalog.clearCache()
+    val np = graft.operators.Similarity.effectiveNprobe(spark, dir)
+    val kCells = {
+      val n = spark.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") % 2 === 0).count()
+      graft.operators.Similarity.adaptiveIvfCells(n)
+    }
+    val cap = graft.operators.Similarity.nprobeCap(kCells)
+    val t0 = System.nanoTime()
+    val (nS, hit) = recallOf(spark, dir)
+    val sec = (System.nanoTime() - t0) / 1e9
+    val recall = hit.toDouble / math.max(1L, nS)
+    // staged diagnosis: an effectively-unbounded ADC shortlist turns
+    // stage 2 into an exact rerank of EVERY candidate, so the measured
+    // recall becomes the CANDIDATE-stage recall — the gap between it
+    // and the default recall is attributable to ADC ranking resolution
+    val candRecall =
+      if (!diag) -1.0
+      else {
+        spark.catalog.clearCache()
+        spark.conf.set(GraftConf.PqShortlistKey, (1 << 24).toString)
+        try {
+          val (n2, h2) = recallOf(spark, dir)
+          h2.toDouble / math.max(1L, n2)
+        } finally spark.conf.unset(GraftConf.PqShortlistKey)
+      }
+    s"""{"query":"s12_recall_$tag","k":$k,"rows_x1":$nS,""" +
+      s""""rows_xk":$hit,"retention":$recall,"sec_x1":0.0,""" +
+      s""""sec_xk":$sec,"time_ratio":0.0,"nprobe":$np,""" +
+      s""""nprobe_cap":$cap,"n_cells":$kCells,"recall_at_1":$recall,""" +
+      s""""cand_recall":$candRecall,"referee_n":$nS}"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val k = args.lift(1).map(_.toInt).getOrElse(10)
+    val which = args.lift(2).getOrElse("both")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-recallprobe")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val xkDir = s"${System.getProperty("java.io.tmpdir")}/graft_scaleup_x$k"
+    ScaleUp.build(spark, sfDir, xkDir, k)
+    val diag = args.lift(3).contains("diag")
+    val rows = scala.collection.mutable.ArrayBuffer[String]()
+    if (which == "iso" || which == "both")
+      rows += measure(spark, xkDir, "iso", k, diag)
+    if (which == "clustered" || which == "both") {
+      val cDir = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft_scaleup_clustered_x$k"
+      buildClustered(spark, xkDir, cDir)
+      rows += measure(spark, cDir, "clustered", k, diag)
+    }
+    rows.foreach { r => println(r); System.err.println(r) }
+    val freshKeys: Set[(String, Int)] = rows.toSeq.map { r =>
+      val tag = if (r.contains("s12_recall_iso")) "s12_recall_iso"
+        else "s12_recall_clustered"
+      (tag, k)
+    }.toSet
+    ScaleUp.mergeIntoMatrix(rows.toSeq, freshKeys)
+    spark.stop()
+  }
+}

@@ -164,22 +164,163 @@ object Similarity {
     k
   }
 
-  /** IVF probe width DEFAULT (s12): nearest cells ADC-scanned per
-    * query. With occupancy-64 cells the scanned candidate set is
-    * ~nprobe·64 rows of 4-byte codes per query — independent of n,
-    * the IVF-PQ serving shape. 7 measures recall@1 = 0.96 on the test
-    * corpus (5 → 0.80-band); the corpus is isotropic (no cluster
-    * structure), the worst case for any partition gate, so on real
-    * clustered embeddings the same nprobe recovers MORE. Override with
-    * `spark.graft.ivfNprobe`. */
+  /** IVF probe-width FLOOR (s12): the minimum nearest-cell count each
+    * query ADC-scans. The EFFECTIVE width is auto-calibrated per
+    * corpus (see [[calibrateNprobe]]) and clamped to
+    * [IvfNprobe, [[nprobeCap]]]; `spark.graft.ivfNprobe` pins a fixed
+    * width instead (override-aware in the oracle). 7 was the r9-r13
+    * fixed default — kept as the floor so no corpus ever probes fewer
+    * cells than before, and a fixed 7 of adaptive k is exactly the
+    * silent recall decay the calibration replaces. */
   private[graft] val IvfNprobe = 7
 
-  private def ivfNprobe(s: SparkSession): Int = {
-    val p = GraftConf.int(s, GraftConf.IvfNprobeKey, IvfNprobe)
-    require(p > 0 && p <= 4096,
-      s"${GraftConf.IvfNprobeKey} must be in [1, 4096], got $p")
+  /** The pinned probe width when `spark.graft.ivfNprobe` is set
+    * (validated), else None → auto-calibrate. */
+  private def ivfNprobeOverride(s: SparkSession): Option[Int] =
+    s.conf.getOption(GraftConf.IvfNprobeKey).map { raw =>
+      val p = raw.trim.toInt
+      require(p > 0 && p <= 4096,
+        s"${GraftConf.IvfNprobeKey} must be in [1, 4096], got $p")
+      p
+    }
+
+  /** Cost cap for the calibrated nprobe: 4·ceil(√k) cells, i.e.
+    * per-query ADC candidates stay ≤ ~4·√k·64 codes and the scanned
+    * corpus fraction SHRINKS as 4/√k while n grows. A corpus whose
+    * geometry cannot meet the recall target under that budget
+    * (isotropic embeddings — the documented worst case, where no
+    * sublinear gate works) calibrates ONTO the cap: the decay is
+    * measured and bounded instead of silent. */
+  private[graft] def nprobeCap(k: Int): Int =
+    math.max(IvfNprobe, 4 * math.ceil(math.sqrt(k.toDouble)).toInt)
+
+  /** Expected nprobe-calibration sample size (queries): large enough
+    * that the percentile estimate is ±~2%, small enough that the
+    * exact-NN referee (|sample|·n distance evals) rides the s12 run
+    * unnoticed at any corpus size. */
+  private[graft] val CalibSample = 256L
+
+  private def recallTargetPct(s: SparkSession): Int = {
+    val p = GraftConf.int(s, GraftConf.IvfRecallTargetPctKey, 90)
+    require(p >= 1 && p <= 100,
+      s"${GraftConf.IvfRecallTargetPctKey} must be in [1, 100], got $p")
     p
   }
+
+  /** Recall-target percentile for the s12 twin, override-aware like
+    * [[resolvedLshTables]]. */
+  private def resolvedRecallTargetPct: Int =
+    sessionForOracle.map(recallTargetPct).getOrElse(90)
+
+  /** Probe-width term for the s12 twin: the pinned override as a
+    * literal when `spark.graft.ivfNprobe` is set, else the calibrated
+    * width from the twin's own `calib` CTE — the oracle re-derives
+    * the default from the same data, no literal to drift. */
+  private def resolvedNprobeSql: String =
+    sessionForOracle.flatMap(ivfNprobeOverride)
+      .map(_.toString).getOrElse("(SELECT np FROM calib)")
+
+  /** Order-statistic nprobe from the calibration sample's IN-GATE
+    * cellranks: the smallest probe width that would have recovered
+    * the true NN for `pct`% of the RECOVERABLE sample (exact
+    * integer-ceil order statistic — never an interpolated percentile,
+    * the cross-engine determinism rule), clamped to
+    * [[[IvfNprobe]], cap]. Queries whose true-NN cell lies OUTSIDE
+    * the wSup super-cell gate are excluded, not sentinel-maxed: no
+    * nprobe recovers them at any cost (the gate, not the probe width,
+    * is their binding constraint — raise `spark.graft.ivfSuperProbe`
+    * for those), so letting them drive nprobe to the cap would
+    * multiply the scan cost for zero recall gain. Measured at ×10 on
+    * the isotropic corpus: in-gate ranks concentrate at the top of
+    * the ordering (the true NN is close, so its cell centroid ranks
+    * early), and cap-probing bought +0.00 recall@1 over the in-gate
+    * percentile at 7× the cost. */
+  private[graft] def pickNprobe(ranks: Seq[Long], pct: Int,
+      cap: Int): Int =
+    if (ranks.isEmpty) IvfNprobe
+    else {
+      val need = math.max(1, (ranks.length * pct + 99) / 100)
+      val np0 = ranks.sorted.apply(need - 1)
+      math.max(IvfNprobe.toLong, math.min(cap.toLong, np0)).toInt
+    }
+
+  /** AUTO-CALIBRATE the s12 probe width against the corpus geometry:
+    * an E[[[CalibSample]]]-query md5-Bernoulli sample gets its EXACT
+    * nearest corpus neighbor (the one brute-force cost — |sample|·n
+    * distance evals, bounded by the fixed sample size), each true NN
+    * routes to its cell through the SAME two-level gate the serving
+    * path uses, and the rank of that cell in the query's gated cell
+    * ordering is precisely the nprobe that query needed. nprobe :=
+    * the [[recallTargetPct]]-th percentile of those ranks,
+    * cap-clamped — clustered corpora (the deployment case) calibrate
+    * low, isotropic ones hit the cap. Deterministic end-to-end (md5
+    * gate, [[l2d]] distances, id tie-breaks) and replicated
+    * CTE-for-CTE in the twin, so both engines derive the same width
+    * from the same data. Collected EAGERLY (≤ sample-size rows) and
+    * embedded as a literal — the p07 lesson: a lazy width frame would
+    * re-run this chain at every downstream materialization. */
+  private[graft] def calibrateNprobe(s: SparkSession, qs: DataFrame,
+      corpus: DataFrame, scCent: DataFrame, cellCent: DataFrame,
+      nQ: Long, k: Int, wSup: Int): Int = {
+    val cap = nprobeCap(k)
+    // driver-side threshold, not hash·n in the plan (the twoLevelTrain
+    // overflow lesson): hash < (C·2³² − 1)/nQ + 1  ⟺  hash·nQ < C·2³²
+    val sampThresh = (CalibSample * 4294967296L - 1L) / nQ + 1L
+    val sq = qs.filter(
+      conv(substring(md5(concat(lit("s12c:"),
+        col("q_id").cast("string"))), 1, 8), 16, 10).cast("long")
+        < lit(sampThresh))
+    val wNN = Window.partitionBy(col("q_id"))
+      .orderBy(col("qd"), col("c_id"))
+    val nn = corpus.crossJoin(broadcast(sq))
+      .withColumn("qd", l2d("av", "bv"))
+      .withColumn("rn", row_number().over(wNN))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("c_id"))
+    // the true NN's cell: route just the ≤|sample| NN vectors — same
+    // function, same gate, topN=1 ⇒ identical to the full-corpus
+    // ccell assignment for those ids (the twin joins its ccell CTE)
+    val nnCell = routeToCells(
+      nn.select(col("c_id")).distinct().join(corpus, "c_id"),
+      "c_id", "bv", scCent, cellCent, wSup, 1)
+      .select(col("c_id"), col("cid").as("nn_cid"))
+    // the query's gated cell ordering, rank uncapped: topN=k keeps
+    // every cell the wSup gate admits; re-rank by the same (cd, cid)
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cd"), col("cid"))
+    val ranked = routeToCells(sq, "q_id", "av", scCent, cellCent,
+        wSup, k)
+      .withColumn("cellrank", row_number().over(wRank))
+      .select(col("q_id").as("rq"), col("cid"), col("cellrank"))
+    val qcell = nn.join(nnCell, "c_id")
+    // INNER join: gate-missed queries (true-NN cell outside the wSup
+    // super-cells) drop out — see [[pickNprobe]] for why they must
+    // not drive the width
+    val ranks = qcell.join(ranked,
+        qcell("q_id") === ranked("rq") &&
+          col("nn_cid") === ranked("cid"))
+      .select(col("cellrank").cast("long").as("r"))
+      .collect().map(_.getLong(0)).toIndexedSeq
+    pickNprobe(ranks, recallTargetPct(s), cap)
+  }
+
+  /** The probe width s12 will use on corpus `d` under the session
+    * confs — the pinned override if set, else a fresh calibration
+    * run. Exposed for probes and specs (RecallProbe,
+    * NprobeCalibrationSpec); s12 itself calibrates inline. */
+  private[graft] def effectiveNprobe(s: SparkSession, d: String): Int =
+    ivfNprobeOverride(s).getOrElse {
+      val e = vecs(s, d)
+      val corpus = e.filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("c_id"), col("v").as("bv"))
+      val qs = e.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("q_id"), col("v").as("av"))
+      val n = corpusEvenCount(s, d)
+      val k = ivfCells(s, d)
+      val (scCent, cellCent) = twoLevelTrain(corpus, "s12s:", n, k)
+      calibrateNprobe(s, qs, corpus, scCent.cache(), cellCent.cache(),
+        corpusOddCount(s, d), k, ivfSuperProbe(s))
+    }
 
   /** Adaptive IVF cell count (s12): occupancy-64 cells like
     * [[adaptiveHyperplanes]] (cells grow with n, per-cell candidate
@@ -229,6 +370,16 @@ object Similarity {
     evenCountCache.computeIfAbsent(d, _ =>
       new Tables(s, d).embeddings
         .filter(col("vec_id") % 2 === 0).count()).longValue()
+
+  private val oddCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** QUERY-side count (odd vec_ids) — the calibration sample's
+    * Bernoulli denominator. */
+  private def corpusOddCount(s: SparkSession, d: String): Long =
+    oddCountCache.computeIfAbsent(d, _ =>
+      new Tables(s, d).embeddings
+        .filter(col("vec_id") % 2 === 1).count()).longValue()
 
   private def ivfCells(s: SparkSession, d: String): Int = {
     val k = GraftConf.int(s, GraftConf.IvfCellsKey,
@@ -1267,8 +1418,9 @@ object Similarity {
     //     one Lloyd round per sub-space over the corpus — empty
     //     entries keep their init sub-vector, so codes stay DENSE in
     //     0..63, the positional-LUT contract).
-    //   query: route through the same super-cells to the nprobe (7)
-    //     L2-nearest cells and score ONLY their members
+    //   query: route through the same super-cells to the nprobe
+    //     (auto-calibrated — [[calibrateNprobe]]; floor 7, cap
+    //     4·ceil(√k)) L2-nearest cells and score ONLY their members
     //     ASYMMETRICALLY — each query precomputes one 256-entry
     //     (4×64) positional distance LUT; candidates carry 4 small
     //     ints and the scan never touches corpus floats. Cells grow
@@ -1305,11 +1457,20 @@ object Similarity {
         val n = corpusEvenCount(s, d)
         val k = ivfCells(s, d)
         val wSup = ivfSuperProbe(s)
-        val (scCent, cellCent) = twoLevelTrain(corpus, "s12s:", n, k)
+        val (scCent0, cellCent0) = twoLevelTrain(corpus, "s12s:", n, k)
+        // the tiny centroid tables (≤ k + ceil(√k) rows) feed FOUR
+        // consumers — corpus routing, query routing, and the two
+        // calibration routings — cache so the sampled training chain
+        // runs once instead of per branch (the d13 lesson)
+        val scCent = scCent0.cache()
+        val cellCent = cellCent0.cache()
+        val np = ivfNprobeOverride(s).getOrElse(
+          calibrateNprobe(s, qs, corpus, scCent, cellCent,
+            corpusOddCount(s, d), k, wSup))
         val ccell = routeToCells(corpus, "c_id", "bv",
           scCent, cellCent, wSup, 1).select(col("c_id"), col("cid"))
         val probes = routeToCells(qs, "q_id", "av",
-          scCent, cellCent, wSup, ivfNprobe(s))
+          scCent, cellCent, wSup, np)
           .select(col("q_id"), col("cid"))
         // each corpus vector lives in exactly ONE cell and each query
         // probes DISTINCT cells -> no duplicate (q_id, c_id) pairs,
@@ -1514,6 +1675,50 @@ object Similarity {
                   z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, cc.cid) AS rn
             FROM corpsc cs JOIN cellcent cc USING (scid))
           WHERE rn = 1),
+        -- nprobe auto-calibration (CTE-for-CTE twin of
+        -- calibrateNprobe): sampled queries -> exact NN -> NN's cell
+        -- (via ccell) -> rank in the query's gated cell ordering ->
+        -- order-statistic percentile, cap-clamped
+        npcap AS (SELECT GREATEST(${IvfNprobe},
+            4 * CAST(CEIL(SQRT(k)) AS BIGINT)) AS cap FROM kk),
+        nqq AS (SELECT COUNT(*) AS nq FROM qs),
+        sq AS (SELECT q_id, av FROM qs
+          WHERE ('0x' || substr(md5('s12c:' || q_id), 1, 8))::BIGINT
+                < ${CalibSample * 4294967296L - 1L}
+                  // (SELECT nq FROM nqq) + 1),
+        snn AS (SELECT q_id, c_id FROM (
+            SELECT q.q_id, c.c_id,
+              ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+                list_sum(list_transform(list_zip(q.av, c.bv),
+                  z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, c.c_id) AS rn
+            FROM sq q, corpus c)
+          WHERE rn = 1),
+        sqsc AS (SELECT q_id, av, scid FROM (
+            SELECT q.q_id, q.av, s1.scid,
+              ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+                list_sum(list_transform(list_zip(q.av, s1.sc),
+                  z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, s1.scid) AS rn
+            FROM sq q, sccent s1)
+          WHERE rn <= ${IvfSuperProbe}),
+        sqrank AS (SELECT q_id, cid, ROW_NUMBER() OVER (
+              PARTITION BY q_id ORDER BY cd, cid) AS cellrank
+          FROM (SELECT qc.q_id, cc.cid,
+              list_sum(list_transform(list_zip(qc.av, cc.c),
+                z -> (z[1] - z[2]) * (z[1] - z[2]))) AS cd
+            FROM sqsc qc JOIN cellcent cc USING (scid))),
+        crs AS (SELECT r.cellrank
+          FROM snn n
+          JOIN ccell cl ON cl.c_id = n.c_id
+          JOIN sqrank r ON r.q_id = n.q_id AND r.cid = cl.cid),
+        calib AS (SELECT GREATEST(${IvfNprobe},
+            LEAST((SELECT cap FROM npcap), COALESCE(
+              (SELECT cellrank
+               FROM (SELECT cellrank,
+                   ROW_NUMBER() OVER (ORDER BY cellrank) AS rn,
+                   COUNT(*) OVER () AS cnt FROM crs)
+               WHERE rn = GREATEST(1,
+                 (cnt * ${resolvedRecallTargetPct} + 99) // 100)),
+              ${IvfNprobe}))) AS np),
         qsc AS (SELECT q_id, av, scid FROM (
             SELECT q.q_id, q.av, s1.scid,
               ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
@@ -1527,7 +1732,7 @@ object Similarity {
                 list_sum(list_transform(list_zip(qc.av, cc.c),
                   z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, cc.cid) AS rn
             FROM qsc qc JOIN cellcent cc USING (scid))
-          WHERE rn <= ${IvfNprobe}),
+          WHERE rn <= ${resolvedNprobeSql}),
         cand AS (SELECT p.q_id, cc.c_id
                  FROM probes p JOIN ccell cc USING (cid)),
         cb0 AS (SELECT rn - 1 AS c, cv FROM (
