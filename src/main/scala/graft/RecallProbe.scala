@@ -164,6 +164,14 @@ object RecallProbe {
     val xkDir = s"${System.getProperty("java.io.tmpdir")}/graft_scaleup_x$k"
     ScaleUp.build(spark, sfDir, xkDir, k)
     val diag = args.lift(3).contains("diag")
+    // extra args "conf:key=value" pin session confs for what-if probes
+    // (e.g. conf:spark.graft.pqShortlist=224); rows merge only for
+    // default-conf runs so the matrix stays the default story
+    val confArgs = args.filter(_.startsWith("conf:"))
+    confArgs.foreach { a =>
+      val kv = a.stripPrefix("conf:").split("=", 2)
+      spark.conf.set(kv(0), kv(1))
+    }
     val rows = scala.collection.mutable.ArrayBuffer[String]()
     if (which == "iso" || which == "both")
       rows += measure(spark, xkDir, "iso", k, diag)
@@ -174,12 +182,14 @@ object RecallProbe {
       rows += measure(spark, cDir, "clustered", k, diag)
     }
     rows.foreach { r => println(r); System.err.println(r) }
-    val freshKeys: Set[(String, Int)] = rows.toSeq.map { r =>
-      val tag = if (r.contains("s12_recall_iso")) "s12_recall_iso"
-        else "s12_recall_clustered"
-      (tag, k)
-    }.toSet
-    ScaleUp.mergeIntoMatrix(rows.toSeq, freshKeys)
+    if (confArgs.isEmpty) {
+      val freshKeys: Set[(String, Int)] = rows.toSeq.map { r =>
+        val tag = if (r.contains("s12_recall_iso")) "s12_recall_iso"
+          else "s12_recall_clustered"
+        (tag, k)
+      }.toSet
+      ScaleUp.mergeIntoMatrix(rows.toSeq, freshKeys)
+    }
     spark.stop()
   }
 }

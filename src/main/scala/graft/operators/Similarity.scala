@@ -147,22 +147,52 @@ object Similarity {
     * `spark.graft.truncShortlist`. */
   private[graft] val TruncShortlist = 64
 
-  /** ADC shortlist size (s12): product-quantization candidates
+  /** ADC shortlist FLOOR (s12): product-quantization candidates
     * surviving the asymmetric-distance pass into the exact L2 rerank
     * — the same cheap recall dial as [[BqShortlist]] /
-    * [[TruncShortlist]]. 96 (not 64): with the IVF gate recovering
-    * ~0.95 of true neighbors into the candidate set, the 4×64-code
-    * ADC ranking is the remaining loss term — 64 measured recall@1
-    * 0.84 on the test corpus, 96 lifts it to 0.96 at 1.5× the (cheap,
-    * per-query-linear) rerank cost. Override with
-    * `spark.graft.pqShortlist`. */
+    * [[TruncShortlist]]. The EFFECTIVE size is auto-calibrated per
+    * corpus like nprobe (see [[pickShortlist]]): a fixed 96 held
+    * recall on the test corpus but lost 20% of in-candidate true NNs
+    * at ×100 clustered density (96 of nprobe·64 = 448 near-identical
+    * candidates: measured 0.777 end-to-end vs 0.979 candidate-stage;
+    * 224 recovered 0.947). 96 stays as the floor so no corpus ever
+    * reranks fewer than the r13 default. `spark.graft.pqShortlist`
+    * pins a fixed size (override-aware in the oracle). */
   private[graft] val PqShortlist = 96
 
-  private def pqShortlist(s: SparkSession): Int = {
-    val k = GraftConf.int(s, GraftConf.PqShortlistKey, PqShortlist)
-    require(k > 0, s"${GraftConf.PqShortlistKey} must be positive, got $k")
-    k
-  }
+  /** The pinned shortlist when `spark.graft.pqShortlist` is set
+    * (validated), else None → auto-calibrate. */
+  private def pqShortlistOverride(s: SparkSession): Option[Int] =
+    s.conf.getOption(GraftConf.PqShortlistKey).map { raw =>
+      val k = raw.trim.toInt
+      require(k > 0,
+        s"${GraftConf.PqShortlistKey} must be positive, got $k")
+      k
+    }
+
+  /** Shortlist term for the s12 twin: the pinned override as a
+    * literal when set, else the calibrated size from the twin's own
+    * `slcalib` CTE. */
+  private def resolvedShortlistSql: String =
+    sessionForOracle.flatMap(pqShortlistOverride)
+      .map(_.toString).getOrElse("(SELECT sl FROM slcalib)")
+
+  /** Order-statistic shortlist from the calibration sample's ADC
+    * ranks of the true NN among its query's candidates (same exact
+    * integer-ceil percentile as [[pickNprobe]]), clamped to
+    * [[[PqShortlist]], nprobe·64] — the cap is the full candidate
+    * set, where the rerank becomes exact over everything the gate
+    * admits. Queries whose true NN is not in the candidate set drop
+    * out upstream (no shortlist recovers them — nprobe binds). */
+  private[graft] def pickShortlist(ranks: Seq[Long], pct: Int,
+      np: Int): Int =
+    if (ranks.isEmpty) PqShortlist
+    else {
+      val need = math.max(1, (ranks.length * pct + 99) / 100)
+      val sl0 = ranks.sorted.apply(need - 1)
+      math.max(PqShortlist.toLong,
+        math.min(np.toLong * 64L, sl0)).toInt
+    }
 
   /** IVF probe-width FLOOR (s12): the minimum nearest-cell count each
     * query ADC-scans. The EFFECTIVE width is auto-calibrated per
@@ -262,7 +292,16 @@ object Similarity {
   private[graft] def calibrateNprobe(s: SparkSession, qs: DataFrame,
       corpus: DataFrame, scCent: DataFrame, cellCent: DataFrame,
       nQ: Long, k: Int, wSup: Int): Int = {
-    val cap = nprobeCap(k)
+    val (sq, nn) = calibSampleNN(qs, corpus, nQ)
+    calibrateNprobeFrom(s, sq, nn, corpus, scCent, cellCent, k, wSup)
+  }
+
+  /** The calibration sample (E[[[CalibSample]]] md5-gated queries)
+    * and its exact nearest corpus neighbors — the one brute-force
+    * pass, shared by BOTH serving calibrations (nprobe and
+    * shortlist). */
+  private[graft] def calibSampleNN(qs: DataFrame, corpus: DataFrame,
+      nQ: Long): (DataFrame, DataFrame) = {
     // driver-side threshold, not hash·n in the plan (the twoLevelTrain
     // overflow lesson): hash < (C·2³² − 1)/nQ + 1  ⟺  hash·nQ < C·2³²
     val sampThresh = (CalibSample * 4294967296L - 1L) / nQ + 1L
@@ -277,6 +316,14 @@ object Similarity {
       .withColumn("rn", row_number().over(wNN))
       .filter(col("rn") === 1)
       .select(col("q_id"), col("c_id"))
+    (sq, nn)
+  }
+
+  private[graft] def calibrateNprobeFrom(s: SparkSession,
+      sq: DataFrame, nn: DataFrame, corpus: DataFrame,
+      scCent: DataFrame, cellCent: DataFrame, k: Int,
+      wSup: Int): Int = {
+    val cap = nprobeCap(k)
     // the true NN's cell: route just the ≤|sample| NN vectors — same
     // function, same gate, topN=1 ⇒ identical to the full-corpus
     // ccell assignment for those ids (the twin joins its ccell CTE)
@@ -1412,27 +1459,36 @@ object Similarity {
     //     sample, never n·K over the corpus. Every corpus vector then
     //     routes through its IvfSuperProbe (3) nearest super-cells to
     //     its L2-nearest cell: (1+w)·√K distance evals per vector
-    //     instead of the flat scan's K. Each corpus vector also
+    //     instead of the flat scan's K. Each corpus vector's RESIDUAL
+    //     (bv − cell_centroid — since r14; the absolute-vector r13
+    //     design could not rank within a dense cluster mode and
+    //     collapsed to 0.368 end-to-end recall at ×100 clustered)
     //     compresses to M=4 sub-space codes against 64-entry
-    //     codebooks (init: sub-vectors of the 64 lowest-id vectors;
-    //     one Lloyd round per sub-space over the corpus — empty
-    //     entries keep their init sub-vector, so codes stay DENSE in
-    //     0..63, the positional-LUT contract).
+    //     codebooks (init: residual sub-vectors of the 64 lowest-id
+    //     corpus vectors; one Lloyd round per sub-space over the
+    //     corpus residuals — empty entries keep their init
+    //     sub-vector, so codes stay DENSE in 0..63, the
+    //     positional-LUT contract).
     //   query: route through the same super-cells to the nprobe
     //     (auto-calibrated — [[calibrateNprobe]]; floor 7, cap
     //     4·ceil(√k)) L2-nearest cells and score ONLY their members
-    //     ASYMMETRICALLY — each query precomputes one 256-entry
-    //     (4×64) positional distance LUT; candidates carry 4 small
-    //     ints and the scan never touches corpus floats. Cells grow
+    //     ASYMMETRICALLY — the residual distance DECOMPOSES as
+    //     |q−(centroid+entry)|² = |q−centroid|² − 2·q·entry +
+    //     (2·centroid·entry + |entry|²), i.e. the router's cd + one
+    //     per-QUERY 256-entry LUT + one per-CELL 256-entry broadcast
+    //     table; candidates carry 4 small ints and the scan never
+    //     touches corpus floats. Cells grow
     //     with n at occupancy 64, so the candidate set stays
     //     ~nprobe·64 per query at ANY corpus size — what lets a
     //     10⁹-vector index serve from RAM at 100 TB. The ADC
-    //     top-`pqShortlist` (96) then rerank exactly at full
-    //     precision.
+    //     top-shortlist (auto-calibrated like nprobe, from the ADC
+    //     rank each sampled true NN landed at; floor 96, cap
+    //     nprobe·64) then rerank exactly at full precision.
     // Centroid/codebook joins broadcast (≤ 4096 cells + ceil(√K)
     // super-centroids + 4×64 codebook rows); the cell-membership join
-    // shuffles on cid; the LUT applies in ONE q_id-keyed join (the
-    // r12 four-join chain shuffled the candidate set four times). All
+    // shuffles on cid; the LUTs apply in one q_id-keyed join plus one
+    // cid-keyed broadcast (the r12 four-join chain shuffled the
+    // candidate set four times). All
     // argmins tie-break on id and all training means are
     // floor(x·1e10+0.5) BIGINT sums (exact + associative), so both
     // engines derive bit-identical centroids, codes, and candidates.
@@ -1464,57 +1520,95 @@ object Similarity {
         // runs once instead of per branch (the d13 lesson)
         val scCent = scCent0.cache()
         val cellCent = cellCent0.cache()
+        // one E[256]-query exact-NN sample calibrates BOTH serving
+        // dials: nprobe (cell-rank percentile) here, and the ADC
+        // shortlist (ADC-rank percentile) once the codebooks exist
+        // below. cache: nn is the brute-force pass — share it
+        val (sq0, nn0) = calibSampleNN(qs, corpus, corpusOddCount(s, d))
+        val sq = sq0.cache()
+        val nn = nn0.cache()
         val np = ivfNprobeOverride(s).getOrElse(
-          calibrateNprobe(s, qs, corpus, scCent, cellCent,
-            corpusOddCount(s, d), k, wSup))
+          calibrateNprobeFrom(s, sq, nn, corpus, scCent, cellCent,
+            k, wSup))
+        // cache: the corpus routing feeds the residual chain (casg /
+        // cb1 / codes via corpusRes) AND the candidate map (cellm) —
+        // 2 longs per corpus row; uncached, the (1+w)·√k routing
+        // evals would re-run per consumer (the d13 lesson)
         val ccell = routeToCells(corpus, "c_id", "bv",
           scCent, cellCent, wSup, 1).select(col("c_id"), col("cid"))
+          .cache()
         val probes = routeToCells(qs, "q_id", "av",
           scCent, cellCent, wSup, np)
-          .select(col("q_id"), col("cid"))
+          .select(col("q_id"), col("cid"), col("cd"))
         // each corpus vector lives in exactly ONE cell and each query
         // probes DISTINCT cells -> no duplicate (q_id, c_id) pairs,
         // no distinct() needed
 
-        // ---- PQ codebooks: 64-entry init (sub-vectors of the 64
-        // lowest-id vectors, the training-free idiom) + one Lloyd
-        // round per sub-space over the CORPUS (coding touches every
-        // vector anyway; training rides the same linear pass). Empty
-        // entries KEEP their init sub-vector — standard empty-cluster
-        // handling, and it keeps codes DENSE in 0..63 for the
-        // positional LUT below ----
+        // ---- RESIDUAL encoding (Jégou et al., "Product Quantization
+        // for Nearest Neighbor Search", IVFADC): PQ compresses the
+        // residual bv − cell_centroid, NOT the absolute vector. The
+        // r13 absolute-vector design collapsed on clustered corpora at
+        // scale (×100 probe: candidate-stage recall 0.979 but
+        // end-to-end 0.368) — every same-mode candidate shared nearly
+        // identical codes, so ADC could not rank WITHIN a mode and the
+        // top-96 shortlist dropped the true NN. Residuals subtract the
+        // shared mode structure; codes spend their 2^6 resolution on
+        // what distinguishes neighbors from cell-mates. rv is double
+        // (float→double is exact, centroid doubles are bit-identical
+        // across engines by the quantMean contract), so residuals are
+        // bit-identical in both twins. ----
+        // centroid array renamed cvec: `c` would collide with cb1f's
+        // code-id column in the clut join below
+        val cellVec = cellCent.select(col("cid"), col("c").as("cvec"))
+        val residOf = (v: String) =>
+          s"zip_with($v, cvec, (x, w) -> cast(x as double) - w)"
+        // cache: rv feeds codebook init, assignment, training, and
+        // coding — one materialization instead of four scan+join
+        // passes over the corpus (spills to disk past memory; ~520 B
+        // per row at dim 64)
+        val corpusRes = corpus.join(ccell, "c_id")
+          .join(broadcast(cellVec), "cid")
+          .select(col("c_id"), col("cid"),
+            expr(residOf("bv")).as("rv"))
+          .cache()
+
+        // ---- PQ codebooks: 64-entry init (residual sub-vectors of
+        // the 64 lowest-id CORPUS vectors, the training-free idiom) +
+        // one Lloyd round per sub-space over the corpus residuals
+        // (coding touches every vector anyway; training rides the same
+        // linear pass). Empty entries KEEP their init sub-vector —
+        // standard empty-cluster handling, and it keeps codes DENSE in
+        // 0..63 for the positional LUT below ----
         // Entry ids are ROW_NUMBER over the 64 lowest-id vectors, not
         // raw vec_ids: the positional LUT below indexes pl[m*64+c+1],
         // which requires c DENSE in 0..63 — raw ids satisfy that only
         // when the corpus happens to contain every id < 64. (On dense
         // test corpora rank-1 == vec_id, so this is hash-neutral.)
-        val cb0 = e.orderBy(col("vec_id")).limit(64)
+        val cb0 = corpusRes.orderBy(col("c_id")).limit(64)
           .select(
-            (row_number().over(Window.orderBy(col("vec_id"))) - 1)
+            (row_number().over(Window.orderBy(col("c_id"))) - 1)
               .as("c"),
-            col("v").as("cv"))
-        // L2^2 between the m-th sub-vectors of `a` and the FULL-width
-        // init codebook row; floats cast to double BEFORE subtracting
-        // (the oracle's vectors are double from the start)
+            col("rv").as("cv"))
+        // L2^2 between the m-th sub-vectors of `a` (a residual —
+        // already double) and the FULL-width init codebook row
         def subDist0(a: String) =
           s"""aggregate(zip_with(
                 slice($a, m * $sub + 1, $sub),
                 slice(cv, m * $sub + 1, $sub),
-                (x, c) -> (cast(x as double) - cast(c as double))
-                        * (cast(x as double) - cast(c as double))),
+                (x, c) -> (x - c) * (x - c)),
               cast(0.0 as double), (acc, x) -> acc + x)"""
         val wCode = Window.partitionBy(col("c_id"), col("m"))
           .orderBy(col("dist"), col("c"))
-        val casg = corpus
+        val casg = corpusRes
           .withColumn("m", explode(expr(s"sequence(0, ${M - 1})")))
           .crossJoin(broadcast(cb0))
-          .withColumn("dist", expr(subDist0("bv")))
+          .withColumn("dist", expr(subDist0("rv")))
           .withColumn("rn", row_number().over(wCode))
           .filter(col("rn") === 1)
           .select(col("c_id"), col("m"), col("c"))
-        val cb1 = casg.join(corpus, "c_id")
+        val cb1 = casg.join(corpusRes, "c_id")
           .select(col("m"), col("c"),
-            posexplode(expr(s"slice(bv, m * $sub + 1, $sub)"))
+            posexplode(expr(s"slice(rv, m * $sub + 1, $sub)"))
               .as(Seq("dd", "x")))
           .groupBy(col("m"), col("c"), col("dd"))
           .agg((sum(expr(
@@ -1527,8 +1621,7 @@ object Similarity {
         val cbInit = cb0
           .withColumn("m", explode(expr(s"sequence(0, ${M - 1})")))
           .select(col("m"), col("c"),
-            expr(s"transform(slice(cv, m * $sub + 1, $sub)," +
-              " x -> cast(x as double))").as("cvi"))
+            expr(s"slice(cv, m * $sub + 1, $sub)").as("cvi"))
         val cb1f = cbInit.join(cb1, Seq("m", "c"), "left")
           .select(col("m"), col("c"),
             coalesce(col("cv"), col("cvi")).as("cv"))
@@ -1536,49 +1629,111 @@ object Similarity {
         def subDistT(a: String) =
           s"""aggregate(zip_with(
                 slice($a, m * $sub + 1, $sub), cv,
-                (x, c) -> (cast(x as double) - c)
-                        * (cast(x as double) - c)),
+                (x, c) -> (x - c) * (x - c)),
               cast(0.0 as double), (acc, x) -> acc + x)"""
-        val codes = corpus
+        val codes = corpusRes
           .withColumn("m", explode(expr(s"sequence(0, ${M - 1})")))
           .join(broadcast(cb1f), Seq("m"))
-          .withColumn("dist", expr(subDistT("bv")))
+          .withColumn("dist", expr(subDistT("rv")))
           .withColumn("rn", row_number().over(wCode))
           .filter(col("rn") === 1)
+        // cache: the shortlist calibration materializes the scorer
+        // eagerly before serving re-runs it — 5 ints per corpus row
         val codesPiv = codes.groupBy(col("c_id"))
           .agg(min(when(col("m") === 0, col("c"))).as("code0"),
             (1 until M).map(m =>
               min(when(col("m") === m, col("c"))).as(s"code$m")): _*)
+          .cache()
 
-        // ---- ADC: per-query 256-entry positional LUT (4 sub-spaces
-        // × 64 dense codes, ordered by m·64+c) applied in ONE
-        // q_id-keyed join — the r12 four-join chain shuffled the
-        // candidate set four times; here the flat list rides only the
-        // small per-query side and adist projects out before any
-        // further exchange ----
-        val lutFlat = qs
+        // ---- ADC under residuals, DECOMPOSED (the standard IVFADC
+        // serving algebra): |(q−c)−e|² = |q−c|² − 2·q·e + (2·c·e +
+        // |e|²) per sub-space. A naive per-(query, probed-cell)
+        // residual LUT costs nprobe·256 16-dim evals per query — at
+        // ×100 with a calibrated nprobe of 56 that chain OOM'd
+        // (~1.4B rows each dragging a 512-B residual into the
+        // aggregation). The decomposition splits it into:
+        //   qlut  — per-QUERY 256-entry LUT of −2·q_m·e_m (the r13
+        //           cost shape: 256 16-dim evals per query);
+        //   clut  — per-CELL 256-entry table of 2·c_m·e_m + |e_m|²,
+        //           k·256 entries TOTAL, corpus-independent,
+        //           broadcastable (≤ 4096·2 KB);
+        //   cd    — |q−c|² per probed cell, already computed by the
+        //           router (rides `probes` as a scalar).
+        // adist = cd + Σ qlut[code_m] + Σ clut[code_m]: 8 list
+        // lookups + one add per candidate, fixed left-assoc order in
+        // both engines ----
+        val qlut = qs
           .withColumn("m", explode(expr(s"sequence(0, ${M - 1})")))
           .join(broadcast(cb1f), Seq("m"))
-          .withColumn("pdist", expr(subDistT("av")))
+          .withColumn("pdist", expr(
+            s"""aggregate(zip_with(
+                  slice(av, m * $sub + 1, $sub), cv,
+                  (x, c) -> -2.0d * cast(x as double) * c),
+                cast(0.0 as double), (acc, x) -> acc + x)"""))
           .withColumn("kk", col("m") * 64 + col("c"))
           .groupBy(col("q_id"))
           .agg(expr(
             """transform(sort_array(collect_list(struct(kk, pdist))),
-               t -> t.pdist)""").as("pl"))
+               t -> t.pdist)""").as("qpl"))
+          .cache() // feeds calibration (eager) then serving
+        val clut = cellVec
+          .withColumn("m", explode(expr(s"sequence(0, ${M - 1})")))
+          .join(broadcast(cb1f), Seq("m"))
+          .withColumn("pdist", expr(
+            s"""aggregate(zip_with(
+                  slice(cvec, m * $sub + 1, $sub), cv,
+                  (w, e) -> 2.0d * w * e + e * e),
+                cast(0.0 as double), (acc, x) -> acc + x)"""))
+          .withColumn("kk", col("m") * 64 + col("c"))
+          .groupBy(col("cid"))
+          .agg(expr(
+            """transform(sort_array(collect_list(struct(kk, pdist))),
+               t -> t.pdist)""").as("cpl"))
         val cellm = ccell.join(codesPiv, "c_id")
-        val cand = probes.join(cellm, "cid")
-          .select(col("q_id"), col("c_id"),
-            col("code0"), col("code1"), col("code2"), col("code3"))
+        // shared ADC scorer: expects (q_id, cid, cd, c_id, code0..3)
+        def adcScore(df: DataFrame): DataFrame = df
+          .join(qlut, "q_id")
+          .join(broadcast(clut), "cid")
+          .withColumn("adist",
+            col("cd")
+              + element_at(col("qpl"), (col("code0") + 1).cast("int"))
+              + element_at(col("qpl"), (col("code1") + 65).cast("int"))
+              + element_at(col("qpl"), (col("code2") + 129).cast("int"))
+              + element_at(col("qpl"), (col("code3") + 193).cast("int"))
+              + element_at(col("cpl"), (col("code0") + 1).cast("int"))
+              + element_at(col("cpl"), (col("code1") + 65).cast("int"))
+              + element_at(col("cpl"), (col("code2") + 129).cast("int"))
+              + element_at(col("cpl"), (col("code3") + 193).cast("int")))
         val wTop = Window.partitionBy(col("q_id"))
           .orderBy(col("adist"), col("c_id"))
-        val shortlist = cand.join(lutFlat, "q_id")
-          .withColumn("adist",
-            element_at(col("pl"), (col("code0") + 1).cast("int"))
-              + element_at(col("pl"), (col("code1") + 65).cast("int"))
-              + element_at(col("pl"), (col("code2") + 129).cast("int"))
-              + element_at(col("pl"), (col("code3") + 193).cast("int")))
+        // ---- shortlist calibration: run the FULL serving scorer on
+        // just the calibration sample's candidates (≤ |sample|·np·64
+        // rows) and take the ADC rank each true NN actually landed at
+        // — the shortlist that query needed. Same order-statistic
+        // percentile and the same gate-miss exclusion as nprobe:
+        // queries whose true NN is outside the candidate set drop at
+        // the inner join (nprobe, not the shortlist, binds them) ----
+        val sl = pqShortlistOverride(s).getOrElse {
+          val sprobes = routeToCells(sq, "q_id", "av", scCent,
+              cellCent, wSup, np)
+            .select(col("q_id"), col("cid"), col("cd"))
+          val sranked = adcScore(sprobes.join(cellm, "cid")
+              .select(col("q_id"), col("cid"), col("cd"), col("c_id"),
+                col("code0"), col("code1"), col("code2"),
+                col("code3")))
+            .withColumn("r", row_number().over(wTop))
+            .select(col("q_id"), col("c_id"), col("r"))
+          val ranks = nn.join(sranked, Seq("q_id", "c_id"))
+            .select(col("r").cast("long").as("r"))
+            .collect().map(_.getLong(0)).toIndexedSeq
+          pickShortlist(ranks, recallTargetPct(s), np)
+        }
+        val cand = probes.join(cellm, "cid")
+          .select(col("q_id"), col("cid"), col("cd"), col("c_id"),
+            col("code0"), col("code1"), col("code2"), col("code3"))
+        val shortlist = adcScore(cand)
           .withColumn("r", row_number().over(wTop))
-          .filter(col("r") <= pqShortlist(s))
+          .filter(col("r") <= sl)
           .select(col("q_id"), col("c_id"))
         // stage 2: EXACT L2 rerank of the ADC shortlist only — codes
         // rank cheaply, full vectors are touched for |shortlist| rows
@@ -1700,7 +1855,7 @@ object Similarity {
                   z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, s1.scid) AS rn
             FROM sq q, sccent s1)
           WHERE rn <= ${IvfSuperProbe}),
-        sqrank AS (SELECT q_id, cid, ROW_NUMBER() OVER (
+        sqrank AS (SELECT q_id, cid, cd, ROW_NUMBER() OVER (
               PARTITION BY q_id ORDER BY cd, cid) AS cellrank
           FROM (SELECT qc.q_id, cc.cid,
               list_sum(list_transform(list_zip(qc.av, cc.c),
@@ -1726,18 +1881,28 @@ object Similarity {
                   z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, s1.scid) AS rn
             FROM qs q, sccent s1)
           WHERE rn <= ${IvfSuperProbe}),
-        probes AS (SELECT q_id, cid FROM (
+        probes AS (SELECT q_id, cid, cd FROM (
             SELECT qc.q_id, cc.cid,
+              list_sum(list_transform(list_zip(qc.av, cc.c),
+                z -> (z[1] - z[2]) * (z[1] - z[2]))) AS cd,
               ROW_NUMBER() OVER (PARTITION BY qc.q_id ORDER BY
                 list_sum(list_transform(list_zip(qc.av, cc.c),
                   z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, cc.cid) AS rn
             FROM qsc qc JOIN cellcent cc USING (scid))
           WHERE rn <= ${resolvedNprobeSql}),
-        cand AS (SELECT p.q_id, cc.c_id
+        cand AS (SELECT p.q_id, p.cid, p.cd, cc.c_id
                  FROM probes p JOIN ccell cc USING (cid)),
-        cb0 AS (SELECT rn - 1 AS c, cv FROM (
-            SELECT v AS cv,
-              ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM e0)
+        -- RESIDUAL encoding (IVFADC): rv = bv - cell_centroid; PQ
+        -- trains/codes on residuals, the ADC LUT is per (query,
+        -- probed cell) from the query's own residual
+        cres AS (SELECT cr.c_id, cl.cid,
+            list_transform(list_zip(cr.bv, cc.c),
+              z -> z[1] - z[2]) AS rv
+          FROM corpus cr JOIN ccell cl USING (c_id)
+          JOIN cellcent cc USING (cid)),
+        cb0 AS (SELECT rn - 1 AS c, rv AS cv FROM (
+            SELECT rv,
+              ROW_NUMBER() OVER (ORDER BY c_id) AS rn FROM cres)
           WHERE rn <= 64),
         cbinit AS (SELECT mm.m, ct.c,
             list_slice(ct.cv, mm.m * 16 + 1, mm.m * 16 + 16) AS cvi
@@ -1746,15 +1911,15 @@ object Similarity {
             SELECT cr.c_id, mm.m, ct.c,
               ROW_NUMBER() OVER (PARTITION BY cr.c_id, mm.m ORDER BY
                 list_sum(list_transform(
-                  list_zip(list_slice(cr.bv, mm.m * 16 + 1, mm.m * 16 + 16),
+                  list_zip(list_slice(cr.rv, mm.m * 16 + 1, mm.m * 16 + 16),
                            list_slice(ct.cv, mm.m * 16 + 1, mm.m * 16 + 16)),
                   z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, ct.c) AS rn
-            FROM corpus cr, UNNEST(generate_series(0, 3)) AS mm(m), cb0 ct)
+            FROM cres cr, UNNEST(generate_series(0, 3)) AS mm(m), cb0 ct)
           WHERE rn = 1),
         cbdims AS (SELECT a.m, a.c, t.dd,
-            CAST(CAST(SUM(CAST(floor(cr.bv[a.m * 16 + t.dd + 1] * 1e10 + 0.5)
+            CAST(CAST(SUM(CAST(floor(cr.rv[a.m * 16 + t.dd + 1] * 1e10 + 0.5)
               AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e10 / COUNT(*) AS cval
-          FROM casg a JOIN corpus cr ON cr.c_id = a.c_id,
+          FROM casg a JOIN cres cr ON cr.c_id = a.c_id,
             UNNEST(generate_series(0, 15)) AS t(dd)
           GROUP BY a.m, a.c, t.dd),
         cb1 AS (SELECT m, c, list(cval ORDER BY dd) AS cv
@@ -1765,10 +1930,10 @@ object Similarity {
             SELECT cr.c_id, cb.m, cb.c,
               ROW_NUMBER() OVER (PARTITION BY cr.c_id, cb.m ORDER BY
                 list_sum(list_transform(
-                  list_zip(list_slice(cr.bv, cb.m * 16 + 1, cb.m * 16 + 16),
+                  list_zip(list_slice(cr.rv, cb.m * 16 + 1, cb.m * 16 + 16),
                            cb.cv),
                   z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, cb.c) AS rn
-            FROM corpus cr, cb1f cb)
+            FROM cres cr, cb1f cb)
           WHERE rn = 1),
         cp AS (SELECT c_id,
             MIN(CASE WHEN m = 0 THEN code END) AS code0,
@@ -1776,28 +1941,80 @@ object Similarity {
             MIN(CASE WHEN m = 2 THEN code END) AS code2,
             MIN(CASE WHEN m = 3 THEN code END) AS code3
           FROM codes GROUP BY c_id),
-        lut AS (SELECT q.q_id, cb.m, cb.c,
+        -- decomposed residual ADC: adist = cd − 2·q·e + (2·c·e+|e|²)
+        -- as a per-QUERY LUT + a per-CELL LUT + the router's cd —
+        -- both 256-entry lists positional by m*64+c (codes dense
+        -- 0..63 by the cb1f coalesce)
+        qlut AS (SELECT q.q_id, cb.m, cb.c,
             list_sum(list_transform(
               list_zip(list_slice(q.av, cb.m * 16 + 1, cb.m * 16 + 16),
                        cb.cv),
-              z -> (z[1] - z[2]) * (z[1] - z[2]))) AS pdist
+              z -> -2.0 * z[1] * z[2])) AS pdist
           FROM qs q, cb1f cb),
-        -- the 256-entry positional LUT per query, ordered by m*64+c
-        -- (codes are dense 0..63 by the cb1f coalesce) — one list
-        -- lookup per sub-space replaces the r12 four-join chain
-        lutflat AS MATERIALIZED (SELECT q_id,
-            list(pdist ORDER BY m * 64 + c) AS pl
-          FROM lut GROUP BY q_id),
+        qlutflat AS MATERIALIZED (SELECT q_id,
+            list(pdist ORDER BY m * 64 + c) AS qpl
+          FROM qlut GROUP BY q_id),
+        clut AS (SELECT cc.cid, cb.m, cb.c,
+            list_sum(list_transform(
+              list_zip(list_slice(cc.c, cb.m * 16 + 1, cb.m * 16 + 16),
+                       cb.cv),
+              z -> 2.0 * z[1] * z[2] + z[2] * z[2])) AS pdist
+          FROM cellcent cc, cb1f cb),
+        clutflat AS MATERIALIZED (SELECT cid,
+            list(pdist ORDER BY m * 64 + c) AS cpl
+          FROM clut GROUP BY cid),
+        -- shortlist calibration (CTE-for-CTE twin of the Scala
+        -- chain): the sample's candidates through the FULL serving
+        -- scorer -> ADC rank of each true NN -> order-statistic
+        -- percentile, clamped [96, nprobe*64]
+        sprobes AS (SELECT q_id, cid, cd FROM sqrank
+          WHERE cellrank <= ${resolvedNprobeSql}),
+        sscored AS (SELECT sp.q_id, cc2.c_id,
+            (((((((sp.cd
+              + qpl[CAST(cp.code0 + 1 AS INT)])
+              + qpl[CAST(cp.code1 + 65 AS INT)])
+              + qpl[CAST(cp.code2 + 129 AS INT)])
+              + qpl[CAST(cp.code3 + 193 AS INT)])
+              + cpl[CAST(cp.code0 + 1 AS INT)])
+              + cpl[CAST(cp.code1 + 65 AS INT)])
+              + cpl[CAST(cp.code2 + 129 AS INT)])
+              + cpl[CAST(cp.code3 + 193 AS INT)] AS adist
+          FROM sprobes sp
+          JOIN ccell cc2 USING (cid)
+          JOIN cp ON cp.c_id = cc2.c_id
+          JOIN qlutflat USING (q_id)
+          JOIN clutflat USING (cid)),
+        sranked AS (SELECT q_id, c_id, ROW_NUMBER() OVER (
+            PARTITION BY q_id ORDER BY adist, c_id) AS r
+          FROM sscored),
+        slranks AS (SELECT r.r FROM snn n
+          JOIN sranked r ON r.q_id = n.q_id AND r.c_id = n.c_id),
+        slcalib AS (SELECT GREATEST(${PqShortlist},
+            LEAST(${resolvedNprobeSql} * 64, COALESCE(
+              (SELECT rr
+               FROM (SELECT r AS rr,
+                   ROW_NUMBER() OVER (ORDER BY r) AS rn2,
+                   COUNT(*) OVER () AS cnt FROM slranks)
+               WHERE rn2 = GREATEST(1,
+                 (cnt * ${resolvedRecallTargetPct} + 99) // 100)),
+              ${PqShortlist}))) AS sl),
         scored AS MATERIALIZED (SELECT cand.q_id, cand.c_id,
-            ((pl[CAST(cp.code0 + 1 AS INT)]
-              + pl[CAST(cp.code1 + 65 AS INT)])
-              + pl[CAST(cp.code2 + 129 AS INT)])
-              + pl[CAST(cp.code3 + 193 AS INT)] AS adist
-          FROM cand JOIN cp USING (c_id) JOIN lutflat USING (q_id)),
+            (((((((cand.cd
+              + qpl[CAST(cp.code0 + 1 AS INT)])
+              + qpl[CAST(cp.code1 + 65 AS INT)])
+              + qpl[CAST(cp.code2 + 129 AS INT)])
+              + qpl[CAST(cp.code3 + 193 AS INT)])
+              + cpl[CAST(cp.code0 + 1 AS INT)])
+              + cpl[CAST(cp.code1 + 65 AS INT)])
+              + cpl[CAST(cp.code2 + 129 AS INT)])
+              + cpl[CAST(cp.code3 + 193 AS INT)] AS adist
+          FROM cand JOIN cp USING (c_id)
+          JOIN qlutflat USING (q_id)
+          JOIN clutflat USING (cid)),
         short AS (SELECT q_id, c_id FROM (
             SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
               ORDER BY adist, c_id) AS r FROM scored)
-          WHERE r <= ${PqShortlist}),
+          WHERE r <= ${resolvedShortlistSql}),
         rer AS (SELECT s.q_id, s.c_id,
             list_sum(list_transform(list_zip(a.v, b.v),
               t -> (t[1] - t[2]) * (t[1] - t[2]))) AS l2sq

@@ -51,4 +51,46 @@ class PqAdcSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
+
+  test("residual ADC ranks within clusters: the default shortlist " +
+      "keeps what the candidate gate admits on a clustered corpus") {
+    // the geometry that broke the r13 absolute-vector encoding (×100
+    // probe: candidate recall 0.979, end-to-end 0.368): a tight mode
+    // mixture where same-mode candidates are near-identical. With
+    // residual codes the ADC top-96 must return the same top-1 as an
+    // effectively-unbounded shortlist (= exact rerank of EVERY
+    // candidate the probe gate admits) on ~all queries.
+    val out = tmpDir("pq_residual_clustered")
+    val ids = spark.range(0, 4096).select(col("id").as("vec_id"))
+    val modes = 16
+    val base = ids.withColumn("mode",
+      conv(substring(md5(concat(lit("cm:"),
+        col("vec_id").cast("string"))), 1, 8), 16, 10).cast("long")
+        % modes)
+    def noise(saltCol: String, dd: Int, amp: Double) =
+      (conv(substring(md5(concat(expr(saltCol), lit(s"~$dd"))),
+        1, 8), 16, 10).cast("double")
+        / lit(4294967296.0) - lit(0.5)) * lit(amp)
+    val vec = array((0 until 64).map { dd =>
+      noise("concat('m:', cast(mode as string))", dd, 1.0) +
+        noise("cast(vec_id as string)", dd, 0.3)
+    }: _*).cast("array<float>")
+    base.select(col("vec_id"), vec.as("embedding"), lit("x").as("label"))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    val dflt = SparkEntry.queries("s12_pq_adc")(spark, out)
+      .select(col("q_id"), col("c_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.conf.set(GraftConf.PqShortlistKey, (1 << 24).toString)
+    val unbounded =
+      try SparkEntry.queries("s12_pq_adc")(spark, out)
+        .select(col("q_id"), col("c_id")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally spark.conf.unset(GraftConf.PqShortlistKey)
+    assert(dflt.keySet === unbounded.keySet)
+    val agree = dflt.count { case (q, c) => unbounded(q) == c }
+    val frac = agree.toDouble / dflt.size
+    assert(frac >= 0.95,
+      s"shortlist-96 vs unbounded top-1 agreement $frac (n=${dflt.size})")
+  }
 }
