@@ -39,6 +39,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // dev-loop what-if dials (driver never sets it): comma-separated
+    // k=v session confs, e.g.
+    // SPARK_GRAFT_CONF=spark.graft.ivfNprobe=7,spark.graft.pqShortlist=96
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",")
+      .filter(_.contains("=")).foreach { kv =>
+        val a = kv.split("=", 2); spark.conf.set(a(0), a(1))
+      })
 
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         dir: String): Unit =

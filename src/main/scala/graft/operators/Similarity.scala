@@ -309,13 +309,16 @@ object Similarity {
       conv(substring(md5(concat(lit("s12c:"),
         col("q_id").cast("string"))), 1, 8), 16, 10).cast("long")
         < lit(sampThresh))
-    val wNN = Window.partitionBy(col("q_id"))
-      .orderBy(col("qd"), col("c_id"))
+    // argmin via min(struct(qd, c_id)) — lexicographic field-wise
+    // compare, so it IS the (qd ASC, c_id ASC) first row, but with
+    // map-side partial aggregation instead of a full sort of the
+    // |sample|·n cross product (the twin keeps its ROW_NUMBER form —
+    // answer-identical)
     val nn = corpus.crossJoin(broadcast(sq))
       .withColumn("qd", l2d("av", "bv"))
-      .withColumn("rn", row_number().over(wNN))
-      .filter(col("rn") === 1)
-      .select(col("q_id"), col("c_id"))
+      .groupBy(col("q_id"))
+      .agg(min(struct(col("qd"), col("c_id"))).as("mn"))
+      .select(col("q_id"), col("mn.c_id").as("c_id"))
     (sq, nn)
   }
 
@@ -935,13 +938,26 @@ object Similarity {
       .withColumn("rn", row_number().over(wSc))
       .filter(col("rn") <= wSup)
       .select(col(idCol), col(vecCol), col("scid"))
-    val wCell = Window.partitionBy(col(idCol))
-      .orderBy(col("cd"), col("cid"))
-    sel.join(broadcast(cellCent), "scid")
+    val scored = sel.join(broadcast(cellCent), "scid")
       .withColumn("cd", l2d(vecCol, "c"))
-      .withColumn("rn", row_number().over(wCell))
-      .filter(col("rn") <= topN)
-      .select(col(idCol), col("cid"), col("cd"))
+    if (topN == 1)
+      // the hot path (every corpus vector routes topN=1): argmin via
+      // min(struct(cd, cid)) — lexicographic ⇒ identical to the
+      // (cd ASC, cid ASC) first row, but partial-aggregating
+      // map-side instead of sorting n·wSup·(k/√k) rows (the twins
+      // keep their ROW_NUMBER form — answer-identical)
+      scored.groupBy(col(idCol))
+        .agg(min(struct(col("cd"), col("cid"))).as("mn"))
+        .select(col(idCol), col("mn.cid").as("cid"),
+          col("mn.cd").as("cd"))
+    else {
+      val wCell = Window.partitionBy(col(idCol))
+        .orderBy(col("cd"), col("cid"))
+      scored
+        .withColumn("rn", row_number().over(wCell))
+        .filter(col("rn") <= topN)
+        .select(col(idCol), col("cid"), col("cd"))
+    }
   }
 
   // a DEF, not a val: the oracle SQL twins resolve session conf
@@ -1597,15 +1613,17 @@ object Similarity {
                 slice(cv, m * $sub + 1, $sub),
                 (x, c) -> (x - c) * (x - c)),
               cast(0.0 as double), (acc, x) -> acc + x)"""
-        val wCode = Window.partitionBy(col("c_id"), col("m"))
-          .orderBy(col("dist"), col("c"))
+        // PQ argmins via min(struct(dist, c)) — partial-aggregating
+        // map-side combine instead of sorting the n·4·64 scored rows
+        // (lexicographic ⇒ identical to the (dist ASC, c ASC) first
+        // row; the twins keep ROW_NUMBER — answer-identical)
         val casg = corpusRes
           .withColumn("m", explode(expr(s"sequence(0, ${M - 1})")))
           .crossJoin(broadcast(cb0))
           .withColumn("dist", expr(subDist0("rv")))
-          .withColumn("rn", row_number().over(wCode))
-          .filter(col("rn") === 1)
-          .select(col("c_id"), col("m"), col("c"))
+          .groupBy(col("c_id"), col("m"))
+          .agg(min(struct(col("dist"), col("c"))).as("mn"))
+          .select(col("c_id"), col("m"), col("mn.c").as("c"))
         val cb1 = casg.join(corpusRes, "c_id")
           .select(col("m"), col("c"),
             posexplode(expr(s"slice(rv, m * $sub + 1, $sub)"))
@@ -1635,8 +1653,9 @@ object Similarity {
           .withColumn("m", explode(expr(s"sequence(0, ${M - 1})")))
           .join(broadcast(cb1f), Seq("m"))
           .withColumn("dist", expr(subDistT("rv")))
-          .withColumn("rn", row_number().over(wCode))
-          .filter(col("rn") === 1)
+          .groupBy(col("c_id"), col("m"))
+          .agg(min(struct(col("dist"), col("c"))).as("mn"))
+          .select(col("c_id"), col("m"), col("mn.c").as("c"))
         // cache: the shortlist calibration materializes the scorer
         // eagerly before serving re-runs it — 5 ints per corpus row
         val codesPiv = codes.groupBy(col("c_id"))
