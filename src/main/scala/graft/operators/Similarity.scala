@@ -1605,6 +1605,7 @@ object Similarity {
             (row_number().over(Window.orderBy(col("c_id"))) - 1)
               .as("c"),
             col("rv").as("cv"))
+          .cache() // 64 rows; feeds casg + cbInit
         // L2^2 between the m-th sub-vectors of `a` (a residual —
         // already double) and the FULL-width init codebook row
         def subDist0(a: String) =
@@ -1643,6 +1644,8 @@ object Similarity {
         val cb1f = cbInit.join(cb1, Seq("m", "c"), "left")
           .select(col("m"), col("c"),
             coalesce(col("cv"), col("cvi")).as("cv"))
+          .cache() // 256 rows; feeds codes + qlut + clut — uncached
+                   // its whole training chain re-ran per consumer
         // trained codebook rows carry the 16-dim sub-vector directly
         def subDistT(a: String) =
           s"""aggregate(zip_with(
@@ -1708,6 +1711,7 @@ object Similarity {
           .agg(expr(
             """transform(sort_array(collect_list(struct(kk, pdist))),
                t -> t.pdist)""").as("cpl"))
+          .cache() // k rows; adcScore applies to calib + serving
         val cellm = ccell.join(codesPiv, "c_id")
         // shared ADC scorer: expects (q_id, cid, cd, c_id, code0..3)
         def adcScore(df: DataFrame): DataFrame = df
