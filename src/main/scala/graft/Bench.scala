@@ -150,7 +150,14 @@ object Bench {
     // down, so "quiet but slower" means undetected interference. A
     // deliberate re-pin after a code/data change that legitimately
     // slows the total sets SPARK_GRAFT_BENCH_FORCE=1.
-    val outDefault = if (hostLoaded) "bench_out.loaded.json"
+    // third pin guard: a BENCH_ONLY dev run covers a SUBSET of the
+    // headline set, so its total is incomparable with the pin (usually
+    // smaller — which sails through the slower-than-pin check and
+    // clobbers the full-set pin; it happened: an s12-only A/B run
+    // replaced the 13-query pin). Filtered runs always divert.
+    val outDefault = if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY"))
+        "bench_out.partial.json"
+      else if (hostLoaded) "bench_out.loaded.json"
       else {
         val pinned =
           try {

@@ -960,6 +960,576 @@ object Similarity {
     }
   }
 
+  // ---------- IVF-PQ build/serve (s12 inline; s18 persisted) ----------
+
+  private val PqM = 4
+  private val PqSub = VecDim / PqM // 16
+
+  /** Serving artifacts of one built IVF-PQ index: the two calibrated
+    * dials (nprobe, shortlist — index METADATA, decided at build time
+    * from the corpus geometry) plus the frames the serve path joins:
+    * routing centroids, the per-corpus-row (cid, codes) map, the
+    * trained codebook, and the per-cell ADC term table. */
+  private[graft] final case class PqIndex(np: Int, sl: Int,
+      scCent: DataFrame, cellCent: DataFrame, cellm: DataFrame,
+      cb1f: DataFrame, clut: DataFrame)
+
+  /** Per-QUERY 256-entry positional ADC LUT of −2·q_m·e_m (the
+    * query-dependent term of the decomposed residual distance). */
+  private def pqQlut(qsF: DataFrame, cb1f: DataFrame): DataFrame = qsF
+    .withColumn("m", explode(expr(s"sequence(0, ${PqM - 1})")))
+    .join(broadcast(cb1f), Seq("m"))
+    .withColumn("pdist", expr(
+      s"""aggregate(zip_with(
+            slice(av, m * $PqSub + 1, $PqSub), cv,
+            (x, c) -> -2.0d * cast(x as double) * c),
+          cast(0.0 as double), (acc, x) -> acc + x)"""))
+    .withColumn("kk", col("m") * 64 + col("c"))
+    .groupBy(col("q_id"))
+    .agg(expr(
+      """transform(sort_array(collect_list(struct(kk, pdist))),
+         t -> t.pdist)""").as("qpl"))
+
+  /** Per-CELL 256-entry table of 2·c_m·e_m + |e_m|² (the
+    * cell-dependent term) — k·256 entries total, broadcastable. */
+  private def pqClut(cellCent: DataFrame, cb1f: DataFrame): DataFrame =
+    cellCent.select(col("cid"), col("c").as("cvec"))
+      .withColumn("m", explode(expr(s"sequence(0, ${PqM - 1})")))
+      .join(broadcast(cb1f), Seq("m"))
+      .withColumn("pdist", expr(
+        s"""aggregate(zip_with(
+              slice(cvec, m * $PqSub + 1, $PqSub), cv,
+              (w, e) -> 2.0d * w * e + e * e),
+            cast(0.0 as double), (acc, x) -> acc + x)"""))
+      .withColumn("kk", col("m") * 64 + col("c"))
+      .groupBy(col("cid"))
+      .agg(expr(
+        """transform(sort_array(collect_list(struct(kk, pdist))),
+           t -> t.pdist)""").as("cpl"))
+
+  /** The decomposed residual ADC scorer: adist = cd + Σ qlut[code_m]
+    * + Σ clut[code_m], fixed left-assoc order in both engines.
+    * Expects (q_id, cid, cd, c_id, code0..3). */
+  private def adcScore(df: DataFrame, qlut: DataFrame,
+      clut: DataFrame): DataFrame = df
+    .join(qlut, "q_id")
+    .join(broadcast(clut), "cid")
+    .withColumn("adist",
+      col("cd")
+        + element_at(col("qpl"), (col("code0") + 1).cast("int"))
+        + element_at(col("qpl"), (col("code1") + 65).cast("int"))
+        + element_at(col("qpl"), (col("code2") + 129).cast("int"))
+        + element_at(col("qpl"), (col("code3") + 193).cast("int"))
+        + element_at(col("cpl"), (col("code0") + 1).cast("int"))
+        + element_at(col("cpl"), (col("code1") + 65).cast("int"))
+        + element_at(col("cpl"), (col("code2") + 129).cast("int"))
+        + element_at(col("cpl"), (col("code3") + 193).cast("int")))
+
+  /** BUILD the IVF-PQ index over corpus `d`: train the two-level
+    * coarse quantizer, route every corpus vector to its cell, train
+    * residual codebooks and encode (see the s12 QueryDef comment for
+    * the full design + citations), and calibrate BOTH serving dials
+    * from one E[256]-query exact-NN sample. Everything downstream of
+    * the source parquet is deterministic, so a rebuild IS the index
+    * (what lets s18's twin recompute it from source). */
+  private[graft] def buildPqIndex(s: SparkSession, d: String): PqIndex = {
+    val e = vecs(s, d)
+    val corpus = e.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("bv"))
+    val qs = e.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("q_id"), col("v").as("av"))
+    val n = corpusEvenCount(s, d)
+    val k = ivfCells(s, d)
+    val wSup = ivfSuperProbe(s)
+    val (scCent0, cellCent0) = twoLevelTrain(corpus, "s12s:", n, k)
+    // the tiny centroid tables (≤ k + ceil(√k) rows) feed FOUR
+    // consumers — corpus routing, query routing, and the two
+    // calibration routings — cache so the sampled training chain
+    // runs once instead of per branch (the d13 lesson)
+    val scCent = scCent0.cache()
+    val cellCent = cellCent0.cache()
+    // one E[256]-query exact-NN sample calibrates BOTH serving
+    // dials: nprobe (cell-rank percentile) here, and the ADC
+    // shortlist (ADC-rank percentile) once the codebooks exist
+    // below. cache: nn is the brute-force pass — share it
+    val (sq0, nn0) = calibSampleNN(qs, corpus, corpusOddCount(s, d))
+    val sq = sq0.cache()
+    val nn = nn0.cache()
+    val np = ivfNprobeOverride(s).getOrElse(
+      calibrateNprobeFrom(s, sq, nn, corpus, scCent, cellCent,
+        k, wSup))
+    // cache: the corpus routing feeds the residual chain (casg /
+    // cb1 / codes via corpusRes) AND the candidate map (cellm) —
+    // 2 longs per corpus row; uncached, the (1+w)·√k routing
+    // evals would re-run per consumer (the d13 lesson)
+    val ccell = routeToCells(corpus, "c_id", "bv",
+      scCent, cellCent, wSup, 1).select(col("c_id"), col("cid"))
+      .cache()
+    // RESIDUAL encoding (IVFADC, Jégou et al.): rv = bv −
+    // cell_centroid; the centroid array is renamed cvec (`c` would
+    // collide with cb1f's code-id column). rv is double
+    // (float→double exact; centroid doubles bit-identical across
+    // engines by the quantMean contract) — residuals are
+    // bit-identical in both twins.
+    val cellVec = cellCent.select(col("cid"), col("c").as("cvec"))
+    val corpusRes = corpus.join(ccell, "c_id")
+      .join(broadcast(cellVec), "cid")
+      .select(col("c_id"), col("cid"),
+        expr("zip_with(bv, cvec, (x, w) -> cast(x as double) - w)")
+          .as("rv"))
+      .cache() // rv feeds init, assignment, training, coding
+    // codebook init: residual sub-vectors of the 64 lowest-id corpus
+    // vectors; entry ids ROW_NUMBER — DENSE 0..63, the positional-LUT
+    // contract (raw ids only satisfy that on dense test corpora)
+    val cb0 = corpusRes.orderBy(col("c_id")).limit(64)
+      .select(
+        (row_number().over(Window.orderBy(col("c_id"))) - 1)
+          .as("c"),
+        col("rv").as("cv"))
+      .cache() // 64 rows; feeds casg + cbInit
+    def subDist0(a: String) =
+      s"""aggregate(zip_with(
+            slice($a, m * $PqSub + 1, $PqSub),
+            slice(cv, m * $PqSub + 1, $PqSub),
+            (x, c) -> (x - c) * (x - c)),
+          cast(0.0 as double), (acc, x) -> acc + x)"""
+    // PQ argmins via min(struct(dist, c)) — partial-aggregating
+    // map-side combine (lexicographic ⇒ the (dist ASC, c ASC) first
+    // row; the twins keep ROW_NUMBER — answer-identical)
+    val casg = corpusRes
+      .withColumn("m", explode(expr(s"sequence(0, ${PqM - 1})")))
+      .crossJoin(broadcast(cb0))
+      .withColumn("dist", expr(subDist0("rv")))
+      .groupBy(col("c_id"), col("m"))
+      .agg(min(struct(col("dist"), col("c"))).as("mn"))
+      .select(col("c_id"), col("m"), col("mn.c").as("c"))
+    val cb1 = casg.join(corpusRes, "c_id")
+      .select(col("m"), col("c"),
+        posexplode(expr(s"slice(rv, m * $PqSub + 1, $PqSub)"))
+          .as(Seq("dd", "x")))
+      .groupBy(col("m"), col("c"), col("dd"))
+      .agg((sum(expr(
+        "cast(floor(cast(x as double) * 1e10 + 0.5d) as bigint)"))
+        .cast("double") / lit(1e10) / count(lit(1))).as("cval"))
+      .groupBy(col("m"), col("c"))
+      .agg(expr(
+        """transform(sort_array(collect_list(struct(dd, cval))),
+           t -> t.cval)""").as("cv"))
+    val cbInit = cb0
+      .withColumn("m", explode(expr(s"sequence(0, ${PqM - 1})")))
+      .select(col("m"), col("c"),
+        expr(s"slice(cv, m * $PqSub + 1, $PqSub)").as("cvi"))
+    val cb1f = cbInit.join(cb1, Seq("m", "c"), "left")
+      .select(col("m"), col("c"),
+        coalesce(col("cv"), col("cvi")).as("cv"))
+      .cache() // 256 rows; feeds codes + qlut + clut — uncached
+               // its whole training chain re-ran per consumer
+    def subDistT(a: String) =
+      s"""aggregate(zip_with(
+            slice($a, m * $PqSub + 1, $PqSub), cv,
+            (x, c) -> (x - c) * (x - c)),
+          cast(0.0 as double), (acc, x) -> acc + x)"""
+    val codes = corpusRes
+      .withColumn("m", explode(expr(s"sequence(0, ${PqM - 1})")))
+      .join(broadcast(cb1f), Seq("m"))
+      .withColumn("dist", expr(subDistT("rv")))
+      .groupBy(col("c_id"), col("m"))
+      .agg(min(struct(col("dist"), col("c"))).as("mn"))
+      .select(col("c_id"), col("m"), col("mn.c").as("c"))
+    val codesPiv = codes.groupBy(col("c_id"))
+      .agg(min(when(col("m") === 0, col("c"))).as("code0"),
+        (1 until PqM).map(m =>
+          min(when(col("m") === m, col("c"))).as(s"code$m")): _*)
+      .cache() // the shortlist calibration materializes the scorer
+               // eagerly before serving re-runs it — 5 ints per row
+    val clut = pqClut(cellCent, cb1f).cache()
+    val cellm = ccell.join(codesPiv, "c_id")
+    // ---- shortlist calibration: the sample's candidates through
+    // the FULL serving scorer (≤ |sample|·np·64 rows; the qlut here
+    // is SAMPLE-only) → the ADC rank each true NN actually landed
+    // at → order-statistic percentile. Gate-missed queries drop at
+    // the inner join (nprobe, not the shortlist, binds them) ----
+    val sl = pqShortlistOverride(s).getOrElse {
+      val sprobes = routeToCells(sq, "q_id", "av", scCent,
+          cellCent, wSup, np)
+        .select(col("q_id"), col("cid"), col("cd"))
+      val wTop = Window.partitionBy(col("q_id"))
+        .orderBy(col("adist"), col("c_id"))
+      val sranked = adcScore(sprobes.join(cellm, "cid")
+          .select(col("q_id"), col("cid"), col("cd"), col("c_id"),
+            col("code0"), col("code1"), col("code2"),
+            col("code3")),
+          pqQlut(sq, cb1f), clut)
+        .withColumn("r", row_number().over(wTop))
+        .select(col("q_id"), col("c_id"), col("r"))
+      val ranks = nn.join(sranked, Seq("q_id", "c_id"))
+        .select(col("r").cast("long").as("r"))
+        .collect().map(_.getLong(0)).toIndexedSeq
+      pickShortlist(ranks, recallTargetPct(s), np)
+    }
+    PqIndex(np, sl, scCent, cellCent, cellm, cb1f, clut)
+  }
+
+  /** SERVE the query half of corpus `d` against a built (or loaded)
+    * [[PqIndex]]: route each query to its np nearest cells, ADC-score
+    * the members (4 small ints per candidate), keep the top-sl, exact
+    * L2 rerank. No training, no calibration — the dials ride the
+    * index. */
+  private[graft] def servePq(s: SparkSession, d: String,
+      idx: PqIndex): DataFrame = {
+    val e = vecs(s, d)
+    val corpus = e.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("bv"))
+    val qs = e.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("q_id"), col("v").as("av"))
+    val wSup = ivfSuperProbe(s)
+    val probes = routeToCells(qs, "q_id", "av", idx.scCent,
+        idx.cellCent, wSup, idx.np)
+      .select(col("q_id"), col("cid"), col("cd"))
+    val cand = probes.join(idx.cellm, "cid")
+      .select(col("q_id"), col("cid"), col("cd"), col("c_id"),
+        col("code0"), col("code1"), col("code2"), col("code3"))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("adist"), col("c_id"))
+    val shortlist = adcScore(cand, pqQlut(qs, idx.cb1f), idx.clut)
+      .withColumn("r", row_number().over(wTop))
+      .filter(col("r") <= idx.sl)
+      .select(col("q_id"), col("c_id"))
+    // stage 2: EXACT L2 rerank of the ADC shortlist only
+    val l2 =
+      """aggregate(zip_with(av, bv,
+           (x, y) -> (cast(x as double) - cast(y as double))
+                   * (cast(x as double) - cast(y as double))),
+         cast(0.0 as double), (acc, x) -> acc + x)"""
+    val wF = Window.partitionBy(col("q_id"))
+      .orderBy(col("l2sq"), col("c_id"))
+    shortlist
+      .join(qs.select(col("q_id"), col("av")), "q_id")
+      .join(corpus.select(col("c_id"), col("bv")), "c_id")
+      .withColumn("l2sq", expr(l2))
+      .withColumn("r", row_number().over(wF))
+      .filter(col("r") === 1)
+      .select(col("q_id"), col("c_id"), col("l2sq"))
+      .orderBy(col("q_id"))
+  }
+
+  /** PERSIST a built index (s18): centroids, codebook, and the
+    * (c_id, cid, codes) map as catalog tables — the big codes table
+    * bucketed on cid so the serve-time membership join reads the
+    * corpus side with NO exchange (w02/s13 discipline: the shuffle is
+    * paid once at build). The calibrated dials are index METADATA. */
+  private[graft] def persistPqIndex(s: SparkSession, d: String,
+      idx: PqIndex): Unit = {
+    def save(dfx: DataFrame, table: String,
+        bucketCol: Option[String]): Unit = {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_$table-" +
+        Integer.toHexString(d.hashCode)
+      val w = dfx.write.mode("overwrite").option("path", p)
+      bucketCol match {
+        case Some(bc) => w.bucketBy(8, bc).sortBy(bc).saveAsTable(table)
+        case None => w.saveAsTable(table)
+      }
+    }
+    save(idx.scCent, "s18_pq_sc", None)
+    save(idx.cellCent, "s18_pq_cells", None)
+    save(idx.cb1f, "s18_pq_cb", None)
+    save(idx.cellm, "s18_pq_codes", Some("cid"))
+    import s.implicits._
+    save(Seq((idx.np, idx.sl)).toDF("np", "sl"), "s18_pq_meta", None)
+  }
+
+  /** Load the persisted index back (s18): dials from the meta table,
+    * frames from the catalog; clut re-derives from the saved
+    * centroids + codebook (k·256 rows — cheaper to recompute than to
+    * store per generation). */
+  private[graft] def loadPqIndex(s: SparkSession): PqIndex = {
+    val meta = s.table("s18_pq_meta").head()
+    val cellCent = s.table("s18_pq_cells")
+    val cb1f = s.table("s18_pq_cb")
+    PqIndex(meta.getInt(0), meta.getInt(1), s.table("s18_pq_sc"),
+      cellCent, s.table("s18_pq_codes"), cb1f,
+      pqClut(cellCent, cb1f))
+  }
+
+  /** The s12/s18 oracle twin (a DEF — conf-dependent terms resolve at
+    * materialization): the full deterministic chain train → route →
+    * residual-encode → calibrate both dials → decomposed-ADC serve,
+    * CTE-for-CTE against the source parquet. s18 shares it verbatim:
+    * a deterministic build means serving from the persisted index
+    * must answer exactly what an inline rebuild answers. */
+  private def pqOracleSql: String =
+    s"""WITH e0 AS ($vecsSql),
+        nn AS (SELECT COUNT(*) AS n FROM e0 WHERE vec_id % 2 = 0),
+        kk AS (SELECT LEAST(4096, GREATEST(8, n // 64)) AS k FROM nn),
+        k1k AS (SELECT CAST(CEIL(SQRT(k)) AS BIGINT) AS k1 FROM kk),
+        cpsk AS (SELECT ((SELECT k FROM kk) + k1 - 1) // k1 AS cps
+                 FROM k1k),
+        corpus AS (SELECT vec_id AS c_id, v AS bv FROM e0
+                   WHERE vec_id % 2 = 0),
+        qs AS (SELECT vec_id AS q_id, v AS av FROM e0
+               WHERE vec_id % 2 = 1),
+        samp AS (SELECT c_id, bv FROM corpus
+          WHERE ('0x' || substr(md5('s12s:' || c_id), 1, 8))::BIGINT
+                < (${IvfTrainPerCell * 4294967296L} * (SELECT k FROM kk)
+                   - 1) // (SELECT n FROM nn) + 1),
+        seeds1 AS (SELECT c_id AS scid, bv AS sc FROM (
+            SELECT c_id, bv, ROW_NUMBER() OVER (ORDER BY c_id) AS rn
+            FROM samp)
+          WHERE rn <= (SELECT k1 FROM k1k)),
+        asg1 AS (SELECT c_id, scid FROM (
+            SELECT sa.c_id, s1.scid,
+              ROW_NUMBER() OVER (PARTITION BY sa.c_id ORDER BY
+                list_sum(list_transform(list_zip(sa.bv, s1.sc),
+                  z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, s1.scid) AS rn
+            FROM samp sa, seeds1 s1)
+          WHERE rn = 1),
+        scdims AS (SELECT a.scid, t.dd,
+            CAST(CAST(SUM(CAST(floor(sa.bv[t.dd + 1] * 1e10 + 0.5)
+              AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e10 / COUNT(*) AS cval
+          FROM asg1 a JOIN samp sa USING (c_id),
+            UNNEST(generate_series(0, ${VecDim - 1})) AS t(dd)
+          GROUP BY a.scid, t.dd),
+        sccent AS (SELECT scid, list(cval ORDER BY dd) AS sc
+                   FROM scdims GROUP BY scid),
+        asg2 AS (SELECT c_id, scid FROM (
+            SELECT sa.c_id, s1.scid,
+              ROW_NUMBER() OVER (PARTITION BY sa.c_id ORDER BY
+                list_sum(list_transform(list_zip(sa.bv, s1.sc),
+                  z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, s1.scid) AS rn
+            FROM samp sa, sccent s1)
+          WHERE rn = 1),
+        subseeds AS (SELECT a.c_id AS cid, a.scid, sa.bv AS cseed
+          FROM (SELECT c_id, scid, ROW_NUMBER() OVER (
+                  PARTITION BY scid ORDER BY c_id) AS rn FROM asg2) a
+          JOIN samp sa ON sa.c_id = a.c_id
+          WHERE a.rn <= (SELECT cps FROM cpsk)),
+        asg3 AS (SELECT c_id, cid, scid FROM (
+            SELECT a.c_id, ss.cid, a.scid,
+              ROW_NUMBER() OVER (PARTITION BY a.c_id ORDER BY
+                list_sum(list_transform(list_zip(sa.bv, ss.cseed),
+                  z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, ss.cid) AS rn
+            FROM asg2 a
+            JOIN samp sa ON sa.c_id = a.c_id
+            JOIN subseeds ss ON ss.scid = a.scid)
+          WHERE rn = 1),
+        celldims AS (SELECT a.cid, a.scid, t.dd,
+            CAST(CAST(SUM(CAST(floor(sa.bv[t.dd + 1] * 1e10 + 0.5)
+              AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e10 / COUNT(*) AS cval
+          FROM asg3 a JOIN samp sa USING (c_id),
+            UNNEST(generate_series(0, ${VecDim - 1})) AS t(dd)
+          GROUP BY a.cid, a.scid, t.dd),
+        cellcent AS (SELECT cid, scid, list(cval ORDER BY dd) AS c
+                     FROM celldims GROUP BY cid, scid),
+        corpsc AS (SELECT c_id, bv, scid FROM (
+            SELECT cr.c_id, cr.bv, s1.scid,
+              ROW_NUMBER() OVER (PARTITION BY cr.c_id ORDER BY
+                list_sum(list_transform(list_zip(cr.bv, s1.sc),
+                  z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, s1.scid) AS rn
+            FROM corpus cr, sccent s1)
+          WHERE rn <= ${IvfSuperProbe}),
+        ccell AS (SELECT c_id, cid FROM (
+            SELECT cs.c_id, cc.cid,
+              ROW_NUMBER() OVER (PARTITION BY cs.c_id ORDER BY
+                list_sum(list_transform(list_zip(cs.bv, cc.c),
+                  z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, cc.cid) AS rn
+            FROM corpsc cs JOIN cellcent cc USING (scid))
+          WHERE rn = 1),
+        -- nprobe auto-calibration (CTE-for-CTE twin of
+        -- calibrateNprobe): sampled queries -> exact NN -> NN's cell
+        -- (via ccell) -> rank in the query's gated cell ordering ->
+        -- order-statistic percentile, cap-clamped
+        npcap AS (SELECT GREATEST(${IvfNprobe},
+            4 * CAST(CEIL(SQRT(k)) AS BIGINT)) AS cap FROM kk),
+        nqq AS (SELECT COUNT(*) AS nq FROM qs),
+        sq AS (SELECT q_id, av FROM qs
+          WHERE ('0x' || substr(md5('s12c:' || q_id), 1, 8))::BIGINT
+                < ${CalibSample * 4294967296L - 1L}
+                  // (SELECT nq FROM nqq) + 1),
+        snn AS (SELECT q_id, c_id FROM (
+            SELECT q.q_id, c.c_id,
+              ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+                list_sum(list_transform(list_zip(q.av, c.bv),
+                  z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, c.c_id) AS rn
+            FROM sq q, corpus c)
+          WHERE rn = 1),
+        sqsc AS (SELECT q_id, av, scid FROM (
+            SELECT q.q_id, q.av, s1.scid,
+              ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+                list_sum(list_transform(list_zip(q.av, s1.sc),
+                  z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, s1.scid) AS rn
+            FROM sq q, sccent s1)
+          WHERE rn <= ${IvfSuperProbe}),
+        sqrank AS (SELECT q_id, cid, cd, ROW_NUMBER() OVER (
+              PARTITION BY q_id ORDER BY cd, cid) AS cellrank
+          FROM (SELECT qc.q_id, cc.cid,
+              list_sum(list_transform(list_zip(qc.av, cc.c),
+                z -> (z[1] - z[2]) * (z[1] - z[2]))) AS cd
+            FROM sqsc qc JOIN cellcent cc USING (scid))),
+        crs AS (SELECT r.cellrank
+          FROM snn n
+          JOIN ccell cl ON cl.c_id = n.c_id
+          JOIN sqrank r ON r.q_id = n.q_id AND r.cid = cl.cid),
+        calib AS (SELECT GREATEST(${IvfNprobe},
+            LEAST((SELECT cap FROM npcap), COALESCE(
+              (SELECT cellrank
+               FROM (SELECT cellrank,
+                   ROW_NUMBER() OVER (ORDER BY cellrank) AS rn,
+                   COUNT(*) OVER () AS cnt FROM crs)
+               WHERE rn = GREATEST(1,
+                 (cnt * ${resolvedRecallTargetPct} + 99) // 100)),
+              ${IvfNprobe}))) AS np),
+        qsc AS (SELECT q_id, av, scid FROM (
+            SELECT q.q_id, q.av, s1.scid,
+              ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+                list_sum(list_transform(list_zip(q.av, s1.sc),
+                  z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, s1.scid) AS rn
+            FROM qs q, sccent s1)
+          WHERE rn <= ${IvfSuperProbe}),
+        probes AS (SELECT q_id, cid, cd FROM (
+            SELECT qc.q_id, cc.cid,
+              list_sum(list_transform(list_zip(qc.av, cc.c),
+                z -> (z[1] - z[2]) * (z[1] - z[2]))) AS cd,
+              ROW_NUMBER() OVER (PARTITION BY qc.q_id ORDER BY
+                list_sum(list_transform(list_zip(qc.av, cc.c),
+                  z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, cc.cid) AS rn
+            FROM qsc qc JOIN cellcent cc USING (scid))
+          WHERE rn <= ${resolvedNprobeSql}),
+        cand AS (SELECT p.q_id, p.cid, p.cd, cc.c_id
+                 FROM probes p JOIN ccell cc USING (cid)),
+        -- RESIDUAL encoding (IVFADC): rv = bv - cell_centroid; PQ
+        -- trains/codes on residuals, the ADC LUT is per (query,
+        -- probed cell) from the query's own residual
+        cres AS (SELECT cr.c_id, cl.cid,
+            list_transform(list_zip(cr.bv, cc.c),
+              z -> z[1] - z[2]) AS rv
+          FROM corpus cr JOIN ccell cl USING (c_id)
+          JOIN cellcent cc USING (cid)),
+        cb0 AS (SELECT rn - 1 AS c, rv AS cv FROM (
+            SELECT rv,
+              ROW_NUMBER() OVER (ORDER BY c_id) AS rn FROM cres)
+          WHERE rn <= 64),
+        cbinit AS (SELECT mm.m, ct.c,
+            list_slice(ct.cv, mm.m * 16 + 1, mm.m * 16 + 16) AS cvi
+          FROM UNNEST(generate_series(0, 3)) AS mm(m), cb0 ct),
+        casg AS (SELECT c_id, m, c FROM (
+            SELECT cr.c_id, mm.m, ct.c,
+              ROW_NUMBER() OVER (PARTITION BY cr.c_id, mm.m ORDER BY
+                list_sum(list_transform(
+                  list_zip(list_slice(cr.rv, mm.m * 16 + 1, mm.m * 16 + 16),
+                           list_slice(ct.cv, mm.m * 16 + 1, mm.m * 16 + 16)),
+                  z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, ct.c) AS rn
+            FROM cres cr, UNNEST(generate_series(0, 3)) AS mm(m), cb0 ct)
+          WHERE rn = 1),
+        cbdims AS (SELECT a.m, a.c, t.dd,
+            CAST(CAST(SUM(CAST(floor(cr.rv[a.m * 16 + t.dd + 1] * 1e10 + 0.5)
+              AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e10 / COUNT(*) AS cval
+          FROM casg a JOIN cres cr ON cr.c_id = a.c_id,
+            UNNEST(generate_series(0, 15)) AS t(dd)
+          GROUP BY a.m, a.c, t.dd),
+        cb1 AS (SELECT m, c, list(cval ORDER BY dd) AS cv
+                FROM cbdims GROUP BY m, c),
+        cb1f AS (SELECT i.m, i.c, COALESCE(t.cv, i.cvi) AS cv
+                 FROM cbinit i LEFT JOIN cb1 t USING (m, c)),
+        codes AS (SELECT c_id, m, c AS code FROM (
+            SELECT cr.c_id, cb.m, cb.c,
+              ROW_NUMBER() OVER (PARTITION BY cr.c_id, cb.m ORDER BY
+                list_sum(list_transform(
+                  list_zip(list_slice(cr.rv, cb.m * 16 + 1, cb.m * 16 + 16),
+                           cb.cv),
+                  z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, cb.c) AS rn
+            FROM cres cr, cb1f cb)
+          WHERE rn = 1),
+        cp AS (SELECT c_id,
+            MIN(CASE WHEN m = 0 THEN code END) AS code0,
+            MIN(CASE WHEN m = 1 THEN code END) AS code1,
+            MIN(CASE WHEN m = 2 THEN code END) AS code2,
+            MIN(CASE WHEN m = 3 THEN code END) AS code3
+          FROM codes GROUP BY c_id),
+        -- decomposed residual ADC: adist = cd − 2·q·e + (2·c·e+|e|²)
+        -- as a per-QUERY LUT + a per-CELL LUT + the router's cd —
+        -- both 256-entry lists positional by m*64+c (codes dense
+        -- 0..63 by the cb1f coalesce)
+        qlut AS (SELECT q.q_id, cb.m, cb.c,
+            list_sum(list_transform(
+              list_zip(list_slice(q.av, cb.m * 16 + 1, cb.m * 16 + 16),
+                       cb.cv),
+              z -> -2.0 * z[1] * z[2])) AS pdist
+          FROM qs q, cb1f cb),
+        qlutflat AS MATERIALIZED (SELECT q_id,
+            list(pdist ORDER BY m * 64 + c) AS qpl
+          FROM qlut GROUP BY q_id),
+        clut AS (SELECT cc.cid, cb.m, cb.c,
+            list_sum(list_transform(
+              list_zip(list_slice(cc.c, cb.m * 16 + 1, cb.m * 16 + 16),
+                       cb.cv),
+              z -> 2.0 * z[1] * z[2] + z[2] * z[2])) AS pdist
+          FROM cellcent cc, cb1f cb),
+        clutflat AS MATERIALIZED (SELECT cid,
+            list(pdist ORDER BY m * 64 + c) AS cpl
+          FROM clut GROUP BY cid),
+        -- shortlist calibration (CTE-for-CTE twin of the Scala
+        -- chain): the sample's candidates through the FULL serving
+        -- scorer -> ADC rank of each true NN -> order-statistic
+        -- percentile, clamped [96, nprobe*64]
+        sprobes AS (SELECT q_id, cid, cd FROM sqrank
+          WHERE cellrank <= ${resolvedNprobeSql}),
+        sscored AS (SELECT sp.q_id, cc2.c_id,
+            (((((((sp.cd
+              + qpl[CAST(cp.code0 + 1 AS INT)])
+              + qpl[CAST(cp.code1 + 65 AS INT)])
+              + qpl[CAST(cp.code2 + 129 AS INT)])
+              + qpl[CAST(cp.code3 + 193 AS INT)])
+              + cpl[CAST(cp.code0 + 1 AS INT)])
+              + cpl[CAST(cp.code1 + 65 AS INT)])
+              + cpl[CAST(cp.code2 + 129 AS INT)])
+              + cpl[CAST(cp.code3 + 193 AS INT)] AS adist
+          FROM sprobes sp
+          JOIN ccell cc2 USING (cid)
+          JOIN cp ON cp.c_id = cc2.c_id
+          JOIN qlutflat USING (q_id)
+          JOIN clutflat USING (cid)),
+        sranked AS (SELECT q_id, c_id, ROW_NUMBER() OVER (
+            PARTITION BY q_id ORDER BY adist, c_id) AS r
+          FROM sscored),
+        slranks AS (SELECT r.r FROM snn n
+          JOIN sranked r ON r.q_id = n.q_id AND r.c_id = n.c_id),
+        slcalib AS (SELECT GREATEST(${PqShortlist},
+            LEAST(${resolvedNprobeSql} * 64, COALESCE(
+              (SELECT rr
+               FROM (SELECT r AS rr,
+                   ROW_NUMBER() OVER (ORDER BY r) AS rn2,
+                   COUNT(*) OVER () AS cnt FROM slranks)
+               WHERE rn2 = GREATEST(1,
+                 (cnt * ${resolvedRecallTargetPct} + 99) // 100)),
+              ${PqShortlist}))) AS sl),
+        scored AS MATERIALIZED (SELECT cand.q_id, cand.c_id,
+            (((((((cand.cd
+              + qpl[CAST(cp.code0 + 1 AS INT)])
+              + qpl[CAST(cp.code1 + 65 AS INT)])
+              + qpl[CAST(cp.code2 + 129 AS INT)])
+              + qpl[CAST(cp.code3 + 193 AS INT)])
+              + cpl[CAST(cp.code0 + 1 AS INT)])
+              + cpl[CAST(cp.code1 + 65 AS INT)])
+              + cpl[CAST(cp.code2 + 129 AS INT)])
+              + cpl[CAST(cp.code3 + 193 AS INT)] AS adist
+          FROM cand JOIN cp USING (c_id)
+          JOIN qlutflat USING (q_id)
+          JOIN clutflat USING (cid)),
+        short AS (SELECT q_id, c_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+              ORDER BY adist, c_id) AS r FROM scored)
+          WHERE r <= ${resolvedShortlistSql}),
+        rer AS (SELECT s.q_id, s.c_id,
+            list_sum(list_transform(list_zip(a.v, b.v),
+              t -> (t[1] - t[2]) * (t[1] - t[2]))) AS l2sq
+          FROM short s
+          JOIN e0 a ON a.vec_id = s.q_id
+          JOIN e0 b ON b.vec_id = s.c_id)
+        SELECT q_id, c_id, l2sq FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY l2sq, c_id) AS r FROM rer)
+        WHERE r = 1 ORDER BY q_id"""
+
   // a DEF, not a val: the oracle SQL twins resolve session conf
   // overrides (lshHyperplanes/lshTables) at materialization time, so
   // the map must rebuild per access, not freeze at class load
@@ -1514,541 +2084,34 @@ object Similarity {
     // recover more per probe.
     QueryDef(
       "s12_pq_adc",
-      (s, d) => {
-        val M = 4
-        val sub = VecDim / M // 16
-        val e = vecs(s, d)
-        val corpus = e.filter(col("vec_id") % 2 === 0)
-          .select(col("vec_id").as("c_id"), col("v").as("bv"))
-        val qs = e.filter(col("vec_id") % 2 === 1)
-          .select(col("vec_id").as("q_id"), col("v").as("av"))
-
-        // ---- coarse quantizer: the shared sample-trained TWO-LEVEL
-        // structure ([[twoLevelTrain]] + [[routeToCells]], also d13's
-        // clustering backbone) ----
-        val n = corpusEvenCount(s, d)
-        val k = ivfCells(s, d)
-        val wSup = ivfSuperProbe(s)
-        val (scCent0, cellCent0) = twoLevelTrain(corpus, "s12s:", n, k)
-        // the tiny centroid tables (≤ k + ceil(√k) rows) feed FOUR
-        // consumers — corpus routing, query routing, and the two
-        // calibration routings — cache so the sampled training chain
-        // runs once instead of per branch (the d13 lesson)
-        val scCent = scCent0.cache()
-        val cellCent = cellCent0.cache()
-        // one E[256]-query exact-NN sample calibrates BOTH serving
-        // dials: nprobe (cell-rank percentile) here, and the ADC
-        // shortlist (ADC-rank percentile) once the codebooks exist
-        // below. cache: nn is the brute-force pass — share it
-        val (sq0, nn0) = calibSampleNN(qs, corpus, corpusOddCount(s, d))
-        val sq = sq0.cache()
-        val nn = nn0.cache()
-        val np = ivfNprobeOverride(s).getOrElse(
-          calibrateNprobeFrom(s, sq, nn, corpus, scCent, cellCent,
-            k, wSup))
-        // cache: the corpus routing feeds the residual chain (casg /
-        // cb1 / codes via corpusRes) AND the candidate map (cellm) —
-        // 2 longs per corpus row; uncached, the (1+w)·√k routing
-        // evals would re-run per consumer (the d13 lesson)
-        val ccell = routeToCells(corpus, "c_id", "bv",
-          scCent, cellCent, wSup, 1).select(col("c_id"), col("cid"))
-          .cache()
-        val probes = routeToCells(qs, "q_id", "av",
-          scCent, cellCent, wSup, np)
-          .select(col("q_id"), col("cid"), col("cd"))
-        // each corpus vector lives in exactly ONE cell and each query
-        // probes DISTINCT cells -> no duplicate (q_id, c_id) pairs,
-        // no distinct() needed
-
-        // ---- RESIDUAL encoding (Jégou et al., "Product Quantization
-        // for Nearest Neighbor Search", IVFADC): PQ compresses the
-        // residual bv − cell_centroid, NOT the absolute vector. The
-        // r13 absolute-vector design collapsed on clustered corpora at
-        // scale (×100 probe: candidate-stage recall 0.979 but
-        // end-to-end 0.368) — every same-mode candidate shared nearly
-        // identical codes, so ADC could not rank WITHIN a mode and the
-        // top-96 shortlist dropped the true NN. Residuals subtract the
-        // shared mode structure; codes spend their 2^6 resolution on
-        // what distinguishes neighbors from cell-mates. rv is double
-        // (float→double is exact, centroid doubles are bit-identical
-        // across engines by the quantMean contract), so residuals are
-        // bit-identical in both twins. ----
-        // centroid array renamed cvec: `c` would collide with cb1f's
-        // code-id column in the clut join below
-        val cellVec = cellCent.select(col("cid"), col("c").as("cvec"))
-        val residOf = (v: String) =>
-          s"zip_with($v, cvec, (x, w) -> cast(x as double) - w)"
-        // cache: rv feeds codebook init, assignment, training, and
-        // coding — one materialization instead of four scan+join
-        // passes over the corpus (spills to disk past memory; ~520 B
-        // per row at dim 64)
-        val corpusRes = corpus.join(ccell, "c_id")
-          .join(broadcast(cellVec), "cid")
-          .select(col("c_id"), col("cid"),
-            expr(residOf("bv")).as("rv"))
-          .cache()
-
-        // ---- PQ codebooks: 64-entry init (residual sub-vectors of
-        // the 64 lowest-id CORPUS vectors, the training-free idiom) +
-        // one Lloyd round per sub-space over the corpus residuals
-        // (coding touches every vector anyway; training rides the same
-        // linear pass). Empty entries KEEP their init sub-vector —
-        // standard empty-cluster handling, and it keeps codes DENSE in
-        // 0..63 for the positional LUT below ----
-        // Entry ids are ROW_NUMBER over the 64 lowest-id vectors, not
-        // raw vec_ids: the positional LUT below indexes pl[m*64+c+1],
-        // which requires c DENSE in 0..63 — raw ids satisfy that only
-        // when the corpus happens to contain every id < 64. (On dense
-        // test corpora rank-1 == vec_id, so this is hash-neutral.)
-        val cb0 = corpusRes.orderBy(col("c_id")).limit(64)
-          .select(
-            (row_number().over(Window.orderBy(col("c_id"))) - 1)
-              .as("c"),
-            col("rv").as("cv"))
-          .cache() // 64 rows; feeds casg + cbInit
-        // L2^2 between the m-th sub-vectors of `a` (a residual —
-        // already double) and the FULL-width init codebook row
-        def subDist0(a: String) =
-          s"""aggregate(zip_with(
-                slice($a, m * $sub + 1, $sub),
-                slice(cv, m * $sub + 1, $sub),
-                (x, c) -> (x - c) * (x - c)),
-              cast(0.0 as double), (acc, x) -> acc + x)"""
-        // PQ argmins via min(struct(dist, c)) — partial-aggregating
-        // map-side combine instead of sorting the n·4·64 scored rows
-        // (lexicographic ⇒ identical to the (dist ASC, c ASC) first
-        // row; the twins keep ROW_NUMBER — answer-identical)
-        val casg = corpusRes
-          .withColumn("m", explode(expr(s"sequence(0, ${M - 1})")))
-          .crossJoin(broadcast(cb0))
-          .withColumn("dist", expr(subDist0("rv")))
-          .groupBy(col("c_id"), col("m"))
-          .agg(min(struct(col("dist"), col("c"))).as("mn"))
-          .select(col("c_id"), col("m"), col("mn.c").as("c"))
-        val cb1 = casg.join(corpusRes, "c_id")
-          .select(col("m"), col("c"),
-            posexplode(expr(s"slice(rv, m * $sub + 1, $sub)"))
-              .as(Seq("dd", "x")))
-          .groupBy(col("m"), col("c"), col("dd"))
-          .agg((sum(expr(
-            "cast(floor(cast(x as double) * 1e10 + 0.5d) as bigint)"))
-            .cast("double") / lit(1e10) / count(lit(1))).as("cval"))
-          .groupBy(col("m"), col("c"))
-          .agg(expr(
-            """transform(sort_array(collect_list(struct(dd, cval))),
-               t -> t.cval)""").as("cv"))
-        val cbInit = cb0
-          .withColumn("m", explode(expr(s"sequence(0, ${M - 1})")))
-          .select(col("m"), col("c"),
-            expr(s"slice(cv, m * $sub + 1, $sub)").as("cvi"))
-        val cb1f = cbInit.join(cb1, Seq("m", "c"), "left")
-          .select(col("m"), col("c"),
-            coalesce(col("cv"), col("cvi")).as("cv"))
-          .cache() // 256 rows; feeds codes + qlut + clut — uncached
-                   // its whole training chain re-ran per consumer
-        // trained codebook rows carry the 16-dim sub-vector directly
-        def subDistT(a: String) =
-          s"""aggregate(zip_with(
-                slice($a, m * $sub + 1, $sub), cv,
-                (x, c) -> (x - c) * (x - c)),
-              cast(0.0 as double), (acc, x) -> acc + x)"""
-        val codes = corpusRes
-          .withColumn("m", explode(expr(s"sequence(0, ${M - 1})")))
-          .join(broadcast(cb1f), Seq("m"))
-          .withColumn("dist", expr(subDistT("rv")))
-          .groupBy(col("c_id"), col("m"))
-          .agg(min(struct(col("dist"), col("c"))).as("mn"))
-          .select(col("c_id"), col("m"), col("mn.c").as("c"))
-        // cache: the shortlist calibration materializes the scorer
-        // eagerly before serving re-runs it — 5 ints per corpus row
-        val codesPiv = codes.groupBy(col("c_id"))
-          .agg(min(when(col("m") === 0, col("c"))).as("code0"),
-            (1 until M).map(m =>
-              min(when(col("m") === m, col("c"))).as(s"code$m")): _*)
-          .cache()
-
-        // ---- ADC under residuals, DECOMPOSED (the standard IVFADC
-        // serving algebra): |(q−c)−e|² = |q−c|² − 2·q·e + (2·c·e +
-        // |e|²) per sub-space. A naive per-(query, probed-cell)
-        // residual LUT costs nprobe·256 16-dim evals per query — at
-        // ×100 with a calibrated nprobe of 56 that chain OOM'd
-        // (~1.4B rows each dragging a 512-B residual into the
-        // aggregation). The decomposition splits it into:
-        //   qlut  — per-QUERY 256-entry LUT of −2·q_m·e_m (the r13
-        //           cost shape: 256 16-dim evals per query);
-        //   clut  — per-CELL 256-entry table of 2·c_m·e_m + |e_m|²,
-        //           k·256 entries TOTAL, corpus-independent,
-        //           broadcastable (≤ 4096·2 KB);
-        //   cd    — |q−c|² per probed cell, already computed by the
-        //           router (rides `probes` as a scalar).
-        // adist = cd + Σ qlut[code_m] + Σ clut[code_m]: 8 list
-        // lookups + one add per candidate, fixed left-assoc order in
-        // both engines ----
-        val qlut = qs
-          .withColumn("m", explode(expr(s"sequence(0, ${M - 1})")))
-          .join(broadcast(cb1f), Seq("m"))
-          .withColumn("pdist", expr(
-            s"""aggregate(zip_with(
-                  slice(av, m * $sub + 1, $sub), cv,
-                  (x, c) -> -2.0d * cast(x as double) * c),
-                cast(0.0 as double), (acc, x) -> acc + x)"""))
-          .withColumn("kk", col("m") * 64 + col("c"))
-          .groupBy(col("q_id"))
-          .agg(expr(
-            """transform(sort_array(collect_list(struct(kk, pdist))),
-               t -> t.pdist)""").as("qpl"))
-          .cache() // feeds calibration (eager) then serving
-        val clut = cellVec
-          .withColumn("m", explode(expr(s"sequence(0, ${M - 1})")))
-          .join(broadcast(cb1f), Seq("m"))
-          .withColumn("pdist", expr(
-            s"""aggregate(zip_with(
-                  slice(cvec, m * $sub + 1, $sub), cv,
-                  (w, e) -> 2.0d * w * e + e * e),
-                cast(0.0 as double), (acc, x) -> acc + x)"""))
-          .withColumn("kk", col("m") * 64 + col("c"))
-          .groupBy(col("cid"))
-          .agg(expr(
-            """transform(sort_array(collect_list(struct(kk, pdist))),
-               t -> t.pdist)""").as("cpl"))
-          .cache() // k rows; adcScore applies to calib + serving
-        val cellm = ccell.join(codesPiv, "c_id")
-        // shared ADC scorer: expects (q_id, cid, cd, c_id, code0..3)
-        def adcScore(df: DataFrame): DataFrame = df
-          .join(qlut, "q_id")
-          .join(broadcast(clut), "cid")
-          .withColumn("adist",
-            col("cd")
-              + element_at(col("qpl"), (col("code0") + 1).cast("int"))
-              + element_at(col("qpl"), (col("code1") + 65).cast("int"))
-              + element_at(col("qpl"), (col("code2") + 129).cast("int"))
-              + element_at(col("qpl"), (col("code3") + 193).cast("int"))
-              + element_at(col("cpl"), (col("code0") + 1).cast("int"))
-              + element_at(col("cpl"), (col("code1") + 65).cast("int"))
-              + element_at(col("cpl"), (col("code2") + 129).cast("int"))
-              + element_at(col("cpl"), (col("code3") + 193).cast("int")))
-        val wTop = Window.partitionBy(col("q_id"))
-          .orderBy(col("adist"), col("c_id"))
-        // ---- shortlist calibration: run the FULL serving scorer on
-        // just the calibration sample's candidates (≤ |sample|·np·64
-        // rows) and take the ADC rank each true NN actually landed at
-        // — the shortlist that query needed. Same order-statistic
-        // percentile and the same gate-miss exclusion as nprobe:
-        // queries whose true NN is outside the candidate set drop at
-        // the inner join (nprobe, not the shortlist, binds them) ----
-        val sl = pqShortlistOverride(s).getOrElse {
-          val sprobes = routeToCells(sq, "q_id", "av", scCent,
-              cellCent, wSup, np)
-            .select(col("q_id"), col("cid"), col("cd"))
-          val sranked = adcScore(sprobes.join(cellm, "cid")
-              .select(col("q_id"), col("cid"), col("cd"), col("c_id"),
-                col("code0"), col("code1"), col("code2"),
-                col("code3")))
-            .withColumn("r", row_number().over(wTop))
-            .select(col("q_id"), col("c_id"), col("r"))
-          val ranks = nn.join(sranked, Seq("q_id", "c_id"))
-            .select(col("r").cast("long").as("r"))
-            .collect().map(_.getLong(0)).toIndexedSeq
-          pickShortlist(ranks, recallTargetPct(s), np)
-        }
-        val cand = probes.join(cellm, "cid")
-          .select(col("q_id"), col("cid"), col("cd"), col("c_id"),
-            col("code0"), col("code1"), col("code2"), col("code3"))
-        val shortlist = adcScore(cand)
-          .withColumn("r", row_number().over(wTop))
-          .filter(col("r") <= sl)
-          .select(col("q_id"), col("c_id"))
-        // stage 2: EXACT L2 rerank of the ADC shortlist only — codes
-        // rank cheaply, full vectors are touched for |shortlist| rows
-        // per query
-        val l2 =
-          """aggregate(zip_with(av, bv,
-               (x, y) -> (cast(x as double) - cast(y as double))
-                       * (cast(x as double) - cast(y as double))),
-             cast(0.0 as double), (acc, x) -> acc + x)"""
-        val wF = Window.partitionBy(col("q_id"))
-          .orderBy(col("l2sq"), col("c_id"))
-        shortlist
-          .join(qs.select(col("q_id"), col("av")), "q_id")
-          .join(corpus.select(col("c_id"), col("bv")), "c_id")
-          .withColumn("l2sq", expr(l2))
-          .withColumn("r", row_number().over(wF))
-          .filter(col("r") === 1)
-          .select(col("q_id"), col("c_id"), col("l2sq"))
-          .orderBy(col("q_id"))
-      },
-      Some(s"""WITH e0 AS ($vecsSql),
-        nn AS (SELECT COUNT(*) AS n FROM e0 WHERE vec_id % 2 = 0),
-        kk AS (SELECT LEAST(4096, GREATEST(8, n // 64)) AS k FROM nn),
-        k1k AS (SELECT CAST(CEIL(SQRT(k)) AS BIGINT) AS k1 FROM kk),
-        cpsk AS (SELECT ((SELECT k FROM kk) + k1 - 1) // k1 AS cps
-                 FROM k1k),
-        corpus AS (SELECT vec_id AS c_id, v AS bv FROM e0
-                   WHERE vec_id % 2 = 0),
-        qs AS (SELECT vec_id AS q_id, v AS av FROM e0
-               WHERE vec_id % 2 = 1),
-        samp AS (SELECT c_id, bv FROM corpus
-          WHERE ('0x' || substr(md5('s12s:' || c_id), 1, 8))::BIGINT
-                < (${IvfTrainPerCell * 4294967296L} * (SELECT k FROM kk)
-                   - 1) // (SELECT n FROM nn) + 1),
-        seeds1 AS (SELECT c_id AS scid, bv AS sc FROM (
-            SELECT c_id, bv, ROW_NUMBER() OVER (ORDER BY c_id) AS rn
-            FROM samp)
-          WHERE rn <= (SELECT k1 FROM k1k)),
-        asg1 AS (SELECT c_id, scid FROM (
-            SELECT sa.c_id, s1.scid,
-              ROW_NUMBER() OVER (PARTITION BY sa.c_id ORDER BY
-                list_sum(list_transform(list_zip(sa.bv, s1.sc),
-                  z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, s1.scid) AS rn
-            FROM samp sa, seeds1 s1)
-          WHERE rn = 1),
-        scdims AS (SELECT a.scid, t.dd,
-            CAST(CAST(SUM(CAST(floor(sa.bv[t.dd + 1] * 1e10 + 0.5)
-              AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e10 / COUNT(*) AS cval
-          FROM asg1 a JOIN samp sa USING (c_id),
-            UNNEST(generate_series(0, ${VecDim - 1})) AS t(dd)
-          GROUP BY a.scid, t.dd),
-        sccent AS (SELECT scid, list(cval ORDER BY dd) AS sc
-                   FROM scdims GROUP BY scid),
-        asg2 AS (SELECT c_id, scid FROM (
-            SELECT sa.c_id, s1.scid,
-              ROW_NUMBER() OVER (PARTITION BY sa.c_id ORDER BY
-                list_sum(list_transform(list_zip(sa.bv, s1.sc),
-                  z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, s1.scid) AS rn
-            FROM samp sa, sccent s1)
-          WHERE rn = 1),
-        subseeds AS (SELECT a.c_id AS cid, a.scid, sa.bv AS cseed
-          FROM (SELECT c_id, scid, ROW_NUMBER() OVER (
-                  PARTITION BY scid ORDER BY c_id) AS rn FROM asg2) a
-          JOIN samp sa ON sa.c_id = a.c_id
-          WHERE a.rn <= (SELECT cps FROM cpsk)),
-        asg3 AS (SELECT c_id, cid, scid FROM (
-            SELECT a.c_id, ss.cid, a.scid,
-              ROW_NUMBER() OVER (PARTITION BY a.c_id ORDER BY
-                list_sum(list_transform(list_zip(sa.bv, ss.cseed),
-                  z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, ss.cid) AS rn
-            FROM asg2 a
-            JOIN samp sa ON sa.c_id = a.c_id
-            JOIN subseeds ss ON ss.scid = a.scid)
-          WHERE rn = 1),
-        celldims AS (SELECT a.cid, a.scid, t.dd,
-            CAST(CAST(SUM(CAST(floor(sa.bv[t.dd + 1] * 1e10 + 0.5)
-              AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e10 / COUNT(*) AS cval
-          FROM asg3 a JOIN samp sa USING (c_id),
-            UNNEST(generate_series(0, ${VecDim - 1})) AS t(dd)
-          GROUP BY a.cid, a.scid, t.dd),
-        cellcent AS (SELECT cid, scid, list(cval ORDER BY dd) AS c
-                     FROM celldims GROUP BY cid, scid),
-        corpsc AS (SELECT c_id, bv, scid FROM (
-            SELECT cr.c_id, cr.bv, s1.scid,
-              ROW_NUMBER() OVER (PARTITION BY cr.c_id ORDER BY
-                list_sum(list_transform(list_zip(cr.bv, s1.sc),
-                  z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, s1.scid) AS rn
-            FROM corpus cr, sccent s1)
-          WHERE rn <= ${IvfSuperProbe}),
-        ccell AS (SELECT c_id, cid FROM (
-            SELECT cs.c_id, cc.cid,
-              ROW_NUMBER() OVER (PARTITION BY cs.c_id ORDER BY
-                list_sum(list_transform(list_zip(cs.bv, cc.c),
-                  z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, cc.cid) AS rn
-            FROM corpsc cs JOIN cellcent cc USING (scid))
-          WHERE rn = 1),
-        -- nprobe auto-calibration (CTE-for-CTE twin of
-        -- calibrateNprobe): sampled queries -> exact NN -> NN's cell
-        -- (via ccell) -> rank in the query's gated cell ordering ->
-        -- order-statistic percentile, cap-clamped
-        npcap AS (SELECT GREATEST(${IvfNprobe},
-            4 * CAST(CEIL(SQRT(k)) AS BIGINT)) AS cap FROM kk),
-        nqq AS (SELECT COUNT(*) AS nq FROM qs),
-        sq AS (SELECT q_id, av FROM qs
-          WHERE ('0x' || substr(md5('s12c:' || q_id), 1, 8))::BIGINT
-                < ${CalibSample * 4294967296L - 1L}
-                  // (SELECT nq FROM nqq) + 1),
-        snn AS (SELECT q_id, c_id FROM (
-            SELECT q.q_id, c.c_id,
-              ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
-                list_sum(list_transform(list_zip(q.av, c.bv),
-                  z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, c.c_id) AS rn
-            FROM sq q, corpus c)
-          WHERE rn = 1),
-        sqsc AS (SELECT q_id, av, scid FROM (
-            SELECT q.q_id, q.av, s1.scid,
-              ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
-                list_sum(list_transform(list_zip(q.av, s1.sc),
-                  z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, s1.scid) AS rn
-            FROM sq q, sccent s1)
-          WHERE rn <= ${IvfSuperProbe}),
-        sqrank AS (SELECT q_id, cid, cd, ROW_NUMBER() OVER (
-              PARTITION BY q_id ORDER BY cd, cid) AS cellrank
-          FROM (SELECT qc.q_id, cc.cid,
-              list_sum(list_transform(list_zip(qc.av, cc.c),
-                z -> (z[1] - z[2]) * (z[1] - z[2]))) AS cd
-            FROM sqsc qc JOIN cellcent cc USING (scid))),
-        crs AS (SELECT r.cellrank
-          FROM snn n
-          JOIN ccell cl ON cl.c_id = n.c_id
-          JOIN sqrank r ON r.q_id = n.q_id AND r.cid = cl.cid),
-        calib AS (SELECT GREATEST(${IvfNprobe},
-            LEAST((SELECT cap FROM npcap), COALESCE(
-              (SELECT cellrank
-               FROM (SELECT cellrank,
-                   ROW_NUMBER() OVER (ORDER BY cellrank) AS rn,
-                   COUNT(*) OVER () AS cnt FROM crs)
-               WHERE rn = GREATEST(1,
-                 (cnt * ${resolvedRecallTargetPct} + 99) // 100)),
-              ${IvfNprobe}))) AS np),
-        qsc AS (SELECT q_id, av, scid FROM (
-            SELECT q.q_id, q.av, s1.scid,
-              ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
-                list_sum(list_transform(list_zip(q.av, s1.sc),
-                  z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, s1.scid) AS rn
-            FROM qs q, sccent s1)
-          WHERE rn <= ${IvfSuperProbe}),
-        probes AS (SELECT q_id, cid, cd FROM (
-            SELECT qc.q_id, cc.cid,
-              list_sum(list_transform(list_zip(qc.av, cc.c),
-                z -> (z[1] - z[2]) * (z[1] - z[2]))) AS cd,
-              ROW_NUMBER() OVER (PARTITION BY qc.q_id ORDER BY
-                list_sum(list_transform(list_zip(qc.av, cc.c),
-                  z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, cc.cid) AS rn
-            FROM qsc qc JOIN cellcent cc USING (scid))
-          WHERE rn <= ${resolvedNprobeSql}),
-        cand AS (SELECT p.q_id, p.cid, p.cd, cc.c_id
-                 FROM probes p JOIN ccell cc USING (cid)),
-        -- RESIDUAL encoding (IVFADC): rv = bv - cell_centroid; PQ
-        -- trains/codes on residuals, the ADC LUT is per (query,
-        -- probed cell) from the query's own residual
-        cres AS (SELECT cr.c_id, cl.cid,
-            list_transform(list_zip(cr.bv, cc.c),
-              z -> z[1] - z[2]) AS rv
-          FROM corpus cr JOIN ccell cl USING (c_id)
-          JOIN cellcent cc USING (cid)),
-        cb0 AS (SELECT rn - 1 AS c, rv AS cv FROM (
-            SELECT rv,
-              ROW_NUMBER() OVER (ORDER BY c_id) AS rn FROM cres)
-          WHERE rn <= 64),
-        cbinit AS (SELECT mm.m, ct.c,
-            list_slice(ct.cv, mm.m * 16 + 1, mm.m * 16 + 16) AS cvi
-          FROM UNNEST(generate_series(0, 3)) AS mm(m), cb0 ct),
-        casg AS (SELECT c_id, m, c FROM (
-            SELECT cr.c_id, mm.m, ct.c,
-              ROW_NUMBER() OVER (PARTITION BY cr.c_id, mm.m ORDER BY
-                list_sum(list_transform(
-                  list_zip(list_slice(cr.rv, mm.m * 16 + 1, mm.m * 16 + 16),
-                           list_slice(ct.cv, mm.m * 16 + 1, mm.m * 16 + 16)),
-                  z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, ct.c) AS rn
-            FROM cres cr, UNNEST(generate_series(0, 3)) AS mm(m), cb0 ct)
-          WHERE rn = 1),
-        cbdims AS (SELECT a.m, a.c, t.dd,
-            CAST(CAST(SUM(CAST(floor(cr.rv[a.m * 16 + t.dd + 1] * 1e10 + 0.5)
-              AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e10 / COUNT(*) AS cval
-          FROM casg a JOIN cres cr ON cr.c_id = a.c_id,
-            UNNEST(generate_series(0, 15)) AS t(dd)
-          GROUP BY a.m, a.c, t.dd),
-        cb1 AS (SELECT m, c, list(cval ORDER BY dd) AS cv
-                FROM cbdims GROUP BY m, c),
-        cb1f AS (SELECT i.m, i.c, COALESCE(t.cv, i.cvi) AS cv
-                 FROM cbinit i LEFT JOIN cb1 t USING (m, c)),
-        codes AS (SELECT c_id, m, c AS code FROM (
-            SELECT cr.c_id, cb.m, cb.c,
-              ROW_NUMBER() OVER (PARTITION BY cr.c_id, cb.m ORDER BY
-                list_sum(list_transform(
-                  list_zip(list_slice(cr.rv, cb.m * 16 + 1, cb.m * 16 + 16),
-                           cb.cv),
-                  z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, cb.c) AS rn
-            FROM cres cr, cb1f cb)
-          WHERE rn = 1),
-        cp AS (SELECT c_id,
-            MIN(CASE WHEN m = 0 THEN code END) AS code0,
-            MIN(CASE WHEN m = 1 THEN code END) AS code1,
-            MIN(CASE WHEN m = 2 THEN code END) AS code2,
-            MIN(CASE WHEN m = 3 THEN code END) AS code3
-          FROM codes GROUP BY c_id),
-        -- decomposed residual ADC: adist = cd − 2·q·e + (2·c·e+|e|²)
-        -- as a per-QUERY LUT + a per-CELL LUT + the router's cd —
-        -- both 256-entry lists positional by m*64+c (codes dense
-        -- 0..63 by the cb1f coalesce)
-        qlut AS (SELECT q.q_id, cb.m, cb.c,
-            list_sum(list_transform(
-              list_zip(list_slice(q.av, cb.m * 16 + 1, cb.m * 16 + 16),
-                       cb.cv),
-              z -> -2.0 * z[1] * z[2])) AS pdist
-          FROM qs q, cb1f cb),
-        qlutflat AS MATERIALIZED (SELECT q_id,
-            list(pdist ORDER BY m * 64 + c) AS qpl
-          FROM qlut GROUP BY q_id),
-        clut AS (SELECT cc.cid, cb.m, cb.c,
-            list_sum(list_transform(
-              list_zip(list_slice(cc.c, cb.m * 16 + 1, cb.m * 16 + 16),
-                       cb.cv),
-              z -> 2.0 * z[1] * z[2] + z[2] * z[2])) AS pdist
-          FROM cellcent cc, cb1f cb),
-        clutflat AS MATERIALIZED (SELECT cid,
-            list(pdist ORDER BY m * 64 + c) AS cpl
-          FROM clut GROUP BY cid),
-        -- shortlist calibration (CTE-for-CTE twin of the Scala
-        -- chain): the sample's candidates through the FULL serving
-        -- scorer -> ADC rank of each true NN -> order-statistic
-        -- percentile, clamped [96, nprobe*64]
-        sprobes AS (SELECT q_id, cid, cd FROM sqrank
-          WHERE cellrank <= ${resolvedNprobeSql}),
-        sscored AS (SELECT sp.q_id, cc2.c_id,
-            (((((((sp.cd
-              + qpl[CAST(cp.code0 + 1 AS INT)])
-              + qpl[CAST(cp.code1 + 65 AS INT)])
-              + qpl[CAST(cp.code2 + 129 AS INT)])
-              + qpl[CAST(cp.code3 + 193 AS INT)])
-              + cpl[CAST(cp.code0 + 1 AS INT)])
-              + cpl[CAST(cp.code1 + 65 AS INT)])
-              + cpl[CAST(cp.code2 + 129 AS INT)])
-              + cpl[CAST(cp.code3 + 193 AS INT)] AS adist
-          FROM sprobes sp
-          JOIN ccell cc2 USING (cid)
-          JOIN cp ON cp.c_id = cc2.c_id
-          JOIN qlutflat USING (q_id)
-          JOIN clutflat USING (cid)),
-        sranked AS (SELECT q_id, c_id, ROW_NUMBER() OVER (
-            PARTITION BY q_id ORDER BY adist, c_id) AS r
-          FROM sscored),
-        slranks AS (SELECT r.r FROM snn n
-          JOIN sranked r ON r.q_id = n.q_id AND r.c_id = n.c_id),
-        slcalib AS (SELECT GREATEST(${PqShortlist},
-            LEAST(${resolvedNprobeSql} * 64, COALESCE(
-              (SELECT rr
-               FROM (SELECT r AS rr,
-                   ROW_NUMBER() OVER (ORDER BY r) AS rn2,
-                   COUNT(*) OVER () AS cnt FROM slranks)
-               WHERE rn2 = GREATEST(1,
-                 (cnt * ${resolvedRecallTargetPct} + 99) // 100)),
-              ${PqShortlist}))) AS sl),
-        scored AS MATERIALIZED (SELECT cand.q_id, cand.c_id,
-            (((((((cand.cd
-              + qpl[CAST(cp.code0 + 1 AS INT)])
-              + qpl[CAST(cp.code1 + 65 AS INT)])
-              + qpl[CAST(cp.code2 + 129 AS INT)])
-              + qpl[CAST(cp.code3 + 193 AS INT)])
-              + cpl[CAST(cp.code0 + 1 AS INT)])
-              + cpl[CAST(cp.code1 + 65 AS INT)])
-              + cpl[CAST(cp.code2 + 129 AS INT)])
-              + cpl[CAST(cp.code3 + 193 AS INT)] AS adist
-          FROM cand JOIN cp USING (c_id)
-          JOIN qlutflat USING (q_id)
-          JOIN clutflat USING (cid)),
-        short AS (SELECT q_id, c_id FROM (
-            SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
-              ORDER BY adist, c_id) AS r FROM scored)
-          WHERE r <= ${resolvedShortlistSql}),
-        rer AS (SELECT s.q_id, s.c_id,
-            list_sum(list_transform(list_zip(a.v, b.v),
-              t -> (t[1] - t[2]) * (t[1] - t[2]))) AS l2sq
-          FROM short s
-          JOIN e0 a ON a.vec_id = s.q_id
-          JOIN e0 b ON b.vec_id = s.c_id)
-        SELECT q_id, c_id, l2sq FROM (
-          SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
-            ORDER BY l2sq, c_id) AS r FROM rer)
-        WHERE r = 1 ORDER BY q_id"""),
+      (s, d) => servePq(s, d, buildPqIndex(s, d)),
+      Some(pqOracleSql),
       headline = true),
+
+    // ----- s18: the PERSISTED IVF-PQ index — s12's build/serve split
+    // at the deployment boundary. Build trains, encodes, and
+    // CALIBRATES ONCE, then persists: centroids + codebook + the
+    // (c_id, cid, code0..3) map (bucketed on cid — the serve-time
+    // membership join reads the corpus side with NO exchange, the
+    // w02/s13 pay-the-shuffle-at-write discipline) + the calibrated
+    // dials as a META table. Serve routes queries against the SAVED
+    // tables: no training, no calibration, no brute-force sample —
+    // per-query cost is routing + nprobe·64 ADC lookups + the
+    // shortlist rerank. This is the shape a 100 TB deployment runs
+    // (nightly build, continuous serve); s12 keeps the inline
+    // build+serve as the self-contained reference. The oracle is
+    // s12's twin VERBATIM: the build chain is deterministic from the
+    // source parquet, so serving from the saved index must answer
+    // exactly what an inline rebuild answers — which doubles as the
+    // staleness gate (doubles round-trip parquet bit-exactly; any
+    // saved-vs-rebuilt drift would hash-mismatch).
+    QueryDef(
+      "s18_pq_persisted",
+      (s, d) => {
+        persistPqIndex(s, d, buildPqIndex(s, d))
+        servePq(s, d, loadPqIndex(s))
+      },
+      Some(pqOracleSql)),
 
     // ----- s08: IVF with a TRAINED coarse quantizer — one Lloyd
     // (k-means) refinement of s04's training-free centroids, written
