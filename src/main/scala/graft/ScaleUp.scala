@@ -102,7 +102,16 @@ object ScaleUp {
       // transformWithState + ValueState running-max (mandatory
       // RocksDB).
       "st03_stream_session_window", "st04_stream_dedup",
-      "st09_transform_with_state")
+      "st09_transform_with_state",
+      // r14: the persisted IVF-PQ index — the build+persist+serve
+      // lifecycle rides the generic path (like s17's), and the row
+      // ALSO times a second serve-only pass against the tables the
+      // first pass just persisted (serve_sec_x1/_xk below): the
+      // amortization claim a persisted index exists for is that the
+      // per-batch serving cost excludes training and calibration,
+      // so serve-only must be a small, linearly-scaling fraction of
+      // the lifecycle wall
+      "s18_pq_persisted")
 
   /** What a query's "found" count IS for retention purposes, when a
     * plain row count is structurally trivial (one row per doc): d11
@@ -198,8 +207,28 @@ object ScaleUp {
         val n = measure(fn(spark, dir))
         ((System.nanoTime() - t0) / 1e9, n, stateMetrics())
       }
+      // serve-only pass for the persisted-index probe: must run
+      // immediately after its decade's lifecycle run, while the
+      // persisted tables belong to THAT corpus
+      def serveOnly(dir: String): String =
+        if (name != "s18_pq_persisted") "" else {
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          val n = graft.operators.Similarity.servePersisted(spark, dir)
+            .count()
+          val t = (System.nanoTime() - t0) / 1e9
+          s""","serve_sec":$t,"serve_rows":$n"""
+        }
       val (t1, n1, st1) = time(sfDir)
+      val serve1 = serveOnly(sfDir)
       val (tk, nk, stk) = time(outDir)
+      val servek = serveOnly(outDir)
+      val serveJson =
+        if (serve1.isEmpty) ""
+        else serve1.replace("serve_sec", "serve_sec_x1")
+          .replace("serve_rows", "serve_rows_x1") +
+          servek.replace("serve_sec", "serve_sec_xk")
+            .replace("serve_rows", "serve_rows_xk")
       val stateJson = (st1, stk) match {
         case (Some((r1, b1)), Some((rk, bk))) =>
           s""","state_rows_x1":$r1,"state_bytes_x1":$b1,""" +
@@ -211,7 +240,7 @@ object ScaleUp {
         s""""rows_x1":$n1,"rows_xk":$nk,""" +
         s""""retention":${nk.toDouble / (k * math.max(1L, n1))},""" +
         s""""sec_x1":$t1,"sec_xk":$tk,""" +
-        s""""time_ratio":${tk / math.max(1e-9, t1)}$stateJson}"""
+        s""""time_ratio":${tk / math.max(1e-9, t1)}$stateJson$serveJson}"""
       println(json)
       System.err.println(json)
       json

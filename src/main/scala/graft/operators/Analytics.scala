@@ -1558,6 +1558,121 @@ object Analytics {
         WHERE l_shipdate <= DATE '1998-09-02'
         GROUP BY l_returnflag, l_linestatus
         HAVING COUNT(*) >= 10
-        ORDER BY l_returnflag, l_linestatus"""))
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // ----- q82: PAGERANK over the part co-purchase graph — the
+    // iterative link-analysis kernel web-corpus curation ranks hosts
+    // with (crawl frontier priority / quality priors à la Common
+    // Crawl's harmonic-centrality lists). Graph: q76's co-order part
+    // graph, symmetrized (u↔v when two parts share an order; degrees
+    // 42–206 at sf0.01 — real variance, unlike the near-complete
+    // supplier/token graphs). Fixed 6 power iterations, damping 0.85,
+    // dangling mass redistributed uniformly.
+    //
+    // Spark shape (the canonical distributed PageRank): edges are
+    // derived once, SYMMETRIZED, pre-partitioned on src and cached —
+    // every iteration's contribution join then shuffles ONLY the
+    // 2-column rank frame (the big edge side reuses its cached
+    // layout), and the per-dst sum is map-side combinable. Each round
+    // is 2 shuffles of O(edges) longs; the driver loop holds 6
+    // frames, caching each rank vector and unpersisting its
+    // predecessor (the d07 loop discipline; lineage depth is bounded
+    // by the fixed iteration count, so no checkpoint is needed).
+    //
+    // Cross-engine bit-identity for an ITERATIVE float algorithm
+    // (the s08 recipe, applied 6 rounds deep): per-edge contributions
+    // r/outdeg are single IEEE divisions, QUANTIZED to the 1e-12 grid
+    // as BIGINTs, summed exactly (sum → VARCHAR → DOUBLE: exact
+    // digits + correctly-rounded parse agree everywhere; the native
+    // int128/BigDecimal→double paths can differ by 1 ulp past 2^53),
+    // and recombined in identically-parenthesized double arithmetic.
+    // The dangling-mass scalar is collected per round and embedded as
+    // a literal (p07's lesson: a lazy 1-row frame would re-run the
+    // whole rank lineage at execution) — 6 bounded driver round
+    // trips, each also materializing that round's cache.
+    QueryDef(
+      "q82_pagerank",
+      (s, d) => {
+        val li = tb(s, d).lineitem
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val e0 = li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .select(col("a.pk").as("u"), col("b.pk").as("v"))
+          .distinct()
+        val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+          .repartition(col("u")).cache() // 6 consumers, layout reused
+        val outd = edges.groupBy(col("u"))
+          .agg(count(lit(1)).as("od")).cache()
+        val nodes = tb(s, d).part.select(col("p_partkey").as("node"))
+          .cache()
+        val nD = nodes.count().toDouble
+        def strSum(c: org.apache.spark.sql.Column) =
+          sum(c).cast("string").cast("double")
+        var ranks = nodes.withColumn("r", lit(1.0) / lit(nD))
+        var prev: Option[org.apache.spark.sql.DataFrame] = None
+        for (_ <- 1 to 6) {
+          // dangling mass (nodes with no out-edges), quantized and
+          // collected as this round's literal; the action also
+          // materializes the current rank cache
+          val dRow = ranks.join(outd,
+              ranks("node") === outd("u"), "left_anti")
+            .agg(strSum(floor(col("r") * lit(1e12) + lit(0.5)))).head()
+          val dq = if (dRow.isNullAt(0)) 0.0 else dRow.getDouble(0)
+          val contrib = edges
+            .join(ranks, edges("u") === ranks("node"))
+            .join(outd, "u")
+            .select(col("v"),
+              floor((col("r") / col("od").cast("double")) * lit(1e12)
+                + lit(0.5)).as("qc"))
+            .groupBy(col("v")).agg(strSum(col("qc")).as("qs"))
+          val next = nodes
+            .join(contrib, nodes("node") === contrib("v"), "left")
+            .select(col("node"),
+              (lit(0.15) / lit(nD) + lit(0.85) *
+                (coalesce(col("qs"), lit(0.0)) / lit(1e12)
+                  + lit(dq) / lit(1e12) / lit(nD))).as("r"))
+            .cache()
+          prev.foreach(_.unpersist())
+          prev = Some(ranks)
+          ranks = next
+        }
+        ranks.orderBy(col("r").desc, col("node"))
+          .select(col("node").as("p_partkey"), col("r").as("pagerank"))
+      },
+      Some {
+        val base = """WITH e0 AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+          e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+          outd AS (SELECT u, COUNT(*) AS od FROM e GROUP BY u),
+          nodes AS (SELECT p_partkey AS node FROM part),
+          nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+          r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes)"""
+        val iters = (1 to 6).map { i =>
+          s"""dang$i AS (
+              SELECT COALESCE(CAST(CAST(SUM(CAST(FLOOR(r * 1e12 + 0.5)
+                  AS BIGINT)) AS VARCHAR) AS DOUBLE), 0.0) AS dq
+              FROM r${i - 1} LEFT JOIN outd ON r${i - 1}.node = outd.u
+              WHERE outd.u IS NULL),
+            c$i AS (
+              SELECT e.v, CAST(CAST(SUM(CAST(FLOOR(
+                  (p.r / CAST(o.od AS DOUBLE)) * 1e12 + 0.5)
+                  AS BIGINT)) AS VARCHAR) AS DOUBLE) AS qs
+              FROM e JOIN r${i - 1} p ON e.u = p.node
+                JOIN outd o ON e.u = o.u
+              GROUP BY e.v),
+            r$i AS (
+              SELECT n.node,
+                0.15 / (SELECT n FROM nn)
+                + 0.85 * (COALESCE(c.qs, 0.0) / 1e12
+                  + (SELECT dq FROM dang$i) / 1e12 / (SELECT n FROM nn))
+                AS r
+              FROM nodes n LEFT JOIN c$i c ON n.node = c.v)"""
+        }.mkString(",\n", ",\n", "")
+        base + iters +
+          """ SELECT node AS p_partkey, r AS pagerank FROM r6
+            ORDER BY pagerank DESC, node"""
+      })
   )
 }

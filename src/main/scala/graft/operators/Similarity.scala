@@ -1251,6 +1251,13 @@ object Similarity {
       pqClut(cellCent, cb1f))
   }
 
+  /** Serve-only entry for the scale probe: answer the query workload
+    * from the LAST-persisted s18 index — no training, no calibration,
+    * no persist. This is the steady-state cost a deployment pays per
+    * query batch once the nightly build has run. */
+  private[graft] def servePersisted(s: SparkSession, d: String): DataFrame =
+    servePq(s, d, loadPqIndex(s))
+
   /** The s12/s18 oracle twin (a DEF — conf-dependent terms resolve at
     * materialization): the full deterministic chain train → route →
     * residual-encode → calibrate both dials → decomposed-ADC serve,
