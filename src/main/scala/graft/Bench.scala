@@ -104,6 +104,19 @@ object Bench {
       s"\"$k\":${ts.mkString("[", ",", "]")}"
     }.mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
+    // the 40.29 s baseline convention predates the r14 headline
+    // expansion (d13/s12/p07 joined in r14, and s12's recall-first
+    // auto-calibration is deliberately paid per run) — emit the
+    // ORIGINAL 10-query subtotal alongside so cross-round and
+    // vs-baseline comparisons stay apples-to-apples
+    val legacy10 = Set("q01_pricing_summary", "q03_shipping_priority",
+      "q05_local_supplier_volume", "q06_forecast_revenue",
+      "t01_token_stats", "d03_minhash_lsh", "d04_simhash",
+      "s02_cosine_lsh_bucketed", "k01_kafka_batch_ingest",
+      "st02_stream_sliding_window")
+    val legacyTotal = results.collect {
+      case (k, Some(v), _) if legacy10(k) => v
+    }.sum
     val failed = results.collect { case (k, None, _) => s"\"$k\"" }
       .mkString("[", ",", "]")
     // loud co-tenant-load flag: this host's loadavg swings 1 → 13 on
@@ -133,7 +146,7 @@ object Bench {
     }
     val hostLoaded = load1(loadEntry) > 3.0 || spreadSuspect
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"reps":$repJson,"stat":"min_of_$reps","loadavg_entry":"$loadEntry","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","host_loaded":$hostLoaded,"spread_suspect":$spreadSuspect,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","legacy10_total":$legacyTotal,"queries":$qs,"failed":$failed,"reps":$repJson,"stat":"min_of_$reps","loadavg_entry":"$loadEntry","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","host_loaded":$hostLoaded,"spread_suspect":$spreadSuspect,"sf":"$sfDir"}"""
     // stdout is the driver contract, but sbt prefixes it with [info] —
     // also print to stderr and write the line to a file
     // (SPARK_GRAFT_BENCH_OUT, default bench_out.json) so the JSON is

@@ -293,7 +293,34 @@ object Similarity {
       corpus: DataFrame, scCent: DataFrame, cellCent: DataFrame,
       nQ: Long, k: Int, wSup: Int): Int = {
     val (sq, nn) = calibSampleNN(qs, corpus, nQ)
-    calibrateNprobeFrom(s, sq, nn, corpus, scCent, cellCent, k, wSup)
+    calibrateNprobeFrom(s, rankedCells(sq, scCent, cellCent, wSup),
+      nn, corpus, scCent, cellCent, k, wSup)
+  }
+
+  /** The FULL gated cell ordering of each sample query: every cell
+    * the wSup super-cell gate admits, ranked by (cd, cid) — computed
+    * ONCE per build and shared by BOTH dial calibrations (nprobe
+    * reads the true NN's cellrank; the shortlist calibration's probe
+    * set is `cellrank <= np`). The twin has always read its single
+    * `sqrank` CTE from both calibrations; this is the Scala side
+    * matching that shape — one routing chain over the sample instead
+    * of two. Same gate and ordering as [[routeToCells]], with the
+    * rank kept instead of consumed by a topN filter. */
+  private[graft] def rankedCells(sq: DataFrame, scCent: DataFrame,
+      cellCent: DataFrame, wSup: Int): DataFrame = {
+    val wSc = Window.partitionBy(col("q_id"))
+      .orderBy(col("sd"), col("scid"))
+    val wCell = Window.partitionBy(col("q_id"))
+      .orderBy(col("cd"), col("cid"))
+    sq.crossJoin(broadcast(scCent))
+      .withColumn("sd", l2d("av", "sc"))
+      .withColumn("rn", row_number().over(wSc))
+      .filter(col("rn") <= wSup)
+      .select(col("q_id"), col("av"), col("scid"))
+      .join(broadcast(cellCent), "scid")
+      .withColumn("cd", l2d("av", "c"))
+      .withColumn("cellrank", row_number().over(wCell))
+      .select(col("q_id"), col("cid"), col("cd"), col("cellrank"))
   }
 
   /** The calibration sample (E[[[CalibSample]]] md5-gated queries)
@@ -323,7 +350,7 @@ object Similarity {
   }
 
   private[graft] def calibrateNprobeFrom(s: SparkSession,
-      sq: DataFrame, nn: DataFrame, corpus: DataFrame,
+      sqRanked: DataFrame, nn: DataFrame, corpus: DataFrame,
       scCent: DataFrame, cellCent: DataFrame, k: Int,
       wSup: Int): Int = {
     val cap = nprobeCap(k)
@@ -334,13 +361,9 @@ object Similarity {
       nn.select(col("c_id")).distinct().join(corpus, "c_id"),
       "c_id", "bv", scCent, cellCent, wSup, 1)
       .select(col("c_id"), col("cid").as("nn_cid"))
-    // the query's gated cell ordering, rank uncapped: topN=k keeps
-    // every cell the wSup gate admits; re-rank by the same (cd, cid)
-    val wRank = Window.partitionBy(col("q_id"))
-      .orderBy(col("cd"), col("cid"))
-    val ranked = routeToCells(sq, "q_id", "av", scCent, cellCent,
-        wSup, k)
-      .withColumn("cellrank", row_number().over(wRank))
+    // the query's gated cell ordering arrives pre-ranked
+    // ([[rankedCells]] — shared with the shortlist calibration)
+    val ranked = sqRanked
       .select(col("q_id").as("rq"), col("cid"), col("cellrank"))
     val qcell = nn.join(nnCell, "c_id")
     // INNER join: gate-missed queries (true-NN cell outside the wSup
@@ -1055,8 +1078,14 @@ object Similarity {
     val (sq0, nn0) = calibSampleNN(qs, corpus, corpusOddCount(s, d))
     val sq = sq0.cache()
     val nn = nn0.cache()
+    // ONE ranked routing of the sample feeds BOTH dial calibrations
+    // (nprobe via the true-NN cellrank here; the shortlist probe set
+    // below is cellrank <= np) — the twin reads its single sqrank
+    // CTE from both, and the r14 profile showed the second Scala
+    // routing chain was pure barrier cost
+    val sqRanked = rankedCells(sq, scCent, cellCent, wSup).cache()
     val np = ivfNprobeOverride(s).getOrElse(
-      calibrateNprobeFrom(s, sq, nn, corpus, scCent, cellCent,
+      calibrateNprobeFrom(s, sqRanked, nn, corpus, scCent, cellCent,
         k, wSup))
     // cache: the corpus routing feeds the residual chain (casg /
     // cb1 / codes via corpusRes) AND the candidate map (cellm) —
@@ -1150,8 +1179,7 @@ object Similarity {
     // at → order-statistic percentile. Gate-missed queries drop at
     // the inner join (nprobe, not the shortlist, binds them) ----
     val sl = pqShortlistOverride(s).getOrElse {
-      val sprobes = routeToCells(sq, "q_id", "av", scCent,
-          cellCent, wSup, np)
+      val sprobes = sqRanked.filter(col("cellrank") <= np)
         .select(col("q_id"), col("cid"), col("cd"))
       val wTop = Window.partitionBy(col("q_id"))
         .orderBy(col("adist"), col("c_id"))

@@ -24,6 +24,9 @@ class PlanAuditSpec extends SparkSpec {
     "s12_pq_adc" ->
       ("broadcast centroid/codebook affinities (ceil(√k) super-cells " +
         "+ <=4096 cells + 64-row codebook init, not O(n²))"),
+    "s18_pq_persisted" ->
+      ("s12's build chain verbatim (same labeled broadcast " +
+        "affinities), then persist + serve from the saved tables"),
     "d13_semdedup" ->
       ("broadcast centroid affinities via the shared two-level " +
         "quantizer (<=4096 cells; pair work bounded per cell, " +
