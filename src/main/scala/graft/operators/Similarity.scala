@@ -1206,10 +1206,28 @@ object Similarity {
   private[graft] def servePq(s: SparkSession, d: String,
       idx: PqIndex): DataFrame = {
     val e = vecs(s, d)
-    val corpus = e.filter(col("vec_id") % 2 === 0)
-      .select(col("vec_id").as("c_id"), col("v").as("bv"))
-    val qs = e.filter(col("vec_id") % 2 === 1)
-      .select(col("vec_id").as("q_id"), col("v").as("av"))
+    servePqFor(s,
+      e.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("q_id"), col("v").as("av")),
+      e.filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("c_id"), col("v").as("bv")),
+      idx)
+  }
+
+  /** One micro-batch of query vectors (q_id, av) against the
+    * persisted index — the st17 streaming-serve entry: corpus rerank
+    * rows come from `d`, everything else from the loaded index.
+    * Per-query answers are independent, so micro-batch slicing
+    * cannot change the union of the batches' answers. */
+  private[graft] def servePqBatch(s: SparkSession, d: String,
+      qs: DataFrame, idx: PqIndex): DataFrame =
+    servePqFor(s, qs,
+      vecs(s, d).filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("c_id"), col("v").as("bv")),
+      idx)
+
+  private def servePqFor(s: SparkSession, qs: DataFrame,
+      corpus: DataFrame, idx: PqIndex): DataFrame = {
     val wSup = ivfSuperProbe(s)
     val probes = routeToCells(qs, "q_id", "av", idx.scCent,
         idx.cellCent, wSup, idx.np)
@@ -1292,7 +1310,7 @@ object Similarity {
     * CTE-for-CTE against the source parquet. s18 shares it verbatim:
     * a deterministic build means serving from the persisted index
     * must answer exactly what an inline rebuild answers. */
-  private def pqOracleSql: String =
+  private[graft] def pqOracleSql: String =
     s"""WITH e0 AS ($vecsSql),
         nn AS (SELECT COUNT(*) AS n FROM e0 WHERE vec_id % 2 = 0),
         kk AS (SELECT LEAST(4096, GREATEST(8, n // 64)) AS k FROM nn),

@@ -953,5 +953,46 @@ object StreamingOps {
         runToMemory(s, top, "complete").orderBy(col("q_id"))
       },
       Some(graft.operators.Similarity.queryVsCorpusOracleSql))
+    ,
+
+    // ----- st17: STREAMING PQ-ANN SERVING — the s18 deployment loop
+    // run ONLINE: the IVF-PQ index is built, calibrated, and
+    // PERSISTED once (the nightly job), then a continuous query
+    // stream serves from the SAVED tables — each micro-batch loads
+    // the index (dials ride as metadata) and answers its queries
+    // through the same two-level routing + decomposed-residual ADC +
+    // exact rerank the batch path runs. The serve plan needs rank
+    // windows (ADC shortlist, rerank top-1), which streaming frames
+    // disallow — so the batches route through foreachBatch (the
+    // st15 gate discipline), landing each epoch idempotently in its
+    // own b<batchId> directory. Per-query answers are independent of
+    // every other query, so micro-batch slicing cannot change the
+    // union of answers — the oracle is s12/s18's twin VERBATIM, the
+    // third consumer of one SQL (inline build, persisted batch
+    // serve, and now streamed serve must all answer identically).
+    QueryDef(
+      "st17_stream_pq_serving",
+      (s, d) => {
+        import graft.operators.Similarity
+        Similarity.persistPqIndex(s, d, Similarity.buildPqIndex(s, d))
+        val out = Files.createTempDirectory("graft_st17_out").toString
+        val q = embStream(s, d)
+          .filter(col("vec_id") % 2 === 1)
+          .select(col("vec_id").as("q_id"), col("embedding").as("av"))
+          .writeStream
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft_st17_ckpt").toString)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val sess = batch.sparkSession
+            Similarity.servePqBatch(sess, d, batch,
+              Similarity.loadPqIndex(sess))
+              .write.mode("overwrite").parquet(s"$out/b$batchId")
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.read.parquet(s"$out/*").orderBy(col("q_id"))
+      },
+      Some(graft.operators.Similarity.pqOracleSql))
   )
 }
