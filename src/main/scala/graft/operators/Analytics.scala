@@ -1673,6 +1673,64 @@ object Analytics {
         base + iters +
           """ SELECT node AS p_partkey, r AS pagerank FROM r6
             ORDER BY pagerank DESC, node"""
-      })
+      }),
+
+    // ----- q83: SQL UDFs (Spark 4 `CREATE FUNCTION … RETURN`) — the
+    // one extension mechanism the registry didn't cover: scalar
+    // functions DEFINED IN SQL, resolved and INLINED by the analyzer
+    // into the calling plan (no closure serialization, no codegen
+    // boundary — unlike a Scala UDF, the body participates in
+    // whole-stage codegen and constant folding, which is why this is
+    // the 100 TB-preferred way to package reusable business logic).
+    // Exercised properly: q83_net is a 3-arg scalar; q83_band CALLS
+    // q83_net INSIDE ITS BODY (nested SQL-UDF resolution); the
+    // aggregate routes the UDF result through the FLOOR-quantized
+    // exact sum so the engine-inlined expression must be
+    // bit-identical to the oracle's hand-inlined one. (Not the
+    // DECIMAL-cast sum: a triple product lands on 4th-decimal
+    // rounding ties that Spark and DuckDB resolve differently —
+    // Spark's double→decimal cast rounds the SHORTEST decimal
+    // representation while DuckDB rounds the exact binary value, a
+    // ~1/100-per-row divergence the two-factor queries never hit;
+    // floor(x·1e4 + 0.5) on the raw double is the same single IEEE
+    // expression in both engines, no representation choice left.)
+    QueryDef(
+      "q83_sql_udf",
+      (s, d) => {
+        new Tables(s, d).lineitem.createOrReplaceTempView("q83_lineitem")
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION q83_net(
+            price DOUBLE, disc DOUBLE, tax DOUBLE) RETURNS DOUBLE
+          RETURN price * (1.0D - disc) * (1.0D + tax)""")
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION q83_band(
+            price DOUBLE, disc DOUBLE, tax DOUBLE) RETURNS STRING
+          RETURN CASE WHEN q83_net(price, disc, tax) < 1000.0D THEN 'S'
+                      WHEN q83_net(price, disc, tax) < 10000.0D THEN 'M'
+                      ELSE 'L' END""")
+        s.sql("""SELECT l_returnflag,
+            q83_band(l_extendedprice, l_discount, l_tax) AS band,
+            COUNT(*) AS n,
+            CAST(CAST(SUM(CAST(FLOOR(
+              q83_net(l_extendedprice, l_discount, l_tax) * 10000.0D
+                + 0.5D) AS BIGINT)) AS STRING) AS DOUBLE) / 10000.0D
+              AS net_revenue
+          FROM q83_lineitem
+          GROUP BY l_returnflag,
+            q83_band(l_extendedprice, l_discount, l_tax)
+          ORDER BY l_returnflag, band""")
+      },
+      Some("""SELECT l_returnflag,
+          CASE WHEN l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+                 < 1000.0 THEN 'S'
+               WHEN l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+                 < 10000.0 THEN 'M'
+               ELSE 'L' END AS band,
+          COUNT(*) AS n,
+          CAST(CAST(SUM(CAST(FLOOR(
+            l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 10000
+              + 0.5) AS BIGINT)) AS VARCHAR) AS DOUBLE) / 10000.0
+            AS net_revenue
+        FROM lineitem
+        GROUP BY 1, 2
+        ORDER BY 1, 2"""))
   )
 }
