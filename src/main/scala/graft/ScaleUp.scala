@@ -103,6 +103,13 @@ object ScaleUp {
       // RocksDB).
       "st03_stream_session_window", "st04_stream_dedup",
       "st09_transform_with_state",
+      // r14: PageRank — the ITERATIVE-JOIN kernel probed at scale
+      // (6 rounds of edge⋈rank shuffles; the shape that dies first
+      // when lineage or shuffle volume misbehaves). The ×K graph is
+      // K disjoint copies, so ranks replicate per copy at 1/K scale
+      // and the above-average-rank node count (the measure) is ×K
+      // exact; wall must stay linear in edges.
+      "q82_pagerank",
       // r14: the persisted IVF-PQ index — the build+persist+serve
       // lifecycle rides the generic path (like s17's), and the row
       // ALSO times a second serve-only pass against the tables the
@@ -145,7 +152,18 @@ object ScaleUp {
       ((df: DataFrame) => df.filter(col("keep")).count()),
     // windows are fixed by the (unchanged) time span; the ×K-exact
     // quantity is the total event-window memberships
-    "st02_stream_sliding_window" -> sumOf("n") _)
+    "st02_stream_sliding_window" -> sumOf("n") _,
+    // one row per part is structurally ×K; the rank STRUCTURE is the
+    // scale-sensitive quantity — disjoint copies replicate each
+    // copy's rank distribution at 1/K scale, so the count of nodes
+    // above the mean rank is ×K exact iff the iterative chain holds
+    "q82_pagerank" -> ((df: DataFrame) => {
+      val cached = df.cache()
+      val m = cached.agg(avg(col("pagerank"))).head().getDouble(0)
+      val n = cached.filter(col("pagerank") > m).count()
+      cached.unpersist()
+      n
+    }))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -295,9 +313,10 @@ object ScaleUp {
   def build(spark: SparkSession, sfDir: String, outDir: String,
       k: Int): Unit = {
     val marker = java.nio.file.Paths.get(outDir, "_COMPLETE")
-    // v3: corpus also carries ×K events (the st02 streaming probe);
-    // v2 added ×K orders (the w19 upsert probe)
-    val stamp = s"$sfDir|$k|v3|${graft.streaming.StreamingOps
+    // v4: corpus also carries ×K lineitem + part (the q82 PageRank
+    // probe — K disjoint copies of the co-purchase graph); v3 added
+    // ×K events (st02); v2 added ×K orders (w19)
+    val stamp = s"$sfDir|$k|v4|${graft.streaming.StreamingOps
       .sourceFingerprint(sfDir)}"
     if (java.nio.file.Files.exists(marker) &&
         java.nio.file.Files.readString(marker) == stamp) return
@@ -359,6 +378,27 @@ object ScaleUp {
         col("event_type"), col("value"), col("props"))
     ev.repartition(32).write.mode("overwrite")
       .parquet(s"$outDir/events.parquet")
+
+    // lineitem + part: per-copy key shifts on orderkey/partkey/
+    // suppkey (the q82 probe's co-purchase graph becomes K DISJOINT
+    // copies of the original — orderkeys never collide across copies,
+    // so no cross-copy edges; PageRank structure replicates exactly
+    // while N grows ×K)
+    val liK = t.lineitem.crossJoin(broadcast(copies))
+      .select(
+        (col("l_orderkey") + col("c") * 100000000L).as("l_orderkey") +:
+          (col("l_partkey") + col("c") * 100000000L).as("l_partkey") +:
+          (col("l_suppkey") + col("c") * 100000000L).as("l_suppkey") +:
+          t.lineitem.columns.filterNot(
+            Set("l_orderkey", "l_partkey", "l_suppkey")).map(col): _*)
+    liK.repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/lineitem.parquet")
+    val partK = t.part.crossJoin(broadcast(copies))
+      .select((col("p_partkey") + col("c") * 100000000L)
+        .as("p_partkey") +:
+        t.part.columns.filter(_ != "p_partkey").map(col): _*)
+    partK.repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/part.parquet")
 
     java.nio.file.Files.writeString(marker, stamp)
   }
