@@ -1640,29 +1640,39 @@ object Analytics {
           .select(col("node").as("p_partkey"), col("r").as("pagerank"))
       },
       Some {
-        val base = """WITH e0 AS (
+        // every multi-consumer CTE is MATERIALIZED: DuckDB inlines
+        // plain CTEs per REFERENCE, and each r_i is read twice (its
+        // dangling sum and its contribution sum) — un-materialized,
+        // r0 and the lineitem self-join would re-evaluate 2^6 times
+        // (observed: the sf0.1 sweep's oracle burned 93 CPU-minutes
+        // and 51 GB of spill before this fix)
+        val base = """WITH e0 AS MATERIALIZED (
             SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
             FROM lineitem a JOIN lineitem b
               ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-          e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
-          outd AS (SELECT u, COUNT(*) AS od FROM e GROUP BY u),
-          nodes AS (SELECT p_partkey AS node FROM part),
-          nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
-          r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes)"""
+          e AS MATERIALIZED (
+            SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+          outd AS MATERIALIZED (
+            SELECT u, COUNT(*) AS od FROM e GROUP BY u),
+          nodes AS MATERIALIZED (SELECT p_partkey AS node FROM part),
+          nn AS MATERIALIZED (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+          r0 AS MATERIALIZED (
+            SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes)"""
         val iters = (1 to 6).map { i =>
-          s"""dang$i AS (
+          s"""dang$i AS MATERIALIZED (
               SELECT COALESCE(CAST(CAST(SUM(CAST(FLOOR(r * 1e12 + 0.5)
                   AS BIGINT)) AS VARCHAR) AS DOUBLE), 0.0) AS dq
               FROM r${i - 1} LEFT JOIN outd ON r${i - 1}.node = outd.u
               WHERE outd.u IS NULL),
-            c$i AS (
+            c$i AS MATERIALIZED (
               SELECT e.v, CAST(CAST(SUM(CAST(FLOOR(
                   (p.r / CAST(o.od AS DOUBLE)) * 1e12 + 0.5)
                   AS BIGINT)) AS VARCHAR) AS DOUBLE) AS qs
               FROM e JOIN r${i - 1} p ON e.u = p.node
                 JOIN outd o ON e.u = o.u
               GROUP BY e.v),
-            r$i AS (
+            r$i AS MATERIALIZED (
               SELECT n.node,
                 0.15 / (SELECT n FROM nn)
                 + 0.85 * (COALESCE(c.qs, 0.0) / 1e12
