@@ -1685,6 +1685,96 @@ object Analytics {
             ORDER BY pagerank DESC, node"""
       }),
 
+    // ----- q84: TIME-SERIES GAP-FILL + LINEAR INTERPOLATION — the
+    // sensor/metrics resample every feature pipeline needs: an hourly
+    // spine per event type, observed hours carry their exact
+    // (floor-quantized) value sum, gaps fill by LINEAR interpolation
+    // between the bracketing observations (forward/backward fill at
+    // the edges). The mechanism under test is the IGNORE NULLS value
+    // window pair — last_value back / first_value forward over the
+    // spine — which both engines must evaluate identically; the
+    // interpolation itself is per-row IEEE on integer hour gaps.
+    // Scale: one shuffle keyed (type) for the windows over the
+    // spine (|types|·|hours| rows, dwarfed by the event scan), the
+    // observed aggregation map-side combinable. At 100 TB the spine
+    // per key is bounded by the TIME RANGE, not the event count —
+    // the partition-per-type window never sees raw events.
+    QueryDef(
+      "q84_gapfill_interpolate",
+      (s, d) => {
+        val ev = tb(s, d).events
+        val obs = ev.groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).as("hour"))
+          .agg((sum(floor(col("value") * lit(1e6) + lit(0.5))
+              .cast("long")).cast("string").cast("double") / lit(1e6))
+            .as("v"))
+        val bounds = ev.agg(date_trunc("hour", min(col("ts"))).as("h0"),
+          date_trunc("hour", max(col("ts"))).as("h1"))
+        val spine = bounds
+          .select(explode(expr(
+            "sequence(h0, h1, interval 1 hour)")).as("hour"))
+          .crossJoin(ev.select(col("event_type")).distinct())
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("hour"))
+        val wb = w.rowsBetween(Window.unboundedPreceding, 0)
+        val wf = w.rowsBetween(0, Window.unboundedFollowing)
+        val joined = spine.join(obs, Seq("event_type", "hour"), "left")
+          .withColumn("v_prev", last(col("v"), ignoreNulls = true).over(wb))
+          .withColumn("h_prev", last(when(col("v").isNotNull,
+            col("hour")), ignoreNulls = true).over(wb))
+          .withColumn("v_next", first(col("v"), ignoreNulls = true).over(wf))
+          .withColumn("h_next", first(when(col("v").isNotNull,
+            col("hour")), ignoreNulls = true).over(wf))
+        joined.select(col("event_type"), col("hour"),
+            col("v").isNotNull.as("observed"),
+            when(col("v").isNotNull, col("v"))
+              .when(col("v_prev").isNotNull && col("v_next").isNotNull,
+                col("v_prev") + (col("v_next") - col("v_prev")) *
+                  (expr("timestampdiff(HOUR, h_prev, hour)")
+                    .cast("double") /
+                    expr("timestampdiff(HOUR, h_prev, h_next)")
+                      .cast("double")))
+              .when(col("v_prev").isNotNull, col("v_prev"))
+              .otherwise(col("v_next")).as("v_filled"))
+          .orderBy(col("event_type"), col("hour"))
+      },
+      Some("""WITH obs AS (
+          SELECT event_type, date_trunc('hour', ts) AS hour,
+            CAST(CAST(SUM(CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT))
+              AS VARCHAR) AS DOUBLE) / 1e6 AS v
+          FROM events GROUP BY 1, 2),
+        bounds AS (SELECT date_trunc('hour', MIN(ts)) AS h0,
+            date_trunc('hour', MAX(ts)) AS h1 FROM events),
+        spine AS (SELECT unnest(generate_series(h0, h1,
+            INTERVAL 1 HOUR)) AS hour FROM bounds),
+        grid AS (SELECT t.event_type, s.hour
+          FROM spine s CROSS JOIN
+            (SELECT DISTINCT event_type FROM events) t),
+        j AS (SELECT g.event_type, g.hour, o.v,
+            LAST_VALUE(o.v IGNORE NULLS) OVER wb AS v_prev,
+            LAST_VALUE(CASE WHEN o.v IS NOT NULL THEN g.hour END
+              IGNORE NULLS) OVER wb AS h_prev,
+            FIRST_VALUE(o.v IGNORE NULLS) OVER wf AS v_next,
+            FIRST_VALUE(CASE WHEN o.v IS NOT NULL THEN g.hour END
+              IGNORE NULLS) OVER wf AS h_next
+          FROM grid g LEFT JOIN obs o
+            ON o.event_type = g.event_type AND o.hour = g.hour
+          WINDOW
+            wb AS (PARTITION BY g.event_type ORDER BY g.hour
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+            wf AS (PARTITION BY g.event_type ORDER BY g.hour
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        SELECT event_type, hour, v IS NOT NULL AS observed,
+          CASE WHEN v IS NOT NULL THEN v
+               WHEN v_prev IS NOT NULL AND v_next IS NOT NULL
+                 THEN v_prev + (v_next - v_prev) *
+                   (CAST(date_diff('hour', h_prev, hour) AS DOUBLE) /
+                    CAST(date_diff('hour', h_prev, h_next) AS DOUBLE))
+               WHEN v_prev IS NOT NULL THEN v_prev
+               ELSE v_next END AS v_filled
+        FROM j
+        ORDER BY event_type, hour""")),
+
     // ----- q83: SQL UDFs (Spark 4 `CREATE FUNCTION … RETURN`) — the
     // one extension mechanism the registry didn't cover: scalar
     // functions DEFINED IN SQL, resolved and INLINED by the analyzer
