@@ -37,6 +37,9 @@ class PlanAuditSpec extends SparkSpec {
     "q20_above_average_parts" -> "broadcast 1-row scalar (global average)",
     "p03_domain_mixture" -> "5x1 scalar combine (weight total over langs)",
     "q76_triangle_count" -> "1x1x1x1 scalar combine (4 single-row aggs)",
+    "q84_gapfill_interpolate" ->
+      ("spine-grid construction: hourly spine × the tiny distinct " +
+        "type dim — bounded by the TIME RANGE × |types|, not data"),
     "s14_binary_quantization" ->
       ("binary-code linear scan: broadcast query rows x 8-byte codes " +
         "(the BQ rescoring shape; floats touched only for the shortlist)"),
