@@ -127,6 +127,47 @@ class PersistedIndexSpec extends SparkSpec {
     }
   }
 
+  test("s17 compaction crash recovery: a kill between DROP and RENAME " +
+      "loses nothing — re-running compaction completes the swap") {
+    try {
+      graft.operators.Similarity.s17BuildBase(spark, sf)
+      graft.operators.Similarity.s17AppendDelta(spark, sf)
+      val expected = graft.operators.Similarity.s17Probe(spark, sf).collect()
+      assert(expected.nonEmpty)
+
+      // replicate the compaction rewrite by hand, then crash INSIDE
+      // the swap window: staging table written, live table dropped,
+      // rename never reached. The staging generation is now the ONLY
+      // copy of the index (the old code's unconditional defensive
+      // `DROP TABLE IF EXISTS s17_corpus_idx_next` destroyed it here).
+      val next = graft.operators.Similarity.s17IndexPath(sf) + "-a"
+      val scanKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+      spark.conf.set(scanKey, "false")
+      try {
+        spark.sql("DROP TABLE IF EXISTS s17_corpus_idx_next")
+        spark.table("s17_corpus_idx")
+          .write.mode("overwrite").option("path", next)
+          .bucketBy(8, "bucket_c")
+          .saveAsTable("s17_corpus_idx_next")
+      } finally spark.conf.unset(scanKey)
+      spark.sql("DROP TABLE s17_corpus_idx") // ← the crash point
+
+      // re-running compaction must detect the half-finished swap,
+      // complete the interrupted rename FIRST, and then compact as
+      // normal — no rebuild, no data loss, answers identical
+      graft.operators.Similarity.s17Compact(spark, sf)
+      val recovered = graft.operators.Similarity.s17Probe(spark, sf).collect()
+      assert(recovered.length === expected.length)
+      recovered.zip(expected).foreach { case (a, b) => assert(a === b) }
+      // and the staging name is free again (the swap completed)
+      assert(!spark.sessionState.catalog.tableExists(
+        org.apache.spark.sql.catalyst.TableIdentifier("s17_corpus_idx_next")))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS s17_corpus_idx")
+      spark.sql("DROP TABLE IF EXISTS s17_corpus_idx_next")
+    }
+  }
+
   test("s17 compaction: one file per bucket, answers and probe plan unchanged") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {

@@ -27,6 +27,10 @@ class PlanAuditSpec extends SparkSpec {
     "s18_pq_persisted" ->
       ("s12's build chain verbatim (same labeled broadcast " +
         "affinities), then persist + serve from the saved tables"),
+    "s18_pq_serve_only" ->
+      ("serve path over the persisted index (broadcast query-LUT " +
+        "against the saved tables; rebuild branch only when no index " +
+        "exists for the corpus — s12's labeled affinities)"),
     "d13_semdedup" ->
       ("broadcast centroid affinities via the shared two-level " +
         "quantizer (<=4096 cells; pair work bounded per cell, " +
