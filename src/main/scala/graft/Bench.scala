@@ -20,6 +20,21 @@ import org.apache.spark.sql.SparkSession
   * conditions instead of re-guessed.
   */
 object Bench {
+
+  /** SPARK_GRAFT_CONF parser: a `;` present anywhere makes `;` the
+    * ONLY separator, so comma-valued confs round-trip (the old
+    * bare-comma split truncated them — r15 ADVICE); without one,
+    * commas split only when followed by another `key=` token, so a
+    * trailing list value survives either way. */
+  private[graft] def parseConf(raw: String): Seq[(String, String)] = {
+    val parts =
+      if (raw.contains(";")) raw.split(";").toSeq
+      else raw.split(",(?=[A-Za-z_][A-Za-z0-9_.]*=)").toSeq
+    parts.map(_.trim).filter(_.contains("=")).map { kv =>
+      val a = kv.split("=", 2); (a(0), a(1))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     // co-tenant load reading at PROCESS ENTRY — before the Spark
     // session and the warm-up phase saturate the cores and pollute
@@ -39,13 +54,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // dev-loop what-if dials (driver never sets it): comma-separated
-    // k=v session confs, e.g.
+    // dev-loop what-if dials (driver never sets it): `;`- or
+    // comma-separated k=v session confs, e.g.
     // SPARK_GRAFT_CONF=spark.graft.ivfNprobe=7,spark.graft.pqShortlist=96
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",")
-      .filter(_.contains("=")).foreach { kv =>
-        val a = kv.split("=", 2); spark.conf.set(a(0), a(1))
-      })
+    sys.env.get("SPARK_GRAFT_CONF").foreach(parseConf(_)
+      .foreach { case (k, v) => spark.conf.set(k, v) })
 
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         dir: String): Unit =
@@ -184,8 +197,20 @@ object Bench {
         else "bench_out.json"
       }
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", outDefault)
+    // the quiet pin is a single-line pointer (always the current best)
+    // and is REPLACED; diverted loaded/slower runs APPEND as JSONL so
+    // per-round loaded-host trend data stays queryable instead of each
+    // run clobbering the last (r15 ADVICE)
+    val opts: Array[java.nio.file.OpenOption] =
+      if (out == "bench_out.loaded.json")
+        Array(java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+      else
+        Array(java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE,
+          java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (json + "\n").getBytes("UTF-8"))
+      (json + "\n").getBytes("UTF-8"), opts: _*)
     // shut down cleanly BEFORE the final stdout line: the state-store
     // maintenance pool of any stateful streaming headline (st02) races
     // spark.stop() and dumps an RpcEnvStoppedException stack AFTER
