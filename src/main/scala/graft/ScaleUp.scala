@@ -323,6 +323,35 @@ object ScaleUp {
     val t = new Tables(spark, sfDir)
     val copies = spark.range(0, k).toDF("c")
 
+    // disjoint-copies guard: every shifted key below rides a FIXED
+    // 1e8-per-copy shift. TPC-H orderkeys are sparse (≈4× rowcount),
+    // so past sf≈25 a source key exceeds 1e8 and copy c's keys would
+    // silently interleave with copy c+1's — cross-copy edges that
+    // corrupt the exact-×K invariants every probe relies on (q82's
+    // disjoint graphs, w19's key cardinality, retention counts). Fail
+    // LOUDLY here instead: one cheap max() per keyed table (column
+    // pruning makes each a single-column scan).
+    val shift = 100000000L
+    Seq(
+      ("documents.doc_id", t.documents.agg(max(col("doc_id")))),
+      ("embeddings.vec_id", t.embeddings.agg(max(col("vec_id")))),
+      ("orders.o_orderkey", t.orders.agg(max(col("o_orderkey")))),
+      ("events.event_id", t.events.agg(max(col("event_id")))),
+      ("events.user_id", t.events.agg(max(col("user_id")))),
+      ("lineitem.l_orderkey", t.lineitem.agg(max(col("l_orderkey")))),
+      ("lineitem.l_partkey", t.lineitem.agg(max(col("l_partkey")))),
+      ("lineitem.l_suppkey", t.lineitem.agg(max(col("l_suppkey")))),
+      ("part.p_partkey", t.part.agg(max(col("p_partkey"))))
+    ).foreach { case (name, df) =>
+      val mx = df.select(col(df.columns(0)).cast("long"))
+        .collect()(0).getLong(0)
+      require(mx < shift,
+        s"scaleup build: max($name) = $mx >= the $shift per-copy key " +
+          "shift — ×K copies would no longer be disjoint (source sf " +
+          "too large for the fixed shift); derive a bigger shift " +
+          "before building")
+    }
+
     // documents: bijective per-copy token renaming (copy 0 verbatim)
     val docs = t.documents.crossJoin(broadcast(copies))
       .select(
