@@ -1270,7 +1270,8 @@ object Similarity {
       idx)
 
   private def servePqFor(s: SparkSession, qs: DataFrame,
-      corpus: DataFrame, idx: PqIndex): DataFrame = {
+      corpus: DataFrame, idx: PqIndex,
+      candGate: DataFrame => DataFrame = identity): DataFrame = {
     val wSup = ivfSuperProbe(s)
     val probes = routeToCells(qs, "q_id", "av", idx.scCent,
         idx.cellCent, wSup, idx.np)
@@ -1280,7 +1281,13 @@ object Similarity {
         col("code0"), col("code1"), col("code2"), col("code3"))
     val wTop = Window.partitionBy(col("q_id"))
       .orderBy(col("adist"), col("c_id"))
-    val shortlist = adcScore(cand, pqQlut(qs, idx.cb1f), idx.clut)
+    // candGate filters the ADC-scored candidate set BEFORE the
+    // shortlist rank (s19: predicate-constrained search) — the rank
+    // is then over ELIGIBLE candidates only, so the shortlist depth
+    // buys matching candidates instead of being eaten by filtered-out
+    // ones (the post-filter-the-candidates shape of filtered ANN)
+    val shortlist = candGate(
+        adcScore(cand, pqQlut(qs, idx.cb1f), idx.clut))
       .withColumn("r", row_number().over(wTop))
       .filter(col("r") <= idx.sl)
       .select(col("q_id"), col("c_id"))
@@ -1347,13 +1354,90 @@ object Similarity {
   private[graft] def servePersisted(s: SparkSession, d: String): DataFrame =
     servePq(s, d, loadPqIndex(s))
 
+  /** Load the persisted index when one exists FOR THIS CORPUS (the
+    * table location carries the corpus-dir fingerprint — an index
+    * persisted for another dir is stale), else build + persist one.
+    * The serve-shaped queries (s18 serve-only, s19) share this so a
+    * session pays at most one build per corpus. */
+  private[graft] def ensurePqIndex(s: SparkSession, d: String): PqIndex = {
+    val cat = s.sessionState.catalog
+    val codesId =
+      org.apache.spark.sql.catalyst.TableIdentifier("s18_pq_codes")
+    val metaId =
+      org.apache.spark.sql.catalyst.TableIdentifier("s18_pq_meta")
+    val suffix = Integer.toHexString(d.hashCode)
+    val fresh = cat.tableExists(codesId) && cat.tableExists(metaId) &&
+      cat.getTableMetadata(codesId).location.getPath.endsWith(suffix)
+    if (!fresh) persistPqIndex(s, d, buildPqIndex(s, d))
+    loadPqIndex(s)
+  }
+
+  /** FILTERED ANN (s19): each query searches only corpus vectors
+    * satisfying a predicate — here `label = <the query's own label>`,
+    * the retrieval shape every metadata-scoped vector search runs
+    * (tenant, language, licence, time-range scoping). Composition,
+    * not a new index: route and ADC-score against the UNFILTERED
+    * index (the dials ride the plain build), drop non-matching
+    * candidates BEFORE the shortlist rank so the calibrated depth is
+    * spent on eligible candidates, then exact-rerank the survivors.
+    * Queries whose probed cells hold no matching candidate drop out
+    * (both engines identically). Scale shape: the label join keys on
+    * c_id against an n-row attribute frame — one shuffle; a
+    * production deployment folds filterable attributes INTO the
+    * persisted codes table at build time (bucketed on cid like the
+    * codes), making the gate a column filter instead of a join. */
+  private[graft] def servePqFilteredByLabel(s: SparkSession, d: String,
+      idx: PqIndex): DataFrame = {
+    val e = vecs(s, d)
+    val labels = new Tables(s, d).embeddings
+      .select(col("vec_id"), col("label"))
+    val qlab = labels.select(col("vec_id").as("q_id"),
+      col("label").as("qlabel"))
+    val clab = labels.select(col("vec_id").as("c_id"),
+      col("label").as("clabel"))
+    servePqFor(s,
+      e.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("q_id"), col("v").as("av")),
+      e.filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("c_id"), col("v").as("bv")),
+      idx,
+      scored => scored
+        .join(qlab, "q_id")
+        .join(clab, "c_id")
+        .filter(col("qlabel") === col("clabel"))
+        .drop("qlabel", "clabel"))
+  }
+
   /** The s12/s18 oracle twin (a DEF — conf-dependent terms resolve at
     * materialization): the full deterministic chain train → route →
     * residual-encode → calibrate both dials → decomposed-ADC serve,
     * CTE-for-CTE against the source parquet. s18 shares it verbatim:
     * a deterministic build means serving from the persisted index
     * must answer exactly what an inline rebuild answers. */
-  private[graft] def pqOracleSql: String =
+  private[graft] def pqOracleSql: String = pqOracleSqlFor(filtered = false)
+
+  /** s19's twin: the same chain with the label gate applied to the
+    * scored candidates BEFORE the shortlist rank (CTE-for-CTE with
+    * [[servePqFilteredByLabel]]'s candGate). */
+  private[graft] def pqFilteredOracleSql: String =
+    pqOracleSqlFor(filtered = true)
+
+  private def pqOracleSqlFor(filtered: Boolean): String = {
+    // the filtered variant ranks the shortlist over ELIGIBLE
+    // candidates only: label-match against the query's own label,
+    // joined from the source table (the engine side joins the same
+    // n-row attribute frame)
+    val eligibleCte =
+      if (filtered)
+        """,
+        labs AS (SELECT vec_id, label FROM embeddings),
+        eligible AS (SELECT sc.q_id, sc.c_id, sc.adist
+          FROM scored sc
+          JOIN labs ql ON ql.vec_id = sc.q_id
+          JOIN labs cl ON cl.vec_id = sc.c_id
+          WHERE cl.label = ql.label)"""
+      else ""
+    val shortSrc = if (filtered) "eligible" else "scored"
     s"""WITH e0 AS ($vecsSql),
         nn AS (SELECT COUNT(*) AS n FROM e0 WHERE vec_id % 2 = 0),
         kk AS (SELECT LEAST(4096, GREATEST(8, n // 64)) AS k FROM nn),
@@ -1612,10 +1696,10 @@ object Similarity {
               + cpl[CAST(cp.code3 + 193 AS INT)] AS adist
           FROM cand JOIN cp USING (c_id)
           JOIN qlutflat USING (q_id)
-          JOIN clutflat USING (cid)),
+          JOIN clutflat USING (cid))$eligibleCte,
         short AS (SELECT q_id, c_id FROM (
             SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
-              ORDER BY adist, c_id) AS r FROM scored)
+              ORDER BY adist, c_id) AS r FROM $shortSrc)
           WHERE r <= ${resolvedShortlistSql}),
         rer AS (SELECT s.q_id, s.c_id,
             list_sum(list_transform(list_zip(a.v, b.v),
@@ -1627,6 +1711,7 @@ object Similarity {
           SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
             ORDER BY l2sq, c_id) AS r FROM rer)
         WHERE r = 1 ORDER BY q_id"""
+  }
 
   // a DEF, not a val: the oracle SQL twins resolve session conf
   // overrides (lshHyperplanes/lshTables) at materialization time, so
@@ -2224,20 +2309,24 @@ object Similarity {
     // saved index answers exactly what an inline rebuild answers.
     QueryDef(
       "s18_pq_serve_only",
-      (s, d) => {
-        val cat = s.sessionState.catalog
-        val codesId =
-          org.apache.spark.sql.catalyst.TableIdentifier("s18_pq_codes")
-        val metaId =
-          org.apache.spark.sql.catalyst.TableIdentifier("s18_pq_meta")
-        val suffix = Integer.toHexString(d.hashCode)
-        val fresh = cat.tableExists(codesId) && cat.tableExists(metaId) &&
-          cat.getTableMetadata(codesId).location.getPath.endsWith(suffix)
-        if (!fresh) persistPqIndex(s, d, buildPqIndex(s, d))
-        servePq(s, d, loadPqIndex(s))
-      },
+      (s, d) => servePq(s, d, ensurePqIndex(s, d)),
       Some(pqOracleSql),
       headline = true),
+
+    // ----- s19: FILTERED ANN — metadata-scoped vector search (each
+    // query retrieves only corpus vectors with ITS OWN label: the
+    // tenant/language/licence scoping every production retrieval
+    // layer needs). Composition over the unfiltered s18 index: the
+    // candidate gate drops non-matching candidates BEFORE the
+    // shortlist rank, so the calibrated depth buys eligible
+    // candidates (see servePqFilteredByLabel for the full shape and
+    // the attributes-in-the-index note for 100 TB). Oracle: the s12
+    // twin with the same gate CTE — hash-exact like the rest of the
+    // PQ family.
+    QueryDef(
+      "s19_filtered_ann",
+      (s, d) => servePqFilteredByLabel(s, d, ensurePqIndex(s, d)),
+      Some(pqFilteredOracleSql)),
 
     // ----- s08: IVF with a TRAINED coarse quantizer — one Lloyd
     // (k-means) refinement of s04's training-free centroids, written

@@ -31,6 +31,9 @@ class PlanAuditSpec extends SparkSpec {
       ("serve path over the persisted index (broadcast query-LUT " +
         "against the saved tables; rebuild branch only when no index " +
         "exists for the corpus — s12's labeled affinities)"),
+    "s19_filtered_ann" ->
+      ("s18's serve path + the label candidate gate (same broadcast " +
+        "LUTs; the gate itself is an n-row equi-join, not all-pairs)"),
     "d13_semdedup" ->
       ("broadcast centroid affinities via the shared two-level " +
         "quantizer (<=4096 cells; pair work bounded per cell, " +
