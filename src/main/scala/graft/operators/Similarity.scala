@@ -1276,9 +1276,17 @@ object Similarity {
     val probes = routeToCells(qs, "q_id", "av", idx.scCent,
         idx.cellCent, wSup, idx.np)
       .select(col("q_id"), col("cid"), col("cd"))
+    // a persisted index may carry filterable attributes in the codes
+    // table (persistPqIndex) — keep them in the candidate frame so a
+    // candGate can filter on them; unfiltered serves never reference
+    // them and Catalyst prunes the column at the scan
+    val attrCols = idx.cellm.columns.toSeq
+      .filterNot(Set("c_id", "cid", "code0", "code1", "code2", "code3"))
+      .map(col)
     val cand = probes.join(idx.cellm, "cid")
-      .select(col("q_id"), col("cid"), col("cd"), col("c_id"),
-        col("code0"), col("code1"), col("code2"), col("code3"))
+      .select(Seq(col("q_id"), col("cid"), col("cd"), col("c_id"),
+        col("code0"), col("code1"), col("code2"), col("code3")) ++
+        attrCols: _*)
     val wTop = Window.partitionBy(col("q_id"))
       .orderBy(col("adist"), col("c_id"))
     // candGate filters the ADC-scored candidate set BEFORE the
@@ -1313,7 +1321,17 @@ object Similarity {
     * (c_id, cid, codes) map as catalog tables — the big codes table
     * bucketed on cid so the serve-time membership join reads the
     * corpus side with NO exchange (w02/s13 discipline: the shuffle is
-    * paid once at build). The calibrated dials are index METADATA. */
+    * paid once at build). The calibrated dials are index METADATA.
+    *
+    * Filterable ATTRIBUTES (here: `label`) are folded into the codes
+    * table at persist time — one n-row join paid once per nightly
+    * build — so predicate-scoped serving (s19) gates candidates with
+    * a COLUMN FILTER on the index scan instead of re-joining the
+    * source table per query batch. Attributes are a property of the
+    * PERSISTED index: the inline-built `PqIndex.cellm` doesn't carry
+    * them (s12's hash-gated build chain stays untouched), and
+    * unfiltered serves never read the column (Catalyst prunes it at
+    * the scan). */
   private[graft] def persistPqIndex(s: SparkSession, d: String,
       idx: PqIndex): Unit = {
     def save(dfx: DataFrame, table: String,
@@ -1326,10 +1344,12 @@ object Similarity {
         case None => w.saveAsTable(table)
       }
     }
+    val attrs = new Tables(s, d).embeddings
+      .select(col("vec_id").as("c_id"), col("label"))
     save(idx.scCent, "s18_pq_sc", None)
     save(idx.cellCent, "s18_pq_cells", None)
     save(idx.cb1f, "s18_pq_cb", None)
-    save(idx.cellm, "s18_pq_codes", Some("cid"))
+    save(idx.cellm.join(attrs, "c_id"), "s18_pq_codes", Some("cid"))
     import s.implicits._
     save(Seq((idx.np, idx.sl)).toDF("np", "sl"), "s18_pq_meta", None)
   }
@@ -1381,20 +1401,22 @@ object Similarity {
     * candidates BEFORE the shortlist rank so the calibrated depth is
     * spent on eligible candidates, then exact-rerank the survivors.
     * Queries whose probed cells hold no matching candidate drop out
-    * (both engines identically). Scale shape: the label join keys on
-    * c_id against an n-row attribute frame — one shuffle; a
-    * production deployment folds filterable attributes INTO the
-    * persisted codes table at build time (bucketed on cid like the
-    * codes), making the gate a column filter instead of a join. */
+    * (both engines identically). Scale shape: the corpus-side label
+    * RIDES THE PERSISTED CODES TABLE ([[persistPqIndex]] folds
+    * attributes in at build time), so the gate is a column filter on
+    * the index scan plus one join against the QUERY batch's labels —
+    * never a per-serve join with the n-row source table
+    * (`FilteredAnnSpec` pins the plan: no extra source scan vs the
+    * unfiltered serve). Requires a loaded index ([[ensurePqIndex]]);
+    * inline-built indexes don't carry attributes. */
   private[graft] def servePqFilteredByLabel(s: SparkSession, d: String,
       idx: PqIndex): DataFrame = {
+    require(idx.cellm.columns.contains("label"),
+      "filtered serving needs a PERSISTED index (attributes ride the " +
+        "codes table) — load it via ensurePqIndex/loadPqIndex")
     val e = vecs(s, d)
-    val labels = new Tables(s, d).embeddings
-      .select(col("vec_id"), col("label"))
-    val qlab = labels.select(col("vec_id").as("q_id"),
-      col("label").as("qlabel"))
-    val clab = labels.select(col("vec_id").as("c_id"),
-      col("label").as("clabel"))
+    val qlab = new Tables(s, d).embeddings
+      .select(col("vec_id").as("q_id"), col("label").as("qlabel"))
     servePqFor(s,
       e.filter(col("vec_id") % 2 === 1)
         .select(col("vec_id").as("q_id"), col("v").as("av")),
@@ -1403,9 +1425,8 @@ object Similarity {
       idx,
       scored => scored
         .join(qlab, "q_id")
-        .join(clab, "c_id")
-        .filter(col("qlabel") === col("clabel"))
-        .drop("qlabel", "clabel"))
+        .filter(col("qlabel") === col("label"))
+        .drop("qlabel", "label"))
   }
 
   /** The s12/s18 oracle twin (a DEF — conf-dependent terms resolve at

@@ -45,6 +45,27 @@ class FilteredAnnSpec extends SparkSpec {
     a.zip(b).foreach { case (x, y) => assert(x === y) }
   }
 
+  test("the corpus-side label rides the persisted codes table: the " +
+      "filtered serve reads it off the index scan, the unfiltered " +
+      "serve prunes it") {
+    val idx = Similarity.ensurePqIndex(spark, sf)
+    def codesScans(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.toString.linesIterator
+        .filter(l => l.contains("s18_pq_codes") && l.contains("Scan"))
+        .toSeq
+    val fil = codesScans(Similarity.servePqFilteredByLabel(spark, sf, idx))
+    val unf = codesScans(Similarity.servePq(spark, sf, idx))
+    assert(fil.nonEmpty && unf.nonEmpty, "no codes-table scan found")
+    // the filter column comes from the INDEX scan (no per-serve join
+    // back to the n-row source table for corpus labels)...
+    assert(fil.exists(_.contains("label")),
+      s"filtered serve does not read label from the codes table:\n$fil")
+    // ...and the unfiltered path never pays for the column it does
+    // not use — Catalyst prunes it at the same scan
+    assert(unf.forall(!_.contains("label")),
+      s"unfiltered serve failed to prune the attribute column:\n$unf")
+  }
+
   test("the label gate can only deepen results, not change the " +
       "unfiltered winner's eligibility: when the unfiltered top-1 " +
       "matches the query's label, it stays in the filtered shortlist " +
