@@ -235,18 +235,31 @@ object ScaleUp {
           val n = graft.operators.Similarity.servePersisted(spark, dir)
             .count()
           val t = (System.nanoTime() - t0) / 1e9
-          s""","serve_sec":$t,"serve_rows":$n"""
+          // the filtered serve (s19) against the SAME persisted
+          // index: its steady-state cost should track the unfiltered
+          // serve (same routing + ADC volume; the gate only thins
+          // the shortlist rank's input)
+          spark.catalog.clearCache()
+          val tf0 = System.nanoTime()
+          val nf = graft.operators.Similarity.servePqFilteredByLabel(
+            spark, dir, graft.operators.Similarity.loadPqIndex(spark))
+            .count()
+          val tf = (System.nanoTime() - tf0) / 1e9
+          s""","serve_sec":$t,"serve_rows":$n""" +
+            s""","filtered_sec":$tf,"filtered_rows":$nf"""
         }
       val (t1, n1, st1) = time(sfDir)
       val serve1 = serveOnly(sfDir)
       val (tk, nk, stk) = time(outDir)
       val servek = serveOnly(outDir)
+      def decade(j: String, suffix: String): String = j
+        .replace("serve_sec", s"serve_sec_$suffix")
+        .replace("serve_rows", s"serve_rows_$suffix")
+        .replace("filtered_sec", s"filtered_sec_$suffix")
+        .replace("filtered_rows", s"filtered_rows_$suffix")
       val serveJson =
         if (serve1.isEmpty) ""
-        else serve1.replace("serve_sec", "serve_sec_x1")
-          .replace("serve_rows", "serve_rows_x1") +
-          servek.replace("serve_sec", "serve_sec_xk")
-            .replace("serve_rows", "serve_rows_xk")
+        else decade(serve1, "x1") + decade(servek, "xk")
       val stateJson = (st1, stk) match {
         case (Some((r1, b1)), Some((rk, bk))) =>
           s""","state_rows_x1":$r1,"state_bytes_x1":$b1,""" +

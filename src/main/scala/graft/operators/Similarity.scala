@@ -1269,6 +1269,29 @@ object Similarity {
         .select(col("vec_id").as("c_id"), col("v").as("bv")),
       idx)
 
+  /** One micro-batch of FILTERED queries (q_id, av, label) — the st18
+    * streaming-serve entry. The query's attribute arrives WITH the
+    * query (the production shape: callers scope their own requests);
+    * the corpus side's attribute rides the persisted codes table
+    * ([[persistPqIndex]]), so the gate is batch-labels ⋈ index scan —
+    * the n-row source table is only read for the rerank vectors,
+    * exactly like the unfiltered batch serve. */
+  private[graft] def servePqBatchFiltered(s: SparkSession, d: String,
+      qs: DataFrame, idx: PqIndex): DataFrame = {
+    require(idx.cellm.columns.contains("label"),
+      "filtered serving needs a PERSISTED index (attributes ride the " +
+        "codes table) — load it via ensurePqIndex/loadPqIndex")
+    val qlab = qs.select(col("q_id"), col("label").as("qlabel"))
+    servePqFor(s, qs.select(col("q_id"), col("av")),
+      vecs(s, d).filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("c_id"), col("v").as("bv")),
+      idx,
+      scored => scored
+        .join(qlab, "q_id")
+        .filter(col("qlabel") === col("label"))
+        .drop("qlabel", "label"))
+  }
+
   private def servePqFor(s: SparkSession, qs: DataFrame,
       corpus: DataFrame, idx: PqIndex,
       candGate: DataFrame => DataFrame = identity): DataFrame = {

@@ -994,5 +994,45 @@ object StreamingOps {
         s.read.parquet(s"$out/*").orderBy(col("q_id"))
       },
       Some(graft.operators.Similarity.pqOracleSql))
+    ,
+
+    // ----- st18: STREAMING FILTERED ANN SERVING — s19 run ONLINE.
+    // Each streamed query carries its own scope attribute (the
+    // production shape: callers ship tenant/language/licence with
+    // the request), and every micro-batch answers only from corpus
+    // vectors matching that attribute — which rides the PERSISTED
+    // codes table, so the per-batch gate is batch-labels ⋈ the
+    // bucketed index scan, never a per-epoch join with the n-row
+    // source table. Same foreachBatch discipline as st17 (rank
+    // windows force it; idempotent per-epoch landing); per-query
+    // answers are slicing-independent, so the oracle is s19's twin
+    // VERBATIM — one parameterized SQL now gates the filtered batch
+    // serve AND the filtered streamed serve, like pqOracleSql gates
+    // s12/s18/st17.
+    QueryDef(
+      "st18_stream_filtered_ann",
+      (s, d) => {
+        import graft.operators.Similarity
+        Similarity.ensurePqIndex(s, d)
+        val out = Files.createTempDirectory("graft_st18_out").toString
+        val q = embStream(s, d)
+          .filter(col("vec_id") % 2 === 1)
+          .select(col("vec_id").as("q_id"), col("embedding").as("av"),
+            col("label"))
+          .writeStream
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft_st18_ckpt").toString)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val sess = batch.sparkSession
+            Similarity.servePqBatchFiltered(sess, d, batch,
+              Similarity.loadPqIndex(sess))
+              .write.mode("overwrite").parquet(s"$out/b$batchId")
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.read.parquet(s"$out/*").orderBy(col("q_id"))
+      },
+      Some(graft.operators.Similarity.pqFilteredOracleSql))
   )
 }

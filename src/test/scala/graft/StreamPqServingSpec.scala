@@ -20,4 +20,14 @@ class StreamPqServingSpec extends SparkSpec {
     assert(streamed.length == batch.length && streamed.length > 0)
     streamed.zip(batch).foreach { case (a, b) => assert(a == b) }
   }
+
+  test("st18 streamed filtered serve equals s19 batch filtered serve " +
+      "row for row") {
+    val streamed =
+      SparkEntry.queries("st18_stream_filtered_ann")(spark, sf).collect()
+    val batch =
+      SparkEntry.queries("s19_filtered_ann")(spark, sf).collect()
+    assert(streamed.length == batch.length && streamed.length > 0)
+    streamed.zip(batch).foreach { case (a, b) => assert(a == b) }
+  }
 }
