@@ -453,6 +453,11 @@ object Similarity {
     * measured unchanged vs full-corpus training on the test corpus. */
   private[graft] val IvfTrainPerCell = 16L
 
+  /** s20 hybrid retrieval: E[sampled query docs] for the md5-Bernoulli
+    * query sample — bounds the vector verification leg at
+    * |sample|·corpus regardless of corpus size. */
+  private[graft] val HybridSampleE = 32L
+
   private val evenCountCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
@@ -2371,6 +2376,185 @@ object Similarity {
       "s19_filtered_ann",
       (s, d) => servePqFilteredByLabel(s, d, ensurePqIndex(s, d)),
       Some(pqFilteredOracleSql)),
+
+    // ----- s20: HYBRID RETRIEVAL — reciprocal-rank fusion of a
+    // lexical leg (t15's rational BM25 over the query doc's own
+    // df-capped terms) and a vector leg (exact L2 over the query
+    // doc's embedding), the two-tower shape RAG data curation and
+    // retrieval evaluation actually run: lexical catches exact
+    // terminology, vectors catch paraphrase, RRF (Cormack et al.:
+    // score = Σ 1/(60+rank)) fuses without score calibration because
+    // it only consumes RANKS. Determinism: BM25 contributions are
+    // floor-quantized BIGINTs (t15's discipline), the L2 fold is the
+    // bit-exact zip_with/list_zip pair, RRF terms are INTEGER
+    // division 1e8//(60+rank) summed as BIGINTs — every comparison
+    // that decides a rank is exact in both engines. Scale shape: the
+    // query side is an E[32] md5-Bernoulli sample (broadcast
+    // everywhere); the lexical leg moves only the postings of
+    // query terms (broadcast semi-join prunes the scan) with the
+    // df-cap bounding fan-out; the vector leg is the bounded
+    // verification tier (|sample|·n, like the s12 calibration
+    // referee) — a deployment swaps in the s18 index for that leg
+    // (s15's note); the fusion frame is ≤ 20 rows per query.
+    QueryDef(
+      "s20_hybrid_rrf",
+      (s, d) => {
+        val t = new Tables(s, d)
+        val docs = t.documents.select(col("doc_id"),
+          split(lower(trim(col("text"))), "\\s+").as("toks"))
+        val nOdd = t.documents.filter(col("doc_id") % 2 === 1).count()
+        val thresh = (HybridSampleE * 4294967296L - 1L) /
+          math.max(1L, nOdd) + 1L
+        val qdocs = docs.filter(col("doc_id") % 2 === 1)
+          .filter(conv(substring(md5(concat(lit("hyb:"),
+            col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+            < lit(thresh))
+          .select(col("doc_id").as("q_id"), col("toks").as("qtoks"))
+
+        // lexical leg: postings of the sampled docs' distinct terms
+        // only (df-capped at 100 — stopword-like terms are weak
+        // retrieval evidence AND the join fan-out bound, the d03
+        // shingleDfCap argument)
+        val ctok = docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), explode(col("toks")).as("term"))
+        val dl = ctok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+        val stats = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tl"))
+        val qset = qdocs
+          .select(col("q_id"), explode(col("qtoks")).as("term"))
+          .distinct()
+        val post = ctok.join(broadcast(qset.select(col("term")).distinct()),
+          Seq("term"))
+        val dfT = post.select(col("doc_id"), col("term")).distinct()
+          .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val qtc = qset.join(broadcast(dfT.filter(col("df") <= 100)),
+          Seq("term"))
+        val tf = post.groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val scored = tf.join(broadcast(qtc), Seq("term"))
+          .join(dl, Seq("doc_id"))
+          .crossJoin(broadcast(stats))
+          .select(col("q_id"), col("doc_id"),
+            floor(
+              (((col("nd").cast("double") - col("df").cast("double"))
+                  + lit(0.5)) / (col("df").cast("double") + lit(0.5)) *
+                ((col("tf").cast("double") * lit(2.2)) /
+                  (col("tf").cast("double") + lit(1.2) * (lit(0.25) +
+                    lit(0.75) * (col("dl").cast("double") /
+                      (col("tl").cast("double") / col("nd").cast("double")))))))
+                * lit(100000000.0)).cast("long").as("c"))
+        val wLex = Window.partitionBy(col("q_id"))
+          .orderBy(col("lex_scaled").desc, col("doc_id"))
+        val lexTop = scored.groupBy(col("q_id"), col("doc_id"))
+          .agg(sum(col("c")).as("lex_scaled"))
+          .withColumn("rank", row_number().over(wLex))
+          .filter(col("rank") <= 10)
+
+        // vector leg: exact L2 of the sampled queries' embeddings
+        // against the even corpus (doc_id == vec_id by construction)
+        val e = t.embeddings.select(col("vec_id"), col("embedding"))
+        val qv = e.select(col("vec_id").as("q_id"),
+            col("embedding").as("av"))
+          .join(qdocs.select(col("q_id")), Seq("q_id"))
+        val cv = e.filter(col("vec_id") % 2 === 0)
+          .select(col("vec_id").as("doc_id"), col("embedding").as("bv"))
+        val l2 =
+          """aggregate(zip_with(av, bv,
+               (x, y) -> (cast(x as double) - cast(y as double))
+                       * (cast(x as double) - cast(y as double))),
+             cast(0.0 as double), (acc, x) -> acc + x)"""
+        val wVec = Window.partitionBy(col("q_id"))
+          .orderBy(col("l2"), col("doc_id"))
+        val vecTop = cv.crossJoin(broadcast(qv))
+          .withColumn("l2", expr(l2))
+          .withColumn("rank", row_number().over(wVec))
+          .filter(col("rank") <= 10)
+          .select(col("q_id"), col("doc_id"), col("rank"))
+
+        // RRF fusion: integer-exact 1e8//(60+rank) per leg, summed
+        val rrfTerm = expr("CAST(100000000 div (60 + rank) AS BIGINT)")
+        val fused = lexTop.select(col("q_id"), col("doc_id"),
+            rrfTerm.as("c"))
+          .unionByName(vecTop.select(col("q_id"), col("doc_id"),
+            rrfTerm.as("c")))
+          .groupBy(col("q_id"), col("doc_id"))
+          .agg(sum(col("c")).as("rrf_scaled"))
+        val wF = Window.partitionBy(col("q_id"))
+          .orderBy(col("rrf_scaled").desc, col("doc_id"))
+        fused.withColumn("rank", row_number().over(wF))
+          .filter(col("rank") <= 3)
+          .select(col("q_id"), col("rank"), col("doc_id"),
+            col("rrf_scaled"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some(s"""WITH qn AS (SELECT COUNT(*) AS nodd FROM documents
+            WHERE doc_id % 2 = 1),
+        th AS (SELECT ${HybridSampleE * 4294967296L - 1L} // nodd + 1
+               AS th FROM qn),
+        qd AS (SELECT doc_id AS q_id,
+            string_split_regex(lower(trim(text)), '\\s+') AS qtoks
+          FROM documents
+          WHERE doc_id % 2 = 1
+            AND ('0x' || substr(md5('hyb:' || doc_id), 1, 8))::BIGINT
+                < (SELECT th FROM th)),
+        ctok AS (SELECT doc_id,
+            unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+          FROM documents WHERE doc_id % 2 = 0),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM ctok GROUP BY doc_id),
+        stats AS (SELECT COUNT(*) AS nd, SUM(dl) AS tl FROM dl),
+        qset AS (SELECT DISTINCT q_id, unnest(qtoks) AS term FROM qd),
+        post AS (SELECT doc_id, term FROM ctok
+          WHERE term IN (SELECT DISTINCT term FROM qset)),
+        dfT AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+          FROM post GROUP BY term),
+        qtc AS (SELECT q.q_id, q.term, d.df FROM qset q
+          JOIN dfT d USING (term) WHERE d.df <= 100),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM post
+          GROUP BY doc_id, term),
+        scored AS (SELECT qtc.q_id, tf.doc_id,
+            CAST(floor(
+              (((CAST(nd AS DOUBLE) - CAST(df AS DOUBLE)) + 0.5)
+                  / (CAST(df AS DOUBLE) + 0.5) *
+                ((CAST(tf AS DOUBLE) * 2.2) /
+                  (CAST(tf AS DOUBLE) + 1.2 * (0.25 +
+                    0.75 * (CAST(dl AS DOUBLE) /
+                      (CAST(tl AS DOUBLE) / CAST(nd AS DOUBLE)))))))
+                * 100000000.0) AS BIGINT) AS c
+          FROM tf JOIN qtc USING (term) JOIN dl USING (doc_id)
+            CROSS JOIN stats),
+        lex AS (SELECT q_id, doc_id, SUM(c) AS lex_scaled
+          FROM scored GROUP BY q_id, doc_id),
+        lextop AS (SELECT q_id, doc_id, ROW_NUMBER() OVER (
+            PARTITION BY q_id ORDER BY lex_scaled DESC, doc_id) AS rank
+          FROM lex),
+        e0 AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        qv AS (SELECT e.vec_id AS q_id, e.v AS av
+          FROM e0 e JOIN qd ON qd.q_id = e.vec_id),
+        cv AS (SELECT vec_id AS doc_id, v AS bv FROM e0
+          WHERE vec_id % 2 = 0),
+        vd AS (SELECT qv.q_id, cv.doc_id,
+            list_sum(list_transform(list_zip(qv.av, cv.bv),
+              t -> (t[1] - t[2]) * (t[1] - t[2]))) AS l2
+          FROM cv, qv),
+        vectop AS (SELECT q_id, doc_id, ROW_NUMBER() OVER (
+            PARTITION BY q_id ORDER BY l2, doc_id) AS rank FROM vd),
+        fused AS (SELECT q_id, doc_id, CAST(SUM(c) AS BIGINT)
+            AS rrf_scaled
+          FROM (
+            SELECT q_id, doc_id,
+              CAST(100000000 // (60 + rank) AS BIGINT) AS c
+            FROM lextop WHERE rank <= 10
+            UNION ALL
+            SELECT q_id, doc_id,
+              CAST(100000000 // (60 + rank) AS BIGINT) AS c
+            FROM vectop WHERE rank <= 10)
+          GROUP BY q_id, doc_id)
+        SELECT q_id, rank, doc_id, rrf_scaled FROM (
+          SELECT q_id, doc_id, rrf_scaled, ROW_NUMBER() OVER (
+            PARTITION BY q_id ORDER BY rrf_scaled DESC, doc_id) AS rank
+          FROM fused)
+        WHERE rank <= 3 ORDER BY q_id, rank""")),
 
     // ----- s08: IVF with a TRAINED coarse quantizer — one Lloyd
     // (k-means) refinement of s04's training-free centroids, written

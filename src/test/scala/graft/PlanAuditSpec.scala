@@ -34,6 +34,10 @@ class PlanAuditSpec extends SparkSpec {
     "s19_filtered_ann" ->
       ("s18's serve path + the label candidate gate (same broadcast " +
         "LUTs; the gate itself is an n-row equi-join, not all-pairs)"),
+    "s20_hybrid_rrf" ->
+      ("broadcast 1-row BM25 stats + the E[32]-query vector " +
+        "verification leg (bounded by the sample like the s12 " +
+        "calibration referee; a deployment swaps in the s18 index)"),
     "d13_semdedup" ->
       ("broadcast centroid affinities via the shared two-level " +
         "quantizer (<=4096 cells; pair work bounded per cell, " +
