@@ -118,7 +118,12 @@ object ScaleUp {
       // per-batch serving cost excludes training and calibration,
       // so serve-only must be a small, linearly-scaling fraction of
       // the lifecycle wall
-      "s18_pq_persisted")
+      "s18_pq_persisted",
+      // r16: hybrid retrieval — the lexical leg moves only query-term
+      // postings (df-capped fan-out) and the vector leg is bounded by
+      // the E[32] query sample, so the whole fusion must scale
+      // linearly in corpus size; the probe pins that claim
+      "s20_hybrid_rrf")
 
   /** What a query's "found" count IS for retention purposes, when a
     * plain row count is structurally trivial (one row per doc): d11
