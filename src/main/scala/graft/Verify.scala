@@ -28,6 +28,19 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       spark.catalog.clearCache() // don't let one query's cache() starve the next
+      // delete any PRIOR run's dump first: mode(overwrite) only
+      // replaces it on success, so a query that THROWS would leave a
+      // stale result behind for the comparer to green-light — a
+      // failure must leave nothing (the comparer then reports the
+      // query missing instead of silently passing old bytes)
+      val target = java.nio.file.Paths.get(outDir, name)
+      if (Files.exists(target)) {
+        val walk = java.nio.file.Files.walk(target)
+        try walk.sorted(java.util.Comparator
+            .reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
