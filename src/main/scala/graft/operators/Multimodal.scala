@@ -274,6 +274,76 @@ object Multimodal {
             AS BIGINT) AS n_audio,
           CAST(SUM(CASE WHEN media_type = 'video' THEN 1 ELSE 0 END)
             AS BIGINT) AS n_video
-        FROM packed GROUP BY shard, pack_id ORDER BY shard, pack_id"""))
+        FROM packed GROUP BY shard, pack_id ORDER BY shard, pack_id""")),
+
+    // ----- m06: RESIZE — aspect-fit every decoded frame into the
+    // training resolution (224×224), the normalization step between
+    // decode (m02) and feature extraction (m04) in every vision
+    // pipeline. The GEOMETRY is pure integer arithmetic — out_w =
+    // max(1, w·224 div max(w,h)), likewise out_h, so the long side
+    // lands exactly on 224 and aspect ratio is preserved to integer
+    // truncation — and is therefore oracle-exact; only the pixel
+    // resample itself would live in the m02-style stub stage (a real
+    // codec slots into the same mapPartitions). The resized payload
+    // is represented by a deterministic provenance digest
+    // md5(checksum:out_w x out_h) — content-addressed like m02's
+    // checksum, so downstream stages can dedup identical resizes.
+    // Plan: one codegen'd projection over m02's decode output — no
+    // shuffle, linear at 100 TB.
+    QueryDef(
+      "m06_media_resize",
+      (s, d) => {
+        implicit val recEnc: Encoder[MediaRecord] =
+          Encoders.product[MediaRecord]
+        implicit val featEnc: Encoder[MediaFeatures] =
+          Encoders.product[MediaFeatures]
+        val records = new Tables(s, d).documents
+          .withColumn("payload", encode(col("text"), "utf-8"))
+          .select(col("doc_id"), col("payload"),
+            when(col("doc_id") % 3 === 0, "image")
+              .when(col("doc_id") % 3 === 1, "audio")
+              .otherwise("video").as("media_type"),
+            length(col("payload")).cast(LongType).as("n_bytes"))
+          .as[MediaRecord]
+        records.mapPartitions(_.map(decodeStub)).toDF()
+          .filter(col("media_type") =!= "audio") // nothing to resize
+          .withColumn("w1", greatest(lit(1), col("width")))
+          .withColumn("h1", greatest(lit(1), col("height")))
+          .withColumn("out_w",
+            greatest(lit(1L), expr("(w1 * 224) div greatest(w1, h1)")))
+          .withColumn("out_h",
+            greatest(lit(1L), expr("(h1 * 224) div greatest(w1, h1)")))
+          .select(col("doc_id"), col("media_type"),
+            col("width").cast(LongType).as("width"),
+            col("height").cast(LongType).as("height"),
+            col("out_w"), col("out_h"),
+            md5(concat(col("checksum"), lit(":"),
+              col("out_w").cast("string"), lit("x"),
+              col("out_h").cast("string"))).as("resized_checksum"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH dec AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 3 = 0 THEN 'image'
+                 WHEN doc_id % 3 = 1 THEN 'audio'
+                 ELSE 'video' END AS media_type,
+            GREATEST(1, CAST(octet_length(encode(text)) % 640 AS INT))
+              AS w1,
+            GREATEST(1, CAST((doc_id * 7) % 480 AS INT)) AS h1,
+            CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
+            CAST((doc_id * 7) % 480 AS BIGINT) AS height,
+            md5(text) AS checksum
+          FROM documents),
+        rs AS (
+          SELECT doc_id, media_type, width, height,
+            GREATEST(1, (w1 * 224) // GREATEST(w1, h1)) AS out_w,
+            GREATEST(1, (h1 * 224) // GREATEST(w1, h1)) AS out_h,
+            checksum
+          FROM dec WHERE media_type <> 'audio')
+        SELECT doc_id, media_type, width, height,
+          CAST(out_w AS BIGINT) AS out_w, CAST(out_h AS BIGINT) AS out_h,
+          md5(checksum || ':' || CAST(out_w AS VARCHAR) || 'x'
+            || CAST(out_h AS VARCHAR)) AS resized_checksum
+        FROM rs ORDER BY doc_id"""))
   )
 }
