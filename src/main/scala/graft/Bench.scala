@@ -29,9 +29,11 @@ object Bench {
   private[graft] def parseConf(raw: String): Seq[(String, String)] = {
     val parts =
       if (raw.contains(";")) raw.split(";").toSeq
-      else raw.split(",(?=[A-Za-z_][A-Za-z0-9_.]*=)").toSeq
+      else raw.split(",(?=[A-Za-z_][A-Za-z0-9_.-]*=)").toSeq
     parts.map(_.trim).filter(_.contains("=")).map { kv =>
-      val a = kv.split("=", 2); (a(0), a(1))
+      // trim key and value INDIVIDUALLY: `a = b` must yield key "a",
+      // not "a " (a space-padded key silently never takes effect)
+      val a = kv.split("=", 2); (a(0).trim, a(1).trim)
     }
   }
 

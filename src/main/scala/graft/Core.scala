@@ -228,6 +228,19 @@ object GraftConf {
     * [[IvfCellsKey]]: the oracle bakes the default, so an override
     * invalidates the hash gate. */
   val IvfSuperProbeKey = "spark.graft.ivfSuperProbe"
+  /** Candidate-recall FLOOR for the IVF-PQ index build, in (0, 1]
+    * (default: unset = no gate). The build already measures candidate
+    * recall on its E[256]-query exact-NN calibration sample (the
+    * fraction of sampled true NNs that survive the nprobe gate —
+    * the ceiling on end-to-end recall: measured end-to-end ≈
+    * 0.89 × candidate recall on both test geometries). With this set,
+    * a build whose measured candidate recall lands BELOW the floor
+    * fails LOUDLY at build time — the isotropic-geometry failure mode
+    * (candidate recall 0.319 at the nprobe cost cap at ×100; see
+    * CONFIGURATION.md) surfaces in the nightly build log instead of
+    * as a silent production recall miss. The measured value persists
+    * in `s18_pq_meta.cand_recall` either way. */
+  val MinCandRecallKey = "spark.graft.minCandRecall"
   /** Truncated-cosine shortlist size for the two-stage rerank tiers
     * (s07/s09) — per-query candidates surviving the coarse 16-dim
     * pass into the full-dimension rerank; the same cheap recall dial

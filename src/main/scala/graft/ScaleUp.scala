@@ -361,7 +361,11 @@ object ScaleUp {
       ("lineitem.l_suppkey", t.lineitem.agg(max(col("l_suppkey")))),
       ("part.p_partkey", t.part.agg(max(col("p_partkey"))))
     ).foreach { case (name, df) =>
-      val mx = df.select(col(df.columns(0)).cast("long"))
+      // coalesce(-1): an EMPTY source table has a NULL max — that
+      // passes explicitly (no keys can collide) instead of throwing a
+      // bare NPE out of getLong before the descriptive require fires
+      val mx = df.select(coalesce(col(df.columns(0)).cast("long"),
+          lit(-1L)))
         .collect()(0).getLong(0)
       require(mx < shift,
         s"scaleup build: max($name) = $mx >= the $shift per-copy key " +

@@ -43,6 +43,54 @@ object Multimodal {
     MediaFeatures(r.doc_id, r.media_type, r.n_bytes, w, h, frames, digest)
   }
 
+  /** m04's pooled per-video media embedding (doc_id, n_frames,
+    * e0..e3): sampled frames → stub per-frame features (md5-derived
+    * 16-bit ints standing in for the encoder output) → element-wise
+    * decimal-exact MEAN. Shared by m04 (gated directly) and m07 (the
+    * media tower of the alignment filter). */
+  private def pooledFrameEmbedding(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import graft.Exact
+    val frames = new Tables(s, d).documents
+      .filter(col("doc_id") % 3 === 2) // the 'video' stripe
+      .withColumn("n_chunks",
+        expr("cast(length(text) div 1000 as int) + 1"))
+      .select(col("doc_id"),
+        explode(expr("sequence(0, n_chunks - 1, 3)")).as("frame_idx"),
+        col("text"))
+      .withColumn("frame_md5",
+        md5(expr("substr(text, frame_idx * 1000 + 1, 1000)")))
+    val feats = (0 until 4).foldLeft(frames) { (df, i) =>
+      df.withColumn(s"f$i",
+        conv(substring(col("frame_md5"), 1 + 4 * i, 4), 16, 10)
+          .cast("long"))
+    }
+    feats.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        Exact.davg(col("f0"), 0).as("e0"),
+        Exact.davg(col("f1"), 0).as("e1"),
+        Exact.davg(col("f2"), 0).as("e2"),
+        Exact.davg(col("f3"), 0).as("e3"))
+  }
+
+  /** The m04 chain's oracle twin, ending at GROUP BY (composable:
+    * m04 appends its ORDER BY; m07 wraps it in a CTE). */
+  private def pooledFrameEmbeddingSql: String =
+    s"""SELECT doc_id, COUNT(*) AS n_frames,
+          ${(0 until 4).map(i => graft.Exact.sqlAvg(s"f$i", 0) + s" AS e$i")
+            .mkString(", ")}
+        FROM (SELECT doc_id,
+                ${(0 until 4).map(i =>
+                  s"('0x' || substr(frame_md5, ${1 + 4 * i}, 4))::BIGINT AS f$i")
+                  .mkString(", ")}
+          FROM (SELECT doc_id,
+                  md5(substr(text, frame_idx * 1000 + 1, 1000)) AS frame_md5
+                FROM (SELECT doc_id, text,
+                        CAST(length(text) // 1000 AS INT) + 1 AS n_chunks
+                      FROM documents WHERE doc_id % 3 = 2),
+                     UNNEST(generate_series(0, n_chunks - 1, 3)) AS u(frame_idx)))
+        GROUP BY doc_id"""
+
   val queries: Seq[QueryDef] = Seq(
 
     // ----- m01: binary payload + typed metadata columns, scalar
@@ -157,44 +205,80 @@ object Multimodal {
     // mapPartitions just upstream.
     QueryDef(
       "m04_frame_embedding",
+      (s, d) => pooledFrameEmbedding(s, d).orderBy(col("doc_id")),
+      Some(s"$pooledFrameEmbeddingSql ORDER BY doc_id")),
+
+    // ----- m07: CROSS-MODAL ALIGNMENT FILTER — the CLIP-score
+    // curation step that decides which media-text pairs enter
+    // training (the LAION pipeline shape): the media tower's pooled
+    // embedding (m04's per-video frame mean, 4 stub dims) against the
+    // TEXT tower's embedding for the SAME doc (the embeddings table,
+    // block-pooled 64→4 so the towers share a space), scored by
+    // cosine, gated by a thresholded keep bit. Everything deciding
+    // the bit is cross-engine exact: media dims are m04's
+    // decimal-exact means, text dims are floor(x·1e10+0.5) BIGINT
+    // block sums (the s08 quantization discipline), and dot/norms are
+    // the same left-assoc folds in both engines (IEEE mul/div/sqrt
+    // are correctly rounded, so identical inputs give identical
+    // cosines — the s01 contract). Plan: m04's chain (frame explode +
+    // ONE doc_id shuffle with map-side partial means) + one key
+    // equi-join against the embeddings scan — no new shuffle shape,
+    // linear at 100 TB; the real CLIP towers slot into m02's
+    // mapPartitions stage upstream without changing this plan.
+    QueryDef(
+      "m07_crossmodal_align",
       (s, d) => {
-        import graft.Exact
-        val frames = new Tables(s, d).documents
-          .filter(col("doc_id") % 3 === 2) // the 'video' stripe
-          .withColumn("n_chunks",
-            expr("cast(length(text) div 1000 as int) + 1"))
-          .select(col("doc_id"),
-            explode(expr("sequence(0, n_chunks - 1, 3)")).as("frame_idx"),
-            col("text"))
-          .withColumn("frame_md5",
-            md5(expr("substr(text, frame_idx * 1000 + 1, 1000)")))
-        val feats = (0 until 4).foldLeft(frames) { (df, i) =>
-          df.withColumn(s"f$i",
-            conv(substring(col("frame_md5"), 1 + 4 * i, 4), 16, 10)
-              .cast("long"))
-        }
-        feats.groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_frames"),
-            Exact.davg(col("f0"), 0).as("e0"),
-            Exact.davg(col("f1"), 0).as("e1"),
-            Exact.davg(col("f2"), 0).as("e2"),
-            Exact.davg(col("f3"), 0).as("e3"))
+        val media = pooledFrameEmbedding(s, d)
+          .withColumn("me",
+            array(col("e0"), col("e1"), col("e2"), col("e3")))
+        def blockMean(j: Int) =
+          (expr(
+            s"""aggregate(slice(embedding, ${j * 16 + 1}, 16),
+                cast(0 as bigint),
+                (acc, x) -> acc + cast(floor(cast(x as double) * 1e10
+                  + 0.5d) as bigint))""").cast("double")
+            / lit(1e10) / lit(16.0))
+        val text = new Tables(s, d).embeddings
+          .select(col("vec_id").as("doc_id"),
+            array((0 until 4).map(blockMean): _*).as("te"))
+        def fold(a: String, b: String) =
+          s"""aggregate(zip_with($a, $b, (x, y) -> x * y),
+              cast(0.0 as double), (acc, x) -> acc + x)"""
+        media.join(text, "doc_id")
+          .withColumn("cos_align",
+            expr(fold("me", "te")) /
+              (sqrt(expr(fold("me", "me"))) *
+                sqrt(expr(fold("te", "te")))))
+          .select(col("doc_id"), col("n_frames"), col("cos_align"),
+            (col("cos_align") >= lit(0.0)).as("keep"))
           .orderBy(col("doc_id"))
       },
-      Some(s"""SELECT doc_id, COUNT(*) AS n_frames,
-          ${(0 until 4).map(i => graft.Exact.sqlAvg(s"f$i", 0) + s" AS e$i")
-            .mkString(", ")}
-        FROM (SELECT doc_id,
-                ${(0 until 4).map(i =>
-                  s"('0x' || substr(frame_md5, ${1 + 4 * i}, 4))::BIGINT AS f$i")
-                  .mkString(", ")}
-          FROM (SELECT doc_id,
-                  md5(substr(text, frame_idx * 1000 + 1, 1000)) AS frame_md5
-                FROM (SELECT doc_id, text,
-                        CAST(length(text) // 1000 AS INT) + 1 AS n_chunks
-                      FROM documents WHERE doc_id % 3 = 2),
-                     UNNEST(generate_series(0, n_chunks - 1, 3)) AS u(frame_idx)))
-        GROUP BY doc_id ORDER BY doc_id""")),
+      Some(s"""WITH med AS ($pooledFrameEmbeddingSql),
+        txt AS (SELECT vec_id AS doc_id,
+            ${(0 until 4).map(j =>
+              s"""CAST(list_sum(list_transform(
+                    list_slice(v, ${j * 16 + 1}, ${j * 16 + 16}),
+                    x -> CAST(floor(x * 1e10 + 0.5) AS BIGINT)))
+                  AS DOUBLE) / 1e10 / 16 AS t$j""").mkString(", ")}
+          FROM (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings)),
+        paired AS (SELECT m.doc_id, m.n_frames,
+            list_value(m.e0, m.e1, m.e2, m.e3) AS me,
+            list_value(t.t0, t.t1, t.t2, t.t3) AS te
+          FROM med m JOIN txt t USING (doc_id))
+        SELECT doc_id, n_frames,
+          list_sum(list_transform(list_zip(me, te), z -> z[1] * z[2]))
+            / (sqrt(list_sum(list_transform(list_zip(me, me),
+                 z -> z[1] * z[2])))
+             * sqrt(list_sum(list_transform(list_zip(te, te),
+                 z -> z[1] * z[2])))) AS cos_align,
+          (list_sum(list_transform(list_zip(me, te), z -> z[1] * z[2]))
+            / (sqrt(list_sum(list_transform(list_zip(me, me),
+                 z -> z[1] * z[2])))
+             * sqrt(list_sum(list_transform(list_zip(te, te),
+                 z -> z[1] * z[2]))))) >= 0.0 AS keep
+        FROM paired ORDER BY doc_id""")),
 
     // ----- m05: MODALITY-AWARE SEQUENCE PACKING — the VLM training-
     // data step text-only packing (p02) can't do: each record costs

@@ -200,7 +200,17 @@ object Similarity {
     if (ranks.isEmpty) PqShortlist
     else {
       val need = math.max(1, (ranks.length * pct + 99) / 100)
-      math.max(PqShortlist.toLong, ranks.sorted.apply(need - 1)).toInt
+      val sl = math.max(PqShortlist.toLong, ranks.sorted.apply(need - 1))
+      // the uncapped order statistic is a Long (candidate sets reach
+      // ~4n/√k — past Int range for n ≳ 3×10¹⁰ vectors): fail LOUDLY
+      // instead of letting toInt wrap negative, where the r <= sl
+      // shortlist filter would silently drop every candidate
+      require(sl <= Int.MaxValue.toLong,
+        s"calibrated ADC shortlist $sl overflows Int — the corpus " +
+          "geometry needs a deeper candidate gate than a 32-bit " +
+          "shortlist can rank (raise nprobe/cells so observed ranks " +
+          "shrink, or partition the serve)")
+      sl.toInt
     }
 
   /** IVF probe-width FLOOR (s12): the minimum nearest-cell count each
@@ -1029,7 +1039,41 @@ object Similarity {
     * trained codebook, and the per-cell ADC term table. */
   private[graft] final case class PqIndex(np: Int, sl: Int,
       scCent: DataFrame, cellCent: DataFrame, cellm: DataFrame,
-      cb1f: DataFrame, clut: DataFrame)
+      cb1f: DataFrame, clut: DataFrame, candRecall: Double = -1.0)
+
+  /** s18_pq_meta schema version: bump whenever the meta/codes table
+    * shape changes (v2 added the freshness fingerprint + generation +
+    * measured candidate recall, and the codes table's label column).
+    * [[ensurePqIndex]] treats any other version — including a
+    * pre-versioning meta table from a persistent metastore — as
+    * stale and rebuilds. */
+  private[graft] val PqMetaSchemaVer = 2
+
+  /** Every session conf that changes what a PQ build would produce or
+    * how the oracle resolves its twin, flattened to one comparable
+    * string — the index-freshness fingerprint persisted in
+    * s18_pq_meta. A conf override set AFTER an index was persisted in
+    * the same session (or an index persisted under different dials in
+    * a persistent metastore) must trigger a rebuild, or the "fresh"
+    * index serves stale dials while the oracle resolves the current
+    * override (the r16 ADVICE medium). */
+  private[graft] def pqConfFingerprint(s: SparkSession): String =
+    Seq(GraftConf.IvfNprobeKey, GraftConf.PqShortlistKey,
+        GraftConf.IvfRecallTargetPctKey, GraftConf.IvfSuperProbeKey,
+        GraftConf.IvfCellsKey, GraftConf.MinCandRecallKey)
+      .map(k => s"$k=${s.conf.getOption(k).map(_.trim).getOrElse("")}")
+      .mkString(";")
+
+  /** The build-time candidate-recall floor when
+    * `spark.graft.minCandRecall` is set (validated), else None →
+    * measure-and-persist only, never gate. */
+  private def minCandRecall(s: SparkSession): Option[Double] =
+    s.conf.getOption(GraftConf.MinCandRecallKey).map { raw =>
+      val f = raw.trim.toDouble
+      require(f > 0.0 && f <= 1.0,
+        s"${GraftConf.MinCandRecallKey} must be in (0, 1], got $f")
+      f
+    }
 
   /** Per-QUERY 256-entry positional ADC LUT of −2·q_m·e_m (the
     * query-dependent term of the decomposed residual distance). */
@@ -1214,24 +1258,45 @@ object Similarity {
     // the FULL serving scorer (≤ |sample|·np·max-occupancy rows; the qlut here
     // is SAMPLE-only) → the ADC rank each true NN actually landed
     // at → order-statistic percentile. Gate-missed queries drop at
-    // the inner join (nprobe, not the shortlist, binds them) ----
-    val sl = pqShortlistOverride(s).getOrElse {
-      val sprobes = sqRanked.filter(col("cellrank") <= np)
-        .select(col("q_id"), col("cid"), col("cd"))
-      val wTop = Window.partitionBy(col("q_id"))
-        .orderBy(col("adist"), col("c_id"))
-      val sranked = adcScore(sprobes.join(cellm, "cid")
-          .select(col("q_id"), col("cid"), col("cd"), col("c_id"),
-            col("code0"), col("code1"), col("code2"),
-            col("code3")),
-          pqQlut(sq, cb1f), clut)
-        .withColumn("r", row_number().over(wTop))
-        .select(col("q_id"), col("c_id"), col("r"))
-      val ranks = nn.join(sranked, Seq("q_id", "c_id"))
-        .select(col("r").cast("long").as("r"))
-        .collect().map(_.getLong(0)).toIndexedSeq
-      pickShortlist(ranks, recallTargetPct(s))
+    // the inner join (nprobe, not the shortlist, binds them).
+    // Runs UNCONDITIONALLY (even under a pqShortlist override) since
+    // r17: |ranks| / |sample| IS the measured candidate recall — the
+    // ceiling on end-to-end recall — persisted as index metadata and
+    // optionally gated by spark.graft.minCandRecall, so a corpus
+    // whose geometry can't meet target under the nprobe cost cap
+    // fails the NIGHTLY BUILD instead of silently missing recall in
+    // production. The pass is one E[256]-query sample — noise next
+    // to the build. ----
+    val sprobes = sqRanked.filter(col("cellrank") <= np)
+      .select(col("q_id"), col("cid"), col("cd"))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("adist"), col("c_id"))
+    val sranked = adcScore(sprobes.join(cellm, "cid")
+        .select(col("q_id"), col("cid"), col("cd"), col("c_id"),
+          col("code0"), col("code1"), col("code2"),
+          col("code3")),
+        pqQlut(sq, cb1f), clut)
+      .withColumn("r", row_number().over(wTop))
+      .select(col("q_id"), col("c_id"), col("r"))
+    val ranks = nn.join(sranked, Seq("q_id", "c_id"))
+      .select(col("r").cast("long").as("r"))
+      .collect().map(_.getLong(0)).toIndexedSeq
+    val sqCount = sq.count()
+    val candRecall =
+      if (sqCount == 0L) -1.0 else ranks.length.toDouble / sqCount
+    minCandRecall(s).foreach { floor =>
+      require(candRecall < 0.0 || candRecall >= floor,
+        f"IVF-PQ build gate: measured candidate recall $candRecall%.3f " +
+          f"(true NNs surviving the nprobe gate, E[$CalibSample]-query " +
+          f"sample) is below ${GraftConf.MinCandRecallKey} = $floor%.3f " +
+          "— this corpus geometry cannot meet the recall target under " +
+          "the calibrated probe budget (the isotropic worst case). " +
+          "Raise spark.graft.ivfSuperProbe / spark.graft.ivfNprobe, " +
+          "lower the floor, or serve this corpus from the exact/LSH " +
+          "path (see CONFIGURATION.md, IVF recall geometry)")
     }
+    val sl = pqShortlistOverride(s)
+      .getOrElse(pickShortlist(ranks, recallTargetPct(s)))
     // both dials are now collected literals: release every BUILD-ONLY
     // cache (sample, referee, routed sample, residuals, init
     // codebook, corpus routing). The carried frames (scCent,
@@ -1243,7 +1308,7 @@ object Similarity {
     // released frames — slower, never wrong.
     Seq(sq, nn, sqRanked, ccell, corpusRes, cb0)
       .foreach(_.unpersist(false))
-    PqIndex(np, sl, scCent, cellCent, cellm, cb1f, clut)
+    PqIndex(np, sl, scCent, cellCent, cellm, cb1f, clut, candRecall)
   }
 
   /** SERVE the query half of corpus `d` against a built (or loaded)
@@ -1299,7 +1364,21 @@ object Similarity {
 
   private def servePqFor(s: SparkSession, qs: DataFrame,
       corpus: DataFrame, idx: PqIndex,
-      candGate: DataFrame => DataFrame = identity): DataFrame = {
+      candGate: DataFrame => DataFrame = identity): DataFrame =
+    servePqRanked(s, qs, corpus, idx, candGate, 1)
+      .select(col("q_id"), col("c_id"), col("l2sq"))
+      .orderBy(col("q_id"))
+
+  /** The PQ serve chain with the final exact-rerank rank KEPT and cut
+    * at `topK` instead of argmin-consumed: (q_id, r, c_id, l2sq), one
+    * row per (query, rank ≤ topK). topK = 1 is the s12/s18/s19 family
+    * (via [[servePqFor]]); topK = 10 is s21's index-backed vector
+    * retrieval leg — same routing, same ADC shortlist, same exact
+    * rerank, just returning the head of the reranked list rather than
+    * its first element. */
+  private[graft] def servePqRanked(s: SparkSession, qs: DataFrame,
+      corpus: DataFrame, idx: PqIndex,
+      candGate: DataFrame => DataFrame, topK: Int): DataFrame = {
     val wSup = ivfSuperProbe(s)
     val probes = routeToCells(qs, "q_id", "av", idx.scCent,
         idx.cellCent, wSup, idx.np)
@@ -1340,9 +1419,8 @@ object Similarity {
       .join(corpus.select(col("c_id"), col("bv")), "c_id")
       .withColumn("l2sq", expr(l2))
       .withColumn("r", row_number().over(wF))
-      .filter(col("r") === 1)
-      .select(col("q_id"), col("c_id"), col("l2sq"))
-      .orderBy(col("q_id"))
+      .filter(col("r") <= topK)
+      .select(col("q_id"), col("r"), col("c_id"), col("l2sq"))
   }
 
   /** PERSIST a built index (s18): centroids, codebook, and the
@@ -1379,20 +1457,87 @@ object Similarity {
     save(idx.cb1f, "s18_pq_cb", None)
     save(idx.cellm.join(attrs, "c_id"), "s18_pq_codes", Some("cid"))
     import s.implicits._
-    save(Seq((idx.np, idx.sl)).toDF("np", "sl"), "s18_pq_meta", None)
+    // meta = dials + the FRESHNESS FINGERPRINT (exact corpus dir,
+    // resolved build/serve confs, schema version — what
+    // [[ensurePqIndex]] compares; the r16 ADVICE medium: a hashCode
+    // path suffix ignored conf overrides and could collide between
+    // dirs) + a GENERATION counter (monotone per persist — what a
+    // serving stream watches to pick up a nightly rebuild without
+    // restart) + the measured candidate recall (deployer-facing
+    // geometry evidence; -1 = unmeasured, i.e. a loaded-then-
+    // re-persisted index).
+    val prevGen: Long = try {
+      val mt = s.table("s18_pq_meta")
+      if (mt.columns.contains("gen")) mt.head().getAs[Long]("gen")
+      else 0L
+    } catch { case _: Exception => 0L }
+    save(Seq((idx.np, idx.sl, d, pqConfFingerprint(s),
+        PqMetaSchemaVer, prevGen + 1L, idx.candRecall))
+      .toDF("np", "sl", "corpus_dir", "conf_fp", "schema_ver",
+        "gen", "cand_recall"),
+      "s18_pq_meta", None)
   }
 
   /** Load the persisted index back (s18): dials from the meta table,
     * frames from the catalog; clut re-derives from the saved
     * centroids + codebook (k·256 rows — cheaper to recompute than to
     * store per generation). */
+  /** Drop any cached file listing for the persisted index tables:
+    * a rebuild OVERWRITES them in place (possibly from another
+    * session — the nightly job next to a serving stream), and a
+    * reader holding the pre-overwrite listing would FAILED_READ_FILE
+    * on the deleted parts. Listing-only invalidation — tables are a
+    * handful of files; the next read re-lists one directory each. */
+  private def refreshIndexTables(s: SparkSession,
+      tables: Seq[String]): Unit =
+    tables.foreach { t =>
+      try s.catalog.refreshTable(t)
+      catch { case _: Exception => () } // missing table: nothing cached
+    }
+
   private[graft] def loadPqIndex(s: SparkSession): PqIndex = {
+    refreshIndexTables(s, Seq("s18_pq_sc", "s18_pq_cells", "s18_pq_cb",
+      "s18_pq_codes", "s18_pq_meta"))
     val meta = s.table("s18_pq_meta").head()
     val cellCent = s.table("s18_pq_cells")
     val cb1f = s.table("s18_pq_cb")
-    PqIndex(meta.getInt(0), meta.getInt(1), s.table("s18_pq_sc"),
-      cellCent, s.table("s18_pq_codes"), cb1f,
-      pqClut(cellCent, cb1f))
+    PqIndex(meta.getAs[Int]("np"), meta.getAs[Int]("sl"),
+      s.table("s18_pq_sc"), cellCent, s.table("s18_pq_codes"), cb1f,
+      pqClut(cellCent, cb1f), meta.getAs[Double]("cand_recall"))
+  }
+
+  /** The persisted index's GENERATION stamp alone — one 1-row read
+    * of the meta table. The steady-state per-micro-batch freshness
+    * probe for the serving streams (st17/st18): reload the full
+    * index only when this changes (a nightly rebuild/compaction
+    * swapped a new generation in), instead of re-deriving the k·256
+    * clut every batch (the r16 ADVICE low). */
+  private[graft] def loadPqMetaGen(s: SparkSession): Long = {
+    refreshIndexTables(s, Seq("s18_pq_meta"))
+    s.table("s18_pq_meta").head().getAs[Long]("gen")
+  }
+
+  /** Generation-cached handle on the persisted PQ index for the
+    * serving streams (st17/st18): the steady-state micro-batch pays
+    * ONE 1-row meta read (the generation probe) instead of a full
+    * index reload + k·256 clut re-derivation per batch (the r16
+    * ADVICE low), while a nightly rebuild/append that persists a new
+    * generation is picked up on the NEXT micro-batch without
+    * restarting the stream — the build-nightly/serve-continuously
+    * seam (`StreamIndexRefreshSpec` proves the swap mid-stream).
+    * Synchronized: foreachBatch epochs are sequential per query, but
+    * two serving streams may share one cache. */
+  private[graft] final class PqIndexCache(s0: SparkSession) {
+    private var cached: (Long, PqIndex) =
+      (loadPqMetaGen(s0), loadPqIndex(s0))
+    def current(sess: SparkSession): PqIndex = synchronized {
+      val g = loadPqMetaGen(sess)
+      if (g != cached._1) cached = (g, loadPqIndex(sess))
+      cached._2
+    }
+    /** Generation of the index the LAST `current()` call served —
+      * observability for specs and ops dashboards. */
+    def lastGen: Long = synchronized(cached._1)
   }
 
   /** Serve-only entry for the scale probe: answer the query workload
@@ -1402,20 +1547,36 @@ object Similarity {
   private[graft] def servePersisted(s: SparkSession, d: String): DataFrame =
     servePq(s, d, loadPqIndex(s))
 
-  /** Load the persisted index when one exists FOR THIS CORPUS (the
-    * table location carries the corpus-dir fingerprint — an index
-    * persisted for another dir is stale), else build + persist one.
-    * The serve-shaped queries (s18 serve-only, s19) share this so a
-    * session pays at most one build per corpus. */
+  /** Load the persisted index when one is FRESH for this corpus AND
+    * this session's dials, else build + persist one. Freshness is the
+    * FULL persisted fingerprint, compared field by field: exact
+    * corpus-dir string (not a hashCode suffix — collisions between
+    * dirs would silently serve the wrong index), the resolved conf
+    * fingerprint (an ivfNprobe/pqShortlist/recall-pct/minCandRecall
+    * override set AFTER the persist must rebuild, or the index serves
+    * stale dials while the oracle resolves the current override — the
+    * r16 ADVICE medium), the meta schema version, and the codes
+    * table's attribute column (an old-schema index without `label`
+    * would crash the filtered serves instead of rebuilding). The
+    * serve-shaped queries (s18 serve-only, s19, st18) share this so a
+    * session pays at most one build per (corpus, dials). */
   private[graft] def ensurePqIndex(s: SparkSession, d: String): PqIndex = {
     val cat = s.sessionState.catalog
-    val codesId =
-      org.apache.spark.sql.catalyst.TableIdentifier("s18_pq_codes")
-    val metaId =
-      org.apache.spark.sql.catalyst.TableIdentifier("s18_pq_meta")
-    val suffix = Integer.toHexString(d.hashCode)
-    val fresh = cat.tableExists(codesId) && cat.tableExists(metaId) &&
-      cat.getTableMetadata(codesId).location.getPath.endsWith(suffix)
+    def exists(t: String) = cat.tableExists(
+      org.apache.spark.sql.catalyst.TableIdentifier(t))
+    val metaCols = Set("np", "sl", "corpus_dir", "conf_fp",
+      "schema_ver", "gen", "cand_recall")
+    refreshIndexTables(s, Seq("s18_pq_meta", "s18_pq_codes"))
+    val fresh = exists("s18_pq_codes") && exists("s18_pq_meta") && {
+      val mt = s.table("s18_pq_meta")
+      metaCols.subsetOf(mt.columns.toSet) && {
+        val m = mt.head()
+        m.getAs[String]("corpus_dir") == d &&
+          m.getAs[String]("conf_fp") == pqConfFingerprint(s) &&
+          m.getAs[Int]("schema_ver") == PqMetaSchemaVer &&
+          s.table("s18_pq_codes").columns.contains("label")
+      }
+    }
     if (!fresh) persistPqIndex(s, d, buildPqIndex(s, d))
     loadPqIndex(s)
   }
@@ -1471,7 +1632,22 @@ object Similarity {
   private[graft] def pqFilteredOracleSql: String =
     pqOracleSqlFor(filtered = true)
 
-  private def pqOracleSqlFor(filtered: Boolean): String = {
+  private def pqOracleSqlFor(filtered: Boolean): String =
+    s"""WITH ${pqChainCtes(filtered)}
+        SELECT q_id, c_id, l2sq FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY l2sq, c_id) AS r FROM rer)
+        WHERE r = 1 ORDER BY q_id"""
+
+  /** The full deterministic IVF-PQ oracle chain as a COMPOSABLE CTE
+    * block — train → route → residual-encode → calibrate both dials →
+    * decomposed-ADC score → shortlist → EXACT rerank — ending at
+    * `rer` (q_id, c_id, l2sq): every shortlisted candidate of every
+    * query with its exact distance. [[pqOracleSqlFor]] takes the
+    * per-query argmin (the s12/s18/s19/st17/st18 family);
+    * [[hybridIndexedOracleSql]] takes the top-10 of the sampled
+    * hybrid queries instead (s21's vector leg). */
+  private def pqChainCtes(filtered: Boolean): String = {
     // the filtered variant ranks the shortlist over ELIGIBLE
     // candidates only: label-match against the query's own label,
     // joined from the source table (the engine side joins the same
@@ -1487,7 +1663,7 @@ object Similarity {
           WHERE cl.label = ql.label)"""
       else ""
     val shortSrc = if (filtered) "eligible" else "scored"
-    s"""WITH e0 AS ($vecsSql),
+    s"""e0 AS ($vecsSql),
         nn AS (SELECT COUNT(*) AS n FROM e0 WHERE vec_id % 2 = 0),
         kk AS (SELECT LEAST(4096, GREATEST(8, n // 64)) AS k FROM nn),
         k1k AS (SELECT CAST(CEIL(SQRT(k)) AS BIGINT) AS k1 FROM kk),
@@ -1755,11 +1931,200 @@ object Similarity {
               t -> (t[1] - t[2]) * (t[1] - t[2]))) AS l2sq
           FROM short s
           JOIN e0 a ON a.vec_id = s.q_id
-          JOIN e0 b ON b.vec_id = s.c_id)
-        SELECT q_id, c_id, l2sq FROM (
-          SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
-            ORDER BY l2sq, c_id) AS r FROM rer)
-        WHERE r = 1 ORDER BY q_id"""
+          JOIN e0 b ON b.vec_id = s.c_id)"""
+  }
+
+  /** The hybrid sample + BM25 lexical-leg CTE block, ending at
+    * `lextop` (q_id, doc_id, rank over ALL scored corpus docs; the
+    * fusion filters rank ≤ 10). Shared verbatim by the s20 and s21
+    * twins. The scored CTE is named `lsc` so the block composes with
+    * [[pqChainCtes]] (which owns `scored`). */
+  private def hybridLexCtesSql: String =
+    s"""qn AS (SELECT COUNT(*) AS nodd FROM documents
+            WHERE doc_id % 2 = 1),
+        th AS (SELECT ${HybridSampleE * 4294967296L - 1L} // nodd + 1
+               AS th FROM qn),
+        qd AS (SELECT doc_id AS q_id,
+            string_split_regex(lower(trim(text)), '\\s+') AS qtoks
+          FROM documents
+          WHERE doc_id % 2 = 1
+            AND ('0x' || substr(md5('hyb:' || doc_id), 1, 8))::BIGINT
+                < (SELECT th FROM th)),
+        ctok AS (SELECT doc_id,
+            unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+          FROM documents WHERE doc_id % 2 = 0),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM ctok GROUP BY doc_id),
+        stats AS (SELECT COUNT(*) AS nd, SUM(dl) AS tl FROM dl),
+        qset AS (SELECT DISTINCT q_id, unnest(qtoks) AS term FROM qd),
+        post AS (SELECT doc_id, term FROM ctok
+          WHERE term IN (SELECT DISTINCT term FROM qset)),
+        dfT AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+          FROM post GROUP BY term),
+        qtc AS (SELECT q.q_id, q.term, d.df FROM qset q
+          JOIN dfT d USING (term) WHERE d.df <= 100),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM post
+          GROUP BY doc_id, term),
+        lsc AS (SELECT qtc.q_id, tf.doc_id,
+            CAST(floor(
+              (((CAST(nd AS DOUBLE) - CAST(df AS DOUBLE)) + 0.5)
+                  / (CAST(df AS DOUBLE) + 0.5) *
+                ((CAST(tf AS DOUBLE) * 2.2) /
+                  (CAST(tf AS DOUBLE) + 1.2 * (0.25 +
+                    0.75 * (CAST(dl AS DOUBLE) /
+                      (CAST(tl AS DOUBLE) / CAST(nd AS DOUBLE)))))))
+                * 100000000.0) AS BIGINT) AS c
+          FROM tf JOIN qtc USING (term) JOIN dl USING (doc_id)
+            CROSS JOIN stats),
+        lex AS (SELECT q_id, doc_id, SUM(c) AS lex_scaled
+          FROM lsc GROUP BY q_id, doc_id),
+        lextop AS (SELECT q_id, doc_id, ROW_NUMBER() OVER (
+            PARTITION BY q_id ORDER BY lex_scaled DESC, doc_id) AS rank
+          FROM lex)"""
+
+  /** Integer-RRF fusion tail: consumes `lextop` and `vectop`
+    * (q_id, doc_id, rank), emits the final top-3 SELECT. Shared by
+    * the s20 and s21 twins. */
+  private def hybridFuseSql: String =
+    """fused AS (SELECT q_id, doc_id, CAST(SUM(c) AS BIGINT)
+            AS rrf_scaled
+          FROM (
+            SELECT q_id, doc_id,
+              CAST(100000000 // (60 + rank) AS BIGINT) AS c
+            FROM lextop WHERE rank <= 10
+            UNION ALL
+            SELECT q_id, doc_id,
+              CAST(100000000 // (60 + rank) AS BIGINT) AS c
+            FROM vectop WHERE rank <= 10)
+          GROUP BY q_id, doc_id)
+        SELECT q_id, rank, doc_id, rrf_scaled FROM (
+          SELECT q_id, doc_id, rrf_scaled, ROW_NUMBER() OVER (
+            PARTITION BY q_id ORDER BY rrf_scaled DESC, doc_id) AS rank
+          FROM fused)
+        WHERE rank <= 3 ORDER BY q_id, rank"""
+
+  /** s20's twin: lexical CTEs + the EXACT vector leg + RRF fusion. */
+  private def hybridExactOracleSql: String =
+    s"""WITH $hybridLexCtesSql,
+        e0 AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        qv AS (SELECT e.vec_id AS q_id, e.v AS av
+          FROM e0 e JOIN qd ON qd.q_id = e.vec_id),
+        cv AS (SELECT vec_id AS doc_id, v AS bv FROM e0
+          WHERE vec_id % 2 = 0),
+        vd AS (SELECT qv.q_id, cv.doc_id,
+            list_sum(list_transform(list_zip(qv.av, cv.bv),
+              t -> (t[1] - t[2]) * (t[1] - t[2]))) AS l2
+          FROM cv, qv),
+        vectop AS (SELECT q_id, doc_id, ROW_NUMBER() OVER (
+            PARTITION BY q_id ORDER BY l2, doc_id) AS rank FROM vd),
+        $hybridFuseSql"""
+
+  /** s21's twin: the FULL deterministic IVF-PQ chain (the persisted
+    * index is a deterministic rebuild — s18's staleness contract)
+    * composed with the lexical CTEs; the vector leg is each sampled
+    * query's top-10 exact-reranked shortlist candidates from `rer`.
+    * Filtering `rer` to the sampled queries before the rank is
+    * answer-identical to serving only those queries (per-query
+    * answers are independent), which is what the engine does. */
+  private def hybridIndexedOracleSql: String =
+    s"""WITH ${pqChainCtes(filtered = false)},
+        $hybridLexCtesSql,
+        vectop AS (SELECT r.q_id, r.c_id AS doc_id, ROW_NUMBER() OVER (
+            PARTITION BY r.q_id ORDER BY r.l2sq, r.c_id) AS rank
+          FROM rer r JOIN qd ON qd.q_id = r.q_id),
+        $hybridFuseSql"""
+
+  // ----------------------------------------------------------------
+  // hybrid retrieval (s20/s21): one shared query sample, one shared
+  // BM25 lexical leg, one shared integer-RRF fusion — s20 pairs them
+  // with the EXACT vector referee (bounded |sample|·n verification
+  // tier), s21 with the PERSISTED s18 index (the deployment leg whose
+  // per-query cost is independent of corpus size on clustered
+  // geometry).
+
+  /** Tokenized documents + the E[[[HybridSampleE]]] md5-Bernoulli
+    * query-doc sample (tiny — broadcast everywhere downstream). */
+  private def hybridDocsAndQueries(s: SparkSession,
+      d: String): (DataFrame, DataFrame) = {
+    val t = new Tables(s, d)
+    val docs = t.documents.select(col("doc_id"),
+      split(lower(trim(col("text"))), "\\s+").as("toks"))
+    val nOdd = t.documents.filter(col("doc_id") % 2 === 1).count()
+    val thresh = (HybridSampleE * 4294967296L - 1L) /
+      math.max(1L, nOdd) + 1L
+    val qdocs = docs.filter(col("doc_id") % 2 === 1)
+      .filter(conv(substring(md5(concat(lit("hyb:"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+        < lit(thresh))
+      .select(col("doc_id").as("q_id"), col("toks").as("qtoks"))
+    (docs, qdocs)
+  }
+
+  /** BM25 lexical leg: top-10 corpus docs per sampled query. Moves
+    * only the postings of the sampled queries' terms (broadcast
+    * semi-join prunes the corpus token scan; the df-cap bounds
+    * fan-out — the d03 shingleDfCap argument); contributions are
+    * floor-quantized BIGINTs (t15's determinism discipline). Returns
+    * (q_id, doc_id, rank ≤ 10). */
+  private def hybridLexTop(docs: DataFrame,
+      qdocs: DataFrame): DataFrame = {
+    val ctok = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+    val dl = ctok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tl"))
+    val qset = qdocs
+      .select(col("q_id"), explode(col("qtoks")).as("term"))
+      .distinct()
+    val post = ctok.join(broadcast(qset.select(col("term")).distinct()),
+      Seq("term"))
+    val dfT = post.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qtc = qset.join(broadcast(dfT.filter(col("df") <= 100)),
+      Seq("term"))
+    val tf = post.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val scored = tf.join(broadcast(qtc), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("q_id"), col("doc_id"),
+        floor(
+          (((col("nd").cast("double") - col("df").cast("double"))
+              + lit(0.5)) / (col("df").cast("double") + lit(0.5)) *
+            ((col("tf").cast("double") * lit(2.2)) /
+              (col("tf").cast("double") + lit(1.2) * (lit(0.25) +
+                lit(0.75) * (col("dl").cast("double") /
+                  (col("tl").cast("double") / col("nd").cast("double")))))))
+            * lit(100000000.0)).cast("long").as("c"))
+    val wLex = Window.partitionBy(col("q_id"))
+      .orderBy(col("lex_scaled").desc, col("doc_id"))
+    scored.groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("c")).as("lex_scaled"))
+      .withColumn("rank", row_number().over(wLex))
+      .filter(col("rank") <= 10)
+      .select(col("q_id"), col("doc_id"), col("rank"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al.) of two
+    * (q_id, doc_id, rank ≤ 10) legs — INTEGER-exact
+    * 1e8 div (60+rank) terms summed as BIGINTs, top-3 kept. Rank-only
+    * fusion needs no score calibration, which is the point. */
+  private def hybridFuse(lexTop: DataFrame,
+      vecTop: DataFrame): DataFrame = {
+    val rrfTerm = expr("CAST(100000000 div (60 + rank) AS BIGINT)")
+    val fused = lexTop.select(col("q_id"), col("doc_id"),
+        rrfTerm.as("c"))
+      .unionByName(vecTop.select(col("q_id"), col("doc_id"),
+        rrfTerm.as("c")))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("c")).as("rrf_scaled"))
+    val wF = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf_scaled").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(wF))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("doc_id"),
+        col("rrf_scaled"))
+      .orderBy(col("q_id"), col("rank"))
   }
 
   // a DEF, not a val: the oracle SQL twins resolve session conf
@@ -2300,8 +2665,11 @@ object Similarity {
     //     ~nprobe·64 per query at ANY corpus size — what lets a
     //     10⁹-vector index serve from RAM at 100 TB. The ADC
     //     top-shortlist (auto-calibrated like nprobe, from the ADC
-    //     rank each sampled true NN landed at; floor 96, cap
-    //     nprobe·64) then rerank exactly at full precision.
+    //     rank each sampled true NN landed at; floor 96, otherwise
+    //     UNCAPPED — observed ranks are already bounded by real
+    //     candidate-set sizes, and the removed nprobe·64 formula cap
+    //     only ever truncated; see [[pickShortlist]]) then rerank
+    //     exactly at full precision.
     // Centroid/codebook joins broadcast (≤ 4096 cells + ceil(√K)
     // super-centroids + 4×64 codebook rows); the cell-membership join
     // shuffles on cid; the LUTs apply in one q_id-keyed join plus one
@@ -2394,63 +2762,24 @@ object Similarity {
     // query terms (broadcast semi-join prunes the scan) with the
     // df-cap bounding fan-out; the vector leg is the bounded
     // verification tier (|sample|·n, like the s12 calibration
-    // referee) — a deployment swaps in the s18 index for that leg
-    // (s15's note); the fusion frame is ≤ 20 rows per query.
+    // referee) — s21 IS the deployment twin that serves that leg
+    // from the persisted s18 index; the fusion frame is ≤ 20 rows
+    // per query.
     QueryDef(
       "s20_hybrid_rrf",
       (s, d) => {
         val t = new Tables(s, d)
-        val docs = t.documents.select(col("doc_id"),
-          split(lower(trim(col("text"))), "\\s+").as("toks"))
-        val nOdd = t.documents.filter(col("doc_id") % 2 === 1).count()
-        val thresh = (HybridSampleE * 4294967296L - 1L) /
-          math.max(1L, nOdd) + 1L
-        val qdocs = docs.filter(col("doc_id") % 2 === 1)
-          .filter(conv(substring(md5(concat(lit("hyb:"),
-            col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
-            < lit(thresh))
-          .select(col("doc_id").as("q_id"), col("toks").as("qtoks"))
-
+        val (docs, qdocs) = hybridDocsAndQueries(s, d)
         // lexical leg: postings of the sampled docs' distinct terms
         // only (df-capped at 100 — stopword-like terms are weak
         // retrieval evidence AND the join fan-out bound, the d03
-        // shingleDfCap argument)
-        val ctok = docs.filter(col("doc_id") % 2 === 0)
-          .select(col("doc_id"), explode(col("toks")).as("term"))
-        val dl = ctok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-        val stats = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tl"))
-        val qset = qdocs
-          .select(col("q_id"), explode(col("qtoks")).as("term"))
-          .distinct()
-        val post = ctok.join(broadcast(qset.select(col("term")).distinct()),
-          Seq("term"))
-        val dfT = post.select(col("doc_id"), col("term")).distinct()
-          .groupBy(col("term")).agg(count(lit(1)).as("df"))
-        val qtc = qset.join(broadcast(dfT.filter(col("df") <= 100)),
-          Seq("term"))
-        val tf = post.groupBy(col("doc_id"), col("term"))
-          .agg(count(lit(1)).as("tf"))
-        val scored = tf.join(broadcast(qtc), Seq("term"))
-          .join(dl, Seq("doc_id"))
-          .crossJoin(broadcast(stats))
-          .select(col("q_id"), col("doc_id"),
-            floor(
-              (((col("nd").cast("double") - col("df").cast("double"))
-                  + lit(0.5)) / (col("df").cast("double") + lit(0.5)) *
-                ((col("tf").cast("double") * lit(2.2)) /
-                  (col("tf").cast("double") + lit(1.2) * (lit(0.25) +
-                    lit(0.75) * (col("dl").cast("double") /
-                      (col("tl").cast("double") / col("nd").cast("double")))))))
-                * lit(100000000.0)).cast("long").as("c"))
-        val wLex = Window.partitionBy(col("q_id"))
-          .orderBy(col("lex_scaled").desc, col("doc_id"))
-        val lexTop = scored.groupBy(col("q_id"), col("doc_id"))
-          .agg(sum(col("c")).as("lex_scaled"))
-          .withColumn("rank", row_number().over(wLex))
-          .filter(col("rank") <= 10)
+        // shingleDfCap argument); shared with s21
+        val lexTop = hybridLexTop(docs, qdocs)
 
         // vector leg: exact L2 of the sampled queries' embeddings
         // against the even corpus (doc_id == vec_id by construction)
+        // — the bounded |sample|·n VERIFICATION tier; s21 is the
+        // index-backed deployment leg
         val e = t.embeddings.select(col("vec_id"), col("embedding"))
         val qv = e.select(col("vec_id").as("q_id"),
             col("embedding").as("av"))
@@ -2470,91 +2799,43 @@ object Similarity {
           .filter(col("rank") <= 10)
           .select(col("q_id"), col("doc_id"), col("rank"))
 
-        // RRF fusion: integer-exact 1e8//(60+rank) per leg, summed
-        val rrfTerm = expr("CAST(100000000 div (60 + rank) AS BIGINT)")
-        val fused = lexTop.select(col("q_id"), col("doc_id"),
-            rrfTerm.as("c"))
-          .unionByName(vecTop.select(col("q_id"), col("doc_id"),
-            rrfTerm.as("c")))
-          .groupBy(col("q_id"), col("doc_id"))
-          .agg(sum(col("c")).as("rrf_scaled"))
-        val wF = Window.partitionBy(col("q_id"))
-          .orderBy(col("rrf_scaled").desc, col("doc_id"))
-        fused.withColumn("rank", row_number().over(wF))
-          .filter(col("rank") <= 3)
-          .select(col("q_id"), col("rank"), col("doc_id"),
-            col("rrf_scaled"))
-          .orderBy(col("q_id"), col("rank"))
+        hybridFuse(lexTop, vecTop)
       },
-      Some(s"""WITH qn AS (SELECT COUNT(*) AS nodd FROM documents
-            WHERE doc_id % 2 = 1),
-        th AS (SELECT ${HybridSampleE * 4294967296L - 1L} // nodd + 1
-               AS th FROM qn),
-        qd AS (SELECT doc_id AS q_id,
-            string_split_regex(lower(trim(text)), '\\s+') AS qtoks
-          FROM documents
-          WHERE doc_id % 2 = 1
-            AND ('0x' || substr(md5('hyb:' || doc_id), 1, 8))::BIGINT
-                < (SELECT th FROM th)),
-        ctok AS (SELECT doc_id,
-            unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
-          FROM documents WHERE doc_id % 2 = 0),
-        dl AS (SELECT doc_id, COUNT(*) AS dl FROM ctok GROUP BY doc_id),
-        stats AS (SELECT COUNT(*) AS nd, SUM(dl) AS tl FROM dl),
-        qset AS (SELECT DISTINCT q_id, unnest(qtoks) AS term FROM qd),
-        post AS (SELECT doc_id, term FROM ctok
-          WHERE term IN (SELECT DISTINCT term FROM qset)),
-        dfT AS (SELECT term, COUNT(DISTINCT doc_id) AS df
-          FROM post GROUP BY term),
-        qtc AS (SELECT q.q_id, q.term, d.df FROM qset q
-          JOIN dfT d USING (term) WHERE d.df <= 100),
-        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM post
-          GROUP BY doc_id, term),
-        scored AS (SELECT qtc.q_id, tf.doc_id,
-            CAST(floor(
-              (((CAST(nd AS DOUBLE) - CAST(df AS DOUBLE)) + 0.5)
-                  / (CAST(df AS DOUBLE) + 0.5) *
-                ((CAST(tf AS DOUBLE) * 2.2) /
-                  (CAST(tf AS DOUBLE) + 1.2 * (0.25 +
-                    0.75 * (CAST(dl AS DOUBLE) /
-                      (CAST(tl AS DOUBLE) / CAST(nd AS DOUBLE)))))))
-                * 100000000.0) AS BIGINT) AS c
-          FROM tf JOIN qtc USING (term) JOIN dl USING (doc_id)
-            CROSS JOIN stats),
-        lex AS (SELECT q_id, doc_id, SUM(c) AS lex_scaled
-          FROM scored GROUP BY q_id, doc_id),
-        lextop AS (SELECT q_id, doc_id, ROW_NUMBER() OVER (
-            PARTITION BY q_id ORDER BY lex_scaled DESC, doc_id) AS rank
-          FROM lex),
-        e0 AS (SELECT vec_id,
-            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-          FROM embeddings),
-        qv AS (SELECT e.vec_id AS q_id, e.v AS av
-          FROM e0 e JOIN qd ON qd.q_id = e.vec_id),
-        cv AS (SELECT vec_id AS doc_id, v AS bv FROM e0
-          WHERE vec_id % 2 = 0),
-        vd AS (SELECT qv.q_id, cv.doc_id,
-            list_sum(list_transform(list_zip(qv.av, cv.bv),
-              t -> (t[1] - t[2]) * (t[1] - t[2]))) AS l2
-          FROM cv, qv),
-        vectop AS (SELECT q_id, doc_id, ROW_NUMBER() OVER (
-            PARTITION BY q_id ORDER BY l2, doc_id) AS rank FROM vd),
-        fused AS (SELECT q_id, doc_id, CAST(SUM(c) AS BIGINT)
-            AS rrf_scaled
-          FROM (
-            SELECT q_id, doc_id,
-              CAST(100000000 // (60 + rank) AS BIGINT) AS c
-            FROM lextop WHERE rank <= 10
-            UNION ALL
-            SELECT q_id, doc_id,
-              CAST(100000000 // (60 + rank) AS BIGINT) AS c
-            FROM vectop WHERE rank <= 10)
-          GROUP BY q_id, doc_id)
-        SELECT q_id, rank, doc_id, rrf_scaled FROM (
-          SELECT q_id, doc_id, rrf_scaled, ROW_NUMBER() OVER (
-            PARTITION BY q_id ORDER BY rrf_scaled DESC, doc_id) AS rank
-          FROM fused)
-        WHERE rank <= 3 ORDER BY q_id, rank""")),
+      Some(hybridExactOracleSql)),
+
+    // ----- s21: HYBRID RETRIEVAL OVER THE PERSISTED INDEX — s20's
+    // promised deployment shape, shipped: the vector leg serves from
+    // the s18 IVF-PQ index (route → decomposed ADC → calibrated
+    // shortlist → exact top-10 rerank) instead of the |sample|·n
+    // brute-force referee, so per-query vector cost is independent
+    // of corpus size on clustered geometry (routing + ~nprobe·64 ADC
+    // lookups + the rerank) and the query set no longer needs to be
+    // sample-bounded. Lexical leg and integer-RRF fusion are s20's
+    // verbatim (shared helpers). Oracle: the s12 twin's full
+    // deterministic chain composed with the lexical CTEs — the
+    // persisted index IS a deterministic rebuild (s18's staleness
+    // contract), so the twin recomputes it from source and ranks the
+    // top-10 exact-reranked shortlist candidates of each sampled
+    // query. s20 stays gated as the exactness referee for the
+    // vector leg.
+    QueryDef(
+      "s21_hybrid_indexed",
+      (s, d) => {
+        val (docs, qdocs) = hybridDocsAndQueries(s, d)
+        val lexTop = hybridLexTop(docs, qdocs)
+        val idx = ensurePqIndex(s, d)
+        val e = vecs(s, d)
+        val qv = e.filter(col("vec_id") % 2 === 1)
+          .select(col("vec_id").as("q_id"), col("v").as("av"))
+          .join(broadcast(qdocs.select(col("q_id"))), Seq("q_id"))
+        val cv = e.filter(col("vec_id") % 2 === 0)
+          .select(col("vec_id").as("c_id"), col("v").as("bv"))
+        val vecTop = servePqRanked(s, qv, cv, idx, identity, 10)
+          .select(col("q_id"), col("c_id").as("doc_id"),
+            col("r").as("rank"))
+        hybridFuse(lexTop, vecTop)
+      },
+      Some(hybridIndexedOracleSql)),
 
     // ----- s08: IVF with a TRAINED coarse quantizer — one Lloyd
     // (k-means) refinement of s04's training-free centroids, written
