@@ -140,11 +140,34 @@ object RecallProbe {
           h2.toDouble / math.max(1L, n2)
         } finally spark.conf.unset(GraftConf.PqShortlistKey)
       }
+    // the build-time geometry gate, demonstrated where it exists to
+    // fire: on the isotropic corpus a floor at the recall target
+    // (0.90) must FAIL the build loudly (measured sample candidate
+    // recall sits far below it — the silent-production-miss this
+    // gate converts into a nightly-build failure); on clustered
+    // geometry the same floor passes, so the row is iso-only
+    val gateJson =
+      if (tag != "iso") ""
+      else {
+        spark.catalog.clearCache()
+        spark.conf.set(GraftConf.MinCandRecallKey, "0.9")
+        try {
+          val fired =
+            try {
+              graft.operators.Similarity.buildPqIndex(spark, dir)
+              false
+            } catch {
+              case e: IllegalArgumentException
+                  if e.getMessage.contains("candidate recall") => true
+            }
+          s""","gate_floor":0.9,"gate_fired":$fired"""
+        } finally spark.conf.unset(GraftConf.MinCandRecallKey)
+      }
     s"""{"query":"s12_recall_$tag","k":$k,"rows_x1":$nS,""" +
       s""""rows_xk":$hit,"retention":$recall,"sec_x1":0.0,""" +
       s""""sec_xk":$sec,"time_ratio":0.0,"nprobe":$np,""" +
       s""""nprobe_cap":$cap,"n_cells":$kCells,"recall_at_1":$recall,""" +
-      s""""cand_recall":$candRecall,"referee_n":$nS}"""
+      s""""cand_recall":$candRecall,"referee_n":$nS$gateJson}"""
   }
 
   def main(args: Array[String]): Unit = {

@@ -1284,17 +1284,6 @@ object Similarity {
     val sqCount = sq.count()
     val candRecall =
       if (sqCount == 0L) -1.0 else ranks.length.toDouble / sqCount
-    minCandRecall(s).foreach { floor =>
-      require(candRecall < 0.0 || candRecall >= floor,
-        f"IVF-PQ build gate: measured candidate recall $candRecall%.3f " +
-          f"(true NNs surviving the nprobe gate, E[$CalibSample]-query " +
-          f"sample) is below ${GraftConf.MinCandRecallKey} = $floor%.3f " +
-          "— this corpus geometry cannot meet the recall target under " +
-          "the calibrated probe budget (the isotropic worst case). " +
-          "Raise spark.graft.ivfSuperProbe / spark.graft.ivfNprobe, " +
-          "lower the floor, or serve this corpus from the exact/LSH " +
-          "path (see CONFIGURATION.md, IVF recall geometry)")
-    }
     val sl = pqShortlistOverride(s)
       .getOrElse(pickShortlist(ranks, recallTargetPct(s)))
     // both dials are now collected literals: release every BUILD-ONLY
@@ -1308,6 +1297,25 @@ object Similarity {
     // released frames — slower, never wrong.
     Seq(sq, nn, sqRanked, ccell, corpusRes, cb0)
       .foreach(_.unpersist(false))
+    // the minCandRecall gate fires AFTER the build-only caches are
+    // released (and releases the carried ones too — the caller never
+    // receives an index to unpersist on the failure path)
+    minCandRecall(s).foreach { floor =>
+      if (!(candRecall < 0.0 || candRecall >= floor)) {
+        Seq(scCent, cellCent, cellm, cb1f, clut)
+          .foreach(_.unpersist(false))
+        throw new IllegalArgumentException(
+          f"requirement failed: IVF-PQ build gate: measured candidate " +
+            f"recall $candRecall%.3f (true NNs surviving the nprobe " +
+            f"gate, E[$CalibSample]-query sample) is below " +
+            f"${GraftConf.MinCandRecallKey} = $floor%.3f — this corpus " +
+            "geometry cannot meet the recall target under the " +
+            "calibrated probe budget (the isotropic worst case). Raise " +
+            "spark.graft.ivfSuperProbe / spark.graft.ivfNprobe, lower " +
+            "the floor, or serve this corpus from the exact/LSH path " +
+            "(see CONFIGURATION.md, IVF recall geometry)")
+      }
+    }
     PqIndex(np, sl, scCent, cellCent, cellm, cb1f, clut, candRecall)
   }
 
