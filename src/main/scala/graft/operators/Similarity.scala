@@ -2035,7 +2035,7 @@ object Similarity {
     * Filtering `rer` to the sampled queries before the rank is
     * answer-identical to serving only those queries (per-query
     * answers are independent), which is what the engine does. */
-  private def hybridIndexedOracleSql: String =
+  private[graft] def hybridIndexedOracleSql: String =
     s"""WITH ${pqChainCtes(filtered = false)},
         $hybridLexCtesSql,
         vectop AS (SELECT r.q_id, r.c_id AS doc_id, ROW_NUMBER() OVER (
@@ -2111,6 +2111,47 @@ object Similarity {
       .withColumn("rank", row_number().over(wLex))
       .filter(col("rank") <= 10)
       .select(col("q_id"), col("doc_id"), col("rank"))
+  }
+
+  /** One micro-batch of hybrid queries (doc_id, text) against the
+    * persisted index — the st19 streaming entry AND s21's whole-table
+    * batch (s21 passes the full documents table as one "batch"). The
+    * md5 sample gate, both legs, and the fusion are one code path;
+    * per-query answers are independent of batch slicing (df/stats are
+    * corpus-wide constants derived from the STATIC corpus side; each
+    * query's legs read only its own terms and embedding), so the
+    * union of micro-batch answers equals the batch answer and ONE
+    * oracle gates both. The corpus side (token postings + the codes
+    * table) re-plans per batch like any stream-static join; a
+    * deployment persists the postings table nightly exactly like the
+    * codes table. */
+  private[graft] def hybridServeBatch(s: SparkSession, d: String,
+      batch: DataFrame, idx: PqIndex): DataFrame = {
+    val t = new Tables(s, d)
+    val docsAll = t.documents.select(col("doc_id"),
+      split(lower(trim(col("text"))), "\\s+").as("toks"))
+    // the sample threshold derives from the STATIC odd-doc count —
+    // batch-independent, so every slicing gates the same query set
+    val nOdd = t.documents.filter(col("doc_id") % 2 === 1).count()
+    val thresh = (HybridSampleE * 4294967296L - 1L) /
+      math.max(1L, nOdd) + 1L
+    val qdocs = batch
+      .filter(col("doc_id") % 2 === 1)
+      .filter(conv(substring(md5(concat(lit("hyb:"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+        < lit(thresh))
+      .select(col("doc_id").as("q_id"),
+        split(lower(trim(col("text"))), "\\s+").as("qtoks"))
+    val lexTop = hybridLexTop(docsAll, qdocs)
+    val e = vecs(s, d)
+    val qv = e.select(col("vec_id").as("q_id"), col("v").as("av"))
+      .join(broadcast(qdocs.select(col("q_id"))), Seq("q_id"))
+    val cv = e.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("bv"))
+    val vecTop = servePqRanked(s, qv, cv, idx, identity, 10)
+      .select(col("q_id"), col("c_id").as("doc_id"),
+        col("r").as("rank"))
+    hybridFuse(lexTop, vecTop)
   }
 
   /** Reciprocal-rank fusion (Cormack et al.) of two
@@ -2828,21 +2869,9 @@ object Similarity {
     // vector leg.
     QueryDef(
       "s21_hybrid_indexed",
-      (s, d) => {
-        val (docs, qdocs) = hybridDocsAndQueries(s, d)
-        val lexTop = hybridLexTop(docs, qdocs)
-        val idx = ensurePqIndex(s, d)
-        val e = vecs(s, d)
-        val qv = e.filter(col("vec_id") % 2 === 1)
-          .select(col("vec_id").as("q_id"), col("v").as("av"))
-          .join(broadcast(qdocs.select(col("q_id"))), Seq("q_id"))
-        val cv = e.filter(col("vec_id") % 2 === 0)
-          .select(col("vec_id").as("c_id"), col("v").as("bv"))
-        val vecTop = servePqRanked(s, qv, cv, idx, identity, 10)
-          .select(col("q_id"), col("c_id").as("doc_id"),
-            col("r").as("rank"))
-        hybridFuse(lexTop, vecTop)
-      },
+      (s, d) => hybridServeBatch(s, d,
+        new Tables(s, d).documents.select(col("doc_id"), col("text")),
+        ensurePqIndex(s, d)),
       Some(hybridIndexedOracleSql)),
 
     // ----- s08: IVF with a TRAINED coarse quantizer — one Lloyd

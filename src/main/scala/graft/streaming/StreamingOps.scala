@@ -1041,5 +1041,45 @@ object StreamingOps {
         s.read.parquet(s"$out/*").orderBy(col("q_id"))
       },
       Some(graft.operators.Similarity.pqFilteredOracleSql))
+    ,
+
+    // ----- st19: STREAMING HYBRID SERVING — s21 run ONLINE: query
+    // documents arrive as a stream, and each micro-batch answers its
+    // sampled queries with the full two-tower retrieval — BM25
+    // lexical leg over the static corpus postings, vector leg from
+    // the PERSISTED IVF-PQ index (generation-cached like st17/st18,
+    // so a nightly index swap is picked up without restart), integer
+    // RRF fusion. Per-query answers are slicing-independent (the
+    // sample gate, df/stats, and both legs derive from the STATIC
+    // corpus side plus the query's own terms/embedding), so the
+    // oracle is s21's twin VERBATIM — one SQL now gates the batch
+    // hybrid serve AND the streamed hybrid serve, completing the
+    // pattern (pqOracleSql → s12/s18/st17; filtered → s19/st18;
+    // hybrid-indexed → s21/st19). Rank windows force the foreachBatch
+    // discipline; epochs land idempotently per batchId.
+    QueryDef(
+      "st19_stream_hybrid_serving",
+      (s, d) => {
+        import graft.operators.Similarity
+        Similarity.ensurePqIndex(s, d)
+        val out = Files.createTempDirectory("graft_st19_out").toString
+        val idxCache = new Similarity.PqIndexCache(s)
+        val q = docStream(s, d)
+          .select(col("doc_id"), col("text"))
+          .writeStream
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft_st19_ckpt").toString)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val sess = batch.sparkSession
+            Similarity.hybridServeBatch(sess, d, batch,
+              idxCache.current(sess))
+              .write.mode("overwrite").parquet(s"$out/b$batchId")
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.read.parquet(s"$out/*").orderBy(col("q_id"), col("rank"))
+      },
+      Some(graft.operators.Similarity.hybridIndexedOracleSql))
   )
 }

@@ -59,6 +59,16 @@ class HybridIndexedSpec extends SparkSpec {
     ranked1.zip(served).foreach { case (a, b) => assert(a === b) }
   }
 
+  test("st19 streamed hybrid == s21 batch hybrid, row for row " +
+      "(micro-batch slicing changes nothing)") {
+    val streamed = SparkEntry
+      .queries("st19_stream_hybrid_serving")(spark, sf).collect()
+    val batch = SparkEntry.queries("s21_hybrid_indexed")(spark, sf)
+      .collect()
+    assert(streamed.length === batch.length && streamed.length > 0)
+    streamed.zip(batch).foreach { case (a, b) => assert(a === b) }
+  }
+
   test("fused output: same sampled queries as s20, ranks 1..3 dense, " +
       "rrf monotone, deterministic across runs") {
     val a = SparkEntry.queries("s21_hybrid_indexed")(spark, sf).collect()
