@@ -486,6 +486,17 @@ object Similarity {
       new Tables(s, d).embeddings
         .filter(col("vec_id") % 2 === 1).count()).longValue()
 
+  private val docsOddCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Odd-doc count — the hybrid sample's Bernoulli denominator,
+    * cached per (dir, JVM) like the vector counts above so the st19
+    * steady-state micro-batch pays a map lookup, not a count job. */
+  private def docsOddCount(s: SparkSession, d: String): Long =
+    docsOddCache.computeIfAbsent(d, _ =>
+      new Tables(s, d).documents
+        .filter(col("doc_id") % 2 === 1).count()).longValue()
+
   private def ivfCells(s: SparkSession, d: String): Int = {
     val k = GraftConf.int(s, GraftConf.IvfCellsKey,
       adaptiveIvfCells(corpusEvenCount(s, d)))
@@ -2058,9 +2069,8 @@ object Similarity {
     val t = new Tables(s, d)
     val docs = t.documents.select(col("doc_id"),
       split(lower(trim(col("text"))), "\\s+").as("toks"))
-    val nOdd = t.documents.filter(col("doc_id") % 2 === 1).count()
     val thresh = (HybridSampleE * 4294967296L - 1L) /
-      math.max(1L, nOdd) + 1L
+      math.max(1L, docsOddCount(s, d)) + 1L
     val qdocs = docs.filter(col("doc_id") % 2 === 1)
       .filter(conv(substring(md5(concat(lit("hyb:"),
         col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
@@ -2131,10 +2141,11 @@ object Similarity {
     val docsAll = t.documents.select(col("doc_id"),
       split(lower(trim(col("text"))), "\\s+").as("toks"))
     // the sample threshold derives from the STATIC odd-doc count —
-    // batch-independent, so every slicing gates the same query set
-    val nOdd = t.documents.filter(col("doc_id") % 2 === 1).count()
+    // batch-independent (every slicing gates the same query set) and
+    // cached per (dir, JVM), so a steady-state micro-batch pays a
+    // map lookup, not a count job
     val thresh = (HybridSampleE * 4294967296L - 1L) /
-      math.max(1L, nOdd) + 1L
+      math.max(1L, docsOddCount(s, d)) + 1L
     val qdocs = batch
       .filter(col("doc_id") % 2 === 1)
       .filter(conv(substring(md5(concat(lit("hyb:"),

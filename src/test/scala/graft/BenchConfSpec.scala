@@ -41,4 +41,18 @@ class BenchConfSpec extends AnyFunSuite {
     assert(Bench.parseConf("noequals;a.b=1") === Seq("a.b" -> "1"))
     assert(Bench.parseConf("") === Nil)
   }
+
+  test("key and value are trimmed INDIVIDUALLY (r16 ADVICE: 'a = b' " +
+      "used to produce key 'a ', which silently never took effect)") {
+    assert(Bench.parseConf("a.b = 1") === Seq("a.b" -> "1"))
+    assert(Bench.parseConf("a.b = 1 ; c.d= 2") ===
+      Seq("a.b" -> "1", "c.d" -> "2"))
+  }
+
+  test("keys containing '-' are recognized as comma split points") {
+    // the old lookahead charset had no '-', so the second conf glued
+    // into the first value
+    assert(Bench.parseConf("a.b=1,spark.my-dialed.conf=2") ===
+      Seq("a.b" -> "1", "spark.my-dialed.conf" -> "2"))
+  }
 }

@@ -39,6 +39,18 @@ class ScaleUpGuardSpec extends SparkSpec {
       "guard message must explain the invariant at stake")
   }
 
+  test("an EMPTY source table passes explicitly (NULL max is not an " +
+      "NPE — r16 ADVICE low)") {
+    val src = cloneCorpus()
+    // empty orders: no keys exist, so no keys can collide — the guard
+    // must pass it through the descriptive path, not throw a bare NPE
+    // out of getLong(0) on the NULL max
+    spark.read.parquet(s"$sf/orders.parquet")
+      .filter(lit(false))
+      .write.mode("overwrite").parquet(s"$src/orders.parquet")
+    ScaleUp.build(spark, src, tmpDir("scaleup_guard_empty"), 2)
+  }
+
   test("in-range keys pass the guard and the copies stay disjoint") {
     val src = cloneCorpus()
     val out = tmpDir("scaleup_guard_ok")
