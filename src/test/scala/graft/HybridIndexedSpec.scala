@@ -30,6 +30,9 @@ class HybridIndexedSpec extends SparkSpec {
     assert(plan.contains("s18_pq_codes"),
       "s21's plan never scans the persisted codes table — the vector " +
         "leg is not index-backed")
+    assert(plan.contains("s21_lex_post"),
+      "s21's plan never scans the persisted postings table — the " +
+        "lexical leg re-tokenizes the corpus at serve")
     assert(!plan.contains("CartesianProduct"),
       "s21 plans a cartesian product")
     // the exact referee (s20) by contrast scores every (query,

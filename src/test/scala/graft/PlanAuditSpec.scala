@@ -39,11 +39,11 @@ class PlanAuditSpec extends SparkSpec {
         "verification leg (bounded by the sample like the s12 " +
         "calibration referee; s21 is the index-backed deployment twin)"),
     "s21_hybrid_indexed" ->
-      ("broadcast 1-row BM25 stats + s18's serve path (broadcast " +
-        "centroid/query-LUT affinities against the persisted index; " +
-        "NO corpus-side cross join — the vector leg is the bucketed " +
-        "codes-table scan, rebuild branch only when no fresh index " +
-        "exists)"),
+      ("s18's serve path (broadcast centroid/query-LUT affinities " +
+        "against the persisted PQ index; NO corpus-side cross join — " +
+        "the vector leg is the bucketed codes-table scan, the lexical " +
+        "leg the bucketed postings index with nd/tl as literals; " +
+        "rebuild branches only when no fresh index exists)"),
     "d13_semdedup" ->
       ("broadcast centroid affinities via the shared two-level " +
         "quantizer (<=4096 cells; pair work bounded per cell, " +
