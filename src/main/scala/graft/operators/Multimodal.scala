@@ -4,7 +4,7 @@ import graft.{QueryDef, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
 
 /** Multimodal-column handling: media payloads as opaque `binary`
   * columns with typed metadata, and a decode / feature-extract /
@@ -49,9 +49,18 @@ object Multimodal {
     * decimal-exact MEAN. Shared by m04 (gated directly) and m07 (the
     * media tower of the alignment filter). */
   private def pooledFrameEmbedding(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
+      d: String): org.apache.spark.sql.DataFrame =
+    pooledFrameEmbeddingOf(new Tables(s, d).documents)
+
+  /** The same chain over an arbitrary (doc_id, text) frame — the
+    * st20 streaming entry feeds micro-batches through it (a doc's
+    * frames all explode from its own row, so per-doc pooling never
+    * crosses a batch boundary). */
+  private[graft] def pooledFrameEmbeddingOf(
+      docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     import graft.Exact
-    val frames = new Tables(s, d).documents
+    val frames = docs
       .filter(col("doc_id") % 3 === 2) // the 'video' stripe
       .withColumn("n_chunks",
         expr("cast(length(text) div 1000 as int) + 1"))
@@ -90,6 +99,70 @@ object Multimodal {
                       FROM documents WHERE doc_id % 3 = 2),
                      UNNEST(generate_series(0, n_chunks - 1, 3)) AS u(frame_idx)))
         GROUP BY doc_id"""
+
+  /** m07's alignment filter over an arbitrary (doc_id, text) batch —
+    * m07 passes the whole documents table; st20 feeds micro-batches
+    * (per-doc answers depend only on the doc's own text + its static
+    * text embedding, so batch slicing changes nothing and ONE oracle
+    * gates both — the hybridServeBatch discipline for the multimodal
+    * stage). */
+  private[graft] def crossModalAlignBatch(s: SparkSession, d: String,
+      batch: DataFrame): DataFrame = {
+    val media = pooledFrameEmbeddingOf(batch)
+      .withColumn("me",
+        array(col("e0"), col("e1"), col("e2"), col("e3")))
+    def blockMean(j: Int) =
+      (expr(
+        s"""aggregate(slice(embedding, ${j * 16 + 1}, 16),
+            cast(0 as bigint),
+            (acc, x) -> acc + cast(floor(cast(x as double) * 1e10
+              + 0.5d) as bigint))""").cast("double")
+        / lit(1e10) / lit(16.0))
+    val text = new Tables(s, d).embeddings
+      .select(col("vec_id").as("doc_id"),
+        array((0 until 4).map(blockMean): _*).as("te"))
+    def fold(a: String, b: String) =
+      s"""aggregate(zip_with($a, $b, (x, y) -> x * y),
+          cast(0.0 as double), (acc, x) -> acc + x)"""
+    media.join(text, "doc_id")
+      .withColumn("cos_align",
+        expr(fold("me", "te")) /
+          (sqrt(expr(fold("me", "me"))) *
+            sqrt(expr(fold("te", "te")))))
+      .select(col("doc_id"), col("n_frames"), col("cos_align"),
+        (col("cos_align") >= lit(0.0)).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** m07's twin — also st20's (slicing-independence makes the
+    * streamed union answer-identical to the batch). */
+  private[graft] def crossModalOracleSql: String =
+    s"""WITH med AS ($pooledFrameEmbeddingSql),
+        txt AS (SELECT vec_id AS doc_id,
+            ${(0 until 4).map(j =>
+              s"""CAST(list_sum(list_transform(
+                    list_slice(v, ${j * 16 + 1}, ${j * 16 + 16}),
+                    x -> CAST(floor(x * 1e10 + 0.5) AS BIGINT)))
+                  AS DOUBLE) / 1e10 / 16 AS t$j""").mkString(", ")}
+          FROM (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings)),
+        paired AS (SELECT m.doc_id, m.n_frames,
+            list_value(m.e0, m.e1, m.e2, m.e3) AS me,
+            list_value(t.t0, t.t1, t.t2, t.t3) AS te
+          FROM med m JOIN txt t USING (doc_id))
+        SELECT doc_id, n_frames,
+          list_sum(list_transform(list_zip(me, te), z -> z[1] * z[2]))
+            / (sqrt(list_sum(list_transform(list_zip(me, me),
+                 z -> z[1] * z[2])))
+             * sqrt(list_sum(list_transform(list_zip(te, te),
+                 z -> z[1] * z[2])))) AS cos_align,
+          (list_sum(list_transform(list_zip(me, te), z -> z[1] * z[2]))
+            / (sqrt(list_sum(list_transform(list_zip(me, me),
+                 z -> z[1] * z[2])))
+             * sqrt(list_sum(list_transform(list_zip(te, te),
+                 z -> z[1] * z[2]))))) >= 0.0 AS keep
+        FROM paired ORDER BY doc_id"""
 
   val queries: Seq[QueryDef] = Seq(
 
@@ -227,58 +300,9 @@ object Multimodal {
     // mapPartitions stage upstream without changing this plan.
     QueryDef(
       "m07_crossmodal_align",
-      (s, d) => {
-        val media = pooledFrameEmbedding(s, d)
-          .withColumn("me",
-            array(col("e0"), col("e1"), col("e2"), col("e3")))
-        def blockMean(j: Int) =
-          (expr(
-            s"""aggregate(slice(embedding, ${j * 16 + 1}, 16),
-                cast(0 as bigint),
-                (acc, x) -> acc + cast(floor(cast(x as double) * 1e10
-                  + 0.5d) as bigint))""").cast("double")
-            / lit(1e10) / lit(16.0))
-        val text = new Tables(s, d).embeddings
-          .select(col("vec_id").as("doc_id"),
-            array((0 until 4).map(blockMean): _*).as("te"))
-        def fold(a: String, b: String) =
-          s"""aggregate(zip_with($a, $b, (x, y) -> x * y),
-              cast(0.0 as double), (acc, x) -> acc + x)"""
-        media.join(text, "doc_id")
-          .withColumn("cos_align",
-            expr(fold("me", "te")) /
-              (sqrt(expr(fold("me", "me"))) *
-                sqrt(expr(fold("te", "te")))))
-          .select(col("doc_id"), col("n_frames"), col("cos_align"),
-            (col("cos_align") >= lit(0.0)).as("keep"))
-          .orderBy(col("doc_id"))
-      },
-      Some(s"""WITH med AS ($pooledFrameEmbeddingSql),
-        txt AS (SELECT vec_id AS doc_id,
-            ${(0 until 4).map(j =>
-              s"""CAST(list_sum(list_transform(
-                    list_slice(v, ${j * 16 + 1}, ${j * 16 + 16}),
-                    x -> CAST(floor(x * 1e10 + 0.5) AS BIGINT)))
-                  AS DOUBLE) / 1e10 / 16 AS t$j""").mkString(", ")}
-          FROM (SELECT vec_id,
-                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-                FROM embeddings)),
-        paired AS (SELECT m.doc_id, m.n_frames,
-            list_value(m.e0, m.e1, m.e2, m.e3) AS me,
-            list_value(t.t0, t.t1, t.t2, t.t3) AS te
-          FROM med m JOIN txt t USING (doc_id))
-        SELECT doc_id, n_frames,
-          list_sum(list_transform(list_zip(me, te), z -> z[1] * z[2]))
-            / (sqrt(list_sum(list_transform(list_zip(me, me),
-                 z -> z[1] * z[2])))
-             * sqrt(list_sum(list_transform(list_zip(te, te),
-                 z -> z[1] * z[2])))) AS cos_align,
-          (list_sum(list_transform(list_zip(me, te), z -> z[1] * z[2]))
-            / (sqrt(list_sum(list_transform(list_zip(me, me),
-                 z -> z[1] * z[2])))
-             * sqrt(list_sum(list_transform(list_zip(te, te),
-                 z -> z[1] * z[2]))))) >= 0.0 AS keep
-        FROM paired ORDER BY doc_id""")),
+      (s, d) => crossModalAlignBatch(s, d,
+        new Tables(s, d).documents.select(col("doc_id"), col("text"))),
+      Some(crossModalOracleSql)),
 
     // ----- m05: MODALITY-AWARE SEQUENCE PACKING — the VLM training-
     // data step text-only packing (p02) can't do: each record costs

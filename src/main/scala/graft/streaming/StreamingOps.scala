@@ -1081,5 +1081,40 @@ object StreamingOps {
         s.read.parquet(s"$out/*").orderBy(col("q_id"), col("rank"))
       },
       Some(graft.operators.Similarity.hybridIndexedOracleSql))
+    ,
+
+    // ----- st20: STREAMING CROSS-MODAL ALIGNMENT — m07 run ONLINE,
+    // completing the streaming curation loop's multimodal stage
+    // (quality st14, dedup st15, ANN st16/st17/st18, hybrid st19,
+    // now alignment): media documents stream in and each micro-batch
+    // computes its docs' pooled media embeddings (frames explode
+    // from the doc's own row, so per-doc pooling never crosses a
+    // batch boundary), joins the STATIC text-embedding table, and
+    // emits the cosine + keep bit. Per-doc answers are
+    // slicing-independent, so the oracle is m07's twin VERBATIM —
+    // the one-SQL-two-consumers discipline extended to the
+    // multimodal family. The per-doc groupBy (frame pooling) is an
+    // aggregation, so the foreachBatch landing applies as usual.
+    QueryDef(
+      "st20_stream_crossmodal",
+      (s, d) => {
+        val out = Files.createTempDirectory("graft_st20_out").toString
+        val q = docStream(s, d)
+          .select(col("doc_id"), col("text"))
+          .writeStream
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft_st20_ckpt").toString)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val sess = batch.sparkSession
+            graft.operators.Multimodal
+              .crossModalAlignBatch(sess, d, batch)
+              .write.mode("overwrite").parquet(s"$out/b$batchId")
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.read.parquet(s"$out/*").orderBy(col("doc_id"))
+      },
+      Some(graft.operators.Multimodal.crossModalOracleSql))
   )
 }
