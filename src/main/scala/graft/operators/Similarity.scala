@@ -2133,36 +2133,97 @@ object Similarity {
 
   private[graft] val LexMetaSchemaVer = 1
 
-  private[graft] def persistLexIndex(s: SparkSession, d: String): Unit = {
-    def save(dfx: DataFrame, table: String,
-        bucketCol: Option[String]): Unit = {
-      val p = s"${System.getProperty("java.io.tmpdir")}/graft_$table-" +
-        Integer.toHexString(d.hashCode)
-      val w = dfx.write.mode("overwrite").option("path", p)
-      bucketCol match {
-        case Some(bc) => w.bucketBy(8, bc).sortBy(bc).saveAsTable(table)
-        case None => w.saveAsTable(table)
-      }
+  private def lexSave(s: SparkSession, d: String, dfx: DataFrame,
+      table: String, bucketCol: Option[String]): Unit = {
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_$table-" +
+      Integer.toHexString(d.hashCode)
+    val w = dfx.write.mode("overwrite").option("path", p)
+    bucketCol match {
+      case Some(bc) => w.bucketBy(8, bc).sortBy(bc).saveAsTable(table)
+      case None => w.saveAsTable(table)
     }
+  }
+
+  /** Tokenize the corpus side of `d` (even doc_ids) gated by
+    * `docGate`, yielding the lexical index's two base frames. */
+  private def lexFrames(s: SparkSession, d: String,
+      docGate: org.apache.spark.sql.Column)
+      : (DataFrame, DataFrame) = {
     val ctok = new Tables(s, d).documents
       .filter(col("doc_id") % 2 === 0)
+      .filter(docGate)
       .select(col("doc_id"),
         explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
-    val tf = ctok.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-      .cache() // feeds postings AND df — one tokenization pass
-    val dl = ctok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-      .cache() // feeds the dl table AND the stats row
-    save(tf, "s21_lex_post", Some("term"))
-    save(tf.groupBy(col("term")).agg(count(lit(1)).as("df")),
+    (ctok.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf")),
+      ctok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl")))
+  }
+
+  /** Build + persist the lexical index over `docGate`-selected corpus
+    * docs. `scope` = "full" marks a complete index (what
+    * [[ensureLexIndex]] will serve); a nightly-base build passes
+    * "partial" and [[appendLexDelta]] flips it to "full" once the
+    * delta has landed — an interrupted incremental build is then
+    * stale, never silently served. */
+  private[graft] def persistLexIndex(s: SparkSession, d: String,
+      docGate: org.apache.spark.sql.Column = lit(true),
+      scope: String = "full"): Unit = {
+    val (tf0, dl0) = lexFrames(s, d, docGate)
+    val tf = tf0.cache() // feeds postings AND df — one tokenization
+    val dl = dl0.cache() // feeds the dl table AND the stats row
+    lexSave(s, d, tf, "s21_lex_post", Some("term"))
+    lexSave(s, d, tf.groupBy(col("term")).agg(count(lit(1)).as("df")),
       "s21_lex_df", Some("term"))
-    save(dl, "s21_lex_dl", None)
-    val st = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tl"))
-      .head()
+    lexSave(s, d, dl, "s21_lex_dl", None)
+    val st = dl.agg(count(lit(1)).as("nd"),
+      coalesce(sum(col("dl")), lit(0L)).as("tl")).head()
     tf.unpersist(false); dl.unpersist(false)
     import s.implicits._
-    save(Seq((st.getLong(0), st.getLong(1), d, LexMetaSchemaVer))
-      .toDF("nd", "tl", "corpus_dir", "schema_ver"),
+    lexSave(s, d,
+      Seq((st.getLong(0), st.getLong(1), d, LexMetaSchemaVer, scope))
+        .toDF("nd", "tl", "corpus_dir", "schema_ver", "scope"),
+      "s21_lex_meta", None)
+  }
+
+  /** INCREMENTAL lexical-index maintenance — s17's nightly-delta
+    * discipline for the postings tower: today's `deltaGate` docs
+    * tokenize ONLY THEMSELVES. Postings and doc-lengths are pure
+    * bucketed APPENDS through the table's catalog spec (base segment
+    * files untouched — `IncrementalLexSpec` pins it); per-term
+    * document frequencies merge ADDITIVELY (df is a sum of disjoint
+    * doc sets), O(|delta terms| + |df table|) staged through a
+    * temp dir because the merge reads the table it replaces; the two
+    * corpus scalars add. Work is O(|delta| + |vocabulary|), never a
+    * corpus re-tokenization — and the result must be
+    * INDISTINGUISHABLE from a from-scratch build, which is exactly
+    * what s22's oracle gate proves (the twin recomputes from
+    * source). */
+  private[graft] def appendLexDelta(s: SparkSession, d: String,
+      deltaGate: org.apache.spark.sql.Column): Unit = {
+    val (tfD0, dlD0) = lexFrames(s, d, deltaGate)
+    val tfD = tfD0.cache()
+    val dlD = dlD0.cache()
+    tfD.select(col("doc_id"), col("term"), col("tf"))
+      .write.mode("append").insertInto("s21_lex_post")
+    dlD.select(col("doc_id"), col("dl"))
+      .write.mode("append").insertInto("s21_lex_dl")
+    val merged = s.table("s21_lex_df")
+      .unionByName(tfD.groupBy(col("term")).agg(count(lit(1)).as("df")))
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft_lex_dfmerge").toString
+    merged.write.mode("overwrite").parquet(stage)
+    lexSave(s, d, s.read.parquet(stage), "s21_lex_df", Some("term"))
+    val stD = dlD.agg(count(lit(1)).as("nd"),
+      coalesce(sum(col("dl")), lit(0L)).as("tl")).head()
+    tfD.unpersist(false); dlD.unpersist(false)
+    val m = s.table("s21_lex_meta").head()
+    import s.implicits._
+    lexSave(s, d,
+      Seq((m.getAs[Long]("nd") + stD.getLong(0),
+        m.getAs[Long]("tl") + stD.getLong(1), d, LexMetaSchemaVer,
+        "full"))
+        .toDF("nd", "tl", "corpus_dir", "schema_ver", "scope"),
       "s21_lex_meta", None)
   }
 
@@ -2183,13 +2244,16 @@ object Similarity {
     def exists(t: String) = cat.tableExists(
       org.apache.spark.sql.catalyst.TableIdentifier(t))
     refreshIndexTables(s, Seq("s21_lex_meta"))
-    val metaCols = Set("nd", "tl", "corpus_dir", "schema_ver")
+    val metaCols = Set("nd", "tl", "corpus_dir", "schema_ver", "scope")
     val fresh = exists("s21_lex_post") && exists("s21_lex_meta") && {
       val mt = s.table("s21_lex_meta")
       metaCols.subsetOf(mt.columns.toSet) && {
         val m = mt.head()
         m.getAs[String]("corpus_dir") == d &&
-          m.getAs[Int]("schema_ver") == LexMetaSchemaVer
+          m.getAs[Int]("schema_ver") == LexMetaSchemaVer &&
+          // a base-only build whose delta never landed is STALE — an
+          // interrupted incremental job must rebuild, never serve half
+          m.getAs[String]("scope") == "full"
       }
     }
     if (!fresh) persistLexIndex(s, d)
@@ -2997,6 +3061,34 @@ object Similarity {
       (s, d) => hybridServeBatch(s, d,
         new Tables(s, d).documents.select(col("doc_id"), col("text")),
         ensurePqIndex(s, d)),
+      Some(hybridIndexedOracleSql)),
+
+    // ----- s22: INCREMENTAL LEXICAL-INDEX MAINTENANCE — the nightly
+    // delta discipline (s17 for the LSH index, d10 for the dedup
+    // bands, now the postings tower): a base build over everything
+    // but today's stripe, then the delta tokenizes ONLY ITSELF —
+    // postings/lengths land as pure bucketed appends (base segments
+    // byte-untouched), per-term document frequencies merge
+    // additively, the corpus scalars add; work is O(|delta| +
+    // |vocabulary|), never a corpus re-tokenization. The gate is the
+    // strongest one available: the full hybrid serve from the
+    // INCREMENTALLY-assembled index must hash-match the oracle that
+    // recomputes everything from source — incremental ==
+    // from-scratch, to the bit. A half-landed increment can never be
+    // served: the base build marks the meta scope "partial" and only
+    // the delta's landing flips it to "full" (ensureLexIndex treats
+    // anything else as stale). Table-level equality + the
+    // no-base-rewrite file pin live in IncrementalLexSpec.
+    QueryDef(
+      "s22_incremental_lex",
+      (s, d) => {
+        persistLexIndex(s, d, col("doc_id") % 5 =!= 0,
+          scope = "partial")
+        appendLexDelta(s, d, col("doc_id") % 5 === 0)
+        hybridServeBatch(s, d,
+          new Tables(s, d).documents.select(col("doc_id"), col("text")),
+          ensurePqIndex(s, d))
+      },
       Some(hybridIndexedOracleSql)),
 
     // ----- s08: IVF with a TRAINED coarse quantizer — one Lloyd

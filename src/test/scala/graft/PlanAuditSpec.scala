@@ -44,6 +44,10 @@ class PlanAuditSpec extends SparkSpec {
         "the vector leg is the bucketed codes-table scan, the lexical " +
         "leg the bucketed postings index with nd/tl as literals; " +
         "rebuild branches only when no fresh index exists)"),
+    "s22_incremental_lex" ->
+      ("s21's serve plan verbatim after the base-build + delta-append " +
+        "phases (same broadcast affinities; the incremental build " +
+        "itself is appends + an additive df merge, no all-pairs)"),
     "d13_semdedup" ->
       ("broadcast centroid affinities via the shared two-level " +
         "quantizer (<=4096 cells; pair work bounded per cell, " +
