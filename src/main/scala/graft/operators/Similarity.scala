@@ -2131,7 +2131,11 @@ object Similarity {
   private[graft] final case class LexIndex(post: DataFrame,
       dfT: DataFrame, dl: DataFrame, nd: Long, tl: Long)
 
-  private[graft] val LexMetaSchemaVer = 1
+  /** v2 added the monotone GENERATION counter (the same mid-stream
+    * refresh contract the PQ meta carries): a v1 meta has no `gen`,
+    * so the schema bump rebuilds it rather than serving a table the
+    * generation probe can't read. */
+  private[graft] val LexMetaSchemaVer = 2
 
   private def lexSave(s: SparkSession, d: String, dfx: DataFrame,
       table: String, bucketCol: Option[String]): Unit = {
@@ -2180,10 +2184,23 @@ object Similarity {
     tf.unpersist(false); dl.unpersist(false)
     import s.implicits._
     lexSave(s, d,
-      Seq((st.getLong(0), st.getLong(1), d, LexMetaSchemaVer, scope))
-        .toDF("nd", "tl", "corpus_dir", "schema_ver", "scope"),
+      Seq((st.getLong(0), st.getLong(1), d, LexMetaSchemaVer, scope,
+        lexPrevGen(s) + 1L))
+        .toDF("nd", "tl", "corpus_dir", "schema_ver", "scope", "gen"),
       "s21_lex_meta", None)
   }
+
+  /** Generation the current lex meta carries, 0 when absent/legacy —
+    * every meta write stamps prevGen + 1 so the serving streams'
+    * generation probe sees rebuilds, delta appends, and compactions
+    * alike as "the index moved". */
+  private def lexPrevGen(s: SparkSession): Long =
+    try {
+      refreshIndexTables(s, Seq("s21_lex_meta"))
+      val mt = s.table("s21_lex_meta")
+      if (mt.columns.contains("gen")) mt.head().getAs[Long]("gen")
+      else 0L
+    } catch { case _: Exception => 0L }
 
   /** INCREMENTAL lexical-index maintenance — s17's nightly-delta
     * discipline for the postings tower: today's `deltaGate` docs
@@ -2222,8 +2239,8 @@ object Similarity {
     lexSave(s, d,
       Seq((m.getAs[Long]("nd") + stD.getLong(0),
         m.getAs[Long]("tl") + stD.getLong(1), d, LexMetaSchemaVer,
-        "full"))
-        .toDF("nd", "tl", "corpus_dir", "schema_ver", "scope"),
+        "full", m.getAs[Long]("gen") + 1L))
+        .toDF("nd", "tl", "corpus_dir", "schema_ver", "scope", "gen"),
       "s21_lex_meta", None)
   }
 
@@ -2244,7 +2261,8 @@ object Similarity {
     def exists(t: String) = cat.tableExists(
       org.apache.spark.sql.catalyst.TableIdentifier(t))
     refreshIndexTables(s, Seq("s21_lex_meta"))
-    val metaCols = Set("nd", "tl", "corpus_dir", "schema_ver", "scope")
+    val metaCols =
+      Set("nd", "tl", "corpus_dir", "schema_ver", "scope", "gen")
     val fresh = exists("s21_lex_post") && exists("s21_lex_meta") && {
       val mt = s.table("s21_lex_meta")
       metaCols.subsetOf(mt.columns.toSet) && {
@@ -2260,6 +2278,37 @@ object Similarity {
     loadLexIndex(s)
   }
 
+  /** The lexical index's GENERATION stamp alone — one 1-row read of
+    * the meta table, the steady-state per-micro-batch freshness probe
+    * for the streamed hybrid serve's lexical tower (the exact twin of
+    * [[loadPqMetaGen]] on the vector tower). */
+  private[graft] def loadLexMetaGen(s: SparkSession): Long = {
+    refreshIndexTables(s, Seq("s21_lex_meta"))
+    s.table("s21_lex_meta").head().getAs[Long]("gen")
+  }
+
+  /** Generation-cached handle on the persisted lexical index for the
+    * serving streams (st19): the steady-state micro-batch pays ONE
+    * 1-row meta read instead of the full [[ensureLexIndex]] freshness
+    * walk (4 table refreshes + two meta reads) per batch, while a
+    * nightly rebuild, delta append (s22), or compaction that stamps a
+    * new generation is picked up on the NEXT micro-batch without
+    * restarting the stream — [[StreamLexRefreshSpec]] proves the swap
+    * mid-stream, completing for the lexical tower what
+    * [[StreamIndexRefreshSpec]] proved for the PQ tower. Synchronized
+    * for the same reason as [[PqIndexCache]]. */
+  private[graft] final class LexIndexCache(s0: SparkSession) {
+    private var cached: (Long, LexIndex) =
+      (loadLexMetaGen(s0), loadLexIndex(s0))
+    def current(sess: SparkSession): LexIndex = synchronized {
+      val g = loadLexMetaGen(sess)
+      if (g != cached._1) cached = (g, loadLexIndex(sess))
+      cached._2
+    }
+    /** Generation of the index the LAST `current()` call served. */
+    def lastGen: Long = synchronized(cached._1)
+  }
+
   /** One micro-batch of hybrid queries (doc_id, text) against the
     * persisted indexes — the st19 streaming entry AND s21's
     * whole-table batch (s21 passes the full documents table as one
@@ -2273,8 +2322,7 @@ object Similarity {
     * micro-batch answers equals the batch answer and ONE oracle
     * gates both. */
   private[graft] def hybridServeBatch(s: SparkSession, d: String,
-      batch: DataFrame, idx: PqIndex): DataFrame = {
-    val lex = ensureLexIndex(s, d)
+      batch: DataFrame, idx: PqIndex, lex: LexIndex): DataFrame = {
     // the sample threshold derives from the STATIC odd-doc count —
     // batch-independent (every slicing gates the same query set) and
     // cached per (dir, JVM), so a steady-state micro-batch pays a
@@ -3060,7 +3108,7 @@ object Similarity {
       "s21_hybrid_indexed",
       (s, d) => hybridServeBatch(s, d,
         new Tables(s, d).documents.select(col("doc_id"), col("text")),
-        ensurePqIndex(s, d)),
+        ensurePqIndex(s, d), ensureLexIndex(s, d)),
       Some(hybridIndexedOracleSql)),
 
     // ----- s22: INCREMENTAL LEXICAL-INDEX MAINTENANCE — the nightly
@@ -3087,7 +3135,7 @@ object Similarity {
         appendLexDelta(s, d, col("doc_id") % 5 === 0)
         hybridServeBatch(s, d,
           new Tables(s, d).documents.select(col("doc_id"), col("text")),
-          ensurePqIndex(s, d))
+          ensurePqIndex(s, d), loadLexIndex(s))
       },
       Some(hybridIndexedOracleSql)),
 

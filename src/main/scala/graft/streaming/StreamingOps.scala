@@ -1046,10 +1046,11 @@ object StreamingOps {
     // ----- st19: STREAMING HYBRID SERVING — s21 run ONLINE: query
     // documents arrive as a stream, and each micro-batch answers its
     // sampled queries with the full two-tower retrieval — BM25
-    // lexical leg over the static corpus postings, vector leg from
-    // the PERSISTED IVF-PQ index (generation-cached like st17/st18,
-    // so a nightly index swap is picked up without restart), integer
-    // RRF fusion. Per-query answers are slicing-independent (the
+    // lexical leg from the PERSISTED postings index, vector leg from
+    // the PERSISTED IVF-PQ index, BOTH generation-cached (st17/st18's
+    // probe discipline on each tower), so a nightly rebuild, delta
+    // append, or compaction on EITHER tower is picked up without
+    // restart; integer RRF fusion. Per-query answers are slicing-independent (the
     // sample gate, df/stats, and both legs derive from the STATIC
     // corpus side plus the query's own terms/embedding), so the
     // oracle is s21's twin VERBATIM — one SQL now gates the batch
@@ -1062,8 +1063,10 @@ object StreamingOps {
       (s, d) => {
         import graft.operators.Similarity
         Similarity.ensurePqIndex(s, d)
+        Similarity.ensureLexIndex(s, d)
         val out = Files.createTempDirectory("graft_st19_out").toString
         val idxCache = new Similarity.PqIndexCache(s)
+        val lexCache = new Similarity.LexIndexCache(s)
         val q = docStream(s, d)
           .select(col("doc_id"), col("text"))
           .writeStream
@@ -1072,7 +1075,7 @@ object StreamingOps {
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
             val sess = batch.sparkSession
             Similarity.hybridServeBatch(sess, d, batch,
-              idxCache.current(sess))
+              idxCache.current(sess), lexCache.current(sess))
               .write.mode("overwrite").parquet(s"$out/b$batchId")
             ()
           }
