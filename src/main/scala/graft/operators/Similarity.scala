@@ -2137,10 +2137,13 @@ object Similarity {
     * generation probe can't read. */
   private[graft] val LexMetaSchemaVer = 2
 
+  private def lexPath(d: String, table: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_$table-" +
+      Integer.toHexString(d.hashCode)
+
   private def lexSave(s: SparkSession, d: String, dfx: DataFrame,
       table: String, bucketCol: Option[String]): Unit = {
-    val p = s"${System.getProperty("java.io.tmpdir")}/graft_$table-" +
-      Integer.toHexString(d.hashCode)
+    val p = lexPath(d, table)
     val w = dfx.write.mode("overwrite").option("path", p)
     bucketCol match {
       case Some(bc) => w.bucketBy(8, bc).sortBy(bc).saveAsTable(table)
@@ -2179,6 +2182,12 @@ object Similarity {
     lexSave(s, d, tf.groupBy(col("term")).agg(count(lit(1)).as("df")),
       "s21_lex_df", Some("term"))
     lexSave(s, d, dl, "s21_lex_dl", None)
+    // the rebuild re-points each table at its base path; a prior
+    // compaction may have left the live data under a -a/-b generation
+    // dir, now orphaned (s17BuildBase's idempotence discipline)
+    Seq("s21_lex_post", "s21_lex_dl").foreach { t =>
+      deleteDir(s"${lexPath(d, t)}-a"); deleteDir(s"${lexPath(d, t)}-b")
+    }
     val st = dl.agg(count(lit(1)).as("nd"),
       coalesce(sum(col("dl")), lit(0L)).as("tl")).head()
     tf.unpersist(false); dl.unpersist(false)
@@ -2242,6 +2251,82 @@ object Similarity {
         "full", m.getAs[Long]("gen") + 1L))
         .toDF("nd", "tl", "corpus_dir", "schema_ver", "scope", "gen"),
       "s21_lex_meta", None)
+  }
+
+  /** OPTIMIZE pass for the incremental lexical index (s23) — s17's
+    * compaction discipline on the postings tower: every nightly
+    * [[appendLexDelta]] lands one new small file per (task, bucket)
+    * in `s21_lex_post` and a few in `s21_lex_dl`, so a year of deltas
+    * reads as hundreds of tiny files per bucket. Compaction bin-packs
+    * the postings back to ONE file per term-bucket WITHOUT a shuffle
+    * (bucketed scan forced on → one partition per bucket → the
+    * bucketed rewrite streams bucket j's files into a single new
+    * bucket-j file), and the doc-lengths table coalesces (also
+    * shuffle-free). Each rewrite lands as a sibling GENERATION dir
+    * (-a/-b alternating) under a staging table name, swaps via
+    * drop + rename, and the superseded generation's files are
+    * removed — a single-writer maintenance window, like every
+    * OPTIMIZE in the w-series. The meta GENERATION is stamped +1
+    * after the swap, so a serving stream's [[LexIndexCache]] reloads
+    * (and re-lists files) on its next micro-batch instead of reading
+    * the deleted parts. Answers are unchanged — compaction is
+    * layout-only, which is exactly what the s23 gate proves (the
+    * compacted index must still hash-match the from-source oracle).
+    *
+    * Crash recovery (the r14/r16 hazard class, handled exactly like
+    * [[s17Compact]]): a crash BETWEEN a table's DROP and RENAME
+    * leaves the new generation under the staging name as the ONLY
+    * copy; re-running compaction completes the interrupted rename
+    * FIRST — before the defensive staging drop that would otherwise
+    * destroy the sole surviving generation (`LexCompactionSpec` kills
+    * the swap mid-window and re-runs). */
+  private[graft] def compactLexIndex(s: SparkSession, d: String): Unit = {
+    val scanKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = s.conf.get(scanKey, "true")
+    s.conf.set(scanKey, "false")
+    try {
+      swapCompact(s, "s21_lex_post", (df, path, staging) =>
+        df.write.mode("overwrite").option("path", path)
+          .bucketBy(8, "term").sortBy("term").saveAsTable(staging))
+      swapCompact(s, "s21_lex_dl", (df, path, staging) =>
+        df.coalesce(8).write.mode("overwrite").option("path", path)
+          .saveAsTable(staging))
+    } finally s.conf.set(scanKey, prev)
+    val m = s.table("s21_lex_meta").head()
+    import s.implicits._
+    lexSave(s, d,
+      Seq((m.getAs[Long]("nd"), m.getAs[Long]("tl"),
+        m.getAs[String]("corpus_dir"), m.getAs[Int]("schema_ver"),
+        m.getAs[String]("scope"), m.getAs[Long]("gen") + 1L))
+        .toDF("nd", "tl", "corpus_dir", "schema_ver", "scope", "gen"),
+      "s21_lex_meta", None)
+  }
+
+  /** One table's generation swap: rewrite `live` into the sibling
+    * generation dir via `write(frame, nextPath, stagingName)`, then
+    * DROP + RENAME and remove the superseded generation. Recovery for
+    * the drop/rename window runs FIRST (see [[compactLexIndex]]). */
+  private def swapCompact(s: SparkSession, live: String,
+      write: (DataFrame, String, String) => Unit): Unit = {
+    val cat = s.sessionState.catalog
+    val staging = live + "_next"
+    val liveId = org.apache.spark.sql.catalyst.TableIdentifier(live)
+    val stagingId = org.apache.spark.sql.catalyst.TableIdentifier(staging)
+    if (!cat.tableExists(liveId) && cat.tableExists(stagingId)) {
+      s.sql(s"ALTER TABLE $staging RENAME TO $live")
+    }
+    val cur = cat.getTableMetadata(liveId).location.getPath
+      .stripSuffix("/")
+    val base = cur.stripSuffix("-a").stripSuffix("-b")
+    val next = if (cur.endsWith("-a")) s"$base-b" else s"$base-a"
+    // a prior crash after the staging write leaves an orphaned staging
+    // table whose metadata saveAsTable would trip over
+    s.sql(s"DROP TABLE IF EXISTS $staging")
+    deleteDir(next)
+    write(s.table(live), next, staging)
+    s.sql(s"DROP TABLE $live")
+    s.sql(s"ALTER TABLE $staging RENAME TO $live")
+    deleteDir(cur)
   }
 
   private[graft] def loadLexIndex(s: SparkSession): LexIndex = {
@@ -3133,6 +3218,33 @@ object Similarity {
         persistLexIndex(s, d, col("doc_id") % 5 =!= 0,
           scope = "partial")
         appendLexDelta(s, d, col("doc_id") % 5 === 0)
+        hybridServeBatch(s, d,
+          new Tables(s, d).documents.select(col("doc_id"), col("text")),
+          ensurePqIndex(s, d), loadLexIndex(s))
+      },
+      Some(hybridIndexedOracleSql)),
+
+    // ----- s23: LEXICAL-INDEX COMPACTION — the OPTIMIZE step that
+    // closes the postings tower's maintenance loop (build s21, append
+    // s22, now compact): after the nightly delta lands its small
+    // bucketed files, compaction bin-packs every term-bucket back to
+    // ONE file (bucketed scan forced → zero exchange) and swaps the
+    // new generation in via the s17 drop+rename discipline with crash
+    // recovery. Compaction is LAYOUT-ONLY, so the gate is the
+    // strongest available: the full hybrid serve from the compacted
+    // index must still hash-match the oracle that recomputes the
+    // index from source — one more consumer of the s21 twin (build →
+    // append → compact → serve, all gated by one SQL). File-count
+    // collapse, byte-level data equality, the crash window, and the
+    // generation bump that lets a serving stream cross the swap are
+    // pinned in LexCompactionSpec.
+    QueryDef(
+      "s23_lex_compaction",
+      (s, d) => {
+        persistLexIndex(s, d, col("doc_id") % 5 =!= 0,
+          scope = "partial")
+        appendLexDelta(s, d, col("doc_id") % 5 === 0)
+        compactLexIndex(s, d)
         hybridServeBatch(s, d,
           new Tables(s, d).documents.select(col("doc_id"), col("text")),
           ensurePqIndex(s, d), loadLexIndex(s))

@@ -48,6 +48,10 @@ class PlanAuditSpec extends SparkSpec {
       ("s21's serve plan verbatim after the base-build + delta-append " +
         "phases (same broadcast affinities; the incremental build " +
         "itself is appends + an additive df merge, no all-pairs)"),
+    "s23_lex_compaction" ->
+      ("s21's serve plan verbatim after build + append + compaction " +
+        "(compaction is a zero-exchange per-bucket rewrite + rename " +
+        "swap; the serve plan is unchanged by layout)"),
     "d13_semdedup" ->
       ("broadcast centroid affinities via the shared two-level " +
         "quantizer (<=4096 cells; pair work bounded per cell, " +
