@@ -570,5 +570,106 @@ object Pipeline {
         FROM fl f LEFT JOIN t1 ON TRUE LEFT JOIN t2 ON TRUE
         ORDER BY f.doc_id"""),
       headline = true)
+  ,
+
+    // ----- p08: DSIR IMPORTANCE RESAMPLING — "Data Selection for
+    // Language Models via Importance Resampling" (Xie et al. 2023,
+    // arXiv:2302.03169, public): select raw-pool documents that look
+    // like a small TARGET domain by scoring each document under a
+    // hashed bag-of-words model of target vs raw, then resampling
+    // with probability proportional to the importance weight. Target
+    // here = the `lang = 'en'` slice (the high-quality-domain
+    // stand-in); the raw model is the whole corpus. Every token
+    // hashes to one of B=256 buckets (md5, the engine-portable hash
+    // discipline), each bucket carries the add-1-smoothed probability
+    // ratio r_b = (tc+1)(rtot+B) / ((rc+1)(ttot+B)), and a document's
+    // weight is w = Σ (r_b − 1) over its tokens — the FIRST-ORDER
+    // TAYLOR of the paper's Σ ln r_b at r=1 (ln r = (r−1) + O((r−1)²),
+    // and hashed-bucket ratios sit near 1 by construction), kept
+    // because ln() is not identically rounded across engines (t15's
+    // unlogged-idf discipline): each ratio is ONE IEEE division of
+    // exact-count products, floor-quantized to 1e-6, centered, and
+    // summed as exact BIGINTs. The resample is integer-exact
+    // Bernoulli with acceptance AFFINE in the weight — accept iff
+    // u·(w_max−w_min) < (w−w_min)·2³², u the doc's 32-bit md5
+    // uniform — the ln-free stand-in for the paper's exp(w)/Z
+    // (monotone in w, so the selection ORDERING is the paper's; no
+    // RNG state, any engine re-derives it; thresholding w_scaled
+    // directly gives the paper's no-noise top-k variant).
+    // Scale shape at 100 TB: tokenize+hash is map-only; the bucket
+    // models are B=256-row aggregates with map-side partials that
+    // BROADCAST back; the per-doc score is one doc_id-keyed
+    // aggregation (map-side combinable); the global max and totals
+    // are 1-row scalar combines. One data-sized shuffle total,
+    // nothing super-linear.
+    QueryDef(
+      "p08_dsir_resample",
+      (s, d) => {
+        val B = 256L
+        val tok = new Tables(s, d).documents
+          .select(col("doc_id"), col("lang"),
+            explode(expr(toksExpr)).as("term"))
+        val bk = tok.select(col("doc_id"), col("lang"),
+          (conv(substring(md5(concat(lit("dsir:"), col("term"))),
+            1, 7), 16, 10).cast("long") % lit(B)).as("b"))
+          .cache() // feeds both models AND the per-doc score
+        val rc = bk.groupBy(col("b")).agg(count(lit(1)).as("rcnt"))
+        val tc = bk.filter(col("lang") === "en")
+          .groupBy(col("b")).agg(count(lit(1)).as("tcnt"))
+        val tot = bk.agg(count(lit(1)).as("rtot"),
+          count(when(col("lang") === "en", 1)).as("ttot"))
+        val model = rc.join(tc, Seq("b"), "left")
+          .na.fill(0L, Seq("tcnt"))
+          .crossJoin(broadcast(tot)) // 1-row totals
+          .select(col("b"), (floor(
+            ((col("tcnt") + lit(1L)).cast("double")
+              * (col("rtot") + lit(B)).cast("double"))
+            / ((col("rcnt") + lit(1L)).cast("double")
+              * (col("ttot") + lit(B)).cast("double"))
+            * lit(1e6)).cast("long") - lit(1000000L)).as("lr"))
+        val sc = bk.join(broadcast(model), Seq("b"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tok"),
+            sum(col("lr")).as("w_scaled"))
+        val mm = sc.agg(min(col("w_scaled")).as("wmin"),
+          max(col("w_scaled")).as("wmax"))
+        sc.crossJoin(broadcast(mm)) // 1-row global min/max
+          .select(col("doc_id"), col("n_tok"), col("w_scaled"),
+            (conv(substring(md5(concat(lit("dsirU:"),
+              col("doc_id").cast("string"))), 1, 8), 16, 10)
+              .cast("long") * (col("wmax") - col("wmin"))
+              < (col("w_scaled") - col("wmin")) * lit(4294967296L))
+              .as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (
+          SELECT doc_id, lang,
+            unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+          FROM documents),
+        bk AS (SELECT doc_id, lang,
+            ('0x' || substr(md5('dsir:' || term), 1, 7))::BIGINT % 256
+              AS b
+          FROM tok),
+        rc AS (SELECT b, COUNT(*) AS rcnt FROM bk GROUP BY b),
+        tc AS (SELECT b, COUNT(*) AS tcnt FROM bk WHERE lang = 'en'
+          GROUP BY b),
+        tot AS (SELECT COUNT(*) AS rtot,
+            COUNT(*) FILTER (lang = 'en') AS ttot FROM bk),
+        model AS (SELECT b, CAST(floor(
+            (CAST(COALESCE(tcnt, 0) + 1 AS DOUBLE)
+              * CAST(rtot + 256 AS DOUBLE))
+            / (CAST(rcnt + 1 AS DOUBLE) * CAST(ttot + 256 AS DOUBLE))
+            * 1e6) AS BIGINT) - 1000000 AS lr
+          FROM rc LEFT JOIN tc USING (b) CROSS JOIN tot),
+        sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+            CAST(SUM(lr) AS BIGINT) AS w_scaled
+          FROM bk JOIN model USING (b) GROUP BY doc_id),
+        mm AS (SELECT MIN(w_scaled) AS wmin, MAX(w_scaled) AS wmax
+          FROM sc)
+        SELECT doc_id, n_tok, w_scaled,
+          ('0x' || substr(md5('dsirU:' || CAST(doc_id AS VARCHAR)),
+            1, 8))::BIGINT * (wmax - wmin)
+            < (w_scaled - wmin) * 4294967296 AS keep
+        FROM sc CROSS JOIN mm ORDER BY doc_id"""))
   )
 }

@@ -74,7 +74,11 @@ class PlanAuditSpec extends SparkSpec {
       ("verification-tier candidate stage (s01's role); the MMR fold " +
         "itself is per-row — swap in s09's index path at scale"),
     "p05_cluster_balanced_sample" ->
-      "broadcast 8-centroid affinity (s04's assignment shape, not O(n²))")
+      "broadcast 8-centroid affinity (s04's assignment shape, not O(n²))",
+    "p08_dsir_resample" ->
+      ("broadcast 1-row scalar combines: the bucket-model totals and " +
+        "the global weight min/max (the B=256 model itself broadcasts " +
+        "as an equi-join, not all-pairs)"))
 
   test("no unlabeled cartesian product in any gated batch query plan") {
     val sf = "/root/testdata/sf0.001"
