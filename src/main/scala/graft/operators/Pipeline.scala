@@ -605,44 +605,81 @@ object Pipeline {
     QueryDef(
       "p08_dsir_resample",
       (s, d) => {
-        val B = 256L
-        val tok = new Tables(s, d).documents
-          .select(col("doc_id"), col("lang"),
-            explode(expr(toksExpr)).as("term"))
-        val bk = tok.select(col("doc_id"), col("lang"),
-          (conv(substring(md5(concat(lit("dsir:"), col("term"))),
-            1, 7), 16, 10).cast("long") % lit(B)).as("b"))
+        val bk = dsirBuckets(new Tables(s, d).documents)
           .cache() // feeds both models AND the per-doc score
-        val rc = bk.groupBy(col("b")).agg(count(lit(1)).as("rcnt"))
-        val tc = bk.filter(col("lang") === "en")
-          .groupBy(col("b")).agg(count(lit(1)).as("tcnt"))
-        val tot = bk.agg(count(lit(1)).as("rtot"),
-          count(when(col("lang") === "en", 1)).as("ttot"))
-        val model = rc.join(tc, Seq("b"), "left")
-          .na.fill(0L, Seq("tcnt"))
-          .crossJoin(broadcast(tot)) // 1-row totals
-          .select(col("b"), (floor(
-            ((col("tcnt") + lit(1L)).cast("double")
-              * (col("rtot") + lit(B)).cast("double"))
-            / ((col("rcnt") + lit(1L)).cast("double")
-              * (col("ttot") + lit(B)).cast("double"))
-            * lit(1e6)).cast("long") - lit(1000000L)).as("lr"))
-        val sc = bk.join(broadcast(model), Seq("b"))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_tok"),
-            sum(col("lr")).as("w_scaled"))
+        val sc = dsirWeights(bk, dsirModelFrom(bk))
         val mm = sc.agg(min(col("w_scaled")).as("wmin"),
           max(col("w_scaled")).as("wmax"))
         sc.crossJoin(broadcast(mm)) // 1-row global min/max
           .select(col("doc_id"), col("n_tok"), col("w_scaled"),
-            (conv(substring(md5(concat(lit("dsirU:"),
-              col("doc_id").cast("string"))), 1, 8), 16, 10)
-              .cast("long") * (col("wmax") - col("wmin"))
-              < (col("w_scaled") - col("wmin")) * lit(4294967296L))
-              .as("keep"))
+            dsirKeep(col("wmin"), col("wmax")).as("keep"))
           .orderBy(col("doc_id"))
       },
-      Some("""WITH tok AS (
+      Some(dsirOracleSql))
+  )
+
+  private val DsirB = 256L
+
+  /** (doc_id, lang, b): every token of `docs` hashed to its DSIR
+    * model bucket (md5 — the engine-portable hash). Shared by the
+    * batch resample (p08) and the streaming admission gate (st21):
+    * the model side feeds [[dsirModelFrom]]; the scoring side feeds
+    * [[dsirWeights]] per document batch. */
+  private[graft] def dsirBuckets(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+        explode(expr(toksExpr)).as("term"))
+      .select(col("doc_id"), col("lang"),
+        (conv(substring(md5(concat(lit("dsir:"), col("term"))),
+          1, 7), 16, 10).cast("long") % lit(DsirB)).as("b"))
+
+  /** The 256-row DSIR bucket model from a CORPUS bucket frame:
+    * centered, floor-quantized target/raw probability ratios
+    * (p08's Scaladoc has the arithmetic contract). */
+  private[graft] def dsirModelFrom(bk: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val rc = bk.groupBy(col("b")).agg(count(lit(1)).as("rcnt"))
+    val tc = bk.filter(col("lang") === "en")
+      .groupBy(col("b")).agg(count(lit(1)).as("tcnt"))
+    val tot = bk.agg(count(lit(1)).as("rtot"),
+      count(when(col("lang") === "en", 1)).as("ttot"))
+    rc.join(tc, Seq("b"), "left")
+      .na.fill(0L, Seq("tcnt"))
+      .crossJoin(broadcast(tot)) // 1-row totals
+      .select(col("b"), (floor(
+        ((col("tcnt") + lit(1L)).cast("double")
+          * (col("rtot") + lit(DsirB)).cast("double"))
+        / ((col("rcnt") + lit(1L)).cast("double")
+          * (col("ttot") + lit(DsirB)).cast("double"))
+        * lit(1e6)).cast("long") - lit(1000000L)).as("lr"))
+  }
+
+  /** (doc_id, n_tok, w_scaled) for the documents in `bk`, scored
+    * against a (broadcast) bucket model. */
+  private[graft] def dsirWeights(bk: org.apache.spark.sql.DataFrame,
+      model: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    bk.join(broadcast(model), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(col("lr")).as("w_scaled"))
+
+  /** The integer-exact Bernoulli acceptance bit (affine in w; p08's
+    * Scaladoc): expects a `doc_id` and `w_scaled` column in scope. */
+  private[graft] def dsirKeep(wmin: org.apache.spark.sql.Column,
+      wmax: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(concat(lit("dsirU:"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long") * (wmax - wmin) <
+      (col("w_scaled") - wmin) * lit(4294967296L)
+
+  /** p08's DuckDB twin — also gates st21 (the streamed gate scores
+    * each arriving doc against the same corpus-static model, so
+    * per-doc answers are slicing-independent). A DEF, not a val: the
+    * `queries` val above captures it at object init, BEFORE a val
+    * declared down here would be assigned (the p03 trap — a val here
+    * ships `Some(null)` as the oracle). */
+  private[graft] def dsirOracleSql: String = """WITH tok AS (
           SELECT doc_id, lang,
             unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
           FROM documents),
@@ -670,6 +707,5 @@ object Pipeline {
           ('0x' || substr(md5('dsirU:' || CAST(doc_id AS VARCHAR)),
             1, 8))::BIGINT * (wmax - wmin)
             < (w_scaled - wmin) * 4294967296 AS keep
-        FROM sc CROSS JOIN mm ORDER BY doc_id"""))
-  )
+        FROM sc CROSS JOIN mm ORDER BY doc_id"""
 }

@@ -1119,5 +1119,51 @@ object StreamingOps {
         s.read.parquet(s"$out/*").orderBy(col("doc_id"))
       },
       Some(graft.operators.Multimodal.crossModalOracleSql))
+    ,
+
+    // ----- st21: STREAMING DSIR ADMISSION — p08 run where a training
+    // pipeline actually runs domain selection: on the document ingest
+    // stream. The bucket model and the weight bounds are CORPUS
+    // statistics, built once "nightly" batch-side before the stream
+    // (256 rows + 2 scalars — the same build/serve split as every
+    // serving stage: st16's bucket index, st17's PQ index, st19's
+    // postings; here the artifact is just much smaller). Each
+    // micro-batch tokenizes ONLY ITS OWN documents, scores them
+    // against the broadcast model, and emits the integer-exact
+    // acceptance bit. Per-doc answers are slicing-independent (model
+    // and bounds are corpus-wide constants; a doc's weight reads only
+    // its own tokens), so p08's twin gates the batch resample AND the
+    // streamed admission — the one-SQL-many-consumers discipline.
+    QueryDef(
+      "st21_stream_dsir_gate",
+      (s, d) => {
+        import graft.operators.Pipeline
+        // the nightly model build: corpus buckets -> 256-row model
+        // (cached: it feeds every micro-batch's broadcast) + bounds
+        val corpusBk = Pipeline.dsirBuckets(
+          s.read.parquet(s"$d/documents.parquet"))
+        val model = Pipeline.dsirModelFrom(corpusBk).cache()
+        val mm = Pipeline.dsirWeights(corpusBk, model)
+          .agg(min(col("w_scaled")), max(col("w_scaled"))).head()
+        val (wmin, wmax) = (mm.getLong(0), mm.getLong(1))
+        val out = Files.createTempDirectory("graft_st21_out").toString
+        val q = docStream(s, d)
+          .select(col("doc_id"), col("lang"), col("text"))
+          .writeStream
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft_st21_ckpt").toString)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            Pipeline.dsirWeights(Pipeline.dsirBuckets(batch), model)
+              .select(col("doc_id"), col("n_tok"), col("w_scaled"),
+                Pipeline.dsirKeep(lit(wmin), lit(wmax)).as("keep"))
+              .write.mode("overwrite").parquet(s"$out/b$batchId")
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        model.unpersist()
+        s.read.parquet(s"$out/*").orderBy(col("doc_id"))
+      },
+      Some(graft.operators.Pipeline.dsirOracleSql))
   )
 }

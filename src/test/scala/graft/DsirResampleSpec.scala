@@ -60,4 +60,13 @@ class DsirResampleSpec extends SparkSpec {
     first.zip(again).foreach { case (a, b) => assert(a === b) }
     out.unpersist()
   }
+
+  test("st21 streamed admission == p08 batch resample, row for row " +
+      "(model and bounds are corpus constants; slicing changes nothing)") {
+    val batch = run().collect()
+    val streamed =
+      SparkEntry.queries("st21_stream_dsir_gate")(spark, sf).collect()
+    assert(streamed.length === batch.length && batch.nonEmpty)
+    streamed.zip(batch).foreach { case (a, b) => assert(a === b) }
+  }
 }
