@@ -497,9 +497,16 @@ object Similarity {
       new Tables(s, d).documents
         .filter(col("doc_id") % 2 === 1).count()).longValue()
 
-  private def ivfCells(s: SparkSession, d: String): Int = {
+  private def ivfCells(s: SparkSession, d: String): Int =
+    ivfCellsFor(s, corpusEvenCount(s, d))
+
+  /** k for a corpus of n vectors (conf override honored) — split out
+    * so a GATED base build (s24) sizes its cell count from the gated
+    * corpus, exactly as the twin's `kk` CTE does from its gated
+    * count. */
+  private def ivfCellsFor(s: SparkSession, n: Long): Int = {
     val k = GraftConf.int(s, GraftConf.IvfCellsKey,
-      adaptiveIvfCells(corpusEvenCount(s, d)))
+      adaptiveIvfCells(n))
     require(k >= 2 && k <= 65536,
       s"${GraftConf.IvfCellsKey} must be in [2, 65536], got $k")
     k
@@ -1054,11 +1061,13 @@ object Similarity {
 
   /** s18_pq_meta schema version: bump whenever the meta/codes table
     * shape changes (v2 added the freshness fingerprint + generation +
-    * measured candidate recall, and the codes table's label column).
+    * measured candidate recall, and the codes table's label column;
+    * v3 the SCOPE — "full" for a from-scratch build, "incremental"
+    * once [[appendPqDelta]] has extended it with frozen quantizers).
     * [[ensurePqIndex]] treats any other version — including a
     * pre-versioning meta table from a persistent metastore — as
     * stale and rebuilds. */
-  private[graft] val PqMetaSchemaVer = 2
+  private[graft] val PqMetaSchemaVer = 3
 
   /** Every session conf that changes what a PQ build would produce or
     * how the oracle resolves its twin, flattened to one comparable
@@ -1144,14 +1153,24 @@ object Similarity {
     * from one E[256]-query exact-NN sample. Everything downstream of
     * the source parquet is deterministic, so a rebuild IS the index
     * (what lets s18's twin recompute it from source). */
-  private[graft] def buildPqIndex(s: SparkSession, d: String): PqIndex = {
+  /** Build an IVF-PQ index. With `corpusGate` set (s24's nightly
+    * BASE build), the gated slice is the whole world: training,
+    * calibration (sample referee, dials, measured candidate recall),
+    * cell sizing, and the encoded codes all see only the gated rows —
+    * [[appendPqDelta]] then brings the index up to date with the
+    * frozen quantizers. The default (no gate) is the full build every
+    * other consumer uses, byte-identical to before. */
+  private[graft] def buildPqIndex(s: SparkSession, d: String,
+      corpusGate: Option[org.apache.spark.sql.Column] = None)
+      : PqIndex = {
     val e = vecs(s, d)
-    val corpus = e.filter(col("vec_id") % 2 === 0)
+    val corpus0 = e.filter(col("vec_id") % 2 === 0)
+    val corpus = corpusGate.map(corpus0.filter).getOrElse(corpus0)
       .select(col("vec_id").as("c_id"), col("v").as("bv"))
     val qs = e.filter(col("vec_id") % 2 === 1)
       .select(col("vec_id").as("q_id"), col("v").as("av"))
-    val n = corpusEvenCount(s, d)
-    val k = ivfCells(s, d)
+    val n = corpusGate.fold(corpusEvenCount(s, d))(_ => corpus.count())
+    val k = ivfCellsFor(s, n)
     val wSup = ivfSuperProbe(s)
     val (scCent0, cellCent0) = twoLevelTrain(corpus, "s12s:", n, k)
     // the tiny centroid tables (≤ k + ceil(√k) rows) feed FOUR
@@ -1242,22 +1261,7 @@ object Similarity {
         coalesce(col("cv"), col("cvi")).as("cv"))
       .cache() // 256 rows; feeds codes + qlut + clut — uncached
                // its whole training chain re-ran per consumer
-    def subDistT(a: String) =
-      s"""aggregate(zip_with(
-            slice($a, m * $PqSub + 1, $PqSub), cv,
-            (x, c) -> (x - c) * (x - c)),
-          cast(0.0 as double), (acc, x) -> acc + x)"""
-    val codes = corpusRes
-      .withColumn("m", explode(expr(s"sequence(0, ${PqM - 1})")))
-      .join(broadcast(cb1f), Seq("m"))
-      .withColumn("dist", expr(subDistT("rv")))
-      .groupBy(col("c_id"), col("m"))
-      .agg(min(struct(col("dist"), col("c"))).as("mn"))
-      .select(col("c_id"), col("m"), col("mn.c").as("c"))
-    val codesPiv = codes.groupBy(col("c_id"))
-      .agg(min(when(col("m") === 0, col("c"))).as("code0"),
-        (1 until PqM).map(m =>
-          min(when(col("m") === m, col("c"))).as(s"code$m")): _*)
+    val codesPiv = pqEncode(corpusRes, cb1f)
     val clut = pqClut(cellCent, cb1f).cache()
     // the cache sits on cellm — the CARRIED (cid, codes) map PqIndex
     // serves from — not on its codesPiv/ccell inputs: the shortlist
@@ -1328,6 +1332,90 @@ object Similarity {
       }
     }
     PqIndex(np, sl, scCent, cellCent, cellm, cb1f, clut, candRecall)
+  }
+
+  /** PQ-encode residual vectors against a trained codebook:
+    * (c_id, code0..code3), argmin per sub-vector via the
+    * partial-aggregating min(struct(dist, c)) (lexicographic ⇒ the
+    * (dist ASC, c ASC) first row; the twins keep ROW_NUMBER —
+    * answer-identical). Shared by the full build and the incremental
+    * delta append (s24): a delta row's codes are a PURE PER-ROW
+    * function of the frozen codebook, which is what makes the append
+    * equal to "train on base, encode everything" — the contract the
+    * s24 twin recomputes. */
+  private def pqEncode(res: DataFrame, cb1f: DataFrame): DataFrame = {
+    val codes = res
+      .withColumn("m", explode(expr(s"sequence(0, ${PqM - 1})")))
+      .join(broadcast(cb1f), Seq("m"))
+      .withColumn("dist", expr(
+        s"""aggregate(zip_with(
+              slice(rv, m * $PqSub + 1, $PqSub), cv,
+              (x, c) -> (x - c) * (x - c)),
+            cast(0.0 as double), (acc, x) -> acc + x)"""))
+      .groupBy(col("c_id"), col("m"))
+      .agg(min(struct(col("dist"), col("c"))).as("mn"))
+      .select(col("c_id"), col("m"), col("mn.c").as("c"))
+    codes.groupBy(col("c_id"))
+      .agg(min(when(col("m") === 0, col("c"))).as("code0"),
+        (1 until PqM).map(m =>
+          min(when(col("m") === m, col("c"))).as(s"code$m")): _*)
+  }
+
+  /** INCREMENTAL PQ-codes maintenance (s24) — the nightly delta
+    * discipline for the vector tower's MAIN index (s17 gave it to the
+    * LSH bucket index, s22 to the postings tower): today's delta
+    * vectors route and PQ-encode against the PERSISTED quantizers
+    * (coarse centroids, cell centroids, codebook — all FROZEN; the
+    * exact per-row functions the base build applied to its own rows)
+    * and land as a bucketed APPEND through the codes table's catalog
+    * spec; base segments stay byte-identical. Work is O(|delta|·√k)
+    * — routing + encoding the delta, never a corpus re-pass and
+    * never retraining. The dials and the measured candidate recall
+    * stay the base build's: calibration belongs to the nightly
+    * TRAIN, not the delta (exactly what the s24 twin recomputes —
+    * train + calibrate on base, encode all).
+    *
+    * The meta generation bumps (serving streams pick the delta up on
+    * the next micro-batch via [[PqIndexCache]] — no restart) and the
+    * scope flips to "incremental": an incrementally-maintained index
+    * intentionally differs from a from-scratch rebuild (different
+    * training corpus ⇒ different centroids), so [[ensurePqIndex]]
+    * treats it as stale and rebuilds for the consumers that demand
+    * the from-scratch contract, while explicit serve paths
+    * ([[loadPqIndex]], the caches) serve it as-is. */
+  private[graft] def appendPqDelta(s: SparkSession, d: String,
+      deltaGate: org.apache.spark.sql.Column): Unit = {
+    val idx = loadPqIndex(s)
+    val delta = vecs(s, d)
+      .filter(col("vec_id") % 2 === 0).filter(deltaGate)
+      .select(col("vec_id").as("c_id"), col("v").as("bv"))
+    val dcell = routeToCells(delta, "c_id", "bv", idx.scCent,
+      idx.cellCent, ivfSuperProbe(s), 1).select(col("c_id"), col("cid"))
+    val cellVec = idx.cellCent.select(col("cid"), col("c").as("cvec"))
+    val dres = delta.join(dcell, "c_id")
+      .join(broadcast(cellVec), "cid")
+      .select(col("c_id"), col("cid"),
+        expr("zip_with(bv, cvec, (x, w) -> cast(x as double) - w)")
+          .as("rv"))
+    val attrs = new Tables(s, d).embeddings
+      .select(col("vec_id").as("c_id"), col("label"))
+    val cols = s.table("s18_pq_codes").columns
+    dcell.join(pqEncode(dres, idx.cb1f), "c_id")
+      .join(attrs, "c_id")
+      .select(cols.map(col).toIndexedSeq: _*)
+      .write.mode("append").insertInto("s18_pq_codes")
+    val m = s.table("s18_pq_meta").head()
+    import s.implicits._
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_s18_pq_meta-" +
+      Integer.toHexString(d.hashCode)
+    Seq((m.getAs[Int]("np"), m.getAs[Int]("sl"),
+        m.getAs[String]("corpus_dir"), m.getAs[String]("conf_fp"),
+        m.getAs[Int]("schema_ver"), m.getAs[Long]("gen") + 1L,
+        m.getAs[Double]("cand_recall"), "incremental"))
+      .toDF("np", "sl", "corpus_dir", "conf_fp", "schema_ver",
+        "gen", "cand_recall", "scope")
+      .write.mode("overwrite").option("path", p)
+      .saveAsTable("s18_pq_meta")
   }
 
   /** SERVE the query half of corpus `d` against a built (or loaded)
@@ -1491,9 +1579,9 @@ object Similarity {
       else 0L
     } catch { case _: Exception => 0L }
     save(Seq((idx.np, idx.sl, d, pqConfFingerprint(s),
-        PqMetaSchemaVer, prevGen + 1L, idx.candRecall))
+        PqMetaSchemaVer, prevGen + 1L, idx.candRecall, "full"))
       .toDF("np", "sl", "corpus_dir", "conf_fp", "schema_ver",
-        "gen", "cand_recall"),
+        "gen", "cand_recall", "scope"),
       "s18_pq_meta", None)
   }
 
@@ -1584,7 +1672,7 @@ object Similarity {
     def exists(t: String) = cat.tableExists(
       org.apache.spark.sql.catalyst.TableIdentifier(t))
     val metaCols = Set("np", "sl", "corpus_dir", "conf_fp",
-      "schema_ver", "gen", "cand_recall")
+      "schema_ver", "gen", "cand_recall", "scope")
     refreshIndexTables(s, Seq("s18_pq_meta", "s18_pq_codes"))
     val fresh = exists("s18_pq_codes") && exists("s18_pq_meta") && {
       val mt = s.table("s18_pq_meta")
@@ -1593,6 +1681,12 @@ object Similarity {
         m.getAs[String]("corpus_dir") == d &&
           m.getAs[String]("conf_fp") == pqConfFingerprint(s) &&
           m.getAs[Int]("schema_ver") == PqMetaSchemaVer &&
+          // an incrementally-maintained index (s24) is intentionally
+          // NOT the from-scratch build — different training corpus,
+          // different centroids. ensure's contract is "the
+          // deterministic full-build twin", so anything but a "full"
+          // scope rebuilds (explicit serve paths use loadPqIndex)
+          m.getAs[String]("scope") == "full" &&
           s.table("s18_pq_codes").columns.contains("label")
       }
     }
@@ -1651,12 +1745,20 @@ object Similarity {
   private[graft] def pqFilteredOracleSql: String =
     pqOracleSqlFor(filtered = true)
 
-  private def pqOracleSqlFor(filtered: Boolean): String =
-    s"""WITH ${pqChainCtes(filtered)}
+  private def pqOracleSqlFor(filtered: Boolean,
+      trainPred: String = ""): String =
+    s"""WITH ${pqChainCtes(filtered, trainPred)}
         SELECT q_id, c_id, l2sq FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
             ORDER BY l2sq, c_id) AS r FROM rer)
         WHERE r = 1 ORDER BY q_id"""
+
+  /** s24's twin: the SAME chain with training + calibration gated to
+    * the base stripe ({id} % 10 <> 0) while encode + serve cover the
+    * whole corpus — "train on base, encode all", exactly what the
+    * frozen-quantizer delta append produces. */
+  private[graft] def pqIncrementalOracleSql: String =
+    pqOracleSqlFor(filtered = false, trainPred = "{id} % 10 <> 0")
 
   /** The full deterministic IVF-PQ oracle chain as a COMPOSABLE CTE
     * block — train → route → residual-encode → calibrate both dials →
@@ -1666,7 +1768,24 @@ object Similarity {
     * per-query argmin (the s12/s18/s19/st17/st18 family);
     * [[hybridIndexedOracleSql]] takes the top-10 of the sampled
     * hybrid queries instead (s21's vector leg). */
-  private def pqChainCtes(filtered: Boolean): String = {
+  private def pqChainCtes(filtered: Boolean,
+      trainPred: String = ""): String = {
+    // `trainPred` ("{id} % 10 <> 0"-style, empty = whole corpus)
+    // gates ONLY the training + calibration phases — the sample the
+    // quantizers train on, the cell-count derivation, the exact-NN
+    // calibration referee, the codebook init/means, and the
+    // shortlist-calibration candidate membership. Encode + serve
+    // CTEs stay corpus-wide: routing, residuals, and codes are pure
+    // per-row functions of the frozen quantizers, so gating the
+    // train side IS the incremental-append semantics (s24). With the
+    // default empty pred the emitted SQL is byte-identical to the
+    // ungated chain — no cost to the existing family.
+    def tp(idRef: String): String =
+      if (trainPred.isEmpty) ""
+      else " AND " + trainPred.replace("{id}", idRef)
+    def tpw(idRef: String): String =
+      if (trainPred.isEmpty) ""
+      else " WHERE " + trainPred.replace("{id}", idRef)
     // the filtered variant ranks the shortlist over ELIGIBLE
     // candidates only: label-match against the query's own label,
     // joined from the source table (the engine side joins the same
@@ -1683,7 +1802,8 @@ object Similarity {
       else ""
     val shortSrc = if (filtered) "eligible" else "scored"
     s"""e0 AS ($vecsSql),
-        nn AS (SELECT COUNT(*) AS n FROM e0 WHERE vec_id % 2 = 0),
+        nn AS (SELECT COUNT(*) AS n FROM e0
+               WHERE vec_id % 2 = 0${tp("vec_id")}),
         kk AS (SELECT LEAST(4096, GREATEST(8, n // 64)) AS k FROM nn),
         k1k AS (SELECT CAST(CEIL(SQRT(k)) AS BIGINT) AS k1 FROM kk),
         cpsk AS (SELECT ((SELECT k FROM kk) + k1 - 1) // k1 AS cps
@@ -1695,7 +1815,7 @@ object Similarity {
         samp AS (SELECT c_id, bv FROM corpus
           WHERE ('0x' || substr(md5('s12s:' || c_id), 1, 8))::BIGINT
                 < (${IvfTrainPerCell * 4294967296L} * (SELECT k FROM kk)
-                   - 1) // (SELECT n FROM nn) + 1),
+                   - 1) // (SELECT n FROM nn) + 1${tp("c_id")}),
         seeds1 AS (SELECT c_id AS scid, bv AS sc FROM (
             SELECT c_id, bv, ROW_NUMBER() OVER (ORDER BY c_id) AS rn
             FROM samp)
@@ -1774,7 +1894,7 @@ object Similarity {
               ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
                 list_sum(list_transform(list_zip(q.av, c.bv),
                   z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, c.c_id) AS rn
-            FROM sq q, corpus c)
+            FROM sq q, corpus c${tpw("c.c_id")})
           WHERE rn = 1),
         sqsc AS (SELECT q_id, av, scid FROM (
             SELECT q.q_id, q.av, s1.scid,
@@ -1830,7 +1950,8 @@ object Similarity {
           JOIN cellcent cc USING (cid)),
         cb0 AS (SELECT rn - 1 AS c, rv AS cv FROM (
             SELECT rv,
-              ROW_NUMBER() OVER (ORDER BY c_id) AS rn FROM cres)
+              ROW_NUMBER() OVER (ORDER BY c_id) AS rn
+            FROM cres${tpw("c_id")})
           WHERE rn <= 64),
         cbinit AS (SELECT mm.m, ct.c,
             list_slice(ct.cv, mm.m * 16 + 1, mm.m * 16 + 16) AS cvi
@@ -1842,7 +1963,8 @@ object Similarity {
                   list_zip(list_slice(cr.rv, mm.m * 16 + 1, mm.m * 16 + 16),
                            list_slice(ct.cv, mm.m * 16 + 1, mm.m * 16 + 16)),
                   z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, ct.c) AS rn
-            FROM cres cr, UNNEST(generate_series(0, 3)) AS mm(m), cb0 ct)
+            FROM cres cr, UNNEST(generate_series(0, 3)) AS mm(m),
+              cb0 ct${tpw("cr.c_id")})
           WHERE rn = 1),
         cbdims AS (SELECT a.m, a.c, t.dd,
             CAST(CAST(SUM(CAST(floor(cr.rv[a.m * 16 + t.dd + 1] * 1e10 + 0.5)
@@ -1914,7 +2036,7 @@ object Similarity {
           JOIN ccell cc2 USING (cid)
           JOIN cp ON cp.c_id = cc2.c_id
           JOIN qlutflat USING (q_id)
-          JOIN clutflat USING (cid)),
+          JOIN clutflat USING (cid)${tpw("cc2.c_id")}),
         sranked AS (SELECT q_id, c_id, ROW_NUMBER() OVER (
             PARTITION BY q_id ORDER BY adist, c_id) AS r
           FROM sscored),
@@ -3250,6 +3372,36 @@ object Similarity {
           ensurePqIndex(s, d), loadLexIndex(s))
       },
       Some(hybridIndexedOracleSql)),
+
+    // ----- s24: INCREMENTAL PQ-CODES MAINTENANCE — the nightly delta
+    // discipline for the vector tower's MAIN index (s17 gave it to
+    // the LSH bucket index, s22 to the postings tower; the IVF-PQ
+    // index was the one whose nightly job was still a full rebuild):
+    // a base build trains, calibrates, and encodes everything but
+    // today's vec_id%10==0 stripe; the delta then routes + PQ-encodes
+    // against the FROZEN persisted quantizers and appends through the
+    // codes table's bucket spec — O(|delta|·√k) work, no retraining,
+    // no corpus re-pass, base segments untouched. Serving picks the
+    // appended rows up as ordinary codes-table rows (the candidate
+    // map IS the table), and the meta generation bump carries the
+    // delta into running streams (PqIndexCache). The gate is the
+    // TWO-PHASE twin: the oracle recomputes train+calibrate on the
+    // base stripe and encode+serve over the whole corpus — the exact
+    // function the append implements, hash-checked end to end (an
+    // incremental index is NOT the from-scratch build, so its meta
+    // scope flips to "incremental" and ensurePqIndex rebuilds for the
+    // from-scratch-contract consumers). Mechanism pins (byte-level
+    // append, scope guard, gen bump, mid-stream pickup) live in
+    // IncrementalPqSpec.
+    QueryDef(
+      "s24_incremental_pq",
+      (s, d) => {
+        persistPqIndex(s, d,
+          buildPqIndex(s, d, Some(col("vec_id") % 10 =!= 0)))
+        appendPqDelta(s, d, col("vec_id") % 10 === 0)
+        servePersisted(s, d)
+      },
+      Some(pqIncrementalOracleSql)),
 
     // ----- s08: IVF with a TRAINED coarse quantizer — one Lloyd
     // (k-means) refinement of s04's training-free centroids, written

@@ -52,6 +52,10 @@ class PlanAuditSpec extends SparkSpec {
       ("s21's serve plan verbatim after build + append + compaction " +
         "(compaction is a zero-exchange per-bucket rewrite + rename " +
         "swap; the serve plan is unchanged by layout)"),
+    "s24_incremental_pq" ->
+      ("s12's labeled broadcast affinities in the gated BASE build + " +
+        "the delta append's broadcast centroid routing (|delta|·√k, " +
+        "not all-pairs); serve is s18's plan over the appended codes"),
     "d13_semdedup" ->
       ("broadcast centroid affinities via the shared two-level " +
         "quantizer (<=4096 cells; pair work bounded per cell, " +

@@ -53,7 +53,8 @@ class PqIndexMetaSpec extends SparkSpec {
     val idx = Similarity.ensurePqIndex(spark, dir)
     val meta = spark.table("s18_pq_meta")
     assert(Set("np", "sl", "corpus_dir", "conf_fp", "schema_ver",
-      "gen", "cand_recall").subsetOf(meta.columns.toSet))
+      "gen", "cand_recall", "scope").subsetOf(meta.columns.toSet))
+    assert(meta.head().getAs[String]("scope") === "full")
     val m = meta.head()
     assert(m.getAs[String]("corpus_dir") === dir)
     assert(m.getAs[String]("conf_fp") ===
