@@ -132,7 +132,23 @@ object ScaleUp {
       // the per-query cost that must stay ~flat across decades on
       // this geometry, the claim s21 replaced s20's |sample|·n
       // brute-force leg to earn)
-      "s21_hybrid_indexed")
+      "s21_hybrid_indexed",
+      // r17 session 2: the INCREMENTAL maintenance probes — each
+      // row's lifecycle pass runs base-build + delta + serve through
+      // the generic timer, and a special branch re-stages the base to
+      // time THE DELTA STEP ALONE (append_sec / compact_sec): the
+      // quantity whose scaling the incremental discipline exists for
+      // (O(|delta|·√k) for the PQ append; per-bucket merge I/O for
+      // the lexical compaction)
+      "s24_incremental_pq",
+      "s23_lex_compaction",
+      // r17 session 2: DSIR importance resampling — hash+score is
+      // map-only, models are 256-row broadcasts, so wall must stay
+      // linear; kept-count retention reads as cross-decade STABILITY
+      // (copies share the model, so per-copy weights approximate the
+      // original's rather than replicate exactly — p01's signal
+      // logic, not an exact ×K invariant)
+      "p08_dsir_resample")
 
   /** What a query's "found" count IS for retention purposes, when a
     * plain row count is structurally trivial (one row per doc): d11
@@ -163,6 +179,11 @@ object ScaleUp {
     "d13_semdedup" ->
       ((df: DataFrame) => df.filter(!col("kept")).count()),
     "p07_perplexity_partition" ->
+      ((df: DataFrame) => df.filter(col("keep")).count()),
+    // one row per doc is structurally ×K; the scale-sensitive
+    // quantity is the resample's kept count (model mixing across
+    // copies makes this a stability signal, not an exact invariant)
+    "p08_dsir_resample" ->
       ((df: DataFrame) => df.filter(col("keep")).count()),
     // windows are fixed by the (unchanged) time span; the ×K-exact
     // quantity is the total event-window memberships
@@ -232,6 +253,35 @@ object ScaleUp {
     val results = selected.map { name =>
       val fn = SparkEntry.queries(name)
       val measure = Measures.getOrElse(name, (df: DataFrame) => df.count())
+      // the incremental-maintenance probes: re-stage the base
+      // (untimed) and time THE DELTA STEP ALONE — the generic
+      // lifecycle pass can't separate it from the build it rides on
+      def deltaOnly(dir: String): String =
+        if (name == "s24_incremental_pq") {
+          import graft.operators.Similarity
+          spark.catalog.clearCache()
+          Similarity.persistPqIndex(spark, dir,
+            Similarity.buildPqIndex(spark, dir,
+              Some(col("vec_id") % 10 =!= 0)))
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          Similarity.appendPqDelta(spark, dir, col("vec_id") % 10 === 0)
+          val t = (System.nanoTime() - t0) / 1e9
+          s""","append_sec":$t"""
+        } else if (name == "s23_lex_compaction") {
+          import graft.operators.Similarity
+          spark.catalog.clearCache()
+          Similarity.persistLexIndex(spark, dir,
+            col("doc_id") % 5 =!= 0, scope = "partial")
+          Similarity.appendLexDelta(spark, dir, col("doc_id") % 5 === 0)
+          val filesBefore = spark.table("s21_lex_post").inputFiles.length
+          val t0 = System.nanoTime()
+          Similarity.compactLexIndex(spark, dir)
+          val t = (System.nanoTime() - t0) / 1e9
+          val filesAfter = spark.table("s21_lex_post").inputFiles.length
+          s""","compact_sec":$t,"post_files_before":$filesBefore""" +
+            s""","post_files_after":$filesAfter"""
+        } else ""
       def time(dir: String): (Double, Long, Option[(Long, Long)]) = {
         spark.catalog.clearCache()
         graft.streaming.StreamingOps.lastProgress.set(Nil)
@@ -293,9 +343,9 @@ object ScaleUp {
             s""","filtered_sec":$tf,"filtered_rows":$nf"""
         }
       val (t1, n1, st1) = time(sfDir)
-      val serve1 = serveOnly(sfDir)
+      val serve1 = serveOnly(sfDir) + deltaOnly(sfDir)
       val (tk, nk, stk) = time(outDir)
-      val servek = serveOnly(outDir)
+      val servek = serveOnly(outDir) + deltaOnly(outDir)
       def decade(j: String, suffix: String): String = j
         .replace("serve_sec", s"serve_sec_$suffix")
         .replace("serve_rows", s"serve_rows_$suffix")
@@ -303,6 +353,10 @@ object ScaleUp {
         .replace("filtered_rows", s"filtered_rows_$suffix")
         .replace("vecleg_sec", s"vecleg_sec_$suffix")
         .replace("vecleg_rows", s"vecleg_rows_$suffix")
+        .replace("append_sec", s"append_sec_$suffix")
+        .replace("compact_sec", s"compact_sec_$suffix")
+        .replace("post_files_before", s"post_files_before_$suffix")
+        .replace("post_files_after", s"post_files_after_$suffix")
       val serveJson =
         if (serve1.isEmpty) ""
         else decade(serve1, "x1") + decade(servek, "xk")
