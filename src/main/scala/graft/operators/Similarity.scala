@@ -3403,6 +3403,70 @@ object Similarity {
       },
       Some(pqIncrementalOracleSql)),
 
+    // ----- s25: HARD-NEGATIVE MINING — the contrastive-training data
+    // op every retrieval/embedding trainer runs nightly: for each
+    // query with a KNOWN positive (here the adjacent even vector,
+    // q−1 — the stand-in for a click/label pair), retrieve the
+    // index's top candidates, EXCLUDE the positive, and emit the
+    // top-10 negatives with their exact distances, the margin to the
+    // positive, and the `hard` bit (negative closer than the
+    // positive — the examples that actually move a contrastive
+    // loss). Composition, not a new index: the candidates are
+    // servePqRanked's exact-reranked shortlist over the persisted
+    // s18 index cut at 11 (the positive occupies at most one slot),
+    // so per-query cost is the s18 serve cost; the positive distance
+    // is ONE equi-self-join on vec_id (pairs are adjacent ids).
+    // Exclusion-before-rank equals rank-then-exclude here because
+    // the positive appears at most once — the twin filters `rer`
+    // (all shortlisted candidates) then ranks, the engine cuts at 11
+    // then drops the positive and re-ranks; identical top-10s.
+    // Margin/hard are IEEE-exact: both engines subtract the same
+    // zip_with-fold doubles.
+    QueryDef(
+      "s25_hard_negatives",
+      (s, d) => {
+        val idx = ensurePqIndex(s, d)
+        val e = vecs(s, d)
+        val qv = e.filter(col("vec_id") % 2 === 1)
+          .select(col("vec_id").as("q_id"), col("v").as("av"))
+        val cv = e.filter(col("vec_id") % 2 === 0)
+          .select(col("vec_id").as("c_id"), col("v").as("bv"))
+        val l2 =
+          """aggregate(zip_with(av, bv,
+               (x, y) -> (cast(x as double) - cast(y as double))
+                       * (cast(x as double) - cast(y as double))),
+             cast(0.0 as double), (acc, x) -> acc + x)"""
+        val pos = qv.join(
+            e.select((col("vec_id") + lit(1L)).as("q_id"),
+              col("v").as("bv")), "q_id")
+          .select(col("q_id"), expr(l2).as("pos_l2sq"))
+        val wN = Window.partitionBy(col("q_id")).orderBy(col("r"))
+        servePqRanked(s, qv, cv, idx, identity, 11)
+          .filter(col("c_id") =!= col("q_id") - lit(1L))
+          .withColumn("neg_rank", row_number().over(wN))
+          .filter(col("neg_rank") <= 10)
+          .join(pos, "q_id")
+          .select(col("q_id"), col("neg_rank"), col("c_id"),
+            col("l2sq"),
+            (col("l2sq") - col("pos_l2sq")).as("margin"),
+            (col("l2sq") < col("pos_l2sq")).as("hard"))
+          .orderBy(col("q_id"), col("neg_rank"))
+      },
+      Some(s"""WITH ${pqChainCtes(filtered = false)},
+        pos AS (SELECT a.vec_id AS q_id,
+            list_sum(list_transform(list_zip(a.v, b.v),
+              t -> (t[1] - t[2]) * (t[1] - t[2]))) AS pos_l2sq
+          FROM e0 a JOIN e0 b ON b.vec_id = a.vec_id - 1
+          WHERE a.vec_id % 2 = 1),
+        negs AS (SELECT q_id, c_id, l2sq,
+            ROW_NUMBER() OVER (PARTITION BY q_id
+              ORDER BY l2sq, c_id) AS neg_rank
+          FROM rer WHERE c_id <> q_id - 1)
+        SELECT n.q_id, neg_rank, c_id, l2sq,
+          l2sq - pos_l2sq AS margin, l2sq < pos_l2sq AS hard
+        FROM negs n JOIN pos ON pos.q_id = n.q_id
+        WHERE neg_rank <= 10 ORDER BY n.q_id, neg_rank""")),
+
     // ----- s08: IVF with a TRAINED coarse quantizer — one Lloyd
     // (k-means) refinement of s04's training-free centroids, written
     // entirely in DataFrame ops: assign (argmax cosine), update

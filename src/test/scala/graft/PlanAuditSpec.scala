@@ -56,6 +56,10 @@ class PlanAuditSpec extends SparkSpec {
       ("s12's labeled broadcast affinities in the gated BASE build + " +
         "the delta append's broadcast centroid routing (|delta|·√k, " +
         "not all-pairs); serve is s18's plan over the appended codes"),
+    "s25_hard_negatives" ->
+      ("s18's serve path (broadcast routing/LUT affinities; rebuild " +
+        "branch only when no fresh index exists) + one equi-self-join " +
+        "for the positive distance — no all-pairs"),
     "d13_semdedup" ->
       ("broadcast centroid affinities via the shared two-level " +
         "quantizer (<=4096 cells; pair work bounded per cell, " +
