@@ -81,6 +81,93 @@ class IncrementalPqSpec extends SparkSpec {
     assert(refreshed.np === baseIdx.np && refreshed.sl === baseIdx.sl)
   }
 
+  private def stage(dir: String, name: String, modMs: Long,
+      rows: org.apache.spark.sql.DataFrame): Unit = {
+    val tmp = s"$dir/_tmp_$name"
+    rows.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val f = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .findFirst().get()
+    java.nio.file.Files.move(f,
+      java.nio.file.Paths.get(s"$dir/$name.parquet"))
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(s"$dir/$name.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(modMs))
+  }
+
+  test("a delta append mid-stream is served from the NEXT micro-batch " +
+      "without restart — the vector-side twin of StreamLexRefreshSpec") {
+    import org.apache.spark.sql.streaming.Trigger
+    dropIndexTables()
+    // gen 1 = "yesterday's" corpus: everything but today's stripe
+    Similarity.persistPqIndex(spark, sf,
+      Similarity.buildPqIndex(spark, sf,
+        Some(col("vec_id") % 10 =!= 0)))
+    assert(Similarity.loadPqMetaGen(spark) === 1L)
+
+    val input = tmpDir("pq-append-in")
+    val out = tmpDir("pq-append-out")
+    val odd = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), col("embedding"))
+    val q1 = odd.filter(col("vec_id") < 250)
+    val q2 = odd.filter(col("vec_id") >= 250)
+    stage(input, "00", 1000000L, q1)
+    stage(input, "01", 1060000L, q2)
+    def qFrame(rows: org.apache.spark.sql.DataFrame) = rows
+      .select(col("vec_id").as("q_id"), col("embedding").as("av"))
+
+    // gen-1 referees BEFORE the append: batch 0 must equal the first;
+    // batch 1 must NOT equal the second (125 queries, 10% of the
+    // corpus arrives — some answers must improve onto delta vectors)
+    val expect1 = Similarity
+      .servePqBatch(spark, sf, qFrame(q1), Similarity.loadPqIndex(spark))
+      .orderBy(col("q_id")).collect()
+    val q2AtGen1 = Similarity
+      .servePqBatch(spark, sf, qFrame(q2), Similarity.loadPqIndex(spark))
+      .orderBy(col("q_id")).collect()
+
+    val cache = new Similarity.PqIndexCache(spark)
+    val genUsed = scala.collection.concurrent.TrieMap.empty[Long, Long]
+    val schema = spark.read.parquet(s"$input/00.parquet").schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(input)
+      .select(col("vec_id").as("q_id"), col("embedding").as("av"))
+      .writeStream
+      .option("checkpointLocation", tmpDir("pq-append-ckpt"))
+      .foreachBatch {
+        (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val sess = batch.sparkSession
+        val idx = cache.current(sess)
+        genUsed(batchId) = cache.lastGen
+        Similarity.servePqBatch(sess, sf, batch, idx)
+          .write.mode("overwrite").parquet(s"$out/b$batchId")
+        if (batchId == 0L) {
+          // the nightly delta lands WHILE the stream serves
+          Similarity.appendPqDelta(sess, sf, col("vec_id") % 10 === 0)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    assert(genUsed(0L) === 1L && genUsed(1L) === 2L,
+      s"append not picked up without restart: $genUsed")
+    val got1 = spark.read.parquet(s"$out/b0")
+      .orderBy(col("q_id")).collect()
+    assert(got1.length === expect1.length && got1.nonEmpty)
+    got1.zip(expect1).foreach { case (a, b) => assert(a === b) }
+    val expect2 = Similarity
+      .servePqBatch(spark, sf, qFrame(q2), Similarity.loadPqIndex(spark))
+      .orderBy(col("q_id")).collect()
+    val got2 = spark.read.parquet(s"$out/b1")
+      .orderBy(col("q_id")).collect()
+    assert(got2.length === expect2.length && got2.nonEmpty)
+    got2.zip(expect2).foreach { case (a, b) => assert(a === b) }
+    assert(!got2.map(_.toString).sameElements(q2AtGen1.map(_.toString)),
+      "the delta changed no answer — the refresh is unobservable")
+  }
+
   test("scope guard: ensurePqIndex rebuilds over an incremental index " +
       "(the from-scratch contract), never serves it silently") {
     dropIndexTables()
