@@ -241,6 +241,19 @@ object GraftConf {
     * as a silent production recall miss. The measured value persists
     * in `s18_pq_meta.cand_recall` either way. */
   val MinCandRecallKey = "spark.graft.minCandRecall"
+  /** Candidate-recall DRIFT ceiling for the s27 audit, in [0, 1)
+    * (default: unset = report only). The audit re-measures candidate
+    * recall of the calibration sample against the CURRENT index
+    * generation and the CURRENT corpus truth — the number that decays
+    * as frozen-quantizer deltas (s24) accumulate vectors the
+    * centroids never trained on. With this set, an audit whose
+    * measured recall has dropped more than this many absolute points
+    * below the build-time `cand_recall` flags `rebuild_due` — the
+    * measured trigger behind CONFIGURATION.md's "append nightly,
+    * rebuild weekly or on measured drift" guidance. The
+    * [[MinCandRecallKey]] floor doubles as an absolute trigger on
+    * the same audit. */
+  val MaxRecallDriftKey = "spark.graft.maxRecallDrift"
   /** Truncated-cosine shortlist size for the two-stage rerank tiers
     * (s07/s09) — per-query candidates surviving the coarse 16-dim
     * pass into the full-dimension rerank; the same cheap recall dial

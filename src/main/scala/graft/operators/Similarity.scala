@@ -1095,6 +1095,27 @@ object Similarity {
       f
     }
 
+  private def maxRecallDrift(s: SparkSession): Option[Double] =
+    s.conf.getOption(GraftConf.MaxRecallDriftKey).map { raw =>
+      val f = raw.trim.toDouble
+      require(f >= 0.0 && f < 1.0,
+        s"${GraftConf.MaxRecallDriftKey} must be in [0, 1), got $f")
+      f
+    }
+
+  /** The two audit-trigger confs as SQL literals for the s27 twin
+    * (−1.0 = unset, i.e. report-only) — resolved at oracle
+    * materialization like every override-aware dial. NOT part of
+    * [[pqConfFingerprint]]: they gate the AUDIT's verdict, not the
+    * index contents, so changing them never makes a persisted index
+    * stale. */
+  private def resolvedMinCandRecallLit: String =
+    sessionForOracle.flatMap(minCandRecall).map(_.toString)
+      .getOrElse("-1.0")
+  private def resolvedMaxRecallDriftLit: String =
+    sessionForOracle.flatMap(maxRecallDrift).map(_.toString)
+      .getOrElse("-1.0")
+
   /** Per-QUERY 256-entry positional ADC LUT of −2·q_m·e_m (the
     * query-dependent term of the decomposed residual distance). */
   private def pqQlut(qsF: DataFrame, cb1f: DataFrame): DataFrame = qsF
@@ -1417,6 +1438,137 @@ object Similarity {
       .write.mode("overwrite").option("path", p)
       .saveAsTable("s18_pq_meta")
   }
+
+  /** PQ-CODES COMPACTION (s26) — the OPTIMIZE step that closes the
+    * vector tower's maintenance loop (build s18, append s24, now
+    * compact), completing the symmetry: the LSH bucket index (s17)
+    * and the postings tower (s23) already had theirs. Each
+    * [[appendPqDelta]] lands one small file per touched cid bucket;
+    * after a week of nightly deltas the serve path's bucketed scan
+    * pays per-file open cost on dozens of fragments per bucket.
+    * Compaction rewrites the codes table back to ONE file per cid
+    * bucket (the bucketed scan is forced OFF for the read so the
+    * small fragments coalesce into few tasks — few tasks × 8 buckets
+    * = 8 files) and swaps the new generation in via the shared
+    * drop+rename discipline ([[swapCompact]]) with its crash-window
+    * recovery. Layout-only: no row changes, dials/recall/scope stay
+    * the meta's; the generation bump makes a serving stream's
+    * [[PqIndexCache]] reload off the new file listing on its next
+    * micro-batch instead of reading the deleted fragments. */
+  private[graft] def compactPqCodes(s: SparkSession, d: String): Unit = {
+    refreshIndexTables(s, Seq("s18_pq_codes", "s18_pq_meta"))
+    val scanKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = s.conf.get(scanKey, "true")
+    s.conf.set(scanKey, "false")
+    try {
+      swapCompact(s, "s18_pq_codes", (df, path, staging) =>
+        df.write.mode("overwrite").option("path", path)
+          .bucketBy(8, "cid").sortBy("cid").saveAsTable(staging))
+    } finally s.conf.set(scanKey, prev)
+    val m = s.table("s18_pq_meta").head()
+    import s.implicits._
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_s18_pq_meta-" +
+      Integer.toHexString(d.hashCode)
+    Seq((m.getAs[Int]("np"), m.getAs[Int]("sl"),
+        m.getAs[String]("corpus_dir"), m.getAs[String]("conf_fp"),
+        m.getAs[Int]("schema_ver"), m.getAs[Long]("gen") + 1L,
+        m.getAs[Double]("cand_recall"), m.getAs[String]("scope")))
+      .toDF("np", "sl", "corpus_dir", "conf_fp", "schema_ver",
+        "gen", "cand_recall", "scope")
+      .write.mode("overwrite").option("path", p)
+      .saveAsTable("s18_pq_meta")
+  }
+
+  /** RECALL-DRIFT AUDIT (s27) — the measured trigger behind
+    * CONFIGURATION.md's "append nightly, rebuild weekly or on
+    * measured drift": re-run the build's own E[256]-query candidate-
+    * recall measurement against the CURRENT index generation and the
+    * CURRENT corpus truth. As frozen-quantizer deltas (s24)
+    * accumulate vectors the centroids never trained on, the fraction
+    * of true nearest neighbors that survive the nprobe gate decays —
+    * this is that number, re-measured, next to the build-time
+    * `cand_recall` it started from. One row out: sample size, hits,
+    * measured recall, build recall, the drift, and `rebuild_due` —
+    * true when the [[GraftConf.MinCandRecallKey]] floor or the
+    * [[GraftConf.MaxRecallDriftKey]] ceiling (when set) is breached,
+    * so the nightly maintenance job can branch append-vs-rebuild on a
+    * measurement instead of a calendar. Cost: the |sample|·n exact
+    * referee (the same bounded pass every build pays) + |sample|
+    * routings — noise next to the append it accompanies. */
+  private[graft] def auditPqRecall(s: SparkSession, d: String)
+      : DataFrame = {
+    val idx = loadPqIndex(s)
+    val e = vecs(s, d)
+    val corpus = e.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("bv"))
+    val qs = e.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("q_id"), col("v").as("av"))
+    // the exact referee runs against the FULL current corpus — truth
+    // moves with the data, which is exactly what the build-time
+    // number (frozen at train time, gated to the base stripe) no
+    // longer reflects after appends
+    val (sq, nn) = calibSampleNN(qs, corpus, corpusOddCount(s, d))
+    val probed = rankedCells(sq, idx.scCent, idx.cellCent,
+        ivfSuperProbe(s))
+      .filter(col("cellrank") <= idx.np)
+      .select(col("q_id"), col("cid"))
+    // the true NN's cell comes from the PERSISTED codes table — the
+    // map the serve path actually scans, deltas included
+    val nnCell = nn
+      .join(idx.cellm.select(col("c_id"), col("cid")), "c_id")
+    val hit = nnCell.join(probed, Seq("q_id", "cid"))
+    val m = s.table("s18_pq_meta").head()
+    val floor = minCandRecall(s).getOrElse(-1.0)
+    val driftMax = maxRecallDrift(s).getOrElse(-1.0)
+    sq.agg(count(lit(1)).as("n_sample"))
+      .crossJoin(broadcast(hit.agg(count(lit(1)).as("hits"))))
+      .withColumn("measured_recall",
+        col("hits").cast("double") / col("n_sample").cast("double"))
+      .withColumn("build_recall",
+        lit(m.getAs[Double]("cand_recall")))
+      .withColumn("drift", col("build_recall") - col("measured_recall"))
+      .withColumn("rebuild_due",
+        (lit(floor) >= 0.0 && col("measured_recall") < lit(floor)) ||
+          (lit(driftMax) >= 0.0 && col("drift") > lit(driftMax)))
+      .select(col("n_sample"), col("hits"), col("measured_recall"),
+        col("build_recall"), col("drift"), col("rebuild_due"))
+  }
+
+  /** s27's twin: the s24 two-phase chain (train + calibrate on the
+    * base stripe, encode corpus-wide) supplies the index state; the
+    * audit CTEs re-referee the calibration sample against the FULL
+    * corpus (`annref` — the only ungated exact-NN pass in the
+    * family) and count survivors of the calibrated nprobe gate.
+    * `build_recall` is |slranks|/|sq| — the exact quantity
+    * [[buildPqIndex]] measured and persisted. */
+  private[graft] def pqDriftOracleSql: String =
+    s"""WITH ${pqChainCtes(filtered = false, trainPred = "{id} % 10 <> 0")},
+      annref AS (SELECT q_id, c_id FROM (
+          SELECT q.q_id, c.c_id,
+            ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+              list_sum(list_transform(list_zip(q.av, c.bv),
+                z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC, c.c_id) AS rn
+          FROM sq q, corpus c)
+        WHERE rn = 1),
+      hitq AS (SELECT n.q_id FROM annref n
+        JOIN ccell cl ON cl.c_id = n.c_id
+        JOIN sprobes p ON p.q_id = n.q_id AND p.cid = cl.cid),
+      agg AS (SELECT (SELECT COUNT(*) FROM sq) AS n_sample,
+          (SELECT COUNT(*) FROM hitq) AS hits,
+          (SELECT COUNT(*) FROM slranks) AS bhits)
+      SELECT n_sample, hits,
+        CAST(hits AS DOUBLE) / n_sample AS measured_recall,
+        CAST(bhits AS DOUBLE) / n_sample AS build_recall,
+        CAST(bhits AS DOUBLE) / n_sample
+          - CAST(hits AS DOUBLE) / n_sample AS drift,
+        ($resolvedMinCandRecallLit >= 0
+           AND CAST(hits AS DOUBLE) / n_sample
+               < $resolvedMinCandRecallLit)
+        OR ($resolvedMaxRecallDriftLit >= 0
+            AND CAST(bhits AS DOUBLE) / n_sample
+                - CAST(hits AS DOUBLE) / n_sample
+                > $resolvedMaxRecallDriftLit) AS rebuild_due
+      FROM agg"""
 
   /** SERVE the query half of corpus `d` against a built (or loaded)
     * [[PqIndex]]: route each query to its np nearest cells, ADC-score
@@ -3466,6 +3618,58 @@ object Similarity {
           l2sq - pos_l2sq AS margin, l2sq < pos_l2sq AS hard
         FROM negs n JOIN pos ON pos.q_id = n.q_id
         WHERE neg_rank <= 10 ORDER BY n.q_id, neg_rank""")),
+
+    // ----- s26: PQ-CODES COMPACTION — the OPTIMIZE step for the
+    // vector tower's main index, completing the maintenance symmetry
+    // (LSH: s17 compacts; lexical: s23 compacts; the PQ codes table
+    // fragmented one small file per bucket per nightly s24 append
+    // with nothing to bin-pack it back). Same lifecycle as s23: base
+    // build (today's stripe withheld), delta append against the
+    // frozen quantizers, COMPACT, serve. Compaction is LAYOUT-ONLY,
+    // so the gate is the strongest available: the serve from the
+    // compacted index must still hash-match the s24 two-phase twin
+    // that recomputes train+calibrate on the base stripe and
+    // encode+serve over the whole corpus — one more consumer of one
+    // SQL (build → append → compact → serve, all gated). File-count
+    // collapse, row-level equality, the crash window, and the
+    // generation bump that carries the swap into running streams are
+    // pinned in PqCompactionSpec.
+    QueryDef(
+      "s26_pq_compaction",
+      (s, d) => {
+        persistPqIndex(s, d,
+          buildPqIndex(s, d, Some(col("vec_id") % 10 =!= 0)))
+        appendPqDelta(s, d, col("vec_id") % 10 === 0)
+        compactPqCodes(s, d)
+        servePersisted(s, d)
+      },
+      Some(pqIncrementalOracleSql)),
+
+    // ----- s27: RECALL-DRIFT AUDIT — the measurement that turns
+    // "rebuild weekly" into "rebuild when the data says so". The s24
+    // scale probes measured the trade offline (incremental −2.3 pt
+    // recall@1 vs a from-scratch rebuild at ×100); a deployment needs
+    // that number ONLINE, about ITS index, after every append: s27
+    // re-runs the build's own candidate-recall measurement (exact-NN
+    // referee over the E[256] calibration sample, this time against
+    // the FULL current corpus — truth moves with the data) through
+    // the persisted index's routing and codes table, and emits the
+    // measured recall next to the build-time number plus a
+    // rebuild_due verdict gated by spark.graft.minCandRecall (abs
+    // floor) / spark.graft.maxRecallDrift (drop ceiling). Lifecycle
+    // under the gate: base build (today's stripe withheld), frozen-
+    // quantizer append, AUDIT — the exact state the nightly
+    // maintenance job branches on. Both trigger directions + the
+    // conf validation are pinned in PqDriftAuditSpec.
+    QueryDef(
+      "s27_recall_drift_audit",
+      (s, d) => {
+        persistPqIndex(s, d,
+          buildPqIndex(s, d, Some(col("vec_id") % 10 =!= 0)))
+        appendPqDelta(s, d, col("vec_id") % 10 === 0)
+        auditPqRecall(s, d)
+      },
+      Some(pqDriftOracleSql)),
 
     // ----- s08: IVF with a TRAINED coarse quantizer — one Lloyd
     // (k-means) refinement of s04's training-free centroids, written

@@ -56,6 +56,14 @@ class PlanAuditSpec extends SparkSpec {
       ("s12's labeled broadcast affinities in the gated BASE build + " +
         "the delta append's broadcast centroid routing (|delta|·√k, " +
         "not all-pairs); serve is s18's plan over the appended codes"),
+    "s26_pq_compaction" ->
+      ("s24's lifecycle (gated-base build + delta append broadcasts) " +
+        "before a zero-exchange per-bucket codes rewrite + rename " +
+        "swap; the serve plan is s18's, unchanged by layout"),
+    "s27_recall_drift_audit" ->
+      ("s24's lifecycle broadcasts + the audit's bounded E[256]-query " +
+        "exact referee (the same |sample|·n pass every build pays) — " +
+        "never all-pairs"),
     "s25_hard_negatives" ->
       ("s18's serve path (broadcast routing/LUT affinities; rebuild " +
         "branch only when no fresh index exists) + one equi-self-join " +
