@@ -29,6 +29,14 @@ object Multimodal {
       n_bytes: Long, width: Int, height: Int, n_frames: Int,
       checksum: String)
 
+  /** m08's signature width: 60 bits (15 hex nibbles — the d04
+    * md5-derivation bound), one per fixed 16-char payload block, so
+    * the fingerprint covers the leading 960 bytes of decoded content
+    * at fixed granularity. Declared BEFORE `queries` — the oracle
+    * string is materialized at object init (the p03/p08 init-order
+    * trap). */
+  private[graft] val PHashBits = 60
+
   /** STUB decoder: a real implementation would parse the container
     * and codec here (e.g. JPEG markers / WAV headers / MP4 atoms).
     * This deterministic fake derives "decoded" dimensions from the
@@ -452,6 +460,118 @@ object Multimodal {
           CAST(out_w AS BIGINT) AS out_w, CAST(out_h AS BIGINT) AS out_h,
           md5(checksum || ':' || CAST(out_w AS VARCHAR) || 'x'
             || CAST(out_h AS VARCHAR)) AS resized_checksum
-        FROM rs ORDER BY doc_id"""))
+        FROM rs ORDER BY doc_id""")),
+
+    // ----- m08: PERCEPTUAL-HASH MEDIA DEDUP — the pHash-style
+    // near-dup pass a LAION-shape multimodal curation pipeline runs
+    // over decoded media (exact-checksum dedup catches only
+    // bit-identical payloads; re-encoded / tail-edited copies need a
+    // content-stable fingerprint). pHash's structure on the stub
+    // codec: the decoded payload is cut into 60 FIXED-POSITION
+    // blocks (pHash's downscaled pixel grid), each block contributes
+    // one content bit (md5 top bit — any block edit flips its bit
+    // with p=1/2, every untouched block contributes identically),
+    // and near-dups are pairs within hamming ≤ bands−1, found by
+    // d04's lossless band-bucket join (pigeonhole), NEVER all-pairs.
+    // Fixed-position blocks are append/truncate-robust (the corpus's
+    // observed duplication mode: tail-edited copies) and
+    // alignment-sensitive to interior insertions — that trade is
+    // pHash's own (grid-stable, not shift-invariant); shingle-level
+    // shift robustness is d03/d09's job upstream. Band count follows
+    // d04's adaptive rule on the VIDEO-stripe count (threshold
+    // tightens as n grows past each band-space boundary — the
+    // hash-luck tail grows ~n², true dups ~n), derived identically
+    // from COUNT(*) by the twin. Scale: one linear signature pass,
+    // one (band, chunk)-bucketed self-join at occupancy n/2^15.
+    QueryDef(
+      "m08_perceptual_dedup",
+      (s, d) => {
+        val n = videoCount(s, d)
+        val bands = Dedup.adaptiveSimHashBands(PHashBits, n)
+        perceptualPairsOf(
+          new Tables(s, d).documents.filter(col("doc_id") % 3 === 2),
+          bands)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(perceptualOracleSql))
   )
+
+  /** Per-doc perceptual hash over `docs` (doc_id, text): bit b = top
+    * md5 bit of the b-th fixed-position 16-char block. Deterministic
+    * and cross-engine exact (md5 = md5; empty tail blocks hash a
+    * constant, contributing identically to every doc). */
+  private[graft] def perceptualHashesOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(expr(s"sequence(0, ${PHashBits - 1})")).as("b"),
+        col("text"))
+      .withColumn("bit",
+        (conv(substring(md5(expr("substr(text, b * 16 + 1, 16)")), 1, 1),
+          16, 10).cast("int") >= 8).cast("int"))
+      .groupBy(col("doc_id"))
+      .agg(sum(expr("bit * cast(pow(2, b) as bigint)")).as("phash"))
+      .select(col("doc_id"), col("phash").cast("long").as("phash"))
+
+  /** Banded near-dup pairs over [[perceptualHashesOf]] at hamming ≤
+    * bands−1 (lossless by pigeonhole — d04's discipline verbatim):
+    * shuffles on (band, chunk), never all-pairs. */
+  private[graft] def perceptualPairsOf(docs: DataFrame,
+      bands: Int): DataFrame = {
+    val bandBits = PHashBits / bands
+    val sig = perceptualHashesOf(docs)
+    val banded = sig
+      .withColumn("band", explode(expr(s"sequence(0, ${bands - 1})")))
+      .withColumn("chunk", expr(
+        s"(phash div cast(pow(2, band * $bandBits) as bigint)) " +
+          s"% ${1L << bandBits}"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band")
+          && col("a.chunk") === col("b.chunk")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.phash").as("phash_a"), col("b.phash").as("phash_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("phash_a").bitwiseXOR(col("phash_b")))
+          .cast("long"))
+      .filter(col("hamming") <= bands - 1)
+  }
+
+  /** One video-stripe count per (dir, JVM) — feeds the adaptive band
+    * geometry (the [[Dedup.docCount]] discipline). */
+  private val videoCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def videoCount(s: SparkSession, d: String): Long =
+    videoCountCache.computeIfAbsent(d,
+      _ => new Tables(s, d).documents
+        .filter(col("doc_id") % 3 === 2).count()).longValue()
+
+  /** m08's twin: same signature, all-pairs hamming check (banding is
+    * lossless, so the engine's banded join must emit exactly these
+    * pairs); bands derived from the SAME adaptive thresholds
+    * ([[Dedup.adaptiveSimHashBands]] at 60 bits) off COUNT(*). */
+  private def perceptualOracleSql: String =
+    s"""WITH geom AS (SELECT CASE
+          WHEN n <= 8192 THEN 4
+          WHEN n <= 262144 THEN 3
+          WHEN n <= 268435456 THEN 2
+          ELSE 1 END AS bands
+        FROM (SELECT COUNT(*) AS n FROM documents WHERE doc_id % 3 = 2)),
+      d AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
+      blk AS (SELECT doc_id, b,
+          md5(substr(text, b * 16 + 1, 16)) AS bm
+        FROM d, UNNEST(generate_series(0, ${PHashBits - 1})) AS t(b)),
+      sig AS (SELECT doc_id,
+          CAST(SUM(CASE WHEN ('0x' || substr(bm, 1, 1))::INT >= 8
+            THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT)
+            AS phash
+        FROM blk GROUP BY doc_id)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        a.phash AS phash_a, b.phash AS phash_b,
+        CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.phash, b.phash))
+        <= (SELECT bands FROM geom) - 1
+      ORDER BY id_a, id_b"""
 }
