@@ -142,6 +142,15 @@ object ScaleUp {
       // the lexical compaction)
       "s24_incremental_pq",
       "s23_lex_compaction",
+      // r17 session 3: the PQ codes-table compaction (s26 — the
+      // bin-pack must stay corpus-size-independent at fixed bucket
+      // count, like s23's) and the recall-drift audit (s27 — the
+      // audit wall is the |sample|·n referee, linear in n; the
+      // MEASURED drift at each decade is the number the op exists
+      // to surface: how much candidate recall the frozen-quantizer
+      // append actually costs at that scale)
+      "s26_pq_compaction",
+      "s27_recall_drift_audit",
       // r17 session 2: DSIR importance resampling — hash+score is
       // map-only, models are 256-row broadcasts, so wall must stay
       // linear; kept-count retention reads as cross-decade STABILITY
@@ -268,6 +277,35 @@ object ScaleUp {
           Similarity.appendPqDelta(spark, dir, col("vec_id") % 10 === 0)
           val t = (System.nanoTime() - t0) / 1e9
           s""","append_sec":$t"""
+        } else if (name == "s26_pq_compaction") {
+          import graft.operators.Similarity
+          spark.catalog.clearCache()
+          Similarity.persistPqIndex(spark, dir,
+            Similarity.buildPqIndex(spark, dir,
+              Some(col("vec_id") % 10 =!= 0)))
+          Similarity.appendPqDelta(spark, dir, col("vec_id") % 10 === 0)
+          val filesBefore = spark.table("s18_pq_codes").inputFiles.length
+          val t0 = System.nanoTime()
+          Similarity.compactPqCodes(spark, dir)
+          val t = (System.nanoTime() - t0) / 1e9
+          val filesAfter = spark.table("s18_pq_codes").inputFiles.length
+          s""","compact_sec":$t,"codes_files_before":$filesBefore""" +
+            s""","codes_files_after":$filesAfter"""
+        } else if (name == "s27_recall_drift_audit") {
+          import graft.operators.Similarity
+          spark.catalog.clearCache()
+          Similarity.persistPqIndex(spark, dir,
+            Similarity.buildPqIndex(spark, dir,
+              Some(col("vec_id") % 10 =!= 0)))
+          Similarity.appendPqDelta(spark, dir, col("vec_id") % 10 === 0)
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          val r = Similarity.auditPqRecall(spark, dir).head()
+          val t = (System.nanoTime() - t0) / 1e9
+          s""","audit_sec":$t""" +
+            s""","measured_recall":${r.getAs[Double]("measured_recall")}""" +
+            s""","build_recall":${r.getAs[Double]("build_recall")}""" +
+            s""","audit_drift":${r.getAs[Double]("drift")}"""
         } else if (name == "s23_lex_compaction") {
           import graft.operators.Similarity
           spark.catalog.clearCache()
@@ -357,6 +395,12 @@ object ScaleUp {
         .replace("compact_sec", s"compact_sec_$suffix")
         .replace("post_files_before", s"post_files_before_$suffix")
         .replace("post_files_after", s"post_files_after_$suffix")
+        .replace("codes_files_before", s"codes_files_before_$suffix")
+        .replace("codes_files_after", s"codes_files_after_$suffix")
+        .replace("audit_sec", s"audit_sec_$suffix")
+        .replace("measured_recall", s"measured_recall_$suffix")
+        .replace("build_recall", s"build_recall_$suffix")
+        .replace("audit_drift", s"audit_drift_$suffix")
       val serveJson =
         if (serve1.isEmpty) ""
         else decade(serve1, "x1") + decade(servek, "xk")

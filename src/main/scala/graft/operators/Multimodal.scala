@@ -512,18 +512,25 @@ object Multimodal {
       .agg(sum(expr("bit * cast(pow(2, b) as bigint)")).as("phash"))
       .select(col("doc_id"), col("phash").cast("long").as("phash"))
 
+  /** [[perceptualHashesOf]] exploded to its (band, chunk) bucket
+    * keys — the lossless candidate-join key space (pigeonhole:
+    * hamming ≤ bands−1 ⇒ at least one identical band). */
+  private[graft] def bandedPhash(docs: DataFrame,
+      bands: Int): DataFrame = {
+    val bandBits = PHashBits / bands
+    perceptualHashesOf(docs)
+      .withColumn("band", explode(expr(s"sequence(0, ${bands - 1})")))
+      .withColumn("chunk", expr(
+        s"(phash div cast(pow(2, band * $bandBits) as bigint)) " +
+          s"% ${1L << bandBits}"))
+  }
+
   /** Banded near-dup pairs over [[perceptualHashesOf]] at hamming ≤
     * bands−1 (lossless by pigeonhole — d04's discipline verbatim):
     * shuffles on (band, chunk), never all-pairs. */
   private[graft] def perceptualPairsOf(docs: DataFrame,
       bands: Int): DataFrame = {
-    val bandBits = PHashBits / bands
-    val sig = perceptualHashesOf(docs)
-    val banded = sig
-      .withColumn("band", explode(expr(s"sequence(0, ${bands - 1})")))
-      .withColumn("chunk", expr(
-        s"(phash div cast(pow(2, band * $bandBits) as bigint)) " +
-          s"% ${1L << bandBits}"))
+    val banded = bandedPhash(docs, bands)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band")
@@ -538,6 +545,36 @@ object Multimodal {
       .filter(col("hamming") <= bands - 1)
   }
 
+  /** Per-batch perceptual ADMISSION GATE (st22) — the st15/d10 probe
+    * shape for the media stage: the batch's signatures band-join a
+    * PERSISTED banded corpus index ([[bandedPhash]] written once
+    * nightly), candidates verify at hamming ≤ bands−1 (lossless —
+    * every true near-dup shares a band by pigeonhole, so the gate is
+    * recall-safe by construction), and each batch doc emits its
+    * perceptual-dup count + the `is_new` admission bit. Per-batch
+    * work is O(|batch|·bands) probe rows against bucket occupancy
+    * n/2^bandBits — the corpus index is scanned, never re-hashed. */
+  private[graft] def perceptualGateBatch(batch: DataFrame,
+      idx: DataFrame, bands: Int): DataFrame = {
+    val hits = bandedPhash(batch, bands).as("d")
+      .join(idx.as("c"),
+        col("d.band") === col("c.band")
+          && col("d.chunk") === col("c.chunk"))
+      .select(col("d.doc_id").as("doc_id"),
+        col("c.doc_id").as("c_id"),
+        col("d.phash").as("phash"), col("c.phash").as("c_phash"))
+      .distinct()
+      .filter(bit_count(col("phash").bitwiseXOR(col("c_phash")))
+        <= bands - 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dups"))
+    perceptualHashesOf(batch)
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("phash"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"))
+      .withColumn("is_new", col("n_dups") === 0L)
+  }
+
   /** One video-stripe count per (dir, JVM) — feeds the adaptive band
     * geometry (the [[Dedup.docCount]] discipline). */
   private val videoCountCache =
@@ -547,26 +584,40 @@ object Multimodal {
       _ => new Tables(s, d).documents
         .filter(col("doc_id") % 3 === 2).count()).longValue()
 
+  /** The adaptive band geometry as a SQL CTE —
+    * [[Dedup.adaptiveSimHashBands]] at 60 bits, thresholds as integer
+    * literals, n = COUNT(*) over `pred` (the reference population the
+    * engine sizes its bands from). */
+  private def phashGeomCte(pred: String): String =
+    s"""geom AS (SELECT CASE
+          WHEN n <= 8192 THEN 4
+          WHEN n <= 262144 THEN 3
+          WHEN n <= 268435456 THEN 2
+          ELSE 1 END AS bands
+        FROM (SELECT COUNT(*) AS n FROM documents WHERE $pred))"""
+
+  /** The per-doc signature chain as composable CTEs ending at `name`
+    * (doc_id, phash) over `pred`-selected documents — shared by the
+    * m08 and st22 twins so the fingerprint definition cannot drift
+    * between the batch dedup and the streaming gate. */
+  private def phashSigCtes(name: String, pred: String): String =
+    s"""${name}b AS (SELECT doc_id, b,
+          md5(substr(text, b * 16 + 1, 16)) AS bm
+        FROM (SELECT doc_id, text FROM documents WHERE $pred),
+          UNNEST(generate_series(0, ${PHashBits - 1})) AS t(b)),
+      $name AS (SELECT doc_id,
+          CAST(SUM(CASE WHEN ('0x' || substr(bm, 1, 1))::INT >= 8
+            THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT)
+            AS phash
+        FROM ${name}b GROUP BY doc_id)"""
+
   /** m08's twin: same signature, all-pairs hamming check (banding is
     * lossless, so the engine's banded join must emit exactly these
     * pairs); bands derived from the SAME adaptive thresholds
     * ([[Dedup.adaptiveSimHashBands]] at 60 bits) off COUNT(*). */
   private def perceptualOracleSql: String =
-    s"""WITH geom AS (SELECT CASE
-          WHEN n <= 8192 THEN 4
-          WHEN n <= 262144 THEN 3
-          WHEN n <= 268435456 THEN 2
-          ELSE 1 END AS bands
-        FROM (SELECT COUNT(*) AS n FROM documents WHERE doc_id % 3 = 2)),
-      d AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
-      blk AS (SELECT doc_id, b,
-          md5(substr(text, b * 16 + 1, 16)) AS bm
-        FROM d, UNNEST(generate_series(0, ${PHashBits - 1})) AS t(b)),
-      sig AS (SELECT doc_id,
-          CAST(SUM(CASE WHEN ('0x' || substr(bm, 1, 1))::INT >= 8
-            THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT)
-            AS phash
-        FROM blk GROUP BY doc_id)
+    s"""WITH ${phashGeomCte("doc_id % 3 = 2")},
+      ${phashSigCtes("sig", "doc_id % 3 = 2")}
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         a.phash AS phash_a, b.phash AS phash_b,
         CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
@@ -574,4 +625,24 @@ object Multimodal {
       WHERE bit_count(xor(a.phash, b.phash))
         <= (SELECT bands FROM geom) - 1
       ORDER BY id_a, id_b"""
+
+  /** st22's twin: the delta stripe's signatures against the corpus
+    * stripe's, all-pairs hamming check, LEFT-joined back so zero-dup
+    * docs emit (the admission bit). Per-doc answers depend only on
+    * the doc's own text + the static corpus, so one SQL gates any
+    * micro-batch slicing. */
+  private[graft] def perceptualGateOracleSql: String =
+    s"""WITH ${phashGeomCte("doc_id % 3 = 2 AND doc_id % 5 <> 0")},
+      ${phashSigCtes("sigc", "doc_id % 3 = 2 AND doc_id % 5 <> 0")},
+      ${phashSigCtes("sigd", "doc_id % 3 = 2 AND doc_id % 5 = 0")},
+      hits AS (SELECT d.doc_id, COUNT(*) AS n_dups
+        FROM sigd d JOIN sigc c
+          ON bit_count(xor(d.phash, c.phash))
+             <= (SELECT bands FROM geom) - 1
+        GROUP BY d.doc_id)
+      SELECT d.doc_id, d.phash,
+        CAST(COALESCE(h.n_dups, 0) AS BIGINT) AS n_dups,
+        COALESCE(h.n_dups, 0) = 0 AS is_new
+      FROM sigd d LEFT JOIN hits h USING (doc_id)
+      ORDER BY doc_id"""
 }

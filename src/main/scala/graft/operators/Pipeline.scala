@@ -48,6 +48,15 @@ object Pipeline {
   private[graft] val OtherQuota = 40L
   private[graft] val MaxQuota = math.max(EnQuota, OtherQuota)
 
+  /** p09's total token budget — the unit a training-run mixture is
+    * actually specified in. Declared BEFORE `queries` (the p03
+    * trap): the oracle SQL interpolates it eagerly at object init.
+    * Doubles as the rank-prune literal: every doc has ≥ 1 token, so
+    * a doc at per-language rank > budget can never satisfy
+    * `cum_before < budget` — the WindowGroupLimit bound that keeps
+    * the shuffle budget-bounded instead of corpus-bounded. */
+  private[graft] val TokenBudget = 50000L
+
   val queries: Seq[QueryDef] = Seq(
 
     // ----- p01: the curation funnel over the training stripe
@@ -460,6 +469,95 @@ object Pipeline {
           FROM documents)
         WHERE samp_rank <= quota
         ORDER BY lang, samp_rank""")),
+
+    // ----- p09: TOKEN-BUDGET MIXTURE SAMPLE — the mixture contract
+    // in the unit a training run is actually specified in: TOKENS,
+    // not documents (p03 derives per-domain shares, p06 honors doc
+    // quotas; a "1B-token en / 200M-token fr" spec is neither). Each
+    // language's integer-exact budget is its p03-style temperature
+    // share of [[TokenBudget]] (w ∝ floor(√n_docs·1e6), budget =
+    // B·w div Σw — BIGINT arithmetic both engines); within each
+    // language, docs rank by the salted-md5 stable order (p06's
+    // discipline: reproducible, content-uncorrelated, append-stable)
+    // and the greedy prefix fills the budget — a doc ships iff the
+    // tokens BEFORE it leave budget room (the p02 packing
+    // convention: the boundary doc ships, overshoot < one doc).
+    // Scale: every doc has ≥ 1 token, so rank > budget can never
+    // ship — the rank ≤ B literal prune (p06's WindowGroupLimit
+    // shape) bounds the per-language sort+shuffle by the BUDGET, not
+    // the corpus; the running token sum then evaluates over the
+    // pruned prefix only (identical values: pruning keeps a rank
+    // prefix). Budgets are a 5×1 scalar combine broadcast back.
+    QueryDef(
+      "p09_token_budget_mix",
+      (s, d) => {
+        // the rank prune only rewrites to a WindowGroupLimit when the
+        // literal is at or below the optimizer threshold (default
+        // 1000) — raise it to the budget, or the whole corpus rides
+        // the 5-partition language exchange (the skew this op's plan
+        // shape exists to avoid). Left set: optimization happens at
+        // action time, after this builder returns.
+        if (s.conf.get("spark.sql.optimizer.windowGroupLimitThreshold",
+            "1000").toLong < TokenBudget)
+          s.conf.set("spark.sql.optimizer.windowGroupLimitThreshold",
+            TokenBudget.toString)
+        val docs = new Tables(s, d).documents
+          .select(col("doc_id"), col("lang"),
+            size(expr(toksExpr)).cast("long").as("n_tok"))
+        val perLang = docs.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("w_scaled",
+            floor(sqrt(col("n_docs").cast("double")) * lit(1e6))
+              .cast("long"))
+        val budgets = perLang
+          .crossJoin(perLang.agg(sum(col("w_scaled")).as("w_total")))
+          .select(col("lang"),
+            expr(s"(cast($TokenBudget as bigint) * w_scaled)" +
+              " div w_total").as("budget"))
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("gate"), col("doc_id"))
+        docs
+          .withColumn("gate",
+            md5(concat(lit("budget:"), col("doc_id").cast("string"))))
+          .withColumn("samp_rank", row_number().over(w).cast("long"))
+          .filter(col("samp_rank") <= lit(TokenBudget))
+          .withColumn("cum_tok",
+            sum(col("n_tok")).over(w.rowsBetween(
+              Window.unboundedPreceding, Window.currentRow)))
+          .join(broadcast(budgets), "lang")
+          .filter(col("cum_tok") - col("n_tok") < col("budget"))
+          .select(col("lang"), col("samp_rank"), col("doc_id"),
+            col("n_tok"), col("cum_tok"), col("budget"))
+          .orderBy(col("lang"), col("samp_rank"))
+      },
+      Some(s"""WITH docs AS (SELECT doc_id, lang,
+            CAST(len(string_split_regex(lower(trim(text)), '\\s+'))
+              AS BIGINT) AS n_tok,
+            md5('budget:' || CAST(doc_id AS VARCHAR)) AS gate
+          FROM documents),
+        per_lang AS (SELECT lang, count(*) AS n_docs
+          FROM docs GROUP BY lang),
+        wts AS (SELECT lang,
+            CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1e6) AS BIGINT)
+              AS w_scaled
+          FROM per_lang),
+        bud AS (SELECT lang,
+            (CAST($TokenBudget AS BIGINT) * w_scaled)
+              // (SELECT CAST(SUM(w_scaled) AS BIGINT) FROM wts)
+              AS budget
+          FROM wts),
+        ranked AS (SELECT lang, doc_id, n_tok,
+            CAST(ROW_NUMBER() OVER (PARTITION BY lang
+              ORDER BY gate, doc_id) AS BIGINT) AS samp_rank,
+            CAST(SUM(n_tok) OVER (PARTITION BY lang
+              ORDER BY gate, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_tok
+          FROM docs)
+        SELECT r.lang, samp_rank, doc_id, n_tok, cum_tok, b.budget
+        FROM ranked r JOIN bud b ON b.lang = r.lang
+        WHERE cum_tok - n_tok < b.budget
+        ORDER BY r.lang, samp_rank""")),
 
     // ----- p07: PERPLEXITY-TERCILE PARTITION — CCNet's language-model
     // quality bucketing (Wenzek et al. 2020, public): score every doc

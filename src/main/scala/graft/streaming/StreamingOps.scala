@@ -1165,5 +1165,54 @@ object StreamingOps {
         s.read.parquet(s"$out/*").orderBy(col("doc_id"))
       },
       Some(graft.operators.Pipeline.dsirOracleSql))
+    ,
+
+    // ----- st22: STREAMING PERCEPTUAL ADMISSION GATE — m08 run
+    // where media dedup actually runs in production: on the ingest
+    // stream (the st15 shape for the multimodal family). The banded
+    // perceptual-hash index over the historical corpus (the video
+    // stripe minus today's %5==0 delta) is built and persisted once
+    // "nightly"; each micro-batch fingerprints ONLY ITS OWN media
+    // docs and band-joins the index — per-batch work O(|batch|·bands)
+    // probe rows, the corpus scanned never re-hashed. Banding is
+    // lossless at the adaptive threshold (pigeonhole), so the gate is
+    // recall-safe by construction: no near-dup within hamming ≤
+    // bands−1 is ever admitted as new. Per-doc answers depend only on
+    // the doc's own text + the static index, so batch slicing changes
+    // nothing and one SQL gates any slicing (the st14/st21
+    // discipline).
+    QueryDef(
+      "st22_stream_perceptual_gate",
+      (s, d) => {
+        import graft.operators.{Dedup, Multimodal}
+        val corpus = s.read.parquet(s"$d/documents.parquet")
+          .filter(col("doc_id") % 3 === 2)
+          .filter(col("doc_id") % 5 =!= 0)
+          .select(col("doc_id"), col("text"))
+        val bands = Dedup.adaptiveSimHashBands(
+          Multimodal.PHashBits, corpus.count())
+        // the nightly index: banded corpus signatures, persisted once
+        val idxDir = Files.createTempDirectory("graft_st22_idx").toString
+        Multimodal.bandedPhash(corpus, bands)
+          .write.mode("overwrite").parquet(idxDir)
+        val idx = s.read.parquet(idxDir)
+        val out = Files.createTempDirectory("graft_st22_out").toString
+        val q = docStream(s, d)
+          .filter(col("doc_id") % 3 === 2)
+          .filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), col("text"))
+          .writeStream
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft_st22_ckpt").toString)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            Multimodal.perceptualGateBatch(batch, idx, bands)
+              .write.mode("overwrite").parquet(s"$out/b$batchId")
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.read.parquet(s"$out/*").orderBy(col("doc_id"))
+      },
+      Some(graft.operators.Multimodal.perceptualGateOracleSql))
   )
 }

@@ -91,6 +91,9 @@ class PlanAuditSpec extends SparkSpec {
         "itself is per-row — swap in s09's index path at scale"),
     "p05_cluster_balanced_sample" ->
       "broadcast 8-centroid affinity (s04's assignment shape, not O(n²))",
+    "p09_token_budget_mix" ->
+      ("5x1 scalar combine (per-language weight total) broadcast " +
+        "back as the budget dim — not all-pairs"),
     "p08_dsir_resample" ->
       ("broadcast 1-row scalar combines: the bucket-model totals and " +
         "the global weight min/max (the B=256 model itself broadcasts " +
