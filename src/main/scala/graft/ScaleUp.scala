@@ -151,6 +151,15 @@ object ScaleUp {
       // append actually costs at that scale)
       "s26_pq_compaction",
       "s27_recall_drift_audit",
+      // r17 session 3: perceptual media dedup — the per-copy token
+      // renaming is character-deterministic, so a tail-edit near-dup
+      // pair's shared PREFIX BLOCKS stay byte-aligned inside every
+      // copy (within-copy pair structure preserved) while cross-copy
+      // block contents are unrelated md5s (hash-luck tail only, the
+      // d04 population the adaptive bands exist to shed); wall must
+      // stay linear — signature pass + banded join at occupancy
+      // n/2^bandBits
+      "m08_perceptual_dedup",
       // r17 session 2: DSIR importance resampling — hash+score is
       // map-only, models are 256-row broadcasts, so wall must stay
       // linear; kept-count retention reads as cross-decade STABILITY

@@ -29,12 +29,13 @@ object Multimodal {
       n_bytes: Long, width: Int, height: Int, n_frames: Int,
       checksum: String)
 
-  /** m08's signature width: 60 bits (15 hex nibbles — the d04
-    * md5-derivation bound), one per fixed 16-char payload block, so
-    * the fingerprint covers the leading 960 bytes of decoded content
-    * at fixed granularity. Declared BEFORE `queries` — the oracle
-    * string is materialized at object init (the p03/p08 init-order
-    * trap). */
+  /** m08's signature width: 60 grid positions (the d04 bit-width
+    * convention); every 16-char payload block folds onto position
+    * (block index mod 60), so the WHOLE payload reaches the
+    * fingerprint at fixed output size — pHash's
+    * downscale-the-whole-image discipline. Declared BEFORE `queries`
+    * — the oracle string is materialized at object init (the p03/p08
+    * init-order trap). */
   private[graft] val PHashBits = 60
 
   /** STUB decoder: a real implementation would parse the container
@@ -467,14 +468,17 @@ object Multimodal {
     // over decoded media (exact-checksum dedup catches only
     // bit-identical payloads; re-encoded / tail-edited copies need a
     // content-stable fingerprint). pHash's structure on the stub
-    // codec: the decoded payload is cut into 60 FIXED-POSITION
-    // blocks (pHash's downscaled pixel grid), each block contributes
-    // one content bit (md5 top bit — any block edit flips its bit
-    // with p=1/2, every untouched block contributes identically),
+    // codec: EVERY 16-char payload block folds onto a fixed
+    // 60-position grid (block j → position j mod 60, parity per
+    // position) — the whole payload reaches the signature at fixed
+    // output size, pHash's downscale-the-whole-image discipline (a
+    // leading-window signature collided template-sharing docs into
+    // quadratic pair clusters at ×100 — the r17-s3 probe lesson); a
+    // block edit flips only its own position's parity with p=1/2,
     // and near-dups are pairs within hamming ≤ bands−1, found by
     // d04's lossless band-bucket join (pigeonhole), NEVER all-pairs.
-    // Fixed-position blocks are append/truncate-robust (the corpus's
-    // observed duplication mode: tail-edited copies) and
+    // Position-stable folding is append/truncate-robust (the
+    // corpus's observed duplication mode: tail-edited copies) and
     // alignment-sensitive to interior insertions — that trade is
     // pHash's own (grid-stable, not shift-invariant); shingle-level
     // shift robustness is d03/d09's job upstream. Band count follows
@@ -496,20 +500,32 @@ object Multimodal {
       Some(perceptualOracleSql))
   )
 
-  /** Per-doc perceptual hash over `docs` (doc_id, text): bit b = top
-    * md5 bit of the b-th fixed-position 16-char block. Deterministic
-    * and cross-engine exact (md5 = md5; empty tail blocks hash a
-    * constant, contributing identically to every doc). */
+  /** Per-doc perceptual hash over `docs` (doc_id, text): the WHOLE
+    * payload folds onto a fixed 60-position grid — block j (16
+    * chars) contributes its md5 top bit to position j mod 60, and
+    * each position's bit is the PARITY of its blocks' bits (exact
+    * integer arithmetic, cross-engine identical). This is pHash's
+    * downscale-the-whole-image discipline: every byte of content
+    * reaches the signature, so two documents sharing only a prefix
+    * template do NOT collide (the r17-s3 lesson: a leading-960-byte
+    * signature collided template-sharing docs into quadratic pair
+    * clusters at ×100 — retention 3.38), while a tail edit still
+    * touches only its own blocks' positions. */
   private[graft] def perceptualHashesOf(docs: DataFrame): DataFrame =
     docs
+      .withColumn("nb",
+        greatest(lit(1), expr("cast((length(text) + 15) div 16 as int)")))
       .select(col("doc_id"),
-        explode(expr(s"sequence(0, ${PHashBits - 1})")).as("b"),
+        explode(expr("sequence(0, nb - 1)")).as("j"),
         col("text"))
+      .withColumn("pos", (col("j") % PHashBits).cast("int"))
       .withColumn("bit",
-        (conv(substring(md5(expr("substr(text, b * 16 + 1, 16)")), 1, 1),
+        (conv(substring(md5(expr("substr(text, j * 16 + 1, 16)")), 1, 1),
           16, 10).cast("int") >= 8).cast("int"))
+      .groupBy(col("doc_id"), col("pos"))
+      .agg((sum(col("bit")) % 2).as("par"))
       .groupBy(col("doc_id"))
-      .agg(sum(expr("bit * cast(pow(2, b) as bigint)")).as("phash"))
+      .agg(sum(expr("par * cast(pow(2, pos) as bigint)")).as("phash"))
       .select(col("doc_id"), col("phash").cast("long").as("phash"))
 
   /** [[perceptualHashesOf]] exploded to its (band, chunk) bucket
@@ -599,17 +615,24 @@ object Multimodal {
   /** The per-doc signature chain as composable CTEs ending at `name`
     * (doc_id, phash) over `pred`-selected documents — shared by the
     * m08 and st22 twins so the fingerprint definition cannot drift
-    * between the batch dedup and the streaming gate. */
+    * between the batch dedup and the streaming gate. Whole-payload
+    * fold: block j → position j mod 60, parity per position (the
+    * engine chain CTE-for-CTE). */
   private def phashSigCtes(name: String, pred: String): String =
-    s"""${name}b AS (SELECT doc_id, b,
-          md5(substr(text, b * 16 + 1, 16)) AS bm
-        FROM (SELECT doc_id, text FROM documents WHERE $pred),
-          UNNEST(generate_series(0, ${PHashBits - 1})) AS t(b)),
+    s"""${name}b AS (SELECT doc_id, CAST(j % ${PHashBits} AS INT) AS pos,
+          CASE WHEN ('0x' || substr(
+              md5(substr(text, j * 16 + 1, 16)), 1, 1))::INT >= 8
+            THEN 1 ELSE 0 END AS bit
+        FROM (SELECT doc_id, text,
+            GREATEST(1, CAST((length(text) + 15) // 16 AS INT)) AS nb
+          FROM documents WHERE $pred),
+          UNNEST(generate_series(0, nb - 1)) AS t(j)),
+      ${name}p AS (SELECT doc_id, pos, SUM(bit) % 2 AS par
+        FROM ${name}b GROUP BY doc_id, pos),
       $name AS (SELECT doc_id,
-          CAST(SUM(CASE WHEN ('0x' || substr(bm, 1, 1))::INT >= 8
-            THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT)
+          CAST(SUM(par * CAST(pow(2, pos) AS BIGINT)) AS BIGINT)
             AS phash
-        FROM ${name}b GROUP BY doc_id)"""
+        FROM ${name}p GROUP BY doc_id)"""
 
   /** m08's twin: same signature, all-pairs hamming check (banding is
     * lossless, so the engine's banded join must emit exactly these
