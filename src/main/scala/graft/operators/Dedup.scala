@@ -985,8 +985,9 @@ object Dedup {
   }
 
   /** d07's edge relation: the verified near-dup pairs (same predicate
-    * as d02), symmetrized. */
-  private def nearDupEdges(s: SparkSession, d: String): DataFrame = {
+    * as d02), symmetrized. private[graft]: p10's leakage-free cluster
+    * split reuses the exact edge builder its clusters derive from. */
+  private[graft] def nearDupEdges(s: SparkSession, d: String): DataFrame = {
     val pairs = jaccardPairs(s, d)
       .filter(col("jaccard") >= 0.5)
       .select(col("id_a"), col("id_b"))

@@ -283,8 +283,9 @@ object Pipeline {
     // VERIFIED near-dup pair relation (d02's df-capped shingle
     // jaccard >= 0.5) against both endpoints' splits and rolls up
     // counts per unordered split pair. Cross-split rows with
-    // n_pairs > 0 are the leakage report; the fix is d08's scrub or
-    // re-assignment by CLUSTER (d07) instead of by doc.
+    // n_pairs > 0 are the leakage report; the fixes are d08's scrub
+    // (drop the dups) or p10's by-CLUSTER re-assignment (keep them,
+    // quarantined to one side of the eval boundary) — both shipped.
     // Scale: the pair relation is the d02 machinery (linear, df-cap
     // bounded); the split column is a per-row projection; the rollup
     // is 6 groups. Nothing new shuffles at 100 TB.
@@ -558,6 +559,108 @@ object Pipeline {
         FROM ranked r JOIN bud b ON b.lang = r.lang
         WHERE cum_tok - n_tok < b.budget
         ORDER BY r.lang, samp_rank""")),
+
+    // ----- p10: LEAKAGE-FREE CLUSTER SPLIT — the FIX p04's audit
+    // report points at ("re-assignment by CLUSTER (d07) instead of
+    // by doc"), now built: assignment hashes the near-dup CLUSTER's
+    // identity (d07's converged min-label) instead of the document's,
+    // so every member of a near-dup cluster lands in the SAME split
+    // and cross-split near-dup leakage is zero BY CONSTRUCTION — not
+    // by scrubbing after the fact (d08's alternative drops the dups;
+    // this keeps them but quarantines the cluster to one side of the
+    // eval boundary, the choice that preserves training tokens).
+    // Output is p04's audit matrix verbatim so the two reports
+    // diff directly: same schema, cross-split n_pairs now 0 and
+    // leaky false on every row (ClusterSplitSpec pins both, plus
+    // that p04's by-doc split genuinely leaks on the same corpus).
+    // Scale: d07's propagation (linear rounds over the verified edge
+    // relation, already probed), one hash projection, the same
+    // 6-group rollup; singleton docs are their own cluster, so the
+    // split stays ~12/2/2 sixteenths.
+    QueryDef(
+      "p10_cluster_split",
+      (s, d) => {
+        val docsIds = new Tables(s, d).documents.select(col("doc_id"))
+        val edges = Dedup.nearDupEdges(s, d).cache()
+        val labels = Dedup.propagateLabels(docsIds, edges)._1
+        edges.unpersist()
+        val splitExpr = expr(
+          """CASE WHEN substring(md5(concat('split:',
+               cast(cluster_id as string))), 1, 1) < 'c' THEN 'train'
+             WHEN substring(md5(concat('split:',
+               cast(cluster_id as string))), 1, 1) < 'e' THEN 'val'
+             ELSE 'test' END""")
+        val splits = labels.select(col("doc_id"), splitExpr.as("split"))
+        val sizes = splits.groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"))
+        val pairs = Dedup.jaccardPairs(s, d)
+          .filter(col("jaccard") >= 0.5)
+          .join(splits.select(col("doc_id").as("id_a"),
+            col("split").as("sa")), "id_a")
+          .join(splits.select(col("doc_id").as("id_b"),
+            col("split").as("sb")), "id_b")
+          .groupBy(least(col("sa"), col("sb")).as("split_a"),
+            greatest(col("sa"), col("sb")).as("split_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+        import s.implicits._
+        val combos = Seq("test", "train", "val")
+          .combinations(2).map(c => (c(0), c(1))).toSeq
+          .++(Seq(("test", "test"), ("train", "train"), ("val", "val")))
+          .toDF("split_a", "split_b")
+        combos
+          .join(pairs, Seq("split_a", "split_b"), "left")
+          .join(sizes.withColumnRenamed("split", "split_a")
+            .withColumnRenamed("n_docs", "n_docs_a"), "split_a")
+          .join(sizes.withColumnRenamed("split", "split_b")
+            .withColumnRenamed("n_docs", "n_docs_b"), "split_b")
+          .select(col("split_a"), col("split_b"),
+            col("n_docs_a"), col("n_docs_b"),
+            coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+            (col("split_a") =!= col("split_b")
+              && coalesce(col("n_pairs"), lit(0L)) > 0).as("leaky"))
+          .orderBy(col("split_a"), col("split_b"))
+      },
+      Some(s"""WITH RECURSIVE ${Dedup.jaccardPairsSql()},
+        edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM jac
+                    WHERE jaccard >= 0.5
+                  UNION ALL
+                  SELECT id_b, id_a FROM jac WHERE jaccard >= 0.5),
+        reach(src, dst) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        lbl AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+                FROM reach GROUP BY src),
+        splits AS (SELECT doc_id,
+            CASE WHEN substr(md5('split:'
+                   || CAST(cluster_id AS VARCHAR)), 1, 1)
+                   < 'c' THEN 'train'
+                 WHEN substr(md5('split:'
+                   || CAST(cluster_id AS VARCHAR)), 1, 1)
+                   < 'e' THEN 'val'
+                 ELSE 'test' END AS split
+          FROM lbl),
+        sizes AS (SELECT split, COUNT(*) AS n_docs FROM splits
+                  GROUP BY split),
+        sp AS (SELECT LEAST(a.split, b.split) AS split_a,
+            GREATEST(a.split, b.split) AS split_b, COUNT(*) AS n_pairs
+          FROM jac j
+          JOIN splits a ON a.doc_id = j.id_a
+          JOIN splits b ON b.doc_id = j.id_b
+          WHERE j.jaccard >= 0.5
+          GROUP BY 1, 2),
+        combos(split_a, split_b) AS (VALUES
+          ('test', 'train'), ('test', 'val'), ('train', 'val'),
+          ('test', 'test'), ('train', 'train'), ('val', 'val'))
+        SELECT c.split_a, c.split_b, sa.n_docs AS n_docs_a,
+          sb.n_docs AS n_docs_b,
+          CAST(COALESCE(sp.n_pairs, 0) AS BIGINT) AS n_pairs,
+          c.split_a <> c.split_b AND COALESCE(sp.n_pairs, 0) > 0 AS leaky
+        FROM combos c
+        JOIN sizes sa ON sa.split = c.split_a
+        JOIN sizes sb ON sb.split = c.split_b
+        LEFT JOIN sp ON sp.split_a = c.split_a AND sp.split_b = c.split_b
+        ORDER BY c.split_a, c.split_b""")),
 
     // ----- p07: PERPLEXITY-TERCILE PARTITION — CCNet's language-model
     // quality bucketing (Wenzek et al. 2020, public): score every doc
