@@ -160,6 +160,13 @@ object ScaleUp {
       // stay linear — signature pass + banded join at occupancy
       // n/2^bandBits
       "m08_perceptual_dedup",
+      // r17 session 3: token-budget mixture — the WindowGroupLimit
+      // claim probed: the budget is constant, so kept rows are
+      // ~constant across decades (retention ~1/K by design) and the
+      // WALL is the signal — the rank prune keeps the per-language
+      // sort+shuffle budget-bounded, so time_ratio must stay far
+      // below K (the tokenize+rank scan is the only linear term)
+      "p09_token_budget_mix",
       // r17 session 2: DSIR importance resampling — hash+score is
       // map-only, models are 256-row broadcasts, so wall must stay
       // linear; kept-count retention reads as cross-decade STABILITY
