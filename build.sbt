@@ -9,6 +9,9 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// Surface dead locals at compile time (warning-only): unused vals in
+// query builders are stray jobs waiting to happen if ever evaluated.
+scalacOptions += "-Wunused:locals"
 Test / fork := true
 run / fork := true
 // Pass the forked program's stdout/stderr through UNDECORATED: the

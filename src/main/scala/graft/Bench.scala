@@ -54,6 +54,11 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // rank-literal prunes up to p09's token budget rewrite to
+      // map-side WindowGroupLimits (semantics-preserving; harness
+      // default so no QueryDef has to mutate session conf)
+      .config("spark.sql.optimizer.windowGroupLimitThreshold",
+        operators.Pipeline.TokenBudget.toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // dev-loop what-if dials (driver never sets it): `;`- or

@@ -23,6 +23,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // rank-literal prunes up to p09's token budget rewrite to
+      // map-side WindowGroupLimits (semantics-preserving; harness
+      // default so no QueryDef has to mutate session conf)
+      .config("spark.sql.optimizer.windowGroupLimitThreshold",
+        operators.Pipeline.TokenBudget.toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -601,14 +601,34 @@ object Multimodal {
         .filter(col("doc_id") % 3 === 2).count()).longValue()
 
   /** The adaptive band geometry as a SQL CTE —
-    * [[Dedup.adaptiveSimHashBands]] at 60 bits, thresholds as integer
-    * literals, n = COUNT(*) over `pred` (the reference population the
-    * engine sizes its bands from). */
+    * [[Dedup.adaptiveSimHashBands]] at [[PHashBits]] bits, thresholds
+    * as integer literals, n = COUNT(*) over `pred` (the reference
+    * population the engine sizes its bands from). The WHEN-ladder
+    * literals are GENERATED from the Scala rule, not hand-copied (the
+    * r17 ADVICE low: restated literals would silently split engine
+    * and oracle if the rule ever moved): each candidate band count b
+    * maps to the largest n the rule still assigns it, and that
+    * boundary is verified against [[Dedup.adaptiveSimHashBands]]
+    * itself at construction — a rule change that invalidates a
+    * boundary fails fast here instead of hash-mismatching only when a
+    * corpus straddles it. */
+  private[graft] def phashGeomWhens: Seq[String] =
+    (4 to 2 by -1).filter(PHashBits % _ == 0).map { b =>
+      val e = PHashBits / b
+      if (e >= 62) s"WHEN TRUE THEN $b"
+      else {
+        val bound = (1L << e) / 4L // occupancy ≤ 1/4: 2^e ≥ 4n
+        require(Dedup.adaptiveSimHashBands(PHashBits, bound) == b
+            && Dedup.adaptiveSimHashBands(PHashBits, bound + 1) != b,
+          s"phash band boundary $bound out of sync with " +
+            s"adaptiveSimHashBands at $PHashBits bits, band $b")
+        s"WHEN n <= $bound THEN $b"
+      }
+    }
+
   private def phashGeomCte(pred: String): String =
     s"""geom AS (SELECT CASE
-          WHEN n <= 8192 THEN 4
-          WHEN n <= 262144 THEN 3
-          WHEN n <= 268435456 THEN 2
+          ${phashGeomWhens.mkString("\n          ")}
           ELSE 1 END AS bands
         FROM (SELECT COUNT(*) AS n FROM documents WHERE $pred))"""
 

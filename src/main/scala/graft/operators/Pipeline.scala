@@ -362,17 +362,22 @@ object Pipeline {
     // ----- p05: CLUSTER-BALANCED SAMPLE — diversity-aware subset
     // selection over the embedding space (the SemDeDup-adjacent
     // "don't let one dense mode dominate the sample" step): every
-    // vector is assigned to its nearest of 8 centroids (s04's
-    // training-free coarse quantizer — broadcast affinity, the IVF
-    // assignment shape; swap in s08's Lloyd-trained centroids
-    // unchanged), then each cluster contributes an EQUAL quota of 16,
-    // picked by deterministic md5 order (t09's RNG-free discipline).
-    // A plain md5 sample of the same total size would apportion by
-    // cluster mass; the quota caps every mode at 16.
-    // Scale: centroids broadcast (k tiny); assignment is map-side;
-    // the per-cluster pick is rank<=quota over the cid key — Spark's
-    // WindowGroupLimit pushes the top-k down map-side, so the 8-key
-    // skew never materializes a full per-cluster sort.
+    // vector is assigned to its nearest of 8 LLOYD-TRAINED centroids
+    // (s08's one-round k-means, shared via Similarity.lloydCentroids
+    // — the r17 VERDICT item 3: on skewed embedding distributions
+    // untrained seed centroids made "cluster-balanced" closer to
+    // "hash-balanced"; trained means track the actual modes), then
+    // each cluster contributes an EQUAL quota of 16, picked by
+    // deterministic md5 order (t09's RNG-free discipline). A plain
+    // md5 sample of the same total size would apportion by cluster
+    // mass; the quota caps every mode at 16. ClusterBalanceSpec pins
+    // the balance property on a skewed synthetic mode.
+    // Scale: one extra broadcast round for the training pass
+    // (centroids broadcast, k tiny; the update is one shuffle keyed
+    // (cluster, dim)); assignment stays map-side; the per-cluster
+    // pick is rank<=quota over the cid key — Spark's WindowGroupLimit
+    // pushes the top-k down map-side, so the 8-key skew never
+    // materializes a full per-cluster sort.
     QueryDef(
       "p05_cluster_balanced_sample",
       (s, d) => {
@@ -380,16 +385,8 @@ object Pipeline {
         val e = new Tables(s, d).embeddings
           .withColumn("nrm", expr("vec_norm(embedding)"))
           .select(col("vec_id"), col("embedding").as("v"), col("nrm"))
-        val cents = e.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("cid"), col("v").as("cv"),
-            col("nrm").as("cnrm"))
-        val wAssign = Window.partitionBy(col("vec_id"))
-          .orderBy(col("cs").desc, col("cid"))
-        val assigned = e.crossJoin(broadcast(cents))
-          .withColumn("cs",
-            expr("vec_dot(v, cv)") / (col("nrm") * col("cnrm")))
-          .withColumn("rn", row_number().over(wAssign))
-          .filter(col("rn") === 1)
+        val assigned = graft.operators.Similarity
+          .lloydAssign(e, graft.operators.Similarity.lloydCentroids(e))
           .select(col("vec_id"), col("cid"),
             md5(concat(lit("p05:"), col("vec_id").cast("string")))
               .as("gate"))
@@ -402,21 +399,20 @@ object Pipeline {
             col("vec_id"))
           .orderBy(col("cid"), col("pick_rank"))
       },
-      Some("""WITH e AS (SELECT vec_id, v,
+      Some(s"""WITH e AS (SELECT vec_id, v,
             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
           FROM (SELECT vec_id,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                 FROM embeddings)),
-        cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM e
-                 WHERE vec_id < 8),
+        ${graft.operators.Similarity.lloydCtesSql("e")},
         assigned AS (SELECT vec_id, cid,
             md5('p05:' || CAST(vec_id AS VARCHAR)) AS gate
-          FROM (SELECT e.vec_id, cent.cid,
+          FROM (SELECT e.vec_id, c1.cid,
               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-                list_sum(list_transform(list_zip(e.v, cent.cv),
-                  t -> t[1] * t[2])) / (e.nrm * cent.cnrm) DESC,
-                cent.cid) AS rn
-            FROM e, cent)
+                list_sum(list_transform(list_zip(e.v, c1.c),
+                  t -> t[1] * t[2])) / (e.nrm * c1.cnrm) DESC,
+                c1.cid) AS rn
+            FROM e, cent1 c1)
           WHERE rn = 1)
         SELECT cid, CAST(pick_rank AS BIGINT) AS pick_rank, vec_id FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY cid
@@ -494,14 +490,14 @@ object Pipeline {
       (s, d) => {
         // the rank prune only rewrites to a WindowGroupLimit when the
         // literal is at or below the optimizer threshold (default
-        // 1000) — raise it to the budget, or the whole corpus rides
-        // the 5-partition language exchange (the skew this op's plan
-        // shape exists to avoid). Left set: optimization happens at
-        // action time, after this builder returns.
-        if (s.conf.get("spark.sql.optimizer.windowGroupLimitThreshold",
-            "1000").toLong < TokenBudget)
-          s.conf.set("spark.sql.optimizer.windowGroupLimitThreshold",
-            TokenBudget.toString)
+        // 1000) — the HARNESS session defaults raise it to
+        // [[TokenBudget]] (Verify/Bench/ScaleUp/SparkSpec builders;
+        // CONFIGURATION.md "Token-budget mixtures"). The builder
+        // itself never mutates session conf (a r17 ADVICE item: a
+        // silent in-builder set leaked an altered optimizer threshold
+        // into every later query's plan). Without the conf the plan
+        // is still CORRECT, just corpus-bounded instead of
+        // budget-bounded; P09ConfHygieneSpec pins both properties.
         val docs = new Tables(s, d).documents
           .select(col("doc_id"), col("lang"),
             size(expr(toksExpr)).cast("long").as("n_tok"))

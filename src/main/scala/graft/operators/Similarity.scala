@@ -468,6 +468,20 @@ object Similarity {
     * |sample|·corpus regardless of corpus size. */
   private[graft] val HybridSampleE = 32L
 
+  /** s28 index-backed MMR: E[sampled queries] for its own
+    * md5-Bernoulli gate over the odd (query-side) vec_ids — the
+    * serving-batch shape (s21's discipline; a deployment passes its
+    * live query batch instead). Salt "mmr:" keeps the sample
+    * independent of the hybrid one. */
+  private[graft] val MmrSampleE = 32L
+
+  /** MMR candidate depth: the top-k cosine (s15) / exact-reranked
+    * (s28) candidates the greedy fold diversifies over. */
+  private[graft] val MmrCandidates = 16
+
+  /** MMR picks per query. */
+  private[graft] val MmrPickK = 5
+
   private val evenCountCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
@@ -1459,12 +1473,16 @@ object Similarity {
     refreshIndexTables(s, Seq("s18_pq_codes", "s18_pq_meta"))
     val scanKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     val prev = s.conf.get(scanKey, "true")
-    s.conf.set(scanKey, "false")
-    try {
-      swapCompact(s, "s18_pq_codes", (df, path, staging) =>
+    val superseded = {
+      s.conf.set(scanKey, "false")
+      try swapCompact(s, "s18_pq_codes", (df, path, staging) =>
         df.write.mode("overwrite").option("path", path)
           .bucketBy(8, "cid").sortBy("cid").saveAsTable(staging))
-    } finally s.conf.set(scanKey, prev)
+      finally s.conf.set(scanKey, prev)
+    }
+    // stamp the bumped generation BEFORE deleting the superseded
+    // files (see swapCompact's Scaladoc): a crash in between leaves
+    // the old generation readable for any cache still holding it
     val m = s.table("s18_pq_meta").head()
     import s.implicits._
     val p = s"${System.getProperty("java.io.tmpdir")}/graft_s18_pq_meta-" +
@@ -1477,6 +1495,7 @@ object Similarity {
         "gen", "cand_recall", "scope")
       .write.mode("overwrite").option("path", p)
       .saveAsTable("s18_pq_meta")
+    deleteDir(superseded)
   }
 
   /** RECALL-DRIFT AUDIT (s27) — the measured trigger behind
@@ -1495,8 +1514,9 @@ object Similarity {
     * measurement instead of a calendar. Cost: the |sample|·n exact
     * referee (the same bounded pass every build pays) + |sample|
     * routings — noise next to the append it accompanies. */
-  private[graft] def auditPqRecall(s: SparkSession, d: String)
-      : DataFrame = {
+  private[graft] def auditPqRecall(s: SparkSession, d: String,
+      floorOverride: Option[Double] = None,
+      driftOverride: Option[Double] = None): DataFrame = {
     val idx = loadPqIndex(s)
     val e = vecs(s, d)
     val corpus = e.filter(col("vec_id") % 2 === 0)
@@ -1518,8 +1538,10 @@ object Similarity {
       .join(idx.cellm.select(col("c_id"), col("cid")), "c_id")
     val hit = nnCell.join(probed, Seq("q_id", "cid"))
     val m = s.table("s18_pq_meta").head()
-    val floor = minCandRecall(s).getOrElse(-1.0)
-    val driftMax = maxRecallDrift(s).getOrElse(-1.0)
+    // explicit thresholds (maintainPqIndex's callers) win over the
+    // session dials; -1 = that trigger disabled, like the conf path
+    val floor = floorOverride.orElse(minCandRecall(s)).getOrElse(-1.0)
+    val driftMax = driftOverride.orElse(maxRecallDrift(s)).getOrElse(-1.0)
     sq.agg(count(lit(1)).as("n_sample"))
       .crossJoin(broadcast(hit.agg(count(lit(1)).as("hits"))))
       .withColumn("measured_recall",
@@ -1532,6 +1554,30 @@ object Similarity {
           (lit(driftMax) >= 0.0 && col("drift") > lit(driftMax)))
       .select(col("n_sample"), col("hits"), col("measured_recall"),
         col("build_recall"), col("drift"), col("rebuild_due"))
+  }
+
+  /** CLOSE THE DRIFT-AUDIT LOOP (s29; the r17 VERDICT's item 2):
+    * run [[auditPqRecall]]'s measured audit against the CURRENT
+    * index generation and, when `rebuild_due`, rebuild from scratch
+    * and persist — the generation bump carries the fresh index into
+    * running serving streams ([[PqIndexCache]]) on their next
+    * micro-batch, no restart. This is the consumer the audit's
+    * verdict bit existed for: the nightly maintenance job calls this
+    * instead of reading the report by hand, and "append nightly,
+    * rebuild weekly or on measured drift" (CONFIGURATION.md) becomes
+    * one entry point. Thresholds default to the session dials
+    * (`spark.graft.minCandRecall` / `spark.graft.maxRecallDrift`);
+    * explicit overrides exist for callers that branch on a policy of
+    * their own. Returns whether a rebuild ran. The audit read is ONE
+    * bounded row (a planning read, not a data path); the rebuild is
+    * the same build+persist every nightly full build pays. */
+  private[graft] def maintainPqIndex(s: SparkSession, d: String,
+      floorOverride: Option[Double] = None,
+      driftOverride: Option[Double] = None): Boolean = {
+    val due = auditPqRecall(s, d, floorOverride, driftOverride)
+      .head().getAs[Boolean]("rebuild_due")
+    if (due) persistPqIndex(s, d, buildPqIndex(s, d))
+    due
   }
 
   /** s27's twin: the s24 two-phase chain (train + calibrate on the
@@ -2557,15 +2603,19 @@ object Similarity {
   private[graft] def compactLexIndex(s: SparkSession, d: String): Unit = {
     val scanKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     val prev = s.conf.get(scanKey, "true")
-    s.conf.set(scanKey, "false")
-    try {
-      swapCompact(s, "s21_lex_post", (df, path, staging) =>
-        df.write.mode("overwrite").option("path", path)
-          .bucketBy(8, "term").sortBy("term").saveAsTable(staging))
-      swapCompact(s, "s21_lex_dl", (df, path, staging) =>
-        df.coalesce(8).write.mode("overwrite").option("path", path)
-          .saveAsTable(staging))
-    } finally s.conf.set(scanKey, prev)
+    val superseded = {
+      s.conf.set(scanKey, "false")
+      try Seq(
+        swapCompact(s, "s21_lex_post", (df, path, staging) =>
+          df.write.mode("overwrite").option("path", path)
+            .bucketBy(8, "term").sortBy("term").saveAsTable(staging)),
+        swapCompact(s, "s21_lex_dl", (df, path, staging) =>
+          df.coalesce(8).write.mode("overwrite").option("path", path)
+            .saveAsTable(staging)))
+      finally s.conf.set(scanKey, prev)
+    }
+    // gen bump BEFORE the superseded dirs go (swapCompact's contract
+    // — same crash-window discipline as compactPqCodes)
     val m = s.table("s21_lex_meta").head()
     import s.implicits._
     lexSave(s, d,
@@ -2574,14 +2624,29 @@ object Similarity {
         m.getAs[String]("scope"), m.getAs[Long]("gen") + 1L))
         .toDF("nd", "tl", "corpus_dir", "schema_ver", "scope", "gen"),
       "s21_lex_meta", None)
+    superseded.foreach(deleteDir)
   }
 
   /** One table's generation swap: rewrite `live` into the sibling
     * generation dir via `write(frame, nextPath, stagingName)`, then
-    * DROP + RENAME and remove the superseded generation. Recovery for
-    * the drop/rename window runs FIRST (see [[compactLexIndex]]). */
+    * DROP + RENAME. Recovery for the drop/rename window runs FIRST
+    * (see [[compactLexIndex]]).
+    *
+    * Returns the SUPERSEDED generation's dir instead of deleting it:
+    * the caller deletes it only AFTER stamping the bumped meta
+    * generation (the r17 ADVICE low on [[compactPqCodes]] — a crash
+    * between the swap and the meta write used to leave the new
+    * layout under the OLD generation, so a serving [[PqIndexCache]]
+    * never saw a gen change and kept a file listing pointing at
+    * deleted fragments). With delete-after-meta, a crash anywhere in
+    * the window leaves the old files on disk and the serving cache
+    * either at (old gen, old files) or (new gen, new files) — both
+    * readable. Residual exposure: RE-RUNNING compaction after such a
+    * crash clears the orphaned sibling dir before the bump, so the
+    * nightly job should re-run a crashed compaction before streams
+    * resume (the single-writer maintenance-window contract). */
   private def swapCompact(s: SparkSession, live: String,
-      write: (DataFrame, String, String) => Unit): Unit = {
+      write: (DataFrame, String, String) => Unit): String = {
     val cat = s.sessionState.catalog
     val staging = live + "_next"
     val liveId = org.apache.spark.sql.catalyst.TableIdentifier(live)
@@ -2600,7 +2665,7 @@ object Similarity {
     write(s.table(live), next, staging)
     s.sql(s"DROP TABLE $live")
     s.sql(s"ALTER TABLE $staging RENAME TO $live")
-    deleteDir(cur)
+    cur
   }
 
   private[graft] def loadLexIndex(s: SparkSession): LexIndex = {
@@ -2718,7 +2783,6 @@ object Similarity {
     val qset = qdocs
       .select(col("q_id"), explode(col("qtoks")).as("term"))
       .distinct()
-    val qterms = qset.select(col("term")).distinct()
     val qtc = lex.dfT.join(broadcast(qset), Seq("term"))
       .filter(col("df") <= 100)
       .select(col("q_id"), col("term"), col("df"))
@@ -2771,6 +2835,230 @@ object Similarity {
         col("rrf_scaled"))
       .orderBy(col("q_id"), col("rank"))
   }
+
+  // ----------------------------------------------------------------
+  // MMR diversity rerank (s15/s28): ONE shared greedy stage over a
+  // packed per-query candidate array — s15 feeds it the all-pairs
+  // verification candidates (the exactness referee), s28 the
+  // persisted index's exact-reranked top-16 (the deployment shape).
+  // Sharing the fold AND its oracle tail keeps the two tiers
+  // definitionally identical: only candidate GENERATION differs.
+
+  /** Pack per-query MMR candidates (qid, r, id_b, cos_q, bv, nrm_b —
+    * r any deterministic per-query rank) into one array row per
+    * query: the bounded frame the sequential greedy fold evaluates
+    * per ROW, distributed across queries with zero extra shuffle. */
+  private def mmrPack(cand: DataFrame): DataFrame =
+    cand.groupBy(col("qid"))
+      .agg(sort_array(collect_list(struct(col("r"), col("id_b"),
+        col("cos_q"), col("bv"), col("nrm_b")))).as("cands"))
+
+  /** The MMR greedy selection (Carbonell & Goldstein 1998) over a
+    * [[mmrPack]]ed frame: pick [[MmrPickK]] of the candidates
+    * maximizing λ·rel(q,c) − (1−λ)·max_{p∈picked} sim(c,p), λ=0.7.
+    * One nested higher-order `aggregate` (5 steps × ≤16 argmax scans
+    * × 64-dim native vec_dot) per query row. Determinism: argmax
+    * uses the total order (score DESC, id ASC); scores are the same
+    * left-to-right double folds both engines compute, so the DuckDB
+    * recursive-CTE twin ([[mmrOracleTailSql]]) picks identical ids;
+    * per-rank scores are recomputed post-hoc from the picked prefix
+    * (same max over the same set = same IEEE double) on both sides. */
+  private def mmrSelect(packed: DataFrame): DataFrame = {
+    // sim(c, p) and the MMR score of candidate c against a picked
+    // id set, as SQL fragments (c, picked in lambda scope)
+    val sim = "vec_dot(c.bv, p.bv) / (c.nrm_b * p.nrm_b)"
+    val msim = s"""coalesce(aggregate(
+        filter(cands, p -> array_contains(picked, p.id_b)),
+        cast(null as double),
+        (m, p) -> CASE WHEN m IS NULL OR $sim > m THEN $sim ELSE m END),
+      cast(0.0 as double))"""
+    val sc = s"cast(0.7 as double) * c.cos_q" +
+      s" - cast(0.3 as double) * $msim"
+    val selExpr = s"""aggregate(
+        sequence(1, $MmrPickK),
+        cast(array() as array<bigint>),
+        (picked, step) -> array_append(picked,
+          aggregate(
+            filter(cands, c -> NOT array_contains(picked, c.id_b)),
+            cast(null as struct<id: bigint, sc: double>),
+            (best, c) -> CASE
+              WHEN best IS NULL OR $sc > best.sc
+                OR ($sc = best.sc AND c.id_b < best.id)
+              THEN named_struct('id', c.id_b, 'sc', $sc)
+              ELSE best END,
+            best -> best.id)))"""
+    // post-hoc per-rank score from the picked prefix (oracle twin
+    // recomputes identically from its recursive picked list)
+    val selv = "filter(cands, c -> c.id_b = sel_id)[0]"
+    val psim = s"vec_dot($selv.bv, p.bv) / ($selv.nrm_b * p.nrm_b)"
+    val pmsim = s"""coalesce(aggregate(
+        filter(cands, p -> array_contains(slice(picked, 1, pos), p.id_b)),
+        cast(null as double),
+        (m, p) -> CASE WHEN m IS NULL OR $psim > m THEN $psim ELSE m END),
+      cast(0.0 as double))"""
+    packed.withColumn("picked", expr(selExpr))
+      .select(col("qid"), col("cands"), col("picked"),
+        posexplode(col("picked")).as(Seq("pos", "sel_id")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
+        col("sel_id"),
+        expr(s"$selv.cos_q").as("relevance"),
+        (expr(s"cast(0.7 as double) * $selv.cos_q")
+          - expr(s"cast(0.3 as double) * $pmsim")).as("mmr_score"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** [[mmrSelect]]'s oracle tail, CTE-for-CTE: expects a `cand` CTE
+    * (qid, id_b, cos_q) — the packed candidates — and a vector CTE
+    * `vecCte` (vec_id, v, nrm) for the pairwise sims; emits csim →
+    * recursive greedy sel → post-hoc per-rank rescore, ending at the
+    * final SELECT. */
+  private def mmrOracleTailSql(vecCte: String,
+      candCte: String = "cand"): String =
+    s"""csim AS (SELECT c1.qid, c1.id_b AS id_x, c2.id_b AS id_y,
+            $dotSql / (a.nrm * b.nrm) AS sim
+          FROM $candCte c1 JOIN $candCte c2
+            ON c1.qid = c2.qid AND c1.id_b <> c2.id_b
+          JOIN $vecCte a ON a.vec_id = c1.id_b
+          JOIN $vecCte b ON b.vec_id = c2.id_b),
+        sel AS (
+          WITH RECURSIVE s(qid, step, picked) AS (
+            SELECT DISTINCT qid, 0, CAST([] AS BIGINT[]) FROM $candCte
+            UNION ALL
+            SELECT s.qid, s.step + 1,
+              list_append(s.picked, (
+                SELECT c.id_b FROM $candCte c
+                WHERE c.qid = s.qid AND NOT list_contains(s.picked, c.id_b)
+                ORDER BY CAST(0.7 AS DOUBLE) * c.cos_q
+                    - CAST(0.3 AS DOUBLE) * coalesce((
+                      SELECT max(cs.sim) FROM csim cs
+                      WHERE cs.qid = s.qid AND cs.id_x = c.id_b
+                        AND list_contains(s.picked, cs.id_y)),
+                      CAST(0.0 AS DOUBLE)) DESC, c.id_b
+                LIMIT 1))
+            FROM s WHERE s.step < $MmrPickK)
+          SELECT qid, picked FROM s WHERE step = $MmrPickK),
+        ranked AS (SELECT qid, CAST(i AS BIGINT) AS rank,
+            picked[i] AS sel_id, picked[1:i-1] AS prior
+          FROM sel, UNNEST(generate_series(1, len(picked))) AS t(i)),
+        prior_sim AS (SELECT r.qid, r.rank, max(cs.sim) AS msim
+          FROM ranked r JOIN csim cs
+            ON cs.qid = r.qid AND cs.id_x = r.sel_id
+               AND list_contains(r.prior, cs.id_y)
+          GROUP BY 1, 2)
+        SELECT r.qid, r.rank, r.sel_id, c.cos_q AS relevance,
+          CAST(0.7 AS DOUBLE) * c.cos_q
+            - CAST(0.3 AS DOUBLE) * coalesce(p.msim, CAST(0.0 AS DOUBLE))
+            AS mmr_score
+        FROM ranked r
+        JOIN $candCte c ON c.qid = r.qid AND c.id_b = r.sel_id
+        LEFT JOIN prior_sim p ON p.qid = r.qid AND p.rank = r.rank
+        ORDER BY r.qid, r.rank"""
+
+  /** s28's twin: the full deterministic IVF-PQ chain supplies the
+    * candidate tier — each sampled query's top-[[MmrCandidates]]
+    * exact-reranked shortlist candidates from `rer`, with cosine
+    * relevance recomputed from the source vectors — composed with
+    * the SAME MMR tail as s15. Filtering `rer` to the sampled
+    * queries before the rank is answer-identical to serving only
+    * those queries (per-query answers are independent), which is
+    * what the engine does. */
+  private[graft] def mmrIndexedOracleSql: String =
+    s"""WITH ${pqChainCtes(filtered = false)},
+        mnq AS (SELECT COUNT(*) AS n FROM qs),
+        mq AS (SELECT q_id FROM qs
+          WHERE ('0x' || substr(md5('mmr:' || q_id), 1, 8))::BIGINT
+                < ${MmrSampleE * 4294967296L - 1L}
+                  // (SELECT n FROM mnq) + 1),
+        mcand AS (SELECT rr.q_id AS qid, rr.c_id AS id_b,
+            $dotSql / (a.nrm * b.nrm) AS cos_q
+          FROM (SELECT r.q_id, r.c_id, ROW_NUMBER() OVER (
+                  PARTITION BY r.q_id ORDER BY r.l2sq, r.c_id) AS rk
+                FROM rer r JOIN mq ON mq.q_id = r.q_id) rr
+          JOIN e0 a ON a.vec_id = rr.q_id
+          JOIN e0 b ON b.vec_id = rr.c_id
+          WHERE rr.rk <= $MmrCandidates),
+        ${mmrOracleTailSql("e0", "mcand")}"""
+
+  // ----------------------------------------------------------------
+  // One Lloyd (k-means) round from the 8 lowest-id seeds — s08's
+  // trained coarse quantizer, SHARED with p05's cluster-balanced
+  // sample (the r17 VERDICT item 3: p05's "swap in s08's
+  // Lloyd-trained centroids" comment is now this call).
+
+  /** Cosine-affinity hard assignment of every vector in `e`
+    * (vec_id, v, nrm) to its nearest centroid in `cents`
+    * (cid, c: array<double>, cnrm): broadcast affinity + per-vector
+    * argmax under the (cs DESC, cid) total order. */
+  private[graft] def lloydAssign(e: DataFrame,
+      cents: DataFrame): DataFrame = {
+    val aff = e.crossJoin(broadcast(cents))
+      .withColumn("cs", expr(
+        """aggregate(zip_with(v, c, (x, w) -> x * w),
+           cast(0.0 as double), (acc, x) -> acc + x)""")
+        / (col("nrm") * col("cnrm")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cs").desc, col("cid"))
+    aff.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"), col("cs"))
+  }
+
+  /** ONE Lloyd refinement of the 8 lowest-id seed vectors over `e` →
+    * trained centroids (cid, c, cnrm). The update's per-dimension
+    * means are quantized with an EXPLICIT floor(x·1e10 + 0.5) (s06's
+    * trick) instead of a DECIMAL cast: engines' decimal rounding
+    * modes disagree exactly when a float's terminating binary
+    * expansion lands on a half-quantum boundary, while floor+IEEE
+    * multiply are bit-identical everywhere. BIGINT sums are exact
+    * and associative → safe under partial aggregation — which is
+    * what lets an ITERATIVE float algorithm be hash-checked at all
+    * (any ulp drift would flip argmax assignments). */
+  private[graft] def lloydCentroids(e: DataFrame): DataFrame = {
+    // init: the 8 lowest-id vectors (cast to double once, so both
+    // rounds use the same lloydAssign)
+    val cent0 = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"),
+        expr("transform(v, x -> cast(x as double))").as("c"),
+        col("nrm").as("cnrm"))
+    lloydAssign(e, cent0).join(e, "vec_id")
+      .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("cid"), col("dim"))
+      .agg((sum(expr(
+        "cast(floor(cast(x as double) * 1e10 + 0.5d) as bigint)"))
+        .cast("double") / lit(1e10) / count(lit(1))).as("cval"))
+      .groupBy(col("cid"))
+      .agg(expr(
+        """transform(sort_array(collect_list(struct(dim, cval))),
+           t -> t.cval)""").as("c"))
+      .withColumn("cnrm", expr(
+        """sqrt(aggregate(transform(c, x -> x * x),
+           cast(0.0 as double), (acc, x) -> acc + x))"""))
+  }
+
+  /** The Lloyd chain as composable oracle CTEs (cent0 → asg0 → dims
+    * → cent1) over a vector CTE `vecCte` (vec_id, v, nrm) —
+    * CTE-for-CTE with [[lloydCentroids]]; s08 and p05 share it so
+    * the trained geometry cannot drift between the two twins. */
+  private[graft] def lloydCtesSql(vecCte: String): String =
+    s"""cent0 AS (SELECT vec_id AS cid, v AS c, nrm AS cnrm
+             FROM $vecCte WHERE vec_id < 8),
+        asg0 AS (SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c0.cid,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                list_sum(list_transform(list_zip(e.v, c0.c), t -> t[1] * t[2]))
+                  / (e.nrm * c0.cnrm) DESC, c0.cid) AS rn
+            FROM $vecCte e, cent0 c0)
+          WHERE rn = 1),
+        dims AS (SELECT a.cid, dd,
+            CAST(CAST(SUM(CAST(floor(e.v[dd + 1] * 1e10 + 0.5) AS BIGINT))
+              AS BIGINT) AS DOUBLE) / 1e10 / COUNT(*) AS cval
+          FROM asg0 a JOIN $vecCte e ON e.vec_id = a.vec_id,
+            UNNEST(generate_series(0, ${VecDim - 1})) AS t(dd)
+          GROUP BY a.cid, dd),
+        cent1 AS (SELECT cid, list(cval ORDER BY dd) AS c,
+            sqrt(list_sum(list_transform(list(cval ORDER BY dd),
+              x -> x * x))) AS cnrm
+          FROM dims GROUP BY cid)"""
 
   // a DEF, not a val: the oracle SQL twins resolve session conf
   // overrides (lshHyperplanes/lshTables) at materialization time, so
@@ -3671,86 +3959,53 @@ object Similarity {
       },
       Some(pqDriftOracleSql)),
 
+    // ----- s29: the MAINTENANCE LOOP CLOSED — audit → rebuild →
+    // serve (the consumer s27's rebuild_due verdict existed for; the
+    // r17 VERDICT's item 2). Lifecycle under the gate: age the index
+    // exactly as s27 does (base-stripe build + frozen-quantizer
+    // delta — the state a week of nightly appends leaves behind),
+    // then maintainPqIndex with an ALWAYS-DUE floor (recall is a
+    // fraction ≤ 1, so floor 1.1 deterministically takes the rebuild
+    // branch at every scale factor — the measurement-driven
+    // both-directions behavior is PqMaintainSpec's pin, not
+    // hash-checkable: real drift varies with the corpus), then serve
+    // from whatever the maintenance left behind. The gate proves the
+    // REBUILD actually happened: serving must hash-match the
+    // FROM-SCRATCH twin, which the incremental index it replaced
+    // does NOT (s24's two-phase twin is a different chain) — a
+    // maintain that silently skipped the rebuild fails the oracle.
+    QueryDef(
+      "s29_maintained_serve",
+      (s, d) => {
+        persistPqIndex(s, d,
+          buildPqIndex(s, d, Some(col("vec_id") % 10 =!= 0)))
+        appendPqDelta(s, d, col("vec_id") % 10 === 0)
+        val rebuilt = maintainPqIndex(s, d, floorOverride = Some(1.1))
+        require(rebuilt,
+          "an always-due floor must take the rebuild branch")
+        servePq(s, d, loadPqIndex(s))
+      },
+      Some(pqOracleSql)),
+
     // ----- s08: IVF with a TRAINED coarse quantizer — one Lloyd
     // (k-means) refinement of s04's training-free centroids, written
     // entirely in DataFrame ops: assign (argmax cosine), update
-    // (per-dimension mean over the assigned set), re-assign. The
-    // centroid means go through the DECIMAL-exact sum so Spark's
-    // parallel partial aggregation and the oracle's sequential sum
-    // produce bit-identical doubles — which is what lets an ITERATIVE
-    // float algorithm be hash-checked at all (any ulp drift would flip
-    // argmax assignments). At scale each round is: one broadcast of k
-    // centroids + one shuffle keyed (cluster, dim) — the standard
-    // distributed k-means shape; more rounds = a driver loop like
-    // d07's.
+    // (per-dimension mean over the assigned set), re-assign — the
+    // chain now SHARED with p05 (lloydAssign/lloydCentroids; see
+    // their Scaladoc for the floor-quantized determinism contract).
+    // At scale each round is: one broadcast of k centroids + one
+    // shuffle keyed (cluster, dim) — the standard distributed
+    // k-means shape; more rounds = a driver loop like d07's.
     QueryDef(
       "s08_ivf_kmeans",
       (s, d) => {
         val e = vecs(s, d)
-        def assign(cents: DataFrame): DataFrame = {
-          val aff = e.crossJoin(broadcast(cents))
-            .withColumn("cs", expr(
-              """aggregate(zip_with(v, c, (x, w) -> x * w),
-                 cast(0.0 as double), (acc, x) -> acc + x)""")
-              / (col("nrm") * col("cnrm")))
-          val w = Window.partitionBy(col("vec_id"))
-            .orderBy(col("cs").desc, col("cid"))
-          aff.withColumn("rn", row_number().over(w))
-            .filter(col("rn") === 1)
-            .select(col("vec_id"), col("cid"), col("cs"))
-        }
-        // init: the 8 lowest-id vectors (cast to double once, so both
-        // rounds use the same assign())
-        val cent0 = e.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("cid"),
-            expr("transform(v, x -> cast(x as double))").as("c"),
-            col("nrm").as("cnrm"))
-        val asg0 = assign(cent0)
-        // Lloyd update: per-dimension exact mean over members. The
-        // values are quantized with an EXPLICIT floor(x·1e10 + 0.5)
-        // (s06's trick) instead of a DECIMAL cast: engines' decimal
-        // rounding modes disagree exactly when a float's terminating
-        // binary expansion lands on a half-quantum boundary (observed:
-        // one member of one cluster), while floor+IEEE multiply are
-        // bit-identical everywhere. BIGINT sums are exact and
-        // associative → safe under partial aggregation.
-        val cent1 = asg0.join(e, "vec_id")
-          .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
-          .groupBy(col("cid"), col("dim"))
-          .agg((sum(expr(
-            "cast(floor(cast(x as double) * 1e10 + 0.5d) as bigint)"))
-            .cast("double") / lit(1e10) / count(lit(1))).as("cval"))
-          .groupBy(col("cid"))
-          .agg(expr(
-            """transform(sort_array(collect_list(struct(dim, cval))),
-               t -> t.cval)""").as("c"))
-          .withColumn("cnrm", expr(
-            """sqrt(aggregate(transform(c, x -> x * x),
-               cast(0.0 as double), (acc, x) -> acc + x))"""))
-        assign(cent1)
+        lloydAssign(e, lloydCentroids(e))
           .select(col("vec_id"), col("cid"), col("cs").as("cos_sim"))
           .orderBy(col("vec_id"))
       },
       Some(s"""WITH e AS ($vecsSql),
-        cent0 AS (SELECT vec_id AS cid, v AS c, nrm AS cnrm FROM e
-                  WHERE vec_id < 8),
-        asg0 AS (SELECT vec_id, cid FROM (
-            SELECT e.vec_id, c0.cid,
-              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-                list_sum(list_transform(list_zip(e.v, c0.c), t -> t[1] * t[2]))
-                  / (e.nrm * c0.cnrm) DESC, c0.cid) AS rn
-            FROM e, cent0 c0)
-          WHERE rn = 1),
-        dims AS (SELECT a.cid, dd,
-            CAST(CAST(SUM(CAST(floor(e.v[dd + 1] * 1e10 + 0.5) AS BIGINT))
-              AS BIGINT) AS DOUBLE) / 1e10 / COUNT(*) AS cval
-          FROM asg0 a JOIN e ON e.vec_id = a.vec_id,
-            UNNEST(generate_series(0, ${VecDim - 1})) AS t(dd)
-          GROUP BY a.cid, dd),
-        cent1 AS (SELECT cid, list(cval ORDER BY dd) AS c,
-            sqrt(list_sum(list_transform(list(cval ORDER BY dd),
-              x -> x * x))) AS cnrm
-          FROM dims GROUP BY cid)
+        ${lloydCtesSql("e")}
         SELECT vec_id, cid, cos_sim FROM (
           SELECT e.vec_id, c1.cid,
             list_sum(list_transform(list_zip(e.v, c1.c), t -> t[1] * t[2]))
@@ -4123,23 +4378,13 @@ object Similarity {
       }),
 
     // ----- s15: MMR DIVERSITY-AWARE top-k — the rerank retrieval
-    // pipelines run between ANN and the consumer (Carbonell &
-    // Goldstein 1998): greedily pick k=5 of the top-16 cosine
-    // candidates maximizing λ·rel(q,c) − (1−λ)·max_{p∈picked}
-    // sim(c,p), λ=0.7 — near-duplicate hits stop crowding out
-    // coverage. The greedy fold is SEQUENTIAL BY DESIGN, but over a
-    // bounded candidate array per query: one nested higher-order
-    // `aggregate` (5 steps × ≤16 argmax scans × 64-dim native
-    // vec_dot) evaluated per query ROW — distributed across queries,
-    // zero extra shuffle after candidate generation. Candidate
-    // generation here is the verification-tier all-pairs scan (s01's
-    // role); at scale swap in s09's index-backed shortlist — the MMR
-    // stage is unchanged. Determinism: argmax uses the total order
-    // (score DESC, id ASC), scores are the same left-to-right double
-    // folds both engines compute, so the DuckDB recursive-CTE twin
-    // picks identical ids; per-rank scores are recomputed post-hoc
-    // from the picked prefix (same max over the same set = same
-    // IEEE double) on both sides.
+    // pipelines run between ANN and the consumer: greedily pick 5 of
+    // the top-16 cosine candidates so near-duplicate hits stop
+    // crowding out coverage (see mmrSelect for the fold and its
+    // determinism contract). Candidate generation here is the
+    // verification-tier all-pairs scan (s01's role) — s28 IS the
+    // deployment twin whose candidates come from the persisted s18
+    // index; the MMR stage is shared verbatim.
     QueryDef(
       "s15_mmr_diverse_topk",
       (s, d) => {
@@ -4153,52 +4398,9 @@ object Similarity {
           .withColumn("cos_q", expr(dotExpr) / (col("nrm_a") * col("nrm_b")))
         val w = Window.partitionBy(col("qid"))
           .orderBy(col("cos_q").desc, col("id_b"))
-        val packed = cand.withColumn("r", row_number().over(w))
-          .filter(col("r") <= 16)
-          .groupBy(col("qid"))
-          .agg(sort_array(collect_list(struct(col("r"), col("id_b"),
-            col("cos_q"), col("bv"), col("nrm_b")))).as("cands"))
-        // sim(c, p) and the MMR score of candidate c against a picked
-        // id set, as SQL fragments (c, picked in lambda scope)
-        val sim = "vec_dot(c.bv, p.bv) / (c.nrm_b * p.nrm_b)"
-        val msim = s"""coalesce(aggregate(
-            filter(cands, p -> array_contains(picked, p.id_b)),
-            cast(null as double),
-            (m, p) -> CASE WHEN m IS NULL OR $sim > m THEN $sim ELSE m END),
-          cast(0.0 as double))"""
-        val sc = s"cast(0.7 as double) * c.cos_q" +
-          s" - cast(0.3 as double) * $msim"
-        val selExpr = s"""aggregate(
-            sequence(1, 5),
-            cast(array() as array<bigint>),
-            (picked, step) -> array_append(picked,
-              aggregate(
-                filter(cands, c -> NOT array_contains(picked, c.id_b)),
-                cast(null as struct<id: bigint, sc: double>),
-                (best, c) -> CASE
-                  WHEN best IS NULL OR $sc > best.sc
-                    OR ($sc = best.sc AND c.id_b < best.id)
-                  THEN named_struct('id', c.id_b, 'sc', $sc)
-                  ELSE best END,
-                best -> best.id)))"""
-        // post-hoc per-rank score from the picked prefix (oracle twin
-        // recomputes identically from its recursive picked list)
-        val selv = "filter(cands, c -> c.id_b = sel_id)[0]"
-        val psim = s"vec_dot($selv.bv, p.bv) / ($selv.nrm_b * p.nrm_b)"
-        val pmsim = s"""coalesce(aggregate(
-            filter(cands, p -> array_contains(slice(picked, 1, pos), p.id_b)),
-            cast(null as double),
-            (m, p) -> CASE WHEN m IS NULL OR $psim > m THEN $psim ELSE m END),
-          cast(0.0 as double))"""
-        packed.withColumn("picked", expr(selExpr))
-          .select(col("qid"), col("cands"), col("picked"),
-            posexplode(col("picked")).as(Seq("pos", "sel_id")))
-          .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
-            col("sel_id"),
-            expr(s"$selv.cos_q").as("relevance"),
-            (expr(s"cast(0.7 as double) * $selv.cos_q")
-              - expr(s"cast(0.3 as double) * $pmsim")).as("mmr_score"))
-          .orderBy(col("qid"), col("rank"))
+        mmrSelect(mmrPack(
+          cand.withColumn("r", row_number().over(w))
+            .filter(col("r") <= MmrCandidates)))
       },
       Some(s"""WITH e AS ($vecsSql),
         cand0 AS (SELECT a.vec_id AS qid, b.vec_id AS id_b,
@@ -4208,46 +4410,50 @@ object Similarity {
         cand AS (SELECT qid, id_b, cos_q FROM (
             SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
               ORDER BY cos_q DESC, id_b) AS r FROM cand0)
-          WHERE r <= 16),
-        csim AS (SELECT c1.qid, c1.id_b AS id_x, c2.id_b AS id_y,
-            $dotSql / (a.nrm * b.nrm) AS sim
-          FROM cand c1 JOIN cand c2
-            ON c1.qid = c2.qid AND c1.id_b <> c2.id_b
-          JOIN e a ON a.vec_id = c1.id_b
-          JOIN e b ON b.vec_id = c2.id_b),
-        sel AS (
-          WITH RECURSIVE s(qid, step, picked) AS (
-            SELECT DISTINCT qid, 0, CAST([] AS BIGINT[]) FROM cand
-            UNION ALL
-            SELECT s.qid, s.step + 1,
-              list_append(s.picked, (
-                SELECT c.id_b FROM cand c
-                WHERE c.qid = s.qid AND NOT list_contains(s.picked, c.id_b)
-                ORDER BY CAST(0.7 AS DOUBLE) * c.cos_q
-                    - CAST(0.3 AS DOUBLE) * coalesce((
-                      SELECT max(cs.sim) FROM csim cs
-                      WHERE cs.qid = s.qid AND cs.id_x = c.id_b
-                        AND list_contains(s.picked, cs.id_y)),
-                      CAST(0.0 AS DOUBLE)) DESC, c.id_b
-                LIMIT 1))
-            FROM s WHERE s.step < 5)
-          SELECT qid, picked FROM s WHERE step = 5),
-        ranked AS (SELECT qid, CAST(i AS BIGINT) AS rank,
-            picked[i] AS sel_id, picked[1:i-1] AS prior
-          FROM sel, UNNEST(generate_series(1, len(picked))) AS t(i)),
-        prior_sim AS (SELECT r.qid, r.rank, max(cs.sim) AS msim
-          FROM ranked r JOIN csim cs
-            ON cs.qid = r.qid AND cs.id_x = r.sel_id
-               AND list_contains(r.prior, cs.id_y)
-          GROUP BY 1, 2)
-        SELECT r.qid, r.rank, r.sel_id, c.cos_q AS relevance,
-          CAST(0.7 AS DOUBLE) * c.cos_q
-            - CAST(0.3 AS DOUBLE) * coalesce(p.msim, CAST(0.0 AS DOUBLE))
-            AS mmr_score
-        FROM ranked r
-        JOIN cand c ON c.qid = r.qid AND c.id_b = r.sel_id
-        LEFT JOIN prior_sim p ON p.qid = r.qid AND p.rank = r.rank
-        ORDER BY r.qid, r.rank""")),
+          WHERE r <= $MmrCandidates),
+        ${mmrOracleTailSql("e")}""")),
+
+    // ----- s28: MMR OVER THE PERSISTED INDEX — s15's promised
+    // deployment shape, shipped (the s20→s21 discipline applied to
+    // the diversity rerank; the last "at scale swap in the index"
+    // comment in the repo is now code): candidate generation is
+    // servePqRanked over the s18 IVF-PQ index — route → decomposed
+    // ADC → calibrated shortlist → exact top-16 rerank — for an
+    // E[32] md5-Bernoulli query batch, so per-query candidate cost
+    // is independent of corpus size on clustered geometry and NO
+    // corpus-side cross join exists anywhere in the plan
+    // (MmrIndexedSpec pins it). Cosine relevance is recomputed from
+    // the source vectors for the 16-row candidate set (one tiny
+    // equi-join); the greedy fold and the oracle tail are s15's
+    // SHARED machinery — only candidate generation differs, which is
+    // the point. Oracle: the s12-twin chain's `rer` ranked to
+    // top-16 per sampled query, then the same recursive-CTE greedy.
+    QueryDef(
+      "s28_mmr_indexed",
+      (s, d) => {
+        val e = vecs(s, d)
+        val idx = ensurePqIndex(s, d)
+        val thresh = (MmrSampleE * 4294967296L - 1L) /
+          math.max(1L, corpusOddCount(s, d)) + 1L
+        val qv = e.filter(col("vec_id") % 2 === 1)
+          .filter(conv(substring(md5(concat(lit("mmr:"),
+            col("vec_id").cast("string"))), 1, 8), 16, 10).cast("long")
+            < lit(thresh))
+          .select(col("vec_id").as("q_id"), col("v").as("av"))
+        val cv = e.filter(col("vec_id") % 2 === 0)
+          .select(col("vec_id").as("c_id"), col("v").as("bv"))
+        val cand = servePqRanked(s, qv, cv, idx, identity, MmrCandidates)
+          .join(e.select(col("vec_id").as("c_id"), col("v").as("bv"),
+            col("nrm").as("nrm_b")), "c_id")
+          .join(e.select(col("vec_id").as("q_id"), col("v").as("av"),
+            col("nrm").as("nrm_a")), "q_id")
+          .select(col("q_id").as("qid"), col("r"),
+            col("c_id").as("id_b"),
+            (expr(dotExpr) / (col("nrm_a") * col("nrm_b"))).as("cos_q"),
+            col("bv"), col("nrm_b"))
+        mmrSelect(mmrPack(cand))
+      },
+      Some(mmrIndexedOracleSql)),
 
     // ----- s16: GROUP CENTROIDS via the typed Aggregator API — the
     // representative-vector pass every clustering/mixture step needs

@@ -1,0 +1,70 @@
+package graft
+
+/** s28 — MMR diversity rerank with candidates served from the
+  * PERSISTED s18 IVF-PQ index (the deployment shape s15's comment
+  * promised; s15 keeps the all-pairs candidate tier as the
+  * verification referee, exactly the s20→s21 split). Pins:
+  *
+  *  - the PLAN fact the r17 verdict asked for: candidates come from
+  *    the persisted codes table and the plan contains NO
+  *    CartesianProduct — per-query cost is probed-cell candidates,
+  *    never a corpus pair enumeration (s15's plan, by contrast, IS
+  *    the labeled all-pairs tier and never reads the index);
+  *  - the MMR contract per sampled query: exactly MmrPickK picks,
+  *    dense ranks, distinct ids, and the greedy head is the pure
+  *    relevance argmax (empty picked set ⇒ mmr_score = λ·relevance);
+  *  - determinism across runs.
+  *
+  * Value correctness is the DuckDB oracle's job (hash-gated: the
+  * s12-twin chain's top-16 per sampled query composed with the
+  * SHARED recursive-CTE greedy tail). */
+class MmrIndexedSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("candidates ride the persisted index: codes-table scan, no " +
+      "cartesian product anywhere in the plan") {
+    val df = SparkEntry.queries("s28_mmr_indexed")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("s18_pq_codes"),
+      "s28's plan never scans the persisted codes table — the " +
+        "candidate tier is not index-backed")
+    assert(!plan.contains("CartesianProduct"),
+      "s28 plans a cartesian product")
+    // the referee (s15) by contrast scores every (query, corpus)
+    // pair and never touches the index
+    val s15plan = SparkEntry.queries("s15_mmr_diverse_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!s15plan.contains("s18_pq_codes"),
+      "sanity: the referee unexpectedly reads the index")
+  }
+
+  test("per sampled query: dense ranks, MmrPickK distinct picks, " +
+      "greedy head is the relevance argmax") {
+    val rows = SparkEntry.queries("s28_mmr_indexed")(spark, sf).collect()
+    assert(rows.nonEmpty, "the E[32] sample selected no queries")
+    rows.groupBy(_.getAs[Long]("qid")).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.length === graft.operators.Similarity.MmrPickK,
+        s"query $q: expected a full pick set (candidate tier must " +
+          "always supply >= MmrPickK candidates)")
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq
+        === (1L to sorted.length.toLong), s"query $q ranks not dense")
+      val ids = sorted.map(_.getAs[Long]("sel_id"))
+      assert(ids.distinct.length === ids.length,
+        s"query $q picked a candidate twice")
+      val head = sorted.head
+      assert(head.getAs[Double]("mmr_score")
+          === 0.7 * head.getAs[Double]("relevance"),
+        s"query $q: rank-1 must be the pure relevance argmax " +
+          "(empty picked prefix => no diversity penalty)")
+    }
+  }
+
+  test("deterministic across runs") {
+    val a = SparkEntry.queries("s28_mmr_indexed")(spark, sf).collect()
+    val b = SparkEntry.queries("s28_mmr_indexed")(spark, sf).collect()
+    assert(a.length === b.length && a.length > 0)
+    a.zip(b).foreach { case (x, y) => assert(x === y) }
+  }
+}

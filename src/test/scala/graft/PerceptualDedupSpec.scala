@@ -77,4 +77,28 @@ class PerceptualDedupSpec extends SparkSpec {
       assert(r.getAs[Long]("hamming") <= thr)
     }
   }
+
+  test("the oracle's generated band-geometry ladder agrees with " +
+      "adaptiveSimHashBands at and across every boundary") {
+    // evaluate the generated WHEN ladder in Scala for a sweep of n
+    // (each boundary, its neighbors, and a spread of interior points)
+    // and compare with the rule the engine side calls directly
+    val whenRe = """WHEN n <= (\d+) THEN (\d+)""".r
+    val ladder = Multimodal.phashGeomWhens.map {
+      case whenRe(bound, b) => (bound.toLong, b.toInt)
+      case other => fail(s"unexpected WHEN clause: $other")
+    }
+    assert(ladder == ladder.sortBy(_._1),
+      "CASE evaluates top-down: bounds must be ascending")
+    def ladderBands(n: Long): Int =
+      ladder.find(n <= _._1).map(_._2).getOrElse(1)
+    val probes = ladder.flatMap { case (bound, _) =>
+      Seq(bound - 1, bound, bound + 1)
+    } ++ Seq(1L, 100L, 1000000L, Long.MaxValue / 8)
+    probes.filter(_ >= 1).foreach { n =>
+      assert(ladderBands(n)
+          == Dedup.adaptiveSimHashBands(Multimodal.PHashBits, n),
+        s"oracle geometry diverges from the Scala rule at n=$n")
+    }
+  }
 }

@@ -64,6 +64,11 @@ class PlanAuditSpec extends SparkSpec {
       ("s24's lifecycle broadcasts + the audit's bounded E[256]-query " +
         "exact referee (the same |sample|·n pass every build pays) — " +
         "never all-pairs"),
+    "s29_maintained_serve" ->
+      ("s27's aged lifecycle (gated-base build + delta broadcasts) + " +
+        "the audit's bounded E[256]-query exact referee + the " +
+        "rebuild's s12-labeled broadcast affinities; serve is s18's " +
+        "plan — never all-pairs"),
     "s25_hard_negatives" ->
       ("s18's serve path (broadcast routing/LUT affinities; rebuild " +
         "branch only when no fresh index exists) + one equi-self-join " +
@@ -88,9 +93,15 @@ class PlanAuditSpec extends SparkSpec {
     "t15_bm25_retrieval" -> "broadcast 1-row corpus stats (nd, tl)",
     "s15_mmr_diverse_topk" ->
       ("verification-tier candidate stage (s01's role); the MMR fold " +
-        "itself is per-row — swap in s09's index path at scale"),
+        "itself is per-row — s28 is the index-served deployment twin"),
+    "s28_mmr_indexed" ->
+      ("s18's serve path for the candidate tier (broadcast " +
+        "routing/LUT affinities against the persisted index; rebuild " +
+        "branch only when no fresh index exists) — NO corpus-side " +
+        "cross join; the MMR fold is per-row"),
     "p05_cluster_balanced_sample" ->
-      "broadcast 8-centroid affinity (s04's assignment shape, not O(n²))",
+      ("broadcast 8-centroid Lloyd affinities (s08's trained chain " +
+        "via the shared helpers — k tiny, not O(n²))"),
     "p09_token_budget_mix" ->
       ("5x1 scalar combine (per-language weight total) broadcast " +
         "back as the budget dim — not all-pairs"),

@@ -11,6 +11,11 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")
+    // harness default (mirrors Verify/Bench/ScaleUp): budget-sized
+    // rank prunes rewrite to WindowGroupLimits; no QueryDef mutates
+    // session conf to get it (P09ConfHygieneSpec pins this)
+    .config("spark.sql.optimizer.windowGroupLimitThreshold",
+      graft.operators.Pipeline.TokenBudget.toString)
     .getOrCreate()
 
   def tmpDir(prefix: String): String =

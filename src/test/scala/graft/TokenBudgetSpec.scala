@@ -61,4 +61,34 @@ class TokenBudgetSpec extends SparkSpec {
       "the rank <= budget literal must prune map-side before the " +
         "per-language exchange")
   }
+
+  /** Expression IDs (#123) and plan ids differ per invocation; strip
+    * them so two plans of the same query compare structurally. */
+  private def shape(plan: String): String = plan
+    .replaceAll("#\\d+", "#").replaceAll("plan_id=\\d+", "plan_id=")
+
+  test("the builder never mutates session conf, and a neighboring " +
+      "query's plan is unchanged after p09 runs (r17 ADVICE)") {
+    val key = "spark.sql.optimizer.windowGroupLimitThreshold"
+    val harnessDefault = spark.conf.get(key)
+    def neighborShape: String = shape(
+      SparkEntry.queries("p06_exact_quota_sample")(spark, sf)
+        .queryExecution.executedPlan.toString)
+    val before = neighborShape
+    SparkEntry.queries("p09_token_budget_mix")(spark, sf).collect()
+    assert(spark.conf.get(key) == harnessDefault,
+      "p09 must not leave the optimizer threshold modified")
+    assert(neighborShape == before,
+      "a neighboring window query must plan identically after p09")
+    // and with a session running BELOW the budget threshold, the
+    // builder still never writes conf — the plan is corpus-bounded
+    // but correct, and the session's dial stays the session's
+    spark.conf.set(key, "1000")
+    try {
+      SparkEntry.queries("p09_token_budget_mix")(spark, sf)
+        .queryExecution.executedPlan
+      assert(spark.conf.get(key) == "1000",
+        "p09 must not raise the threshold behind the session's back")
+    } finally spark.conf.set(key, harnessDefault)
+  }
 }
