@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{GraftConf, QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -2954,6 +2954,44 @@ object Similarity {
         LEFT JOIN prior_sim p ON p.qid = r.qid AND p.rank = r.rank
         ORDER BY r.qid, r.rank"""
 
+  /** The E[[[MmrSampleE]]] md5-Bernoulli gate over odd (query-side)
+    * vec_ids — s28's batch workload and st23's stream share it, so
+    * the two serve the same queries and one oracle gates both. */
+  private[graft] def mmrQueryGate(s: SparkSession, d: String): Column = {
+    val thresh = (MmrSampleE * 4294967296L - 1L) /
+      math.max(1L, corpusOddCount(s, d)) + 1L
+    (col("vec_id") % 2 === 1) &&
+      (conv(substring(md5(concat(lit("mmr:"),
+        col("vec_id").cast("string"))), 1, 8), 16, 10).cast("long") <
+        lit(thresh))
+  }
+
+  /** One batch of MMR queries (q_id, av) against a built/loaded
+    * index — s28's whole-sample batch AND the st23 streaming entry:
+    * candidates from [[servePqRanked]] (top-[[MmrCandidates]] exact
+    * rerank), cosine relevance recomputed from the source vectors on
+    * the 16-row candidate frame, then the SHARED greedy fold.
+    * Per-query answers are independent of batch slicing (the index,
+    * corpus vectors, and the fold read nothing across queries), so
+    * the union of micro-batches equals the batch serve and one SQL
+    * gates both. */
+  private[graft] def mmrServeBatch(s: SparkSession, d: String,
+      qs: DataFrame, idx: PqIndex): DataFrame = {
+    val e = vecs(s, d)
+    val cv = e.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("bv"))
+    val cand = servePqRanked(s, qs, cv, idx, identity, MmrCandidates)
+      .join(e.select(col("vec_id").as("c_id"), col("v").as("bv"),
+        col("nrm").as("nrm_b")), "c_id")
+      .join(e.select(col("vec_id").as("q_id"), col("v").as("av"),
+        col("nrm").as("nrm_a")), "q_id")
+      .select(col("q_id").as("qid"), col("r"),
+        col("c_id").as("id_b"),
+        (expr(dotExpr) / (col("nrm_a") * col("nrm_b"))).as("cos_q"),
+        col("bv"), col("nrm_b"))
+    mmrSelect(mmrPack(cand))
+  }
+
   /** s28's twin: the full deterministic IVF-PQ chain supplies the
     * candidate tier — each sampled query's top-[[MmrCandidates]]
     * exact-reranked shortlist candidates from `rer`, with cosine
@@ -4431,27 +4469,10 @@ object Similarity {
     QueryDef(
       "s28_mmr_indexed",
       (s, d) => {
-        val e = vecs(s, d)
         val idx = ensurePqIndex(s, d)
-        val thresh = (MmrSampleE * 4294967296L - 1L) /
-          math.max(1L, corpusOddCount(s, d)) + 1L
-        val qv = e.filter(col("vec_id") % 2 === 1)
-          .filter(conv(substring(md5(concat(lit("mmr:"),
-            col("vec_id").cast("string"))), 1, 8), 16, 10).cast("long")
-            < lit(thresh))
+        val qv = vecs(s, d).filter(mmrQueryGate(s, d))
           .select(col("vec_id").as("q_id"), col("v").as("av"))
-        val cv = e.filter(col("vec_id") % 2 === 0)
-          .select(col("vec_id").as("c_id"), col("v").as("bv"))
-        val cand = servePqRanked(s, qv, cv, idx, identity, MmrCandidates)
-          .join(e.select(col("vec_id").as("c_id"), col("v").as("bv"),
-            col("nrm").as("nrm_b")), "c_id")
-          .join(e.select(col("vec_id").as("q_id"), col("v").as("av"),
-            col("nrm").as("nrm_a")), "q_id")
-          .select(col("q_id").as("qid"), col("r"),
-            col("c_id").as("id_b"),
-            (expr(dotExpr) / (col("nrm_a") * col("nrm_b"))).as("cos_q"),
-            col("bv"), col("nrm_b"))
-        mmrSelect(mmrPack(cand))
+        mmrServeBatch(s, d, qv, idx)
       },
       Some(mmrIndexedOracleSql)),
 

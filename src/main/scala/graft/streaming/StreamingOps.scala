@@ -1214,5 +1214,48 @@ object StreamingOps {
         s.read.parquet(s"$out/*").orderBy(col("doc_id"))
       },
       Some(graft.operators.Multimodal.perceptualGateOracleSql))
+    ,
+
+    // ----- st23: STREAMING MMR SERVING — s28 run ONLINE, completing
+    // the rerank tier's batch/stream symmetry (s18→st17, s19→st18,
+    // s21→st19, now s28→st23): query vectors arrive as a stream and
+    // each micro-batch answers its sampled queries with the full
+    // diversity rerank — candidates from the PERSISTED
+    // generation-cached IVF-PQ index (route → ADC → calibrated
+    // shortlist → exact top-16 rerank), cosine relevance recomputed
+    // on the 16-row candidate frame, the shared greedy MMR fold —
+    // through the one `mmrServeBatch` entry s28's whole-sample batch
+    // also calls. Rank windows + the fold force foreachBatch (st17's
+    // discipline, idempotent per-epoch landing); per-query answers
+    // are slicing-independent (index, corpus vectors, and the
+    // per-row fold read nothing across queries), so s28's twin gates
+    // both — the one-SQL-many-consumers pattern, again. A nightly
+    // rebuild/append/compaction persisting a new generation is
+    // picked up next micro-batch via PqIndexCache, no restart.
+    QueryDef(
+      "st23_stream_mmr_serving",
+      (s, d) => {
+        import graft.operators.Similarity
+        Similarity.ensurePqIndex(s, d)
+        val out = Files.createTempDirectory("graft_st23_out").toString
+        val idxCache = new Similarity.PqIndexCache(s)
+        val q = embStream(s, d)
+          .filter(Similarity.mmrQueryGate(s, d))
+          .select(col("vec_id").as("q_id"), col("embedding").as("av"))
+          .writeStream
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft_st23_ckpt").toString)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val sess = batch.sparkSession
+            Similarity.mmrServeBatch(sess, d, batch,
+              idxCache.current(sess))
+              .write.mode("overwrite").parquet(s"$out/b$batchId")
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.read.parquet(s"$out/*").orderBy(col("qid"), col("rank"))
+      },
+      Some(graft.operators.Similarity.mmrIndexedOracleSql))
   )
 }

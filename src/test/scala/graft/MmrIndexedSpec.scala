@@ -67,4 +67,14 @@ class MmrIndexedSpec extends SparkSpec {
     assert(a.length === b.length && a.length > 0)
     a.zip(b).foreach { case (x, y) => assert(x === y) }
   }
+
+  test("st23 streamed MMR == s28 batch MMR, row for row " +
+      "(micro-batch slicing changes nothing)") {
+    val streamed = SparkEntry
+      .queries("st23_stream_mmr_serving")(spark, sf).collect()
+    val batch = SparkEntry.queries("s28_mmr_indexed")(spark, sf)
+      .collect()
+    assert(streamed.length === batch.length && streamed.length > 0)
+    streamed.zip(batch).foreach { case (a, b) => assert(a === b) }
+  }
 }
