@@ -924,9 +924,16 @@ object Dedup {
     * and per-round [[ccTruncate]] bounds lineage exactly as in
     * [[propagateLabels]] (reliable checkpointing under the same
     * `spark.graft.ccReliableCheckpoint` dial). Convergence is an
-    * exact set comparison (count + one-row `except` probe); a 100 TB
-    * deployment would swap that for the cheaper count-only check the
-    * paper proves sufficient.
+    * exact set comparison — count equality + an empty `except`
+    * probe — and the probe is LOAD-BEARING: the folklore
+    * cheaper check (stop when the canonical edge count stops
+    * shrinking) is WRONG for this contraction — on a chain, a round
+    * rewires every edge while the count stays constant, so
+    * count-only stops a round early with off-by-a-generation labels
+    * (measured r18; [[ccContractionRound]] is split out so
+    * `LargeSmallStarSpec` pins the counterexample). One anti-join
+    * per round over the shrinking edge set is the price of a true
+    * fixpoint witness.
     *
     * large-star: per center u over the SYMMETRIZED edges, m =
     * min(N(u) ∪ {u}); every STRICTLY LARGER neighbor re-links to m.
@@ -937,14 +944,45 @@ object Dedup {
     *
     * Returns (labels (doc_id, cluster_id), rounds) — cluster_id is
     * the component minimum, identical to [[propagateLabels]]. */
+  /** Canonicalize an edge frame to distinct (u > v) self-loop-free
+    * pairs — the invariant every contraction round consumes and
+    * re-establishes. */
+  private def ccCanon(df: DataFrame): DataFrame = df
+    .select(greatest(col("u"), col("v")).as("u"),
+      least(col("u"), col("v")).as("v"))
+    .filter(col("u") =!= col("v"))
+    .distinct()
+
+  /** ONE large-star + small-star contraction round over a canonical
+    * edge set — [[ccLargeSmallStar]]'s loop body, split out so
+    * `LargeSmallStarSpec` can pin the r18 counterexample: on a chain
+    * this round rewires EVERY edge while the canonical edge COUNT
+    * stays constant, so a count plateau is NOT a fixpoint witness —
+    * the loop's exact `except` probe is. */
+  private[graft] def ccContractionRound(cur: DataFrame,
+      round: Int): DataFrame = {
+    // large-star
+    val sym = cur.select(col("u").as("c"), col("v").as("n"))
+      .union(cur.select(col("v").as("c"), col("u").as("n")))
+    val lMins = sym.groupBy(col("c"))
+      .agg(min(col("n")).as("nm"))
+      .select(col("c"), least(col("nm"), col("c")).as("m"))
+    val large = sym.filter(col("n") > col("c"))
+      .join(lMins, "c")
+      .select(col("n").as("u"), col("m").as("v"))
+    // small-star over the large-star output (edges already (u > v))
+    val ls = ccCanon(large)
+    val sMins = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
+    val linked = ls.join(sMins, "u")
+    ccTruncate(ccCanon(
+        linked.filter(col("v") =!= col("m"))
+          .select(col("v").as("u"), col("m").as("v"))
+        .union(linked.select(col("u"), col("m").as("v")))), round)
+  }
+
   private[graft] def ccLargeSmallStar(nodes: DataFrame,
       edges0: DataFrame): (DataFrame, Int) = {
-    def canon(df: DataFrame): DataFrame = df
-      .select(greatest(col("u"), col("v")).as("u"),
-        least(col("u"), col("v")).as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
-    var cur = ccTruncate(canon(edges0
+    var cur = ccTruncate(ccCanon(edges0
         .select(col("src").as("u"), col("dst").as("v"))), 0)
     cur.cache()
     var nCur = cur.count() // carried across rounds: next round's |cur|
@@ -952,23 +990,7 @@ object Dedup {
     var done = nCur == 0L
     while (!done) {
       rounds += 1
-      // large-star
-      val sym = cur.select(col("u").as("c"), col("v").as("n"))
-        .union(cur.select(col("v").as("c"), col("u").as("n")))
-      val lMins = sym.groupBy(col("c"))
-        .agg(min(col("n")).as("nm"))
-        .select(col("c"), least(col("nm"), col("c")).as("m"))
-      val large = sym.filter(col("n") > col("c"))
-        .join(lMins, "c")
-        .select(col("n").as("u"), col("m").as("v"))
-      // small-star over the large-star output (edges already (u > v))
-      val ls = canon(large)
-      val sMins = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val linked = ls.join(sMins, "u")
-      val next = ccTruncate(canon(
-          linked.filter(col("v") =!= col("m"))
-            .select(col("v").as("u"), col("m").as("v"))
-          .union(linked.select(col("u"), col("m").as("v")))), rounds)
+      val next = ccContractionRound(cur, rounds)
       next.cache()
       val nNext = next.count()
       done = nCur == nNext && next.except(cur).isEmpty

@@ -125,6 +125,25 @@ class LargeSmallStarSpec extends SparkSpec {
     }
   }
 
+  test("the exact except probe is load-bearing: a chain round rewires " +
+      "every edge at CONSTANT canonical edge count — count-only " +
+      "convergence (the MapReduce-CC folklore check) would stop a " +
+      "round early with wrong labels (measured r18 refutation)") {
+    // canonical chain edges (u > v): (i+1, i), 128 of them
+    val cur = (0 until 128).map(i => (i + 1L, i.toLong)).toDF("u", "v")
+    val next = Dedup.ccContractionRound(cur, 1)
+    assert(next.count() === cur.count(),
+      "the plateau: the contraction round keeps the canonical count")
+    assert(!next.except(cur).isEmpty,
+      "…while rewiring edges — the plateau is NOT a fixpoint, so a " +
+        "count-only check would declare convergence on non-star " +
+        "labels (this is why ccLargeSmallStar pays the except probe)")
+    // the exact loop, by contrast, contracts the chain fully
+    val (nodes, edges) = chain(129)
+    val labels = Dedup.ccLargeSmallStar(nodes, edges)._1.collect()
+    assert(labels.forall(_.getLong(1) == 0L))
+  }
+
   test("empty edge set: every node is its own component, zero rounds") {
     val nodes = spark.range(0, 5).toDF("doc_id")
     val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
