@@ -38,10 +38,18 @@ def main(sf_dir: str, out_dir: str) -> int:
 
     n_pass = n_fail = 0
     import time
+    # batch/stream twins share oracle SQL verbatim (st17=s18's,
+    # st23=s28's, …): memoize by exact SQL string so each distinct
+    # oracle runs once per sweep (r18: the duplicated MMR twin alone
+    # was ~20 min of redundant DuckDB work).
+    memo: dict = {}
     for name, sql in sorted(oracles.items()):
         t0 = time.monotonic()
         try:
-            want = con.execute(sql).fetchdf()
+            if sql in memo:
+                want = memo[sql]
+            else:
+                want = memo[sql] = con.execute(sql).fetchdf()
             got = duckdb.sql(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
         except Exception as e:
@@ -95,7 +103,7 @@ def main(sf_dir: str, out_dir: str) -> int:
                 print(f"   col={c} row={i} want={w!r} got={g!r} ({n} cells)")
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(want)} rows)")
+            print(f"PASS {name} ({len(want)} rows, {dt:.1f}s)", flush=True)
             n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
     return 1 if n_fail else 0

@@ -497,7 +497,7 @@ object Pipeline {
         // silent in-builder set leaked an altered optimizer threshold
         // into every later query's plan). Without the conf the plan
         // is still CORRECT, just corpus-bounded instead of
-        // budget-bounded; P09ConfHygieneSpec pins both properties.
+        // budget-bounded; TokenBudgetSpec pins both properties.
         val docs = new Tables(s, d).documents
           .select(col("doc_id"), col("lang"),
             size(expr(toksExpr)).cast("long").as("n_tok"))

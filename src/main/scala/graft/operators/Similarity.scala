@@ -1475,14 +1475,23 @@ object Similarity {
     val prev = s.conf.get(scanKey, "true")
     val superseded = {
       s.conf.set(scanKey, "false")
-      try swapCompact(s, "s18_pq_codes", (df, path, staging) =>
-        df.write.mode("overwrite").option("path", path)
-          .bucketBy(8, "cid").sortBy("cid").saveAsTable(staging))
+      try swapCompact(s, "s18_pq_codes", () => bumpPqGen(s, d),
+        (df, path, staging) =>
+          df.write.mode("overwrite").option("path", path)
+            .bucketBy(8, "cid").sortBy("cid").saveAsTable(staging))
       finally s.conf.set(scanKey, prev)
     }
     // stamp the bumped generation BEFORE deleting the superseded
     // files (see swapCompact's Scaladoc): a crash in between leaves
     // the old generation readable for any cache still holding it
+    bumpPqGen(s, d)
+    deleteDir(superseded)
+  }
+
+  /** Rewrite `s18_pq_meta` with gen+1, all other fields verbatim —
+    * the cache-invalidation stamp shared by [[compactPqCodes]]'s
+    * normal path and [[swapCompact]]'s crash recovery. */
+  private def bumpPqGen(s: SparkSession, d: String): Unit = {
     val m = s.table("s18_pq_meta").head()
     import s.implicits._
     val p = s"${System.getProperty("java.io.tmpdir")}/graft_s18_pq_meta-" +
@@ -1495,7 +1504,6 @@ object Similarity {
         "gen", "cand_recall", "scope")
       .write.mode("overwrite").option("path", p)
       .saveAsTable("s18_pq_meta")
-    deleteDir(superseded)
   }
 
   /** RECALL-DRIFT AUDIT (s27) — the measured trigger behind
@@ -1588,7 +1596,7 @@ object Similarity {
     * `build_recall` is |slranks|/|sq| — the exact quantity
     * [[buildPqIndex]] measured and persisted. */
   private[graft] def pqDriftOracleSql: String =
-    s"""WITH ${pqChainCtes(filtered = false, trainPred = "{id} % 10 <> 0")},
+    matCtes(s"""WITH ${pqChainCtes(filtered = false, trainPred = "{id} % 10 <> 0")},
       annref AS (SELECT q_id, c_id FROM (
           SELECT q.q_id, c.c_id,
             ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
@@ -1614,7 +1622,7 @@ object Similarity {
             AND CAST(bhits AS DOUBLE) / n_sample
                 - CAST(hits AS DOUBLE) / n_sample
                 > $resolvedMaxRecallDriftLit) AS rebuild_due
-      FROM agg"""
+      FROM agg""")
 
   /** SERVE the query half of corpus `d` against a built (or loaded)
     * [[PqIndex]]: route each query to its np nearest cells, ADC-score
@@ -1781,6 +1789,18 @@ object Similarity {
       .toDF("np", "sl", "corpus_dir", "conf_fp", "schema_ver",
         "gen", "cand_recall", "scope"),
       "s18_pq_meta", None)
+    // the rebuild re-pointed the codes table at its base path; a
+    // prior compaction may have left the previous live data under a
+    // -a/-b generation dir, now orphaned (persistLexIndex's
+    // idempotence discipline — without this, the NEXT compaction
+    // mistakes the stale sibling for a crash orphan). Cleared only
+    // AFTER the meta stamp above: a cache still holding the old
+    // generation re-probes and lands on the fresh build before the
+    // old files disappear.
+    val codesBase =
+      s"${System.getProperty("java.io.tmpdir")}/graft_s18_pq_codes-" +
+        Integer.toHexString(d.hashCode)
+    deleteDir(s"$codesBase-a"); deleteDir(s"$codesBase-b")
   }
 
   /** Load the persisted index back (s18): dials from the meta table,
@@ -1945,11 +1965,32 @@ object Similarity {
 
   private def pqOracleSqlFor(filtered: Boolean,
       trainPred: String = ""): String =
-    s"""WITH ${pqChainCtes(filtered, trainPred)}
+    matCtes(s"""WITH ${pqChainCtes(filtered, trainPred)}
         SELECT q_id, c_id, l2sq FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
             ORDER BY l2sq, c_id) AS r FROM rer)
-        WHERE r = 1 ORDER BY q_id"""
+        WHERE r = 1 ORDER BY q_id""")
+
+  /** Rewrite every plain CTE in an oracle to `AS MATERIALIZED`.
+    *
+    * DuckDB executes a plain CTE by INLINING its definition at every
+    * reference site. The PQ chain is deeply self-referential (e0,
+    * samp, corpus, sccent, … are each referenced several times by
+    * later CTEs), so inlining multiplies combinatorially: the r18
+    * driver sweep saw the s28 twin run 1,433 s at sf0.01 — with every
+    * CTE materialized the SAME query runs in ~1.5 s (measured, and
+    * row-identical). A pure execution hint: results are unchanged,
+    * and the driver's comparer runs DuckDB, which supports the
+    * standard `name AS MATERIALIZED (…)` syntax. Idempotent (an
+    * already-rewritten `AS MATERIALIZED (` no longer matches), and
+    * safe for this family's SQL by inspection: every ` name AS (`
+    * here is a CTE definition (column aliases bind postfix, UNNEST
+    * aliases carry column lists, no WINDOW clauses), and the one
+    * recursive member (`WITH RECURSIVE s(qid, step, picked) AS (` in
+    * [[mmrOracleTailSql]]) declares a column list so the `)` before
+    * ` AS (` keeps it out of the match. */
+  private[graft] def matCtes(sql: String): String =
+    sql.replaceAll("""(\b\w+) AS \(""", "$1 AS MATERIALIZED (")
 
   /** s24's twin: the SAME chain with training + calibration gated to
     * the base stripe ({id} % 10 <> 0) while encode + serve cover the
@@ -2343,7 +2384,7 @@ object Similarity {
 
   /** s20's twin: lexical CTEs + the EXACT vector leg + RRF fusion. */
   private def hybridExactOracleSql: String =
-    s"""WITH $hybridLexCtesSql,
+    matCtes(s"""WITH $hybridLexCtesSql,
         e0 AS (SELECT vec_id,
             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
           FROM embeddings),
@@ -2357,7 +2398,7 @@ object Similarity {
           FROM cv, qv),
         vectop AS (SELECT q_id, doc_id, ROW_NUMBER() OVER (
             PARTITION BY q_id ORDER BY l2, doc_id) AS rank FROM vd),
-        $hybridFuseSql"""
+        $hybridFuseSql""")
 
   /** s21's twin: the FULL deterministic IVF-PQ chain (the persisted
     * index is a deterministic rebuild — s18's staleness contract)
@@ -2367,12 +2408,12 @@ object Similarity {
     * answer-identical to serving only those queries (per-query
     * answers are independent), which is what the engine does. */
   private[graft] def hybridIndexedOracleSql: String =
-    s"""WITH ${pqChainCtes(filtered = false)},
+    matCtes(s"""WITH ${pqChainCtes(filtered = false)},
         $hybridLexCtesSql,
         vectop AS (SELECT r.q_id, r.c_id AS doc_id, ROW_NUMBER() OVER (
             PARTITION BY r.q_id ORDER BY r.l2sq, r.c_id) AS rank
           FROM rer r JOIN qd ON qd.q_id = r.q_id),
-        $hybridFuseSql"""
+        $hybridFuseSql""")
 
   // ----------------------------------------------------------------
   // hybrid retrieval (s20/s21): one shared query sample, one shared
@@ -2502,12 +2543,6 @@ object Similarity {
     lexSave(s, d, tf.groupBy(col("term")).agg(count(lit(1)).as("df")),
       "s21_lex_df", Some("term"))
     lexSave(s, d, dl, "s21_lex_dl", None)
-    // the rebuild re-points each table at its base path; a prior
-    // compaction may have left the live data under a -a/-b generation
-    // dir, now orphaned (s17BuildBase's idempotence discipline)
-    Seq("s21_lex_post", "s21_lex_dl").foreach { t =>
-      deleteDir(s"${lexPath(d, t)}-a"); deleteDir(s"${lexPath(d, t)}-b")
-    }
     val st = dl.agg(count(lit(1)).as("nd"),
       coalesce(sum(col("dl")), lit(0L)).as("tl")).head()
     tf.unpersist(false); dl.unpersist(false)
@@ -2517,6 +2552,16 @@ object Similarity {
         lexPrevGen(s) + 1L))
         .toDF("nd", "tl", "corpus_dir", "schema_ver", "scope", "gen"),
       "s21_lex_meta", None)
+    // the rebuild re-pointed each table at its base path; a prior
+    // compaction may have left the previous live data under a -a/-b
+    // generation dir, now orphaned (s17BuildBase's idempotence
+    // discipline). Cleared only AFTER the meta stamp above — a cache
+    // still holding the old generation re-probes and lands on the
+    // fresh build before the old files disappear (the same ordering
+    // [[swapCompact]]'s delete-after-meta contract mandates).
+    Seq("s21_lex_post", "s21_lex_dl").foreach { t =>
+      deleteDir(s"${lexPath(d, t)}-a"); deleteDir(s"${lexPath(d, t)}-b")
+    }
   }
 
   /** Generation the current lex meta carries, 0 when absent/legacy —
@@ -2606,16 +2651,26 @@ object Similarity {
     val superseded = {
       s.conf.set(scanKey, "false")
       try Seq(
-        swapCompact(s, "s21_lex_post", (df, path, staging) =>
-          df.write.mode("overwrite").option("path", path)
-            .bucketBy(8, "term").sortBy("term").saveAsTable(staging)),
-        swapCompact(s, "s21_lex_dl", (df, path, staging) =>
-          df.coalesce(8).write.mode("overwrite").option("path", path)
-            .saveAsTable(staging)))
+        swapCompact(s, "s21_lex_post", () => bumpLexGen(s, d),
+          (df, path, staging) =>
+            df.write.mode("overwrite").option("path", path)
+              .bucketBy(8, "term").sortBy("term").saveAsTable(staging)),
+        swapCompact(s, "s21_lex_dl", () => bumpLexGen(s, d),
+          (df, path, staging) =>
+            df.coalesce(8).write.mode("overwrite").option("path", path)
+              .saveAsTable(staging)))
       finally s.conf.set(scanKey, prev)
     }
     // gen bump BEFORE the superseded dirs go (swapCompact's contract
     // — same crash-window discipline as compactPqCodes)
+    bumpLexGen(s, d)
+    superseded.foreach(deleteDir)
+  }
+
+  /** Rewrite `s21_lex_meta` with gen+1, all other fields verbatim —
+    * shared by [[compactLexIndex]]'s normal path and
+    * [[swapCompact]]'s crash recovery. */
+  private def bumpLexGen(s: SparkSession, d: String): Unit = {
     val m = s.table("s21_lex_meta").head()
     import s.implicits._
     lexSave(s, d,
@@ -2624,7 +2679,6 @@ object Similarity {
         m.getAs[String]("scope"), m.getAs[Long]("gen") + 1L))
         .toDF("nd", "tl", "corpus_dir", "schema_ver", "scope", "gen"),
       "s21_lex_meta", None)
-    superseded.foreach(deleteDir)
   }
 
   /** One table's generation swap: rewrite `live` into the sibling
@@ -2641,11 +2695,22 @@ object Similarity {
     * deleted fragments). With delete-after-meta, a crash anywhere in
     * the window leaves the old files on disk and the serving cache
     * either at (old gen, old files) or (new gen, new files) — both
-    * readable. Residual exposure: RE-RUNNING compaction after such a
-    * crash clears the orphaned sibling dir before the bump, so the
-    * nightly job should re-run a crashed compaction before streams
-    * resume (the single-writer maintenance-window contract). */
+    * readable.
+    *
+    * RE-RUNNING a crashed compaction (the r18 ADVICE residual): if
+    * the prior run died AFTER its swap but BEFORE its meta bump, the
+    * orphaned sibling dir this run must clear IS the superseded old
+    * generation — and a serving cache that never saw a gen change may
+    * still hold its file listing. So when an orphan exists, the
+    * recovery path invokes `bumpGen` FIRST (forcing caches onto the
+    * already-live layout on their next lookup) and only then deletes
+    * the orphan. For the benign orphan shapes (a crash before the
+    * swap leaves the UNSWAPPED new copy, which no cache ever listed)
+    * the extra bump is a harmless spurious reload of the unchanged
+    * live layout — gen is an opaque monotonic counter. The normal
+    * path (no orphan) never bumps here. */
   private def swapCompact(s: SparkSession, live: String,
+      bumpGen: () => Unit,
       write: (DataFrame, String, String) => Unit): String = {
     val cat = s.sessionState.catalog
     val staging = live + "_next"
@@ -2661,7 +2726,10 @@ object Similarity {
     // a prior crash after the staging write leaves an orphaned staging
     // table whose metadata saveAsTable would trip over
     s.sql(s"DROP TABLE IF EXISTS $staging")
-    deleteDir(next)
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(next))) {
+      bumpGen()
+      deleteDir(next)
+    }
     write(s.table(live), next, staging)
     s.sql(s"DROP TABLE $live")
     s.sql(s"ALTER TABLE $staging RENAME TO $live")
@@ -2848,7 +2916,7 @@ object Similarity {
     * r any deterministic per-query rank) into one array row per
     * query: the bounded frame the sequential greedy fold evaluates
     * per ROW, distributed across queries with zero extra shuffle. */
-  private def mmrPack(cand: DataFrame): DataFrame =
+  private[graft] def mmrPack(cand: DataFrame): DataFrame =
     cand.groupBy(col("qid"))
       .agg(sort_array(collect_list(struct(col("r"), col("id_b"),
         col("cos_q"), col("bv"), col("nrm_b")))).as("cands"))
@@ -2860,10 +2928,10 @@ object Similarity {
     * × 64-dim native vec_dot) per query row. Determinism: argmax
     * uses the total order (score DESC, id ASC); scores are the same
     * left-to-right double folds both engines compute, so the DuckDB
-    * recursive-CTE twin ([[mmrOracleTailSql]]) picks identical ids;
+    * unrolled-step twin ([[mmrOracleTailSql]]) picks identical ids;
     * per-rank scores are recomputed post-hoc from the picked prefix
     * (same max over the same set = same IEEE double) on both sides. */
-  private def mmrSelect(packed: DataFrame): DataFrame = {
+  private[graft] def mmrSelect(packed: DataFrame): DataFrame = {
     // sim(c, p) and the MMR score of candidate c against a picked
     // id set, as SQL fragments (c, picked in lambda scope)
     val sim = "vec_dot(c.bv, p.bv) / (c.nrm_b * p.nrm_b)"
@@ -2874,8 +2942,14 @@ object Similarity {
       cast(0.0 as double))"""
     val sc = s"cast(0.7 as double) * c.cos_q" +
       s" - cast(0.3 as double) * $msim"
+    // pick count capped at the candidate count (r18 ADVICE: an
+    // under-populated query — possible for s28's index-served tier
+    // when probed cells are tiny — would otherwise exhaust the
+    // argmax and append NULL sel_ids the oracle's inner joins drop,
+    // a row-count divergence; mmrPack guarantees size(cands) >= 1 so
+    // the sequence bound never inverts)
     val selExpr = s"""aggregate(
-        sequence(1, $MmrPickK),
+        sequence(1, least($MmrPickK, size(cands))),
         cast(array() as array<bigint>),
         (picked, step) -> array_append(picked,
           aggregate(
@@ -2888,7 +2962,7 @@ object Similarity {
               ELSE best END,
             best -> best.id)))"""
     // post-hoc per-rank score from the picked prefix (oracle twin
-    // recomputes identically from its recursive picked list)
+    // recomputes identically from its unrolled pick table)
     val selv = "filter(cands, c -> c.id_b = sel_id)[0]"
     val psim = s"vec_dot($selv.bv, p.bv) / ($selv.nrm_b * p.nrm_b)"
     val pmsim = s"""coalesce(aggregate(
@@ -2910,49 +2984,80 @@ object Similarity {
   /** [[mmrSelect]]'s oracle tail, CTE-for-CTE: expects a `cand` CTE
     * (qid, id_b, cos_q) — the packed candidates — and a vector CTE
     * `vecCte` (vec_id, v, nrm) for the pairwise sims; emits csim →
-    * recursive greedy sel → post-hoc per-rank rescore, ending at the
-    * final SELECT. */
+    * [[MmrPickK]] UNROLLED greedy steps → post-hoc per-rank rescore,
+    * ending at the final SELECT.
+    *
+    * The greedy is unrolled into plain join/window CTEs instead of a
+    * recursive CTE with correlated subqueries (the r18 shape) for
+    * two reasons, both measured at sf0.01: (1) the recursive twin
+    * cost the r18 driver sweep 1,433 s — the plausible cause of the
+    * empty CORRECTNESS_r18.json — while the unrolled+materialized
+    * one runs in ~2 s; (2) DuckDB 1.0 MISEXECUTES the recursive
+    * pattern over materialized inputs (run-to-run nondeterministic
+    * picks), so it cannot share a sweep with [[matCtes]]. Step t
+    * mirrors the engine fold exactly: drop picked candidates
+    * (anti-join), per-candidate max-sim against the picked prefix,
+    * argmax of 0.7·rel − 0.3·msim under the (score DESC, id ASC)
+    * total order. A query with fewer than [[MmrPickK]] candidates
+    * runs dry (its mrem goes empty, no row picked) — the same cap
+    * [[mmrSelect]]'s least()-bounded fold applies. */
   private def mmrOracleTailSql(vecCte: String,
-      candCte: String = "cand"): String =
-    s"""csim AS (SELECT c1.qid, c1.id_b AS id_x, c2.id_b AS id_y,
+      candCte: String = "cand"): String = {
+    val sb = new StringBuilder
+    sb.append(s"""csim AS (SELECT c1.qid, c1.id_b AS id_x, c2.id_b AS id_y,
             $dotSql / (a.nrm * b.nrm) AS sim
           FROM $candCte c1 JOIN $candCte c2
             ON c1.qid = c2.qid AND c1.id_b <> c2.id_b
           JOIN $vecCte a ON a.vec_id = c1.id_b
           JOIN $vecCte b ON b.vec_id = c2.id_b),
-        sel AS (
-          WITH RECURSIVE s(qid, step, picked) AS (
-            SELECT DISTINCT qid, 0, CAST([] AS BIGINT[]) FROM $candCte
-            UNION ALL
-            SELECT s.qid, s.step + 1,
-              list_append(s.picked, (
-                SELECT c.id_b FROM $candCte c
-                WHERE c.qid = s.qid AND NOT list_contains(s.picked, c.id_b)
-                ORDER BY CAST(0.7 AS DOUBLE) * c.cos_q
-                    - CAST(0.3 AS DOUBLE) * coalesce((
-                      SELECT max(cs.sim) FROM csim cs
-                      WHERE cs.qid = s.qid AND cs.id_x = c.id_b
-                        AND list_contains(s.picked, cs.id_y)),
-                      CAST(0.0 AS DOUBLE)) DESC, c.id_b
-                LIMIT 1))
-            FROM s WHERE s.step < $MmrPickK)
-          SELECT qid, picked FROM s WHERE step = $MmrPickK),
-        ranked AS (SELECT qid, CAST(i AS BIGINT) AS rank,
-            picked[i] AS sel_id, picked[1:i-1] AS prior
-          FROM sel, UNNEST(generate_series(1, len(picked))) AS t(i)),
-        prior_sim AS (SELECT r.qid, r.rank, max(cs.sim) AS msim
-          FROM ranked r JOIN csim cs
-            ON cs.qid = r.qid AND cs.id_x = r.sel_id
-               AND list_contains(r.prior, cs.id_y)
-          GROUP BY 1, 2)
-        SELECT r.qid, r.rank, r.sel_id, c.cos_q AS relevance,
+        mpick1 AS (SELECT qid, CAST(1 AS BIGINT) AS rank, id_b AS sel_id
+          FROM (SELECT qid, id_b, ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY CAST(0.7 AS DOUBLE) * cos_q DESC, id_b) AS rn
+            FROM $candCte) WHERE rn = 1),
+        macc1 AS (SELECT * FROM mpick1)""")
+    for (t <- 2 to MmrPickK) {
+      val p = t - 1
+      sb.append(s""",
+        mrem$t AS (SELECT c.qid, c.id_b, c.cos_q
+          FROM $candCte c LEFT JOIN macc$p pk
+            ON pk.qid = c.qid AND pk.sel_id = c.id_b
+          WHERE pk.qid IS NULL),
+        mms$t AS (SELECT c.qid, c.id_b, MAX(cs.sim) AS msim
+          FROM mrem$t c
+          JOIN macc$p pk ON pk.qid = c.qid
+          JOIN csim cs ON cs.qid = c.qid AND cs.id_x = c.id_b
+            AND cs.id_y = pk.sel_id
+          GROUP BY c.qid, c.id_b),
+        mpick$t AS (SELECT qid, CAST($t AS BIGINT) AS rank,
+            id_b AS sel_id
+          FROM (SELECT c.qid, c.id_b, ROW_NUMBER() OVER (
+              PARTITION BY c.qid ORDER BY
+                CAST(0.7 AS DOUBLE) * c.cos_q
+                  - CAST(0.3 AS DOUBLE) * COALESCE(m.msim,
+                      CAST(0.0 AS DOUBLE)) DESC, c.id_b) AS rn
+            FROM mrem$t c LEFT JOIN mms$t m
+              ON m.qid = c.qid AND m.id_b = c.id_b)
+          WHERE rn = 1),
+        macc$t AS (SELECT * FROM macc$p
+          UNION ALL SELECT * FROM mpick$t)""")
+    }
+    sb.append(s""",
+        prior_sim AS (SELECT a.qid, a.rank, MAX(cs.sim) AS msim
+          FROM macc$MmrPickK a JOIN macc$MmrPickK b
+            ON b.qid = a.qid AND b.rank < a.rank
+          JOIN csim cs ON cs.qid = a.qid AND cs.id_x = a.sel_id
+            AND cs.id_y = b.sel_id
+          GROUP BY a.qid, a.rank)
+        SELECT pk.qid, pk.rank, pk.sel_id, c.cos_q AS relevance,
           CAST(0.7 AS DOUBLE) * c.cos_q
-            - CAST(0.3 AS DOUBLE) * coalesce(p.msim, CAST(0.0 AS DOUBLE))
+            - CAST(0.3 AS DOUBLE) * COALESCE(ps.msim, CAST(0.0 AS DOUBLE))
             AS mmr_score
-        FROM ranked r
-        JOIN $candCte c ON c.qid = r.qid AND c.id_b = r.sel_id
-        LEFT JOIN prior_sim p ON p.qid = r.qid AND p.rank = r.rank
-        ORDER BY r.qid, r.rank"""
+        FROM macc$MmrPickK pk
+        JOIN $candCte c ON c.qid = pk.qid AND c.id_b = pk.sel_id
+        LEFT JOIN prior_sim ps ON ps.qid = pk.qid AND ps.rank = pk.rank
+        ORDER BY pk.qid, pk.rank""")
+    sb.toString
+  }
 
   /** The E[[[MmrSampleE]]] md5-Bernoulli gate over odd (query-side)
     * vec_ids — s28's batch workload and st23's stream share it, so
@@ -3001,7 +3106,7 @@ object Similarity {
     * those queries (per-query answers are independent), which is
     * what the engine does. */
   private[graft] def mmrIndexedOracleSql: String =
-    s"""WITH ${pqChainCtes(filtered = false)},
+    matCtes(s"""WITH ${pqChainCtes(filtered = false)},
         mnq AS (SELECT COUNT(*) AS n FROM qs),
         mq AS (SELECT q_id FROM qs
           WHERE ('0x' || substr(md5('mmr:' || q_id), 1, 8))::BIGINT
@@ -3015,7 +3120,7 @@ object Similarity {
           JOIN e0 a ON a.vec_id = rr.q_id
           JOIN e0 b ON b.vec_id = rr.c_id
           WHERE rr.rk <= $MmrCandidates),
-        ${mmrOracleTailSql("e0", "mcand")}"""
+        ${mmrOracleTailSql("e0", "mcand")}""")
 
   // ----------------------------------------------------------------
   // One Lloyd (k-means) round from the 8 lowest-id seeds — s08's
@@ -3930,7 +4035,7 @@ object Similarity {
             (col("l2sq") < col("pos_l2sq")).as("hard"))
           .orderBy(col("q_id"), col("neg_rank"))
       },
-      Some(s"""WITH ${pqChainCtes(filtered = false)},
+      Some(matCtes(s"""WITH ${pqChainCtes(filtered = false)},
         pos AS (SELECT a.vec_id AS q_id,
             list_sum(list_transform(list_zip(a.v, b.v),
               t -> (t[1] - t[2]) * (t[1] - t[2]))) AS pos_l2sq
@@ -3943,7 +4048,7 @@ object Similarity {
         SELECT n.q_id, neg_rank, c_id, l2sq,
           l2sq - pos_l2sq AS margin, l2sq < pos_l2sq AS hard
         FROM negs n JOIN pos ON pos.q_id = n.q_id
-        WHERE neg_rank <= 10 ORDER BY n.q_id, neg_rank""")),
+        WHERE neg_rank <= 10 ORDER BY n.q_id, neg_rank"""))),
 
     // ----- s26: PQ-CODES COMPACTION — the OPTIMIZE step for the
     // vector tower's main index, completing the maintenance symmetry
@@ -4440,7 +4545,7 @@ object Similarity {
           cand.withColumn("r", row_number().over(w))
             .filter(col("r") <= MmrCandidates)))
       },
-      Some(s"""WITH e AS ($vecsSql),
+      Some(matCtes(s"""WITH e AS ($vecsSql),
         cand0 AS (SELECT a.vec_id AS qid, b.vec_id AS id_b,
             $dotSql / (a.nrm * b.nrm) AS cos_q
           FROM (SELECT * FROM e WHERE vec_id % 25 = 0) a
@@ -4449,7 +4554,7 @@ object Similarity {
             SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
               ORDER BY cos_q DESC, id_b) AS r FROM cand0)
           WHERE r <= $MmrCandidates),
-        ${mmrOracleTailSql("e")}""")),
+        ${mmrOracleTailSql("e")}"""))),
 
     // ----- s28: MMR OVER THE PERSISTED INDEX — s15's promised
     // deployment shape, shipped (the s20→s21 discipline applied to
@@ -4465,7 +4570,7 @@ object Similarity {
     // equi-join); the greedy fold and the oracle tail are s15's
     // SHARED machinery — only candidate generation differs, which is
     // the point. Oracle: the s12-twin chain's `rer` ranked to
-    // top-16 per sampled query, then the same recursive-CTE greedy.
+    // top-16 per sampled query, then the same unrolled greedy steps.
     QueryDef(
       "s28_mmr_indexed",
       (s, d) => {

@@ -17,7 +17,7 @@ package graft
   *
   * Value correctness is the DuckDB oracle's job (hash-gated: the
   * s12-twin chain's top-16 per sampled query composed with the
-  * SHARED recursive-CTE greedy tail). */
+  * SHARED unrolled-greedy tail). */
 class MmrIndexedSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
@@ -59,6 +59,41 @@ class MmrIndexedSpec extends SparkSpec {
         s"query $q: rank-1 must be the pure relevance argmax " +
           "(empty picked prefix => no diversity penalty)")
     }
+  }
+
+  test("under-populated query (fewer candidates than MmrPickK): " +
+      "picks every candidate once, appends no NULL sel_ids") {
+    // the r18 ADVICE degenerate input: s28's index-served tier can
+    // yield <MmrPickK candidates when probed cells are tiny; the
+    // greedy fold is capped at least(MmrPickK, size(cands)) so the
+    // argmax never scans an exhausted set (the oracle twin bounds
+    // its recursive steps by the same per-query candidate count)
+    import spark.implicits._
+    val k = graft.operators.Similarity.MmrPickK
+    def unit(x: Double, y: Double): Array[Double] = Array(x, y)
+    // qid 1: only 2 candidates; qid 2: k + 2 candidates
+    val cand = (
+      Seq((1L, 1, 10L, 0.9, unit(1, 0), 1.0),
+          (1L, 2, 11L, 0.8, unit(0, 1), 1.0)) ++
+      (0 until k + 2).map(i =>
+        (2L, i + 1, 20L + i, 0.9 - 0.05 * i,
+          unit(math.cos(i), math.sin(i)), 1.0)))
+      .toDF("qid", "r", "id_b", "cos_q", "bv", "nrm_b")
+    val out = graft.operators.Similarity
+      .mmrSelect(graft.operators.Similarity.mmrPack(cand)).collect()
+    val byQ = out.groupBy(_.getAs[Long]("qid"))
+    assert(byQ(1L).length === 2, "qid 1 must pick its 2 candidates")
+    assert(byQ(2L).length === k, s"qid 2 must pick exactly $k")
+    out.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("sel_id")),
+        "a NULL sel_id leaked out of the greedy fold")
+    }
+    assert(byQ(1L).map(_.getAs[Long]("sel_id")).toSet === Set(10L, 11L))
+    assert(byQ(1L).sortBy(_.getAs[Long]("rank"))
+      .map(_.getAs[Long]("rank")).toSeq === Seq(1L, 2L))
+    // harness sanity: the engine column set is what the oracle emits
+    assert(out.head.schema.fieldNames.sorted
+      === Array("mmr_score", "qid", "rank", "relevance", "sel_id"))
   }
 
   test("deterministic across runs") {

@@ -13,7 +13,7 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.session.timeZone", "UTC")
     // harness default (mirrors Verify/Bench/ScaleUp): budget-sized
     // rank prunes rewrite to WindowGroupLimits; no QueryDef mutates
-    // session conf to get it (P09ConfHygieneSpec pins this)
+    // session conf to get it (TokenBudgetSpec pins this)
     .config("spark.sql.optimizer.windowGroupLimitThreshold",
       graft.operators.Pipeline.TokenBudget.toString)
     .getOrCreate()
