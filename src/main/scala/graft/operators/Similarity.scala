@@ -482,6 +482,18 @@ object Similarity {
   /** MMR picks per query. */
   private[graft] val MmrPickK = 5
 
+  /** Lexical staleness audit (s31): E[sampled docs] for the
+    * dl-recheck md5-Bernoulli gate over corpus (even) doc_ids.
+    * Salt "lexa:" keeps it independent of the hybrid query sample. */
+  private[graft] val LexAuditSample = 256L
+
+  /** Rebuild dials for [[maintainLexIndex]]: minimum fraction of the
+    * current corpus the index must cover (meta nd / corpus doc
+    * count), and the maximum fraction of sampled docs whose stored
+    * length disagrees with a fresh tokenization. */
+  private[graft] val LexMinCoverage = 0.98
+  private[graft] val LexMaxDlMismatch = 0.02
+
   private val evenCountCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
@@ -2681,6 +2693,117 @@ object Similarity {
       "s21_lex_meta", None)
   }
 
+  /** LEXICAL STALENESS AUDIT (s31) — BM25 has no recall to drift, but
+    * its GLOBAL statistics do: nd and avgdl are frozen into the meta
+    * at build/append time and the per-doc lengths live in the dl
+    * table, so deletes, edits, or a nightly append that never ran
+    * leave the index describing a corpus that no longer exists. The
+    * audit measures exactly that, at bounded cost (the s27
+    * discipline: sampled referee, never a corpus re-tokenization):
+    *   - COVERAGE: meta nd vs a corpus doc COUNT — a parquet
+    *     count(*), no tokenization;
+    *   - DL RECHECK: an E[[[LexAuditSample]]] md5-Bernoulli doc
+    *     sample is re-tokenized and its lengths compared against the
+    *     stored dl rows (a missing row counts as a mismatch) —
+    *     catches edits and holes the count can't see.
+    * One row out; `rebuild_due` fires on either dial. */
+  private[graft] def auditLexStaleness(s: SparkSession, d: String,
+      minCoverageOverride: Option[Double] = None,
+      maxDlMismatchOverride: Option[Double] = None): DataFrame = {
+    refreshIndexTables(s, Seq("s21_lex_dl", "s21_lex_meta"))
+    // 1-row meta read + one corpus count: bounded planning reads
+    val ndIndex = s.table("s21_lex_meta").head().getAs[Long]("nd")
+    val minCov = minCoverageOverride.getOrElse(LexMinCoverage)
+    val maxMism = maxDlMismatchOverride.getOrElse(LexMaxDlMismatch)
+    val corpus = new Tables(s, d).documents
+      .filter(col("doc_id") % 2 === 0)
+    val ndCorpus = corpus.count()
+    val thresh = (LexAuditSample * 4294967296L - 1L) /
+      math.max(1L, ndCorpus) + 1L
+    val dlNow = corpus
+      .filter(conv(substring(md5(concat(lit("lexa:"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+        < lit(thresh))
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("dl_now"))
+    val dlIdx = s.table("s21_lex_dl")
+      .select(col("doc_id"), col("dl").as("dl_idx"))
+    dlNow.join(dlIdx, Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("n_sample"),
+        coalesce(sum(when(col("dl_idx").isNull
+            || col("dl_idx") =!= col("dl_now"), 1L).otherwise(0L)),
+          lit(0L)).as("dl_mismatches"))
+      .select(lit(ndIndex).as("nd_index"),
+        lit(ndCorpus).as("nd_corpus"),
+        col("n_sample"), col("dl_mismatches"),
+        (lit(ndIndex).cast("double") / lit(ndCorpus).cast("double"))
+          .as("coverage"),
+        (col("dl_mismatches").cast("double")
+          / col("n_sample").cast("double")).as("mismatch_frac"),
+        ((lit(ndIndex).cast("double") / lit(ndCorpus).cast("double"))
+            < lit(minCov)
+          || (col("dl_mismatches").cast("double")
+            / col("n_sample").cast("double")) > lit(maxMism))
+          .as("rebuild_due"))
+  }
+
+  /** NIGHTLY LEXICAL MAINTENANCE (s30) — [[maintainPqIndex]]'s shape
+    * for the postings tower, closing its maintenance loop: audit →
+    * rebuild-when-due. The rebuild is a full [[persistLexIndex]]
+    * (tokenize-once build + generation bump), so running st19
+    * streams pick the fresh index up on their next micro-batch via
+    * [[LexIndexCache]] without restart. Compaction (s23) stays its
+    * own OPTIMIZE entry, exactly as s26 does for the PQ tower. */
+  private[graft] def maintainLexIndex(s: SparkSession, d: String,
+      minCoverageOverride: Option[Double] = None,
+      maxDlMismatchOverride: Option[Double] = None): Boolean = {
+    val due = auditLexStaleness(s, d, minCoverageOverride,
+      maxDlMismatchOverride).head().getAs[Boolean]("rebuild_due")
+    if (due) persistLexIndex(s, d)
+    due
+  }
+
+  /** s31's twin: the index's dl table is modelled from source under
+    * the same doc gate the engine built with (doc_id % 5 <> 0), the
+    * sampled docs re-tokenized corpus-wide; coverage and mismatch
+    * fractions are per-row IEEE doubles of exact longs. */
+  private[graft] def lexAuditOracleSql: String =
+    matCtes(s"""WITH corpus0 AS (SELECT doc_id, text FROM documents
+            WHERE doc_id % 2 = 0),
+        ndc AS (SELECT COUNT(*) AS nd_corpus FROM corpus0),
+        ndi AS (SELECT COUNT(*) AS nd_index FROM corpus0
+            WHERE doc_id % 5 <> 0),
+        dlnow AS (SELECT doc_id, COUNT(*) AS dl_now FROM (
+            SELECT doc_id, unnest(string_split_regex(
+                lower(trim(text)), '\\s+')) AS term
+            FROM corpus0
+            WHERE ('0x' || substr(md5('lexa:' || doc_id), 1, 8))::BIGINT
+                  < ${LexAuditSample * 4294967296L - 1L}
+                    // (SELECT nd_corpus FROM ndc) + 1)
+          GROUP BY doc_id),
+        dlidx AS (SELECT doc_id, COUNT(*) AS dl_idx FROM (
+            SELECT doc_id, unnest(string_split_regex(
+                lower(trim(text)), '\\s+')) AS term
+            FROM corpus0 WHERE doc_id % 5 <> 0)
+          GROUP BY doc_id),
+        cmp AS (SELECT COUNT(*) AS n_sample,
+            CAST(COALESCE(SUM(CASE WHEN i.dl_idx IS NULL
+                OR i.dl_idx <> c.dl_now THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS dl_mismatches
+          FROM dlnow c LEFT JOIN dlidx i USING (doc_id))
+        SELECT nd_index, nd_corpus, n_sample, dl_mismatches,
+          CAST(nd_index AS DOUBLE) / CAST(nd_corpus AS DOUBLE)
+            AS coverage,
+          CAST(dl_mismatches AS DOUBLE) / CAST(n_sample AS DOUBLE)
+            AS mismatch_frac,
+          (CAST(nd_index AS DOUBLE) / CAST(nd_corpus AS DOUBLE)
+              < $LexMinCoverage)
+            OR (CAST(dl_mismatches AS DOUBLE)
+              / CAST(n_sample AS DOUBLE) > $LexMaxDlMismatch)
+            AS rebuild_due
+        FROM cmp, ndi, ndc""")
+
   /** One table's generation swap: rewrite `live` into the sibling
     * generation dir via `write(frame, nextPath, stagingName)`, then
     * DROP + RENAME. Recovery for the drop/rename window runs FIRST
@@ -4129,6 +4252,46 @@ object Similarity {
         servePq(s, d, loadPqIndex(s))
       },
       Some(pqOracleSql)),
+
+    // ----- s30: LEXICAL MAINTENANCE LOOP CLOSED — s29's shape for
+    // the postings tower, the r18 verdict's one named residual: a
+    // STALE index (base stripe only — the nightly append never ran,
+    // so 20% of the corpus is missing and nd/df/avgdl are all wrong)
+    // is audited, found under-covered by the DEFAULT dials, and
+    // REBUILT by the one nightly entry point; the hybrid serve then
+    // hash-matches the from-scratch twin. A maintain that silently
+    // skipped the rebuild would serve the 0.8-coverage index — wrong
+    // BM25 statistics for every query — and fail the oracle, so the
+    // gate needs no threshold override at all.
+    QueryDef(
+      "s30_lex_maintained_serve",
+      (s, d) => {
+        persistLexIndex(s, d, col("doc_id") % 5 =!= 0,
+          scope = "partial")
+        val rebuilt = maintainLexIndex(s, d)
+        require(rebuilt,
+          "a 0.8-coverage index must audit as rebuild_due")
+        hybridServeBatch(s, d,
+          new Tables(s, d).documents
+            .select(col("doc_id"), col("text")),
+          ensurePqIndex(s, d), loadLexIndex(s))
+      },
+      Some(hybridIndexedOracleSql)),
+
+    // ----- s31: LEXICAL STALENESS AUDIT — s27's shape for the
+    // postings tower: the audit itself, oracle-gated. State = the
+    // stale base-stripe index; the twin models the stored dl table
+    // from source under the same doc gate and re-tokenizes the
+    // sampled docs corpus-wide, so every column (counts, IEEE
+    // ratios, the verdict) is recomputed independently.
+    QueryDef(
+      "s31_lex_staleness_audit",
+      (s, d) => {
+        persistLexIndex(s, d, col("doc_id") % 5 =!= 0,
+          scope = "partial")
+        auditLexStaleness(s, d)
+      },
+      Some(lexAuditOracleSql)),
 
     // ----- s08: IVF with a TRAINED coarse quantizer — one Lloyd
     // (k-means) refinement of s04's training-free centroids, written
