@@ -180,7 +180,14 @@ object ScaleUp {
       // per-row greedy fold for the E[32] sample — the per-query
       // cost that must stay ~flat across decades, the claim s28
       // replaced s15's all-pairs candidate tier to earn)
-      "s28_mmr_indexed")
+      "s28_mmr_indexed",
+      // r19: the lexical staleness audit + nightly maintain — the
+      // audit alone is a doc count + an E[256] sampled re-tokenize
+      // (lexaudit_sec must stay ~flat across decades: the sample is
+      // constant-size); the maintain pays audit + one tokenize-once
+      // full rebuild (s21's build class — linear), then re-audits
+      // clean
+      "s31_lex_staleness_audit")
 
   /** What a query's "found" count IS for retention purposes, when a
     * plain row count is structurally trivial (one row per doc): d11
@@ -397,6 +404,26 @@ object ScaleUp {
           val n = measure(fn(spark, dir))
           val t = (System.nanoTime() - t0) / 1e9
           s""","serve_sec":$t,"serve_rows":$n"""
+        } else if (name == "s31_lex_staleness_audit") {
+          // the timed lifecycle run left the aged (base-stripe)
+          // index for THIS corpus: time the audit ALONE (doc count +
+          // E[256] sampled re-tokenize — near-flat across decades),
+          // then the maintain (audit + full rebuild — linear), then
+          // prove the rebuilt state audits clean
+          import graft.operators.Similarity
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          val a = Similarity.auditLexStaleness(spark, dir).head()
+          val t = (System.nanoTime() - t0) / 1e9
+          val tm0 = System.nanoTime()
+          val rebuilt = Similarity.maintainLexIndex(spark, dir)
+          val tm = (System.nanoTime() - tm0) / 1e9
+          val clean = !Similarity.auditLexStaleness(spark, dir)
+            .head().getAs[Boolean]("rebuild_due")
+          s""","lexaudit_sec":$t""" +
+            s""","lexaudit_cov":${a.getAs[Double]("coverage")}""" +
+            s""","maintain_sec":$tm,"rebuilt":$rebuilt""" +
+            s""","post_clean":$clean"""
         } else if (name != "s18_pq_persisted") "" else {
           spark.catalog.clearCache()
           val t0 = System.nanoTime()
@@ -437,6 +464,13 @@ object ScaleUp {
         .replace("measured_recall", s"measured_recall_$suffix")
         .replace("build_recall", s"build_recall_$suffix")
         .replace("audit_drift", s"audit_drift_$suffix")
+        // NOTE: no "lexaudit_sec" rule — the "audit_sec" rule above
+        // already rewrites it as a substring (a second rule would
+        // double-suffix it)
+        .replace("lexaudit_cov", s"lexaudit_cov_$suffix")
+        .replace("maintain_sec", s"maintain_sec_$suffix")
+        .replace("\"rebuilt\"", s""""rebuilt_$suffix"""")
+        .replace("post_clean", s"post_clean_$suffix")
       val serveJson =
         if (serve1.isEmpty) ""
         else decade(serve1, "x1") + decade(servek, "xk")
