@@ -52,6 +52,13 @@ class PlanAuditSpec extends SparkSpec {
       ("s21's serve plan verbatim after build + append + compaction " +
         "(compaction is a zero-exchange per-bucket rewrite + rename " +
         "swap; the serve plan is unchanged by layout)"),
+    "s30_lex_maintained_serve" ->
+      ("s21's serve plan verbatim after the stale-base build + the " +
+        "maintain's tokenize-once full rebuild (the serve's vector " +
+        "leg is s18's labeled broadcast routing/LUT affinities " +
+        "against the persisted PQ index; the lexical audit and " +
+        "rebuild are counts, equi-joins, and aggregations — never " +
+        "all-pairs)"),
     "s24_incremental_pq" ->
       ("s12's labeled broadcast affinities in the gated BASE build + " +
         "the delta append's broadcast centroid routing (|delta|·√k, " +
