@@ -282,6 +282,192 @@ object Dedup {
     (GraftConf.int(s, GraftConf.MinHashHashesKey, 16),
       GraftConf.int(s, GraftConf.MinHashBandsKey, 4))
 
+  // --------------------------------------------------------------------
+  // The persisted LSH BUCKET TOWER (d10's corpus band index, promoted
+  // from a per-run tmpdir write to the same persisted-table discipline
+  // as the PQ (s18) and lexical (s21) towers): build once nightly,
+  // probe per delta batch, audit + rebuild-when-due through
+  // `Maintenance.maintainIndexes`. The index stores one row per
+  // (corpus doc, band) — (doc_id, n, band, band_key) — so work at
+  // probe time scales with |delta| · bands, never |corpus|².
+
+  private[graft] val LshMetaSchemaVer = 1
+  private[graft] val LshAuditSample = 256L
+
+  /** Staleness dials (compile-time defaults; callers owning a policy
+    * pass overrides — the s29/s30 precedence discipline). Coverage is
+    * meta `nd` vs a live corpus-stripe count; band defects are
+    * sampled docs whose persisted row count differs from the
+    * geometry's band count (a torn/partial write). */
+  private[graft] val LshMinCoverage = 0.98
+  private[graft] val LshMaxBandDefect = 0.02
+
+  private def lshPath(d: String, table: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_$table-" +
+      Integer.toHexString(d.hashCode)
+
+  private def lshSave(s: SparkSession, d: String, dfx: DataFrame,
+      table: String): Unit =
+    dfx.write.mode("overwrite").option("path", lshPath(d, table))
+      .saveAsTable(table)
+
+  private def refreshLshTables(s: SparkSession): Unit =
+    Seq("d10_lsh_bands", "d10_lsh_meta").foreach { t =>
+      try s.catalog.refreshTable(t)
+      catch { case _: Exception => () } // missing table: nothing cached
+    }
+
+  private def lshPrevGen(s: SparkSession): Long =
+    try {
+      refreshLshTables(s)
+      val mt = s.table("d10_lsh_meta")
+      if (mt.columns.contains("gen")) mt.head().getAs[Long]("gen")
+      else 0L
+    } catch { case _: Exception => 0L }
+
+  /** The historical-corpus stripe the index covers (d10's split:
+    * doc_id % 5 == 0 is "today's ingest", the rest is the corpus). */
+  private def lshStripe(s: SparkSession, d: String): DataFrame =
+    new Tables(s, d).documents.filter(col("doc_id") % 5 =!= 0)
+
+  /** Build + persist the corpus band index: MinHash signatures over
+    * the df-capped shingle relation (the cap is computed corpus-wide,
+    * exactly as d10's oracle defines it — at production scale the
+    * delta stripe is a vanishing fraction of the df counts), LSH
+    * bands stacked one row per (doc, band). The meta row freezes the
+    * doc count and the (hashes, bands) GEOMETRY the index answers
+    * for — a session that re-dials the geometry is asking a different
+    * recall question, so [[ensureLshIndex]]/[[auditLshCoverage]]
+    * treat a geometry mismatch as stale. `docGate` exists for specs
+    * and backfills that index a sub-stripe (the meta's nd records
+    * what was actually indexed, so the coverage audit sees the
+    * hole). */
+  private[graft] def persistLshIndex(s: SparkSession, d: String,
+      docGate: org.apache.spark.sql.Column = lit(true)): Unit = {
+    val (hashes, bands) = minhashGeometry(s)
+    lshSave(s, d,
+      minhashBands(
+        minhashSigs(cappedShingles(s, d)
+          .filter(col("doc_id") % 5 =!= 0).filter(docGate), hashes),
+        hashes, bands),
+      "d10_lsh_bands")
+    val nd = lshStripe(s, d).filter(docGate).count()
+    import s.implicits._
+    lshSave(s, d,
+      Seq((nd, hashes, bands, d, LshMetaSchemaVer, lshPrevGen(s) + 1L))
+        .toDF("nd", "hashes", "bands", "corpus_dir", "schema_ver",
+          "gen"),
+      "d10_lsh_meta")
+  }
+
+  /** The index's GENERATION stamp alone — the 1-row freshness probe
+    * (the [[graft.operators.Similarity]] `loadPqMetaGen` twin). */
+  private[graft] def loadLshMetaGen(s: SparkSession): Long = {
+    refreshLshTables(s)
+    s.table("d10_lsh_meta").head().getAs[Long]("gen")
+  }
+
+  /** Load the persisted band index when one is fresh for this corpus
+    * AND this session's geometry dials, else build + persist. The
+    * fingerprint is the exact corpus-dir string, the schema version,
+    * and the (hashes, bands) geometry — the same field-by-field
+    * discipline as `ensurePqIndex`/`ensureLexIndex`. */
+  private[graft] def ensureLshIndex(s: SparkSession, d: String): DataFrame = {
+    val cat = s.sessionState.catalog
+    def exists(t: String) = cat.tableExists(
+      org.apache.spark.sql.catalyst.TableIdentifier(t))
+    refreshLshTables(s)
+    val (hashes, bands) = minhashGeometry(s)
+    val metaCols =
+      Set("nd", "hashes", "bands", "corpus_dir", "schema_ver", "gen")
+    val fresh = exists("d10_lsh_bands") && exists("d10_lsh_meta") && {
+      val mt = s.table("d10_lsh_meta")
+      metaCols.subsetOf(mt.columns.toSet) && {
+        val m = mt.head()
+        m.getAs[String]("corpus_dir") == d &&
+          m.getAs[Int]("schema_ver") == LshMetaSchemaVer &&
+          m.getAs[Int]("hashes") == hashes &&
+          m.getAs[Int]("bands") == bands
+      }
+    }
+    if (!fresh) persistLshIndex(s, d)
+    s.table("d10_lsh_bands")
+  }
+
+  /** LSH STALENESS AUDIT — the band tower's `auditLexStaleness`
+    * twin, at bounded cost (never a corpus re-shingling):
+    *   - COVERAGE: meta `nd` vs a live corpus-stripe count (a parquet
+    *     count) — catches appends that never landed and deletes;
+    *   - GEOMETRY: the meta's frozen (hashes, bands) vs the session
+    *     dials — a re-dialed session needs a rebuilt index;
+    *   - BAND RECHECK: an E[[[LshAuditSample]]] md5-Bernoulli doc
+    *     sample's persisted rows must number exactly `bands` per doc
+    *     present — catches torn/partial band writes.
+    * A sampled doc ABSENT from the index is not a defect: a doc with
+    * under 3 tokens (or all-capped shingles) legitimately has no
+    * signature, and telling those apart from a hole needs the
+    * corpus-wide df-cap scan a bounded audit can't pay. Content
+    * EDITS are likewise out of scope here — over the same
+    * `documents` source they surface in the lexical tower's dl
+    * recheck, and count drift lands in coverage. One row out;
+    * `rebuild_due` fires on any of the three dials. */
+  private[graft] def auditLshCoverage(s: SparkSession, d: String,
+      minCoverageOverride: Option[Double] = None,
+      maxBandDefectOverride: Option[Double] = None): DataFrame = {
+    refreshLshTables(s)
+    val m = s.table("d10_lsh_meta").head()
+    val ndIndex = m.getAs[Long]("nd")
+    val (hashes, bands) = minhashGeometry(s)
+    val geomOk = m.getAs[Int]("hashes") == hashes &&
+      m.getAs[Int]("bands") == bands
+    val minCov = minCoverageOverride.getOrElse(LshMinCoverage)
+    val maxDef = maxBandDefectOverride.getOrElse(LshMaxBandDefect)
+    val stripe = lshStripe(s, d)
+    val ndCorpus = stripe.count()
+    val thresh = (LshAuditSample * 4294967296L - 1L) /
+      math.max(1L, ndCorpus) + 1L
+    val sample = stripe
+      .filter(conv(substring(md5(concat(lit("lsha:"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+        < lit(thresh))
+      .select(col("doc_id"))
+    s.table("d10_lsh_bands")
+      .join(broadcast(sample), Seq("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("nrows"))
+      .agg(count(lit(1)).as("n_sample"),
+        coalesce(sum(when(col("nrows") =!= bands, 1L).otherwise(0L)),
+          lit(0L)).as("band_defects"))
+      .select(lit(ndIndex).as("nd_index"),
+        lit(ndCorpus).as("nd_corpus"),
+        col("n_sample"), col("band_defects"),
+        (lit(ndIndex).cast("double") / lit(ndCorpus).cast("double"))
+          .as("coverage"),
+        coalesce(col("band_defects").cast("double")
+          / nullif(col("n_sample").cast("double"), lit(0.0)), lit(0.0))
+          .as("defect_frac"),
+        lit(geomOk).as("geom_ok"),
+        ((lit(ndIndex).cast("double") / lit(ndCorpus).cast("double"))
+            < lit(minCov)
+          || coalesce(col("band_defects").cast("double")
+            / nullif(col("n_sample").cast("double"), lit(0.0)),
+            lit(0.0)) > lit(maxDef)
+          || lit(!geomOk)).as("rebuild_due"))
+  }
+
+  /** NIGHTLY LSH MAINTENANCE — `maintainPqIndex`'s shape for the
+    * band tower: audit → rebuild-when-due. The rebuild is a full
+    * [[persistLshIndex]] with a generation bump, so the next d10
+    * probe ([[ensureLshIndex]]) reads the fresh index. Returns
+    * whether a rebuild ran. */
+  private[graft] def maintainLshIndex(s: SparkSession, d: String,
+      minCoverageOverride: Option[Double] = None,
+      maxBandDefectOverride: Option[Double] = None): Boolean = {
+    val due = auditLshCoverage(s, d, minCoverageOverride,
+      maxBandDefectOverride).head().getAs[Boolean]("rebuild_due")
+    if (due) persistLshIndex(s, d)
+    due
+  }
+
   /** DuckDB twins of [[minhashSigs]]/[[minhashCands]] as CTEs over `sh`
     * (expects `sh` bound by [[jaccardPairsSql]] or [[shinglesSql]]).
     * Parameterized by the same geometry knobs; the SHIPPED oracles use
@@ -601,29 +787,25 @@ object Dedup {
     // ----- d10: INCREMENTAL dedup — today's ingest (the doc_id % 5
     // == 0 stripe) checked against the historical corpus WITHOUT a
     // corpus self-join. This is the shape a production pipeline runs
-    // nightly: the corpus MinHash band index is persisted once
-    // (written to parquet here and read back through the layout, the
-    // w01/w02 discipline), and each new batch only computes ITS OWN
-    // signatures and probes the index with a broadcast join — work
-    // scales with |delta|, never |corpus|²; the corpus is scanned,
-    // not shuffled. Candidates are verified with exact jaccard
-    // (d03's candidates-then-exact-verify discipline). Output: one
-    // row per delta doc with its corpus-duplicate count, best
-    // jaccard, and the is_new admission bit.
+    // nightly: the corpus MinHash band index is PERSISTED
+    // ([[ensureLshIndex]] — built once per (corpus, geometry), kept
+    // fresh by `Maintenance.maintainIndexes`' audit → rebuild loop),
+    // and each new batch only computes ITS OWN signatures and probes
+    // the index with a broadcast join — work scales with |delta|,
+    // never |corpus|²; the corpus is scanned, not shuffled.
+    // Candidates are verified with exact jaccard (d03's
+    // candidates-then-exact-verify discipline). Output: one row per
+    // delta doc with its corpus-duplicate count, best jaccard, and
+    // the is_new admission bit.
     QueryDef(
       "d10_incremental_dedup",
       (s, d) => {
         val (hashes, bands) = minhashGeometry(s)
         val sh = cappedShingles(s, d).cache()
-        val sigs = minhashSigs(sh, hashes).cache()
-        val corpusBands = minhashBands(
-          sigs.filter(col("doc_id") % 5 =!= 0), hashes, bands)
         val deltaBands = minhashBands(
-          sigs.filter(col("doc_id") % 5 === 0), hashes, bands)
-        val idxPath = s"${System.getProperty("java.io.tmpdir")}/graft_d10-" +
-          Integer.toHexString(d.hashCode)
-        corpusBands.write.mode("overwrite").parquet(idxPath)
-        val idx = s.read.parquet(idxPath)
+          minhashSigs(sh.filter(col("doc_id") % 5 === 0), hashes),
+          hashes, bands)
+        val idx = ensureLshIndex(s, d)
         // endpoint shingle counts ride inside the candidates (the
         // persisted index stores n per row; the delta side carries
         // its own) — the verify tail joins NO corpus-scale count
