@@ -468,6 +468,85 @@ object Dedup {
     due
   }
 
+  /** d10's delta-vs-corpus probe + exact-jaccard verify tail, served
+    * from a given band index frame (d10 passes the ensured tower;
+    * d14 the tower a maintain just rebuilt). The delta computes only
+    * ITS OWN signatures and probes with a broadcast join — work
+    * scales with |delta|, never |corpus|²; the corpus is scanned,
+    * not shuffled. Endpoint shingle counts ride inside the
+    * candidates (the persisted index stores n per row; the delta
+    * side carries its own) — the verify tail joins NO corpus-scale
+    * count relation (the per-doc count of the whole corpus is
+    * itself O(corpus) and must neither broadcast nor shuffle
+    * nightly). */
+  private[graft] def deltaDedupServe(s: SparkSession, d: String,
+      idx: DataFrame): DataFrame = {
+    val (hashes, bands) = minhashGeometry(s)
+    val sh = cappedShingles(s, d).cache()
+    val deltaBands = minhashBands(
+      minhashSigs(sh.filter(col("doc_id") % 5 === 0), hashes),
+      hashes, bands)
+    val cands = idx.as("c")
+      .join(broadcast(deltaBands.as("q")),
+        col("c.band") === col("q.band")
+          && col("c.band_key") === col("q.band_key"))
+      .select(col("q.doc_id").as("delta_id"),
+        col("c.doc_id").as("corpus_id"),
+        col("q.n").as("n_q"), col("c.n").as("n_c"))
+      .distinct()
+    val qSide = gateBroadcast(s, cands)
+      .join(sh, col("delta_id") === col("doc_id"))
+      .select(col("delta_id"), col("corpus_id"), col("n_q"),
+        col("n_c"), col("shingle"))
+    val scored = qSide
+      .join(sh.as("b"), qSide("shingle") === col("b.shingle")
+        && col("b.doc_id") === qSide("corpus_id"))
+      .groupBy(col("delta_id"), col("corpus_id"), col("n_q"),
+        col("n_c"))
+      .agg(count(lit(1)).as("n_common"))
+      .withColumn("jaccard", col("n_common").cast("double")
+        / (col("n_q") + col("n_c") - col("n_common")))
+      .filter(col("jaccard") >= 0.5)
+    val perDelta = scored.groupBy(col("delta_id"))
+      .agg(count(lit(1)).as("n_corpus_dups"),
+        max(col("jaccard")).as("best_jaccard"))
+    new Tables(s, d).documents.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("delta_id"))
+      .join(perDelta, Seq("delta_id"), "left")
+      .select(col("delta_id"),
+        coalesce(col("n_corpus_dups"), lit(0L)).as("n_corpus_dups"),
+        coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"),
+        (coalesce(col("n_corpus_dups"), lit(0L)) === 0).as("is_new"))
+      .orderBy(col("delta_id"))
+  }
+
+  /** d10's (and d14's) from-source twin: bands over the full
+    * df-capped shingle relation, delta-vs-corpus candidates, exact
+    * jaccard ≥ 0.5 verify, one row per delta doc. */
+  private def d10OracleSql: String =
+    s"""WITH ${jaccardPairsSql()},
+        ${minhashCtesSql()},
+        cands_x AS (SELECT DISTINCT q.doc_id AS delta_id,
+            c.doc_id AS corpus_id
+          FROM bands q JOIN bands c
+            ON q.band = c.band AND q.band_key = c.band_key
+          WHERE q.doc_id % 5 = 0 AND c.doc_id % 5 <> 0),
+        hits AS (SELECT delta_id, corpus_id, j.jaccard
+          FROM cands_x
+          JOIN jac j ON j.id_a = LEAST(delta_id, corpus_id)
+                    AND j.id_b = GREATEST(delta_id, corpus_id)
+          WHERE j.jaccard >= 0.5),
+        per AS (SELECT delta_id, COUNT(*) AS n_corpus_dups,
+            MAX(jaccard) AS best_jaccard
+          FROM hits GROUP BY delta_id)
+        SELECT d.doc_id AS delta_id,
+          CAST(COALESCE(p.n_corpus_dups, 0) AS BIGINT) AS n_corpus_dups,
+          COALESCE(p.best_jaccard, 0.0) AS best_jaccard,
+          COALESCE(p.n_corpus_dups, 0) = 0 AS is_new
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+        LEFT JOIN per p ON p.delta_id = d.doc_id
+        ORDER BY delta_id"""
+
   /** DuckDB twins of [[minhashSigs]]/[[minhashCands]] as CTEs over `sh`
     * (expects `sh` bound by [[jaccardPairsSql]] or [[shinglesSql]]).
     * Parameterized by the same geometry knobs; the SHIPPED oracles use
@@ -799,73 +878,30 @@ object Dedup {
     // the is_new admission bit.
     QueryDef(
       "d10_incremental_dedup",
+      (s, d) => deltaDedupServe(s, d, ensureLshIndex(s, d)),
+      Some(d10OracleSql)),
+
+    // ----- d14: the LSH tower's MAINTENANCE GATE — s29/s30's
+    // always-due-lifecycle discipline for the band index: the
+    // QueryDef ages the tower FOR REAL (a base-only build whose
+    // nightly append never landed — 1/7 of the corpus stripe
+    // missing, the meta's nd recording the hole), runs
+    // maintainLshIndex on the DEFAULT dials (coverage 0.857 < 0.98
+    // must fire), and serves d10's delta probe from whatever the
+    // maintain left behind. The oracle is d10's from-source twin
+    // VERBATIM (the selfcheck memoizes the shared string), so a
+    // maintain that silently skipped the rebuild would probe an
+    // index missing 1/7 of the corpus — every hit against the
+    // missing stripe disappears — and fail the hash gate.
+    QueryDef(
+      "d14_lsh_maintained_dedup",
       (s, d) => {
-        val (hashes, bands) = minhashGeometry(s)
-        val sh = cappedShingles(s, d).cache()
-        val deltaBands = minhashBands(
-          minhashSigs(sh.filter(col("doc_id") % 5 === 0), hashes),
-          hashes, bands)
-        val idx = ensureLshIndex(s, d)
-        // endpoint shingle counts ride inside the candidates (the
-        // persisted index stores n per row; the delta side carries
-        // its own) — the verify tail joins NO corpus-scale count
-        // relation (the per-doc count of the whole corpus is itself
-        // O(corpus) and must neither broadcast nor shuffle nightly)
-        val cands = idx.as("c")
-          .join(broadcast(deltaBands.as("q")),
-            col("c.band") === col("q.band")
-              && col("c.band_key") === col("q.band_key"))
-          .select(col("q.doc_id").as("delta_id"),
-            col("c.doc_id").as("corpus_id"),
-            col("q.n").as("n_q"), col("c.n").as("n_c"))
-          .distinct()
-        val qSide = gateBroadcast(s, cands)
-          .join(sh, col("delta_id") === col("doc_id"))
-          .select(col("delta_id"), col("corpus_id"), col("n_q"),
-            col("n_c"), col("shingle"))
-        val scored = qSide
-          .join(sh.as("b"), qSide("shingle") === col("b.shingle")
-            && col("b.doc_id") === qSide("corpus_id"))
-          .groupBy(col("delta_id"), col("corpus_id"), col("n_q"),
-            col("n_c"))
-          .agg(count(lit(1)).as("n_common"))
-          .withColumn("jaccard", col("n_common").cast("double")
-            / (col("n_q") + col("n_c") - col("n_common")))
-          .filter(col("jaccard") >= 0.5)
-        val perDelta = scored.groupBy(col("delta_id"))
-          .agg(count(lit(1)).as("n_corpus_dups"),
-            max(col("jaccard")).as("best_jaccard"))
-        new Tables(s, d).documents.filter(col("doc_id") % 5 === 0)
-          .select(col("doc_id").as("delta_id"))
-          .join(perDelta, Seq("delta_id"), "left")
-          .select(col("delta_id"),
-            coalesce(col("n_corpus_dups"), lit(0L)).as("n_corpus_dups"),
-            coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"),
-            (coalesce(col("n_corpus_dups"), lit(0L)) === 0).as("is_new"))
-          .orderBy(col("delta_id"))
+        persistLshIndex(s, d, col("doc_id") % 7 =!= 0)
+        maintainLshIndex(s, d)
+        refreshLshTables(s)
+        deltaDedupServe(s, d, s.table("d10_lsh_bands"))
       },
-      Some(s"""WITH ${jaccardPairsSql()},
-        ${minhashCtesSql()},
-        cands_x AS (SELECT DISTINCT q.doc_id AS delta_id,
-            c.doc_id AS corpus_id
-          FROM bands q JOIN bands c
-            ON q.band = c.band AND q.band_key = c.band_key
-          WHERE q.doc_id % 5 = 0 AND c.doc_id % 5 <> 0),
-        hits AS (SELECT delta_id, corpus_id, j.jaccard
-          FROM cands_x
-          JOIN jac j ON j.id_a = LEAST(delta_id, corpus_id)
-                    AND j.id_b = GREATEST(delta_id, corpus_id)
-          WHERE j.jaccard >= 0.5),
-        per AS (SELECT delta_id, COUNT(*) AS n_corpus_dups,
-            MAX(jaccard) AS best_jaccard
-          FROM hits GROUP BY delta_id)
-        SELECT d.doc_id AS delta_id,
-          CAST(COALESCE(p.n_corpus_dups, 0) AS BIGINT) AS n_corpus_dups,
-          COALESCE(p.best_jaccard, 0.0) AS best_jaccard,
-          COALESCE(p.n_corpus_dups, 0) = 0 AS is_new
-        FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
-        LEFT JOIN per p ON p.delta_id = d.doc_id
-        ORDER BY delta_id""")),
+      Some(d10OracleSql)),
 
     // ----- d11: PARAGRAPH-granularity fuzzy dedup — the RefinedWeb/
     // Dolma pass that document-level dedup (d03) misses: boilerplate

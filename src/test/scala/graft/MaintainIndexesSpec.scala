@@ -125,6 +125,26 @@ class MaintainIndexesSpec extends SparkSpec {
     }
   }
 
+  test("d14's gate is load-bearing: the aged tower serves different " +
+      "answers until the maintain rebuilds it") {
+    dropAllTowers()
+    Dedup.persistLshIndex(spark, sf, col("doc_id") % 7 =!= 0)
+    val stale = Dedup.deltaDedupServe(spark, sf,
+      spark.table("d10_lsh_bands")).collect()
+    assert(Dedup.maintainLshIndex(spark, sf),
+      "the 6/7-coverage tower must take the rebuild branch")
+    val maintained = Dedup.deltaDedupServe(spark, sf,
+      spark.table("d10_lsh_bands")).collect()
+    assert(!stale.sameElements(maintained),
+      "a probe against the index missing 1/7 of the corpus must " +
+        "answer differently — otherwise d14's oracle gate can't " +
+        "catch a silently-skipped rebuild")
+    val fromScratch = Dedup.deltaDedupServe(spark, sf,
+      Dedup.ensureLshIndex(spark, sf)).collect()
+    assert(maintained.sameElements(fromScratch),
+      "the maintained serve must equal the from-scratch serve")
+  }
+
   test("the persisted LSH index is content-identical to the " +
       "in-query corpus-band computation it replaced") {
     dropAllTowers()
