@@ -188,7 +188,16 @@ object Bench {
     // smaller — which sails through the slower-than-pin check and
     // clobbers the full-set pin; it happened: an s12-only A/B run
     // replaced the 13-query pin). Filtered runs always divert.
-    val outDefault = if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY"))
+    // fourth pin guard (r19, bitten live): a run where any query
+    // FAILED — e.g. the JVM took a SIGTERM mid-run and the remaining
+    // queries threw against a stopping SparkContext — sums only the
+    // queries that ran, so its total is incomparable with the pin
+    // the same way a filtered run's is (and FORCE must not override
+    // an incomplete measurement either: a partial total is wrong, not
+    // merely slow). Divert unconditionally.
+    val anyFailed = failed != "[]"
+    val outDefault = if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY")
+        || anyFailed)
         "bench_out.partial.json"
       else if (hostLoaded) "bench_out.loaded.json"
       else {
