@@ -144,16 +144,20 @@ object Dedup {
     * reuse ≥ 3×.
     * Mirrors the oracle's QUALIFY COUNT(*) OVER (PARTITION BY shingle).
     */
-  private[graft] def cappedShingles(s: SparkSession, d: String): DataFrame = {
-    val cap = shingleDfCap(s)
-    val sh0 = shingles(s, d)
-    val hot = sh0.groupBy(col("shingle"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") > cap)
-      .select(col("shingle"))
-    sh0.join(hot, Seq("shingle"), "left_anti")
+  private[graft] def cappedShingles(s: SparkSession, d: String): DataFrame =
+    shingles(s, d).join(hotShingles(s, d), Seq("shingle"), "left_anti")
       .select(col("doc_id"), col("shingle"))
-  }
+
+  /** The HOT side alone — the df > cap shingle set (bounded by
+    * total-occurrences/cap). Derived inside [[cappedShingles]] for
+    * the batch passes and PERSISTED as the tower's `d10_lsh_hot`
+    * table so the streaming gate (st15) can cap each micro-batch's
+    * shingles without re-tokenizing the corpus per run. */
+  private[graft] def hotShingles(s: SparkSession, d: String): DataFrame =
+    shingles(s, d).groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > shingleDfCap(s))
+      .select(col("shingle"))
 
   private[graft] def shinglesSql(cap: Int = resolvedShingleDfCap): String =
     s"""SELECT doc_id, shingle FROM (
@@ -312,7 +316,7 @@ object Dedup {
       .saveAsTable(table)
 
   private def refreshLshTables(s: SparkSession): Unit =
-    Seq("d10_lsh_bands", "d10_lsh_meta").foreach { t =>
+    Seq("d10_lsh_bands", "d10_lsh_hot", "d10_lsh_meta").foreach { t =>
       try s.catalog.refreshTable(t)
       catch { case _: Exception => () } // missing table: nothing cached
     }
@@ -351,6 +355,11 @@ object Dedup {
           .filter(col("doc_id") % 5 =!= 0).filter(docGate), hashes),
         hashes, bands),
       "d10_lsh_bands")
+    // the hot-shingle list RIDES IN THE BUNDLE: the streaming gate
+    // (st15) caps each micro-batch's shingles against it, so the
+    // corpus is never re-tokenized at serve; derived corpus-wide,
+    // exactly as cappedShingles derives it for the batch passes
+    lshSave(s, d, hotShingles(s, d), "d10_lsh_hot")
     val nd = lshStripe(s, d).filter(docGate).count()
     import s.implicits._
     lshSave(s, d,
@@ -380,7 +389,8 @@ object Dedup {
     val (hashes, bands) = minhashGeometry(s)
     val metaCols =
       Set("nd", "hashes", "bands", "corpus_dir", "schema_ver", "gen")
-    val fresh = exists("d10_lsh_bands") && exists("d10_lsh_meta") && {
+    val fresh = exists("d10_lsh_bands") && exists("d10_lsh_hot") &&
+      exists("d10_lsh_meta") && {
       val mt = s.table("d10_lsh_meta")
       metaCols.subsetOf(mt.columns.toSet) && {
         val m = mt.head()

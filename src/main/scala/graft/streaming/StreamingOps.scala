@@ -837,39 +837,28 @@ object StreamingOps {
 
     // ----- st15: STREAMING DEDUP ADMISSION GATE — d10's persisted
     // MinHash band index turned into streaming admission control: the
-    // corpus index (+ the hot-shingle list it was built with — the
-    // "index bundle") persists once; each MICRO-BATCH of arriving
-    // documents computes only ITS OWN signatures inside foreachBatch
-    // (batch semantics per epoch — the per-batch-merge shape
-    // streaming lakehouse pipelines run) and probes the index with a
-    // broadcast band join. Output per arriving doc: how many distinct
-    // corpus docs share an LSH band (probable-dup evidence) and the
-    // admit bit. The stream runs the CHEAP probabilistic gate;
-    // d10's exact-jaccard verify stays the nightly reconciliation.
-    // Scale: per-epoch work is O(|batch|); the corpus is scanned
-    // (index read), never shuffled; band-key join is the only
-    // exchange.
+    // index bundle — corpus bands + the hot-shingle list they were
+    // built with + meta — is the PERSISTED LSH TOWER (r19:
+    // `ensureLshIndex`, the same tables d10 probes nightly and
+    // `Maintenance.maintainIndexes` keeps fresh; before r19 this
+    // query rebuilt a scratch bundle per run). Each MICRO-BATCH of
+    // arriving documents computes only ITS OWN signatures inside
+    // foreachBatch (batch semantics per epoch — the per-batch-merge
+    // shape streaming lakehouse pipelines run) and probes the index
+    // with a broadcast band join. Output per arriving doc: how many
+    // distinct corpus docs share an LSH band (probable-dup evidence)
+    // and the admit bit. The stream runs the CHEAP probabilistic
+    // gate; d10's exact-jaccard verify stays the nightly
+    // reconciliation. Scale: per-epoch work is O(|batch|); the
+    // corpus is scanned (index read), never shuffled; band-key join
+    // is the only exchange.
     QueryDef(
       "st15_stream_dedup_gate",
       (s, d) => {
         import graft.operators.Dedup
         val (hashes, bands) = Dedup.minhashGeometry(s)
-        val cap = Dedup.shingleDfCap(s)
-        val bundle = Files.createTempDirectory("graft_st15_idx").toString
-        // index build (once, nightly): full-corpus hot list + the
-        // historical stripe's band index
-        val shAll = Dedup.shinglesOf(new Tables(s, d).documents)
-        shAll.groupBy(col("shingle"))
-          .agg(count(lit(1)).as("df"))
-          .filter(col("df") > cap)
-          .select(col("shingle"))
-          .write.mode("overwrite").parquet(s"$bundle/hot")
-        val hot = s.read.parquet(s"$bundle/hot")
-        val corpusSh = shAll.filter(col("doc_id") % 5 =!= 0)
-          .join(hot, Seq("shingle"), "left_anti")
-        Dedup.minhashBands(Dedup.minhashSigs(corpusSh, hashes),
-          hashes, bands)
-          .write.mode("overwrite").parquet(s"$bundle/bands")
+        // index build (once, nightly): the shared persisted tower
+        Dedup.ensureLshIndex(s, d)
         val out = Files.createTempDirectory("graft_st15_out").toString
         // the gate: per micro-batch, signatures of the batch only
         val q = docStream(s, d)
@@ -880,11 +869,11 @@ object StreamingOps {
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
             val sess = batch.sparkSession
             val batchSh = Dedup.shinglesOf(batch)
-              .join(sess.read.parquet(s"$bundle/hot"),
+              .join(sess.table("d10_lsh_hot"),
                 Seq("shingle"), "left_anti")
             val probe = Dedup.minhashBands(
               Dedup.minhashSigs(batchSh, hashes), hashes, bands)
-            val hits = sess.read.parquet(s"$bundle/bands").as("c")
+            val hits = sess.table("d10_lsh_bands").as("c")
               .join(broadcast(probe.as("q")),
                 col("c.band") === col("q.band")
                   && col("c.band_key") === col("q.band_key"))

@@ -35,7 +35,7 @@ class MaintainIndexesSpec extends SparkSpec {
     (Seq("s18_pq_sc", "s18_pq_cells", "s18_pq_cb", "s18_pq_codes",
       "s18_pq_meta") ++
       Seq("s21_lex_post", "s21_lex_df", "s21_lex_dl", "s21_lex_meta") ++
-      Seq("d10_lsh_bands", "d10_lsh_meta"))
+      Seq("d10_lsh_bands", "d10_lsh_hot", "d10_lsh_meta"))
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
 
   private def report(df: org.apache.spark.sql.DataFrame)
