@@ -160,6 +160,17 @@ object ScaleUp {
       // stay linear — signature pass + banded join at occupancy
       // n/2^bandBits
       "m08_perceptual_dedup",
+      // r19 session 2: the entropy-floored two-tier rework of m08 —
+      // pair rows are the signal itself: the perceptual tier must
+      // stay luck-free at every decade (the ×100 floor-ladder
+      // measured ZERO cross-copy pairs at the rule's floor), so the
+      // count tracks true within-copy structure only. Retention is
+      // NOT ×K-exact: the md5 token renaming lengthens copies
+      // (ScaleUp copies are not char-isometric), so more copy docs
+      // clear the ×K floor than originals clear the ×1 floor —
+      // cross-decade it reads as a bounded O(1) ratio plus wall
+      // linearity, never the m08 tail's super-linear blowup
+      "m09_perceptual_two_tier",
       // r17 session 3: token-budget mixture — the WindowGroupLimit
       // claim probed: the budget is constant, so kept rows are
       // ~constant across decades (retention ~1/K by design) and the

@@ -497,7 +497,60 @@ object Multimodal {
           bands)
           .orderBy(col("id_a"), col("id_b"))
       },
-      Some(perceptualOracleSql))
+      Some(perceptualOracleSql)),
+
+    // ----- m09: ENTROPY-FLOORED TWO-TIER PERCEPTUAL DEDUP — m08's
+    // ×100 luck tail, SHED at the mechanism. The r19 band probe
+    // root-caused the tail to hamming-space crowding by short-doc
+    // signatures; the documented "wider grid" escape was then probed
+    // (M08WideGridProbe) and REFUTED: 95% of the ×100 media stripe is
+    // sub-grid (fewer payload blocks than grid positions), a wider
+    // grid leaves every sub-grid signature bit-identical while its
+    // coupled hamming threshold LOOSENS (bands−1 = 3 at 120 bits) —
+    // measured 3.2× MORE pairs at 98.9% luck. What did work: the
+    // grid-FILLING stratum produced zero luck pairs — crowding is
+    // CONTENT entropy, not geometry. So m09 floors the perceptual
+    // tier at the entropy the pair population demands (2^nb ≥ 4n²,
+    // the band rule's occupancy discipline one level up), and routes
+    // sub-floor docs to an EXACT md5 tier — bit-equality being the
+    // only dup claim a low-entropy payload can support (the industry
+    // shape: tiny files skip perceptual hashing). Measured at ×100,
+    // the rule's floor (37) lands exactly at the zero-luck knee:
+    // 1,481 pairs, ZERO cross-copy (floor 24 → 856 cross, 32 → 2,
+    // 37+ → 0), in 4.7 s vs m08's 10.5M pairs at 98.9% luck in
+    // 113 s — and floors above it only shed same-copy evidence
+    // (40 → 1,349, 48 → 594). Scale: the floor is one integer from
+    // the cached stripe count; both tiers are bucketed equi-joins
+    // (never all-pairs); the exact tier's output is bounded by true
+    // bit-identical duplication.
+    QueryDef(
+      "m09_perceptual_two_tier",
+      (s, d) => {
+        val video = new Tables(s, d).documents
+          .filter(col("doc_id") % 3 === 2)
+        val floor = entropyFloorBlocks(videoCount(s, d))
+        val bands = Dedup.adaptiveSimHashBands(PHashBits,
+          perceptualTierCount(s, d, floor))
+        val per = perceptualPairsOfSigs(
+            perceptualHashesOf(video).filter(col("nb") >= floor), bands)
+          .select(col("id_a"), col("id_b"),
+            lit("perceptual").as("tier"), col("hamming"))
+        val sub = video
+          .withColumn("nb", greatest(lit(1),
+            expr("cast((length(text) + 15) div 16 as int)")))
+          .filter(col("nb") < floor)
+          .select(col("doc_id"), md5(col("text")).as("ck"))
+        val exact = sub.as("a")
+          .join(sub.as("b"),
+            col("a.ck") === col("b.ck")
+              && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"),
+            col("b.doc_id").as("id_b"),
+            lit("exact").as("tier"), lit(0L).as("hamming"))
+        per.unionByName(exact)
+          .orderBy(col("tier"), col("id_a"), col("id_b"))
+      },
+      Some(perceptualTwoTierOracleSql))
   )
 
   /** Per-doc perceptual hash over `docs` (doc_id, text): the WHOLE
@@ -515,26 +568,32 @@ object Multimodal {
     docs
       .withColumn("nb",
         greatest(lit(1), expr("cast((length(text) + 15) div 16 as int)")))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("nb"),
         explode(expr("sequence(0, nb - 1)")).as("j"),
         col("text"))
       .withColumn("pos", (col("j") % PHashBits).cast("int"))
       .withColumn("bit",
         (conv(substring(md5(expr("substr(text, j * 16 + 1, 16)")), 1, 1),
           16, 10).cast("int") >= 8).cast("int"))
-      .groupBy(col("doc_id"), col("pos"))
+      .groupBy(col("doc_id"), col("nb"), col("pos"))
       .agg((sum(col("bit")) % 2).as("par"))
-      .groupBy(col("doc_id"))
+      .groupBy(col("doc_id"), col("nb"))
       .agg(sum(expr("par * cast(pow(2, pos) as bigint)")).as("phash"))
-      .select(col("doc_id"), col("phash").cast("long").as("phash"))
+      .select(col("doc_id"), col("nb"),
+        col("phash").cast("long").as("phash"))
 
   /** [[perceptualHashesOf]] exploded to its (band, chunk) bucket
     * keys — the lossless candidate-join key space (pigeonhole:
     * hamming ≤ bands−1 ⇒ at least one identical band). */
   private[graft] def bandedPhash(docs: DataFrame,
+      bands: Int): DataFrame =
+    bandedPhashOfSigs(perceptualHashesOf(docs), bands)
+
+  /** The (band, chunk) explode over an existing signature frame. */
+  private[graft] def bandedPhashOfSigs(sigs: DataFrame,
       bands: Int): DataFrame = {
     val bandBits = PHashBits / bands
-    perceptualHashesOf(docs)
+    sigs
       .withColumn("band", explode(expr(s"sequence(0, ${bands - 1})")))
       .withColumn("chunk", expr(
         s"(phash div cast(pow(2, band * $bandBits) as bigint)) " +
@@ -545,8 +604,15 @@ object Multimodal {
     * bands−1 (lossless by pigeonhole — d04's discipline verbatim):
     * shuffles on (band, chunk), never all-pairs. */
   private[graft] def perceptualPairsOf(docs: DataFrame,
+      bands: Int): DataFrame =
+    perceptualPairsOfSigs(perceptualHashesOf(docs), bands)
+
+  /** [[perceptualPairsOf]] from an already-computed signature frame
+    * (doc_id, phash) — m09's entropy-floored tier filters the
+    * signatures FIRST, then pairs only what survives. */
+  private[graft] def perceptualPairsOfSigs(sigs: DataFrame,
       bands: Int): DataFrame = {
-    val banded = bandedPhash(docs, bands)
+    val banded = bandedPhashOfSigs(sigs, bands)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band")
@@ -591,6 +657,50 @@ object Multimodal {
       .withColumn("is_new", col("n_dups") === 0L)
   }
 
+  /** Per-batch TWO-TIER admission gate (st24) — m09's semantics in
+    * st22's probe shape: a batch doc at or above the entropy floor
+    * band-joins the PERSISTED floored corpus index and verifies at
+    * hamming ≤ bands−1; a sub-floor doc equi-joins the corpus's
+    * exact-checksum table (bit-identity being the only dup claim its
+    * entropy supports). Each doc lands in exactly one tier and emits
+    * its dup count + the `is_new` admission bit. Per-batch work is
+    * O(|batch|·bands) probe rows against floored-bucket occupancy
+    * plus one checksum equi-join — the corpus is scanned, never
+    * re-hashed. */
+  private[graft] def twoTierGateBatch(batch: DataFrame,
+      tierIdx: DataFrame, subIdx: DataFrame, floor: Int,
+      bands: Int): DataFrame = {
+    val sigs = perceptualHashesOf(batch)
+    val tierHits = bandedPhashOfSigs(
+        sigs.filter(col("nb") >= floor), bands).as("d")
+      .join(tierIdx.as("c"),
+        col("d.band") === col("c.band")
+          && col("d.chunk") === col("c.chunk"))
+      .select(col("d.doc_id").as("doc_id"),
+        col("c.doc_id").as("c_id"),
+        col("d.phash").as("phash"), col("c.phash").as("c_phash"))
+      .distinct()
+      .filter(bit_count(col("phash").bitwiseXOR(col("c_phash")))
+        <= bands - 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dups"))
+    val exactHits = batch
+      .withColumn("nb", greatest(lit(1),
+        expr("cast((length(text) + 15) div 16 as int)")))
+      .filter(col("nb") < floor)
+      .select(col("doc_id"), md5(col("text")).as("ck"))
+      .join(subIdx, "ck")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dups"))
+    sigs.select(col("doc_id"), col("nb"))
+      .join(tierHits.unionByName(exactHits), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("nb") >= floor, "perceptual").otherwise("exact")
+          .as("tier"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"))
+      .withColumn("is_new", col("n_dups") === 0L)
+  }
+
   /** One video-stripe count per (dir, JVM) — feeds the adaptive band
     * geometry (the [[Dedup.docCount]] discipline). */
   private val videoCountCache =
@@ -599,6 +709,41 @@ object Multimodal {
     videoCountCache.computeIfAbsent(d,
       _ => new Tables(s, d).documents
         .filter(col("doc_id") % 3 === 2).count()).longValue()
+
+  /** m09's ENTROPY FLOOR: the smallest block count f whose signature
+    * space holds the corpus PAIR population at occupancy ≤ 1/4 —
+    * 2^f ≥ 4·n² — capped at grid fill ([[PHashBits]]). A doc below
+    * the floor carries at most nb parity bits of content entropy
+    * (one md5 bit per block; empty grid positions carry none), so
+    * between sub-floor docs hamming proximity is EXPECTED by chance
+    * once ~n²/2 pairs sample a 2^nb space — the measured ×100
+    * mechanism (M08WideGridProbe: grid-FILLING docs produced zero
+    * luck pairs; widening the grid changed no sub-grid signature and
+    * only loosened the threshold). Same occupancy discipline as
+    * [[Dedup.adaptiveSimHashBands]], one level up: bands size the
+    * BUCKET space to the corpus, the floor sizes the SIGNATURE space
+    * to the pair population. Integer-exact so the DuckDB twin
+    * derives the same floor from COUNT(*). */
+  private[graft] def entropyFloorBlocks(n: Long): Int = {
+    require(n < 1000000000L, s"entropy floor: corpus count $n overflows 4n^2")
+    (1 to 62).find(f => (1L << f) >= 4L * n * n)
+      .map(math.min(_, PHashBits)).getOrElse(PHashBits)
+  }
+
+  /** One perceptual-tier count per (dir, JVM): docs at or above the
+    * entropy floor — feeds the tier's OWN band geometry (bucket
+    * occupancy is a property of what enters the banded join, not of
+    * the whole stripe). */
+  private val tierCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def perceptualTierCount(s: SparkSession, d: String,
+      floor: Int): Long =
+    tierCountCache.computeIfAbsent(s"$d#$floor",
+      _ => new Tables(s, d).documents
+        .filter(col("doc_id") % 3 === 2)
+        .filter(greatest(lit(1),
+          expr("cast((length(text) + 15) div 16 as int)")) >= floor)
+        .count()).longValue()
 
   /** The adaptive band geometry as a SQL CTE —
     * [[Dedup.adaptiveSimHashBands]] at [[PHashBits]] bits, thresholds
@@ -639,7 +784,7 @@ object Multimodal {
     * fold: block j → position j mod 60, parity per position (the
     * engine chain CTE-for-CTE). */
   private def phashSigCtes(name: String, pred: String): String =
-    s"""${name}b AS (SELECT doc_id, CAST(j % ${PHashBits} AS INT) AS pos,
+    s"""${name}b AS (SELECT doc_id, nb, CAST(j % ${PHashBits} AS INT) AS pos,
           CASE WHEN ('0x' || substr(
               md5(substr(text, j * 16 + 1, 16)), 1, 1))::INT >= 8
             THEN 1 ELSE 0 END AS bit
@@ -647,12 +792,12 @@ object Multimodal {
             GREATEST(1, CAST((length(text) + 15) // 16 AS INT)) AS nb
           FROM documents WHERE $pred),
           UNNEST(generate_series(0, nb - 1)) AS t(j)),
-      ${name}p AS (SELECT doc_id, pos, SUM(bit) % 2 AS par
-        FROM ${name}b GROUP BY doc_id, pos),
-      $name AS (SELECT doc_id,
+      ${name}p AS (SELECT doc_id, nb, pos, SUM(bit) % 2 AS par
+        FROM ${name}b GROUP BY doc_id, nb, pos),
+      $name AS (SELECT doc_id, nb,
           CAST(SUM(par * CAST(pow(2, pos) AS BIGINT)) AS BIGINT)
             AS phash
-        FROM ${name}p GROUP BY doc_id)"""
+        FROM ${name}p GROUP BY doc_id, nb)"""
 
   /** m08's twin: same signature, all-pairs hamming check (banding is
     * lossless, so the engine's banded join must emit exactly these
@@ -668,6 +813,90 @@ object Multimodal {
       WHERE bit_count(xor(a.phash, b.phash))
         <= (SELECT bands FROM geom) - 1
       ORDER BY id_a, id_b"""
+
+  /** m09's twin: floor from COUNT(*) by the same 2^f ≥ 4n² rule,
+    * perceptual tier all-pairs at hamming ≤ bands−1 with bands from
+    * the TIER count (the engine's banded join is lossless, so it
+    * must emit exactly these pairs), exact tier by md5 equality
+    * below the floor. CTEs materialized — m9sig/m9tier/m9sub are
+    * multiply referenced and DuckDB 1.0 inlines plain CTEs per
+    * reference site. */
+  private[graft] def perceptualTwoTierOracleSql: String =
+    Similarity.matCtes(
+      s"""WITH m9f AS (SELECT LEAST($PHashBits, MIN(f)) AS fl
+          FROM generate_series(1, 62) t(f),
+            (SELECT COUNT(*) AS n FROM documents WHERE doc_id % 3 = 2)
+          WHERE (CAST(1 AS BIGINT) << f) >= 4 * n * n),
+        ${phashSigCtes("m9sig", "doc_id % 3 = 2")},
+        m9tier AS (SELECT doc_id, phash FROM m9sig
+          WHERE nb >= (SELECT fl FROM m9f)),
+        m9geom AS (SELECT CASE
+            ${phashGeomWhens.mkString("\n            ")}
+            ELSE 1 END AS bands
+          FROM (SELECT COUNT(*) AS n FROM m9tier)),
+        m9sub AS (SELECT s.doc_id, md5(d.text) AS ck
+          FROM m9sig s JOIN documents d USING (doc_id)
+          WHERE s.nb < (SELECT fl FROM m9f))
+        SELECT id_a, id_b, tier, hamming FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            'perceptual' AS tier,
+            CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+          FROM m9tier a JOIN m9tier b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.phash, b.phash))
+            <= (SELECT bands FROM m9geom) - 1
+          UNION ALL
+          SELECT a.doc_id, b.doc_id, 'exact',
+            CAST(0 AS BIGINT)
+          FROM m9sub a JOIN m9sub b
+            ON a.ck = b.ck AND a.doc_id < b.doc_id)
+        ORDER BY tier, id_a, id_b""")
+
+  /** st24's twin: floor from the CORPUS stripe's count (the index
+    * side sizes the geometry, as in every maintained tower), bands
+    * from the corpus TIER count; each delta doc gates in exactly one
+    * tier — hamming against the floored corpus signatures, or md5
+    * equality against the sub-floor corpus — LEFT-joined back so
+    * zero-dup docs emit the admission bit. Per-doc answers depend
+    * only on the doc's own text + the static corpus, so one SQL
+    * gates any micro-batch slicing (the st22 discipline). */
+  private[graft] def twoTierGateOracleSql: String =
+    Similarity.matCtes(
+      s"""WITH sg4f AS (SELECT LEAST($PHashBits, MIN(f)) AS fl
+          FROM generate_series(1, 62) t(f),
+            (SELECT COUNT(*) AS n FROM documents
+             WHERE doc_id % 3 = 2 AND doc_id % 5 <> 0)
+          WHERE (CAST(1 AS BIGINT) << f) >= 4 * n * n),
+        ${phashSigCtes("sg4c", "doc_id % 3 = 2 AND doc_id % 5 <> 0")},
+        ${phashSigCtes("sg4d", "doc_id % 3 = 2 AND doc_id % 5 = 0")},
+        sg4g AS (SELECT CASE
+            ${phashGeomWhens.mkString("\n            ")}
+            ELSE 1 END AS bands
+          FROM (SELECT COUNT(*) AS n FROM sg4c
+                WHERE nb >= (SELECT fl FROM sg4f))),
+        sg4th AS (SELECT d.doc_id, COUNT(*) AS n_dups
+          FROM sg4d d JOIN sg4c c
+            ON bit_count(xor(d.phash, c.phash))
+               <= (SELECT bands FROM sg4g) - 1
+          WHERE d.nb >= (SELECT fl FROM sg4f)
+            AND c.nb >= (SELECT fl FROM sg4f)
+          GROUP BY d.doc_id),
+        sg4eh AS (SELECT d.doc_id, COUNT(*) AS n_dups
+          FROM (SELECT s.doc_id, md5(t.text) AS ck
+                FROM sg4d s JOIN documents t USING (doc_id)
+                WHERE s.nb < (SELECT fl FROM sg4f)) d
+            JOIN (SELECT md5(t.text) AS ck
+                FROM sg4c s JOIN documents t USING (doc_id)
+                WHERE s.nb < (SELECT fl FROM sg4f)) c
+              ON d.ck = c.ck
+          GROUP BY d.doc_id),
+        sg4h AS (SELECT * FROM sg4th UNION ALL SELECT * FROM sg4eh)
+        SELECT d.doc_id,
+          CASE WHEN d.nb >= (SELECT fl FROM sg4f)
+               THEN 'perceptual' ELSE 'exact' END AS tier,
+          CAST(COALESCE(h.n_dups, 0) AS BIGINT) AS n_dups,
+          COALESCE(h.n_dups, 0) = 0 AS is_new
+        FROM sg4d d LEFT JOIN sg4h h USING (doc_id)
+        ORDER BY doc_id""")
 
   /** st22's twin: the delta stripe's signatures against the corpus
     * stripe's, all-pairs hamming check, LEFT-joined back so zero-dup

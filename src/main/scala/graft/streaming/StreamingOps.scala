@@ -1246,5 +1246,62 @@ object StreamingOps {
         s.read.parquet(s"$out/*").orderBy(col("qid"), col("rank"))
       },
       Some(graft.operators.Similarity.mmrIndexedOracleSql))
+    ,
+
+    // ----- st24: STREAMING TWO-TIER ADMISSION GATE — m09 run ONLINE
+    // (m08→st22's symmetry, rebuilt on the entropy floor): the
+    // nightly corpus index persists ONLY the floored tier's banded
+    // signatures plus the sub-floor stripe's exact checksums, and
+    // each arriving doc gates in exactly one tier — banded hamming
+    // probe if its own entropy clears the floor, checksum equality
+    // if not. The floored index is the scale win st22 can't have:
+    // probe-side bucket occupancy excludes the crowding population
+    // entirely (the ×100 ladder's zero-luck knee), so per-batch work
+    // stays O(|batch|·bands) against near-empty buckets. Per-doc
+    // answers depend only on the doc's own text + the static corpus,
+    // so one SQL gates any micro-batch slicing (the st22
+    // discipline).
+    QueryDef(
+      "st24_stream_two_tier_gate",
+      (s, d) => {
+        import graft.operators.{Dedup, Multimodal}
+        val corpus = s.read.parquet(s"$d/documents.parquet")
+          .filter(col("doc_id") % 3 === 2)
+          .filter(col("doc_id") % 5 =!= 0)
+          .select(col("doc_id"), col("text"))
+        val floor = Multimodal.entropyFloorBlocks(corpus.count())
+        val sigs = Multimodal.perceptualHashesOf(corpus)
+        val tier = sigs.filter(col("nb") >= floor)
+        val bands = Dedup.adaptiveSimHashBands(
+          Multimodal.PHashBits, tier.count())
+        // the nightly index pair: floored banded signatures + the
+        // sub-floor stripe's exact checksums, persisted once
+        val idxDir = Files.createTempDirectory("graft_st24_idx").toString
+        Multimodal.bandedPhashOfSigs(tier, bands)
+          .write.mode("overwrite").parquet(s"$idxDir/bands")
+        corpus.join(sigs.filter(col("nb") < floor), "doc_id")
+          .select(md5(col("text")).as("ck"))
+          .write.mode("overwrite").parquet(s"$idxDir/cks")
+        val tierIdx = s.read.parquet(s"$idxDir/bands")
+        val subIdx = s.read.parquet(s"$idxDir/cks")
+        val out = Files.createTempDirectory("graft_st24_out").toString
+        val q = docStream(s, d)
+          .filter(col("doc_id") % 3 === 2)
+          .filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), col("text"))
+          .writeStream
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft_st24_ckpt").toString)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            Multimodal.twoTierGateBatch(batch, tierIdx, subIdx,
+              floor, bands)
+              .write.mode("overwrite").parquet(s"$out/b$batchId")
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.read.parquet(s"$out/*").orderBy(col("doc_id"))
+      },
+      Some(graft.operators.Multimodal.twoTierGateOracleSql))
   )
 }

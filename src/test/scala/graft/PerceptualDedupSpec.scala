@@ -37,7 +37,8 @@ class PerceptualDedupSpec extends SparkSpec {
   test("fingerprints: exact copy identical, tail edit within one " +
       "block bit, unrelated content far") {
     val ph = Multimodal.perceptualHashesOf(planted())
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("phash")).toMap
     assert(ph(2L) === ph(11L), "bit-identical payloads must collide")
     val hamTail = java.lang.Long.bitCount(ph(2L) ^ ph(5L))
     assert(hamTail <= 1,
