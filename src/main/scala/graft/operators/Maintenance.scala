@@ -15,7 +15,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     `maintainLexIndex` (s30 — coverage + sampled dl recheck);
   *   - LSH BUCKETS (d10 MinHash bands): `ensureLshIndex` then
   *     `maintainLshIndex` (coverage + geometry + sampled band
-  *     recheck).
+  *     recheck);
+  *   - PHASH (st24's floored perceptual band index + sub-floor
+  *     checksums): `ensurePhashIndex` then `maintainPhashIndex`
+  *     (coverage + count-derived geometry + tier-aware sampled
+  *     recheck — m10 proves the loop load-bearing).
   *
   * ENSURE catches fingerprint staleness (wrong corpus dir, re-dialed
   * geometry/serving confs, schema drift, a partial scope) and builds
@@ -58,27 +62,35 @@ object Maintenance {
       lexMinCoverageOverride: Option[Double] = None,
       lexMaxDlMismatchOverride: Option[Double] = None,
       lshMinCoverageOverride: Option[Double] = None,
-      lshMaxBandDefectOverride: Option[Double] = None): DataFrame = {
+      lshMaxBandDefectOverride: Option[Double] = None,
+      phMinCoverageOverride: Option[Double] = None,
+      phMaxDefectOverride: Option[Double] = None): DataFrame = {
     val pqG0 = genOf(Similarity.loadPqMetaGen(s))
     val lexG0 = genOf(Similarity.loadLexMetaGen(s))
     val lshG0 = genOf(Dedup.loadLshMetaGen(s))
+    val phG0 = genOf(Multimodal.loadPhMetaGen(s))
     Similarity.ensurePqIndex(s, d)
     Similarity.ensureLexIndex(s, d)
     Dedup.ensureLshIndex(s, d)
+    Multimodal.ensurePhashIndex(s, d)
     val pqDue = Similarity.maintainPqIndex(s, d,
       pqFloorOverride, pqDriftOverride)
     val lexDue = Similarity.maintainLexIndex(s, d,
       lexMinCoverageOverride, lexMaxDlMismatchOverride)
     val lshDue = Dedup.maintainLshIndex(s, d,
       lshMinCoverageOverride, lshMaxBandDefectOverride)
+    val phDue = Multimodal.maintainPhashIndex(s, d,
+      phMinCoverageOverride, phMaxDefectOverride)
     val pqG1 = Similarity.loadPqMetaGen(s)
     val lexG1 = Similarity.loadLexMetaGen(s)
     val lshG1 = Dedup.loadLshMetaGen(s)
+    val phG1 = Multimodal.loadPhMetaGen(s)
     import s.implicits._
     Seq(
       ("vector", pqG1 != pqG0, pqDue, pqG1),
       ("lexical", lexG1 != lexG0, lexDue, lexG1),
-      ("lsh", lshG1 != lshG0, lshDue, lshG1))
+      ("lsh", lshG1 != lshG0, lshDue, lshG1),
+      ("phash", phG1 != phG0, phDue, phG1))
       .toDF("tower", "rebuilt", "audit_due", "gen")
   }
 }

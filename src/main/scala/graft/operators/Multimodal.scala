@@ -550,7 +550,40 @@ object Multimodal {
         per.unionByName(exact)
           .orderBy(col("tier"), col("id_a"), col("id_b"))
       },
-      Some(perceptualTwoTierOracleSql))
+      Some(perceptualTwoTierOracleSql)),
+
+    // ----- m10: THE PHASH TOWER'S MAINTENANCE GATE — the s29/s30/
+    // d14 always-due-lifecycle discipline for the two-tier gate's
+    // persisted index: the QueryDef ages the tower FOR REAL (a
+    // base-only build whose nightly append never landed — 1/7 of the
+    // media corpus stripe missing, the meta's nd recording the hole
+    // AND the count-derived geometry frozen to the smaller
+    // population), runs maintainPhashIndex on the DEFAULT dials
+    // (coverage ~0.857 < 0.98 must fire), and serves the delta
+    // stripe's two-tier gate from whatever the maintain left behind,
+    // with the geometry read from the META (the serve contract). The
+    // oracle is st24's twin VERBATIM (the selfcheck memoizes the
+    // shared string), so a maintain that silently skipped the
+    // rebuild would probe an index missing 1/7 of the corpus with
+    // stale geometry — hits against the missing stripe disappear —
+    // and fail the hash gate.
+    QueryDef(
+      "m10_phash_maintained_gate",
+      (s, d) => {
+        persistPhashIndex(s, d, col("doc_id") % 7 =!= 0)
+        maintainPhashIndex(s, d)
+        refreshPhTables(s)
+        val m = s.table("m09_ph_meta").head()
+        twoTierGateBatch(
+          new Tables(s, d).documents
+            .filter(col("doc_id") % 3 === 2)
+            .filter(col("doc_id") % 5 === 0)
+            .select(col("doc_id"), col("text")),
+          s.table("m09_ph_bands"), s.table("m09_ph_cks"),
+          m.getAs[Int]("floor"), m.getAs[Int]("bands"))
+          .orderBy(col("doc_id"))
+      },
+      Some(twoTierGateOracleSql))
   )
 
   /** Per-doc perceptual hash over `docs` (doc_id, text): the WHOLE
@@ -689,7 +722,7 @@ object Multimodal {
         expr("cast((length(text) + 15) div 16 as int)")))
       .filter(col("nb") < floor)
       .select(col("doc_id"), md5(col("text")).as("ck"))
-      .join(subIdx, "ck")
+      .join(subIdx.select(col("ck")), "ck")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_dups"))
     sigs.select(col("doc_id"), col("nb"))
@@ -699,6 +732,196 @@ object Multimodal {
           .as("tier"),
         coalesce(col("n_dups"), lit(0L)).as("n_dups"))
       .withColumn("is_new", col("n_dups") === 0L)
+  }
+
+  // The persisted PHASH TOWER (st24's floored band index + sub-floor
+  // checksum table, on the same persisted-table discipline as the PQ
+  // (s18), lexical (s21) and LSH (d10) towers): build once nightly,
+  // probe per delta batch, audit + rebuild-when-due through
+  // `Maintenance.maintainIndexes`. Unlike the other towers the
+  // GEOMETRY here is count-DERIVED, not conf-dialed — the entropy
+  // floor and band count both follow the corpus stripe's size — so
+  // ensure checks only dir/schema fingerprints and geometry drift is
+  // the AUDIT's content-staleness job (a corpus that grew past a
+  // floor or band boundary needs a rebuild the fingerprint can't
+  // see).
+
+  private[graft] val PhMetaSchemaVer = 1
+  private[graft] val PhAuditSample = 256L
+  private[graft] val PhMinCoverage = 0.98
+  private[graft] val PhMaxDefect = 0.02
+
+  private val nbExpr =
+    greatest(lit(1), expr("cast((length(text) + 15) div 16 as int)"))
+
+  private def phPath(d: String, table: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_$table-" +
+      Integer.toHexString(d.hashCode)
+
+  private def phSave(dfx: DataFrame, d: String, table: String): Unit =
+    dfx.write.mode("overwrite").option("path", phPath(d, table))
+      .saveAsTable(table)
+
+  private[graft] def refreshPhTables(s: SparkSession): Unit =
+    Seq("m09_ph_bands", "m09_ph_cks", "m09_ph_meta").foreach { t =>
+      try s.catalog.refreshTable(t)
+      catch { case _: Exception => () } // missing table: nothing cached
+    }
+
+  private def phPrevGen(s: SparkSession): Long =
+    try {
+      refreshPhTables(s)
+      val mt = s.table("m09_ph_meta")
+      if (mt.columns.contains("gen")) mt.head().getAs[Long]("gen")
+      else 0L
+    } catch { case _: Exception => 0L }
+
+  /** The historical-corpus media stripe the tower covers (st24's
+    * split: doc_id % 5 == 0 is "today's ingest"). */
+  private def phStripe(s: SparkSession, d: String): DataFrame =
+    new Tables(s, d).documents
+      .filter(col("doc_id") % 3 === 2)
+      .filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), col("text"))
+
+  /** Build + persist the two-tier gate's corpus side: the FLOORED
+    * tier's banded signatures plus the sub-floor stripe's exact
+    * checksums, with a meta row freezing the doc count and the
+    * derived (floor, bands) geometry — the serve path must probe
+    * with the INDEX's geometry, not re-derive its own. `docGate`
+    * exists for specs and the m10 aging gate (the meta's nd records
+    * what was actually indexed, so the coverage audit sees the
+    * hole). */
+  private[graft] def persistPhashIndex(s: SparkSession, d: String,
+      docGate: org.apache.spark.sql.Column = lit(true)): Unit = {
+    val stripe = phStripe(s, d).filter(docGate)
+    val nd = stripe.count()
+    val floor = entropyFloorBlocks(nd)
+    val tierDocs = stripe.filter(nbExpr >= floor)
+    val bands = Dedup.adaptiveSimHashBands(PHashBits, tierDocs.count())
+    phSave(bandedPhashOfSigs(perceptualHashesOf(tierDocs), bands),
+      d, "m09_ph_bands")
+    phSave(stripe.filter(nbExpr < floor)
+      .select(col("doc_id"), md5(col("text")).as("ck")),
+      d, "m09_ph_cks")
+    import s.implicits._
+    phSave(Seq((nd, floor, bands, d, PhMetaSchemaVer, phPrevGen(s) + 1L))
+      .toDF("nd", "floor", "bands", "corpus_dir", "schema_ver", "gen"),
+      d, "m09_ph_meta")
+  }
+
+  /** The tower's GENERATION stamp alone — the 1-row freshness
+    * probe. */
+  private[graft] def loadPhMetaGen(s: SparkSession): Long = {
+    refreshPhTables(s)
+    s.table("m09_ph_meta").head().getAs[Long]("gen")
+  }
+
+  /** Load the persisted gate index when one is fresh for this
+    * corpus, else build + persist. The fingerprint is the exact
+    * corpus-dir string and the schema version — there are no session
+    * dials here (geometry is count-derived); count-driven geometry
+    * drift is [[auditPhashCoverage]]'s job. */
+  private[graft] def ensurePhashIndex(s: SparkSession,
+      d: String): DataFrame = {
+    val cat = s.sessionState.catalog
+    def exists(t: String) = cat.tableExists(
+      org.apache.spark.sql.catalyst.TableIdentifier(t))
+    refreshPhTables(s)
+    val metaCols =
+      Set("nd", "floor", "bands", "corpus_dir", "schema_ver", "gen")
+    val fresh = exists("m09_ph_bands") && exists("m09_ph_cks") &&
+      exists("m09_ph_meta") && {
+      val mt = s.table("m09_ph_meta")
+      metaCols.subsetOf(mt.columns.toSet) && {
+        val m = mt.head()
+        m.getAs[String]("corpus_dir") == d &&
+          m.getAs[Int]("schema_ver") == PhMetaSchemaVer
+      }
+    }
+    if (!fresh) persistPhashIndex(s, d)
+    s.table("m09_ph_bands")
+  }
+
+  /** PHASH STALENESS AUDIT — bounded (counts + an E[[[PhAuditSample]]]
+    * sampled recheck; never a corpus re-hash):
+    *   - COVERAGE: meta `nd` vs a live stripe count;
+    *   - GEOMETRY: the meta's frozen (floor, bands) vs the rule
+    *     applied to the LIVE counts — a stripe that grew past a
+    *     floor or band boundary serves with the wrong geometry even
+    *     when every indexed row is intact;
+    *   - SAMPLED RECHECK, tier-aware: a sampled tier doc must have
+    *     exactly `bands` persisted band rows (absence IS a defect —
+    *     every doc has a phash, unlike LSH's sub-3-token holes); a
+    *     sampled sub-floor doc must be present in the checksum table
+    *     with md5(text) unchanged — which catches content EDITS on
+    *     the exact tier directly.
+    * One row out; `rebuild_due` fires on any dial. */
+  private[graft] def auditPhashCoverage(s: SparkSession, d: String,
+      minCoverageOverride: Option[Double] = None,
+      maxDefectOverride: Option[Double] = None): DataFrame = {
+    refreshPhTables(s)
+    val m = s.table("m09_ph_meta").head()
+    val ndIndex = m.getAs[Long]("nd")
+    val metaFloor = m.getAs[Int]("floor")
+    val metaBands = m.getAs[Int]("bands")
+    val minCov = minCoverageOverride.getOrElse(PhMinCoverage)
+    val maxDef = maxDefectOverride.getOrElse(PhMaxDefect)
+    val stripe = phStripe(s, d)
+    val ndCorpus = stripe.count()
+    val liveFloor = entropyFloorBlocks(ndCorpus)
+    val liveBands = Dedup.adaptiveSimHashBands(PHashBits,
+      stripe.filter(nbExpr >= liveFloor).count())
+    val geomOk = metaFloor == liveFloor && metaBands == liveBands
+    val thresh = (PhAuditSample * 4294967296L - 1L) /
+      math.max(1L, ndCorpus) + 1L
+    val sample = stripe
+      .filter(conv(substring(md5(concat(lit("pha:"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+        < lit(thresh))
+      .select(col("doc_id"), nbExpr.as("nb"),
+        md5(col("text")).as("ck_live"))
+    val bandRows = s.table("m09_ph_bands")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("nrows"))
+    val cks = s.table("m09_ph_cks")
+      .select(col("doc_id"), col("ck"))
+    sample
+      .join(bandRows, Seq("doc_id"), "left")
+      .join(cks, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("nb") >= metaFloor,
+          coalesce(col("nrows"), lit(0L)) =!= metaBands)
+          .otherwise(col("ck").isNull || col("ck") =!= col("ck_live"))
+          .cast("int").as("defect"))
+      .agg(count(lit(1)).as("n_sample"),
+        coalesce(sum(col("defect")), lit(0)).cast("long").as("defects"))
+      .select(lit(ndIndex).as("nd_index"),
+        lit(ndCorpus).as("nd_corpus"),
+        col("n_sample"), col("defects"),
+        (lit(ndIndex).cast("double") / lit(ndCorpus).cast("double"))
+          .as("coverage"),
+        coalesce(col("defects").cast("double")
+          / nullif(col("n_sample").cast("double"), lit(0.0)), lit(0.0))
+          .as("defect_frac"),
+        lit(geomOk).as("geom_ok"),
+        ((lit(ndIndex).cast("double") / lit(ndCorpus).cast("double"))
+            < lit(minCov)
+          || coalesce(col("defects").cast("double")
+            / nullif(col("n_sample").cast("double"), lit(0.0)),
+            lit(0.0)) > lit(maxDef)
+          || lit(!geomOk)).as("rebuild_due"))
+  }
+
+  /** NIGHTLY PHASH MAINTENANCE — audit → rebuild-when-due with a
+    * generation bump picked up by the next [[ensurePhashIndex]]
+    * probe. Returns whether a rebuild ran. */
+  private[graft] def maintainPhashIndex(s: SparkSession, d: String,
+      minCoverageOverride: Option[Double] = None,
+      maxDefectOverride: Option[Double] = None): Boolean = {
+    val due = auditPhashCoverage(s, d, minCoverageOverride,
+      maxDefectOverride).head().getAs[Boolean]("rebuild_due")
+    if (due) persistPhashIndex(s, d)
+    due
   }
 
   /** One video-stripe count per (dir, JVM) — feeds the adaptive band

@@ -1158,10 +1158,16 @@ object StreamingOps {
 
     // ----- st22: STREAMING PERCEPTUAL ADMISSION GATE — m08 run
     // where media dedup actually runs in production: on the ingest
-    // stream (the st15 shape for the multimodal family). The banded
-    // perceptual-hash index over the historical corpus (the video
-    // stripe minus today's %5==0 delta) is built and persisted once
-    // "nightly"; each micro-batch fingerprints ONLY ITS OWN media
+    // stream (the st15 shape for the multimodal family). Since r19
+    // session 2 this is the gate family's LABELED REFERENCE TIER
+    // (the s15-vs-s28 split): it probes the UNFLOORED full-population
+    // band index, rebuilt per run in scratch, and exists to referee
+    // the gate semantics at full recall; the DEPLOYMENT twin is
+    // st24, which serves from the persisted, maintained, floored
+    // phash tower. The banded perceptual-hash index over the
+    // historical corpus (the video
+    // stripe minus today's %5==0 delta) is built per run; each
+    // micro-batch fingerprints ONLY ITS OWN media
     // docs and band-joins the index — per-batch work O(|batch|·bands)
     // probe rows, the corpus scanned never re-hashed. Banding is
     // lossless at the adaptive threshold (pigeonhole), so the gate is
@@ -1249,41 +1255,30 @@ object StreamingOps {
     ,
 
     // ----- st24: STREAMING TWO-TIER ADMISSION GATE — m09 run ONLINE
-    // (m08→st22's symmetry, rebuilt on the entropy floor): the
-    // nightly corpus index persists ONLY the floored tier's banded
-    // signatures plus the sub-floor stripe's exact checksums, and
-    // each arriving doc gates in exactly one tier — banded hamming
-    // probe if its own entropy clears the floor, checksum equality
-    // if not. The floored index is the scale win st22 can't have:
-    // probe-side bucket occupancy excludes the crowding population
-    // entirely (the ×100 ladder's zero-luck knee), so per-batch work
-    // stays O(|batch|·bands) against near-empty buckets. Per-doc
-    // answers depend only on the doc's own text + the static corpus,
-    // so one SQL gates any micro-batch slicing (the st22
-    // discipline).
+    // (m08→st22's symmetry, rebuilt on the entropy floor), serving
+    // from the PERSISTED PHASH TOWER (`ensurePhashIndex`: floored
+    // banded signatures + the sub-floor stripe's exact checksums +
+    // meta, the same tables `Maintenance.maintainIndexes` keeps
+    // fresh and m10's aging gate proves load-bearing). Each arriving
+    // doc gates in exactly one tier — banded hamming probe if its
+    // own entropy clears the floor, checksum equality if not — with
+    // the geometry read from the tower's META (the serve must probe
+    // with the index's frozen geometry, never re-derive its own).
+    // The floored index is the scale win st22's reference tier can't
+    // have: probe-side bucket occupancy excludes the crowding
+    // population entirely (the ×100 ladder's zero-luck knee), so
+    // per-batch work stays O(|batch|·bands) against near-empty
+    // buckets. Per-doc answers depend only on the doc's own text +
+    // the static corpus, so one SQL gates any micro-batch slicing
+    // (the st22 discipline) — and m10's maintained serve, verbatim.
     QueryDef(
       "st24_stream_two_tier_gate",
       (s, d) => {
-        import graft.operators.{Dedup, Multimodal}
-        val corpus = s.read.parquet(s"$d/documents.parquet")
-          .filter(col("doc_id") % 3 === 2)
-          .filter(col("doc_id") % 5 =!= 0)
-          .select(col("doc_id"), col("text"))
-        val floor = Multimodal.entropyFloorBlocks(corpus.count())
-        val sigs = Multimodal.perceptualHashesOf(corpus)
-        val tier = sigs.filter(col("nb") >= floor)
-        val bands = Dedup.adaptiveSimHashBands(
-          Multimodal.PHashBits, tier.count())
-        // the nightly index pair: floored banded signatures + the
-        // sub-floor stripe's exact checksums, persisted once
-        val idxDir = Files.createTempDirectory("graft_st24_idx").toString
-        Multimodal.bandedPhashOfSigs(tier, bands)
-          .write.mode("overwrite").parquet(s"$idxDir/bands")
-        corpus.join(sigs.filter(col("nb") < floor), "doc_id")
-          .select(md5(col("text")).as("ck"))
-          .write.mode("overwrite").parquet(s"$idxDir/cks")
-        val tierIdx = s.read.parquet(s"$idxDir/bands")
-        val subIdx = s.read.parquet(s"$idxDir/cks")
+        import graft.operators.Multimodal
+        Multimodal.ensurePhashIndex(s, d)
+        val m = s.table("m09_ph_meta").head()
+        val floor = m.getAs[Int]("floor")
+        val bands = m.getAs[Int]("bands")
         val out = Files.createTempDirectory("graft_st24_out").toString
         val q = docStream(s, d)
           .filter(col("doc_id") % 3 === 2)
@@ -1293,7 +1288,9 @@ object StreamingOps {
           .option("checkpointLocation",
             Files.createTempDirectory("graft_st24_ckpt").toString)
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
-            Multimodal.twoTierGateBatch(batch, tierIdx, subIdx,
+            val sess = batch.sparkSession
+            Multimodal.twoTierGateBatch(batch,
+              sess.table("m09_ph_bands"), sess.table("m09_ph_cks"),
               floor, bands)
               .write.mode("overwrite").parquet(s"$out/b$batchId")
             ()

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Maintenance, Similarity}
+import graft.operators.{Dedup, Maintenance, Multimodal, Similarity}
 
 /** Maintenance.maintainIndexes — the unified nightly driver (r18
   * VERDICT item 4): ONE call keeps the vector (s18 PQ), lexical
@@ -35,7 +35,8 @@ class MaintainIndexesSpec extends SparkSpec {
     (Seq("s18_pq_sc", "s18_pq_cells", "s18_pq_cb", "s18_pq_codes",
       "s18_pq_meta") ++
       Seq("s21_lex_post", "s21_lex_df", "s21_lex_dl", "s21_lex_meta") ++
-      Seq("d10_lsh_bands", "d10_lsh_hot", "d10_lsh_meta"))
+      Seq("d10_lsh_bands", "d10_lsh_hot", "d10_lsh_meta") ++
+      Seq("m09_ph_bands", "m09_ph_cks", "m09_ph_meta"))
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
 
   private def report(df: org.apache.spark.sql.DataFrame)
@@ -44,11 +45,11 @@ class MaintainIndexesSpec extends SparkSpec {
       ((r.getAs[Boolean]("rebuilt"), r.getAs[Boolean]("audit_due"),
         r.getAs[Long]("gen")))).toMap
 
-  test("first run builds all three towers; an immediate second run " +
+  test("first run builds all four towers; an immediate second run " +
       "is a fleet-wide no-op") {
     dropAllTowers()
     val r1 = report(Maintenance.maintainIndexes(spark, sf))
-    assert(r1.keySet === Set("vector", "lexical", "lsh"))
+    assert(r1.keySet === Set("vector", "lexical", "lsh", "phash"))
     r1.foreach { case (tower, (rebuilt, due, gen)) =>
       assert(rebuilt, s"$tower must build on first run")
       assert(!due, s"a fresh $tower index must audit clean")
@@ -73,12 +74,15 @@ class MaintainIndexesSpec extends SparkSpec {
     Similarity.persistLexIndex(spark, sf,
       col("doc_id") % 5 =!= 0, scope = "full")
     Dedup.persistLshIndex(spark, sf, col("doc_id") % 7 =!= 0)
+    Multimodal.persistPhashIndex(spark, sf, col("doc_id") % 7 =!= 0)
     val r = report(Maintenance.maintainIndexes(spark, sf))
     assert(r("lexical")._1 && r("lexical")._2,
       "a corpus hole the fingerprint can't see must rebuild " +
         "lexical through the audit")
     assert(r("lsh")._1 && r("lsh")._2,
       "an under-covered band index must rebuild through the audit")
+    assert(r("phash")._1 && r("phash")._2,
+      "an under-covered phash tower must rebuild through the audit")
     assert(!r("vector")._1 && !r("vector")._2,
       "the untouched vector tower must not rebuild")
     assert(!Similarity.auditLexStaleness(spark, sf)
@@ -87,6 +91,11 @@ class MaintainIndexesSpec extends SparkSpec {
     assert(!lsh.getAs[Boolean]("rebuild_due"))
     assert(lsh.getAs[Double]("coverage") === 1.0)
     assert(lsh.getAs[Long]("band_defects") === 0L)
+    val ph = Multimodal.auditPhashCoverage(spark, sf).head()
+    assert(!ph.getAs[Boolean]("rebuild_due"))
+    assert(ph.getAs[Double]("coverage") === 1.0)
+    assert(ph.getAs[Long]("defects") === 0L)
+    assert(ph.getAs[Boolean]("geom_ok"))
   }
 
   test("a geometry re-dial marks the LSH index stale and ensure " +
@@ -118,7 +127,8 @@ class MaintainIndexesSpec extends SparkSpec {
     val r = report(Maintenance.maintainIndexes(spark, sf,
       pqFloorOverride = Some(1.1),
       lexMinCoverageOverride = Some(1.1),
-      lshMinCoverageOverride = Some(1.1)))
+      lshMinCoverageOverride = Some(1.1),
+      phMinCoverageOverride = Some(1.1)))
     r.foreach { case (tower, (rebuilt, due, _)) =>
       assert(rebuilt && due,
         s"an impossible floor must force $tower to rebuild")
@@ -142,6 +152,43 @@ class MaintainIndexesSpec extends SparkSpec {
     val fromScratch = Dedup.deltaDedupServe(spark, sf,
       Dedup.ensureLshIndex(spark, sf)).collect()
     assert(maintained.sameElements(fromScratch),
+      "the maintained serve must equal the from-scratch serve")
+  }
+
+  test("m10's gate is load-bearing: the aged phash tower serves " +
+      "different answers until the maintain rebuilds it, and the " +
+      "maintained serve equals the from-scratch serve") {
+    dropAllTowers()
+    // sf0.01 — the driver's gate scale, where the %7 aging is
+    // MEASURED to matter: corpus doc 98 (≡ 0 mod 7) is a tier-hit
+    // partner of delta doc 290, so the aged index loses that hit.
+    // (At sf0.001 the only partner is 467 ≡ 5 mod 7 — the aging
+    // keeps it and stale == maintained, so the smaller dir cannot
+    // pin this property.)
+    val gateSf = "/root/testdata/sf0.01"
+    def gate() = {
+      Multimodal.refreshPhTables(spark)
+      val m = spark.table("m09_ph_meta").head()
+      Multimodal.twoTierGateBatch(
+        new Tables(spark, gateSf).documents
+          .filter(col("doc_id") % 3 === 2)
+          .filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), col("text")),
+        spark.table("m09_ph_bands"), spark.table("m09_ph_cks"),
+        m.getAs[Int]("floor"), m.getAs[Int]("bands"))
+        .orderBy(col("doc_id")).collect()
+    }
+    Multimodal.persistPhashIndex(spark, gateSf, col("doc_id") % 7 =!= 0)
+    val stale = gate()
+    assert(Multimodal.maintainPhashIndex(spark, gateSf),
+      "the 6/7-coverage tower must take the rebuild branch")
+    val maintained = gate()
+    assert(!stale.sameElements(maintained),
+      "a probe against the index missing 1/7 of the corpus must " +
+        "answer differently — otherwise m10's oracle gate can't " +
+        "catch a silently-skipped rebuild")
+    Multimodal.ensurePhashIndex(spark, gateSf)
+    assert(maintained.sameElements(gate()),
       "the maintained serve must equal the from-scratch serve")
   }
 
