@@ -39,6 +39,8 @@ object VectorFunctions {
       "vec_norm", exprs => VectorNorm(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_signbits", exprs => VectorSignBits(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_l2sq", exprs => VectorL2Sq(exprs(0), exprs(1)), "built-in")
   }
 
   /** Registers `vec_lsh_bucket(v)` bound to a fixed hyperplane matrix.

@@ -682,7 +682,6 @@ object Pipeline {
       (s, d) => {
         val fl = graft.operators.TextAnalysis.lmFluencyScores(s, d)
           .select(col("doc_id"), col("fluency")).cache()
-        val n = fl.count()
         // exact rank-k selection WITHOUT concentrating k rows
         // anywhere: a histogram pass locates the bucket holding the
         // k-th (fluency, doc_id) element, then only THAT bucket (n/B
@@ -704,6 +703,9 @@ object Pipeline {
           else lit(0)
         val hist = fl.groupBy(bCol.as("b")).count().collect()
           .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+        // n rides the histogram (Σ bucket counts — exact): the
+        // separate count() job the r18 shape paid was pure barrier
+        val n = hist.map(_._2).sum
         // thresholds collect EAGERLY (1-row each) while fl is cached,
         // then embed as LITERALS — no broadcast join in the plan, and
         // the fluency chain is never re-evaluated at execution time

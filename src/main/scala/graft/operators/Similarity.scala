@@ -1,9 +1,10 @@
 package graft.operators
 
 import graft.{GraftConf, QueryDef, Tables}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.graftshim.{shim => graftshim}
 
 /** Similarity search over the `embeddings` table (64-dim float
   * vectors): brute-force cosine top-k (correctness baseline), random-
@@ -327,19 +328,17 @@ object Similarity {
     * rank kept instead of consumed by a topN filter. */
   private[graft] def rankedCells(sq: DataFrame, scCent: DataFrame,
       cellCent: DataFrame, wSup: Int): DataFrame = {
-    val wSc = Window.partitionBy(col("q_id"))
-      .orderBy(col("sd"), col("scid"))
-    val wCell = Window.partitionBy(col("q_id"))
-      .orderBy(col("cd"), col("cid"))
-    sq.crossJoin(broadcast(scCent))
-      .withColumn("sd", l2d("av", "sc"))
-      .withColumn("rn", row_number().over(wSc))
-      .filter(col("rn") <= wSup)
-      .select(col("q_id"), col("av"), col("scid"))
-      .join(broadcast(cellCent), "scid")
-      .withColumn("cd", l2d("av", "c"))
-      .withColumn("cellrank", row_number().over(wCell))
-      .select(col("q_id"), col("cid"), col("cd"), col("cellrank"))
+    // r19: the full gated ordering is the routing projection with the
+    // rank kept — posexplode position + 1 IS the old ROW_NUMBER
+    // (array order is (cd, cid) ascending), with zero exchanges
+    val g = collectGeom(scCent, cellCent, wSup)
+    val ranked = graftshim.column(graft.functions.IvfRouteRanked(
+      graftshim.expression(col("av")), g, 0))
+    sq.select(col("q_id"),
+        posexplode(ranked).as(Seq("__pos", "__rt")))
+      .select(col("q_id"), col("__rt.cid").as("cid"),
+        col("__rt.cd").as("cd"),
+        (col("__pos") + 1).cast("int").as("cellrank"))
   }
 
   /** The calibration sample (E[[[CalibSample]]] md5-gated queries)
@@ -348,6 +347,7 @@ object Similarity {
     * shortlist). */
   private[graft] def calibSampleNN(qs: DataFrame, corpus: DataFrame,
       nQ: Long): (DataFrame, DataFrame) = {
+    graft.functions.VectorFunctions.register(qs.sparkSession)
     // driver-side threshold, not hash·n in the plan (the twoLevelTrain
     // overflow lesson): hash < (C·2³² − 1)/nQ + 1  ⟺  hash·nQ < C·2³²
     val sampThresh = (CalibSample * 4294967296L - 1L) / nQ + 1L
@@ -948,12 +948,17 @@ object Similarity {
 
   /** Exact L2² between two array columns — floats cast to double
     * BEFORE subtracting, strict left-to-right fold: bit-identical to
-    * the DuckDB twins' `list_sum(list_transform(list_zip(...)))`. */
-  private def l2d(a: String, c: String) =
-    expr(s"""aggregate(zip_with($a, $c,
-          (x, w) -> (cast(x as double) - cast(w as double))
-                  * (cast(x as double) - cast(w as double))),
-        cast(0.0 as double), (acc, x) -> acc + x)""")
+    * the DuckDB twins' `list_sum(list_transform(list_zip(...)))`.
+    * Since r19 this is the native codegen'd
+    * [[graft.functions.VectorL2Sq]] — identical arithmetic (and
+    * identical NULL semantics on length mismatch) to the
+    * `aggregate(zip_with(...))` HOF it replaces, but a tight
+    * primitive loop instead of interpreted lambda dispatch on the
+    * |sample|·n calibration referee and the shortlist rerank
+    * (guide §4; the s01 vec_dot lesson). Callers must have
+    * registered [[graft.functions.VectorFunctions]] (every path
+    * through [[vecs]] has). */
+  private def l2d(a: String, c: String) = expr(s"vec_l2sq($a, $c)")
 
   /** Floor-quantized exact mean of column `x` (s08's recipe): BIGINT
     * sums are exact and associative, so Spark's parallel partials and
@@ -961,6 +966,31 @@ object Similarity {
   private def quantMean = (sum(expr(
     "cast(floor(cast(x as double) * 1e10 + 0.5d) as bigint)"))
     .cast("double") / lit(1e10) / count(lit(1))).as("cval")
+
+  /** Any float/double element sequence from a collected Row →
+    * Array[Double] (the expressions' per-element widening,
+    * driver-side). */
+  private def rowVec(xs: Seq[Any]): Vector[Double] =
+    xs.iterator.map {
+      case f: Float => f.toDouble
+      case d: Double => d
+      case other => other.asInstanceOf[Number].doubleValue()
+    }.toVector
+
+  /** Empty LocalRelation with a (id cols…, vec) shape. */
+  private def emptyCentDf(s: SparkSession,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    s.createDataFrame(new java.util.ArrayList[Row](), schema)
+
+  private def centSchema(fields: (String, org.apache.spark.sql.types.DataType)*) =
+    org.apache.spark.sql.types.StructType(fields.map { case (nm, dt) =>
+      org.apache.spark.sql.types.StructField(nm, dt)
+    })
+
+  private val VecDT =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType)
+  private val LongDT = org.apache.spark.sql.types.LongType
 
   /** Sample-trained TWO-LEVEL coarse quantizer: one Lloyd round
     * derives ceil(√k) super-centroids from the k1 lowest-id members
@@ -970,11 +1000,32 @@ object Similarity {
     * `corpus` must expose (c_id, bv); returns (super-centroids
     * (scid, sc), cell centroids (cid, scid, c)). Shared by s12 (IVF
     * gate) and d13 (SemDeDup clustering); each caller salts its own
-    * sample so the structures are independent. */
+    * sample so the structures are independent.
+    *
+    * Since r19 the training runs EAGERLY over the CACHED sample and
+    * the returned frames are LocalRelations of the collected
+    * centroids (≤ k + ceil(√k) rows — bounded by construction, the
+    * same rows the old lazy chains shipped through broadcast
+    * exchanges): the r18 shape re-scanned the corpus once per
+    * consumer of `samp` (six md5-gated full scans at 100 TB) and
+    * dragged a ~10-exchange training DAG under every downstream
+    * materialization; now the corpus is scanned ONCE for the sample,
+    * the three argmin assignments are exchange-free
+    * [[graft.functions.VecNearestId]]/[[graft.functions.VecNearestIdInGroup]]
+    * projections (identical fold arithmetic and (d, id) tie-breaks —
+    * the twins keep their ROW_NUMBER form), and downstream consumers
+    * see constant-folded local relations instead of the training
+    * lineage. */
   private[graft] def twoLevelTrain(corpus: DataFrame, salt: String,
       n: Long, k: Int): (DataFrame, DataFrame) = {
+    import scala.jdk.CollectionConverters._
+    val s = corpus.sparkSession
+    graft.functions.VectorFunctions.register(s)
     val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
     val cps = (k + k1 - 1) / k1
+    val scSchema = centSchema("scid" -> LongDT, "sc" -> VecDT)
+    val cellSchema =
+      centSchema("cid" -> LongDT, "scid" -> LongDT, "c" -> VecDT)
     // Sample gate compares the 32-bit hash against a DRIVER-side
     // threshold instead of multiplying hash*n in the plan: past
     // ~2.1e9 corpus vectors the product wraps negative in signed
@@ -986,89 +1037,128 @@ object Similarity {
       conv(substring(md5(concat(lit(salt),
         col("c_id").cast("string"))), 1, 8), 16, 10).cast("long")
         < lit(sampThresh))
-    val seeds1 = samp.orderBy(col("c_id")).limit(k1)
-      .select(col("c_id").as("scid"), col("bv").as("sc"))
-    val wVec = Window.partitionBy(col("c_id"))
-      .orderBy(col("sd"), col("scid"))
-    val asg1 = samp.crossJoin(broadcast(seeds1))
-      .withColumn("sd", l2d("bv", "sc"))
-      .withColumn("rn", row_number().over(wVec))
-      .filter(col("rn") === 1)
-      .select(col("c_id"), col("scid"))
-    val scCent = asg1.join(samp, "c_id")
-      .select(col("scid"), posexplode(col("bv")).as(Seq("dim", "x")))
-      .groupBy(col("scid"), col("dim"))
-      .agg(quantMean)
-      .groupBy(col("scid"))
-      .agg(expr(
-        """transform(sort_array(collect_list(struct(dim, cval))),
-           t -> t.cval)""").as("sc"))
-    val asg2 = samp.crossJoin(broadcast(scCent))
-      .withColumn("sd", l2d("bv", "sc"))
-      .withColumn("rn", row_number().over(wVec))
-      .filter(col("rn") === 1)
-      .select(col("c_id"), col("scid"))
-    val wSeed = Window.partitionBy(col("scid")).orderBy(col("c_id"))
-    val subSeeds = asg2.withColumn("rn", row_number().over(wSeed))
-      .filter(col("rn") <= cps)
-      .join(samp, "c_id")
-      .select(col("c_id").as("cid"), col("scid"),
-        col("bv").as("cseed"))
-    val wCellOf = Window.partitionBy(col("c_id"))
-      .orderBy(col("cd"), col("cid"))
-    val asg3 = asg2.join(samp, "c_id")
-      .join(broadcast(subSeeds), "scid")
-      .withColumn("cd", l2d("bv", "cseed"))
-      .withColumn("rn", row_number().over(wCellOf))
-      .filter(col("rn") === 1)
-      .select(col("c_id"), col("cid"), col("scid"))
-    val cellCent = asg3.join(samp, "c_id")
-      .select(col("cid"), col("scid"),
-        posexplode(col("bv")).as(Seq("dim", "x")))
-      .groupBy(col("cid"), col("scid"), col("dim"))
-      .agg(quantMean)
-      .groupBy(col("cid"), col("scid"))
-      .agg(expr(
-        """transform(sort_array(collect_list(struct(dim, cval))),
-           t -> t.cval)""").as("c"))
-    (scCent, cellCent)
+      .select(col("c_id"), col("bv"))
+      .cache() // bounded E[16·k] ≤ 65k rows; ONE corpus scan feeds
+               // the seed pick and all three Lloyd passes
+    try {
+      val seeds1 = samp.orderBy(col("c_id")).limit(k1).collect()
+        .sortBy(_.getLong(0))
+        .map(r => (r.getLong(0), rowVec(r.getSeq[Any](1))))
+      if (seeds1.isEmpty)
+        return (emptyCentDf(s, scSchema), emptyCentDf(s, cellSchema))
+      val nearestSeed = graftshim.column(graft.functions.VecNearestId(
+        graftshim.expression(col("bv")),
+        seeds1.map(_._1).toVector, seeds1.map(_._2).toVector))
+      val scCentRows = samp.withColumn("scid", nearestSeed)
+        .select(col("scid"), posexplode(col("bv")).as(Seq("dim", "x")))
+        .groupBy(col("scid"), col("dim"))
+        .agg(quantMean)
+        .groupBy(col("scid"))
+        .agg(expr(
+          """transform(sort_array(collect_list(struct(dim, cval))),
+             t -> t.cval)""").as("sc"))
+        .collect().sortBy(_.getLong(0))
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toVector))
+      val nearestSc = graftshim.column(graft.functions.VecNearestId(
+        graftshim.expression(col("bv")),
+        scCentRows.map(_._1).toVector, scCentRows.map(_._2).toVector))
+      val wSeed = Window.partitionBy(col("scid")).orderBy(col("c_id"))
+      val sampSc = samp.withColumn("scid", nearestSc)
+      val subSeeds = sampSc
+        .withColumn("rn", row_number().over(wSeed))
+        .filter(col("rn") <= cps)
+        .select(col("c_id").as("cid"), col("scid"), col("bv"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), rowVec(r.getSeq[Any](2))))
+      val seedIdsBySc = subSeeds.groupBy(_._2).map { case (g, xs) =>
+        g -> xs.sortBy(_._1).map(_._1).toVector
+      }
+      val seedVecsBySc = subSeeds.groupBy(_._2).map { case (g, xs) =>
+        g -> xs.sortBy(_._1).map(_._3).toVector
+      }
+      val nearestCell = graftshim.column(
+        graft.functions.VecNearestIdInGroup(
+          graftshim.expression(col("bv")),
+          graftshim.expression(col("scid")),
+          seedIdsBySc, seedVecsBySc))
+      val cellCentRows = sampSc.withColumn("cid", nearestCell)
+        .filter(col("cid").isNotNull)
+        .select(col("cid"), col("scid"),
+          posexplode(col("bv")).as(Seq("dim", "x")))
+        .groupBy(col("cid"), col("scid"), col("dim"))
+        .agg(quantMean)
+        .groupBy(col("cid"), col("scid"))
+        .agg(expr(
+          """transform(sort_array(collect_list(struct(dim, cval))),
+             t -> t.cval)""").as("c"))
+        .collect()
+        .sortBy(r => (r.getLong(1), r.getLong(0)))
+      import scala.jdk.CollectionConverters._
+      val scDf = s.createDataFrame(
+        scCentRows.map(t => Row(t._1, t._2)).toSeq.asJava, scSchema)
+      val cellDf = s.createDataFrame(
+        cellCentRows.map(r => Row(r.getLong(0), r.getLong(1),
+          r.getSeq[Double](2).toVector)).toSeq.asJava, cellSchema)
+      (scDf, cellDf)
+    } finally samp.unpersist(false)
+  }
+
+  /** Driver-collected routing geometry from (possibly LocalRelation,
+    * possibly table-backed) centroid frames — bounded by the cell
+    * clamp (≤ 4096 + ceil(√k) rows), the same rows every routing
+    * join already shipped through the driver as a broadcast. */
+  private[graft] def collectGeom(scCent: DataFrame, cellCent: DataFrame,
+      wSup: Int): graft.functions.IvfGeom = {
+    val scRows = scCent.select(col("scid"), col("sc")).collect()
+    val cellRows =
+      cellCent.select(col("cid"), col("scid"), col("c")).collect()
+    graft.functions.IvfGeom(
+      scRows.map(_.getLong(0)).toVector,
+      scRows.map(r => rowVec(r.getSeq[Any](1))).toVector,
+      cellRows.map(_.getLong(0)).toVector,
+      cellRows.map(_.getLong(1)).toVector,
+      cellRows.map(r => rowVec(r.getSeq[Any](2))).toVector,
+      wSup)
   }
 
   /** Route vectors to their `topN` L2-nearest cells through the `wSup`
     * nearest super-cells — (K1 + wSup·k/K1) ≈ (1+w)·√k distance evals
     * per vector vs a flat scan's k. `v` must expose (`idCol`,
     * `vecCol`); returns (`idCol`, cid, cd) with cd = exact L2² to the
-    * chosen cell centroid (rank ≤ topN per id, ties by cid). */
+    * chosen cell centroid (rank ≤ topN per id, ties by cid).
+    *
+    * Since r19 the routing is ONE exchange-free projection
+    * ([[graft.functions.IvfRouteRanked]] over the driver-collected
+    * bounded geometry — the same centroid rows the old chain
+    * broadcast): the r18 shape paid crossJoin→window→join→window/
+    * groupBy, i.e. TWO full-relation exchanges per routed relation —
+    * the dominant shuffles of the whole PQ family at 100 TB and pure
+    * stage-scheduling wall at bench scale. Same per-pair fold
+    * arithmetic, same (d, id) tie-breaks; vectors whose admitted
+    * super-cells hold no cells drop exactly like the old inner
+    * join. */
   private[graft] def routeToCells(v: DataFrame, idCol: String,
       vecCol: String, scCent: DataFrame, cellCent: DataFrame,
-      wSup: Int, topN: Int): DataFrame = {
-    val wSc = Window.partitionBy(col(idCol))
-      .orderBy(col("sd"), col("scid"))
-    val sel = v.crossJoin(broadcast(scCent))
-      .withColumn("sd", l2d(vecCol, "sc"))
-      .withColumn("rn", row_number().over(wSc))
-      .filter(col("rn") <= wSup)
-      .select(col(idCol), col(vecCol), col("scid"))
-    val scored = sel.join(broadcast(cellCent), "scid")
-      .withColumn("cd", l2d(vecCol, "c"))
+      wSup: Int, topN: Int): DataFrame =
+    routeWithGeom(v, idCol, vecCol, collectGeom(scCent, cellCent, wSup),
+      topN)
+
+  private[graft] def routeWithGeom(v: DataFrame, idCol: String,
+      vecCol: String, g: graft.functions.IvfGeom,
+      topN: Int): DataFrame = {
+    val ranked = graftshim.column(graft.functions.IvfRouteRanked(
+      graftshim.expression(col(vecCol)), g, topN))
     if (topN == 1)
-      // the hot path (every corpus vector routes topN=1): argmin via
-      // min(struct(cd, cid)) — lexicographic ⇒ identical to the
-      // (cd ASC, cid ASC) first row, but partial-aggregating
-      // map-side instead of sorting n·wSup·(k/√k) rows (the twins
-      // keep their ROW_NUMBER form — answer-identical)
-      scored.groupBy(col(idCol))
-        .agg(min(struct(col("cd"), col("cid"))).as("mn"))
-        .select(col(idCol), col("mn.cid").as("cid"),
-          col("mn.cd").as("cd"))
-    else {
-      val wCell = Window.partitionBy(col(idCol))
-        .orderBy(col("cd"), col("cid"))
-      scored
-        .withColumn("rn", row_number().over(wCell))
-        .filter(col("rn") <= topN)
-        .select(col(idCol), col("cid"), col("cd"))
-    }
+      v.withColumn("__rt",
+          when(size(ranked) >= 1, element_at(ranked, 1)))
+        .filter(col("__rt").isNotNull)
+        .select(col(idCol), col("__rt.cid").as("cid"),
+          col("__rt.cd").as("cd"))
+    else
+      v.select(col(idCol),
+          posexplode(ranked).as(Seq("__pos", "__rt")))
+        .select(col(idCol), col("__rt.cid").as("cid"),
+          col("__rt.cd").as("cd"))
   }
 
   // ---------- IVF-PQ build/serve (s12 inline; s18 persisted) ----------
@@ -1083,7 +1173,17 @@ object Similarity {
     * trained codebook, and the per-cell ADC term table. */
   private[graft] final case class PqIndex(np: Int, sl: Int,
       scCent: DataFrame, cellCent: DataFrame, cellm: DataFrame,
-      cb1f: DataFrame, clut: DataFrame, candRecall: Double = -1.0)
+      cb1f: DataFrame, clut: DataFrame, candRecall: Double = -1.0) {
+    // routing geometry, collected once per (index instance, wSup) —
+    // the steady-state serving streams hold one PqIndex per
+    // generation (PqIndexCache), so a micro-batch pays a map lookup,
+    // not a re-collect
+    @transient private lazy val geomMemo =
+      new java.util.concurrent.ConcurrentHashMap[Int, graft.functions.IvfGeom]()
+    private[graft] def geom(wSup: Int): graft.functions.IvfGeom =
+      geomMemo.computeIfAbsent(wSup,
+        w => collectGeom(scCent, cellCent, w))
+  }
 
   /** s18_pq_meta schema version: bump whenever the meta/codes table
     * shape changes (v2 added the freshness fingerprint + generation +
@@ -1142,38 +1242,44 @@ object Similarity {
     sessionForOracle.flatMap(maxRecallDrift).map(_.toString)
       .getOrElse("-1.0")
 
+  /** Driver-collected PQ codebook from a (m, c, cv) frame — 256
+    * bounded rows, the same rows the LUT/encode joins broadcast. */
+  private def collectCodebook(cb1f: DataFrame): graft.functions.PqCodebook = {
+    val rows = cb1f.select(col("m"), col("c"), col("cv")).collect()
+    val byM = rows.groupBy(_.getInt(0))
+    graft.functions.PqCodebook(Vector.tabulate(PqM) { m =>
+      byM.getOrElse(m, Array.empty[Row]).sortBy(_.getInt(1))
+        .map(r => (r.getInt(1), r.getSeq[Double](2).toVector)).toVector
+    })
+  }
+
   /** Per-QUERY 256-entry positional ADC LUT of −2·q_m·e_m (the
-    * query-dependent term of the decomposed residual distance). */
-  private def pqQlut(qsF: DataFrame, cb1f: DataFrame): DataFrame = qsF
-    .withColumn("m", explode(expr(s"sequence(0, ${PqM - 1})")))
-    .join(broadcast(cb1f), Seq("m"))
-    .withColumn("pdist", expr(
-      s"""aggregate(zip_with(
-            slice(av, m * $PqSub + 1, $PqSub), cv,
-            (x, c) -> -2.0d * cast(x as double) * c),
-          cast(0.0 as double), (acc, x) -> acc + x)"""))
-    .withColumn("kk", col("m") * 64 + col("c"))
-    .groupBy(col("q_id"))
-    .agg(expr(
-      """transform(sort_array(collect_list(struct(kk, pdist))),
-         t -> t.pdist)""").as("qpl"))
+    * query-dependent term of the decomposed residual distance).
+    * r19: one [[graft.functions.PqQlut]] projection per query row
+    * (bit-identical kk-ordered array) instead of the
+    * explode→join→groupBy chain — two exchanges fewer per serve, and
+    * the query relation is never multiplied ×256. */
+  private def pqQlut(qsF: DataFrame, cb1f: DataFrame): DataFrame =
+    pqQlutWith(qsF, collectCodebook(cb1f))
+
+  private def pqQlutWith(qsF: DataFrame,
+      cb: graft.functions.PqCodebook): DataFrame =
+    qsF.select(col("q_id"),
+      graftshim.column(graft.functions.PqQlut(
+        graftshim.expression(col("av")), cb, PqSub)).as("qpl"))
 
   /** Per-CELL 256-entry table of 2·c_m·e_m + |e_m|² (the
-    * cell-dependent term) — k·256 entries total, broadcastable. */
+    * cell-dependent term) — k·256 entries total, broadcastable.
+    * r19: a [[graft.functions.PqClut]] projection over the bounded
+    * cell-centroid frame. */
   private def pqClut(cellCent: DataFrame, cb1f: DataFrame): DataFrame =
-    cellCent.select(col("cid"), col("c").as("cvec"))
-      .withColumn("m", explode(expr(s"sequence(0, ${PqM - 1})")))
-      .join(broadcast(cb1f), Seq("m"))
-      .withColumn("pdist", expr(
-        s"""aggregate(zip_with(
-              slice(cvec, m * $PqSub + 1, $PqSub), cv,
-              (w, e) -> 2.0d * w * e + e * e),
-            cast(0.0 as double), (acc, x) -> acc + x)"""))
-      .withColumn("kk", col("m") * 64 + col("c"))
-      .groupBy(col("cid"))
-      .agg(expr(
-        """transform(sort_array(collect_list(struct(kk, pdist))),
-           t -> t.pdist)""").as("cpl"))
+    pqClutWith(cellCent, collectCodebook(cb1f))
+
+  private def pqClutWith(cellCent: DataFrame,
+      cb: graft.functions.PqCodebook): DataFrame =
+    cellCent.select(col("cid"),
+      graftshim.column(graft.functions.PqClut(
+        graftshim.expression(col("c")), cb, PqSub)).as("cpl"))
 
   /** The decomposed residual ADC scorer: adist = cd + Σ qlut[code_m]
     * + Σ clut[code_m], fixed left-assoc order in both engines.
@@ -1210,6 +1316,7 @@ object Similarity {
   private[graft] def buildPqIndex(s: SparkSession, d: String,
       corpusGate: Option[org.apache.spark.sql.Column] = None)
       : PqIndex = {
+    import scala.jdk.CollectionConverters._
     val e = vecs(s, d)
     val corpus0 = e.filter(col("vec_id") % 2 === 0)
     val corpus = corpusGate.map(corpus0.filter).getOrElse(corpus0)
@@ -1219,76 +1326,104 @@ object Similarity {
     val n = corpusGate.fold(corpusEvenCount(s, d))(_ => corpus.count())
     val k = ivfCellsFor(s, n)
     val wSup = ivfSuperProbe(s)
-    val (scCent0, cellCent0) = twoLevelTrain(corpus, "s12s:", n, k)
-    // the tiny centroid tables (≤ k + ceil(√k) rows) feed FOUR
-    // consumers — corpus routing, query routing, and the two
-    // calibration routings — cache so the sampled training chain
-    // runs once instead of per branch (the d13 lesson)
-    val scCent = scCent0.cache()
-    val cellCent = cellCent0.cache()
+    // twoLevelTrain (r19): eager, LocalRelation centroids — the
+    // bounded geometry is collected ONCE and every downstream
+    // routing/residual/encode step becomes an exchange-free
+    // projection over one corpus scan (see the function's Scaladoc)
+    val (scCent, cellCent) = twoLevelTrain(corpus, "s12s:", n, k)
+    val geom = collectGeom(scCent, cellCent, wSup)
     // one E[256]-query exact-NN sample calibrates BOTH serving
-    // dials: nprobe (cell-rank percentile) here, and the ADC
-    // shortlist (ADC-rank percentile) once the codebooks exist
-    // below. cache: nn is the brute-force pass — share it
-    val (sq0, nn0) = calibSampleNN(qs, corpus, corpusOddCount(s, d))
-    val sq = sq0.cache()
-    val nn = nn0.cache()
-    // ONE ranked routing of the sample feeds BOTH dial calibrations
-    // (nprobe via the true-NN cellrank here; the shortlist probe set
-    // below is cellrank <= np) — the twin reads its single sqrank
-    // CTE from both, and the r14 profile showed the second Scala
-    // routing chain was pure barrier cost
-    val sqRanked = rankedCells(sq, scCent, cellCent, wSup).cache()
-    val np = ivfNprobeOverride(s).getOrElse(
-      calibrateNprobeFrom(s, sqRanked, nn, corpus, scCent, cellCent,
-        k, wSup))
-    // cache: the corpus routing feeds the residual chain (casg /
-    // cb1 / codes via corpusRes) AND the candidate map (cellm) —
-    // 2 longs per corpus row; uncached, the (1+w)·√k routing
-    // evals would re-run per consumer (the d13 lesson)
-    val ccell = routeToCells(corpus, "c_id", "bv",
-      scCent, cellCent, wSup, 1).select(col("c_id"), col("cid"))
-      .cache()
+    // dials: nprobe (cell-rank percentile) and the ADC shortlist
+    // (ADC-rank percentile, once the codebooks exist below). The
+    // sample is bounded — collect it and the referee verdict (the
+    // brute-force pass stays distributed: it scans the corpus), and
+    // the nprobe calibration is pure driver math over the collected
+    // geometry (same IvfGeom.ranked the serving expressions run).
+    val sampThresh =
+      (CalibSample * 4294967296L - 1L) / corpusOddCount(s, d) + 1L
+    val sqRows = qs.filter(
+        conv(substring(md5(concat(lit("s12c:"),
+          col("q_id").cast("string"))), 1, 8), 16, 10).cast("long")
+          < lit(sampThresh))
+      .collect().map(r => (r.getLong(0), rowVec(r.getSeq[Any](1))))
+    val sqLocal = s.createDataFrame(
+      sqRows.map(t => Row(t._1, t._2)).toSeq.asJava,
+      centSchema("q_id" -> LongDT, "av" -> VecDT))
+    // the exact-NN referee: ONE corpus pass; min(struct) carries the
+    // NN's vector out so its cell routes driver-side without a second
+    // corpus join (the (qd, c_id) prefix is already unique, so the
+    // extra field never tips the lexicographic argmin)
+    val nnRows =
+      if (sqRows.isEmpty) Array.empty[Row]
+      else corpus.crossJoin(broadcast(sqLocal))
+        .withColumn("qd", l2d("av", "bv"))
+        .groupBy(col("q_id"))
+        .agg(min(struct(col("qd"), col("c_id"), col("bv"))).as("mn"))
+        .select(col("q_id"), col("mn.c_id").as("c_id"),
+          col("mn.bv").as("bv"))
+        .collect()
+    val nnLocal = s.createDataFrame(
+      nnRows.map(r => Row(r.getLong(0), r.getLong(1))).toSeq.asJava,
+      centSchema("q_id" -> LongDT, "c_id" -> LongDT))
+    val qvById = sqRows.toMap
+    val np = ivfNprobeOverride(s).getOrElse {
+      // in-gate cellrank of each sample query's true NN — the same
+      // single routing implementation the expressions evaluate,
+      // invoked on the driver over ≤ |sample| vectors
+      val ranks = nnRows.toIndexedSeq.flatMap { r =>
+        geom.route1(rowVec(r.getSeq[Any](2)).toArray).flatMap {
+          case (_, nnCid) =>
+            val ranked = geom.ranked(qvById(r.getLong(0)).toArray)
+            val i = ranked.indexWhere(_._2 == nnCid)
+            if (i >= 0) Some((i + 1).toLong) else None
+        }
+      }
+      pickNprobe(ranks, recallTargetPct(s), nprobeCap(k))
+    }
     // RESIDUAL encoding (IVFADC, Jégou et al.): rv = bv −
-    // cell_centroid; the centroid array is renamed cvec (`c` would
-    // collide with cb1f's code-id column). rv is double
-    // (float→double exact; centroid doubles bit-identical across
-    // engines by the quantMean contract) — residuals are
-    // bit-identical in both twins.
-    val cellVec = cellCent.select(col("cid"), col("c").as("cvec"))
-    val corpusRes = corpus.join(ccell, "c_id")
-      .join(broadcast(cellVec), "cid")
-      .select(col("c_id"), col("cid"),
-        expr("zip_with(bv, cvec, (x, w) -> cast(x as double) - w)")
-          .as("rv"))
-      .cache() // rv feeds init, assignment, training, coding
+    // cell_centroid, double precision (float→double exact; centroid
+    // doubles bit-identical across engines by the quantMean
+    // contract). r19: the cell assignment AND the residual are one
+    // projection over the corpus scan — the r18 chain paid a groupBy
+    // exchange (routing argmin) plus a join exchange (centroid
+    // re-attach) over the full corpus for what is a per-row function
+    // of the bounded geometry.
+    val routedCol = graftshim.column(graft.functions.IvfRouteRanked(
+      graftshim.expression(col("bv")), geom, 1))
+    val residCol = graftshim.column(graft.functions.IvfResidual(
+      graftshim.expression(col("bv")),
+      graftshim.expression(col("cid")), geom))
+    val routed = corpus
+      .withColumn("__rt",
+        when(size(routedCol) >= 1, element_at(routedCol, 1)))
+      .filter(col("__rt").isNotNull)
+      .select(col("c_id"), col("__rt.cid").as("cid"), col("bv"))
+      .withColumn("rv", residCol)
+      .select(col("c_id"), col("cid"), col("rv"))
     // codebook init: residual sub-vectors of the 64 lowest-id corpus
-    // vectors; entry ids ROW_NUMBER — DENSE 0..63, the positional-LUT
-    // contract (raw ids only satisfy that on dense test corpora)
-    val cb0 = corpusRes.orderBy(col("c_id")).limit(64)
-      .select(
-        (row_number().over(Window.orderBy(col("c_id"))) - 1)
-          .as("c"),
-        col("rv").as("cv"))
-      .cache() // 64 rows; feeds casg + cbInit
-    def subDist0(a: String) =
-      s"""aggregate(zip_with(
-            slice($a, m * $PqSub + 1, $PqSub),
-            slice(cv, m * $PqSub + 1, $PqSub),
-            (x, c) -> (x - c) * (x - c)),
-          cast(0.0 as double), (acc, x) -> acc + x)"""
-    // PQ argmins via min(struct(dist, c)) — partial-aggregating
-    // map-side combine (lexicographic ⇒ the (dist ASC, c ASC) first
-    // row; the twins keep ROW_NUMBER — answer-identical)
-    val casg = corpusRes
+    // vectors; entry ids DENSE 0..63 (the positional-LUT contract)
+    val cb0Rows = routed.select(col("c_id"), col("rv"))
+      .orderBy(col("c_id")).limit(64).collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toVector)
+    val cb0 = graft.functions.PqCodebook(Vector.tabulate(PqM)(m =>
+      cb0Rows.toVector.zipWithIndex.map { case (rv, c) =>
+        (c, rv.slice(m * PqSub, m * PqSub + PqSub))
+      }))
+    // one Lloyd round per sub-space over the corpus residuals: the
+    // init-codebook argmin is a pq_encode projection (the r18 chain
+    // exploded ×4, crossJoined ×64 and re-joined the residuals — two
+    // more full-corpus exchanges); the floor-quantized mean stays a
+    // distributed aggregation (exact + associative BIGINT sums), its
+    // 256-row result collected and merged with the init entries
+    // driver-side
+    val enc0 = graftshim.column(graft.functions.PqEncodeCodes(
+      graftshim.expression(col("rv")), cb0, PqSub))
+    val cb1Rows = routed
+      .withColumn("cs", enc0)
       .withColumn("m", explode(expr(s"sequence(0, ${PqM - 1})")))
-      .crossJoin(broadcast(cb0))
-      .withColumn("dist", expr(subDist0("rv")))
-      .groupBy(col("c_id"), col("m"))
-      .agg(min(struct(col("dist"), col("c"))).as("mn"))
-      .select(col("c_id"), col("m"), col("mn.c").as("c"))
-    val cb1 = casg.join(corpusRes, "c_id")
-      .select(col("m"), col("c"),
+      .select(col("m"),
+        element_at(col("cs"), col("m") + 1).as("c"),
         posexplode(expr(s"slice(rv, m * $PqSub + 1, $PqSub)"))
           .as(Seq("dd", "x")))
       .groupBy(col("m"), col("c"), col("dd"))
@@ -1299,73 +1434,75 @@ object Similarity {
       .agg(expr(
         """transform(sort_array(collect_list(struct(dd, cval))),
            t -> t.cval)""").as("cv"))
-    val cbInit = cb0
-      .withColumn("m", explode(expr(s"sequence(0, ${PqM - 1})")))
-      .select(col("m"), col("c"),
-        expr(s"slice(cv, m * $PqSub + 1, $PqSub)").as("cvi"))
-    val cb1f = cbInit.join(cb1, Seq("m", "c"), "left")
-      .select(col("m"), col("c"),
-        coalesce(col("cv"), col("cvi")).as("cv"))
-      .cache() // 256 rows; feeds codes + qlut + clut — uncached
-               // its whole training chain re-ran per consumer
-    val codesPiv = pqEncode(corpusRes, cb1f)
-    val clut = pqClut(cellCent, cb1f).cache()
-    // the cache sits on cellm — the CARRIED (cid, codes) map PqIndex
-    // serves from — not on its codesPiv/ccell inputs: the shortlist
-    // calibration below materializes it eagerly (6 ints per corpus
-    // row), and the build-only inputs can then be released instead of
-    // staying pinned for the index's lifetime
-    val cellm = ccell.join(codesPiv, "c_id").cache()
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toVector))
+      .toMap
+    // empty Lloyd groups keep their init sub-vector (the old
+    // left-join + coalesce), so codes stay DENSE in 0..|cb0|
+    val cb1f = graft.functions.PqCodebook(Vector.tabulate(PqM)(m =>
+      cb0.entries(m).map { case (c, cvi) =>
+        (c, cb1Rows.getOrElse((m, c), cvi))
+      }))
+    val cb1fDf = s.createDataFrame(
+      (for { m <- 0 until PqM; (c, cv) <- cb1f.entries(m) }
+        yield Row(m, c, cv)).asJava,
+      centSchema(
+        "m" -> org.apache.spark.sql.types.IntegerType,
+        "c" -> org.apache.spark.sql.types.IntegerType,
+        "cv" -> VecDT))
+    val encodeCol = graftshim.column(graft.functions.PqEncodeCodes(
+      graftshim.expression(col("rv")), cb1f, PqSub))
+    // the carried (cid, codes) candidate map: corpus scan →
+    // projection, no joins — cached, it IS the in-memory index
+    val cellm = routed
+      .withColumn("cs", encodeCol)
+      .select(Seq(col("c_id"), col("cid")) ++
+        (0 until PqM).map(m =>
+          element_at(col("cs"), m + 1).as(s"code$m")): _*)
+      .cache()
+    val clut = pqClutWith(cellCent, cb1f).cache()
     // ---- shortlist calibration: the sample's candidates through
-    // the FULL serving scorer (≤ |sample|·np·max-occupancy rows; the qlut here
-    // is SAMPLE-only) → the ADC rank each true NN actually landed
-    // at → order-statistic percentile. Gate-missed queries drop at
-    // the inner join (nprobe, not the shortlist, binds them).
-    // Runs UNCONDITIONALLY (even under a pqShortlist override) since
-    // r17: |ranks| / |sample| IS the measured candidate recall — the
-    // ceiling on end-to-end recall — persisted as index metadata and
-    // optionally gated by spark.graft.minCandRecall, so a corpus
-    // whose geometry can't meet target under the nprobe cost cap
-    // fails the NIGHTLY BUILD instead of silently missing recall in
-    // production. The pass is one E[256]-query sample — noise next
-    // to the build. ----
-    val sprobes = sqRanked.filter(col("cellrank") <= np)
-      .select(col("q_id"), col("cid"), col("cd"))
+    // the FULL serving scorer (≤ |sample|·np·max-occupancy rows; the
+    // qlut here is SAMPLE-only) → the ADC rank each true NN actually
+    // landed at → order-statistic percentile. Gate-missed queries
+    // drop at the inner join (nprobe, not the shortlist, binds
+    // them). Runs UNCONDITIONALLY (even under a pqShortlist
+    // override) since r17: |ranks| / |sample| IS the measured
+    // candidate recall — the ceiling on end-to-end recall —
+    // persisted as index metadata and optionally gated by
+    // spark.graft.minCandRecall, so a corpus whose geometry can't
+    // meet target under the nprobe cost cap fails the NIGHTLY BUILD
+    // instead of silently missing recall in production. The pass is
+    // one E[256]-query sample — noise next to the build. ----
+    val sampleRanked = graftshim.column(graft.functions.IvfRouteRanked(
+      graftshim.expression(col("av")), geom, np))
+    val sprobes = sqLocal
+      .select(col("q_id"),
+        posexplode(sampleRanked).as(Seq("__pos", "__rt")))
+      .select(col("q_id"), col("__rt.cid").as("cid"),
+        col("__rt.cd").as("cd"))
     val wTop = Window.partitionBy(col("q_id"))
       .orderBy(col("adist"), col("c_id"))
-    val sranked = adcScore(sprobes.join(cellm, "cid")
+    val sranked = adcScore(broadcast(sprobes).join(cellm, "cid")
         .select(col("q_id"), col("cid"), col("cd"), col("c_id"),
           col("code0"), col("code1"), col("code2"),
           col("code3")),
-        pqQlut(sq, cb1f), clut)
+        broadcast(pqQlutWith(sqLocal, cb1f)), clut)
       .withColumn("r", row_number().over(wTop))
       .select(col("q_id"), col("c_id"), col("r"))
-    val ranks = nn.join(sranked, Seq("q_id", "c_id"))
+    val ranks = broadcast(nnLocal).join(sranked, Seq("q_id", "c_id"))
       .select(col("r").cast("long").as("r"))
       .collect().map(_.getLong(0)).toIndexedSeq
-    val sqCount = sq.count()
+    val sqCount = sqRows.length.toLong
     val candRecall =
       if (sqCount == 0L) -1.0 else ranks.length.toDouble / sqCount
     val sl = pqShortlistOverride(s)
       .getOrElse(pickShortlist(ranks, recallTargetPct(s)))
-    // both dials are now collected literals: release every BUILD-ONLY
-    // cache (sample, referee, routed sample, residuals, init
-    // codebook, corpus routing). The carried frames (scCent,
-    // cellCent, cellm, cb1f, clut) stay cached — they ARE the
-    // in-memory index; everything else pinned here would leak one
-    // build's worth of storage per index in a long-lived session
-    // (specs, st17, repeated builds). All chains are deterministic,
-    // so an evicted carried cache can still recompute through the
-    // released frames — slower, never wrong.
-    Seq(sq, nn, sqRanked, ccell, corpusRes, cb0)
-      .foreach(_.unpersist(false))
-    // the minCandRecall gate fires AFTER the build-only caches are
-    // released (and releases the carried ones too — the caller never
-    // receives an index to unpersist on the failure path)
+    // the minCandRecall gate releases the carried cache on the
+    // failure path — the caller never receives an index to unpersist
     minCandRecall(s).foreach { floor =>
       if (!(candRecall < 0.0 || candRecall >= floor)) {
-        Seq(scCent, cellCent, cellm, cb1f, clut)
-          .foreach(_.unpersist(false))
+        Seq(cellm, clut).foreach(_.unpersist(false))
         throw new IllegalArgumentException(
           f"requirement failed: IVF-PQ build gate: measured candidate " +
             f"recall $candRecall%.3f (true NNs surviving the nprobe " +
@@ -1378,7 +1515,7 @@ object Similarity {
             "(see CONFIGURATION.md, IVF recall geometry)")
       }
     }
-    PqIndex(np, sl, scCent, cellCent, cellm, cb1f, clut, candRecall)
+    PqIndex(np, sl, scCent, cellCent, cellm, cb1fDf, clut, candRecall)
   }
 
   /** PQ-encode residual vectors against a trained codebook:
@@ -1391,21 +1528,15 @@ object Similarity {
     * equal to "train on base, encode everything" — the contract the
     * s24 twin recomputes. */
   private def pqEncode(res: DataFrame, cb1f: DataFrame): DataFrame = {
-    val codes = res
-      .withColumn("m", explode(expr(s"sequence(0, ${PqM - 1})")))
-      .join(broadcast(cb1f), Seq("m"))
-      .withColumn("dist", expr(
-        s"""aggregate(zip_with(
-              slice(rv, m * $PqSub + 1, $PqSub), cv,
-              (x, c) -> (x - c) * (x - c)),
-            cast(0.0 as double), (acc, x) -> acc + x)"""))
-      .groupBy(col("c_id"), col("m"))
-      .agg(min(struct(col("dist"), col("c"))).as("mn"))
-      .select(col("c_id"), col("m"), col("mn.c").as("c"))
-    codes.groupBy(col("c_id"))
-      .agg(min(when(col("m") === 0, col("c"))).as("code0"),
-        (1 until PqM).map(m =>
-          min(when(col("m") === m, col("c"))).as(s"code$m")): _*)
+    // r19: one pq_encode projection per row (same per-sub-space
+    // argmin fold and smallest-c tie-break as the old
+    // explode→crossJoin→groupBy×2 chain — two exchanges and a ×256
+    // row blow-up, gone)
+    val enc = graftshim.column(graft.functions.PqEncodeCodes(
+      graftshim.expression(col("rv")), collectCodebook(cb1f), PqSub))
+    res.withColumn("cs", enc)
+      .select(Seq(col("c_id")) ++ (0 until PqM).map(m =>
+        element_at(col("cs"), m + 1).as(s"code$m")): _*)
   }
 
   /** INCREMENTAL PQ-codes maintenance (s24) — the nightly delta
@@ -1704,9 +1835,10 @@ object Similarity {
   private[graft] def servePqRanked(s: SparkSession, qs: DataFrame,
       corpus: DataFrame, idx: PqIndex,
       candGate: DataFrame => DataFrame, topK: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
     val wSup = ivfSuperProbe(s)
-    val probes = routeToCells(qs, "q_id", "av", idx.scCent,
-        idx.cellCent, wSup, idx.np)
+    val probes = routeWithGeom(qs, "q_id", "av", idx.geom(wSup),
+        idx.np)
       .select(col("q_id"), col("cid"), col("cd"))
     // a persisted index may carry filterable attributes in the codes
     // table (persistPqIndex) — keep them in the candidate frame so a
@@ -1731,12 +1863,9 @@ object Similarity {
       .withColumn("r", row_number().over(wTop))
       .filter(col("r") <= idx.sl)
       .select(col("q_id"), col("c_id"))
-    // stage 2: EXACT L2 rerank of the ADC shortlist only
-    val l2 =
-      """aggregate(zip_with(av, bv,
-           (x, y) -> (cast(x as double) - cast(y as double))
-                   * (cast(x as double) - cast(y as double))),
-         cast(0.0 as double), (acc, x) -> acc + x)"""
+    // stage 2: EXACT L2 rerank of the ADC shortlist only — native
+    // codegen'd fold (identical arithmetic to the HOF it replaces)
+    val l2 = "vec_l2sq(av, bv)"
     val wF = Window.partitionBy(col("q_id"))
       .orderBy(col("l2sq"), col("c_id"))
     shortlist

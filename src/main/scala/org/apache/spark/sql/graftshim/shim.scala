@@ -218,6 +218,21 @@ object shim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     Dataset.ofRows(spark, plan)
 
+  /** Column over a custom Expression (geometry-carrying IVF-PQ
+    * expressions are constructed per build with driver-collected
+    * state — registering each as a session-global SQL function would
+    * leak one registration per build and race concurrent streams).
+    * `ExpressionUtils.column` is `private[sql]`, hence here. */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** The catalyst Expression behind a (classic) Column — the inverse
+    * bridge, for wrapping existing columns in custom expressions. */
+  def expression(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
   /** The data files a planned V2 scan will actually read — the audit
     * hook specs use to PROVE manifest-stats pruning shrank a scan
     * (unwraps graft's snapshot wrapper; `FileScan` is `private[sql]`,

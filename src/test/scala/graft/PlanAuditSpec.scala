@@ -21,69 +21,22 @@ class PlanAuditSpec extends SparkSpec {
     "s07_truncated_rerank" -> "verification tier: exact coarse baseline for s09",
     "s04_ivf_ann" -> "broadcast 8-centroid affinity (k tiny, not O(n²))",
     "s08_ivf_kmeans" -> "broadcast k-centroid affinity per Lloyd round",
-    "s12_pq_adc" ->
-      ("broadcast centroid/codebook affinities (ceil(√k) super-cells " +
-        "+ <=4096 cells + 64-row codebook init, not O(n²))"),
-    "s18_pq_persisted" ->
-      ("s12's build chain verbatim (same labeled broadcast " +
-        "affinities), then persist + serve from the saved tables"),
-    "s18_pq_serve_only" ->
-      ("serve path over the persisted index (broadcast query-LUT " +
-        "against the saved tables; rebuild branch only when no index " +
-        "exists for the corpus — s12's labeled affinities)"),
-    "s19_filtered_ann" ->
-      ("s18's serve path + the label candidate gate (same broadcast " +
-        "LUTs; the gate itself is an n-row equi-join, not all-pairs)"),
+    // r19: the whole IVF-PQ family (s12/s18/s19/s21–s30, d13) left
+    // this list — routing/encoding/LUTs are exchange-free native
+    // projections over driver-collected bounded geometry now, and the
+    // bounded calibration referee runs eagerly INSIDE the builders,
+    // so the gated serve plans carry no cross join at all (the
+    // honest-allowlist discipline: exemptions drop when plans
+    // improve). s20/s27 keep theirs: their sample referee rides the
+    // RETURNED plan.
     "s20_hybrid_rrf" ->
       ("broadcast 1-row BM25 stats + the E[32]-query vector " +
         "verification leg (bounded by the sample like the s12 " +
         "calibration referee; s21 is the index-backed deployment twin)"),
-    "s21_hybrid_indexed" ->
-      ("s18's serve path (broadcast centroid/query-LUT affinities " +
-        "against the persisted PQ index; NO corpus-side cross join — " +
-        "the vector leg is the bucketed codes-table scan, the lexical " +
-        "leg the bucketed postings index with nd/tl as literals; " +
-        "rebuild branches only when no fresh index exists)"),
-    "s22_incremental_lex" ->
-      ("s21's serve plan verbatim after the base-build + delta-append " +
-        "phases (same broadcast affinities; the incremental build " +
-        "itself is appends + an additive df merge, no all-pairs)"),
-    "s23_lex_compaction" ->
-      ("s21's serve plan verbatim after build + append + compaction " +
-        "(compaction is a zero-exchange per-bucket rewrite + rename " +
-        "swap; the serve plan is unchanged by layout)"),
-    "s30_lex_maintained_serve" ->
-      ("s21's serve plan verbatim after the stale-base build + the " +
-        "maintain's tokenize-once full rebuild (the serve's vector " +
-        "leg is s18's labeled broadcast routing/LUT affinities " +
-        "against the persisted PQ index; the lexical audit and " +
-        "rebuild are counts, equi-joins, and aggregations — never " +
-        "all-pairs)"),
-    "s24_incremental_pq" ->
-      ("s12's labeled broadcast affinities in the gated BASE build + " +
-        "the delta append's broadcast centroid routing (|delta|·√k, " +
-        "not all-pairs); serve is s18's plan over the appended codes"),
-    "s26_pq_compaction" ->
-      ("s24's lifecycle (gated-base build + delta append broadcasts) " +
-        "before a zero-exchange per-bucket codes rewrite + rename " +
-        "swap; the serve plan is s18's, unchanged by layout"),
     "s27_recall_drift_audit" ->
       ("s24's lifecycle broadcasts + the audit's bounded E[256]-query " +
         "exact referee (the same |sample|·n pass every build pays) — " +
         "never all-pairs"),
-    "s29_maintained_serve" ->
-      ("s27's aged lifecycle (gated-base build + delta broadcasts) + " +
-        "the audit's bounded E[256]-query exact referee + the " +
-        "rebuild's s12-labeled broadcast affinities; serve is s18's " +
-        "plan — never all-pairs"),
-    "s25_hard_negatives" ->
-      ("s18's serve path (broadcast routing/LUT affinities; rebuild " +
-        "branch only when no fresh index exists) + one equi-self-join " +
-        "for the positive distance — no all-pairs"),
-    "d13_semdedup" ->
-      ("broadcast centroid affinities via the shared two-level " +
-        "quantizer (<=4096 cells; pair work bounded per cell, " +
-        "not O(n²))"),
     "t07_vocab_stats" -> "1x1 scalar combine",
     "q70_skew_stats" -> "1x1 scalar combine",
     "q71_hll_sketch_distinct" -> "1x1 scalar combine (union row)",
@@ -101,11 +54,6 @@ class PlanAuditSpec extends SparkSpec {
     "s15_mmr_diverse_topk" ->
       ("verification-tier candidate stage (s01's role); the MMR fold " +
         "itself is per-row — s28 is the index-served deployment twin"),
-    "s28_mmr_indexed" ->
-      ("s18's serve path for the candidate tier (broadcast " +
-        "routing/LUT affinities against the persisted index; rebuild " +
-        "branch only when no fresh index exists) — NO corpus-side " +
-        "cross join; the MMR fold is per-row"),
     "p05_cluster_balanced_sample" ->
       ("broadcast 8-centroid Lloyd affinities (s08's trained chain " +
         "via the shared helpers — k tiny, not O(n²))"),
