@@ -1183,6 +1183,11 @@ object Similarity {
     private[graft] def geom(wSup: Int): graft.functions.IvfGeom =
       geomMemo.computeIfAbsent(wSup,
         w => collectGeom(scCent, cellCent, w))
+    // the 256-row codebook, collected once per index instance — the
+    // serving streams hold one instance per generation, so a
+    // micro-batch's qlut projection pays a field read, not a scan job
+    @transient private[graft] lazy val codebook: graft.functions.PqCodebook =
+      collectCodebook(cb1f)
   }
 
   /** s18_pq_meta schema version: bump whenever the meta/codes table
@@ -1326,12 +1331,6 @@ object Similarity {
     val n = corpusGate.fold(corpusEvenCount(s, d))(_ => corpus.count())
     val k = ivfCellsFor(s, n)
     val wSup = ivfSuperProbe(s)
-    // twoLevelTrain (r19): eager, LocalRelation centroids — the
-    // bounded geometry is collected ONCE and every downstream
-    // routing/residual/encode step becomes an exchange-free
-    // projection over one corpus scan (see the function's Scaladoc)
-    val (scCent, cellCent) = twoLevelTrain(corpus, "s12s:", n, k)
-    val geom = collectGeom(scCent, cellCent, wSup)
     // one E[256]-query exact-NN sample calibrates BOTH serving
     // dials: nprobe (cell-rank percentile) and the ADC shortlist
     // (ADC-rank percentile, once the codebooks exist below). The
@@ -1339,29 +1338,48 @@ object Similarity {
     // brute-force pass stays distributed: it scans the corpus), and
     // the nprobe calibration is pure driver math over the collected
     // geometry (same IvfGeom.ranked the serving expressions run).
+    // The referee needs NO geometry, so it runs CONCURRENTLY with
+    // the training chain (guide §2.6 — overlap independent jobs):
+    // its corpus scan back-fills executors the sample-sized training
+    // jobs leave idle, and the collected verdict is awaited only
+    // where the nprobe calibration needs it.
     val sampThresh =
       (CalibSample * 4294967296L - 1L) / corpusOddCount(s, d) + 1L
-    val sqRows = qs.filter(
-        conv(substring(md5(concat(lit("s12c:"),
-          col("q_id").cast("string"))), 1, 8), 16, 10).cast("long")
-          < lit(sampThresh))
-      .collect().map(r => (r.getLong(0), rowVec(r.getSeq[Any](1))))
-    val sqLocal = s.createDataFrame(
-      sqRows.map(t => Row(t._1, t._2)).toSeq.asJava,
-      centSchema("q_id" -> LongDT, "av" -> VecDT))
-    // the exact-NN referee: ONE corpus pass; min(struct) carries the
-    // NN's vector out so its cell routes driver-side without a second
-    // corpus join (the (qd, c_id) prefix is already unique, so the
-    // extra field never tips the lexicographic argmin)
-    val nnRows =
-      if (sqRows.isEmpty) Array.empty[Row]
-      else corpus.crossJoin(broadcast(sqLocal))
-        .withColumn("qd", l2d("av", "bv"))
-        .groupBy(col("q_id"))
-        .agg(min(struct(col("qd"), col("c_id"), col("bv"))).as("mn"))
-        .select(col("q_id"), col("mn.c_id").as("c_id"),
-          col("mn.bv").as("bv"))
-        .collect()
+    val sqF = qs.filter(
+      conv(substring(md5(concat(lit("s12c:"),
+        col("q_id").cast("string"))), 1, 8), 16, 10).cast("long")
+        < lit(sampThresh))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val refereeF = scala.concurrent.Future {
+      val sqRows = sqF.collect()
+        .map(r => (r.getLong(0), rowVec(r.getSeq[Any](1))))
+      val sqLocal = s.createDataFrame(
+        sqRows.map(t => Row(t._1, t._2)).toSeq.asJava,
+        centSchema("q_id" -> LongDT, "av" -> VecDT))
+      // the exact-NN referee: ONE corpus pass; min(struct) carries
+      // the NN's vector out so its cell routes driver-side without a
+      // second corpus join (the (qd, c_id) prefix is already unique,
+      // so the extra field never tips the lexicographic argmin)
+      val nnRows =
+        if (sqRows.isEmpty) Array.empty[Row]
+        else corpus.crossJoin(broadcast(sqLocal))
+          .withColumn("qd", l2d("av", "bv"))
+          .groupBy(col("q_id"))
+          .agg(min(struct(col("qd"), col("c_id"), col("bv"))).as("mn"))
+          .select(col("q_id"), col("mn.c_id").as("c_id"),
+            col("mn.bv").as("bv"))
+          .collect()
+      (sqRows, sqLocal, nnRows)
+    }
+    // twoLevelTrain (r19): eager, LocalRelation centroids — the
+    // bounded geometry is collected ONCE and every downstream
+    // routing/residual/encode step becomes an exchange-free
+    // projection over one corpus scan (see the function's Scaladoc)
+    val (scCent, cellCent) = twoLevelTrain(corpus, "s12s:", n, k)
+    val geom = collectGeom(scCent, cellCent, wSup)
+    val (sqRows, sqLocal, nnRows) = scala.concurrent.Await
+      .result(refereeF, scala.concurrent.duration.Duration.Inf)
     val nnLocal = s.createDataFrame(
       nnRows.map(r => Row(r.getLong(0), r.getLong(1))).toSeq.asJava,
       centSchema("q_id" -> LongDT, "c_id" -> LongDT))
@@ -1859,7 +1877,7 @@ object Similarity {
     // buys matching candidates instead of being eaten by filtered-out
     // ones (the post-filter-the-candidates shape of filtered ANN)
     val shortlist = candGate(
-        adcScore(cand, pqQlut(qs, idx.cb1f), idx.clut))
+        adcScore(cand, pqQlutWith(qs, idx.codebook), idx.clut))
       .withColumn("r", row_number().over(wTop))
       .filter(col("r") <= idx.sl)
       .select(col("q_id"), col("c_id"))
