@@ -1618,9 +1618,16 @@ object Analytics {
               ranks("node") === outd("u"), "left_anti")
             .agg(strSum(floor(col("r") * lit(1e12) + lit(0.5)))).head()
           val dq = if (dRow.isNullAt(0)) 0.0 else dRow.getDouble(0)
+          // r19: the node-sized sides build hash maps (SHUFFLE_HASH —
+          // a plan-local hint, no session conf); the default
+          // sort-merge re-SORTED the cached O(E) edge relation every
+          // round — 6 full edge sorts whose buffers OOMed the ×100
+          // probe. Edges stream through unsorted, reusing their
+          // cached hash layout; the rank/degree frames are O(nodes).
           val contrib = edges
-            .join(ranks, edges("u") === ranks("node"))
-            .join(outd, "u")
+            .join(ranks.hint("SHUFFLE_HASH"),
+              edges("u") === ranks("node"))
+            .join(outd.hint("SHUFFLE_HASH"), "u")
             .select(col("v"),
               floor((col("r") / col("od").cast("double")) * lit(1e12)
                 + lit(0.5)).as("qc"))

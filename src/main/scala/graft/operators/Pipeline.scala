@@ -706,25 +706,35 @@ object Pipeline {
         // n rides the histogram (Σ bucket counts — exact): the
         // separate count() job the r18 shape paid was pure barrier
         val n = hist.map(_._2).sum
-        // thresholds collect EAGERLY (1-row each) while fl is cached,
-        // then embed as LITERALS — no broadcast join in the plan, and
-        // the fluency chain is never re-evaluated at execution time
-        def rankElem(k: Long): Option[(Double, Long)] =
+        // thresholds collect EAGERLY while fl is cached, then embed
+        // as LITERALS — no broadcast join in the plan, and the
+        // fluency chain is never re-evaluated at execution time.
+        // Both tercile extractions ride ONE union'd job (r19 — the
+        // r18 shape paid one driver barrier per threshold): each
+        // branch is the same single-bucket top-r argmax, tagged by
+        // its k so the collected rows map back.
+        def rankBranch(k: Long): Option[org.apache.spark.sql.DataFrame] =
           if (k < 1) None
           else {
             var cum = 0L
             val (bStar, before) = hist.collectFirst {
               case (b, c) if { cum += c; cum >= k } => (b, cum - c)
             }.get
-            val r = fl.filter(bCol === bStar)
+            Some(fl.filter(bCol === bStar)
               .orderBy(col("fluency"), col("doc_id"))
               .limit((k - before).toInt)
               .agg(max(struct(col("fluency"), col("doc_id"))).as("t"))
-              .select(col("t.fluency"), col("t.doc_id")).head()
-            Some((r.getDouble(0), r.getLong(1)))
+              .select(lit(k).as("k"), col("t.fluency"), col("t.doc_id")))
           }
-        val t1 = rankElem(n / 3)
-        val t2 = rankElem(2L * n / 3)
+        val branches =
+          Seq(n / 3, 2L * n / 3).distinct.flatMap(rankBranch)
+        val thByK: Map[Long, (Double, Long)] =
+          if (branches.isEmpty) Map.empty
+          else branches.reduce(_.unionAll(_)).collect()
+            .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2)))
+            .toMap
+        val t1 = thByK.get(n / 3)
+        val t2 = thByK.get(2L * n / 3)
         def leTh(t: Option[(Double, Long)]) = t match {
           case Some((f, id)) => col("fluency") < lit(f) ||
             (col("fluency") === lit(f) && col("doc_id") <= lit(id))
